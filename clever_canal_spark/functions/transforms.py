@@ -1,0 +1,139 @@
+"""Vectorized per-event transforms (Arrow pandas UDFs — the Spark analog of
+the reference's per-row column materialization, LogEventConvert.java:536-802,
+which runs in the disruptor's DML worker pool,
+MysqlMultiStageCoprocessor.java:281-309).
+
+The north-rule invariant is *byte-identical extracted text per url* across
+replays and cluster sizes, so both transforms are pure, deterministic,
+locale-independent Python over bytes — no external libs, no ambient state.
+Each is exposed two ways:
+
+- a plain Python function (the spec, unit-testable, used by the golden oracle);
+- a ``pandas_udf`` wrapper (Series→Series, Arrow-batched — never per-row
+  Python, per BASELINE.json input_hint).
+"""
+
+from __future__ import annotations
+
+import html as _htmlmod
+import re
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
+
+# --- html → text ----------------------------------------------------------
+
+_SCRIPT_RE = re.compile(rb"(?is)<(script|style)\b.*?</\1\s*>")
+_COMMENT_RE = re.compile(rb"(?s)<!--.*?-->")
+_BLOCK_TAG_RE = re.compile(
+    rb"(?i)</?(p|div|br|h[1-6]|li|ul|ol|tr|table|td|th|section|article|header|footer|blockquote|pre|title)\b[^>]*>"
+)
+_TAG_RE = re.compile(rb"<[^>]*>")
+_WS_RE = re.compile(r"[ \t\r\f\v]+")
+_NL_RE = re.compile(r"\n{2,}")
+
+
+def extract_text_from_html(html: bytes | None) -> str | None:
+    """Deterministic HTML → text: strip script/style/comments, block tags →
+    newline, inline tags → nothing, entity-decode, normalize whitespace.
+    Invalid UTF-8 bytes are replaced (stable across platforms)."""
+    if html is None:
+        return None
+    b = _SCRIPT_RE.sub(b"", html)
+    b = _COMMENT_RE.sub(b"", b)
+    b = _BLOCK_TAG_RE.sub(b"\n", b)
+    b = _TAG_RE.sub(b"", b)
+    s = b.decode("utf-8", errors="replace")
+    s = _htmlmod.unescape(s)
+    s = _WS_RE.sub(" ", s)
+    s = "\n".join(part.strip() for part in s.split("\n"))
+    s = _NL_RE.sub("\n", s).strip()
+    return s
+
+
+# --- language tagging -----------------------------------------------------
+# Stopword-hit heuristic (n-gram/marker-word language ID). Deterministic
+# tie-break: fixed language order, then "und".
+
+_LANG_MARKERS: list[tuple[str, frozenset[str]]] = [
+    ("en", frozenset("the and of to in is that for with on as are was this".split())),
+    ("de", frozenset("der die das und ist nicht von mit für auf ein eine".split())),
+    ("fr", frozenset("le la les des et est pour dans que une avec sur".split())),
+    ("es", frozenset("el la los las y es para en que una con por".split())),
+    ("zh", frozenset("的 是 了 在 和 有 我 不 这 中".split())),
+]
+_TOKEN_RE = re.compile(r"[^\W\d_]+", re.UNICODE)
+
+
+def tag_language(text: str | None) -> str | None:
+    """Marker-word language ID; 'und' when no marker hits."""
+    if text is None:
+        return None
+    toks = _TOKEN_RE.findall(text.lower())
+    if not toks:
+        return "und"
+    best_lang, best_hits = "und", 0
+    for lang, markers in _LANG_MARKERS:
+        hits = sum(1 for t in toks if t in markers)
+        if hits > best_hits:
+            best_lang, best_hits = lang, hits
+    return best_lang
+
+
+# --- pandas UDF wrappers --------------------------------------------------
+# Constructed lazily: pandas_udf with a DDL return type needs an active
+# SparkSession, so decorating at import time would break library imports.
+
+_UDF_CACHE: dict[str, object] = {}
+
+
+def html_to_text_udf(col: Column) -> Column:
+    if "html_to_text" not in _UDF_CACHE:
+
+        @pandas_udf("string")
+        def _u(html: pd.Series) -> pd.Series:
+            return html.map(extract_text_from_html)
+
+        _UDF_CACHE["html_to_text"] = _u
+    return _UDF_CACHE["html_to_text"](col)
+
+
+def lang_tag_udf(col: Column) -> Column:
+    if "lang_tag" not in _UDF_CACHE:
+
+        @pandas_udf("string")
+        def _u(text: pd.Series) -> pd.Series:
+            return text.map(tag_language)
+
+        _UDF_CACHE["lang_tag"] = _u
+    return _UDF_CACHE["lang_tag"](col)
+
+
+def with_page_transforms(df: DataFrame, image_col: str = "after") -> DataFrame:
+    """Fill ``text``/``lang`` inside the payload struct from ``html``.
+
+    Runs ONE Arrow round-trip for text then derives lang from it; rows whose
+    image is null (heartbeats, deletes) pass through. Placed AFTER filters so
+    pushdown isn't blocked (SURVEY.md §4).
+    """
+    txt = F.when(
+        F.col(image_col).isNotNull(), html_to_text_udf(F.col(f"{image_col}.html"))
+    )
+    df = df.withColumn("__text", txt)
+    lang = F.when(F.col("__text").isNotNull(), lang_tag_udf(F.col("__text")))
+    df = df.withColumn("__lang", lang)
+    rebuilt = F.struct(
+        F.col(f"{image_col}.url").alias("url"),
+        F.col(f"{image_col}.warc_ts").alias("warc_ts"),
+        F.col(f"{image_col}.html").alias("html"),
+        F.col("__text").alias("text"),
+        F.col("__lang").alias("lang"),
+    )
+    return (
+        df.withColumn(
+            image_col,
+            F.when(F.col(image_col).isNull(), F.lit(None)).otherwise(rebuilt),
+        )
+        .drop("__text", "__lang")
+    )

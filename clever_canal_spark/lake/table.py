@@ -1,0 +1,405 @@
+"""LakeTable — a minimal Iceberg-like table format on parquet + a JSON log.
+
+The sandbox has no Iceberg/Delta jars, so the engine carries its own lake
+layer providing exactly the subset the CDC apply needs (on a real cluster
+every call here maps 1:1 onto Iceberg: ``merge`` → ``MERGE INTO``,
+``add/rename/widen_column`` → ``UpdateSchema``, ``version`` → snapshot id,
+``committed_epochs`` → a snapshot summary property):
+
+- **Atomic snapshot commits.** Each commit writes ``_log/v{N}.json`` via
+  exclusive hard-link creation — two concurrent committers race on the same
+  version and exactly one wins (optimistic concurrency, like Iceberg's
+  metadata swap). Data files are immutable; a snapshot is a file list.
+- **Bucket-partitioned copy-on-write MERGE.** Rows hash-bucket on the merge
+  key's prefix (``url``); a merge only reads+rewrites the buckets touched by
+  the source batch. At 100 TB with (say) 4096 buckets, an epoch touching 1%
+  of keys rewrites ~1% of the table, not all of it — merge cost scales with
+  the *changed* partitions. This replaces the reference's ring-buffer store
+  (MemoryEventStoreWithBuffer.java:40-78): slots → buckets, the ack cursor →
+  the committed-epoch set.
+- **Exactly-once epochs.** Each snapshot carries the cumulative set of
+  applied ``epoch_id``s with their LSN ranges; ``merge`` is a no-op for an
+  already-committed epoch. Check and commit surround one atomic log-file
+  create, so a replayed micro-batch (Spark retry after crash) applies 0-or-1
+  times — the Spark restatement of Canal's ack/rollback protocol
+  (CanalServerWithEmbedded.java:332-400, MemoryEventStoreWithBuffer.java:505-582).
+- **Schema evolution by field id.** Columns have stable integer ids; rename
+  is metadata-only, add backfills nulls at read, widen casts at read. Data
+  files record the schema version they were written under; reads reconcile
+  per-version file groups to the current schema (the TableMeta-TSDB analog:
+  schema-as-of = snapshot's schema, MemoryTableMeta.java:67-88,
+  DatabaseTableMeta.java:195-216).
+- **Time travel.** ``scan(version=N)`` reads any retained snapshot.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F, types as T
+
+_LOG_DIR = "_log"
+_DATA_DIR = "data"
+
+# Allowed type widenings (ref: unsigned promotion ladder,
+# LogEventConvert.java:694-725 — tiny→smallint→int→bigint→decimal).
+_WIDEN_OK = {
+    ("int", "bigint"),
+    ("int", "double"),
+    ("bigint", "double"),
+    ("float", "double"),
+    ("int", "decimal(38,0)"),
+    ("bigint", "decimal(38,0)"),
+}
+
+
+class CommitConflict(RuntimeError):
+    """Another writer committed the target snapshot version first."""
+
+
+@dataclass
+class MergeResult:
+    applied: bool
+    version: int | None = None
+    touched_buckets: int = 0
+    rows_written: int = 0
+
+
+@dataclass
+class _Snapshot:
+    version: int
+    parent: int | None
+    schema_version: int
+    schemas: dict[str, list[dict]]  # schema_version(str) -> [{id,name,type}]
+    n_buckets: int
+    bucket_key: list[str]
+    merge_key: list[str]
+    files: list[dict]  # {path, bucket, rows, schema_version}
+    committed_epochs: dict[str, dict] = field(default_factory=dict)
+    operation: str = "commit"
+    committed_at_ms: int = 0
+
+    def to_json(self) -> str:
+        return json.dumps(self.__dict__, separators=(",", ":"))
+
+    @staticmethod
+    def from_json(s: str) -> "_Snapshot":
+        return _Snapshot(**json.loads(s))
+
+    def current_fields(self) -> list[dict]:
+        return self.schemas[str(self.schema_version)]
+
+    def spark_schema(self) -> T.StructType:
+        return T.StructType(
+            [T.StructField(f["name"], T.DataType.fromDDL(f["type"])) for f in self.current_fields()]
+        )
+
+
+class LakeTable:
+    """One lake table rooted at ``path``."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = os.path.abspath(path)
+        self._log_path = os.path.join(self.path, _LOG_DIR)
+        self._data_path = os.path.join(self.path, _DATA_DIR)
+
+    # -- lifecycle ---------------------------------------------------------
+
+    @staticmethod
+    def create(
+        spark: SparkSession,
+        path: str,
+        schema: T.StructType,
+        merge_key: list[str],
+        bucket_key: list[str] | None = None,
+        n_buckets: int = 16,
+    ) -> "LakeTable":
+        """Create an empty table. ``bucket_key`` defaults to the first merge
+        key column — bucketing on the key *prefix* colocates all versions of
+        an entity while keeping the bucket computable from either key form."""
+        t = LakeTable(spark, path)
+        os.makedirs(t._log_path, exist_ok=True)
+        os.makedirs(t._data_path, exist_ok=True)
+        fields = [
+            {"id": i, "name": f.name, "type": f.dataType.simpleString()}
+            for i, f in enumerate(schema.fields)
+        ]
+        snap = _Snapshot(
+            version=1,
+            parent=None,
+            schema_version=0,
+            schemas={"0": fields},
+            n_buckets=n_buckets,
+            bucket_key=bucket_key or merge_key[:1],
+            merge_key=list(merge_key),
+            files=[],
+            operation="create",
+            committed_at_ms=int(time.time() * 1000),
+        )
+        t._write_snapshot(snap)
+        return t
+
+    def exists(self) -> bool:
+        return os.path.isdir(self._log_path) and self.current_version() > 0
+
+    # -- snapshot log ------------------------------------------------------
+
+    def current_version(self) -> int:
+        try:
+            names = os.listdir(self._log_path)
+        except FileNotFoundError:
+            return 0
+        versions = [int(n[1:9]) for n in names if n.startswith("v") and n.endswith(".json")]
+        return max(versions, default=0)
+
+    def snapshot(self, version: int | None = None) -> _Snapshot:
+        v = version if version is not None else self.current_version()
+        with open(os.path.join(self._log_path, f"v{v:08d}.json")) as fh:
+            return _Snapshot.from_json(fh.read())
+
+    def _write_snapshot(self, snap: _Snapshot) -> None:
+        """Atomic exclusive commit: hard-link tmp → final fails with EEXIST
+        if another writer won the race (optimistic concurrency)."""
+        final = os.path.join(self._log_path, f"v{snap.version:08d}.json")
+        tmp = os.path.join(self._log_path, f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as fh:
+            fh.write(snap.to_json())
+        try:
+            os.link(tmp, final)
+        except FileExistsError as e:
+            raise CommitConflict(f"version {snap.version} already committed") from e
+        finally:
+            os.unlink(tmp)
+
+    def _child(self, parent: _Snapshot, **overrides) -> _Snapshot:
+        d = dict(parent.__dict__)
+        d.update(
+            version=parent.version + 1,
+            parent=parent.version,
+            committed_at_ms=int(time.time() * 1000),
+        )
+        d.update(overrides)
+        return _Snapshot(**d)
+
+    # -- schema ------------------------------------------------------------
+
+    def schema(self, version: int | None = None) -> T.StructType:
+        return self.snapshot(version).spark_schema()
+
+    def _evolve(self, mutate, operation: str) -> int:
+        snap = self.snapshot()
+        fields = [dict(f) for f in snap.current_fields()]
+        new_fields = mutate(fields)
+        new_sv = snap.schema_version + 1
+        schemas = dict(snap.schemas)
+        schemas[str(new_sv)] = new_fields
+        child = self._child(snap, schema_version=new_sv, schemas=schemas, operation=operation)
+        self._write_snapshot(child)
+        return child.version
+
+    def add_column(self, name: str, dtype: str) -> int:
+        """ADD COLUMN — metadata-only; old files read the column as null."""
+
+        def mutate(fields):
+            if any(f["name"] == name for f in fields):
+                raise ValueError(f"column {name} exists")
+            nid = max(f["id"] for f in fields) + 1
+            return fields + [{"id": nid, "name": name, "type": dtype}]
+
+        return self._evolve(mutate, f"add_column:{name}")
+
+    def rename_column(self, old: str, new: str) -> int:
+        """RENAME COLUMN — metadata-only via stable field ids."""
+
+        def mutate(fields):
+            hit = [f for f in fields if f["name"] == old]
+            if not hit:
+                raise ValueError(f"no column {old}")
+            if any(f["name"] == new for f in fields):
+                raise ValueError(f"column {new} exists")
+            hit[0]["name"] = new
+            return fields
+
+        return self._evolve(mutate, f"rename_column:{old}->{new}")
+
+    def widen_column(self, name: str, new_type: str) -> int:
+        """Widen a column's type (int→bigint, float→double, …); old files
+        cast at read. Narrowing is rejected."""
+
+        def mutate(fields):
+            hit = [f for f in fields if f["name"] == name]
+            if not hit:
+                raise ValueError(f"no column {name}")
+            old_type = hit[0]["type"]
+            if old_type != new_type and (old_type, new_type) not in _WIDEN_OK:
+                raise ValueError(f"illegal widen {old_type} -> {new_type}")
+            hit[0]["type"] = new_type
+            return fields
+
+        return self._evolve(mutate, f"widen_column:{name}")
+
+    # -- read --------------------------------------------------------------
+
+    def _bucket_col(self, snap: _Snapshot) -> Column:
+        return F.pmod(F.xxhash64(*[F.col(c) for c in snap.bucket_key]), F.lit(snap.n_buckets))
+
+    def _read_files(self, snap: _Snapshot, files: list[dict]) -> DataFrame:
+        """Read a file list reconciled to the snapshot's current schema.
+
+        Files are grouped by the schema version they were written under; each
+        group is read once and projected to the current schema by field id
+        (missing → null, renamed → alias, widened → cast), then unioned.
+        """
+        cur = snap.current_fields()
+        if not files:
+            return self.spark.createDataFrame([], snap.spark_schema())
+        by_sv: dict[int, list[str]] = {}
+        for f in files:
+            by_sv.setdefault(f["schema_version"], []).append(
+                os.path.join(self.path, f["path"])
+            )
+        parts = []
+        for sv, paths in by_sv.items():
+            old = {f["id"]: f for f in snap.schemas[str(sv)]}
+            df = self.spark.read.parquet(*paths)
+            proj = []
+            for f in cur:
+                o = old.get(f["id"])
+                if o is None:
+                    proj.append(F.lit(None).cast(f["type"]).alias(f["name"]))
+                else:
+                    proj.append(F.col(o["name"]).cast(f["type"]).alias(f["name"]))
+            parts.append(df.select(*proj))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def scan(self, version: int | None = None) -> DataFrame:
+        """Current (or time-travel) table state as a DataFrame."""
+        snap = self.snapshot(version)
+        return self._read_files(snap, snap.files)
+
+    # -- write -------------------------------------------------------------
+
+    def _write_data_files(self, snap: _Snapshot, df: DataFrame) -> list[dict]:
+        """Write ``df`` as immutable bucket-partitioned parquet files and
+        return their manifest entries. Files land flat under ``data/`` with
+        the bucket encoded in the name (no Hive-partition inference on read).
+        """
+        commit_id = uuid.uuid4().hex[:12]
+        tmp = os.path.join(self.path, f".stage-{commit_id}")
+        (
+            df.withColumn("__bucket", self._bucket_col(snap))
+            .repartition(max(snap.n_buckets, 1), "__bucket")
+            .write.partitionBy("__bucket")
+            .mode("overwrite")
+            .parquet(tmp)
+        )
+        entries: list[dict] = []
+        for bdir in sorted(os.listdir(tmp)):
+            if not bdir.startswith("__bucket="):
+                continue
+            bucket = int(bdir.split("=", 1)[1])
+            for i, fn in enumerate(sorted(os.listdir(os.path.join(tmp, bdir)))):
+                if not fn.endswith(".parquet"):
+                    continue
+                dest_rel = os.path.join(_DATA_DIR, f"{commit_id}-b{bucket:05d}-{i:04d}.parquet")
+                os.rename(os.path.join(tmp, bdir, fn), os.path.join(self.path, dest_rel))
+                entries.append(
+                    {
+                        "path": dest_rel,
+                        "bucket": bucket,
+                        "rows": None,
+                        "schema_version": snap.schema_version,
+                    }
+                )
+        shutil.rmtree(tmp)
+        return entries
+
+    def append(self, df: DataFrame) -> int:
+        snap = self.snapshot()
+        new_files = self._write_data_files(snap, df.select(*[f["name"] for f in snap.current_fields()]))
+        child = self._child(snap, files=snap.files + new_files, operation="append")
+        self._write_snapshot(child)
+        return child.version
+
+    def overwrite(self, df: DataFrame) -> int:
+        snap = self.snapshot()
+        new_files = self._write_data_files(snap, df.select(*[f["name"] for f in snap.current_fields()]))
+        child = self._child(snap, files=new_files, operation="overwrite")
+        self._write_snapshot(child)
+        return child.version
+
+    # -- exactly-once epoch registry --------------------------------------
+
+    def is_epoch_committed(self, epoch_id: int) -> bool:
+        return str(epoch_id) in self.snapshot().committed_epochs
+
+    def committed_epochs(self) -> dict[str, dict]:
+        return dict(self.snapshot().committed_epochs)
+
+    # -- MERGE (the CDC apply primitive) -----------------------------------
+
+    def merge(
+        self,
+        source: DataFrame,
+        epoch_id: int | None = None,
+        lineage: dict | None = None,
+        op_col: str = "op",
+    ) -> MergeResult:
+        """Copy-on-write MERGE INTO: upsert rows with ``op`` ∈ {I,U} (payload
+        columns = table columns), delete rows with ``op`` = 'D'.
+
+        ``source`` MUST contain at most one row per merge key (run LWW dedup
+        first — same precondition as Iceberg MERGE's cardinality rule,
+        SURVEY.md §7 risk (e)).
+
+        Scale behavior: only buckets containing source keys are read and
+        rewritten; untouched files carry over by reference. The anti-join is
+        executed by Spark (AQE picks broadcast when the source side is small).
+        """
+        if epoch_id is not None and self.is_epoch_committed(epoch_id):
+            return MergeResult(applied=False, version=self.current_version())
+
+        snap = self.snapshot()
+        cols = [f["name"] for f in snap.current_fields()]
+        key = snap.merge_key
+
+        src = source.withColumn("__bucket", self._bucket_col(snap)).cache()
+        try:
+            touched = {r["__bucket"] for r in src.select("__bucket").distinct().collect()}
+            keep_files = [f for f in snap.files if f["bucket"] not in touched]
+            hit_files = [f for f in snap.files if f["bucket"] in touched]
+
+            target = self._read_files(snap, hit_files)
+            survivors = target.join(src.select(*key).distinct(), on=key, how="left_anti")
+            upserts = src.filter(F.col(op_col) != F.lit("D")).select(*cols)
+            merged = survivors.select(*cols).unionByName(upserts)
+
+            new_files = self._write_data_files(snap, merged)
+
+            epochs = dict(snap.committed_epochs)
+            if epoch_id is not None:
+                epochs[str(epoch_id)] = lineage or {}
+            child = self._child(
+                snap,
+                files=keep_files + new_files,
+                committed_epochs=epochs,
+                operation=f"merge:epoch={epoch_id}",
+            )
+            self._write_snapshot(child)
+            return MergeResult(
+                applied=True,
+                version=child.version,
+                touched_buckets=len(touched),
+                rows_written=len(new_files),
+            )
+        finally:
+            src.unpersist()

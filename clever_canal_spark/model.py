@@ -1,0 +1,122 @@
+"""Change-event data model.
+
+Spark restatement of the reference protobuf data model
+(``clever-canal-protocol/src/main/java/.../EntryProtocol.proto``):
+
+- ``Entry{header, entryType, storeValue}``   → one DataFrame row per (event, rowdata)
+- ``Header{logfileName, logfileOffset, ...}``→ flat columns ``lsn, ts, schema_name,
+  table_name, server_id, gtid`` (EntryProtocol.proto:80-113). The total order
+  (journalName, offset) (EntryPosition.java:108-115) is collapsed into a single
+  monotonic ``lsn bigint`` — unique per event, assigned by the feed.
+- ``RowChange{eventType, isDdl, sql, rowData[]}`` (EntryProtocol.proto:164-183)
+  → ``op`` column ∈ {I,U,D} plus a DDL side-channel row shape (``is_ddl``,
+  ``ddl_type``, ``ddl_sql`` columns).
+- ``RowData{beforeColumns[], afterColumns[]}`` (EntryProtocol.proto:154-161)
+  → typed ``before``/``after`` structs of the webtext payload. INSERT fills
+  after only, DELETE before only, UPDATE both (LogEventConvert.java:487-501).
+- Transaction framing (``TRANSACTION_BEGIN/END`` marker entries,
+  EntryProtocol.proto:10-23) → ``txn_id``/``commit_lsn`` columns; Spark has no
+  cross-partition in-stream ordering, so ordering is re-established per key at
+  merge time by ``lsn``.
+
+Values are natively typed (StringType/BinaryType/TimestampType...), NOT
+stringly-typed as in the reference (EntryProtocol.proto:145-147) — Spark's
+Tungsten row format plays the role of the proto envelope.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# Webtext payload: Common-Crawl-style web page (BASELINE.json input_hint)
+# ---------------------------------------------------------------------------
+
+PAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ]
+)
+
+# Natural key of the page table; LWW dedup + MERGE key.
+PAGE_KEY = ["url", "warc_ts"]
+
+# Operation codes (ref EventType, EntryProtocol.proto:26-59 — DML subset).
+OP_INSERT = "I"
+OP_UPDATE = "U"
+OP_DELETE = "D"
+DML_OPS = (OP_INSERT, OP_UPDATE, OP_DELETE)
+
+# DDL channel operation kinds (ref EventType CREATE/ALTER/RENAME +
+# TableMeta apply, MemoryTableMeta.java:67-88). We support the three
+# schema evolutions named by the north rule.
+DDL_ADD_COLUMN = "ADD_COLUMN"
+DDL_RENAME_COLUMN = "RENAME_COLUMN"
+DDL_WIDEN_TYPE = "WIDEN_TYPE"
+
+# Event-class kinds carried by the feed (ref EntryType,
+# EntryProtocol.proto:10-23). ROW kinds carry before/after payloads;
+# HEARTBEAT advances positions when idle (AbstractEventParser.java:599-649);
+# DDL rows carry ddl_* columns (LogEventConvert.java:236-246).
+KIND_ROW = "ROW"
+KIND_DDL = "DDL"
+KIND_HEARTBEAT = "HEARTBEAT"
+
+
+def change_event_schema(payload: T.StructType = PAGE_SCHEMA) -> T.StructType:
+    """Schema of the change-event feed (one row per event-rowdata).
+
+    ``before``/``after`` are nullable payload structs: INSERT → after only,
+    DELETE → before only, UPDATE → both (LogEventConvert.java:487-501).
+    """
+    return T.StructType(
+        [
+            T.StructField("lsn", T.LongType(), nullable=False),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("kind", T.StringType(), nullable=False),
+            T.StructField("schema_name", T.StringType()),
+            T.StructField("table_name", T.StringType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("txn_id", T.LongType()),
+            T.StructField("server_id", T.LongType()),
+            T.StructField("gtid", T.StringType()),
+            T.StructField("before", payload),
+            T.StructField("after", payload),
+            T.StructField("ddl_type", T.StringType()),
+            T.StructField("ddl_sql", T.StringType()),
+            T.StructField("ddl_column", T.StringType()),
+            T.StructField("ddl_new_name", T.StringType()),
+            T.StructField("ddl_new_type", T.StringType()),
+            T.StructField("props", T.MapType(T.StringType(), T.StringType())),
+        ]
+    )
+
+
+CHANGE_EVENT_SCHEMA = change_event_schema()
+
+# ---------------------------------------------------------------------------
+# Lineage / metrics row (ref prometheus collectors: StoreCollector.java:33-43,
+# EntryCollector.java:32-33; meta-manager batch bookkeeping,
+# MemoryMetaManager.java:19-318)
+# ---------------------------------------------------------------------------
+
+EPOCH_METRICS_SCHEMA = T.StructType(
+    [
+        T.StructField("epoch_id", T.LongType(), nullable=False),
+        T.StructField("lsn_min", T.LongType()),
+        T.StructField("lsn_max", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("n_upserts", T.LongType()),
+        T.StructField("n_deletes", T.LongType()),
+        T.StructField("n_ddl", T.LongType()),
+        T.StructField("n_heartbeats", T.LongType()),
+        T.StructField("wall_ms", T.LongType()),
+        T.StructField("snapshot_version", T.LongType()),
+        T.StructField("committed_at", T.TimestampType()),
+    ]
+)

@@ -1,0 +1,4 @@
+from .apply import ApplyConfig, ApplyResult, apply_epoch
+from .ddl import apply_ddl_idempotent
+
+__all__ = ["ApplyConfig", "ApplyResult", "apply_epoch", "apply_ddl_idempotent"]

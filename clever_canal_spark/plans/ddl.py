@@ -1,0 +1,45 @@
+"""DDL-channel application — the TableMeta-TSDB analog.
+
+Reference: DDL arrives in-stream as a row entry with ``isDdl=true`` + SQL
+text (LogEventConvert.java:236-246), is applied to the schema store at its
+binlog position (MemoryTableMeta.apply, MemoryTableMeta.java:67-88), and the
+event store isolates it in its own delivered batch so clients always see
+DML-before / DDL / DML-after in order (MemoryEventStoreWithBuffer.java:389-417).
+
+Here a DDL row carries structured fields (``ddl_type``, ``ddl_column``,
+``ddl_new_name``, ``ddl_new_type``) and applies to the LakeTable's schema.
+Application is **idempotent** — a crash between a segment merge and its DDL
+apply replays the DDL, which must then be a no-op (the exactly-once rule
+covers schema changes too).
+"""
+
+from __future__ import annotations
+
+from ..lake import LakeTable
+from ..model import DDL_ADD_COLUMN, DDL_RENAME_COLUMN, DDL_WIDEN_TYPE
+
+
+def apply_ddl_idempotent(table: LakeTable, ddl_row: dict) -> bool:
+    """Apply one DDL-channel row; returns True if a schema change happened,
+    False if it was already applied (replay no-op)."""
+    names = {f["name"]: f for f in table.snapshot().current_fields()}
+    t = ddl_row["ddl_type"]
+    if t == DDL_ADD_COLUMN:
+        if ddl_row["ddl_column"] in names:
+            return False
+        table.add_column(ddl_row["ddl_column"], ddl_row["ddl_new_type"] or "string")
+        return True
+    if t == DDL_RENAME_COLUMN:
+        if ddl_row["ddl_column"] not in names and ddl_row["ddl_new_name"] in names:
+            return False  # already renamed
+        table.rename_column(ddl_row["ddl_column"], ddl_row["ddl_new_name"])
+        return True
+    if t == DDL_WIDEN_TYPE:
+        cur = names.get(ddl_row["ddl_column"])
+        if cur is None:
+            raise ValueError(f"widen of unknown column {ddl_row['ddl_column']}")
+        if cur["type"] == ddl_row["ddl_new_type"]:
+            return False
+        table.widen_column(ddl_row["ddl_column"], ddl_row["ddl_new_type"])
+        return True
+    raise ValueError(f"unknown ddl_type {t}")

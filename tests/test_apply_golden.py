@@ -1,0 +1,88 @@
+"""Golden replay: Spark apply pipeline vs the single-threaded Python
+reference apply (the Canal-client-semantics oracle) — final table state must
+match row-for-row, including byte-identical extracted text per url
+(north-rule invariant)."""
+
+from pyspark.sql import functions as F
+
+from clever_canal_spark.functions.transforms import extract_text_from_html, tag_language
+from clever_canal_spark.gen import FeedConfig, generate_feed, reference_apply
+from clever_canal_spark.lake import LakeTable
+from clever_canal_spark.model import PAGE_SCHEMA
+from clever_canal_spark.plans import ApplyConfig, apply_epoch
+
+
+def _final_state(table):
+    return {
+        (r["url"], str(r["warc_ts"])): (bytes(r["html"]) if r["html"] is not None else None,
+                                        r["text"], r["lang"])
+        for r in table.scan().collect()
+    }
+
+
+def _oracle_state(feed_rows):
+    state = reference_apply(feed_rows)
+    out = {}
+    for (url, warc_ts), img in state.items():
+        html = bytes(img["html"])
+        text = extract_text_from_html(html)
+        out[(url, str(warc_ts))] = (html, text, tag_language(text))
+    return out
+
+
+def run_replay(spark, tmp_dir, cfg_feed, cfg_apply, n_epochs=4):
+    feed = generate_feed(spark, cfg_feed).cache()
+    table = LakeTable.create(
+        spark, tmp_dir, PAGE_SCHEMA, merge_key=["url", "warc_ts"], n_buckets=8
+    )
+    epoch_size = cfg_feed.n_events // n_epochs + 1
+    for e in range(n_epochs):
+        batch = feed.filter(
+            (F.col("lsn") >= e * epoch_size) & (F.col("lsn") < (e + 1) * epoch_size)
+        )
+        apply_epoch(spark, batch, e, table, cfg_apply)
+    rows = feed.collect()
+    feed.unpersist()
+    return _final_state(table), _oracle_state(rows)
+
+
+def test_golden_replay_small(spark, tmp_table_dir):
+    got, want = run_replay(
+        spark,
+        tmp_table_dir,
+        FeedConfig(n_events=2_000, n_urls=150, versions_per_url=2, seed=42),
+        ApplyConfig(),
+    )
+    assert got == want
+    assert len(got) > 50
+
+
+def test_golden_replay_salted_identical(spark, tmp_table_dir):
+    got, want = run_replay(
+        spark,
+        tmp_table_dir,
+        FeedConfig(n_events=2_000, n_urls=50, versions_per_url=2, zipf_s=5.0, seed=7),
+        ApplyConfig(salted=True, n_salts=8),
+    )
+    assert got == want
+
+
+def test_epoch_replay_idempotent(spark, tmp_table_dir):
+    cfgf = FeedConfig(n_events=500, n_urls=40, seed=11)
+    feed = generate_feed(spark, cfgf).cache()
+    table = LakeTable.create(
+        spark, tmp_table_dir, PAGE_SCHEMA, merge_key=["url", "warc_ts"], n_buckets=4
+    )
+    cfg = ApplyConfig()
+    b0 = feed.filter(F.col("lsn") < 250)
+    b1 = feed.filter(F.col("lsn") >= 250)
+    apply_epoch(spark, b0, 0, table, cfg)
+    apply_epoch(spark, b0, 0, table, cfg)  # replay same epoch
+    v = table.current_version()
+    apply_epoch(spark, b0, 0, table, cfg)
+    assert table.current_version() == v  # no new snapshot
+    apply_epoch(spark, b1, 1, table, cfg)
+    got = _final_state(table)
+    want = _oracle_state(feed.collect())
+    feed.unpersist()
+    assert got == want

@@ -1,0 +1,151 @@
+"""LakeTable: atomic commits, merge semantics, schema evolution, time travel,
+exactly-once epoch registry."""
+
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from clever_canal_spark.lake import CommitConflict, LakeTable
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def make_table(spark, path, n_buckets=4):
+    return LakeTable.create(
+        spark, path, SCHEMA, merge_key=["url", "warc_ts"], n_buckets=n_buckets
+    )
+
+
+def rows_of(df):
+    return {(r["url"], str(r["warc_ts"]), r["text"]) for r in df.collect()}
+
+
+def src(spark, triples, op="U"):
+    df = spark.createDataFrame(
+        [(u, t, x) for u, t, x in triples], "url string, warc_ts string, text string"
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+    return df.withColumn("op", F.lit(op))
+
+
+def test_create_scan_empty(spark, tmp_table_dir):
+    t = make_table(spark, tmp_table_dir)
+    assert t.scan().count() == 0
+    assert t.current_version() == 1
+
+
+def test_merge_insert_update_delete(spark, tmp_table_dir):
+    t = make_table(spark, tmp_table_dir)
+    r1 = t.merge(src(spark, [("a", "2024-01-01 00:00:00", "v1"), ("b", "2024-01-01 00:00:00", "v1")]), epoch_id=0)
+    assert r1.applied
+    assert rows_of(t.scan()) == {
+        ("a", "2024-01-01 00:00:00", "v1"),
+        ("b", "2024-01-01 00:00:00", "v1"),
+    }
+    # update a, insert c
+    t.merge(src(spark, [("a", "2024-01-01 00:00:00", "v2"), ("c", "2024-01-01 00:00:00", "v1")]), epoch_id=1)
+    assert rows_of(t.scan()) == {
+        ("a", "2024-01-01 00:00:00", "v2"),
+        ("b", "2024-01-01 00:00:00", "v1"),
+        ("c", "2024-01-01 00:00:00", "v1"),
+    }
+    # delete b
+    t.merge(src(spark, [("b", "2024-01-01 00:00:00", None)], op="D"), epoch_id=2)
+    assert {r[0] for r in rows_of(t.scan())} == {"a", "c"}
+
+
+def test_merge_same_url_different_warc_ts_are_distinct_keys(spark, tmp_table_dir):
+    t = make_table(spark, tmp_table_dir)
+    t.merge(
+        src(spark, [("a", "2024-01-01 00:00:00", "v0"), ("a", "2024-01-01 01:00:00", "v1")]),
+        epoch_id=0,
+    )
+    assert t.scan().count() == 2
+
+
+def test_epoch_idempotence(spark, tmp_table_dir):
+    t = make_table(spark, tmp_table_dir)
+    s = src(spark, [("a", "2024-01-01 00:00:00", "v1")])
+    r1 = t.merge(s, epoch_id=7)
+    v = t.current_version()
+    r2 = t.merge(s, epoch_id=7)  # replay
+    assert r1.applied and not r2.applied
+    assert t.current_version() == v
+    assert t.scan().count() == 1
+    assert t.is_epoch_committed(7)
+
+
+def test_merge_prunes_untouched_buckets(spark, tmp_table_dir):
+    t = make_table(spark, tmp_table_dir, n_buckets=8)
+    many = [(f"u{i}", "2024-01-01 00:00:00", f"v{i}") for i in range(64)]
+    t.merge(src(spark, many), epoch_id=0)
+    files_before = {f["path"]: f for f in t.snapshot().files}
+    r = t.merge(src(spark, [("u1", "2024-01-01 00:00:00", "new")]), epoch_id=1)
+    assert r.touched_buckets == 1
+    files_after = t.snapshot().files
+    untouched_kept = [f for f in files_after if f["path"] in files_before]
+    # 7 of 8 buckets' files must carry over by reference
+    kept_buckets = {f["bucket"] for f in untouched_kept}
+    assert len(kept_buckets) == 7
+    assert rows_of(t.scan()) >= {("u1", "2024-01-01 00:00:00", "new")}
+    assert t.scan().count() == 64
+
+
+def test_schema_evolution_add_rename_widen(spark, tmp_table_dir):
+    t = LakeTable.create(
+        spark,
+        tmp_table_dir,
+        T.StructType(
+            [T.StructField("url", T.StringType()), T.StructField("n", T.IntegerType())]
+        ),
+        merge_key=["url"],
+        n_buckets=2,
+    )
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "url string, n int").withColumn(
+        "op", F.lit("U")
+    )
+    t.merge(df, epoch_id=0)
+
+    t.add_column("score", "double")
+    out = {r["url"]: r for r in t.scan().collect()}
+    assert out["a"]["score"] is None
+
+    t.rename_column("n", "count")
+    out = {r["url"]: r for r in t.scan().collect()}
+    assert out["b"]["count"] == 2  # old files read through field-id mapping
+
+    t.widen_column("count", "bigint")
+    assert dict(t.scan().dtypes)["count"] == "bigint"
+    # new write in evolved schema; old + new files reconcile
+    df2 = spark.createDataFrame(
+        [("c", 3, 0.5)], "url string, count bigint, score double"
+    ).withColumn("op", F.lit("U"))
+    t.merge(df2, epoch_id=1)
+    out = {r["url"]: (r["count"], r["score"]) for r in t.scan().collect()}
+    assert out == {"a": (1, None), "b": (2, None), "c": (3, 0.5)}
+
+    with pytest.raises(ValueError):
+        t.widen_column("url", "int")
+
+
+def test_time_travel(spark, tmp_table_dir):
+    t = make_table(spark, tmp_table_dir)
+    t.merge(src(spark, [("a", "2024-01-01 00:00:00", "v1")]), epoch_id=0)
+    v1 = t.current_version()
+    t.merge(src(spark, [("a", "2024-01-01 00:00:00", "v2")]), epoch_id=1)
+    assert rows_of(t.scan(version=v1)) == {("a", "2024-01-01 00:00:00", "v1")}
+    assert rows_of(t.scan()) == {("a", "2024-01-01 00:00:00", "v2")}
+
+
+def test_commit_conflict(spark, tmp_table_dir):
+    t = make_table(spark, tmp_table_dir)
+    snap = t.snapshot()
+    c1 = t._child(snap, operation="x")
+    c2 = t._child(snap, operation="y")
+    t._write_snapshot(c1)
+    with pytest.raises(CommitConflict):
+        t._write_snapshot(c2)
