@@ -1,0 +1,79 @@
+"""Change-event feed sources — the binlog-tail analog.
+
+The reference tails a MySQL binlog over the wire (MysqlConnection.dump,
+MysqlConnection.java:157-182) or a local binlog directory with file rotation
+(LocalBinLogConnection.java:75-120 + BinLogFileQueue). The Spark-native
+equivalent of "tail a directory of rotating log files" is the file stream
+source: ``readStream.parquet(dir)`` picks up newly arriving files in order,
+checkpoints which files are consumed (the position store), and
+``maxFilesPerTrigger`` plays the get-batch sizing knob
+(MemoryEventStoreWithBuffer.get, BatchMode.java:11-23).
+
+Positions: the reference's EntryPosition (journalName, offset) is our
+``lsn``; "start from timestamp T" (MysqlConnection.java:210-213) is a plain
+``ts >= T`` predicate — pushed into the parquet scan by Catalyst.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..model import CHANGE_EVENT_SCHEMA
+
+
+def read_feed(spark: SparkSession, path: str, since_ts=None, since_lsn: int | None = None) -> DataFrame:
+    """Batch read of a feed directory (cold backfill / replay)."""
+    df = spark.read.schema(CHANGE_EVENT_SCHEMA).parquet(path)
+    if since_ts is not None:
+        df = df.filter(F.col("ts") >= F.lit(since_ts))
+    if since_lsn is not None:
+        df = df.filter(F.col("lsn") >= F.lit(since_lsn))
+    return df
+
+
+def read_feed_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Streaming tail of a feed directory (the dump loop)."""
+    r = spark.readStream.schema(CHANGE_EVENT_SCHEMA).option("pathGlobFilter", "*.parquet")
+    if max_files_per_trigger:
+        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+    return r.parquet(path)
+
+
+def write_feed_slices(feed: DataFrame, path: str, n_slices: int, n_events: int) -> list[str]:
+    """Materialize a feed DataFrame as ``n_slices`` LSN-ordered parquet
+    'binlog files' under ``path`` (rotation fixture for streaming tests —
+    the BinLogFileQueue analog). Returns the slice paths in order."""
+    import shutil
+
+    os.makedirs(path, exist_ok=True)
+    size = n_events // n_slices + (1 if n_events % n_slices else 0)
+    out = []
+    for i in range(n_slices):
+        tmp = os.path.join(path, f".stage-{i}")
+        (
+            feed.filter((F.col("lsn") >= i * size) & (F.col("lsn") < (i + 1) * size))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dest = os.path.join(path, f"binlog-{i:06d}.parquet")
+        os.rename(os.path.join(tmp, part), dest)
+        shutil.rmtree(tmp)
+        out.append(dest)
+    return out
+
+
+def first_position(df: DataFrame) -> dict | None:
+    """min-LSN position in a feed/batch (CanalEventUtils.min analog)."""
+    r = df.agg(F.min("lsn").alias("lsn"), F.min("ts").alias("ts")).collect()[0]
+    return None if r["lsn"] is None else {"lsn": r["lsn"], "ts": r["ts"]}
+
+
+def latest_position(df: DataFrame) -> dict | None:
+    r = df.agg(F.max("lsn").alias("lsn"), F.max("ts").alias("ts")).collect()[0]
+    return None if r["lsn"] is None else {"lsn": r["lsn"], "ts": r["ts"]}

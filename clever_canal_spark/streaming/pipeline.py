@@ -1,0 +1,74 @@
+"""Streaming shell: readStream → foreachBatch(apply_epoch) with checkpoint.
+
+The Spark restatement of the whole Canal server loop (SURVEY.md §3.1-3.2):
+
+- parser dump loop                 → file-stream source tailing the feed dir
+- store put/get + meta cursor      → micro-batch planner + checkpointed
+                                     offsets (``checkpointLocation``)
+- getWithoutAck(batchId)           → ``foreachBatch(df, epoch_id)``
+- ack(batchId)                     → committed-epoch entry written atomically
+                                     with the MERGE snapshot
+- rollback / crash redelivery      → Spark replays the uncommitted epoch on
+                                     restart; apply_epoch is idempotent
+- batch sizing (ITEM/MEM_SIZE)     → ``maxFilesPerTrigger`` (slice files are
+                                     the feed's rotation unit)
+
+Resume-from-checkpoint is lossless: offsets name the exact file set of the
+in-flight epoch, and the epoch registry makes the re-apply a no-op if its
+MERGE already committed.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import SparkSession
+
+from ..lake import LakeTable
+from ..plans.apply import ApplyConfig, apply_epoch
+from ..sources.feed import read_feed_stream
+
+
+@dataclass
+class CdcPipeline:
+    spark: SparkSession
+    source_dir: str
+    checkpoint_dir: str
+    table: LakeTable
+    cfg: ApplyConfig
+    metrics_table: LakeTable | None = None
+    max_files_per_trigger: int | None = 1
+
+    def start(self, available_now: bool = True, processing_time: str | None = None):
+        """Start the streaming query. ``available_now=True`` drains what is
+        currently in the source then stops (deterministic for tests/bench);
+        a production tail uses ``processing_time``."""
+        stream = read_feed_stream(self.spark, self.source_dir, self.max_files_per_trigger)
+
+        def _apply(batch_df, epoch_id: int):
+            apply_epoch(
+                batch_df.sparkSession,
+                batch_df,
+                epoch_id,
+                self.table,
+                self.cfg,
+                metrics_table=self.metrics_table,
+            )
+
+        w = stream.writeStream.foreachBatch(_apply).option(
+            "checkpointLocation", self.checkpoint_dir
+        )
+        if available_now:
+            w = w.trigger(availableNow=True)
+        elif processing_time:
+            w = w.trigger(processingTime=processing_time)
+        return w.start()
+
+    def run_until_drained(self) -> None:
+        q = self.start(available_now=True)
+        q.awaitTermination()
+
+
+def run_available(pipeline: CdcPipeline) -> None:
+    """Drain everything currently in the source directory and stop."""
+    pipeline.run_until_drained()

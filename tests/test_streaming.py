@@ -1,0 +1,102 @@
+"""Streaming pipeline: tail → apply, checkpoint resume, mid-stream file
+arrival, exactly-once across restarts."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from clever_canal_spark.functions.transforms import extract_text_from_html, tag_language
+from clever_canal_spark.gen import FeedConfig, generate_feed, reference_apply
+from clever_canal_spark.lake import LakeTable
+from clever_canal_spark.model import PAGE_SCHEMA
+from clever_canal_spark.plans import ApplyConfig
+from clever_canal_spark.sources import write_feed_slices
+from clever_canal_spark.streaming import CdcPipeline
+
+
+def _final_state(table):
+    return {
+        (r["url"], str(r["warc_ts"])): (r["text"], r["lang"]) for r in table.scan().collect()
+    }
+
+
+def _oracle(feed_rows):
+    out = {}
+    for (url, warc_ts), img in reference_apply(feed_rows).items():
+        text = extract_text_from_html(bytes(img["html"]))
+        out[(url, str(warc_ts))] = (text, tag_language(text))
+    return out
+
+
+def test_stream_drain_and_resume(spark, tmp_table_dir):
+    src_dir = os.path.join(tmp_table_dir, "feed")
+    ckpt = os.path.join(tmp_table_dir, "ckpt")
+    tbl_dir = os.path.join(tmp_table_dir, "pages")
+
+    cfgf = FeedConfig(n_events=1200, n_urls=80, seed=3)
+    feed = generate_feed(spark, cfgf).cache()
+    slices = write_feed_slices(feed, src_dir, n_slices=6, n_events=cfgf.n_events)
+    assert len(slices) == 6
+
+    # phase 1: only the first 3 slices exist (rest parked outside the dir)
+    hold_dir = os.path.join(tmp_table_dir, "hold")
+    os.makedirs(hold_dir)
+    held_back = []
+    for p in slices[3:]:
+        os.rename(p, os.path.join(hold_dir, os.path.basename(p)))
+        held_back.append(p)
+
+    table = LakeTable.create(spark, tbl_dir, PAGE_SCHEMA, merge_key=["url", "warc_ts"], n_buckets=4)
+    pipe = CdcPipeline(
+        spark, src_dir, ckpt, table, ApplyConfig(), max_files_per_trigger=2
+    )
+    pipe.run_until_drained()
+    epochs_after_p1 = set(table.committed_epochs())
+    assert len(epochs_after_p1) >= 1
+
+    partial_oracle = _oracle(feed.filter(F.col("lsn") < 600).collect())
+    assert _final_state(table) == partial_oracle
+
+    # phase 2: remaining files arrive; resume from the SAME checkpoint
+    for p in held_back:
+        os.rename(os.path.join(hold_dir, os.path.basename(p)), p)
+    pipe.run_until_drained()
+
+    assert _final_state(table) == _oracle(feed.collect())
+    # restart again with nothing new: no further snapshots
+    v = table.current_version()
+    pipe.run_until_drained()
+    assert table.current_version() == v
+    feed.unpersist()
+
+
+def test_stream_epoch_lineage_metrics(spark, tmp_table_dir):
+    from clever_canal_spark.model import EPOCH_METRICS_SCHEMA
+
+    src_dir = os.path.join(tmp_table_dir, "feed")
+    cfgf = FeedConfig(n_events=400, n_urls=30, seed=5)
+    feed = generate_feed(spark, cfgf)
+    write_feed_slices(feed, src_dir, n_slices=2, n_events=cfgf.n_events)
+
+    table = LakeTable.create(
+        spark, os.path.join(tmp_table_dir, "pages"), PAGE_SCHEMA,
+        merge_key=["url", "warc_ts"], n_buckets=4,
+    )
+    metrics = LakeTable.create(
+        spark, os.path.join(tmp_table_dir, "metrics"), EPOCH_METRICS_SCHEMA,
+        merge_key=["epoch_id"], n_buckets=2,
+    )
+    pipe = CdcPipeline(
+        spark, src_dir, os.path.join(tmp_table_dir, "ckpt"), table,
+        ApplyConfig(), metrics_table=metrics, max_files_per_trigger=1,
+    )
+    pipe.run_until_drained()
+
+    rows = {r["epoch_id"]: r for r in metrics.scan().collect()}
+    assert len(rows) == 2  # one lineage row per epoch
+    total_events = sum(r["n_events"] for r in rows.values())
+    assert total_events == cfgf.n_events
+    # lineage: LSN ranges partition the stream
+    ranges = sorted((r["lsn_min"], r["lsn_max"]) for r in rows.values())
+    assert ranges[0][0] == 0 and ranges[-1][1] == cfgf.n_events - 1
+    assert all(r["snapshot_version"] is not None for r in rows.values())
