@@ -1,0 +1,783 @@
+"""Driver-contract queries: each SURVEY.md §2 operator as a (Spark, DuckDB
+oracle SQL) pair over the driver's parquet tables.
+
+Conventions (driver compares row-count + schema + order-insensitive
+value-hash at sf=0.01):
+
+- every computed column is aliased identically on both sides;
+- no float outputs: reals are scaled to integer (``*_e{k}`` = value·10^k
+  rounded) or exact decimal→bigint; timestamps → ``unix_micros``;
+- the CDC queries treat the ``events`` table as a change feed:
+  ``lsn := event_id`` (monotonic, unique), op mapping
+  ``signup→I, error→D, else U`` — the I/U/D triage of
+  LogEventConvert.parseRowsEvent (LogEventConvert.java:442-525).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from .filters import canal_name_predicate, compile_canal_regex
+from .operators.lww import salted_lww_dedup
+
+Query = Callable[[SparkSession, str], DataFrame]
+
+# --------------------------------------------------------------------------
+# helpers
+# --------------------------------------------------------------------------
+
+
+def _utc(spark: SparkSession) -> None:
+    # ts columns are TIMESTAMP_NTZ; epoch conversions must agree with the
+    # DuckDB oracle (UTC-naive) regardless of the driver session's zone.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def _ts_us(col) -> F.Column:
+    return F.unix_micros(F.col(col).cast("timestamp"))
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+_OP_EXPR = (
+    "CASE WHEN event_type = 'signup' THEN 'I' "
+    "WHEN event_type = 'error' THEN 'D' ELSE 'U' END"
+)
+# value in cents — exact integer arithmetic on both engines
+_CENTS = "CAST(ROUND(value * 100) AS BIGINT)"
+
+QUERIES: dict[str, Query] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn: Query) -> Query:
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------------
+# CDC core operators (SURVEY.md §2.6 + §2.3/§2.4) over the events feed
+# --------------------------------------------------------------------------
+
+
+@register(
+    "cdc_lww_latest",
+    f"""
+    SELECT user_id, lsn AS last_lsn, event_type AS last_event_type,
+           {_CENTS} AS last_value_cents
+    FROM (
+      SELECT user_id, event_id AS lsn, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def cdc_lww_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LWW dedup (§2.6): one winner per key by max LSN — max_by hash agg,
+    no sort, map-side partial combine."""
+    ev = _events(spark, sf_dir)
+    packed = F.max_by(
+        F.struct(
+            F.col("event_id").alias("last_lsn"),
+            F.col("event_type").alias("last_event_type"),
+            F.expr(_CENTS).alias("last_value_cents"),
+        ),
+        F.col("event_id"),
+    ).alias("w")
+    return _events(spark, sf_dir).groupBy("user_id").agg(packed).select(
+        "user_id", "w.last_lsn", "w.last_event_type", "w.last_value_cents"
+    )
+
+
+@register(
+    "cdc_apply_final",
+    f"""
+    SELECT user_id, lsn, event_type, value_cents
+    FROM (
+      SELECT user_id, event_id AS lsn, event_type, {_CENTS} AS value_cents,
+             {_OP_EXPR} AS op,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def cdc_apply_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full I/U/D apply semantics (§2.6): final table state after ordered
+    replay = LWW winner per key, dropped if the winner is a DELETE."""
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        F.col("event_id").alias("lsn"),
+        "event_type",
+        F.expr(_CENTS).alias("value_cents"),
+        F.expr(_OP_EXPR).alias("op"),
+    )
+    packed = F.max_by(F.struct("lsn", "event_type", "value_cents", "op"), F.col("lsn")).alias("w")
+    return (
+        ev.groupBy("user_id")
+        .agg(packed)
+        .filter(F.col("w.op") != "D")
+        .select("user_id", "w.lsn", "w.event_type", "w.value_cents")
+    )
+
+
+_WHITELIST = "cli.*,view"
+_WHITELIST_COMPILED = compile_canal_regex(_WHITELIST)  # "^cli.*$|^view$"
+
+
+@register(
+    "cdc_filter_whitelist",
+    f"""
+    SELECT event_id, event_type FROM events
+    WHERE regexp_matches(lower(event_type), '{_WHITELIST_COMPILED}')
+    """,
+)
+def cdc_filter_whitelist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canal regex whitelist (F1, AviaterRegexFilter.java:63-96): comma
+    list → longest-first, anchored, OR-joined; plain rlike → pushable."""
+    ev = _events(spark, sf_dir)
+    return ev.filter(canal_name_predicate(F.col("event_type"), _WHITELIST)).select(
+        "event_id", "event_type"
+    )
+
+
+@register(
+    "cdc_filter_blacklist",
+    """
+    SELECT event_id, event_type FROM events
+    WHERE NOT regexp_matches(lower(event_type), '^error$')
+    """,
+)
+def cdc_filter_blacklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canal blacklist (F2): same machinery inverted."""
+    ev = _events(spark, sf_dir)
+    return ev.filter(
+        ~canal_name_predicate(F.col("event_type"), "error", default_empty=False)
+    ).select("event_id", "event_type")
+
+
+@register(
+    "cdc_event_class_filter",
+    """
+    SELECT event_id, event_type FROM events
+    WHERE event_type NOT IN ('signup', 'error')
+    """,
+)
+def cdc_event_class_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-class flags (F5, LogEventConvert.java:64-70): drop INSERT-class
+    and DELETE-class events, keep updates."""
+    return (
+        _events(spark, sf_dir)
+        .filter(~F.col("event_type").isin("signup", "error"))
+        .select("event_id", "event_type")
+    )
+
+
+@register(
+    "cdc_positions",
+    """
+    SELECT event_id // 4096 AS journal, count(*) AS n_events,
+           min(event_id % 4096) AS first_offset, max(event_id % 4096) AS last_offset,
+           min(epoch_us(ts)) AS first_ts_us, max(epoch_us(ts)) AS last_ts_us
+    FROM events GROUP BY journal
+    """,
+)
+def cdc_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position model (§1.4): (journalName, offset) = (lsn div 4096,
+    lsn mod 4096); first/latest position per journal
+    (CanalEventUtils.createPosition/min, CanalEventUtils.java:17-97)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.withColumn("journal", (F.col("event_id") / 4096).cast("long"))
+        .groupBy("journal")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min(F.col("event_id") % 4096).alias("first_offset"),
+            F.max(F.col("event_id") % 4096).alias("last_offset"),
+            F.min(_ts_us("ts")).alias("first_ts_us"),
+            F.max(_ts_us("ts")).alias("last_ts_us"),
+        )
+    )
+
+
+@register(
+    "cdc_epoch_metrics",
+    f"""
+    SELECT event_id // 128 AS epoch_id, count(*) AS n_events,
+           min(event_id) AS lsn_min, max(event_id) AS lsn_max,
+           sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_deletes,
+           sum({_CENTS}) AS sum_value_cents
+    FROM events GROUP BY epoch_id
+    """,
+)
+def cdc_epoch_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-epoch lineage/metrics row (§2.6 exactly-once + prometheus
+    collectors): LSN range, event/delete counts per 128-event epoch."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.withColumn("epoch_id", (F.col("event_id") / 128).cast("long"))
+        .groupBy("epoch_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("event_id").alias("lsn_min"),
+            F.max("event_id").alias("lsn_max"),
+            F.sum((F.col("event_type") == "error").cast("long")).alias("n_deletes"),
+            F.sum(F.expr(_CENTS)).alias("sum_value_cents"),
+        )
+    )
+
+
+@register(
+    "cdc_txn_boundaries",
+    """
+    SELECT event_id // 16 AS txn_id, min(event_id) AS begin_lsn,
+           max(event_id) AS end_lsn, count(*) AS n_rows,
+           max(epoch_us(ts)) AS commit_ts_us
+    FROM events GROUP BY txn_id
+    """,
+)
+def cdc_txn_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transaction framing (T4/T7, EventTransactionBuffer.java:72-138):
+    BEGIN/END markers → per-txn (begin_lsn, end_lsn, row count, commit ts)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.withColumn("txn_id", (F.col("event_id") / 16).cast("long"))
+        .groupBy("txn_id")
+        .agg(
+            F.min("event_id").alias("begin_lsn"),
+            F.max("event_id").alias("end_lsn"),
+            F.count("*").alias("n_rows"),
+            F.max(_ts_us("ts")).alias("commit_ts_us"),
+        )
+    )
+
+
+@register(
+    "cdc_lww_salted",
+    f"""
+    SELECT user_id, event_type, lsn, value_cents
+    FROM (
+      SELECT user_id, event_type, event_id AS lsn, {_CENTS} AS value_cents,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def cdc_lww_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key salted two-phase LWW (§2.6 salting): same result as plain
+    LWW — the oracle is the unsalted SQL, proving equivalence."""
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        F.col("event_id").alias("lsn"),
+        F.expr(_CENTS).alias("value_cents"),
+    )
+    return salted_lww_dedup(ev, ["user_id", "event_type"], n_salts=8)
+
+
+@register(
+    "cdc_updated_flag",
+    f"""
+    SELECT event_id, user_id,
+           CASE WHEN prev_cents IS NULL THEN TRUE ELSE value_cents <> prev_cents END AS updated
+    FROM (
+      SELECT event_id, user_id, {_CENTS} AS value_cents,
+             lag({_CENTS}) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_cents
+      FROM events
+    )
+    """,
+)
+def cdc_updated_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Before/after-image 'updated' flag (T3, LogEventConvert.isUpdate,
+    LogEventConvert.java:875-899): changed-vs-previous per key, here via a
+    lag window (the feed's before-image equivalent)."""
+    ev = _events(spark, sf_dir).select(
+        "event_id", "user_id", F.expr(_CENTS).alias("value_cents")
+    )
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return ev.withColumn("prev_cents", F.lag("value_cents").over(w)).select(
+        "event_id",
+        "user_id",
+        F.when(F.col("prev_cents").isNull(), F.lit(True))
+        .otherwise(F.col("value_cents") != F.col("prev_cents"))
+        .alias("updated"),
+    )
+
+
+@register(
+    "cdc_union_shards",
+    """
+    SELECT event_id % 2 AS shard, count(*) AS n_events,
+           min(event_id) AS lsn_min, max(event_id) AS lsn_max
+    FROM events GROUP BY shard
+    """,
+)
+def cdc_union_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-shard group sink (D9, GroupEventSink.java:26-76): N upstream
+    shards unioned; LSN order re-established downstream (no timeline
+    barrier needed — LWW is order-insensitive, SURVEY.md §4)."""
+    ev = _events(spark, sf_dir)
+    shard0 = ev.filter(F.col("event_id") % 2 == 0)
+    shard1 = ev.filter(F.col("event_id") % 2 == 1)
+    merged = shard0.unionByName(shard1)
+    return (
+        merged.withColumn("shard", F.col("event_id") % 2)
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("event_id").alias("lsn_min"),
+            F.max("event_id").alias("lsn_max"),
+        )
+    )
+
+
+@register(
+    "cdc_heartbeat_suppression",
+    """
+    SELECT event_type, count(*) AS n_events FROM events
+    WHERE event_id % 50 <> 49
+    GROUP BY event_type
+    """,
+)
+def cdc_heartbeat_suppression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heartbeat suppression (F8, HeartBeatEntryEventHandler.java:15-35):
+    every 50th LSN is designated a heartbeat and dropped before the store."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.filter(F.col("event_id") % 50 != 49)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+_DDL_LSNS = [300, 600, 900]
+
+
+@register(
+    "cdc_ddl_isolation_split",
+    f"""
+    SELECT CASE WHEN event_id < 300 THEN 0 WHEN event_id < 600 THEN 1
+                WHEN event_id < 900 THEN 2 ELSE 3 END AS segment,
+           count(*) AS n_events, min(event_id) AS lsn_min, max(event_id) AS lsn_max
+    FROM events WHERE event_id NOT IN (300, 600, 900)
+    GROUP BY segment
+    """,
+)
+def cdc_ddl_isolation_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDL isolation (E3, MemoryEventStoreWithBuffer.java:389-417): DDLs at
+    LSNs 300/600/900 cut the stream into segments applied in order; the DDL
+    itself travels alone."""
+    ev = _events(spark, sf_dir).filter(~F.col("event_id").isin(_DDL_LSNS))
+    seg = (
+        F.when(F.col("event_id") < 300, 0)
+        .when(F.col("event_id") < 600, 1)
+        .when(F.col("event_id") < 900, 2)
+        .otherwise(3)
+    )
+    return (
+        ev.withColumn("segment", seg)
+        .groupBy("segment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("event_id").alias("lsn_min"),
+            F.max("event_id").alias("lsn_max"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Webtext / training-data operators over documents + embeddings
+# --------------------------------------------------------------------------
+
+from .operators.dedup import (  # noqa: E402
+    MINHASH_FAMILY,
+    MINHASH_P,
+    SIMHASH_BITS,
+    exact_dedup,
+    minhash_lsh_buckets,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from .operators.multimodal import extract_media_meta  # noqa: E402
+from .operators.similarity import (  # noqa: E402
+    N_DIMS,
+    N_PLANES,
+    brute_force_topk,
+    ann_lsh_topk,
+    embedding_norms,
+    lsh_buckets,
+)
+from .operators.text import (  # noqa: E402
+    doc_fingerprint,
+    lang_id,
+    quality_score,
+    token_stats,
+)
+
+# DuckDB twin of operators.text.shingle_hashes_expr
+_DUCK_SHINGLES = (
+    "list_transform(generate_series(1, greatest(length(text) - 2, 0)), i -> "
+    "CAST(ascii(substring(text, i, 1))*961 + ascii(substring(text, i+1, 1))*31 "
+    "+ ascii(substring(text, i+2, 1)) AS BIGINT))"
+)
+
+
+@register(
+    "doc_fingerprint",
+    "SELECT doc_id, md5(text) AS fp, length(text) AS n_chars_m FROM documents",
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (content hash — the FnvHash DDL-fingerprint
+    analog, FnvHash.java:1-661, applied to page text)."""
+    return doc_fingerprint(_documents(spark, sf_dir))
+
+
+@register(
+    "doc_exact_dedup",
+    """
+    SELECT md5(text) AS fp, min(doc_id) AS keeper_doc_id, count(*) AS n_docs
+    FROM documents GROUP BY fp
+    """,
+)
+def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content digest, keep min doc_id."""
+    return exact_dedup(_documents(spark, sf_dir))
+
+
+@register(
+    "doc_token_stats",
+    r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '\S+')) AS n_tokens,
+           length(text) AS n_chars_m,
+           length(text) - length(regexp_replace(text, '\s', '', 'g')) AS n_spaces
+    FROM documents
+    """,
+)
+def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace tokenizer) + char/space stats."""
+    return token_stats(_documents(spark, sf_dir))
+
+
+@register(
+    "doc_quality_score",
+    r"""
+    SELECT doc_id, n_tokens, n_punct,
+           CAST((CASE WHEN n_tokens BETWEEN 10 AND 10000 THEN 1 ELSE 0 END)
+              + (CASE WHEN has_stop THEN 1 ELSE 0 END)
+              + (CASE WHEN n_punct * 10 <= n_tokens THEN 1 ELSE 0 END) AS INT) AS quality
+    FROM (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '\S+')) AS n_tokens,
+             len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+             len(regexp_extract_all(text, '\b(the|and|of)\b')) > 0 AS has_stop
+      FROM documents
+    )
+    """,
+)
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: integer length/punct/stopword heuristic."""
+    return quality_score(_documents(spark, sf_dir))
+
+
+@register(
+    "doc_lang_id",
+    r"""
+    SELECT doc_id, en_hits, de_hits, fr_hits, es_hits,
+           CASE WHEN en_hits + de_hits + fr_hits + es_hits = 0 THEN 'und'
+                WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits THEN 'en'
+                WHEN de_hits >= fr_hits AND de_hits >= es_hits THEN 'de'
+                WHEN fr_hits >= es_hits THEN 'fr'
+                ELSE 'es' END AS pred_lang
+    FROM (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '\b(the|and|of|to|in|is|that|for)\b')) AS en_hits,
+             len(regexp_extract_all(text, '\b(der|die|das|und|ist|nicht|von|mit)\b')) AS de_hits,
+             len(regexp_extract_all(text, '\b(le|la|les|des|et|est|pour|dans)\b')) AS fr_hits,
+             len(regexp_extract_all(text, '\b(el|los|las|y|es|para|en|que)\b')) AS es_hits
+      FROM documents
+    )
+    """,
+)
+def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID by marker-word hits, fixed tie precedence."""
+    return lang_id(_documents(spark, sf_dir))
+
+
+def _duck_minhash_cols() -> str:
+    cols = []
+    for j, (a, b) in enumerate(MINHASH_FAMILY):
+        cols.append(
+            f"list_min(list_transform({_DUCK_SHINGLES}, h -> ({a}*h + {b}) % {MINHASH_P})) AS mh{j}"
+        )
+    return ", ".join(cols)
+
+
+@register(
+    "doc_minhash_signature",
+    f"SELECT doc_id, {_duck_minhash_cols()} FROM documents",
+)
+def q_doc_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (k=6 affine hashes over 3-char shingles)."""
+    return minhash_signature(_documents(spark, sf_dir))
+
+
+@register(
+    "doc_minhash_lsh_buckets",
+    f"""
+    WITH sig AS (SELECT doc_id, {_duck_minhash_cols()} FROM documents),
+    bands AS (
+      SELECT doc_id, 0 AS band, mh0 * {MINHASH_P} + mh1 AS bucket_key FROM sig
+      UNION ALL
+      SELECT doc_id, 1 AS band, mh2 * {MINHASH_P} + mh3 AS bucket_key FROM sig
+      UNION ALL
+      SELECT doc_id, 2 AS band, mh4 * {MINHASH_P} + mh5 AS bucket_key FROM sig
+    )
+    SELECT band, bucket_key, count(*) AS n_docs, min(doc_id) AS min_doc_id
+    FROM bands GROUP BY band, bucket_key HAVING count(*) > 1
+    """,
+)
+def q_doc_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidate buckets (3 bands x 2 rows)."""
+    return minhash_lsh_buckets(_documents(spark, sf_dir))
+
+
+@register(
+    "doc_ngram_jaccard_pairs",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, source, list_distinct({_DUCK_SHINGLES}) AS s
+      FROM documents WHERE doc_id < 400
+    ),
+    ex AS (SELECT doc_id, source, unnest(s) AS h FROM sh),
+    sz AS (SELECT doc_id, len(s) AS n FROM sh),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM ex a JOIN ex b ON a.h = b.h AND a.source = b.source AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, inter, (sa.n + sb.n - inter) AS un
+    FROM pairs
+    JOIN sz sa ON sa.doc_id = doc_a
+    JOIN sz sb ON sb.doc_id = doc_b
+    WHERE 5 * inter >= 4 * (sa.n + sb.n - inter)
+    """,
+)
+def q_doc_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup pairs (exact integer threshold test),
+    shingle-join blocked within source groups, doc_id<400 window."""
+    docs = _documents(spark, sf_dir).filter(F.col("doc_id") < 400)
+    return ngram_jaccard_pairs(docs)
+
+
+def _duck_simhash_expr() -> str:
+    tokens = "list_filter(string_split(text, ' '), t -> length(t) >= 3)"
+    th = (
+        "CAST(ascii(substring(t, 1, 1))*961 + ascii(substring(t, 2, 1))*31 "
+        "+ ascii(substring(t, 3, 1)) AS BIGINT)"
+    )
+    terms = []
+    for k in range(SIMHASH_BITS):
+        vote = (
+            f"list_sum(list_transform({tokens}, t -> "
+            f"CASE WHEN ({th} // {1 << k}) % 2 = 1 THEN 1 ELSE -1 END))"
+        )
+        terms.append(f"(CASE WHEN COALESCE({vote}, 0) > 0 THEN {1 << k} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+@register(
+    "doc_simhash",
+    f"SELECT doc_id, CAST({_duck_simhash_expr()} AS BIGINT) AS simhash FROM documents",
+)
+def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash signatures from token-hash bit votes."""
+    return simhash(_documents(spark, sf_dir))
+
+
+# --- embeddings -----------------------------------------------------------
+
+
+def _duck_dot_e9(a: str, b: str) -> str:
+    return (
+        f"CAST(list_sum(list_transform(generate_series(1, {N_DIMS}), i -> "
+        f"CAST(ROUND(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) * 1e9) AS BIGINT))) AS BIGINT)"
+    )
+
+
+def _duck_lsh_bucket(vec: str) -> str:
+    terms = []
+    for p in range(N_PLANES):
+        dot = (
+            f"list_sum(list_transform(generate_series(1, {N_DIMS}), i -> "
+            f"CAST(ROUND(((({p}*7 + (i-1)*13) % 11) - 5) * CAST({vec}[i] AS DOUBLE) * 1e9) AS BIGINT)))"
+        )
+        terms.append(f"(CASE WHEN ({dot}) > 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+@register(
+    "emb_norms",
+    f"SELECT vec_id, {_duck_dot_e9('embedding', 'embedding')} AS normsq_e9 FROM embeddings",
+)
+def q_emb_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact scaled L2 norms (embeddings are unit-normalized — sanity
+    surface for the similarity stack)."""
+    return embedding_norms(_embeddings(spark, sf_dir))
+
+
+@register(
+    "emb_cosine_topk",
+    f"""
+    WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, {_duck_dot_e9('embedding', 'qvec')} AS dot_e9
+    FROM embeddings, q
+    ORDER BY dot_e9 DESC, vec_id LIMIT 100
+    """,
+)
+def q_emb_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k vs the vec_id=0 query (broadcast 1-row
+    query side; JVM higher-order dot — the ANN baseline)."""
+    emb = _embeddings(spark, sf_dir)
+    return brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=100)
+
+
+@register(
+    "emb_lsh_buckets",
+    f"SELECT vec_id, CAST({_duck_lsh_bucket('embedding')} AS BIGINT) AS bucket FROM embeddings",
+)
+def q_emb_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH buckets (8 deterministic planes) — ANN blocking key."""
+    emb = _embeddings(spark, sf_dir)
+    return lsh_buckets(emb).select("vec_id", F.col("bucket").cast("long"))
+
+
+@register(
+    "emb_ann_lsh_topk",
+    f"""
+    WITH q AS (
+      SELECT embedding AS qvec, {_duck_lsh_bucket('embedding')} AS qbucket
+      FROM embeddings WHERE vec_id = 0
+    )
+    SELECT vec_id, {_duck_dot_e9('embedding', 'qvec')} AS dot_e9
+    FROM embeddings, q
+    WHERE {_duck_lsh_bucket('embedding')} = qbucket
+    ORDER BY dot_e9 DESC, vec_id LIMIT 50
+    """,
+)
+def q_emb_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k: LSH-bucket candidate filter then exact rank — the scale
+    path (bucket equi-join instead of full scan per query)."""
+    emb = _embeddings(spark, sf_dir)
+    out = ann_lsh_topk(emb, emb.filter(F.col("vec_id") == 0), k=50)
+    return out.select("vec_id", "dot_e9")
+
+
+# --- multimodal plumbing (rows-only check: no SQL-expressible oracle) -----
+
+
+@register("mm_media_meta")
+def q_mm_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal metadata extraction: text→binary payload through the
+    mapInPandas decode stub (deterministic fake codec; real codec raises
+    NotImplementedError until PIL/ffmpeg exist on the cluster)."""
+    docs = _documents(spark, sf_dir).select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return extract_media_meta(docs)
+
+
+# --- full-engine replay (the flagship: engine output vs SQL oracle) -------
+
+
+@register(
+    "cdc_engine_replay",
+    f"""
+    SELECT 'u' || CAST(user_id AS VARCHAR) AS url,
+           CAST({{CENTS}} AS VARCHAR) AS text
+    FROM (
+      SELECT user_id, value, {_OP_EXPR} AS op,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1 AND op <> 'D'
+    """.replace("{CENTS}", _CENTS),
+)
+def q_cdc_engine_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END: the real engine (feed → apply_epoch → LakeTable merge →
+    scan) replaying the events table as a change feed, graded against the
+    plain-SQL final state. Events map onto the page payload (url='u<uid>',
+    text=value-in-cents); 4 epochs, exactly-once, LWW per url."""
+    import shutil
+    import tempfile
+
+    from .lake import LakeTable
+    from .model import PAGE_SCHEMA
+    from .plans import ApplyConfig, apply_epoch
+
+    _utc(spark)
+    ev = _events(spark, sf_dir)
+    feed = ev.select(
+        F.col("event_id").alias("lsn"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.lit("ROW").alias("kind"),
+        F.lit("cc").alias("schema_name"),
+        F.lit("events").alias("table_name"),
+        F.expr(_OP_EXPR).alias("op"),
+        (F.col("event_id") / 16).cast("long").alias("txn_id"),
+        F.lit(1).cast("long").alias("server_id"),
+        F.lit(None).cast("string").alias("gtid"),
+        F.struct(
+            F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("url"),
+            F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+            F.lit(None).cast("binary").alias("html"),
+            F.expr(_CENTS).cast("string").alias("text"),
+            F.lit(None).cast("string").alias("lang"),
+        ).alias("img"),
+    )
+    feed = feed.select(
+        "*",
+        F.when(F.col("op") != "I", F.col("img")).alias("before"),
+        F.when(F.col("op") != "D", F.col("img")).alias("after"),
+    ).drop("img")
+    feed = (
+        feed.withColumn("ddl_type", F.lit(None).cast("string"))
+        .withColumn("ddl_sql", F.lit(None).cast("string"))
+        .withColumn("ddl_column", F.lit(None).cast("string"))
+        .withColumn("ddl_new_name", F.lit(None).cast("string"))
+        .withColumn("ddl_new_type", F.lit(None).cast("string"))
+        .withColumn("props", F.lit(None).cast("map<string,string>"))
+    )
+
+    tmp = tempfile.mkdtemp(prefix="ccs-replay-")
+    shutil.rmtree(tmp, ignore_errors=True)
+    table = LakeTable.create(
+        spark, tmp, PAGE_SCHEMA, merge_key=["url", "warc_ts"], n_buckets=8
+    )
+    n = feed.agg(F.max("lsn")).collect()[0][0] + 1
+    cfg = ApplyConfig(transform=False, salted=True, n_salts=8)
+    epoch_size = n // 4 + 1
+    for e in range(4):
+        batch = feed.filter(
+            (F.col("lsn") >= e * epoch_size) & (F.col("lsn") < (e + 1) * epoch_size)
+        )
+        apply_epoch(spark, batch, e, table, cfg)
+    return table.scan().select("url", "text")

@@ -1,0 +1,94 @@
+"""Similarity search over embedding columns (array<float>).
+
+Scale design:
+
+- brute-force top-k: the query vector is a 1-row broadcast (no shuffle of
+  the big side); per-row dot product is a JVM higher-order-function
+  expression inside whole-stage codegen — no Python, no UDF;
+- LSH bucketing: 8 deterministic hyperplanes → 8-bit bucket per vector;
+  ANN = equi-join on bucket (candidates only). Hyperplane coefficients are
+  small integers so the DuckDB oracle reproduces them exactly;
+- all similarity outputs are scaled integers (``*_e9`` = value·10^9
+  rounded per element, summed exactly) — deterministic across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+N_PLANES = 8
+N_DIMS = 64
+
+
+def plane_coeff(p: int, j: int) -> int:
+    """Deterministic hyperplane coefficients in [-5, 5]."""
+    return ((p * 7 + j * 13) % 11) - 5
+
+
+def dot_e9_expr(a: str, b: str, n_dims: int = N_DIMS) -> str:
+    """Exact scaled dot product: per-element round(a_j*b_j*1e9) summed as
+    BIGINT (element_at is 1-based on both engines)."""
+    return (
+        f"aggregate(transform(sequence(1, {n_dims}), i -> "
+        f"CAST(ROUND(CAST(element_at({a}, i) AS DOUBLE) * CAST(element_at({b}, i) AS DOUBLE) * 1e9) AS BIGINT)), "
+        f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+
+
+def normsq_e9_expr(a: str, n_dims: int = N_DIMS) -> str:
+    return dot_e9_expr(a, a, n_dims)
+
+
+def embedding_norms(df: DataFrame) -> DataFrame:
+    return df.select(
+        "vec_id", F.expr(normsq_e9_expr("embedding")).alias("normsq_e9")
+    )
+
+
+def brute_force_topk(
+    df: DataFrame, query_df: DataFrame, k: int = 100, n_dims: int = N_DIMS
+) -> DataFrame:
+    """Top-k by dot product against a (broadcast) 1-row query vector.
+    Embeddings are L2-normalized, so dot = cosine. Ties break by vec_id."""
+    q = F.broadcast(query_df.select(F.col("embedding").alias("qvec")))
+    scored = df.crossJoin(q).select(
+        "vec_id", F.expr(dot_e9_expr("embedding", "qvec", n_dims)).alias("dot_e9")
+    )
+    return scored.orderBy(F.col("dot_e9").desc(), F.col("vec_id")).limit(k)
+
+
+def plane_bit_expr(vec: str, p: int, n_dims: int = N_DIMS) -> str:
+    coeffs_dot = (
+        f"aggregate(transform(sequence(1, {n_dims}), i -> "
+        f"CAST(ROUND((((({p}*7) + (i-1)*13) % 11) - 5) * CAST(element_at({vec}, i) AS DOUBLE) * 1e9) AS BIGINT)), "
+        f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    return f"(CASE WHEN ({coeffs_dot}) > 0 THEN {1 << p} ELSE 0 END)"
+
+
+def lsh_bucket_expr(vec: str, n_planes: int = N_PLANES, n_dims: int = N_DIMS) -> str:
+    return " + ".join(plane_bit_expr(vec, p, n_dims) for p in range(n_planes))
+
+
+def lsh_buckets(df: DataFrame) -> DataFrame:
+    """Hyperplane-LSH bucket id per vector (the ANN blocking key)."""
+    return df.select(
+        "vec_id", F.expr(lsh_bucket_expr("embedding")).alias("bucket")
+    )
+
+
+def ann_lsh_topk(df: DataFrame, query_df: DataFrame, k: int = 50) -> DataFrame:
+    """ANN: score only vectors in the query's LSH bucket (candidate set),
+    then exact dot-product rank within it. The bucket equi-(semi)join is the
+    100-TB path — brute force stays as the small-side fallback."""
+    q = query_df.select(
+        F.col("embedding").alias("qvec"),
+        F.expr(lsh_bucket_expr("embedding")).alias("qbucket"),
+    )
+    cand = df.withColumn("bucket", F.expr(lsh_bucket_expr("embedding"))).join(
+        F.broadcast(q), F.col("bucket") == F.col("qbucket")
+    )
+    scored = cand.select(
+        "vec_id", F.expr(dot_e9_expr("embedding", "qvec")).alias("dot_e9")
+    )
+    return scored.orderBy(F.col("dot_e9").desc(), F.col("vec_id")).limit(k)

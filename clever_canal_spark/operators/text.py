@@ -1,0 +1,102 @@
+"""Text-analysis operators for the documents table — the training-data
+pipeline companions of the CDC transforms (all JVM-side expressions, no
+Python in the hot path; the pandas-UDF variants in functions/transforms.py
+exist for the byte-exact CDC invariant, these exist for throughput).
+
+Determinism contract: every function here is expressible identically in
+DuckDB SQL (entry_queries carries the oracle strings); outputs are ints /
+strings only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# polynomial 3-gram hash base — small enough that a*h+b stays in int64
+SHINGLE_W = 961  # 31^2
+TOKEN_RE = r"\S+"
+
+# marker-word language ID (fixed precedence for ties: en > de > fr > es)
+LANG_MARKERS = {
+    "en": r"\b(the|and|of|to|in|is|that|for)\b",
+    "de": r"\b(der|die|das|und|ist|nicht|von|mit)\b",
+    "fr": r"\b(le|la|les|des|et|est|pour|dans)\b",
+    "es": r"\b(el|los|las|y|es|para|en|que)\b",
+}
+
+
+def shingle_hashes_expr(text_col: str) -> str:
+    """SQL-string form (shared shape with the DuckDB oracle)."""
+    return (
+        f"transform(sequence(1, greatest(length({text_col}) - 2, 0)), i -> "
+        f"CAST(ascii(substring({text_col}, i, 1))*961 + ascii(substring({text_col}, i+1, 1))*31 "
+        f"+ ascii(substring({text_col}, i+2, 1)) AS BIGINT))"
+    )
+
+
+def token_count(text_col: str) -> Column:
+    return F.regexp_count(F.col(text_col), F.lit(TOKEN_RE)).alias("n_tokens")
+
+
+def doc_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Content fingerprint: md5 of the text (exact-dup key) + length."""
+    return df.select(
+        "doc_id",
+        F.md5(F.col(text_col)).alias("fp"),
+        F.length(F.col(text_col)).alias("n_chars_m"),
+    )
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token/char/space counts — whitespace tokenizer (regex \\S+)."""
+    t = F.col(text_col)
+    return df.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(TOKEN_RE)).alias("n_tokens"),
+        F.length(t).alias("n_chars_m"),
+        (F.length(t) - F.length(F.regexp_replace(t, r"\s", ""))).alias("n_spaces"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Integer quality heuristic in [0,3]: token-count band + stopword
+    presence + low punctuation density (the length/punct/stopword-ratio
+    triple, integer-exact)."""
+    t = F.col(text_col)
+    n_tokens = F.regexp_count(t, F.lit(TOKEN_RE))
+    n_punct = F.regexp_count(t, F.lit(r"[.,;:!?]"))
+    has_stop = F.regexp_count(t, F.lit(r"\b(the|and|of)\b")) > 0
+    score = (
+        F.when((n_tokens >= 10) & (n_tokens <= 10000), 1).otherwise(0)
+        + F.when(has_stop, 1).otherwise(0)
+        + F.when(n_punct * 10 <= n_tokens, 1).otherwise(0)
+    )
+    return df.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_punct.alias("n_punct"),
+        score.cast("int").alias("quality"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language ID with fixed tie precedence (JVM regex path;
+    the pandas-UDF twin is functions.transforms.tag_language)."""
+    t = F.col(text_col)
+    hits = {k: F.regexp_count(t, F.lit(v)) for k, v in LANG_MARKERS.items()}
+    en, de, fr, es = hits["en"], hits["de"], hits["fr"], hits["es"]
+    pred = (
+        F.when((en + de + fr + es) == 0, "und")
+        .when((en >= de) & (en >= fr) & (en >= es), "en")
+        .when((de >= fr) & (de >= es), "de")
+        .when(fr >= es, "fr")
+        .otherwise("es")
+    )
+    return df.select(
+        "doc_id",
+        en.alias("en_hits"),
+        de.alias("de_hits"),
+        fr.alias("fr_hits"),
+        es.alias("es_hits"),
+        pred.alias("pred_lang"),
+    )
