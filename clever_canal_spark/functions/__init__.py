@@ -1,4 +1,5 @@
 from .transforms import (
+    enrich_udf,
     extract_text_from_html,
     html_to_text_udf,
     lang_tag_udf,

@@ -64,21 +64,32 @@ _LANG_MARKERS: list[tuple[str, frozenset[str]]] = [
     ("zh", frozenset("的 是 了 在 和 有 我 不 这 中".split())),
 ]
 _TOKEN_RE = re.compile(r"[^\W\d_]+", re.UNICODE)
+# one-pass index: token → indices of every language claiming it (a token
+# shared by two languages counts for both, same as the per-set scan)
+_MARKER_LANGS: dict[str, tuple[int, ...]] = {}
+for _i, (_lang, _markers) in enumerate(_LANG_MARKERS):
+    for _m in _markers:
+        _MARKER_LANGS[_m] = _MARKER_LANGS.get(_m, ()) + (_i,)
 
 
 def tag_language(text: str | None) -> str | None:
-    """Marker-word language ID; 'und' when no marker hits."""
+    """Marker-word language ID; 'und' when no marker hits. One dict probe
+    per token (not one membership test per language) — this runs per page
+    in the ingest hot path. Tie-break: first language in marker order."""
     if text is None:
         return None
-    toks = _TOKEN_RE.findall(text.lower())
-    if not toks:
+    from collections import Counter
+
+    counts = [0] * len(_LANG_MARKERS)
+    get = _MARKER_LANGS.get
+    # Counter first: web text repeats tokens heavily, so probe unique ones
+    for t, n in Counter(_TOKEN_RE.findall(text.lower())).items():
+        for i in get(t, ()):
+            counts[i] += n
+    best = max(counts)
+    if best == 0:
         return "und"
-    best_lang, best_hits = "und", 0
-    for lang, markers in _LANG_MARKERS:
-        hits = sum(1 for t in toks if t in markers)
-        if hits > best_hits:
-            best_lang, best_hits = lang, hits
-    return best_lang
+    return _LANG_MARKERS[counts.index(best)][0]
 
 
 # --- pandas UDF wrappers --------------------------------------------------
@@ -110,6 +121,22 @@ def lang_tag_udf(col: Column) -> Column:
     return _UDF_CACHE["lang_tag"](col)
 
 
+def enrich_udf(col: Column) -> Column:
+    """html → struct<text,lang> in ONE Arrow pass (one Python eval per
+    batch instead of two chained UDFs — halves serde and avoids duplicate
+    evaluation when both outputs are referenced)."""
+    if "enrich" not in _UDF_CACHE:
+
+        @pandas_udf("struct<text:string,lang:string>")
+        def _u(html: pd.Series) -> pd.DataFrame:
+            text = html.map(extract_text_from_html)
+            lang = text.map(tag_language)
+            return pd.DataFrame({"text": text, "lang": lang})
+
+        _UDF_CACHE["enrich"] = _u
+    return _UDF_CACHE["enrich"](col)
+
+
 def with_page_transforms(df: DataFrame, image_col: str = "after") -> DataFrame:
     """Fill ``text``/``lang`` inside the payload struct from ``html``.
 
@@ -117,23 +144,15 @@ def with_page_transforms(df: DataFrame, image_col: str = "after") -> DataFrame:
     image is null (heartbeats, deletes) pass through. Placed AFTER filters so
     pushdown isn't blocked (SURVEY.md §4).
     """
-    txt = F.when(
-        F.col(image_col).isNotNull(), html_to_text_udf(F.col(f"{image_col}.html"))
-    )
-    df = df.withColumn("__text", txt)
-    lang = F.when(F.col("__text").isNotNull(), lang_tag_udf(F.col("__text")))
-    df = df.withColumn("__lang", lang)
+    df = df.withColumn("__enriched", enrich_udf(F.col(f"{image_col}.html")))
     rebuilt = F.struct(
         F.col(f"{image_col}.url").alias("url"),
         F.col(f"{image_col}.warc_ts").alias("warc_ts"),
         F.col(f"{image_col}.html").alias("html"),
-        F.col("__text").alias("text"),
-        F.col("__lang").alias("lang"),
+        F.col("__enriched.text").alias("text"),
+        F.col("__enriched.lang").alias("lang"),
     )
-    return (
-        df.withColumn(
-            image_col,
-            F.when(F.col(image_col).isNull(), F.lit(None)).otherwise(rebuilt),
-        )
-        .drop("__text", "__lang")
-    )
+    return df.withColumn(
+        image_col,
+        F.when(F.col(image_col).isNull(), F.lit(None)).otherwise(rebuilt),
+    ).drop("__enriched")

@@ -61,7 +61,14 @@ class FeedConfig:
     schema_name: str = "cc"
     table_name: str = "pages"
     base_ts: str = "2024-01-01 00:00:00"
+    html_kb: int = 0  # extra filler body per page (realistic CC pages are KBs)
     ddls: list[DdlSpec] = dc_field(default_factory=list)
+
+
+_FILLER = (
+    "<p>Lorem ipsum dolor sit amet, the consectetur adipiscing elit, sed do "
+    "eiusmod tempor incididunt ut labore et dolore magna aliqua for the web.</p>"
+)  # 144 chars
 
 
 def _mix(col: Column, mult: int, seed: int) -> Column:
@@ -73,11 +80,22 @@ def _u01(col: Column, mult: int, seed: int) -> Column:
     return _mix(col, mult, seed) / F.lit(float(_M31))
 
 
-def generate_feed(spark: SparkSession, cfg: FeedConfig) -> DataFrame:
+def generate_feed(
+    spark: SparkSession,
+    cfg: FeedConfig,
+    id_start: int = 0,
+    id_end: int | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
     """Build the change-event DataFrame (schema = model.CHANGE_EVENT_SCHEMA
-    column set; text/lang left null — filled by the transform stage)."""
+    column set; text/lang left null — filled by the transform stage).
+
+    ``id_start``/``id_end``/``num_partitions`` generate an LSN sub-range
+    directly (contiguous ``spark.range`` partitions — no shuffle), so feed
+    materialization is embarrassingly parallel slice by slice."""
     lsn = F.col("id")
-    df = spark.range(cfg.n_events)
+    df = spark.range(id_start, id_end if id_end is not None else cfg.n_events,
+                     1, num_partitions)
 
     # zipf-ish skew: u^s concentrates mass at url_id 0
     u = _u01(lsn, _MIX1, cfg.seed)
@@ -110,7 +128,9 @@ def generate_feed(spark: SparkSession, cfg: FeedConfig) -> DataFrame:
             url_id.cast("string"),
             F.lit(".</p><p>The quick brown fox jumps over the lazy dog "),
             F.pmod(rev, F.lit(7)).cast("string"),
-            F.lit(" times.</p></body></html>"),
+            F.lit(" times.</p>"),
+            F.repeat(F.lit(_FILLER), max(cfg.html_kb * 1024 // len(_FILLER), 0)),
+            F.lit("</body></html>"),
         )
 
     def image(rev: Column) -> Column:
@@ -160,6 +180,38 @@ def generate_feed(spark: SparkSession, cfg: FeedConfig) -> DataFrame:
         ddl_col("new_type").alias("ddl_new_type"),
         F.create_map(F.lit("src"), F.lit("synthetic")).alias("props"),
     )
+    return out
+
+
+def materialize_feed(
+    spark: SparkSession,
+    cfg: FeedConfig,
+    path: str,
+    n_slices: int,
+    files_per_slice: int = 16,
+) -> list[str]:
+    """Write the feed as ``n_slices`` LSN-range slices of ``files_per_slice``
+    parquet files each — generated per-slice with contiguous range
+    partitions (zero shuffles; the whole feed never exists at once)."""
+    import os
+    import shutil
+
+    os.makedirs(path, exist_ok=True)
+    size = cfg.n_events // n_slices + (1 if cfg.n_events % n_slices else 0)
+    out = []
+    for i in range(n_slices):
+        lo, hi = i * size, min((i + 1) * size, cfg.n_events)
+        if lo >= hi:
+            break
+        sl = generate_feed(spark, cfg, id_start=lo, id_end=hi, num_partitions=files_per_slice)
+        tmp = os.path.join(path, f".stage-{i}")
+        sl.write.mode("overwrite").parquet(tmp)
+        parts = sorted(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        for j, part in enumerate(parts):
+            dest = os.path.join(path, f"binlog-{i:06d}-{j:03d}.parquet")
+            os.rename(os.path.join(tmp, part), dest)
+            out.append(dest)
+        shutil.rmtree(tmp)
     return out
 
 

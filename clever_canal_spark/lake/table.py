@@ -62,6 +62,22 @@ class CommitConflict(RuntimeError):
     """Another writer committed the target snapshot version first."""
 
 
+def _arrow_type(ddl: str):
+    import pyarrow as pa
+
+    return {
+        "string": pa.string(),
+        "binary": pa.binary(),
+        "long": pa.int64(),
+        "bigint": pa.int64(),
+        "int": pa.int32(),
+        "double": pa.float64(),
+        "float": pa.float32(),
+        "timestamp": pa.timestamp("us", tz="UTC"),
+        "boolean": pa.bool_(),
+    }[ddl]
+
+
 @dataclass
 class MergeResult:
     applied: bool
@@ -83,6 +99,9 @@ class _Snapshot:
     committed_epochs: dict[str, dict] = field(default_factory=dict)
     operation: str = "commit"
     committed_at_ms: int = 0
+    # merge-on-read deltas (Iceberg-v2-style): winner rows w/ __lsn/__op,
+    # reconciled against base files at scan time, folded in by compact()
+    delta_files: list[dict] = field(default_factory=list)
 
     def to_json(self) -> str:
         return json.dumps(self.__dict__, separators=(",", ":"))
@@ -249,16 +268,26 @@ class LakeTable:
     def _bucket_col(self, snap: _Snapshot) -> Column:
         return F.pmod(F.xxhash64(*[F.col(c) for c in snap.bucket_key]), F.lit(snap.n_buckets))
 
-    def _read_files(self, snap: _Snapshot, files: list[dict]) -> DataFrame:
+    def _read_files(
+        self, snap: _Snapshot, files: list[dict], hidden: bool = False
+    ) -> DataFrame:
         """Read a file list reconciled to the snapshot's current schema.
 
         Files are grouped by the schema version they were written under; each
         group is read once and projected to the current schema by field id
         (missing → null, renamed → alias, widened → cast), then unioned.
+        ``hidden=True`` also carries the MOR bookkeeping columns ``__lsn``/
+        ``__op`` (defaulted to -1/'U' for files written without them).
         """
         cur = snap.current_fields()
+        schema = snap.spark_schema()
+        if hidden:
+            schema = T.StructType(
+                schema.fields
+                + [T.StructField("__lsn", T.LongType()), T.StructField("__op", T.StringType())]
+            )
         if not files:
-            return self.spark.createDataFrame([], snap.spark_schema())
+            return self.spark.createDataFrame([], schema)
         by_sv: dict[int, list[str]] = {}
         for f in files:
             by_sv.setdefault(f["schema_version"], []).append(
@@ -275,15 +304,47 @@ class LakeTable:
                     proj.append(F.lit(None).cast(f["type"]).alias(f["name"]))
                 else:
                     proj.append(F.col(o["name"]).cast(f["type"]).alias(f["name"]))
+            if hidden:
+                have = set(df.columns)
+                proj.append(
+                    (F.col("__lsn") if "__lsn" in have else F.lit(-1).cast("long")).alias("__lsn")
+                )
+                proj.append(
+                    (F.col("__op") if "__op" in have else F.lit("U")).alias("__op")
+                )
             parts.append(df.select(*proj))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
 
+    def _reconciled(self, snap: _Snapshot, buckets: set[int] | None = None) -> DataFrame:
+        """Base ∪ deltas folded to current state, hidden cols retained.
+
+        LWW per merge key by ``__lsn`` (base rows rank below any delta),
+        delete winners dropped. The winner filter is a (key, lsn) semi-join
+        against a tiny max-lsn aggregate — the payload never rides the
+        dedup shuffle."""
+        def pick(files):
+            return files if buckets is None else [f for f in files if f["bucket"] in buckets]
+
+        base = self._read_files(snap, pick(snap.files), hidden=True)
+        deltas = pick(snap.delta_files)
+        if not deltas:
+            return base
+        delta = self._read_files(snap, deltas, hidden=True)
+        both = base.unionByName(delta)
+        key = snap.merge_key
+        wins = both.groupBy(*key).agg(F.max("__lsn").alias("__lsn"))
+        winners = both.join(wins, on=key + ["__lsn"], how="left_semi")
+        return winners.filter(F.col("__op") != "D")
+
     def scan(self, version: int | None = None) -> DataFrame:
         """Current (or time-travel) table state as a DataFrame."""
         snap = self.snapshot(version)
+        if snap.delta_files:
+            cols = [f["name"] for f in snap.current_fields()]
+            return self._reconciled(snap).select(*cols)
         return self._read_files(snap, snap.files)
 
     # -- write -------------------------------------------------------------
@@ -295,9 +356,13 @@ class LakeTable:
         """
         commit_id = uuid.uuid4().hex[:12]
         tmp = os.path.join(self.path, f".stage-{commit_id}")
+        # hash-distribute buckets over ~core-count tasks; partitionBy still
+        # yields one file per bucket per task — same file count, fewer and
+        # larger write tasks than one-task-per-bucket
+        n_tasks = min(max(snap.n_buckets, 1), self.spark.sparkContext.defaultParallelism)
         (
             df.withColumn("__bucket", self._bucket_col(snap))
-            .repartition(max(snap.n_buckets, 1), "__bucket")
+            .repartition(n_tasks, "__bucket")
             .write.partitionBy("__bucket")
             .mode("overwrite")
             .parquet(tmp)
@@ -337,6 +402,49 @@ class LakeTable:
         self._write_snapshot(child)
         return child.version
 
+    def append_pylist(self, rows: list[dict], epoch_id=None, lineage: dict | None = None) -> int | None:
+        """Driver-side append of a few rows (lineage/metrics) via pyarrow —
+        zero Spark jobs. Idempotent when ``epoch_id`` given. Not for data
+        paths (bucket is recorded as 0; metrics tables are never merged)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        snap = self.snapshot()
+        if epoch_id is not None and str(epoch_id) in snap.committed_epochs:
+            return None
+        fields = snap.current_fields()
+        arrow_schema = pa.schema(
+            [(f["name"], _arrow_type(f["type"])) for f in fields]
+        )
+        cols = {f["name"]: [r.get(f["name"]) for r in rows] for f in fields}
+        tbl = pa.Table.from_pydict(cols, schema=arrow_schema)
+        rel = os.path.join(_DATA_DIR, f"drv-{uuid.uuid4().hex[:12]}.parquet")
+        pq.write_table(tbl, os.path.join(self.path, rel))
+        entry = {"path": rel, "bucket": 0, "rows": len(rows), "schema_version": snap.schema_version}
+        epochs = dict(snap.committed_epochs)
+        if epoch_id is not None:
+            epochs[str(epoch_id)] = lineage or {}
+        child = self._child(
+            snap, files=snap.files + [entry], committed_epochs=epochs, operation="append_pylist"
+        )
+        self._write_snapshot(child)
+        return child.version
+
+    def commit_epoch_marker(self, epoch_id, lineage: dict | None = None) -> int | None:
+        """Metadata-only epoch commit (empty micro-batch: positions advance
+        with no data — the empty-transaction passthrough analog,
+        EntryEventSink.java:109-148)."""
+        snap = self.snapshot()
+        if str(epoch_id) in snap.committed_epochs:
+            return None
+        epochs = dict(snap.committed_epochs)
+        epochs[str(epoch_id)] = lineage or {}
+        child = self._child(
+            snap, committed_epochs=epochs, operation=f"epoch_marker:{epoch_id}"
+        )
+        self._write_snapshot(child)
+        return child.version
+
     # -- exactly-once epoch registry --------------------------------------
 
     def is_epoch_committed(self, epoch_id: int) -> bool:
@@ -353,37 +461,66 @@ class LakeTable:
         epoch_id: int | None = None,
         lineage: dict | None = None,
         op_col: str = "op",
+        mode: str = "cow",
+        lsn_col: str | None = None,
+        compact_every: int = 24,
     ) -> MergeResult:
-        """Copy-on-write MERGE INTO: upsert rows with ``op`` ∈ {I,U} (payload
-        columns = table columns), delete rows with ``op`` = 'D'.
+        """MERGE INTO: upsert rows with ``op`` ∈ {I,U} (payload columns =
+        table columns), delete rows with ``op`` = 'D'.
 
         ``source`` MUST contain at most one row per merge key (run LWW dedup
         first — same precondition as Iceberg MERGE's cardinality rule,
         SURVEY.md §7 risk (e)).
 
-        Scale behavior: only buckets containing source keys are read and
-        rewritten; untouched files carry over by reference. The anti-join is
-        executed by Spark (AQE picks broadcast when the source side is small).
+        Two strategies (both map onto Iceberg semantics):
+
+        - ``cow`` (copy-on-write): read + rewrite the touched buckets; best
+          when epochs touch a small fraction of buckets. Untouched files
+          carry over by reference; AQE broadcasts the small source side.
+        - ``mor`` (merge-on-read, Iceberg-v2 style): append the winners as
+          bucketed delta files with ``__lsn``/``__op`` — no target read at
+          all; scans reconcile by LWW and :meth:`compact` folds deltas into
+          the base (auto every ``compact_every`` delta commits). This is the
+          sustained-ingest path: apply cost is O(batch), not O(table).
+          Requires ``lsn_col``.
         """
         if epoch_id is not None and self.is_epoch_committed(epoch_id):
             return MergeResult(applied=False, version=self.current_version())
+        if mode == "mor":
+            return self._merge_mor(source, epoch_id, lineage, op_col, lsn_col, compact_every)
 
         snap = self.snapshot()
         cols = [f["name"] for f in snap.current_fields()]
         key = snap.merge_key
 
+        import os as _os, time as _time
+        _tm = _os.environ.get("CCS_TIMING", "") == "1"
+        _t0 = _time.monotonic()
+
+        def _mlog(msg):
+            nonlocal _t0
+            if _tm:
+                print(f"[merge {msg}: {_time.monotonic() - _t0:.2f}s]", flush=True)
+            _t0 = _time.monotonic()
+
         src = source.withColumn("__bucket", self._bucket_col(snap)).cache()
         try:
             touched = {r["__bucket"] for r in src.select("__bucket").distinct().collect()}
+            _mlog("source-cache+buckets")
             keep_files = [f for f in snap.files if f["bucket"] not in touched]
-            hit_files = [f for f in snap.files if f["bucket"] in touched]
+            keep_deltas = [f for f in snap.delta_files if f["bucket"] not in touched]
 
-            target = self._read_files(snap, hit_files)
-            survivors = target.join(src.select(*key).distinct(), on=key, how="left_anti")
-            upserts = src.filter(F.col(op_col) != F.lit("D")).select(*cols)
-            merged = survivors.select(*cols).unionByName(upserts)
+            # reconciled view of the touched buckets (folds any MOR deltas)
+            target = self._reconciled(snap, buckets=touched)
+            survivors = target.join(src.select(*key), on=key, how="left_anti")
+            upsert_lsn = F.col(lsn_col) if lsn_col else F.lit(-1).cast("long")
+            upserts = src.filter(F.col(op_col) != F.lit("D")).select(
+                *cols, upsert_lsn.alias("__lsn"), F.lit("U").alias("__op")
+            )
+            merged = survivors.select(*cols, "__lsn", "__op").unionByName(upserts)
 
             new_files = self._write_data_files(snap, merged)
+            _mlog("cow-write")
 
             epochs = dict(snap.committed_epochs)
             if epoch_id is not None:
@@ -391,6 +528,7 @@ class LakeTable:
             child = self._child(
                 snap,
                 files=keep_files + new_files,
+                delta_files=keep_deltas,
                 committed_epochs=epochs,
                 operation=f"merge:epoch={epoch_id}",
             )
@@ -403,3 +541,59 @@ class LakeTable:
             )
         finally:
             src.unpersist()
+
+    def _merge_mor(self, source, epoch_id, lineage, op_col, lsn_col, compact_every) -> MergeResult:
+        """Merge-on-read apply: append winners (incl. delete markers) as
+        bucketed delta files — zero target reads, O(batch) cost."""
+        if not lsn_col:
+            raise ValueError("mor merge requires lsn_col")
+        snap = self.snapshot()
+        cols = [f["name"] for f in snap.current_fields()]
+        delta = source.select(
+            *cols, F.col(lsn_col).alias("__lsn"), F.col(op_col).alias("__op")
+        )
+        import os as _os, time as _time
+        if _os.environ.get("CCS_EXPLAIN") == "1":
+            delta.explain("formatted")
+        _t0 = _time.monotonic()
+        new_files = self._write_data_files(snap, delta)
+        if _os.environ.get("CCS_TIMING") == "1":
+            print(f"[mor delta-write: {_time.monotonic() - _t0:.2f}s]", flush=True)
+        epochs = dict(snap.committed_epochs)
+        if epoch_id is not None:
+            epochs[str(epoch_id)] = lineage or {}
+        child = self._child(
+            snap,
+            delta_files=snap.delta_files + new_files,
+            committed_epochs=epochs,
+            operation=f"merge-mor:epoch={epoch_id}",
+        )
+        self._write_snapshot(child)
+        result = MergeResult(
+            applied=True, version=child.version,
+            touched_buckets=len({f["bucket"] for f in new_files}),
+            rows_written=len(new_files),
+        )
+        # fold deltas into the base when read amplification grows: trigger
+        # on the number of delta COMMITS (epochs), not files, so the
+        # threshold is independent of bucket count
+        n_delta_commits = len({f["path"].split("-")[0] for f in child.delta_files})
+        if compact_every and n_delta_commits >= compact_every:
+            self.compact()
+        return result
+
+    def compact(self) -> int | None:
+        """Fold MOR delta files into the base (winners keep their __lsn so
+        later deltas still order correctly). One atomic snapshot swap."""
+        snap = self.snapshot()
+        if not snap.delta_files:
+            return None
+        winners = self._reconciled(snap)
+        new_files = self._write_data_files(
+            snap, winners.select(*[f["name"] for f in snap.current_fields()], "__lsn", "__op")
+        )
+        child = self._child(
+            snap, files=new_files, delta_files=[], operation="compact"
+        )
+        self._write_snapshot(child)
+        return child.version

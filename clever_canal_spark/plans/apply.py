@@ -23,8 +23,17 @@ Pipeline inside one epoch (plan order matters for pushdown):
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field as dc_field
+
+_TIMING = os.environ.get("CCS_TIMING", "") == "1"
+
+
+def _tlog(msg: str, t0: float) -> float:
+    if _TIMING:
+        print(f"[apply {msg}: {time.monotonic() - t0:.2f}s]", flush=True)
+    return time.monotonic()
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -39,10 +48,21 @@ from .ddl import apply_ddl_idempotent
 @dataclass
 class ApplyConfig:
     filters: EventFilterConfig = dc_field(default_factory=EventFilterConfig)
-    salted: bool = False
+    # LWW dedup strategy:
+    # - "winner_join": shuffle only (key, lsn) pairs, then broadcast-semi-join
+    #   the winning LSNs back — the payload (KBs of html) never rides the
+    #   dedup shuffle. Best when winners-per-epoch fit a broadcast (≤ ~10M).
+    # - "max_by": single-pass hash agg carrying the payload struct; use
+    #   (optionally salted) when the winner set is too large to broadcast.
+    dedup_strategy: str = "winner_join"
+    salted: bool = False  # salting for the max_by strategy's payload shuffle
     n_salts: int = 16
     transform: bool = True
     project: bool = False
+    # "cow" rewrites touched buckets per epoch; "mor" appends delta files
+    # (O(batch) apply — the sustained-ingest path) with auto-compaction
+    merge_mode: str = "cow"
+    compact_every: int = 24
 
 
 @dataclass
@@ -58,16 +78,24 @@ class ApplyResult:
 def _dedup_flatten(rows: DataFrame, cfg: ApplyConfig) -> DataFrame:
     """Row events → one winner per key, flattened to merge-source shape
     (url, warc_ts, html, text, lang, op, lsn)."""
+    # before-image is only needed to key deletes — extract the key, then
+    # drop it so the dedup shuffle carries one payload struct, not two
     keyed = rows.select(
         F.coalesce(F.col("after.url"), F.col("before.url")).alias("url"),
         F.coalesce(F.col("after.warc_ts"), F.col("before.warc_ts")).alias("warc_ts"),
         "lsn",
         "op",
         "after",
-        "before",
     )
-    dedup = (salted_lww_dedup(keyed, PAGE_KEY, n_salts=cfg.n_salts) if cfg.salted
-             else lww_dedup(keyed, PAGE_KEY))
+    if cfg.dedup_strategy == "winner_join":
+        # tiny (key,lsn) shuffle decides winners; broadcast semi-join picks
+        # their full rows — payload bytes never shuffle
+        wins = keyed.groupBy(*PAGE_KEY).agg(F.max("lsn").alias("lsn"))
+        dedup = keyed.join(F.broadcast(wins.select("lsn")), on="lsn", how="left_semi")
+    elif cfg.salted:
+        dedup = salted_lww_dedup(keyed, PAGE_KEY, n_salts=cfg.n_salts)
+    else:
+        dedup = lww_dedup(keyed, PAGE_KEY)
     if cfg.transform:
         dedup = with_page_transforms(dedup, image_col="after")
     return dedup.select(
@@ -115,6 +143,7 @@ def apply_epoch(
         F.sum((F.col("kind") == KIND_DDL).cast("long")).alias("n_ddl"),
         F.sum((F.col("kind") == KIND_HEARTBEAT).cast("long")).alias("n_heartbeats"),
     ).collect()[0]
+    tp = _tlog(f"e{epoch_id} stats", t0)
 
     ddl_rows = []
     if stats["n_ddl"]:
@@ -123,6 +152,19 @@ def apply_epoch(
             key=lambda r: r["lsn"],
         )
     rows = filtered.filter(F.col("kind") == F.lit(KIND_ROW))
+
+    lineage0 = {
+        "lsn_min": stats["lsn_min"],
+        "lsn_max": stats["lsn_max"],
+        "n_events": stats["n_events"],
+    }
+    if stats["n_rows"] == 0 and not ddl_rows:
+        # heartbeat/empty epoch: positions advance, no data work
+        # (EntryEventSink empty-transaction passthrough analog)
+        table.commit_epoch_marker(epoch_id, lineage0)
+        res.applied = True
+        _record_metrics(metrics_table, epoch_id, stats, t0, None)
+        return res
 
     # LSN-ordered segments: DML < ddl1 | ddl1 | DML < ddl2 | ... | rest
     bounds = [r["lsn"] for r in ddl_rows]
@@ -135,25 +177,27 @@ def apply_epoch(
     final_seg = rows if lo is None else rows.filter(F.col("lsn") > lo)
     segments.append((str(epoch_id), final_seg, None))
 
-    lineage = {
-        "lsn_min": stats["lsn_min"],
-        "lsn_max": stats["lsn_max"],
-        "n_events": stats["n_events"],
-    }
+    lineage = lineage0
     for seg_key, seg_df, ddl in segments:
         if not table.is_epoch_committed(seg_key):
             source = _dedup_flatten(seg_df, cfg)
             # schema may have evolved mid-epoch: align source to table columns
-            tbl_cols = [f["name"] for f in table.snapshot().current_fields()]
             src_cols = set(source.columns)
             aligned = source.select(
                 *[
-                    (F.col(c) if c in src_cols else F.lit(None).cast(f["type"])).alias(c)
-                    for f, c in ((f, f["name"]) for f in table.snapshot().current_fields())
+                    (F.col(f["name"]) if f["name"] in src_cols
+                     else F.lit(None).cast(f["type"])).alias(f["name"])
+                    for f in table.snapshot().current_fields()
                 ],
                 "op",
+                "lsn",
             )
-            mr = table.merge(aligned, epoch_id=seg_key, lineage=lineage)
+            mr = table.merge(
+                aligned, epoch_id=seg_key, lineage=lineage,
+                mode=cfg.merge_mode, lsn_col="lsn",
+                compact_every=cfg.compact_every,
+            )
+            tp = _tlog(f"e{epoch_id} seg {seg_key} merge", tp)
             if mr.applied:
                 res.versions.append(mr.version)
         if ddl is not None:
@@ -164,28 +208,35 @@ def apply_epoch(
     res.applied = True
     res.n_rows = stats["n_rows"]
 
-    if metrics_table is not None and not metrics_table.is_epoch_committed(epoch_id):
-        wall_ms = int((time.monotonic() - t0) * 1000)
-        m = spark.createDataFrame(
-            [
-                (
-                    int(epoch_id),
-                    stats["lsn_min"],
-                    stats["lsn_max"],
-                    stats["n_events"],
-                    stats["n_rows"],
-                    stats["n_upserts"],
-                    stats["n_deletes"],
-                    stats["n_ddl"],
-                    stats["n_heartbeats"],
-                    wall_ms,
-                    res.versions[-1] if res.versions else None,
-                )
-            ],
-            "epoch_id long, lsn_min long, lsn_max long, n_events long, n_rows long, "
-            "n_upserts long, n_deletes long, n_ddl long, n_heartbeats long, "
-            "wall_ms long, snapshot_version long",
-        ).withColumn("committed_at", F.current_timestamp()).withColumn("op", F.lit("U"))
-        metrics_table.merge(m, epoch_id=epoch_id, lineage=lineage)
-
+    _record_metrics(
+        metrics_table, epoch_id, stats, t0, res.versions[-1] if res.versions else None
+    )
     return res
+
+
+def _record_metrics(metrics_table, epoch_id, stats, t0, snapshot_version) -> None:
+    """One lineage row per epoch — driver-side pyarrow append (zero Spark
+    jobs), idempotent via the metrics table's own epoch registry."""
+    if metrics_table is None:
+        return
+    from datetime import datetime, timezone
+
+    metrics_table.append_pylist(
+        [
+            {
+                "epoch_id": int(epoch_id),
+                "lsn_min": stats["lsn_min"],
+                "lsn_max": stats["lsn_max"],
+                "n_events": stats["n_events"],
+                "n_rows": stats["n_rows"],
+                "n_upserts": stats["n_upserts"],
+                "n_deletes": stats["n_deletes"],
+                "n_ddl": stats["n_ddl"],
+                "n_heartbeats": stats["n_heartbeats"],
+                "wall_ms": int((time.monotonic() - t0) * 1000),
+                "snapshot_version": snapshot_version,
+                "committed_at": datetime.now(timezone.utc),
+            }
+        ],
+        epoch_id=epoch_id,
+    )

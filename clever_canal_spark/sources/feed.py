@@ -43,10 +43,16 @@ def read_feed_stream(
     return r.parquet(path)
 
 
-def write_feed_slices(feed: DataFrame, path: str, n_slices: int, n_events: int) -> list[str]:
-    """Materialize a feed DataFrame as ``n_slices`` LSN-ordered parquet
+def write_feed_slices(
+    feed: DataFrame, path: str, n_slices: int, n_events: int, files_per_slice: int = 1
+) -> list[str]:
+    """Materialize a feed DataFrame as ``n_slices`` LSN-range parquet
     'binlog files' under ``path`` (rotation fixture for streaming tests —
-    the BinLogFileQueue analog). Returns the slice paths in order."""
+    the BinLogFileQueue analog). Returns the slice paths in order.
+
+    ``files_per_slice > 1`` splits each slice into several files so the
+    micro-batch scan parallelizes (a single large parquet file is one row
+    group → one task; real feeds arrive as many files)."""
     import shutil
 
     os.makedirs(path, exist_ok=True)
@@ -54,17 +60,15 @@ def write_feed_slices(feed: DataFrame, path: str, n_slices: int, n_events: int) 
     out = []
     for i in range(n_slices):
         tmp = os.path.join(path, f".stage-{i}")
-        (
-            feed.filter((F.col("lsn") >= i * size) & (F.col("lsn") < (i + 1) * size))
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(tmp)
-        )
-        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
-        dest = os.path.join(path, f"binlog-{i:06d}.parquet")
-        os.rename(os.path.join(tmp, part), dest)
+        sl = feed.filter((F.col("lsn") >= i * size) & (F.col("lsn") < (i + 1) * size))
+        sl = sl.coalesce(1) if files_per_slice == 1 else sl.repartition(files_per_slice)
+        sl.write.mode("overwrite").parquet(tmp)
+        parts = sorted(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        for j, part in enumerate(parts):
+            dest = os.path.join(path, f"binlog-{i:06d}-{j:03d}.parquet")
+            os.rename(os.path.join(tmp, part), dest)
+            out.append(dest)
         shutil.rmtree(tmp)
-        out.append(dest)
     return out
 
 

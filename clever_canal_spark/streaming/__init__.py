@@ -1,3 +1,4 @@
+from .follower import FeedFollower
 from .pipeline import CdcPipeline, run_available
 
-__all__ = ["CdcPipeline", "run_available"]
+__all__ = ["CdcPipeline", "FeedFollower", "run_available"]

@@ -1,0 +1,100 @@
+"""FeedFollower — native micro-batch tail of a feed directory.
+
+The reference tails rotating binlog files with its own position manager
+(BinLogFileQueue.java:1-237 file rotation; FileMixedMetaManager.java:35-299
+cursor persistence). This follower is the direct Spark analog — and it
+exists for a hard performance reason: Structured Streaming's
+``foreachBatch`` hands the micro-batch over as a ``Scan ExistingRDD``
+(opaque pre-planned rows), so every action re-materializes ALL columns of
+the whole batch — no column pruning, no predicate pushdown. Reading the
+epoch's files with ``spark.read.parquet`` instead keeps the full Catalyst
+path (pruned scans per action: the stats pass reads 3 columns, not 4 KB
+html blobs).
+
+Exactly-once across crashes:
+
+1. the epoch→file-set binding is persisted BEFORE applying
+   (``epoch-{id}.json``, exclusive create — replay sees the same set);
+2. ``apply_epoch`` is idempotent per epoch (lake epoch registry);
+3. restart re-applies only epochs whose merge never committed.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import SparkSession
+
+from ..lake import LakeTable
+from ..model import CHANGE_EVENT_SCHEMA
+from ..plans.apply import ApplyConfig, ApplyResult, apply_epoch
+
+
+@dataclass
+class FeedFollower:
+    spark: SparkSession
+    source_dir: str
+    checkpoint_dir: str
+    table: LakeTable
+    cfg: ApplyConfig
+    metrics_table: LakeTable | None = None
+    max_files_per_epoch: int = 16
+
+    def _epoch_log(self) -> list[tuple[int, list[str]]]:
+        os.makedirs(self.checkpoint_dir, exist_ok=True)
+        out = []
+        for name in sorted(os.listdir(self.checkpoint_dir)):
+            if name.startswith("epoch-") and name.endswith(".json"):
+                with open(os.path.join(self.checkpoint_dir, name)) as fh:
+                    meta = json.load(fh)
+                out.append((meta["epoch_id"], meta["files"]))
+        return out
+
+    def _bind_epoch(self, epoch_id: int, files: list[str]) -> list[str]:
+        """Persist the epoch→files binding (exclusive create; on replay the
+        existing binding wins so the epoch is byte-identical)."""
+        path = os.path.join(self.checkpoint_dir, f"epoch-{epoch_id:08d}.json")
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            with open(path) as fh:
+                return json.load(fh)["files"]
+        with os.fdopen(fd, "w") as fh:
+            json.dump({"epoch_id": epoch_id, "files": files}, fh)
+        return files
+
+    def _apply(self, epoch_id: int, files: list[str]) -> ApplyResult:
+        batch = self.spark.read.schema(CHANGE_EVENT_SCHEMA).parquet(*files)
+        return apply_epoch(
+            self.spark, batch, epoch_id, self.table, self.cfg,
+            metrics_table=self.metrics_table,
+        )
+
+    def run_available(self) -> list[ApplyResult]:
+        """Drain everything currently in the source dir: finish any bound
+        but uncommitted epoch (crash recovery), then consume new files in
+        name order (binlog rotation order)."""
+        results = []
+        log = self._epoch_log()
+        consumed: set[str] = set()
+        next_epoch = 0
+        for epoch_id, files in log:
+            consumed.update(files)
+            next_epoch = max(next_epoch, epoch_id + 1)
+            if not self.table.is_epoch_committed(epoch_id):
+                results.append(self._apply(epoch_id, files))
+
+        fresh = sorted(
+            os.path.join(self.source_dir, f)
+            for f in os.listdir(self.source_dir)
+            if f.endswith(".parquet") and os.path.join(self.source_dir, f) not in consumed
+        )
+        for i in range(0, len(fresh), self.max_files_per_epoch):
+            group = fresh[i : i + self.max_files_per_epoch]
+            epoch_id = next_epoch
+            next_epoch += 1
+            bound = self._bind_epoch(epoch_id, group)
+            results.append(self._apply(epoch_id, bound))
+        return results

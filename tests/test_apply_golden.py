@@ -62,7 +62,7 @@ def test_golden_replay_salted_identical(spark, tmp_table_dir):
         spark,
         tmp_table_dir,
         FeedConfig(n_events=2_000, n_urls=50, versions_per_url=2, zipf_s=5.0, seed=7),
-        ApplyConfig(salted=True, n_salts=8),
+        ApplyConfig(dedup_strategy="max_by", salted=True, n_salts=8),
     )
     assert got == want
 
@@ -86,3 +86,41 @@ def test_epoch_replay_idempotent(spark, tmp_table_dir):
     want = _oracle_state(feed.collect())
     feed.unpersist()
     assert got == want
+
+
+def test_golden_replay_mor_with_compaction(spark, tmp_table_dir):
+    """Merge-on-read apply (delta files + LWW reconcile at scan) with a
+    forced compaction mid-stream must equal the oracle exactly."""
+    got, want = run_replay(
+        spark,
+        tmp_table_dir,
+        FeedConfig(n_events=2_000, n_urls=150, versions_per_url=2, seed=42),
+        ApplyConfig(merge_mode="mor", compact_every=3),
+        n_epochs=4,
+    )
+    assert got == want
+
+
+def test_mor_time_travel_and_idempotence(spark, tmp_table_dir):
+    from clever_canal_spark.gen import FeedConfig, generate_feed
+    from clever_canal_spark.plans import apply_epoch
+
+    feed = generate_feed(spark, FeedConfig(n_events=400, n_urls=40, seed=13)).cache()
+    table = LakeTable.create(
+        spark, tmp_table_dir, PAGE_SCHEMA, merge_key=["url", "warc_ts"], n_buckets=4
+    )
+    cfg = ApplyConfig(merge_mode="mor", compact_every=0)  # no auto-compact
+    b0 = feed.filter(F.col("lsn") < 200)
+    b1 = feed.filter(F.col("lsn") >= 200)
+    apply_epoch(spark, b0, 0, table, cfg)
+    v_mid = table.current_version()
+    state_mid = {(r["url"], str(r["warc_ts"])) for r in table.scan().collect()}
+    apply_epoch(spark, b1, 1, table, cfg)
+    apply_epoch(spark, b1, 1, table, cfg)  # replay — must not duplicate deltas
+    assert {(r["url"], str(r["warc_ts"])) for r in table.scan(version=v_mid).collect()} == state_mid
+    # explicit compaction preserves state
+    before = _final_state(table)
+    table.compact()
+    assert table.snapshot().delta_files == []
+    assert _final_state(table) == before
+    feed.unpersist()
