@@ -781,3 +781,89 @@ def q_cdc_engine_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         apply_epoch(spark, batch, e, table, cfg)
     return table.scan().select("url", "text")
+
+
+# --------------------------------------------------------------------------
+# Additional SURVEY §2 coverage
+# --------------------------------------------------------------------------
+
+_START_TS = "2024-01-05 00:00:00"
+
+
+@register(
+    "cdc_start_from_timestamp",
+    f"""
+    SELECT count(*) AS n_events, min(event_id) AS first_lsn, max(event_id) AS last_lsn
+    FROM events WHERE ts >= TIMESTAMP '{_START_TS}'
+    """,
+)
+def q_cdc_start_from_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp-positioned start (S3, MysqlConnection.java:210-213 /
+    LocalBinLogConnection.java:122-186): 'dump from time T' = a plain
+    pushable ts predicate; the resolved start position is min(lsn)."""
+    ev = _events(spark, sf_dir)
+    return ev.filter(F.col("ts") >= F.lit(_START_TS).cast("timestamp")).agg(
+        F.count("*").alias("n_events"),
+        F.min("event_id").alias("first_lsn"),
+        F.max("event_id").alias("last_lsn"),
+    )
+
+
+@register(
+    "cdc_field_projection",
+    """
+    SELECT event_id,
+           CASE WHEN event_type IN ('click','view') THEN user_id ELSE NULL END AS user_id_kept,
+           event_type
+    FROM events
+    """,
+)
+def q_cdc_field_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field white/blacklist projection (F4, LogEventConvert.needField:
+    937-943): per-'table' kept-column sets; dropped fields become null so
+    the row shape stays stable (column pruning downstream)."""
+    ev = _events(spark, sf_dir)
+    kept = F.when(
+        F.col("event_type").isin("click", "view"), F.col("user_id")
+    ).otherwise(F.lit(None))
+    return ev.select("event_id", kept.alias("user_id_kept"), "event_type")
+
+
+@register(
+    "cdc_gtid_latest",
+    """
+    SELECT 'srv1:' || CAST(event_id // 16 AS VARCHAR) AS gtid,
+           max(event_id) AS last_lsn, count(*) AS n_events
+    FROM events GROUP BY gtid
+    """,
+)
+def q_cdc_gtid_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GTID-positioned resume (S2, MysqlConnection.java:184-208): per-GTID
+    (txn-scoped) latest LSN — the resume-set the GTID dump needs."""
+    ev = _events(spark, sf_dir)
+    gtid = F.concat(F.lit("srv1:"), (F.col("event_id") / 16).cast("long").cast("string"))
+    return ev.groupBy(gtid.alias("gtid")).agg(
+        F.max("event_id").alias("last_lsn"), F.count("*").alias("n_events")
+    )
+
+
+@register(
+    "doc_source_stats",
+    r"""
+    SELECT source, count(*) AS n_docs,
+           sum(length(text)) AS total_chars,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+           sum(len(regexp_extract_all(text, '\S+'))) AS total_tokens
+    FROM documents GROUP BY source
+    """,
+)
+def q_doc_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus stats (training-data bookkeeping aggregation)."""
+    d = _documents(spark, sf_dir)
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+        F.sum(F.regexp_count(F.col("text"), F.lit(r"\S+"))).alias("total_tokens"),
+    )

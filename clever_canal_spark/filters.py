@@ -54,6 +54,19 @@ def canal_name_predicate(
     )
 
 
+def canal_simple_predicate(
+    col: Column, pattern: str, default_empty: bool = True
+) -> Column:
+    """Exact-list filter (AviaterSimpleFilter.java:1-46): comma-separated
+    literal names, case-insensitive membership; empty target → default."""
+    if not pattern:
+        return F.lit(default_empty)
+    names = [p.strip().lower() for p in pattern.split(",") if p.strip()]
+    return F.when(col.isNull() | (col == ""), F.lit(default_empty)).otherwise(
+        F.lower(col).isin(names)
+    )
+
+
 @dataclass
 class EventFilterConfig:
     """Instance filter config (ref: CanalInstanceWithManager wiring +

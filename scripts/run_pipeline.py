@@ -1,0 +1,125 @@
+"""spark-submit entry point for the CDC ingest pipeline.
+
+Cluster usage (the north-star packaging shape):
+
+    zip -r ccs.zip clever_canal_spark
+    spark-submit --py-files ccs.zip scripts/run_pipeline.py \
+        --source-dir  s3a://feed/pages-cdc/ \
+        --table-dir   s3a://lake/pages/ \
+        --checkpoint  s3a://ckpt/pages-cdc/ \
+        --metrics-dir s3a://lake/pages_metrics/ \
+        --merge-mode mor --n-buckets 4096 --table-whitelist 'cc\\..*'
+
+Local smoke:
+
+    PYTHONPATH=. python scripts/run_pipeline.py --demo
+
+The job is resumable: kill it at any point and rerun with the same
+checkpoint — bound-but-unapplied epochs re-apply idempotently.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from clever_canal_spark.filters import EventFilterConfig
+from clever_canal_spark.lake import LakeTable
+from clever_canal_spark.model import EPOCH_METRICS_SCHEMA, PAGE_SCHEMA
+from clever_canal_spark.plans import ApplyConfig
+from clever_canal_spark.session import build_session
+from clever_canal_spark.streaming import CdcPipeline, FeedFollower
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description="clever-canal-spark CDC ingest")
+    p.add_argument("--source-dir", help="feed directory (parquet change events)")
+    p.add_argument("--table-dir", help="lake table root")
+    p.add_argument("--checkpoint", help="checkpoint directory")
+    p.add_argument("--metrics-dir", help="lineage/metrics table root (optional)")
+    p.add_argument("--merge-mode", choices=["cow", "mor"], default="mor")
+    p.add_argument("--dedup", choices=["winner_join", "max_by"], default="winner_join")
+    p.add_argument("--salted", action="store_true", help="salt the max_by dedup shuffle")
+    p.add_argument("--n-buckets", type=int, default=64)
+    p.add_argument("--compact-every", type=int, default=24)
+    p.add_argument("--max-files-per-epoch", type=int, default=64)
+    p.add_argument("--table-whitelist", default="")
+    p.add_argument("--table-blacklist", default="")
+    p.add_argument("--engine", choices=["follower", "structured"], default="follower",
+                   help="native follower (full pushdown) or Structured Streaming foreachBatch")
+    p.add_argument("--continuous", action="store_true",
+                   help="structured engine only: keep tailing instead of drain-and-exit")
+    p.add_argument("--demo", action="store_true", help="run a tiny self-contained demo")
+    args = p.parse_args()
+
+    spark = build_session(app_name="clever-canal-spark-ingest")
+
+    if args.demo:
+        import tempfile
+
+        from clever_canal_spark.gen import FeedConfig, materialize_feed
+
+        work = tempfile.mkdtemp(prefix="ccs-demo-")
+        print(f"demo working dir: {work}")
+        materialize_feed(spark, FeedConfig(n_events=5000, n_urls=300), f"{work}/feed", 4, 4)
+        args.source_dir = f"{work}/feed"
+        args.table_dir = f"{work}/pages"
+        args.checkpoint = f"{work}/ckpt"
+        args.metrics_dir = f"{work}/metrics"
+
+    if not (args.source_dir and args.table_dir and args.checkpoint):
+        p.error("--source-dir, --table-dir and --checkpoint are required (or --demo)")
+
+    table = LakeTable(spark, args.table_dir)
+    if not table.exists():
+        table = LakeTable.create(
+            spark, args.table_dir, PAGE_SCHEMA,
+            merge_key=["url", "warc_ts"], n_buckets=args.n_buckets,
+        )
+    metrics = None
+    if args.metrics_dir:
+        metrics = LakeTable(spark, args.metrics_dir)
+        if not metrics.exists():
+            metrics = LakeTable.create(
+                spark, args.metrics_dir, EPOCH_METRICS_SCHEMA,
+                merge_key=["epoch_id"], n_buckets=4,
+            )
+
+    cfg = ApplyConfig(
+        filters=EventFilterConfig(
+            table_whitelist=args.table_whitelist, table_blacklist=args.table_blacklist
+        ),
+        dedup_strategy=args.dedup,
+        salted=args.salted,
+        merge_mode=args.merge_mode,
+        compact_every=args.compact_every,
+    )
+
+    if args.engine == "follower":
+        fol = FeedFollower(
+            spark, args.source_dir, args.checkpoint, table, cfg,
+            metrics_table=metrics, max_files_per_epoch=args.max_files_per_epoch,
+        )
+        results = fol.run_available()
+        print(f"applied {len(results)} epochs; table version {table.current_version()}, "
+              f"rows {table.scan().count()}")
+    else:
+        pipe = CdcPipeline(
+            spark, args.source_dir, args.checkpoint, table, cfg,
+            metrics_table=metrics, max_files_per_trigger=args.max_files_per_epoch,
+        )
+        if args.continuous:
+            q = pipe.start(available_now=False, processing_time="10 seconds")
+            q.awaitTermination()
+        else:
+            pipe.run_until_drained()
+            print(f"drained; table version {table.current_version()}")
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

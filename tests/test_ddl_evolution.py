@@ -1,0 +1,92 @@
+"""Schema evolution via the DDL channel (SURVEY.md §3.3 / test plan item 4):
+add/rename/widen interleaved at known LSNs; DML applied before a DDL's LSN
+sees the old schema, after it the new; replay is idempotent."""
+
+from pyspark.sql import functions as F
+
+from clever_canal_spark.gen import DdlSpec, FeedConfig, generate_feed
+from clever_canal_spark.lake import LakeTable
+from clever_canal_spark.model import (
+    DDL_ADD_COLUMN,
+    DDL_RENAME_COLUMN,
+    DDL_WIDEN_TYPE,
+    PAGE_SCHEMA,
+)
+from clever_canal_spark.plans import ApplyConfig, apply_epoch, apply_ddl_idempotent
+
+
+def test_ddl_add_mid_epoch_segments(spark, tmp_table_dir):
+    cfgf = FeedConfig(
+        n_events=600,
+        n_urls=50,
+        seed=31,
+        ddls=[
+            DdlSpec(lsn=200, ddl_type=DDL_ADD_COLUMN, column="quality", new_type="double",
+                    sql="ALTER TABLE cc.pages ADD COLUMN quality double"),
+            DdlSpec(lsn=400, ddl_type=DDL_RENAME_COLUMN, column="quality", new_name="score",
+                    sql="ALTER TABLE cc.pages RENAME COLUMN quality TO score"),
+        ],
+    )
+    feed = generate_feed(spark, cfgf).cache()
+    table = LakeTable.create(
+        spark, tmp_table_dir, PAGE_SCHEMA, merge_key=["url", "warc_ts"], n_buckets=4
+    )
+    res = apply_epoch(spark, feed, 0, table, ApplyConfig(merge_mode="mor"))
+    assert res.segments == 3 and res.ddls_applied == 2
+
+    cols = [f.name for f in table.schema().fields]
+    assert "score" in cols and "quality" not in cols
+    # all rows readable through the evolved schema; evolved col is null
+    rows = table.scan().collect()
+    assert len(rows) > 10
+    assert all(r["score"] is None for r in rows)
+
+    # replay the whole epoch: no-ops everywhere (exactly-once incl. DDL)
+    v = table.current_version()
+    res2 = apply_epoch(spark, feed, 0, table, ApplyConfig(merge_mode="mor"))
+    assert not res2.applied or table.current_version() == v
+    assert table.current_version() == v
+    feed.unpersist()
+
+
+def test_ddl_widen_idempotent(spark, tmp_table_dir):
+    from pyspark.sql import types as T
+
+    table = LakeTable.create(
+        spark,
+        tmp_table_dir,
+        T.StructType([T.StructField("url", T.StringType()), T.StructField("n", T.IntegerType())]),
+        merge_key=["url"],
+        n_buckets=2,
+    )
+    row = {"ddl_type": DDL_WIDEN_TYPE, "ddl_column": "n", "ddl_new_name": None, "ddl_new_type": "bigint"}
+    assert apply_ddl_idempotent(table, row) is True
+    assert apply_ddl_idempotent(table, row) is False  # replay no-op
+    assert dict(table.scan().dtypes)["n"] == "bigint"
+
+
+def test_ddl_segment_boundary_values(spark, tmp_table_dir):
+    """Rows with lsn < ddl_lsn are merged before the schema change, rows
+    after it through the new schema — both visible and consistent at the
+    end (the E3 DML<ddl → ddl → DML>ddl ordering)."""
+    cfgf = FeedConfig(
+        n_events=100, n_urls=100, versions_per_url=1, insert_pct=100, delete_pct=0,
+        seed=77,
+        ddls=[DdlSpec(lsn=50, ddl_type=DDL_ADD_COLUMN, column="rank", new_type="bigint",
+                      sql="ALTER TABLE cc.pages ADD COLUMN rank bigint")],
+    )
+    feed = generate_feed(spark, cfgf)
+    table = LakeTable.create(
+        spark, tmp_table_dir, PAGE_SCHEMA, merge_key=["url", "warc_ts"], n_buckets=4
+    )
+    apply_epoch(spark, feed, 0, table, ApplyConfig(merge_mode="mor", transform=False))
+    snap = table.snapshot()
+    svs = {f["schema_version"] for f in snap.files + snap.delta_files}
+    assert len(svs) == 2  # files written under both schema versions
+    expected_keys = (
+        feed.filter(F.col("kind") == "ROW")
+        .select("after.url", "after.warc_ts")
+        .distinct()
+        .count()
+    )
+    assert table.scan().count() == expected_keys

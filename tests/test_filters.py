@@ -1,0 +1,127 @@
+"""Filter semantics parity with the reference's filter unit tests
+(AviaterFilterTest.java:1-110, MutliAviaterFilterTest.java) — same inputs,
+same expected accept/reject decisions, evaluated through the Spark Column
+predicates."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from clever_canal_spark.filters import (
+    EventFilterConfig,
+    apply_event_filters,
+    canal_name_predicate,
+    canal_simple_predicate,
+    compile_canal_regex,
+    project_fields,
+)
+
+
+def evaluate(spark, predicate_fn, values):
+    df = spark.createDataFrame([(v,) for v in values], "name string")
+    out = df.select("name", predicate_fn(F.col("name")).alias("ok")).collect()
+    return {r["name"]: r["ok"] for r in out}
+
+
+# --- AviaterFilterTest.test_regex ----------------------------------------
+
+def test_regex_filter_parity(spark):
+    res = evaluate(
+        spark,
+        lambda c: canal_name_predicate(c, r"s1\..*,s2\..*"),
+        ["s1.t1", "s1.t2", "", "s12.t1", "s2.t2", "s3.t2", "S1.S2", "S2.S1"],
+    )
+    assert res == {
+        "s1.t1": True, "s1.t2": True, "": True, "s12.t1": False,
+        "s2.t2": True, "s3.t2": False, "S1.S2": True, "S2.S1": True,
+    }
+
+
+def test_regex_filter_mixed_literal(spark):
+    res = evaluate(
+        spark,
+        lambda c: canal_name_predicate(c, r"s1\..*,s2.t1"),
+        ["s1.t1", "s1.t2", "s2.t1"],
+    )
+    assert res == {"s1.t1": True, "s1.t2": True, "s2.t1": True}
+
+
+def test_regex_filter_longest_first_anchoring(spark):
+    # "foooo,f.*t" matching "fooooot": anchored OR fixes the partial-match
+    # bug the reference's sort+anchor exists for (AviaterRegexFilter.java:101-131)
+    res = evaluate(spark, lambda c: canal_name_predicate(c, "foooo,f.*t"), ["fooooot"])
+    assert res["fooooot"] is True
+
+
+def test_regex_filter_pipe_pattern(spark):
+    pat = "otter2.otter_stability1|otter1.otter_stability1|retl.retl_mark|retl.retl_buffer|retl.xdual"
+    res = evaluate(spark, lambda c: canal_name_predicate(c, pat), ["otter1.otter_stability1"])
+    assert res["otter1.otter_stability1"] is True
+
+
+# --- AviaterFilterTest.testDisordered ------------------------------------
+
+def test_regex_filter_disordered(spark):
+    pat = r"u\..*,uvw\..*,uv\..*,a\.x,a\.xyz,a\.xy,abc\.x,abc\.xyz,abc\.xy,ab\.x,ab\.xyz,ab\.xy"
+    res = evaluate(
+        spark,
+        lambda c: canal_name_predicate(c, pat),
+        ["u.abc", "ab.x", "ab.xyz1", "abc.xyz", "uv.xyz"],
+    )
+    assert res == {
+        "u.abc": True, "ab.x": True, "ab.xyz1": False,
+        "abc.xyz": True, "uv.xyz": True,
+    }
+
+
+# --- AviaterFilterTest.test_simple ---------------------------------------
+
+def test_simple_filter_parity(spark):
+    res = evaluate(
+        spark,
+        lambda c: canal_simple_predicate(c, "s1.t1,s2.t2"),
+        ["s1.t1", "s1.t2", "", "s1.t1,s2.t2", "s2.t2"],
+    )
+    assert res == {
+        "s1.t1": True, "s1.t2": False, "": True,
+        "s1.t1,s2.t2": False, "s2.t2": True,
+    }
+
+
+def test_compile_empty_returns_none():
+    assert compile_canal_regex("") is None
+    assert compile_canal_regex(",") is None
+
+
+def test_blacklist_default_false(spark):
+    # empty target against a blacklist → default False (not dropped)
+    res = evaluate(
+        spark, lambda c: canal_name_predicate(c, "bad.*", default_empty=False), [""]
+    )
+    assert res[""] is False
+
+
+# --- field projection (F4) ------------------------------------------------
+
+def test_field_projection_whitelist(spark):
+    df = spark.createDataFrame(
+        [("cc", "pages", (("u1", "h", "t"))), ("cc", "other", ("u2", "h2", "t2"))],
+        "schema_name string, table_name string, after struct<url:string,html:string,text:string>",
+    )
+    cfg = EventFilterConfig(field_whitelist={"cc.pages": ["url", "text"]})
+    out = {r["after"]["url"] or r["after"]["html"]: r["after"] for r in
+           project_fields(df, cfg, struct_cols=("after",)).collect()}
+    # cc.pages: html dropped; cc.other untouched
+    assert out["u1"]["html"] is None and out["u1"]["text"] == "t"
+    assert out["u2"]["html"] == "h2"
+
+
+def test_event_class_filters(spark):
+    from clever_canal_spark.model import KIND_HEARTBEAT, KIND_ROW
+
+    df = spark.createDataFrame(
+        [(1, KIND_ROW, "I"), (2, KIND_ROW, "U"), (3, KIND_ROW, "D"), (4, KIND_HEARTBEAT, None)],
+        "lsn long, kind string, op string",
+    ).withColumn("schema_name", F.lit("s")).withColumn("table_name", F.lit("t"))
+    cfg = EventFilterConfig(filter_dml_insert=True, drop_heartbeats=True)
+    got = {r["lsn"] for r in apply_event_filters(df, cfg).collect()}
+    assert got == {2, 3}
