@@ -867,3 +867,21 @@ def q_doc_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("doc_id").alias("last_doc"),
         F.sum(F.regexp_count(F.col("text"), F.lit(r"\S+"))).alias("total_tokens"),
     )
+
+
+@register(
+    "cdc_props_extract",
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k,
+           count(*) AS n_events, max(event_id) AS last_lsn
+    FROM events GROUP BY prop_k
+    """,
+)
+def q_cdc_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Free-form props pairs on the event header (Header.props /
+    RowChange.props, EntryProtocol.proto:108-112, 181-182): JSON-decode a
+    key and aggregate — from_json/get_json_object is the MapType edge."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy(
+        F.get_json_object("props", "$.k").cast("bigint").alias("prop_k")
+    ).agg(F.count("*").alias("n_events"), F.max("event_id").alias("last_lsn"))

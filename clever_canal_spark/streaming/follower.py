@@ -34,8 +34,16 @@ from ..plans.apply import ApplyConfig, ApplyResult, apply_epoch
 
 @dataclass
 class FeedFollower:
+    """``source_dir`` may be one directory or a list — the multi-shard
+    group-sink analog (GroupEventSink.java:26-76): N upstream feeds merge
+    into one apply. The reference gates shards with a min-timestamp
+    barrier (TimelineBarrier.java:27-141); here no barrier is needed —
+    LWW by LSN is order-insensitive, so shard interleaving across epochs
+    cannot change the final state (SURVEY.md §4, documented improvement).
+    """
+
     spark: SparkSession
-    source_dir: str
+    source_dir: str | list[str]
     checkpoint_dir: str
     table: LakeTable
     cfg: ApplyConfig
@@ -55,6 +63,7 @@ class FeedFollower:
     def _bind_epoch(self, epoch_id: int, files: list[str]) -> list[str]:
         """Persist the epoch→files binding (exclusive create; on replay the
         existing binding wins so the epoch is byte-identical)."""
+        os.makedirs(self.checkpoint_dir, exist_ok=True)
         path = os.path.join(self.checkpoint_dir, f"epoch-{epoch_id:08d}.json")
         try:
             fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
@@ -86,10 +95,18 @@ class FeedFollower:
             if not self.table.is_epoch_committed(epoch_id):
                 results.append(self._apply(epoch_id, files))
 
+        dirs = [self.source_dir] if isinstance(self.source_dir, str) else list(self.source_dir)
+        candidates = [
+            os.path.join(d, f)
+            for d in dirs
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        ]
+        # rotation order within a shard = name order; shards interleave by
+        # basename (stable, deterministic) — LWW makes the choice benign
         fresh = sorted(
-            os.path.join(self.source_dir, f)
-            for f in os.listdir(self.source_dir)
-            if f.endswith(".parquet") and os.path.join(self.source_dir, f) not in consumed
+            (p for p in candidates if p not in consumed),
+            key=lambda p: (os.path.basename(p), p),
         )
         for i in range(0, len(fresh), self.max_files_per_epoch):
             group = fresh[i : i + self.max_files_per_epoch]
