@@ -54,6 +54,11 @@ class ApplyConfig:
     #   dedup shuffle. Best when winners-per-epoch fit a broadcast (≤ ~10M).
     # - "max_by": single-pass hash agg carrying the payload struct; use
     #   (optionally salted) when the winner set is too large to broadcast.
+    # - "defer" (mor only): no pre-merge dedup at all — every event appends
+    #   as a delta row and the MOR scan/compaction LWW settles winners.
+    #   The epoch becomes ONE fully-parallel job (scan→transform→write, no
+    #   agg barrier, no broadcast build) at the cost of writing losers too;
+    #   best for wide clusters / low-duplication feeds.
     dedup_strategy: str = "winner_join"
     salted: bool = False  # salting for the max_by strategy's payload shuffle
     n_salts: int = 16
@@ -87,7 +92,9 @@ def _dedup_flatten(rows: DataFrame, cfg: ApplyConfig) -> DataFrame:
         "op",
         "after",
     )
-    if cfg.dedup_strategy == "winner_join":
+    if cfg.dedup_strategy == "defer":
+        dedup = keyed  # MOR reconcile is the dedup (guarded in apply_epoch)
+    elif cfg.dedup_strategy == "winner_join":
         # tiny (key,lsn) shuffle decides winners; broadcast semi-join picks
         # their full rows — payload bytes never shuffle
         wins = keyed.groupBy(*PAGE_KEY).agg(F.max("lsn").alias("lsn"))
@@ -121,6 +128,11 @@ def apply_epoch(
     ``epoch_id`` + data (replay after crash): already-committed segments and
     DDLs no-op."""
     cfg = cfg or ApplyConfig()
+    if cfg.dedup_strategy == "defer" and cfg.merge_mode != "mor":
+        raise ValueError(
+            "dedup_strategy='defer' requires merge_mode='mor' (COW merge has "
+            "the one-source-row-per-key cardinality rule)"
+        )
     t0 = time.monotonic()
     res = ApplyResult(epoch_id=epoch_id, applied=False)
 

@@ -41,7 +41,7 @@ def main() -> None:
     p.add_argument("--checkpoint", help="checkpoint directory")
     p.add_argument("--metrics-dir", help="lineage/metrics table root (optional)")
     p.add_argument("--merge-mode", choices=["cow", "mor"], default="mor")
-    p.add_argument("--dedup", choices=["winner_join", "max_by"], default="winner_join")
+    p.add_argument("--dedup", choices=["winner_join", "max_by", "defer"], default="winner_join")
     p.add_argument("--salted", action="store_true", help="salt the max_by dedup shuffle")
     p.add_argument("--n-buckets", type=int, default=64)
     p.add_argument("--compact-every", type=int, default=24)

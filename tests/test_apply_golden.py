@@ -124,3 +124,30 @@ def test_mor_time_travel_and_idempotence(spark, tmp_table_dir):
     assert table.snapshot().delta_files == []
     assert _final_state(table) == before
     feed.unpersist()
+
+
+def test_golden_replay_deferred_dedup(spark, tmp_table_dir):
+    """dedup_strategy='defer': every event lands as a delta row; the MOR
+    scan LWW must still produce exactly the oracle state."""
+    got, want = run_replay(
+        spark,
+        tmp_table_dir,
+        FeedConfig(n_events=2_000, n_urls=120, versions_per_url=2, seed=99),
+        ApplyConfig(merge_mode="mor", dedup_strategy="defer", compact_every=3),
+        n_epochs=4,
+    )
+    assert got == want
+
+
+def test_defer_requires_mor(spark, tmp_table_dir):
+    import pytest
+
+    from clever_canal_spark.gen import FeedConfig, generate_feed
+    from clever_canal_spark.plans import apply_epoch
+
+    feed = generate_feed(spark, FeedConfig(n_events=50, n_urls=10, seed=1))
+    table = LakeTable.create(
+        spark, tmp_table_dir, PAGE_SCHEMA, merge_key=["url", "warc_ts"], n_buckets=2
+    )
+    with pytest.raises(ValueError, match="defer"):
+        apply_epoch(spark, feed, 0, table, ApplyConfig(merge_mode="cow", dedup_strategy="defer"))
