@@ -232,7 +232,7 @@ def main() -> None:
     # 1+4) scaling proxy (N vs 4N cores, 2M-event epochs); the local[32]
     # leg doubles as the headline replay
     scaling = None
-    probe_events = min(n_events, 4_000_000)
+    probe_events = min(n_events, 3_000_000)
     if os.environ.get("CCS_BENCH_SCALING", "1") != "0":
         scaling = _scaling_probe(
             probe_events, trials=int(os.environ.get("CCS_BENCH_TRIALS", "2"))

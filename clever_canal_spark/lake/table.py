@@ -347,6 +347,37 @@ class LakeTable:
             return self._reconciled(snap).select(*cols)
         return self._read_files(snap, snap.files)
 
+    def scan_changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
+        """Incremental changelog read (the Iceberg incremental-source
+        analog, SURVEY.md §1.7): rows written between two snapshots, with
+        ``__lsn``/``__op`` retained — deletes appear as op='D' markers.
+
+        Reads only files *added* in the version range (file-diff, no table
+        scan), so the lake can feed a downstream CDC consumer: the change
+        stream out equals the winners applied in."""
+        to_snap = self.snapshot(to_version)
+        from_snap = self.snapshot(from_version)
+        # walk the snapshot chain (from, to] and take files INTRODUCED by
+        # non-compaction commits. Compaction output is a rewrite of already
+        # -delivered rows, not a change; conversely, deltas folded away by a
+        # later compaction still count (their files remain on disk).
+        chain = []
+        v = to_snap.version
+        while v is not None and v > from_snap.version:
+            s = self.snapshot(v)
+            chain.append(s)
+            v = s.parent
+        seen = {f["path"] for f in from_snap.files + from_snap.delta_files}
+        changes: list[dict] = []
+        for s in reversed(chain):
+            new_here = [
+                f for f in s.files + s.delta_files if f["path"] not in seen
+            ]
+            seen.update(f["path"] for f in s.files + s.delta_files)
+            if not s.operation.startswith("compact"):
+                changes.extend(new_here)
+        return self._read_files(to_snap, changes, hidden=True)
+
     # -- write -------------------------------------------------------------
 
     def _write_data_files(self, snap: _Snapshot, df: DataFrame) -> list[dict]:

@@ -26,11 +26,18 @@ LANG_MARKERS = {
 
 
 def shingle_hashes_expr(text_col: str) -> str:
-    """SQL-string form (shared shape with the DuckDB oracle)."""
+    """3-char shingle polynomial hashes, O(n): char codes are computed once
+    (``split('') → ascii``) and indexed, instead of per-position
+    ``substring`` which is O(n²) on long documents. The single-element
+    ``array(...)`` + ``transform`` wrapper binds the codes array to a
+    lambda variable so it is evaluated once per row. Values are identical
+    to the straightforward per-position form the DuckDB oracle uses."""
+    codes = f"transform(split({text_col}, ''), c -> ascii(c))"
     return (
+        f"element_at(transform(array({codes}), cs -> "
         f"transform(sequence(1, greatest(length({text_col}) - 2, 0)), i -> "
-        f"CAST(ascii(substring({text_col}, i, 1))*961 + ascii(substring({text_col}, i+1, 1))*31 "
-        f"+ ascii(substring({text_col}, i+2, 1)) AS BIGINT))"
+        f"CAST(element_at(cs, i)*961 + element_at(cs, i+1)*31 "
+        f"+ element_at(cs, i+2) AS BIGINT))), 1)"
     )
 
 
