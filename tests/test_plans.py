@@ -1,0 +1,68 @@
+"""Physical-plan assertions: the plans we designed for are the plans Spark
+actually runs (pushdown, pruning, broadcast, whole-stage codegen)."""
+
+from pyspark.sql import functions as F
+
+from clever_canal_spark.filters import EventFilterConfig, apply_event_filters
+from clever_canal_spark.gen import FeedConfig, generate_feed
+from clever_canal_spark.model import CHANGE_EVENT_SCHEMA
+from clever_canal_spark.plans import ApplyConfig
+from clever_canal_spark.plans.apply import _dedup_flatten
+
+
+def _plan(df) -> str:
+    jvm = df.sparkSession._jvm
+    return jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def _write_feed(spark, tmp_table_dir, n=500):
+    p = f"{tmp_table_dir}/feed"
+    generate_feed(spark, FeedConfig(n_events=n, n_urls=50, seed=5)).write.mode(
+        "overwrite"
+    ).parquet(p)
+    return spark.read.schema(CHANGE_EVENT_SCHEMA).parquet(p)
+
+
+def test_filters_push_into_scan(spark, tmp_table_dir):
+    """Event-class + kind filters must reach the parquet scan as
+    PushedFilters — the parse-stage-filter placement rule (F3)."""
+    batch = _write_feed(spark, tmp_table_dir)
+    filtered = apply_event_filters(batch, EventFilterConfig())
+    plan = _plan(filtered.select("lsn", "kind"))
+    assert "PushedFilters: [" in plan
+    assert "kind" in plan.split("PushedFilters:")[1][:200]
+
+
+def test_stats_scan_prunes_columns(spark, tmp_table_dir):
+    """The stats pass must not read the html payload: ReadSchema limited
+    to the referenced columns (column pruning through the filters)."""
+    batch = _write_feed(spark, tmp_table_dir)
+    filtered = apply_event_filters(batch, EventFilterConfig())
+    agg = filtered.agg(F.count("*"), F.min("lsn"), F.max("lsn"))
+    plan = _plan(agg)
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "html" not in read_schema and "after" not in read_schema
+    assert "lsn" in read_schema
+
+
+def test_winner_join_is_broadcast_semi(spark, tmp_table_dir):
+    """The dedup join must plan as BroadcastHashJoin LeftSemi (no shuffle
+    of the payload side)."""
+    batch = _write_feed(spark, tmp_table_dir)
+    rows = apply_event_filters(batch, EventFilterConfig()).filter(F.col("kind") == "ROW")
+    src = _dedup_flatten(rows, ApplyConfig(transform=False))
+    plan = _plan(src)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    # the payload side must NOT appear under an Exchange hashpartitioning
+    # caused by the join itself (broadcast exchange only)
+    assert "BroadcastExchange" in plan
+
+
+def test_whole_stage_codegen_covers_filter_project(spark, tmp_table_dir):
+    batch = _write_feed(spark, tmp_table_dir)
+    filtered = apply_event_filters(batch, EventFilterConfig()).select("lsn", "op")
+    plan = _plan(filtered)
+    # formatted mode marks codegen'd operators with "[codegen id : N]"
+    assert "[codegen id :" in plan
