@@ -194,7 +194,7 @@ def _scaling_probe(n_events: int, trials: int = 2) -> dict:
     for cpus in (8, 32):
         # the 8-thread leg is stable under host noise; the 32-thread leg
         # swings, so spend the extra trials there
-        n_trials = 1 if cpus == 8 and trials > 1 else max(trials, 1) + (1 if cpus == 32 and trials > 1 else 0)
+        n_trials = 1 if (cpus == 8 and trials > 1) else max(trials, 1)
         best = None
         for _ in range(n_trials):
             out = subprocess.run(
