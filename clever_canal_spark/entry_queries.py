@@ -223,8 +223,8 @@ def cdc_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT event_id // 128 AS epoch_id, count(*) AS n_events,
            min(event_id) AS lsn_min, max(event_id) AS lsn_max,
-           sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_deletes,
-           sum({_CENTS}) AS sum_value_cents
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes,
+           CAST(sum({_CENTS}) AS BIGINT) AS sum_value_cents
     FROM events GROUP BY epoch_id
     """,
 )
@@ -692,10 +692,35 @@ def q_emb_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", "dot_e9")
 
 
-# --- multimodal plumbing (rows-only check: no SQL-expressible oracle) -----
+# --- multimodal plumbing (fake codec is affine arithmetic over the first
+# 8 payload bytes — expressible in SQL, so it gets a full value oracle) ----
 
 
-@register("mm_media_meta")
+def _mm_acc_sql() -> str:
+    """Unrolled fold of decode_image_fake's header hash: acc = (acc*31 +
+    byte_i) % 65536 over the first 8 bytes (documents.text is pure ASCII,
+    so ord(char) == byte)."""
+    acc = "0"
+    for i in range(1, 9):
+        acc = (
+            f"(CASE WHEN length(text) >= {i} "
+            f"THEN (({acc}) * 31 + ord(substr(text, {i}, 1))) % 65536 "
+            f"ELSE ({acc}) END)"
+        )
+    return acc
+
+
+@register(
+    "mm_media_meta",
+    f"""
+    SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
+           CASE acc % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                        WHEN 2 THEN 'webp' ELSE 'gif' END AS format,
+           CAST(64 + acc % 1024 AS INTEGER) AS width,
+           CAST(64 + (acc // 7) % 1024 AS INTEGER) AS height
+    FROM (SELECT doc_id, {_mm_acc_sql()} AS acc, text FROM documents)
+    """,
+)
 def q_mm_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal metadata extraction: text→binary payload through the
     mapInPandas decode stub (deterministic fake codec; real codec raises
@@ -851,9 +876,9 @@ def q_cdc_gtid_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_source_stats",
     r"""
     SELECT source, count(*) AS n_docs,
-           sum(length(text)) AS total_chars,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
            min(doc_id) AS first_doc, max(doc_id) AS last_doc,
-           sum(len(regexp_extract_all(text, '\S+'))) AS total_tokens
+           CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS total_tokens
     FROM documents GROUP BY source
     """,
 )
