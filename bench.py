@@ -223,7 +223,8 @@ def _scaling_probe(n_events: int, trials: int = 2) -> dict:
 def main() -> None:
     if len(sys.argv) >= 2 and sys.argv[1] == "--replay-probe":
         cpus, n_events = int(sys.argv[2]), int(sys.argv[3])
-        res = _replay(cpus, n_events, n_urls=max(n_events // 20, 1000), n_epochs=2)
+        n_epochs = int(os.environ.get("CCS_BENCH_EPOCHS", "4"))
+        res = _replay(cpus, n_events, n_urls=max(n_events // 20, 1000), n_epochs=n_epochs)
         print(json.dumps(res))
         return
 
@@ -232,17 +233,18 @@ def main() -> None:
     n_events = int(os.environ.get("CCS_BENCH_EVENTS", "6000000"))
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
 
-    # 1+4) scaling proxy (N vs 4N cores, 2M-event epochs); the local[32]
+    # 1+4) scaling proxy (N vs 4N cores, 1.5M-event epochs x4 — enough
+    # epochs that per-epoch serial commit cost amortizes); the local[32]
     # leg doubles as the headline replay
     scaling = None
-    probe_events = min(n_events, 3_000_000)
+    probe_events = min(n_events, 6_000_000)
     if os.environ.get("CCS_BENCH_SCALING", "1") != "0":
         scaling = _scaling_probe(
             probe_events, trials=int(os.environ.get("CCS_BENCH_TRIALS", "2"))
         )
         replay = dict(scaling["local32"])
     else:
-        replay = _replay(cpus, probe_events, n_urls=max(probe_events // 20, 1000), n_epochs=2)
+        replay = _replay(cpus, probe_events, n_urls=max(probe_events // 20, 1000), n_epochs=4)
 
     # 2) per-query timings on the driver tables
     from clever_canal_spark.entry_queries import QUERIES

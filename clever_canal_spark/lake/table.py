@@ -318,34 +318,54 @@ class LakeTable:
             out = out.unionByName(p)
         return out
 
-    def _reconciled(self, snap: _Snapshot, buckets: set[int] | None = None) -> DataFrame:
+    def _reconciled(
+        self,
+        snap: _Snapshot,
+        buckets: set[int] | None = None,
+        keep_deletes: bool = False,
+    ) -> DataFrame:
         """Base ∪ deltas folded to current state, hidden cols retained.
 
-        LWW per merge key by ``__lsn`` (base rows rank below any delta),
-        delete winners dropped. The winner filter is a (key, lsn) semi-join
+        LWW per merge key by ``__lsn`` (base rows written without an LSN
+        rank below any delta). The winner filter is a (key, lsn) semi-join
         against a tiny max-lsn aggregate — the payload never rides the
-        dedup shuffle."""
+        dedup shuffle. ``keep_deletes=True`` retains delete-winner rows as
+        tombstones (needed by compaction and COW reconcile so a late
+        lower-LSN upsert cannot resurrect a deleted key)."""
         def pick(files):
             return files if buckets is None else [f for f in files if f["bucket"] in buckets]
 
         base = self._read_files(snap, pick(snap.files), hidden=True)
         deltas = pick(snap.delta_files)
         if not deltas:
-            return base
-        delta = self._read_files(snap, deltas, hidden=True)
-        both = base.unionByName(delta)
-        key = snap.merge_key
-        wins = both.groupBy(*key).agg(F.max("__lsn").alias("__lsn"))
-        winners = both.join(wins, on=key + ["__lsn"], how="left_semi")
+            winners = base
+        else:
+            delta = self._read_files(snap, deltas, hidden=True)
+            both = base.unionByName(delta)
+            key = snap.merge_key
+            wins = both.groupBy(*key).agg(F.max("__lsn").alias("__lsn"))
+            winners = both.join(wins, on=key + ["__lsn"], how="left_semi")
+        if keep_deletes:
+            return winners
         return winners.filter(F.col("__op") != "D")
 
     def scan(self, version: int | None = None) -> DataFrame:
-        """Current (or time-travel) table state as a DataFrame."""
+        """Current (or time-travel) table state as a DataFrame.
+
+        Always filters tombstone rows (``__op = 'D'``): COW merges and
+        compaction retain delete winners in data files so out-of-order
+        (multi-shard) replay stays LWW-correct; the live view hides them.
+        Files written without hidden cols read as ``__op = 'U'`` and the
+        filter folds away."""
         snap = self.snapshot(version)
+        cols = [f["name"] for f in snap.current_fields()]
         if snap.delta_files:
-            cols = [f["name"] for f in snap.current_fields()]
             return self._reconciled(snap).select(*cols)
-        return self._read_files(snap, snap.files)
+        return (
+            self._read_files(snap, snap.files, hidden=True)
+            .filter(F.col("__op") != F.lit("D"))
+            .select(*cols)
+        )
 
     def scan_changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
         """Incremental changelog read (the Iceberg incremental-source
@@ -353,8 +373,12 @@ class LakeTable:
         ``__lsn``/``__op`` retained — deletes appear as op='D' markers.
 
         Reads only files *added* in the version range (file-diff, no table
-        scan), so the lake can feed a downstream CDC consumer: the change
-        stream out equals the winners applied in."""
+        scan), so the lake can feed a downstream CDC consumer. The "change
+        stream out equals the winners applied in" contract is exact for
+        **MOR** commits (delta files hold exactly the applied winners); a
+        COW merge rewrites every surviving row of touched buckets, so its
+        commits also re-emit unchanged co-bucketed rows — run the follower
+        with ``merge_mode='mor'`` when a downstream consumer tails this."""
         to_snap = self.snapshot(to_version)
         from_snap = self.snapshot(from_version)
         # walk the snapshot chain (from, to] and take files INTRODUCED by
@@ -499,9 +523,12 @@ class LakeTable:
         """MERGE INTO: upsert rows with ``op`` ∈ {I,U} (payload columns =
         table columns), delete rows with ``op`` = 'D'.
 
-        ``source`` MUST contain at most one row per merge key (run LWW dedup
-        first — same precondition as Iceberg MERGE's cardinality rule,
-        SURVEY.md §7 risk (e)).
+        Both modes reconcile by **LWW on ``lsn``** against the target's
+        current winner — a source row older than the stored row loses, so
+        out-of-order delivery across epochs (multi-shard lag) converges to
+        the same state as ordered apply. Duplicate source keys are legal
+        (they LWW among themselves), but pre-deduping (SURVEY.md §7 risk
+        (e)) keeps transform + write costs on winners only.
 
         Two strategies (both map onto Iceberg semantics):
 
@@ -541,21 +568,51 @@ class LakeTable:
             keep_files = [f for f in snap.files if f["bucket"] not in touched]
             keep_deltas = [f for f in snap.delta_files if f["bucket"] not in touched]
 
-            # reconciled view of the touched buckets (folds any MOR deltas)
-            target = self._reconciled(snap, buckets=touched)
-            survivors = target.join(src.select(*key), on=key, how="left_anti")
-            upsert_lsn = F.col(lsn_col) if lsn_col else F.lit(-1).cast("long")
-            upserts = src.filter(F.col(op_col) != F.lit("D")).select(
-                *cols, upsert_lsn.alias("__lsn"), F.lit("U").alias("__op")
-            )
-            merged = survivors.select(*cols, "__lsn", "__op").unionByName(upserts)
+            # reconciled view of the touched buckets (folds any MOR deltas),
+            # tombstones retained so a late lower-LSN upsert can't resurrect
+            # a deleted key (LWW holds across epochs, not just within one)
+            target = self._reconciled(snap, buckets=touched, keep_deletes=True)
+            src_keys = src.select(*key)
+            survivors = target.join(src_keys, on=key, how="left_anti")
+            hidden = ["__lsn", "__op"]
+            if lsn_col is None:
+                # no event ordering available → last-applied-wins (ordered
+                # single-feed semantics; requires ≤1 source row per key)
+                upserts = src.filter(F.col(op_col) != F.lit("D")).select(
+                    *cols, F.lit(-1).cast("long").alias("__lsn"), F.lit("U").alias("__op")
+                )
+                merged = survivors.select(*cols, *hidden).unionByName(upserts)
+            else:
+                # contested keys: LWW by __lsn between the target's current
+                # winner and the source rows — NOT last-applied-wins, so a
+                # lagging shard delivering lower-LSN events in a later epoch
+                # cannot overwrite newer rows (multi-shard group-sink rule)
+                matched = target.join(src_keys, on=key, how="left_semi")
+                src_rows = src.select(
+                    *cols,
+                    F.col(lsn_col).alias("__lsn"),
+                    F.when(F.col(op_col) == "D", F.lit("D")).otherwise(F.lit("U")).alias("__op"),
+                )
+                contested = matched.select(*cols, *hidden).unionByName(src_rows)
+                payload = [c for c in cols + hidden if c not in key]
+                winners = (
+                    contested.groupBy(*key)
+                    .agg(F.max_by(F.struct(*payload), F.col("__lsn")).alias("__w"))
+                    .select(*key, *[F.col(f"__w.{c}").alias(c) for c in payload])
+                    .select(*cols, *hidden)
+                )
+                # delete winners are WRITTEN as tombstones; scan() hides them
+                merged = survivors.select(*cols, *hidden).unionByName(winners)
 
             new_files = self._write_data_files(snap, merged)
             _mlog("cow-write")
 
             epochs = dict(snap.committed_epochs)
             if epoch_id is not None:
-                epochs[str(epoch_id)] = lineage or {}
+                # callable lineage resolves AFTER the data write (e.g. from a
+                # DataFrame.observe riding the write job) and BEFORE the
+                # atomic snapshot commit — exactly-once still holds
+                epochs[str(epoch_id)] = (lineage() if callable(lineage) else lineage) or {}
             child = self._child(
                 snap,
                 files=keep_files + new_files,
@@ -592,7 +649,7 @@ class LakeTable:
             print(f"[mor delta-write: {_time.monotonic() - _t0:.2f}s]", flush=True)
         epochs = dict(snap.committed_epochs)
         if epoch_id is not None:
-            epochs[str(epoch_id)] = lineage or {}
+            epochs[str(epoch_id)] = (lineage() if callable(lineage) else lineage) or {}
         child = self._child(
             snap,
             delta_files=snap.delta_files + new_files,
@@ -613,18 +670,35 @@ class LakeTable:
             self.compact()
         return result
 
-    def compact(self) -> int | None:
-        """Fold MOR delta files into the base (winners keep their __lsn so
-        later deltas still order correctly). One atomic snapshot swap."""
+    def compact(self, purge_tombstones_below: int | None = None) -> int | None:
+        """Fold MOR delta files into the base — **incrementally**: only
+        buckets that actually have delta files are reconciled and rewritten;
+        untouched base files carry over by reference (at 100 TB an epoch
+        touching 1% of buckets compacts 1% of the table, not all of it).
+
+        Winners keep their ``__lsn`` so later deltas still order correctly,
+        and **delete winners are retained as tombstone rows** (filtered at
+        scan) — dropping them would let a late-arriving lower-LSN upsert
+        from a lagging shard resurrect a deleted key. Pass
+        ``purge_tombstones_below`` = a low-watermark LSN (below which no
+        shard can still deliver events, e.g. min across shard cursors) to
+        garbage-collect tombstones older than it. One atomic snapshot swap.
+        """
         snap = self.snapshot()
         if not snap.delta_files:
             return None
-        winners = self._reconciled(snap)
+        delta_buckets = {f["bucket"] for f in snap.delta_files}
+        keep_files = [f for f in snap.files if f["bucket"] not in delta_buckets]
+        winners = self._reconciled(snap, buckets=delta_buckets, keep_deletes=True)
+        if purge_tombstones_below is not None:
+            winners = winners.filter(
+                ~((F.col("__op") == "D") & (F.col("__lsn") < F.lit(purge_tombstones_below)))
+            )
         new_files = self._write_data_files(
             snap, winners.select(*[f["name"] for f in snap.current_fields()], "__lsn", "__op")
         )
         child = self._child(
-            snap, files=new_files, delta_files=[], operation="compact"
+            snap, files=keep_files + new_files, delta_files=[], operation="compact"
         )
         self._write_snapshot(child)
         return child.version

@@ -35,7 +35,7 @@ def _tlog(msg: str, t0: float) -> float:
         print(f"[apply {msg}: {time.monotonic() - t0:.2f}s]", flush=True)
     return time.monotonic()
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
 from ..filters import EventFilterConfig, apply_event_filters, project_fields
 from ..functions.transforms import with_page_transforms
@@ -43,6 +43,23 @@ from ..lake import LakeTable
 from ..model import KIND_DDL, KIND_HEARTBEAT, KIND_ROW, PAGE_KEY
 from ..operators.lww import lww_dedup, salted_lww_dedup
 from .ddl import apply_ddl_idempotent
+
+
+@dataclass
+class BatchHints:
+    """Driver-side facts about an epoch's input, gathered from parquet
+    footers by the follower (zero Spark jobs — file metadata only).
+
+    ``ddl_possible=False`` is a *proof* (from the ``kind`` column's
+    row-group statistics) that no DDL row exists in the epoch, which lets
+    ``apply_epoch`` skip the up-front stats/DDL-collect job entirely and
+    ride the epoch stats on the merge write via ``DataFrame.observe``.
+    ``None`` means unknown → the conservative path runs."""
+
+    n_events: int | None = None
+    lsn_min: int | None = None
+    lsn_max: int | None = None
+    ddl_possible: bool | None = None
 
 
 @dataclass
@@ -62,6 +79,10 @@ class ApplyConfig:
     dedup_strategy: str = "winner_join"
     salted: bool = False  # salting for the max_by strategy's payload shuffle
     n_salts: int = 16
+    # winner_join builds a broadcast of one (key, lsn) row per distinct key
+    # in the epoch; past this many row events the epoch auto-falls-back to
+    # salted max_by (no silent driver/executor OOM cliff on a 100x epoch)
+    broadcast_winner_limit: int = 5_000_000
     transform: bool = True
     project: bool = False
     # "cow" rewrites touched buckets per epoch; "mor" appends delta files
@@ -80,26 +101,61 @@ class ApplyResult:
     versions: list[int] = dc_field(default_factory=list)
 
 
-def _dedup_flatten(rows: DataFrame, cfg: ApplyConfig) -> DataFrame:
-    """Row events → one winner per key, flattened to merge-source shape
-    (url, warc_ts, html, text, lang, op, lsn)."""
+def _effective_strategy(cfg: ApplyConfig, n_row_events: int | None) -> tuple[str, bool]:
+    """(strategy, salted): winner_join degrades to salted max_by when the
+    epoch's row-event count (an upper bound on distinct winners) exceeds
+    the broadcast limit — the plan then contains NO BroadcastHashJoin."""
+    if (
+        cfg.dedup_strategy == "winner_join"
+        and n_row_events is not None
+        and n_row_events > cfg.broadcast_winner_limit
+    ):
+        return "max_by", True
+    return cfg.dedup_strategy, cfg.salted
+
+
+def _keyed(rows: DataFrame) -> DataFrame:
     # before-image is only needed to key deletes — extract the key, then
     # drop it so the dedup shuffle carries one payload struct, not two
-    keyed = rows.select(
+    return rows.select(
         F.coalesce(F.col("after.url"), F.col("before.url")).alias("url"),
         F.coalesce(F.col("after.warc_ts"), F.col("before.warc_ts")).alias("warc_ts"),
         "lsn",
         "op",
         "after",
     )
-    if cfg.dedup_strategy == "defer":
+
+
+def _dedup_flatten(
+    rows: DataFrame,
+    cfg: ApplyConfig,
+    strategy: str | None = None,
+    salted: bool | None = None,
+    wins_source: DataFrame | None = None,
+) -> DataFrame:
+    """Row events → one winner per key, flattened to merge-source shape
+    (url, warc_ts, html, text, lang, op, lsn).
+
+    ``wins_source``: an un-instrumented twin of ``rows`` for the
+    winner-join's broadcast-build branch — when ``rows`` carries a
+    ``DataFrame.observe`` node, the build job must not execute it (one
+    observation, one update)."""
+    strategy = strategy if strategy is not None else cfg.dedup_strategy
+    salted = salted if salted is not None else cfg.salted
+    keyed = _keyed(rows)
+    if strategy == "defer":
         dedup = keyed  # MOR reconcile is the dedup (guarded in apply_epoch)
-    elif cfg.dedup_strategy == "winner_join":
-        # tiny (key,lsn) shuffle decides winners; broadcast semi-join picks
-        # their full rows — payload bytes never shuffle
-        wins = keyed.groupBy(*PAGE_KEY).agg(F.max("lsn").alias("lsn"))
-        dedup = keyed.join(F.broadcast(wins.select("lsn")), on="lsn", how="left_semi")
-    elif cfg.salted:
+    elif strategy == "winner_join":
+        # tiny (key,lsn) shuffle decides winners; broadcast semi-join on
+        # key+lsn picks their full rows — payload bytes never shuffle.
+        # Join keys include the PAGE_KEY: lsn alone would rely on global
+        # LSN uniqueness across keys (one event carrying several rowdata
+        # entries shares one binlog offset in the reference model).
+        wins = _keyed(wins_source if wins_source is not None else rows).groupBy(
+            *PAGE_KEY
+        ).agg(F.max("lsn").alias("lsn"))
+        dedup = keyed.join(F.broadcast(wins), on=[*PAGE_KEY, "lsn"], how="left_semi")
+    elif salted:
         dedup = salted_lww_dedup(keyed, PAGE_KEY, n_salts=cfg.n_salts)
     else:
         dedup = lww_dedup(keyed, PAGE_KEY)
@@ -116,6 +172,77 @@ def _dedup_flatten(rows: DataFrame, cfg: ApplyConfig) -> DataFrame:
     )
 
 
+def _stat_aggs() -> list:
+    """The epoch-stats aggregate expressions (built lazily — Columns need
+    an active session); identical whether collected up-front (slow path)
+    or observed on the merge write (fast path)."""
+    return [
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("lsn").alias("lsn_min"),
+        F.max("lsn").alias("lsn_max"),
+        F.sum((F.col("kind") == KIND_ROW).cast("long")).alias("n_rows"),
+        F.sum(((F.col("kind") == KIND_ROW) & (F.col("op") != "D")).cast("long")).alias("n_upserts"),
+        F.sum(((F.col("kind") == KIND_ROW) & (F.col("op") == "D")).cast("long")).alias("n_deletes"),
+        F.sum((F.col("kind") == KIND_DDL).cast("long")).alias("n_ddl"),
+        F.sum((F.col("kind") == KIND_HEARTBEAT).cast("long")).alias("n_heartbeats"),
+    ]
+
+
+def _align_to_table(source: DataFrame, table: LakeTable) -> DataFrame:
+    """Project the merge source to the table's current columns (schema may
+    have evolved since the feed slice was written)."""
+    src_cols = set(source.columns)
+    return source.select(
+        *[
+            (F.col(f["name"]) if f["name"] in src_cols
+             else F.lit(None).cast(f["type"])).alias(f["name"])
+            for f in table.snapshot().current_fields()
+        ],
+        "op",
+        "lsn",
+    )
+
+
+def _apply_fast(
+    filtered: DataFrame,
+    epoch_id: int,
+    table: LakeTable,
+    cfg: ApplyConfig,
+    metrics_table: LakeTable | None,
+    hints: BatchHints,
+    res: ApplyResult,
+    t0: float,
+) -> ApplyResult:
+    """DDL-free epoch (proven by footer hints): ONE full pass over the
+    input — epoch stats ride the merge write via ``DataFrame.observe``
+    (CollectMetrics node, zero extra jobs), lineage resolves from the
+    observation between the data write and the atomic snapshot commit."""
+    obs = Observation()
+    observed = filtered.observe(obs, *_stat_aggs())
+    rows = observed.filter(F.col("kind") == F.lit(KIND_ROW))
+    rows_plain = filtered.filter(F.col("kind") == F.lit(KIND_ROW))
+    strategy, salted = _effective_strategy(cfg, hints.n_events)
+    source = _dedup_flatten(rows, cfg, strategy=strategy, salted=salted, wins_source=rows_plain)
+    aligned = _align_to_table(source, table)
+    mr = table.merge(
+        aligned,
+        epoch_id=epoch_id,
+        lineage=lambda: {k: obs.get[k] for k in ("lsn_min", "lsn_max", "n_events")},
+        mode="mor",
+        lsn_col="lsn",
+        compact_every=cfg.compact_every,
+    )
+    _tlog(f"e{epoch_id} fast merge", t0)
+    res.applied = True
+    res.segments = 1
+    if mr.applied:
+        res.versions.append(mr.version)
+        stats = obs.get
+        res.n_rows = stats["n_rows"] or 0
+        _record_metrics(metrics_table, epoch_id, stats, t0, mr.version)
+    return res
+
+
 def apply_epoch(
     spark: SparkSession,
     batch_df: DataFrame,
@@ -123,6 +250,7 @@ def apply_epoch(
     table: LakeTable,
     cfg: ApplyConfig | None = None,
     metrics_table: LakeTable | None = None,
+    hints: BatchHints | None = None,
 ) -> ApplyResult:
     """Apply one micro-batch exactly once. Safe to call again with the same
     ``epoch_id`` + data (replay after crash): already-committed segments and
@@ -143,18 +271,16 @@ def apply_epoch(
     if cfg.project:
         filtered = project_fields(filtered, cfg.filters)
 
+    if hints is not None and hints.n_events == 0:
+        table.commit_epoch_marker(epoch_id, {"lsn_min": None, "lsn_max": None, "n_events": 0})
+        res.applied = True
+        return res
+    if hints is not None and hints.ddl_possible is False and cfg.merge_mode == "mor":
+        return _apply_fast(filtered, epoch_id, table, cfg, metrics_table, hints, res, t0)
+
     # One aggregation job collects batch stats; DDL rows are few by
     # construction (store isolates them — E3), so collecting them is O(DDLs).
-    stats = filtered.agg(
-        F.count("*").alias("n_events"),
-        F.min("lsn").alias("lsn_min"),
-        F.max("lsn").alias("lsn_max"),
-        F.sum((F.col("kind") == KIND_ROW).cast("long")).alias("n_rows"),
-        F.sum(((F.col("kind") == KIND_ROW) & (F.col("op") != "D")).cast("long")).alias("n_upserts"),
-        F.sum(((F.col("kind") == KIND_ROW) & (F.col("op") == "D")).cast("long")).alias("n_deletes"),
-        F.sum((F.col("kind") == KIND_DDL).cast("long")).alias("n_ddl"),
-        F.sum((F.col("kind") == KIND_HEARTBEAT).cast("long")).alias("n_heartbeats"),
-    ).collect()[0]
+    stats = filtered.agg(*_stat_aggs()).collect()[0]
     tp = _tlog(f"e{epoch_id} stats", t0)
 
     ddl_rows = []
@@ -189,21 +315,13 @@ def apply_epoch(
     final_seg = rows if lo is None else rows.filter(F.col("lsn") > lo)
     segments.append((str(epoch_id), final_seg, None))
 
+    strategy, salted = _effective_strategy(cfg, stats["n_rows"])
     lineage = lineage0
     for seg_key, seg_df, ddl in segments:
         if not table.is_epoch_committed(seg_key):
-            source = _dedup_flatten(seg_df, cfg)
+            source = _dedup_flatten(seg_df, cfg, strategy=strategy, salted=salted)
             # schema may have evolved mid-epoch: align source to table columns
-            src_cols = set(source.columns)
-            aligned = source.select(
-                *[
-                    (F.col(f["name"]) if f["name"] in src_cols
-                     else F.lit(None).cast(f["type"])).alias(f["name"])
-                    for f in table.snapshot().current_fields()
-                ],
-                "op",
-                "lsn",
-            )
+            aligned = _align_to_table(source, table)
             mr = table.merge(
                 aligned, epoch_id=seg_key, lineage=lineage,
                 mode=cfg.merge_mode, lsn_col="lsn",

@@ -21,7 +21,23 @@ from ..model import DDL_ADD_COLUMN, DDL_RENAME_COLUMN, DDL_WIDEN_TYPE
 
 def apply_ddl_idempotent(table: LakeTable, ddl_row: dict) -> bool:
     """Apply one DDL-channel row; returns True if a schema change happened,
-    False if it was already applied (replay no-op)."""
+    False if it was already applied (replay no-op).
+
+    A row may carry only raw SQL text (``ddl_sql``) — the real-binlog shape
+    (LogEventConvert.java:236-246 emits the statement text; the reference
+    parses it with DruidDdlParser/SimpleDdlParser). Here the structured
+    fields are recovered by :func:`..sources.ddl_sql.parse_ddl` and then
+    applied identically. Statements that aren't one of the three supported
+    schema evolutions (index DDL, TRUNCATE, table-level ops) are no-ops for
+    the lake schema, matching the reference's pass-through behavior."""
+    if not ddl_row.get("ddl_type") and ddl_row.get("ddl_sql"):
+        from ..sources.ddl_sql import parse_ddl
+
+        parsed = parse_ddl(ddl_row["ddl_sql"])
+        if not parsed["ddl_type"]:
+            return False  # classified, but not a schema evolution we track
+        ddl_row = {**ddl_row, **{k: parsed[k] for k in
+                                 ("ddl_type", "ddl_column", "ddl_new_name", "ddl_new_type")}}
     names = {f["name"]: f for f in table.snapshot().current_fields()}
     t = ddl_row["ddl_type"]
     if t == DDL_ADD_COLUMN:

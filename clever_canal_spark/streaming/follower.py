@@ -29,7 +29,45 @@ from pyspark.sql import SparkSession
 
 from ..lake import LakeTable
 from ..model import CHANGE_EVENT_SCHEMA
-from ..plans.apply import ApplyConfig, ApplyResult, apply_epoch
+from ..plans.apply import ApplyConfig, ApplyResult, BatchHints, apply_epoch
+
+
+def footer_hints(files: list[str]) -> BatchHints:
+    """Epoch facts from parquet footers — no Spark job, O(#files) driver
+    work (the binlog-index analog: the reference's parser knows event
+    positions before fetching bodies, LogFetcher/BinLogFileQueue).
+
+    ``ddl_possible=False`` requires every row group to carry ``kind``
+    column statistics proving min > 'DDL' (kind ∈ {DDL, HEARTBEAT, ROW},
+    so a DDL row forces the row-group min to exactly 'DDL'). Missing stats
+    → unknown (None) → the caller takes the conservative path."""
+    import pyarrow.parquet as pq
+
+    n_events = 0
+    lsn_min: int | None = None
+    lsn_max: int | None = None
+    ddl_possible = False
+    for path in files:
+        md = pq.ParquetFile(path).metadata
+        n_events += md.num_rows
+        idx = {md.schema.column(i).path: i for i in range(md.num_columns)}
+        kind_i, lsn_i = idx.get("kind"), idx.get("lsn")
+        for rg in range(md.num_row_groups):
+            rgm = md.row_group(rg)
+            if rgm.num_rows == 0:
+                continue
+            kst = rgm.column(kind_i).statistics if kind_i is not None else None
+            if kst is None or not kst.has_min_max:
+                ddl_possible = None  # unproven — conservative path
+            elif ddl_possible is not None and kst.min <= "DDL":
+                ddl_possible = True
+            lst = rgm.column(lsn_i).statistics if lsn_i is not None else None
+            if lst is not None and lst.has_min_max:
+                lsn_min = lst.min if lsn_min is None else min(lsn_min, lst.min)
+                lsn_max = lst.max if lsn_max is None else max(lsn_max, lst.max)
+    return BatchHints(
+        n_events=n_events, lsn_min=lsn_min, lsn_max=lsn_max, ddl_possible=ddl_possible
+    )
 
 
 @dataclass
@@ -40,6 +78,15 @@ class FeedFollower:
     barrier (TimelineBarrier.java:27-141); here no barrier is needed —
     LWW by LSN is order-insensitive, so shard interleaving across epochs
     cannot change the final state (SURVEY.md §4, documented improvement).
+
+    That no-barrier claim leans on two lake invariants (both tested in
+    ``tests/test_lake.py``): (1) ``merge`` reconciles by LSN against the
+    target's current winner in BOTH modes — a lagging shard's lower-LSN
+    event in a later epoch loses to the stored row; (2) delete winners
+    persist as tombstones through COW rewrites and compaction, so a late
+    lower-LSN upsert cannot resurrect a deleted key. Only
+    ``compact(purge_tombstones_below=...)`` may drop tombstones, and its
+    watermark must stay below every shard's delivery frontier.
     """
 
     spark: SparkSession
@@ -49,6 +96,12 @@ class FeedFollower:
     cfg: ApplyConfig
     metrics_table: LakeTable | None = None
     max_files_per_epoch: int = 16
+    # bytes-mode epoch admission (the reference's BatchMode.MEM_SIZE,
+    # BatchMode.java:11-23, MemoryEventStoreWithBuffer.java:404-424): an
+    # epoch closes at whichever bound trips first — file count or byte
+    # budget — so skewed feed-file sizes can't produce skewed epochs.
+    # None = file-count only.
+    max_bytes_per_epoch: int | None = None
 
     def _epoch_log(self) -> list[tuple[int, list[str]]]:
         os.makedirs(self.checkpoint_dir, exist_ok=True)
@@ -79,7 +132,31 @@ class FeedFollower:
         return apply_epoch(
             self.spark, batch, epoch_id, self.table, self.cfg,
             metrics_table=self.metrics_table,
+            hints=footer_hints(files),
         )
+
+    def _cut_epochs(self, fresh: list[str]) -> list[list[str]]:
+        """Greedy epoch admission: close the epoch at max_files or (if
+        configured) max_bytes, whichever trips first. A single over-budget
+        file still forms its own epoch (progress guarantee)."""
+        groups: list[list[str]] = []
+        cur: list[str] = []
+        cur_bytes = 0
+        for p in fresh:
+            sz = os.path.getsize(p) if self.max_bytes_per_epoch is not None else 0
+            over_bytes = (
+                self.max_bytes_per_epoch is not None
+                and cur
+                and cur_bytes + sz > self.max_bytes_per_epoch
+            )
+            if cur and (len(cur) >= self.max_files_per_epoch or over_bytes):
+                groups.append(cur)
+                cur, cur_bytes = [], 0
+            cur.append(p)
+            cur_bytes += sz
+        if cur:
+            groups.append(cur)
+        return groups
 
     def run_available(self) -> list[ApplyResult]:
         """Drain everything currently in the source dir: finish any bound
@@ -108,8 +185,7 @@ class FeedFollower:
             (p for p in candidates if p not in consumed),
             key=lambda p: (os.path.basename(p), p),
         )
-        for i in range(0, len(fresh), self.max_files_per_epoch):
-            group = fresh[i : i + self.max_files_per_epoch]
+        for group in self._cut_epochs(fresh):
             epoch_id = next_epoch
             next_epoch += 1
             bound = self._bind_epoch(epoch_id, group)
