@@ -185,18 +185,41 @@ def _python_anchor(n_events: int = 100_000) -> float:
     return n_events / (time.monotonic() - t0)
 
 
+def _burn(_):
+    t0 = time.monotonic()
+    x = 0
+    while time.monotonic() - t0 < 1.5:
+        x += 1
+    return x
+
+
+def _cpu_ceiling() -> dict:
+    """The host's own CPU-scaling ceiling: the same pure-Python burn at 8
+    and 32 processes (no Spark, no IO). The sandbox shares physical cores
+    with noisy neighbors, so even embarrassingly-parallel work scales <4x
+    between the two legs — this anchor bounds what any engine can record
+    here and contextualizes the engine's efficiency number."""
+    import multiprocessing as mp
+
+    rates = {}
+    for n in (8, 32):
+        with mp.Pool(n) as p:
+            res = p.map(_burn, range(n))
+        rates[n] = sum(res) / 1.5
+    eff = (rates[32] / rates[8]) / (32 / 8)
+    return {"burn8_per_sec": round(rates[8]), "burn32_per_sec": round(rates[32]),
+            "ceiling_efficiency": round(eff, 3)}
+
+
 def _scaling_probe(n_events: int, trials: int = 2) -> dict:
-    """Same replay at local[8] and local[32] in fresh JVMs (subprocesses),
-    best of ``trials`` (the sandbox host has noisy-neighbor load spikes;
-    best-of-N approximates the uncontended machine).
-    efficiency = (T32/T8)/(32/8) per BASELINE.md."""
-    results: dict[int, dict] = {}
-    for cpus in (8, 32):
-        # the 8-thread leg is stable under host noise; the 32-thread leg
-        # swings, so spend the extra trials there
-        n_trials = 1 if (cpus == 8 and trials > 1) else max(trials, 1)
-        best = None
-        for _ in range(n_trials):
+    """Same replay at local[8] and local[32] in fresh JVMs (subprocesses).
+    Legs are INTERLEAVED (8,32,8,32,...) and each takes best-of-``trials``:
+    the sandbox host has bursty noisy-neighbor load (measured 4x swings on
+    32-wide legs), so paired exposure + best-of approximates the
+    uncontended machine. efficiency = (T32/T8)/(32/8) per BASELINE.md."""
+    results: dict[int, dict] = {8: None, 32: None}
+    for _ in range(max(trials, 1)):
+        for cpus in (8, 32):
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--replay-probe", str(cpus), str(n_events)],
                 capture_output=True, text=True, timeout=1800,
@@ -205,18 +228,23 @@ def _scaling_probe(n_events: int, trials: int = 2) -> dict:
             )
             line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
             r = json.loads(line)
+            best = results[cpus]
             if best is None or (r["sustained_events_per_sec"] or 0) > (best["sustained_events_per_sec"] or 0):
-                best = r
-        results[cpus] = best
+                results[cpus] = r
     t8 = results[8]["sustained_events_per_sec"]
     t32 = results[32]["sustained_events_per_sec"]
+    ceiling = _cpu_ceiling()
+    eff = (t32 / t8) / (32 / 8)
     return {
         "local8_events_per_sec": t8,
         "local32_events_per_sec": t32,
         "local8": results[8],
         "local32": results[32],
         "speedup": round(t32 / t8, 3),
-        "efficiency": round((t32 / t8) / (32 / 8), 3),
+        "efficiency": round(eff, 3),
+        "cpu_ceiling": ceiling,
+        "efficiency_vs_ceiling": round(eff / ceiling["ceiling_efficiency"], 3)
+        if ceiling["ceiling_efficiency"] else None,
     }
 
 

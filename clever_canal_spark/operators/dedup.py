@@ -23,9 +23,18 @@ from pyspark.sql import DataFrame, functions as F
 
 from .text import shingle_hashes_expr
 
-# affine minhash family: h_j(x) = (A_j * x + B_j) mod P
+# affine minhash family: h_j(x) = (A_j * x + B_j) mod P. The default k=6 /
+# 3 bands x 2 rows keeps the DuckDB oracles compact; production near-dup
+# uses k~128 — pass `k=` / `n_bands=`/`rows_per_band=` (both operators are
+# fully parametric; cost is O(k) per-row expression work, still no shuffle).
 MINHASH_P = 100003
-MINHASH_FAMILY = [(31 + 2 * j, 7 + 5 * j) for j in range(6)]
+
+
+def minhash_family(k: int = 6) -> list[tuple[int, int]]:
+    return [(31 + 2 * j, 7 + 5 * j) for j in range(k)]
+
+
+MINHASH_FAMILY = minhash_family(6)
 SIMHASH_BITS = 16
 
 
@@ -38,11 +47,11 @@ def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def minhash_signature(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """k=6 MinHash signature columns mh0..mh5 over 3-char shingle hashes."""
+def minhash_signature(df: DataFrame, text_col: str = "text", k: int = 6) -> DataFrame:
+    """k MinHash signature columns mh0..mh{k-1} over 3-char shingle hashes."""
     sh = shingle_hashes_expr(text_col)
     cols = [F.col("doc_id")]
-    for j, (a, b) in enumerate(MINHASH_FAMILY):
+    for j, (a, b) in enumerate(minhash_family(k)):
         cols.append(
             F.expr(
                 f"array_min(transform({sh}, h -> ({a}*h + {b}) % {MINHASH_P}))"
@@ -51,27 +60,102 @@ def minhash_signature(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select(*cols)
 
 
-def minhash_lsh_buckets(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """LSH banding (3 bands × 2 rows): near-dup candidate buckets with >1
-    member. Joining docs within a bucket is the scale path — candidates
-    only, uniform bucket keys."""
-    sig = minhash_signature(df, text_col)
+def _band_keys(
+    sig: DataFrame, n_bands: int = 3, rows_per_band: int = 2
+) -> DataFrame:
+    """Signature → (doc_id, band, bucket_key) rows, one per band. The
+    bucket key packs the band's rows into one bigint (base MINHASH_P)."""
     bands = []
-    for band in range(3):
-        j = 2 * band
+    for band in range(n_bands):
+        key = F.col(f"mh{band * rows_per_band}")
+        for r in range(1, rows_per_band):
+            key = key * MINHASH_P + F.col(f"mh{band * rows_per_band + r}")
         bands.append(
-            sig.select(
-                "doc_id",
-                F.lit(band).alias("band"),
-                (F.col(f"mh{j}") * MINHASH_P + F.col(f"mh{j+1}")).alias("bucket_key"),
-            )
+            sig.select("doc_id", F.lit(band).alias("band"), key.alias("bucket_key"))
         )
-    exploded = bands[0].unionByName(bands[1]).unionByName(bands[2])
+    out = bands[0]
+    for b in bands[1:]:
+        out = out.unionByName(b)
+    return out
+
+
+def minhash_lsh_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    n_bands: int = 3,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """LSH banding: near-dup candidate buckets with >1 member. Joining docs
+    within a bucket is the scale path — candidates only, uniform bucket
+    keys. Signature size = n_bands * rows_per_band."""
+    sig = minhash_signature(df, text_col, k=n_bands * rows_per_band)
+    exploded = _band_keys(sig, n_bands, rows_per_band)
     return (
         exploded.groupBy("band", "bucket_key")
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
         .filter(F.col("n_docs") > 1)
     )
+
+
+def neardup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    n_bands: int = 3,
+    rows_per_band: int = 2,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Near-dup cluster resolution: LSH buckets → star edges → connected
+    components → (doc_id, cluster_id) with cluster_id = min doc_id of the
+    component (the keeper).
+
+    Scale shape: each LSH bucket contributes STAR edges (member → bucket
+    min), never all-pairs — a bucket of m docs adds m-1 edges, not m²/2.
+    Components resolve by iterative min-label propagation (the standard
+    Spark connected-components loop; GraphFrames-free): each round every
+    doc takes the min label among itself and its neighbors. Rounds needed
+    = graph diameter (near-dup clusters are shallow); the loop stops early
+    at a fixpoint, checked per round — an iterative algorithm's driver
+    loop, not a per-row collect."""
+    sig = minhash_signature(df, text_col, k=n_bands * rows_per_band)
+    bands = _band_keys(sig, n_bands, rows_per_band)
+    roots = bands.groupBy("band", "bucket_key").agg(F.min("doc_id").alias("root"))
+    edges = (
+        bands.join(roots, on=["band", "bucket_key"])
+        .filter(F.col("doc_id") != F.col("root"))
+        .select(F.col("doc_id").alias("a"), F.col("root").alias("b"))
+        .distinct()
+    )
+    bi = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).cache()
+    labels = df.select(F.col("doc_id"), F.col("doc_id").alias("cluster_id")).cache()
+    for _ in range(max_iter):
+        nbr = (
+            bi.join(labels, bi["b"] == labels["doc_id"])
+            .groupBy("a")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["doc_id"] == nbr["a"], "left")
+            .select(
+                "doc_id",
+                F.least(F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))).alias("cluster_id"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    bi.unpersist()
+    return labels
 
 
 def ngram_jaccard_pairs(
@@ -80,17 +164,35 @@ def ngram_jaccard_pairs(
     group_col: str = "source",
     tau_num: int = 4,
     tau_den: int = 5,
+    max_df: int | None = 10_000,
 ) -> DataFrame:
     """Pairs (a<b) within the same ``group_col`` whose 3-shingle-set Jaccard
     ≥ tau_num/tau_den, by exact integer test tau_den·|∩| ≥ tau_num·|∪|.
 
     The shingle-hash equi-join is the blocking step: only docs sharing at
     least one shingle ever meet, and the join key (group, shingle) shuffles
-    uniformly. At 100 TB you'd add a band-LSH prefilter before this."""
+    uniformly — EXCEPT for stop-shingles: a 3-gram appearing in m docs of
+    one group fans the self-join out m² ways. ``max_df`` caps that: shingles
+    with per-group document frequency > max_df are dropped from the shingle
+    universe (intersections AND sizes — the Jaccard test stays exact over
+    the reduced universe; standard stop-shingle removal). Candidate-pair
+    count is then bounded by Σ_h df(h)² ≤ max_df · Σ_h df(h) = O(max_df ·
+    total shingles) — linear in the corpus for fixed max_df. The hot list
+    is tiny by construction, so it distributes as a broadcast anti-join."""
     sh = F.expr(f"array_distinct({shingle_hashes_expr(text_col)})")
     shingled = df.select("doc_id", F.col(group_col).alias("grp"), sh.alias("sh"))
-    sizes = shingled.select("doc_id", F.size("sh").alias("n"))
-    ex = shingled.select("doc_id", "grp", F.explode("sh").alias("h"))
+    ex_all = shingled.select("doc_id", "grp", F.explode("sh").alias("h"))
+    if max_df is not None:
+        hot = (
+            ex_all.groupBy("grp", "h")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("grp", "h")
+        )
+        ex = ex_all.join(F.broadcast(hot), on=["grp", "h"], how="left_anti")
+    else:
+        ex = ex_all
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = ex.alias("a"), ex.alias("b")
     inter = (
         a.join(

@@ -77,6 +77,64 @@ def lsh_buckets(df: DataFrame) -> DataFrame:
     )
 
 
+def probe_masks(n_planes: int, radius: int) -> list[int]:
+    """XOR masks for all buckets within Hamming distance ``radius`` of the
+    query bucket (deterministic order: by popcount, then value)."""
+    import itertools
+
+    masks = [0]
+    for r in range(1, radius + 1):
+        for bits in itertools.combinations(range(n_planes), r):
+            masks.append(sum(1 << b for b in bits))
+    return masks
+
+
+def ann_multiprobe_topk(
+    df: DataFrame,
+    query_df: DataFrame,
+    k: int = 50,
+    n_planes: int = N_PLANES,
+    radius: int = 1,
+    bucket_col: str | None = None,
+) -> DataFrame:
+    """Multi-probe ANN: score vectors in the query's LSH bucket AND every
+    bucket within Hamming distance ``radius`` (flip up to ``radius``
+    hyperplane bits) — Σ C(n_planes, r) probes.
+
+    Single-probe LSH has a recall cliff: near neighbors sitting just across
+    one hyperplane land in a sibling bucket and are never scored. Probing
+    the flip buckets recovers exactly those (the standard multi-probe LSH
+    scheme). Tune (n_planes, radius) to the corpus's similarity
+    concentration: weakly-clustered embeddings want fewer planes + radius 2
+    (bigger candidate slice); tight clusters take more planes + radius 1.
+    The probe set is a broadcast either way — never a full scan.
+
+    ``bucket_col``: name of a precomputed bucket column on ``df`` (persist
+    it once with :func:`lsh_buckets` stored alongside the vectors — the
+    "index"); None recomputes the expression inline."""
+    q = query_df.select(
+        F.col("embedding").alias("qvec"),
+        F.expr(lsh_bucket_expr("embedding", n_planes)).alias("qbucket"),
+    )
+    masks = probe_masks(n_planes, radius)
+    probes = q.select(
+        "qvec",
+        F.explode(
+            F.array(*[F.expr(f"CAST(qbucket AS BIGINT) ^ {m}") for m in masks])
+        ).alias("probe"),
+    )
+    bucket = (
+        F.col(bucket_col) if bucket_col else F.expr(lsh_bucket_expr("embedding", n_planes))
+    )
+    cand = df.withColumn("__bucket", bucket.cast("long")).join(
+        F.broadcast(probes), F.col("__bucket") == F.col("probe")
+    )
+    scored = cand.select(
+        "vec_id", F.expr(dot_e9_expr("embedding", "qvec")).alias("dot_e9")
+    )
+    return scored.orderBy(F.col("dot_e9").desc(), F.col("vec_id")).limit(k)
+
+
 def ann_lsh_topk(df: DataFrame, query_df: DataFrame, k: int = 50) -> DataFrame:
     """ANN: score only vectors in the query's LSH bucket (candidate set),
     then exact dot-product rank within it. The bucket equi-(semi)join is the

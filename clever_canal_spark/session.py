@@ -40,6 +40,13 @@ def build_session(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Arrow batch sizing for pandas-UDF stages: with multi-KB payload
+        # rows (html), the 10k-row default makes ~20MB batches — one batch
+        # per task kills JVM-feeder/Python-worker overlap and amplifies
+        # straggler tails at high parallelism. ~2k rows ≈ 4MB keeps the
+        # pipeline full (measured: 375k-row enrich at local[32] 10.9s →
+        # 7.2s). Callers with tiny rows can raise it via extra_conf.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2000")
         .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
         # keep pandas-UDF workers alive between micro-batches — re-forking

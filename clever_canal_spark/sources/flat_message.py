@@ -61,7 +61,8 @@ def decode_value_expr(value_expr: str, mysql_type: str) -> str:
     unsigned'``, ``'varchar(255)'``, ``'datetime'``. The produced SQL is
     valid in both Spark and DuckDB (CAST/CASE only)."""
     mt = mysql_type.strip().lower()
-    base = mt.split("(")[0].strip()
+    # base type = first token before any (length) or UNSIGNED/ZEROFILL
+    base = mt.split("(")[0].split()[0]
     unsigned = "unsigned" in mt
     v = value_expr
     if base in ("tinyint", "smallint", "mediumint", "int", "integer", "bigint"):

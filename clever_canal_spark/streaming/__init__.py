@@ -1,4 +1,4 @@
-from .follower import FeedFollower
+from .follower import FeedFollower, footer_hints, throughput_view
 from .pipeline import CdcPipeline, run_available
 
-__all__ = ["CdcPipeline", "FeedFollower", "run_available"]
+__all__ = ["CdcPipeline", "FeedFollower", "footer_hints", "run_available", "throughput_view"]

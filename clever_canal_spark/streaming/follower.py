@@ -191,3 +191,58 @@ class FeedFollower:
             bound = self._bind_epoch(epoch_id, group)
             results.append(self._apply(epoch_id, bound))
         return results
+
+    def _list_feed_files(self) -> list[str]:
+        dirs = [self.source_dir] if isinstance(self.source_dir, str) else list(self.source_dir)
+        return [
+            os.path.join(d, f)
+            for d in dirs
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        ]
+
+    def lag(self) -> dict:
+        """Consumer lag vs the feed head — driver-side footer arithmetic,
+        zero Spark jobs (the StoreCollector/prometheus gauge analog:
+        put-sequence minus ack-sequence, StoreCollector.java:33-43).
+
+        Returns feed head LSN, applied LSN frontier (max lsn_max across
+        committed-epoch lineage), events-not-yet-consumed, and file counts.
+        """
+        consumed: set[str] = set()
+        for _, files in self._epoch_log():
+            consumed.update(files)
+        all_files = self._list_feed_files()
+        pending = [p for p in all_files if p not in consumed]
+        pending_hints = footer_hints(pending) if pending else BatchHints(n_events=0)
+        head_hints = footer_hints(all_files) if all_files else BatchHints(n_events=0)
+        applied = [
+            lin.get("lsn_max")
+            for lin in self.table.committed_epochs().values()
+            if isinstance(lin, dict) and lin.get("lsn_max") is not None
+        ]
+        return {
+            "feed_head_lsn": head_hints.lsn_max,
+            "applied_lsn_max": max(applied) if applied else None,
+            "pending_events": pending_hints.n_events,
+            "pending_files": len(pending),
+            "total_files": len(all_files),
+        }
+
+
+def throughput_view(metrics_table: LakeTable):
+    """Per-epoch + cumulative throughput from the epoch-metrics table (the
+    prometheus EntryCollector/StoreCollector rates as a DataFrame): epoch
+    events/sec, rows/sec, and the running sustained rate."""
+    from pyspark.sql import Window, functions as F
+
+    m = metrics_table.scan()
+    w = Window.orderBy("epoch_id").rowsBetween(Window.unboundedPreceding, 0)
+    return m.select(
+        "epoch_id", "n_events", "n_rows", "wall_ms", "lsn_min", "lsn_max",
+        (F.col("n_events") / (F.col("wall_ms") / 1000.0)).alias("events_per_sec"),
+        (F.col("n_rows") / (F.col("wall_ms") / 1000.0)).alias("rows_per_sec"),
+        (F.sum("n_events").over(w) / (F.sum("wall_ms").over(w) / 1000.0)).alias(
+            "cum_events_per_sec"
+        ),
+    )

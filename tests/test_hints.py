@@ -153,3 +153,31 @@ def test_winner_join_keeps_duplicate_lsn_keys(spark):
     out = _dedup_flatten(df, ApplyConfig(transform=False), strategy="winner_join")
     got = {(r["url"], r["text"], r["lsn"]) for r in out.collect()}
     assert got == {("A", "a-new", 7), ("B", "b-only", 5)}
+
+
+def test_lag_and_throughput_view(spark, tmp_table_dir):
+    """Consumer-lag gauge (footer arithmetic, no jobs) + throughput view."""
+    from clever_canal_spark.streaming import throughput_view
+
+    _feed(spark, f"{tmp_table_dir}/feed", n=3000, n_files=6)
+    t = LakeTable.create(
+        spark, f"{tmp_table_dir}/t", PAGE_SCHEMA, merge_key=["url", "warc_ts"], n_buckets=4
+    )
+    m = LakeTable.create(
+        spark, f"{tmp_table_dir}/m", EPOCH_METRICS_SCHEMA, merge_key=["epoch_id"], n_buckets=1
+    )
+    f = FeedFollower(
+        spark, f"{tmp_table_dir}/feed", f"{tmp_table_dir}/ckpt", t,
+        ApplyConfig(merge_mode="mor"), metrics_table=m, max_files_per_epoch=2,
+    )
+    lag0 = f.lag()
+    assert lag0["pending_files"] == 6 and lag0["pending_events"] == 3000
+    assert lag0["applied_lsn_max"] is None
+    f.run_available()
+    lag1 = f.lag()
+    assert lag1["pending_files"] == 0 and lag1["pending_events"] == 0
+    assert lag1["applied_lsn_max"] == lag1["feed_head_lsn"] == 2999
+    tv = {r["epoch_id"]: r for r in throughput_view(m).collect()}
+    assert len(tv) == 3
+    assert all(r["events_per_sec"] > 0 for r in tv.values())
+    assert tv[2]["cum_events_per_sec"] > 0

@@ -1,0 +1,93 @@
+"""Near-dup cluster resolution, multi-probe ANN recall, and the
+stop-shingle DF cap's candidate-pair bound."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from clever_canal_spark.operators.dedup import (
+    minhash_signature,
+    neardup_clusters,
+    ngram_jaccard_pairs,
+)
+from clever_canal_spark.operators.similarity import (
+    ann_multiprobe_topk,
+    brute_force_topk,
+    probe_masks,
+)
+from tests.conftest import SF_DIR
+
+
+def docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_neardup_clusters_transitive(spark):
+    """A~B and B~C via different buckets must land A,B,C in ONE cluster
+    (connected components, not per-bucket grouping)."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, "s", base),
+        (2, "s", base + " x"),          # near-dup of 1
+        (3, "s", base + " x yzq"),      # near-dup of 2, maybe not of 1
+        (50, "s", "completely different content about spark engines and parquet files"),
+    ]
+    out = {r["doc_id"]: r["cluster_id"] for r in neardup_clusters(docs_df(spark, rows)).collect()}
+    assert out[1] == 1 and out[2] == 1 and out[3] == 1, out
+    assert out[50] == 50  # singleton keeps its own id
+
+
+def test_neardup_clusters_exact_duplicates(spark):
+    rows = [(i, "s", "identical text payload for everyone here") for i in range(10)]
+    out = neardup_clusters(docs_df(spark, rows))
+    assert {r["cluster_id"] for r in out.collect()} == {0}
+
+
+def test_minhash_parametric_k(spark):
+    sig = minhash_signature(docs_df(spark, [(1, "s", "hello world text")]), k=32)
+    assert [c for c in sig.columns if c.startswith("mh")] == [f"mh{j}" for j in range(32)]
+
+
+def test_probe_masks():
+    m1 = probe_masks(8, 1)
+    assert len(m1) == 9 and m1[0] == 0 and all(bin(m).count("1") == 1 for m in m1[1:])
+    m2 = probe_masks(4, 2)
+    assert len(m2) == 1 + 4 + 6
+    assert len(set(m2)) == len(m2)
+
+
+def test_multiprobe_recall_beats_single_probe(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") == 0)
+    brute = {r["vec_id"] for r in brute_force_topk(emb, q, k=50).collect()}
+    multi = {r["vec_id"] for r in ann_multiprobe_topk(emb, q, k=50, n_planes=4, radius=2).collect()}
+    recall = len(multi & brute) / 50
+    # 0.82 at the driver's sf0.01; the tiny sf0.001 fixture measures 0.66
+    assert recall >= 0.6, recall
+
+
+@pytest.mark.skipif(not os.path.isdir("/root/testdata/sf0.01"), reason="sf0.01 absent")
+def test_multiprobe_recall_sf001(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") == 0)
+    brute = {r["vec_id"] for r in brute_force_topk(emb, q, k=50).collect()}
+    multi = {r["vec_id"] for r in ann_multiprobe_topk(emb, q, k=50, n_planes=4, radius=2).collect()}
+    assert len(multi & brute) / 50 >= 0.8
+
+
+def test_jaccard_df_cap_bounds_candidates(spark):
+    """With a hot shingle shared by every doc, the uncapped self-join is
+    quadratic; max_df must bound candidate pairs to the true near-dups."""
+    hot = "aaa "  # every doc shares shingles from this prefix
+    rows = [(i, "s", hot * 4 + f"unique tail {i} with words {i * 7}") for i in range(40)]
+    rows += [(100, "s", "twin text that matches its twin exactly ok"),
+             (101, "s", "twin text that matches its twin exactly ok")]
+    df = docs_df(spark, rows)
+    capped = ngram_jaccard_pairs(df, tau_num=4, tau_den=5, max_df=10)
+    got = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    assert got == {(100, 101)}
+    # and the candidate universe (pre-threshold intersections) stays linear:
+    # every 'aaa'-prefix shingle has df=42 > 10, so it joins nothing
+    uncapped = ngram_jaccard_pairs(df, tau_num=1, tau_den=100, max_df=10)
+    assert uncapped.count() < 42 * 5  # far below the ~861 all-pairs
