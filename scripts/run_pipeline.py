@@ -4,11 +4,21 @@ Cluster usage (the north-star packaging shape):
 
     zip -r ccs.zip clever_canal_spark
     spark-submit --py-files ccs.zip scripts/run_pipeline.py \
-        --source-dir  s3a://feed/pages-cdc/ \
-        --table-dir   s3a://lake/pages/ \
-        --checkpoint  s3a://ckpt/pages-cdc/ \
-        --metrics-dir s3a://lake/pages_metrics/ \
+        --source-dir  /mnt/shared/feed/pages-cdc/ \
+        --table-dir   /mnt/shared/lake/pages/ \
+        --checkpoint  /mnt/shared/ckpt/pages-cdc/ \
+        --metrics-dir /mnt/shared/lake/pages_metrics/ \
         --merge-mode mor --n-buckets 4096 --table-whitelist 'cc\\..*'
+
+FILESYSTEM REQUIREMENT: the feed, table, checkpoint, and metrics paths
+must live on a POSIX filesystem shared by the driver and all executors
+(NFS/Lustre/EFS-style). LakeTable's snapshot log uses exclusive hard-link
+creation for its atomic commit and the follower binds epochs with
+O_CREAT|O_EXCL — both driver-side POSIX semantics. Object stores
+(s3a://...) are NOT supported by this lake layer; on such deployments the
+lake calls map 1:1 onto Iceberg (`merge` → MERGE INTO, the epoch registry
+→ snapshot summary properties — see lake/table.py module docstring), with
+Iceberg's catalog supplying the atomic swap instead.
 
 Local smoke:
 
