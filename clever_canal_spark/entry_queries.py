@@ -1125,3 +1125,103 @@ def q_emb_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_planes=_MP_PLANES, radius=_MP_RADIUS,
     )
     return out.select("vec_id", "dot_e9")
+
+
+# --------------------------------------------------------------------------
+# IVF ANN, embedding-cosine near-dup, BPE-ish token counting
+# --------------------------------------------------------------------------
+
+from .operators.similarity import (  # noqa: E402
+    cosine_neardup_pairs,
+    ivf_topk,
+)
+from .operators.text import BPE_TOKEN_RE, bpe_token_stats  # noqa: E402
+
+_IVF_MOD, _IVF_PROBES = 32, 4
+
+
+def _ivf_oracle() -> str:
+    return f"""
+    WITH cents AS (
+      SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings
+      WHERE vec_id % {_IVF_MOD} = 0
+    ),
+    q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+    probe AS (
+      SELECT cent_id FROM cents, q
+      ORDER BY {_duck_dot_e9('cvec', 'qvec')} DESC, cent_id LIMIT {_IVF_PROBES}
+    ),
+    assign AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT e.vec_id, c.cent_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_duck_dot_e9('e.embedding', 'c.cvec')} DESC, c.cent_id
+               ) AS rn
+        FROM embeddings e, cents c
+      ) WHERE rn = 1
+    )
+    SELECT e.vec_id, {_duck_dot_e9('e.embedding', 'qvec')} AS dot_e9
+    FROM embeddings e
+    JOIN assign a ON a.vec_id = e.vec_id
+    JOIN probe p ON p.cent_id = a.cent_id
+    CROSS JOIN q
+    ORDER BY dot_e9 DESC, e.vec_id LIMIT 50
+    """
+
+
+@register("emb_ivf_topk", _ivf_oracle())
+def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (the inverted-file family next to LSH): deterministic
+    coarse quantizer (every 32nd vector), nearest-centroid assignment as a
+    broadcast cross + max_by (the persisted index column at scale), query
+    probes the 4 nearest inverted lists, exact rank within them."""
+    emb = _embeddings(spark, sf_dir)
+    out = ivf_topk(
+        emb, emb.filter(F.col("vec_id") == 0), k=50,
+        centroid_mod=_IVF_MOD, n_probes=_IVF_PROBES,
+    )
+    return out.select("vec_id", "dot_e9")
+
+
+_NEARDUP_TAU_E9 = 300_000_000
+
+
+@register(
+    "emb_cosine_neardup_pairs",
+    f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             {_duck_lsh_bucket('embedding', 4)} AS bucket
+      FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+           {_duck_dot_e9('a.embedding', 'c.embedding')} AS dot_e9
+    FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    WHERE {_duck_dot_e9('a.embedding', 'c.embedding')} >= {_NEARDUP_TAU_E9}
+    """,
+)
+def q_emb_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: 4-plane LSH bucket as the blocking
+    key (same-bucket pairs only, never n² cross join), exact scaled-dot
+    threshold (cosine ≥ 0.3) inside the bucket."""
+    return cosine_neardup_pairs(
+        _embeddings(spark, sf_dir), tau_e9=_NEARDUP_TAU_E9, n_planes=4
+    )
+
+
+@register(
+    "doc_bpe_token_stats",
+    f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '\\S+')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '{BPE_TOKEN_RE.replace("'", "''")}')) AS n_bpe_tokens,
+           length(text) AS n_chars_m
+    FROM documents
+    """,
+)
+def q_doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting (GPT-2 pretokenizer shape, RE2-safe — the
+    identical pattern runs on both engines) next to the whitespace count:
+    the corpus-budget pair."""
+    return bpe_token_stats(_documents(spark, sf_dir))

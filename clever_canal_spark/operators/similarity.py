@@ -150,3 +150,90 @@ def ann_lsh_topk(df: DataFrame, query_df: DataFrame, k: int = 50) -> DataFrame:
         "vec_id", F.expr(dot_e9_expr("embedding", "qvec")).alias("dot_e9")
     )
     return scored.orderBy(F.col("dot_e9").desc(), F.col("vec_id")).limit(k)
+
+
+# --- IVF (inverted-file) coarse quantizer --------------------------------
+# The second standard ANN family next to LSH: assign every vector to its
+# nearest centroid (the "inverted list"); a query probes only the nearest
+# n_probes lists. Here the coarse quantizer is a deterministic sample of
+# the corpus (every ``centroid_mod``-th vector) rather than k-means —
+# centroid choice is a quality knob, not a correctness one, and the
+# deterministic form lets the DuckDB oracle replay it exactly.
+
+
+def ivf_centroids(df: DataFrame, centroid_mod: int = 32) -> DataFrame:
+    return df.filter(F.col("vec_id") % centroid_mod == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")
+    )
+
+
+def ivf_assign(df: DataFrame, centroid_mod: int = 32, n_dims: int = N_DIMS) -> DataFrame:
+    """(vec_id, cent_id): nearest centroid by exact scaled dot, ties to the
+    lowest cent_id. Centroids broadcast; assignment is one map-side pass +
+    a max_by agg — the index build is O(n_vectors x n_centroids) with no
+    payload shuffle (vec rows shuffle as (vec_id, cent_id) pairs only)."""
+    cents = F.broadcast(ivf_centroids(df, centroid_mod))
+    scored = df.crossJoin(cents).select(
+        "vec_id",
+        "cent_id",
+        F.expr(dot_e9_expr("embedding", "cvec", n_dims)).alias("dot_e9"),
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(F.max_by(F.col("cent_id"), F.struct(F.col("dot_e9"), -F.col("cent_id"))).alias("cent_id"))
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_df: DataFrame,
+    k: int = 50,
+    centroid_mod: int = 32,
+    n_probes: int = 4,
+    n_dims: int = N_DIMS,
+) -> DataFrame:
+    """IVF ANN: rank centroids against the query, take the top ``n_probes``
+    lists, exact-rank their members. At scale the assignment is a persisted
+    index column; the probe set is a broadcast semi-join key."""
+    cents = ivf_centroids(df, centroid_mod)
+    q = F.broadcast(query_df.select(F.col("embedding").alias("qvec")))
+    probe_cents = (
+        cents.crossJoin(q)
+        .select("cent_id", F.expr(dot_e9_expr("cvec", "qvec", n_dims)).alias("cdot"))
+        .orderBy(F.col("cdot").desc(), F.col("cent_id"))
+        .limit(n_probes)
+        .select("cent_id")
+    )
+    assigned = ivf_assign(df, centroid_mod, n_dims)
+    cand_ids = assigned.join(F.broadcast(probe_cents), on="cent_id").select("vec_id")
+    cand = df.join(cand_ids, on="vec_id", how="left_semi")
+    scored = cand.crossJoin(q).select(
+        "vec_id", F.expr(dot_e9_expr("embedding", "qvec", n_dims)).alias("dot_e9")
+    )
+    return scored.orderBy(F.col("dot_e9").desc(), F.col("vec_id")).limit(k)
+
+
+def cosine_neardup_pairs(
+    df: DataFrame,
+    tau_e9: int = 300_000_000,
+    n_planes: int = 4,
+    n_dims: int = N_DIMS,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs: LSH bucket as the blocking key
+    (same-bucket pairs only — never the n² cross join), exact scaled-dot
+    threshold inside the bucket. Unit-normalized embeddings → dot =
+    cosine; tau_e9 = cosine·1e9."""
+    b = df.select(
+        "vec_id", "embedding",
+        F.expr(lsh_bucket_expr("embedding", n_planes, n_dims)).alias("bucket"),
+    )
+    a, c = b.alias("a"), b.alias("c")
+    return (
+        a.join(c, (F.col("a.bucket") == F.col("c.bucket")) & (F.col("a.vec_id") < F.col("c.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("c.vec_id").alias("vec_b"),
+            F.expr(dot_e9_expr("a.embedding", "c.embedding", n_dims)).alias("dot_e9"),
+        )
+        .filter(F.col("dot_e9") >= tau_e9)
+    )

@@ -107,3 +107,23 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         es.alias("es_hits"),
         pred.alias("pred_lang"),
     )
+
+
+# BPE-ish pre-tokenizer (the GPT-2 pretokenizer shape, RE2-safe: no
+# lookahead, so the same pattern runs on Spark's Java regex and DuckDB's
+# RE2): contractions | space?+letter-run | space?+digit-run |
+# space?+punct-run. Counting these approximates BPE token counts well
+# enough for corpus budgeting without a vocab file.
+BPE_TOKEN_RE = r"'(s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace AND BPE-ish token counts — the corpus-budget pair (BPE
+    count approximates what a trained tokenizer would charge)."""
+    t = F.col(text_col)
+    return df.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(TOKEN_RE)).alias("n_ws_tokens"),
+        F.regexp_count(t, F.lit(BPE_TOKEN_RE)).alias("n_bpe_tokens"),
+        F.length(t).alias("n_chars_m"),
+    )
