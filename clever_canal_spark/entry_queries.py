@@ -807,13 +807,17 @@ def q_cdc_engine_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, tmp, PAGE_SCHEMA, merge_key=["url", "warc_ts"], n_buckets=8
     )
     n = feed.agg(F.max("lsn")).collect()[0][0] + 1
-    cfg = ApplyConfig(transform=False, salted=True, n_salts=8)
+    cfg = ApplyConfig(transform=False, salted=True, n_salts=8, merge_mode="mor")
     epoch_size = n // 4 + 1
+    from .plans.apply import BatchHints
+
     for e in range(4):
         batch = feed.filter(
             (F.col("lsn") >= e * epoch_size) & (F.col("lsn") < (e + 1) * epoch_size)
         )
-        apply_epoch(spark, batch, e, table, cfg)
+        # the feed is synthesized DDL-free by construction — assert that
+        # hint so each epoch takes the single-pass observe() fast path
+        apply_epoch(spark, batch, e, table, cfg, hints=BatchHints(ddl_possible=False))
     return table.scan().select("url", "text")
 
 

@@ -9,6 +9,7 @@ auto-guard introduced for the same multi-shard scenario.
 
 import os
 
+import pytest
 from pyspark.sql import functions as F, types as T
 
 from clever_canal_spark.lake import LakeTable
@@ -129,3 +130,42 @@ def test_tombstone_purge_watermark(spark, tmp_table_dir):
     hidden = t._read_files(t.snapshot(), t.snapshot().files, hidden=True)
     tombs = {r["url"] for r in hidden.filter(F.col("__op") == "D").collect()}
     assert tombs == {"b"}  # a's tombstone (lsn 10 < 20) purged, b's kept
+
+
+def _python_lww_oracle(events):
+    """Reference semantics: apply in LSN order (order-insensitivity of the
+    engine means ANY delivery order must converge to this)."""
+    state = {}
+    for url, text, op, lsn in sorted(events, key=lambda e: e[3]):
+        if op == "D":
+            state.pop(url, None)
+        else:
+            state[url] = text
+    return set(state.items())
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_randomized_replay_matches_ordered_oracle(spark, tmp_table_dir, seed, mode):
+    """Randomized event streams (dup keys, deletes, shuffled epoch
+    assignment) must converge to the ordered-apply oracle in both modes,
+    with a mid-stream compaction in MOR."""
+    import random
+
+    rnd = random.Random(seed)
+    events = []
+    for lsn in range(120):
+        url = f"u{rnd.randrange(12)}"
+        op = "D" if rnd.random() < 0.25 else "U"
+        events.append((url, None if op == "D" else f"v{lsn}", op, lsn))
+    shuffled = events[:]
+    rnd.shuffle(shuffled)
+    thirds = [shuffled[0::3], shuffled[1::3], shuffled[2::3]]
+
+    t = make_table(spark, os.path.join(tmp_table_dir, f"{mode}-{seed}"))
+    for e, chunk in enumerate(thirds):
+        t.merge(src(spark, chunk), epoch_id=e, mode=mode, lsn_col="lsn")
+        if mode == "mor" and e == 1:
+            t.compact()
+    got = {(r["url"], r["text"]) for r in t.scan().collect()}
+    assert got == _python_lww_oracle(events)

@@ -66,3 +66,40 @@ def test_whole_stage_codegen_covers_filter_project(spark, tmp_table_dir):
     plan = _plan(filtered)
     # formatted mode marks codegen'd operators with "[codegen id : N]"
     assert "[codegen id :" in plan
+
+
+def test_multiprobe_ann_plans_broadcast(spark):
+    """The probe list must broadcast; the candidate filter is a hash join
+    on the bucket, never a cartesian scan of the corpus."""
+    from clever_canal_spark.operators.similarity import ann_multiprobe_topk
+    from tests.conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    out = ann_multiprobe_topk(emb, emb.filter(F.col("vec_id") == 0), k=10,
+                              n_planes=4, radius=2)
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ivf_assign_plans_broadcast_centroids(spark):
+    """Centroids are the broadcast side of the assignment cross join —
+    vectors never shuffle during index build."""
+    from clever_canal_spark.operators.similarity import ivf_assign
+    from tests.conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = _plan(ivf_assign(emb, centroid_mod=64))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_jaccard_hot_shingle_filter_is_broadcast_anti(spark):
+    """The stop-shingle DF cap distributes as a broadcast anti-join (the
+    hot list is tiny by construction)."""
+    from clever_canal_spark.operators.dedup import ngram_jaccard_pairs
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(ngram_jaccard_pairs(docs, max_df=100))
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
