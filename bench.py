@@ -93,16 +93,26 @@ def _replay_once(spark, work: str, n_events: int, n_urls: int, n_epochs: int,
     pipe.run_available()
     wall = time.monotonic() - t0
 
-    # sustained = excluding the first epoch (source listing, fresh table)
-    # — robust against the sandbox host's load spikes
+    # sustained = MEDIAN per-epoch rate excluding the first epoch (fresh
+    # table, source listing). The median is the robust choice here: the
+    # sandbox host has bursty noisy-neighbor storms that can quadruple one
+    # epoch's wall time — a sum-over-walls metric lets a single stormed
+    # epoch poison the whole leg, while the median reads the steady state.
+    import statistics
+
     em = {r["epoch_id"]: r for r in metrics.scan().collect()}
+    rates = [
+        r["n_events"] / (r["wall_ms"] / 1000.0)
+        for e, r in sorted(em.items()) if e > 0 and r["wall_ms"]
+    ]
     sus_events = sum(r["n_events"] for e, r in em.items() if e > 0)
     sus_ms = sum(r["wall_ms"] for e, r in em.items() if e > 0)
     return {
         "n_events": n_events,
         "wall_sec": round(wall, 3),
         "events_per_sec": round(n_events / wall, 1),
-        "sustained_events_per_sec": round(sus_events / (sus_ms / 1000.0), 1) if sus_ms else None,
+        "sustained_events_per_sec": round(statistics.median(rates), 1) if rates else None,
+        "mean_sustained_events_per_sec": round(sus_events / (sus_ms / 1000.0), 1) if sus_ms else None,
         "epoch_wall_ms": [em[e]["wall_ms"] for e in sorted(em)],
         "final_rows": table.scan().count(),
         "epochs": len(table.committed_epochs()),
@@ -218,6 +228,7 @@ def _scaling_probe(n_events: int, trials: int = 2) -> dict:
     32-wide legs), so paired exposure + best-of approximates the
     uncontended machine. efficiency = (T32/T8)/(32/8) per BASELINE.md."""
     results: dict[int, dict] = {8: None, 32: None}
+    ceilings = [_cpu_ceiling()]  # bracket the legs: ceiling before + after
     for _ in range(max(trials, 1)):
         for cpus in (8, 32):
             out = subprocess.run(
@@ -231,9 +242,11 @@ def _scaling_probe(n_events: int, trials: int = 2) -> dict:
             best = results[cpus]
             if best is None or (r["sustained_events_per_sec"] or 0) > (best["sustained_events_per_sec"] or 0):
                 results[cpus] = r
+    ceilings.append(_cpu_ceiling())
     t8 = results[8]["sustained_events_per_sec"]
     t32 = results[32]["sustained_events_per_sec"]
-    ceiling = _cpu_ceiling()
+    ceiling = max(ceilings, key=lambda c: c["ceiling_efficiency"])
+    ceiling["all_probes"] = [c["ceiling_efficiency"] for c in ceilings]
     eff = (t32 / t8) / (32 / 8)
     return {
         "local8_events_per_sec": t8,
@@ -251,7 +264,7 @@ def _scaling_probe(n_events: int, trials: int = 2) -> dict:
 def main() -> None:
     if len(sys.argv) >= 2 and sys.argv[1] == "--replay-probe":
         cpus, n_events = int(sys.argv[2]), int(sys.argv[3])
-        n_epochs = int(os.environ.get("CCS_BENCH_EPOCHS", "4"))
+        n_epochs = int(os.environ.get("CCS_BENCH_EPOCHS", "6"))
         res = _replay(cpus, n_events, n_urls=max(n_events // 20, 1000), n_epochs=n_epochs)
         print(json.dumps(res))
         return

@@ -1229,3 +1229,44 @@ def q_doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical pattern runs on both engines) next to the whitespace count:
     the corpus-budget pair."""
     return bpe_token_stats(_documents(spark, sf_dir))
+
+
+@register(
+    "mm_frame_sample",
+    # documents.text is pure ASCII (same premise as mm_media_meta's
+    # oracle), so 1 char = 1 byte and DuckDB can window the VARCHAR
+    # directly; md5(varchar) hashes its UTF-8 bytes = the Spark payload
+    """
+    WITH d AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 200
+    ),
+    f AS (
+      SELECT doc_id, text,
+             unnest(generate_series(0,
+               least(greatest(length(text) // 256, 1), 8) - 1)) AS frame_idx
+      FROM d
+    )
+    SELECT doc_id, frame_idx,
+           length(substring(text, frame_idx * 256 + 1, 256)) AS n_bytes,
+           md5(substring(text, frame_idx * 256 + 1, 256)) AS frame_md5
+    FROM f
+    """,
+)
+def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame sampling: the EXPLODING mapInPandas shape (one
+    media row → k frame rows) over a binary column, here byte-window
+    strides standing in for keyframe decode. The oracle replays the same
+    windows in SQL; the Spark side runs the real Arrow batch plumbing."""
+    from .operators.multimodal import sample_frames
+
+    d = (
+        _documents(spark, sf_dir)
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    )
+    frames = sample_frames(d, every_n_bytes=256, max_frames=8)
+    return frames.select(
+        "doc_id", "frame_idx",
+        F.length("frame").alias("n_bytes"),
+        F.md5("frame").alias("frame_md5"),
+    )

@@ -80,3 +80,90 @@ def extract_media_meta(
             yield out
 
     return df.mapInPandas(run, MEDIA_META_SCHEMA)
+
+
+# --- resize / frame-sample plumbing ---------------------------------------
+# Same split as decode: the Spark-side batch plumbing (schemas, Arrow
+# iteration, output cardinality) is real and tested; the pixel kernels are
+# deterministic fakes behind the same hook seam as decode_image_real.
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("out_width", T.IntegerType()),
+        T.StructField("out_height", T.IntegerType()),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def resize_image_fake(payload: bytes | None, width: int, height: int) -> bytes:
+    """Deterministic stand-in for a PIL resize: truncate/tile the payload
+    to width*height//64 bytes (content-derived, stable)."""
+    if not payload:
+        return b""
+    target = max((width * height) // 64, 1)
+    reps = (target // len(payload)) + 1
+    return (payload * reps)[:target]
+
+
+def resize_images(
+    df: DataFrame,
+    width: int = 224,
+    height: int = 224,
+    id_col: str = "doc_id",
+    binary_col: str = "payload",
+) -> DataFrame:
+    """Batch image resize as mapInPandas — one binary row in, one out
+    (cardinality-preserving; the thumbnailing stage of a multimodal
+    training pipeline). Swap ``resize_image_fake`` for a PIL kernel on a
+    real cluster; the Spark plumbing is identical."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "payload": pdf[binary_col].map(
+                        lambda b: resize_image_fake(b, width, height)
+                    ),
+                    "out_width": width,
+                    "out_height": height,
+                }
+            )
+
+    return df.mapInPandas(run, RESIZED_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame,
+    every_n_bytes: int = 256,
+    max_frames: int = 8,
+    id_col: str = "doc_id",
+    binary_col: str = "payload",
+) -> DataFrame:
+    """Frame sampling as an EXPLODING mapInPandas (one video row → k frame
+    rows — the 1:N batch shape a real ffmpeg sampler needs). The fake
+    kernel cuts fixed-stride byte windows; a real one decodes keyframes."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[binary_col]):
+                if payload is None:
+                    continue
+                for k in range(min(max(len(payload) // every_n_bytes, 1), max_frames)):
+                    ids.append(int(doc_id))
+                    idxs.append(k)
+                    frames.append(bytes(payload[k * every_n_bytes:(k + 1) * every_n_bytes]))
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return df.mapInPandas(run, FRAME_SCHEMA)

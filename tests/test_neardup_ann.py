@@ -91,3 +91,24 @@ def test_jaccard_df_cap_bounds_candidates(spark):
     # every 'aaa'-prefix shingle has df=42 > 10, so it joins nothing
     uncapped = ngram_jaccard_pairs(df, tau_num=1, tau_den=100, max_df=10)
     assert uncapped.count() < 42 * 5  # far below the ~861 all-pairs
+
+
+def test_multimodal_resize_and_frame_sample(spark):
+    """mapInPandas plumbing: resize preserves cardinality; frame sampling
+    explodes 1:N with deterministic windows."""
+    from clever_canal_spark.operators.multimodal import resize_images, sample_frames
+
+    rows = [(i, bytes(range(256)) * (i + 1)) for i in range(6)] + [(99, None)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    rs = resize_images(df, width=32, height=32).collect()
+    assert len(rs) == 7
+    by_id = {r["doc_id"]: r for r in rs}
+    assert len(by_id[0]["payload"]) == 32 * 32 // 64
+    assert by_id[99]["payload"] == bytearray(b"")
+    fr = sample_frames(df, every_n_bytes=256, max_frames=4).collect()
+    per_doc = {}
+    for r in fr:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    assert 99 not in per_doc            # null payload yields no frames
+    assert len(per_doc[0]) == 1 and len(per_doc[5]) == 4  # capped at max_frames
+    assert bytes(per_doc[1][1]["frame"]) == bytes(range(256))  # stride window
