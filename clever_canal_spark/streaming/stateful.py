@@ -1,0 +1,84 @@
+"""Custom stateful streaming operator: the winner-delta stream.
+
+``applyInPandasWithState`` keeps, per key (url, warc_ts), the highest LSN
+seen so far across ALL micro-batches and emits a row only when a batch
+actually changes a key's winner — a streaming change-DEDUP operator: the
+downstream sink sees each key at most once per batch, already LWW-settled
+against the whole stream history, not just the current batch.
+
+This is the Structured-Streaming restatement of the reference's in-memory
+meta/positions tracking (MemoryMetaManager.java cursor state) fused with
+the sink-stage dedup: Canal clients re-reading overlapping batches rely on
+ack cursors; here the state store makes redelivered or out-of-order events
+no-ops. Spark checkpoints the state with the query, so the operator
+resumes losslessly.
+
+Scale notes: state is (key → lsn) only — the PAYLOAD is emitted, never
+stored; state volume is O(live keys) and partitions by the shuffle on the
+grouping key, so hot-key skew lands on the state shuffle exactly like the
+dedup shuffle (same key distribution); GroupStateTimeout is left off
+because CDC winners must be remembered indefinitely (a real deployment
+with TTL'd keys would use EventTimeTimeout + a watermark).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+# emitted row: the new winner for a key (only when it changed)
+WINNER_DELTA_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("lsn", T.LongType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType([T.StructField("max_lsn", T.LongType())])
+
+
+def _winner_delta(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+    """One key's rows for this batch → 0 or 1 winner-delta rows."""
+    prev = state.get[0] if state.exists else -1
+    best = None
+    for pdf in pdfs:
+        if pdf.empty:
+            continue
+        i = pdf["lsn"].idxmax()
+        row = pdf.loc[i]
+        if best is None or int(row["lsn"]) > int(best["lsn"]):
+            best = row
+    if best is None or int(best["lsn"]) <= prev:
+        return  # redelivery / stale shard rows: state already newer
+    state.update((int(best["lsn"]),))
+    yield pd.DataFrame(
+        {
+            "url": [key[0]],
+            "warc_ts": [best["warc_ts"]],
+            "lsn": [int(best["lsn"])],
+            "op": [best["op"]],
+            "text": [best["text"]],
+        }
+    )
+
+
+def winner_delta_stream(events: DataFrame) -> DataFrame:
+    """Streaming LWW winner-delta over a change-event stream.
+
+    Input: a (streaming or batch) DataFrame with columns
+    (url, warc_ts, lsn, op, text). Output: one row per (key, batch) whose
+    winner advanced — already deduped against all prior batches via the
+    checkpointed state store."""
+    return events.groupBy("url", "warc_ts").applyInPandasWithState(
+        _winner_delta,
+        outputStructType=WINNER_DELTA_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
