@@ -96,6 +96,14 @@ def _replay_once(spark, work: str, n_events: int, n_urls: int, n_epochs: int,
     pipe.run_available()
     wall = time.monotonic() - t0
 
+    # steady-state ingest pays an incremental compaction every
+    # compact_every epochs; the 3-epoch legs never trigger one, so time it
+    # explicitly (folds this run's deltas into the base, only buckets with
+    # deltas rewrite) and report it next to the per-epoch walls
+    t1 = time.monotonic()
+    table.compact()
+    compact_sec = time.monotonic() - t1
+
     # sustained = MEDIAN per-epoch rate excluding the first epoch (fresh
     # table, source listing). The median is the robust choice here: the
     # sandbox host has bursty noisy-neighbor storms that can quadruple one
@@ -122,6 +130,7 @@ def _replay_once(spark, work: str, n_events: int, n_urls: int, n_epochs: int,
         # when the two legs can't be guaranteed equal weather
         "peak_events_per_sec": round(max(rates), 1) if rates else None,
         "epoch_wall_ms": [em[e]["wall_ms"] for e in sorted(em)],
+        "compact_wall_sec": round(compact_sec, 3),
         "final_rows": table.scan().count(),
         "epochs": len(table.committed_epochs()),
     }

@@ -335,7 +335,8 @@ class LakeTable:
         def pick(files):
             return files if buckets is None else [f for f in files if f["bucket"] in buckets]
 
-        base = self._read_files(snap, pick(snap.files), hidden=True)
+        base_files = pick(snap.files)
+        base = self._read_files(snap, base_files, hidden=True)
         deltas = pick(snap.delta_files)
         if not deltas:
             winners = base
@@ -344,6 +345,13 @@ class LakeTable:
             both = base.unionByName(delta)
             key = snap.merge_key
             wins = both.groupBy(*key).agg(F.max("__lsn").alias("__lsn"))
+            # the winner set is at most one row per key — when manifest row
+            # counts bound it under ~5M, broadcast it so the PAYLOAD side
+            # never shuffles (file counts come from parquet footers at
+            # write time; None = pre-upgrade files → stay conservative)
+            counts = [f.get("rows") for f in base_files + deltas]
+            if all(c is not None for c in counts) and sum(counts) <= 5_000_000:
+                wins = F.broadcast(wins)
             winners = both.join(wins, on=key + ["__lsn"], how="left_semi")
         if keep_deletes:
             return winners
@@ -422,6 +430,8 @@ class LakeTable:
             .mode("overwrite")
             .parquet(tmp)
         )
+        import pyarrow.parquet as pq
+
         entries: list[dict] = []
         for bdir in sorted(os.listdir(tmp)):
             if not bdir.startswith("__bucket="):
@@ -431,12 +441,15 @@ class LakeTable:
                 if not fn.endswith(".parquet"):
                     continue
                 dest_rel = os.path.join(_DATA_DIR, f"{commit_id}-b{bucket:05d}-{i:04d}.parquet")
-                os.rename(os.path.join(tmp, bdir, fn), os.path.join(self.path, dest_rel))
+                dest = os.path.join(self.path, dest_rel)
+                os.rename(os.path.join(tmp, bdir, fn), dest)
                 entries.append(
                     {
                         "path": dest_rel,
                         "bucket": bucket,
-                        "rows": None,
+                        # row count from the footer (driver-side, O(files))
+                        # — lets scans/compaction size the winner semi-join
+                        "rows": pq.ParquetFile(dest).metadata.num_rows,
                         "schema_version": snap.schema_version,
                     }
                 )
