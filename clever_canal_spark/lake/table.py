@@ -375,6 +375,31 @@ class LakeTable:
             .select(*cols)
         )
 
+    def lookup(self, **key_vals) -> DataFrame:
+        """Point read by bucket-key value(s): computes the key's bucket and
+        reconciles ONLY that bucket's files — an O(table/n_buckets) read
+        instead of a table scan (the primary consumer op on a CDC table:
+        'current row for this url'). Non-bucket merge-key columns may be
+        included and filter normally.
+
+        The bucket id is computed by a 1-row Spark job so it uses the
+        exact xxhash64 the writer used (no driver-side reimplementation).
+        """
+        snap = self.snapshot()
+        missing = [c for c in snap.bucket_key if c not in key_vals]
+        if missing:
+            raise ValueError(f"lookup needs all bucket key columns; missing {missing}")
+        cols = {f["name"]: f["type"] for f in snap.current_fields()}
+        probe = self.spark.createDataFrame(
+            [tuple(key_vals[c] for c in snap.bucket_key)],
+            ", ".join(f"{c} {cols[c]}" for c in snap.bucket_key),
+        )
+        bucket = probe.select(self._bucket_col(snap).alias("b")).collect()[0]["b"]
+        out = self._reconciled(snap, buckets={int(bucket)})
+        for c, v in key_vals.items():
+            out = out.filter(F.col(c) == F.lit(v))
+        return out.select(*[f["name"] for f in snap.current_fields()])
+
     def scan_changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
         """Incremental changelog read (the Iceberg incremental-source
         analog, SURVEY.md §1.7): rows written between two snapshots, with

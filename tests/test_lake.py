@@ -149,3 +149,29 @@ def test_commit_conflict(spark, tmp_table_dir):
     t._write_snapshot(c1)
     with pytest.raises(CommitConflict):
         t._write_snapshot(c2)
+
+
+def test_lookup_point_read_prunes_buckets(spark, tmp_table_dir, monkeypatch):
+    """lookup(url=...) must reconcile ONLY the key's bucket files."""
+    t = make_table(spark, tmp_table_dir, n_buckets=8)
+    rows = [(f"u{i}", "2024-01-01 00:00:00", f"v{i}") for i in range(64)]
+    t.merge(src(spark, rows), epoch_id=0)
+    t.merge(src(spark, [("u7", "2024-01-01 00:00:00", "v7b")]), epoch_id=1)
+
+    seen_files = []
+    orig = LakeTable._read_files
+
+    def spy(self, snap, files, hidden=False):
+        seen_files.append(list(files))
+        return orig(self, snap, files, hidden)
+
+    monkeypatch.setattr(LakeTable, "_read_files", spy)
+    out = t.lookup(url="u7").collect()
+    assert [(r["url"], r["text"]) for r in out] == [("u7", "v7b")]
+    total_files = len(t.snapshot().files)
+    read = sum(len(fs) for fs in seen_files)
+    assert read < total_files, (read, total_files)  # bucket-pruned
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        t.lookup(text="nope")  # bucket key column missing
