@@ -226,6 +226,8 @@ class LakeTable:
         """ADD COLUMN — metadata-only; old files read the column as null."""
 
         def mutate(fields):
+            if not name or not isinstance(name, str):
+                raise ValueError(f"invalid column name {name!r}")
             if any(f["name"] == name for f in fields):
                 raise ValueError(f"column {name} exists")
             nid = max(f["id"] for f in fields) + 1

@@ -30,7 +30,13 @@ def apply_ddl_idempotent(table: LakeTable, ddl_row: dict) -> bool:
     applied identically. Statements that aren't one of the three supported
     schema evolutions (index DDL, TRUNCATE, table-level ops) are no-ops for
     the lake schema, matching the reference's pass-through behavior."""
-    if not ddl_row.get("ddl_type") and ddl_row.get("ddl_sql"):
+    # fall back to SQL parsing when the structured fields are absent OR
+    # incomplete (e.g. a row constructed with only ``ddl_sql`` text but a
+    # defaulted ddl_type) — a half-filled row must never reach the schema
+    # store, where a null column name would poison every later read
+    if ddl_row.get("ddl_sql") and not (
+        ddl_row.get("ddl_type") and ddl_row.get("ddl_column")
+    ):
         from ..sources.ddl_sql import parse_ddl
 
         parsed = parse_ddl(ddl_row["ddl_sql"])
@@ -40,6 +46,11 @@ def apply_ddl_idempotent(table: LakeTable, ddl_row: dict) -> bool:
                                  ("ddl_type", "ddl_column", "ddl_new_name", "ddl_new_type")}}
     names = {f["name"]: f for f in table.snapshot().current_fields()}
     t = ddl_row["ddl_type"]
+    if not ddl_row.get("ddl_column"):
+        raise ValueError(
+            f"DDL row has ddl_type={t!r} but no ddl_column and no parseable "
+            f"ddl_sql ({ddl_row.get('ddl_sql')!r})"
+        )
     if t == DDL_ADD_COLUMN:
         if ddl_row["ddl_column"] in names:
             return False

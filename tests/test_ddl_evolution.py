@@ -90,3 +90,33 @@ def test_ddl_segment_boundary_values(spark, tmp_table_dir):
         .count()
     )
     assert table.scan().count() == expected_keys
+
+
+def test_ddl_sql_only_spec_parses_and_rejects_half_filled(spark, tmp_table_dir):
+    """A DdlSpec carrying ONLY raw SQL (structured fields defaulted) must
+    evolve the schema via the SQL parser — regression for a half-filled DDL
+    row reaching the schema store and adding a None-named column."""
+    import pytest
+
+    cfgf = FeedConfig(
+        n_events=300, n_urls=30, seed=77,
+        ddls=[DdlSpec(lsn=150, sql="ALTER TABLE cc.pages ADD COLUMN fetch_ms BIGINT")],
+    )
+    feed = generate_feed(spark, cfgf)
+    table = LakeTable.create(
+        spark, tmp_table_dir, PAGE_SCHEMA, merge_key=["url", "warc_ts"], n_buckets=4
+    )
+    res = apply_epoch(spark, feed, 0, table, ApplyConfig(merge_mode="mor"))
+    assert res.ddls_applied == 1
+    cols = [f.name for f in table.schema().fields]
+    assert "fetch_ms" in cols and None not in cols
+    assert table.scan().count() > 0  # table still readable post-evolution
+
+    # a row with a type but neither column nor parseable SQL is rejected,
+    # never silently applied
+    with pytest.raises(ValueError, match="no ddl_column"):
+        apply_ddl_idempotent(table, {"ddl_type": DDL_ADD_COLUMN, "ddl_column": None,
+                                     "ddl_sql": None, "ddl_new_name": None,
+                                     "ddl_new_type": None})
+    with pytest.raises(ValueError, match="invalid column name"):
+        table.add_column(None, "string")

@@ -15,6 +15,53 @@ from clever_canal_spark.operators.multimodal import (
 )
 
 
+from hypothesis import given, settings, strategies as st
+
+from clever_canal_spark.functions.transforms import (
+    _extract_text_spec,
+    _tag_language_spec,
+)
+
+# html-ish fragments biased toward the constructs the passes interact on:
+# tags, comments, script spans, entities (incl. &Tab;/&NewLine; which decode
+# to whitespace AFTER the byte passes), runs of mixed whitespace, non-ASCII,
+# and invalid UTF-8.
+_FRAGS = st.sampled_from(
+    [b"<p>", b"</div>", b"<br/>", b"<SCRIPT>x=1</script>", b"<style>a{}</style>",
+     b"<!--", b"-->", b"<!-- c -->", b"<", b">", b"<<p>a>", b"<a <!-- b --> c>",
+     b"&amp;", b"&nbsp;", b"&Tab;", b"&NewLine;", b"the and", b"der und",
+     b"le la", b"\xe7\x9a\x84 \xe6\x98\xaf", b"\xff\xfe", b" ", b"  ", b"\t",
+     b"\r\n", b"\n\n", b"\v\f", b"word", b"O'Neil won't", b"123the the123",
+     b"\xc3\xa9t\xc3\xa9", b"x\xa0y"]
+)
+_HTMLISH = st.lists(_FRAGS, max_size=30).map(b"".join)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_HTMLISH)
+def test_extract_text_equals_spec(html):
+    assert extract_text_from_html(html) == _extract_text_spec(html)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(max_size=400))
+def test_extract_text_equals_spec_random_bytes(html):
+    assert extract_text_from_html(html) == _extract_text_spec(html)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(max_size=300))
+def test_tag_language_equals_spec(text):
+    assert tag_language(text) == _tag_language_spec(text)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_HTMLISH)
+def test_tag_language_equals_spec_on_extracted(html):
+    t = extract_text_from_html(html)
+    assert tag_language(t) == _tag_language_spec(t)
+
+
 def test_extract_text_basic():
     html = b"<html><head><title>T</title><script>var x=1;</script></head><body><h1>Head</h1><p>Para one.</p><p>Para&nbsp;two &amp; more.</p><!-- c --></body></html>"
     t = extract_text_from_html(html)
