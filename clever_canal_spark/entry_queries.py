@@ -416,6 +416,7 @@ from .operators.dedup import (  # noqa: E402
     minhash_signature,
     ngram_jaccard_pairs,
     simhash,
+    simhash_neardup_pairs,
 )
 from .operators.multimodal import extract_media_meta  # noqa: E402
 from .operators.similarity import (  # noqa: E402
@@ -621,6 +622,48 @@ def _duck_simhash_expr() -> str:
 def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash signatures from token-hash bit votes."""
     return simhash(_documents(spark, sf_dir))
+
+
+def _duck_simhash_wide_cte(bits: int = 32) -> str:
+    """CTE computing the wide (full-token-hash) SimHash — the DuckDB twin
+    of operators.dedup.token_hash_array_expr + simhash_wide."""
+    th = (
+        "((list_sum(list_transform(generate_series(1, length(t)), i -> "
+        "ascii(substring(t, i, 1)) * ((i * 2654435761) % 65536))) % 2147483648) "
+        "* 2654435761) % 4294967296"
+    )
+    harr = (
+        "list_transform(list_transform(list_filter(string_split(text, ' '), "
+        f"t -> length(t) >= 3), t -> {th}), h -> xor(h // 65536, h))"
+    )
+    terms = []
+    for k in range(bits):
+        vote = (
+            f"list_sum(list_transform(hs, h -> "
+            f"CASE WHEN (h // {1 << k}) % 2 = 1 THEN 1 ELSE -1 END))"
+        )
+        terms.append(f"(CASE WHEN COALESCE({vote}, 0) > 0 THEN {1 << k} ELSE 0 END)")
+    return (
+        f"WITH th AS (SELECT doc_id, {harr} AS hs FROM documents), "
+        f"sig AS (SELECT doc_id, CAST({' + '.join(terms)} AS BIGINT) AS sh FROM th)"
+    )
+
+
+@register(
+    "doc_simhash_neardup",
+    _duck_simhash_wide_cte()
+    + " SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+    "CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming "
+    "FROM sig a JOIN sig b ON a.doc_id < b.doc_id "
+    "WHERE bit_count(xor(a.sh, b.sh)) <= 3",
+)
+def q_doc_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-distance near-dup pairs over 32-bit full-token SimHash.
+    Spark side is banded (radius+1 disjoint bit-slices → equi-join →
+    exact bit_count verify — pigeonhole guarantees no candidate is
+    missed); the oracle brute-forces all pairs, so parity also proves
+    banding completeness on the fixture."""
+    return simhash_neardup_pairs(_documents(spark, sf_dir), radius=3)
 
 
 # --- embeddings -----------------------------------------------------------

@@ -233,3 +233,110 @@ def simhash_expr(text_col: str, bits: int = SIMHASH_BITS) -> str:
 
 def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select("doc_id", F.expr(simhash_expr(text_col)).alias("simhash"))
+
+
+# --- wide SimHash + Hamming-distance near-dup join -------------------------
+# The 16-bit signature above keeps the per-bit oracle SQL compact, but its
+# 3-char-prefix token hash tops out at ~2^17 (bits 17+ would be constant) —
+# too coarse for a Hamming near-dup join (500 zipf docs already collide
+# thousands of times at 16 bits). The wide variant hashes the FULL token
+# (order-sensitive positional mix → Knuth multiplicative → xor-fold), is
+# computed ONCE per token into an array column, then each signature bit
+# votes over the array — so 32 bits cost one token-hash pass, not 32.
+
+SIMHASH_WIDE_BITS = 32
+
+
+def token_hash_array_expr(text_col: str) -> str:
+    """Array of 32-bit full-token hashes for whitespace tokens of length
+    ≥ 3. Pure integer arithmetic expressible identically in Spark SQL and
+    DuckDB (the oracle computes bit-identical values): positional weighted
+    sum (order-sensitive) → Knuth multiplicative mix → xor-fold of the top
+    16 bits into the low bits. All intermediates stay < 2^63 (sum is
+    reduced mod 2^31 before the multiply), so ANSI-mode overflow checks
+    never trip."""
+    th = (
+        "pmod(pmod(aggregate(transform(sequence(1, length(t)), i -> "
+        "ascii(substring(t, i, 1)) * pmod(i * 2654435761, 65536)), "
+        "cast(0 as bigint), (acc, x) -> acc + x), 2147483648) "
+        "* 2654435761, 4294967296)"
+    )
+    return (
+        f"transform(transform(filter(split({text_col}, ' '), t -> length(t) >= 3), "
+        f"t -> {th}), h -> (h div 65536) ^ h)"
+    )
+
+
+def simhash_wide(
+    df: DataFrame, text_col: str = "text", bits: int = SIMHASH_WIDE_BITS
+) -> DataFrame:
+    """``bits``-wide SimHash over full-token hashes (one hash pass per doc,
+    ``bits`` vote-reductions over the cached array — per-row expressions,
+    no shuffle)."""
+    hashed = df.select("doc_id", F.expr(token_hash_array_expr(text_col)).alias("__th"))
+    terms = []
+    for k in range(bits):
+        vote = (
+            f"aggregate(__th, cast(0 as bigint), (acc, h) -> acc + "
+            f"(CASE WHEN (h div {1 << k}) % 2 = 1 THEN 1 ELSE -1 END))"
+        )
+        terms.append(f"(CASE WHEN ({vote}) > 0 THEN {1 << k} ELSE 0 END)")
+    return hashed.select(
+        "doc_id", F.expr(" + ".join(terms)).cast("long").alias("simhash")
+    )
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    radius: int = 3,
+    bits: int = SIMHASH_WIDE_BITS,
+) -> DataFrame:
+    """Near-dup pairs (doc_a < doc_b) within Hamming distance ``radius`` of
+    their wide SimHashes.
+
+    Scale shape (the standard Hamming-join banding): slice the signature
+    into ``radius+1`` disjoint bit-bands — two signatures within Hamming
+    ``radius`` must agree EXACTLY on at least one band (pigeonhole), so
+    candidates come from an equi-join on (band, band_key), never the n²
+    cross join; the exact ``bit_count(xor) ≤ radius`` test then filters the
+    band collisions. At 100 TB the band key is a uniform hash slice —
+    bucket sizes stay bounded, and the join shuffles only (band_key,
+    doc_id, simhash), not payloads."""
+    n_bands = radius + 1
+    slice_w = bits // n_bands
+    sig = simhash_wide(df, text_col, bits)
+    band_structs = []
+    for k in range(n_bands):
+        lo = k * slice_w
+        w = bits - lo if k == n_bands - 1 else slice_w
+        band_structs.append(
+            F.struct(
+                F.lit(k).alias("band"),
+                F.expr(f"(simhash div {1 << lo}) % {1 << w}").alias("band_key"),
+            )
+        )
+    banded = sig.select(
+        "doc_id", "simhash", F.explode(F.array(*band_structs)).alias("b")
+    ).select("doc_id", "simhash", "b.band", "b.band_key")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("__sa"),
+            F.col("b.simhash").alias("__sb"),
+        )
+        .distinct()  # a pair may agree on several bands
+    )
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb"))).cast("long").alias("hamming"),
+    ).filter(F.col("hamming") <= radius)

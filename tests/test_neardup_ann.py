@@ -112,3 +112,51 @@ def test_multimodal_resize_and_frame_sample(spark):
     assert 99 not in per_doc            # null payload yields no frames
     assert len(per_doc[0]) == 1 and len(per_doc[5]) == 4  # capped at max_frames
     assert bytes(per_doc[1][1]["frame"]) == bytes(range(256))  # stride window
+
+
+def test_simhash_neardup_banding_complete(spark):
+    """The banded Hamming join must find EXACTLY the brute-force pair set
+    (pigeonhole: radius+1 disjoint bit-slices cannot all differ within
+    Hamming radius) — including on non-ASCII text (full-token hash indexes
+    by character, not byte)."""
+    from pyspark.sql import functions as F
+
+    from clever_canal_spark.operators.dedup import simhash_neardup_pairs, simhash_wide
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",   # near-dup of 0
+        "der hund und die katze sind nicht da heute",
+        "der hund und die katze sind nicht da morgen",   # near-dup of 2
+        "été présent à la réunion après-midi détendue",
+        "été présent à la réunion après-midi détendues",  # near-dup of 4 (unicode)
+        "completely different content about spark engines and lakes",
+        "的 是 了 在 和 有 我 不 这 中 文本 内容",
+    ]
+    df = spark.createDataFrame(
+        [(i, t * 3) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    radius = 3
+    banded = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_neardup_pairs(df, radius=radius).collect()
+    }
+    sig = simhash_wide(df)
+    a, b = sig.alias("a"), sig.alias("b")
+    brute = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+            .cast("long")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= radius)
+        .collect()
+    }
+    assert banded == brute
+    assert (0, 1, *(h for a_, b_, h in brute if (a_, b_) == (0, 1))) and (0, 1) in {
+        (x, y) for x, y, _ in brute
+    }  # the engineered near-dup pair is found
