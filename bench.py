@@ -296,7 +296,11 @@ def _scaling_probe(n_events: int, trials: int = 2, lo: int = 4, hi: int = 16) ->
     # host's storms run for minutes and can blanket every wide leg in a
     # round. Each extra round re-measures BOTH legs (unbiased sampling;
     # best-of per leg), bounded so the bench terminates.
-    extra = int(os.environ.get("CCS_BENCH_MAX_EXTRA_ROUNDS", "2"))
+    # default raised 2→4: one measured full run had EVERY wide leg under a
+    # multi-minute storm (16-core sustained 115k vs 212-226k quiet an hour
+    # either side) — four bounded re-rounds ≈ +14 min worst case and give
+    # the wide leg four more distinct weather windows
+    extra = int(os.environ.get("CCS_BENCH_MAX_EXTRA_ROUNDS", "4"))
     while (
         extra > 0
         and (results[hi]["sustained_events_per_sec"] or 0)

@@ -786,30 +786,10 @@ def q_mm_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- full-engine replay (the flagship: engine output vs SQL oracle) -------
 
 
-@register(
-    "cdc_engine_replay",
-    f"""
-    SELECT 'u' || CAST(user_id AS VARCHAR) AS url,
-           CAST({{CENTS}} AS VARCHAR) AS text
-    FROM (
-      SELECT user_id, value, {_OP_EXPR} AS op,
-             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
-      FROM events
-    ) WHERE rn = 1 AND op <> 'D'
-    """.replace("{CENTS}", _CENTS),
-)
-def q_cdc_engine_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """END-TO-END: the real engine (feed → apply_epoch → LakeTable merge →
-    scan) replaying the events table as a change feed, graded against the
-    plain-SQL final state. Events map onto the page payload (url='u<uid>',
-    text=value-in-cents); 4 epochs, exactly-once, LWW per url."""
-    import shutil
-    import tempfile
-
-    from .lake import LakeTable
-    from .model import PAGE_SCHEMA
-    from .plans import ApplyConfig, apply_epoch
-
+def _events_as_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map the events table onto the change-event feed shape (url='u<uid>',
+    text=value-in-cents, op from _OP_EXPR, lsn=event_id) — shared by every
+    replay-the-engine query so Spark and oracle agree on the encoding."""
     _utc(spark)
     ev = _events(spark, sf_dir)
     feed = ev.select(
@@ -835,7 +815,7 @@ def q_cdc_engine_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("op") != "I", F.col("img")).alias("before"),
         F.when(F.col("op") != "D", F.col("img")).alias("after"),
     ).drop("img")
-    feed = (
+    return (
         feed.withColumn("ddl_type", F.lit(None).cast("string"))
         .withColumn("ddl_sql", F.lit(None).cast("string"))
         .withColumn("ddl_column", F.lit(None).cast("string"))
@@ -844,6 +824,20 @@ def q_cdc_engine_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("props", F.lit(None).cast("map<string,string>"))
     )
 
+
+def _replay_events_table(spark: SparkSession, sf_dir: str, n_epochs: int = 4):
+    """Drive the real engine over the events feed in ``n_epochs`` LSN
+    slices into a fresh MOR LakeTable; returns (table, versions) with the
+    snapshot version recorded after each epoch (for changelog reads)."""
+    import shutil
+    import tempfile
+
+    from .lake import LakeTable
+    from .model import PAGE_SCHEMA
+    from .plans import ApplyConfig, apply_epoch
+    from .plans.apply import BatchHints
+
+    feed = _events_as_feed(spark, sf_dir)
     tmp = tempfile.mkdtemp(prefix="ccs-replay-")
     shutil.rmtree(tmp, ignore_errors=True)
     table = LakeTable.create(
@@ -851,17 +845,91 @@ def q_cdc_engine_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = feed.agg(F.max("lsn")).collect()[0][0] + 1
     cfg = ApplyConfig(transform=False, salted=True, n_salts=8, merge_mode="mor")
-    epoch_size = n // 4 + 1
-    from .plans.apply import BatchHints
-
-    for e in range(4):
+    epoch_size = n // n_epochs + 1
+    versions = []
+    for e in range(n_epochs):
         batch = feed.filter(
             (F.col("lsn") >= e * epoch_size) & (F.col("lsn") < (e + 1) * epoch_size)
         )
         # the feed is synthesized DDL-free by construction — assert that
         # hint so each epoch takes the single-pass observe() fast path
         apply_epoch(spark, batch, e, table, cfg, hints=BatchHints(ddl_possible=False))
+        versions.append(table.current_version())
+    return table, versions
+
+
+@register(
+    "cdc_engine_replay",
+    f"""
+    SELECT 'u' || CAST(user_id AS VARCHAR) AS url,
+           CAST({{CENTS}} AS VARCHAR) AS text
+    FROM (
+      SELECT user_id, value, {_OP_EXPR} AS op,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1 AND op <> 'D'
+    """.replace("{CENTS}", _CENTS),
+)
+def q_cdc_engine_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END: the real engine (feed → apply_epoch → LakeTable merge →
+    scan) replaying the events table as a change feed, graded against the
+    plain-SQL final state. Events map onto the page payload (url='u<uid>',
+    text=value-in-cents); 4 epochs, exactly-once, LWW per url."""
+    table, _ = _replay_events_table(spark, sf_dir)
     return table.scan().select("url", "text")
+
+
+@register(
+    "cdc_changelog_read",
+    f"""
+    WITH bounds AS (SELECT max(event_id) + 1 AS n FROM events),
+    ranked AS (
+      SELECT 'u' || CAST(user_id AS VARCHAR) AS url,
+             CASE WHEN {_OP_EXPR} = 'D' THEN NULL
+                  ELSE CAST({_CENTS} AS VARCHAR) END AS text,
+             {_OP_EXPR} AS op, event_id AS lsn,
+             event_id // (n // 4 + 1) AS epoch,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, event_id // (n // 4 + 1)
+               ORDER BY event_id DESC) AS rn
+      FROM events, bounds
+    )
+    SELECT url, text, op, CAST(lsn AS BIGINT) AS lsn
+    FROM ranked WHERE rn = 1 AND epoch >= 1
+    """,
+)
+def q_cdc_changelog_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental changelog (the downstream-consumer surface): replay the
+    events feed through the engine, then `scan_changes` from the snapshot
+    after epoch 0 to head — exactly the LWW winners (incl. delete markers)
+    applied by epochs 1..3, verified against a SQL winners-per-epoch
+    reconstruction. Exercises the MOR contract: change stream out equals
+    the winners applied in (lake/table.py scan_changes)."""
+    table, versions = _replay_events_table(spark, sf_dir)
+    ch = table.scan_changes(from_version=versions[0])
+    return ch.select(
+        "url", "text", F.col("__op").alias("op"), F.col("__lsn").alias("lsn")
+    )
+
+
+@register(
+    "cdc_point_lookup",
+    f"""
+    SELECT 'u' || CAST(user_id AS VARCHAR) AS url, CAST({_CENTS} AS VARCHAR) AS text
+    FROM (
+      SELECT user_id, value, {_OP_EXPR} AS op,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      FROM events WHERE user_id = 7
+    ) WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def q_cdc_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-pruned point read (the primary consumer op on a CDC table:
+    'current row for this url'): replay, then `lookup(url='u7')` — reads
+    and reconciles ONLY that key's hash bucket, O(table/n_buckets) instead
+    of a table scan."""
+    table, _ = _replay_events_table(spark, sf_dir)
+    return table.lookup(url="u7").select("url", "text")
 
 
 # --------------------------------------------------------------------------

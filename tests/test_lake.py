@@ -175,3 +175,35 @@ def test_lookup_point_read_prunes_buckets(spark, tmp_table_dir, monkeypatch):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         t.lookup(text="nope")  # bucket key column missing
+
+
+def test_per_file_lsn_lineage(spark, tmp_table_dir):
+    """Every MOR delta file records the source-LSN range that produced it
+    (per-partition lineage, footer stats at write time); lineage() exposes
+    file → (bucket, rows, lsn range, snapshot) with zero Spark jobs."""
+    t = make_table(spark, tmp_table_dir)
+    s1 = src(spark, [("u1", "2024-01-01 00:00:00", "a"),
+                     ("u2", "2024-01-01 00:00:00", "b")]).withColumn(
+        "lsn", F.when(F.col("url") == "u1", F.lit(10)).otherwise(F.lit(20)))
+    t.merge(s1, epoch_id=0, mode="mor", lsn_col="lsn")
+    s2 = src(spark, [("u3", "2024-01-01 00:00:00", "c")]).withColumn("lsn", F.lit(30))
+    t.merge(s2, epoch_id=1, mode="mor", lsn_col="lsn")
+
+    lin = t.lineage()
+    deltas = [f for f in lin if f["kind"] == "delta"]
+    assert deltas and all(f["lsn_min"] is not None for f in deltas)
+    assert min(f["lsn_min"] for f in deltas) == 10
+    assert max(f["lsn_max"] for f in deltas) == 30
+    assert sum(f["rows"] for f in deltas) == 3
+    # epoch-0 files only cover lsn <= 20; epoch-1 file covers exactly 30
+    e1_files = [f for f in deltas if f["lsn_min"] == 30]
+    assert e1_files and all(f["lsn_max"] == 30 for f in e1_files)
+
+    # compaction folds deltas into base; lineage survives (base files keep
+    # __lsn stats) and the delta list empties
+    t.compact()
+    lin2 = t.lineage()
+    assert not [f for f in lin2 if f["kind"] == "delta"]
+    base = [f for f in lin2 if f["kind"] == "base" and f["rows"]]
+    assert min(f["lsn_min"] for f in base) == 10
+    assert max(f["lsn_max"] for f in base) == 30
