@@ -1,3 +1,49 @@
+from .dedup import (
+    exact_dedup,
+    minhash_lsh_buckets,
+    minhash_signature,
+    neardup_clusters,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_neardup_pairs,
+    simhash_wide,
+)
 from .lww import lww_dedup, salted_lww_dedup
+from .multimodal import extract_media_meta, resize_images, sample_frames
+from .similarity import (
+    ann_lsh_topk,
+    ann_multiprobe_topk,
+    brute_force_topk,
+    cosine_neardup_pairs,
+    embedding_norms,
+    ivf_topk,
+    lsh_buckets,
+)
+from .text import doc_fingerprint, lang_id, quality_score, token_stats
 
-__all__ = ["lww_dedup", "salted_lww_dedup"]
+__all__ = [
+    "ann_lsh_topk",
+    "ann_multiprobe_topk",
+    "brute_force_topk",
+    "cosine_neardup_pairs",
+    "doc_fingerprint",
+    "embedding_norms",
+    "exact_dedup",
+    "extract_media_meta",
+    "ivf_topk",
+    "lang_id",
+    "lsh_buckets",
+    "lww_dedup",
+    "minhash_lsh_buckets",
+    "minhash_signature",
+    "neardup_clusters",
+    "ngram_jaccard_pairs",
+    "quality_score",
+    "resize_images",
+    "salted_lww_dedup",
+    "sample_frames",
+    "simhash",
+    "simhash_neardup_pairs",
+    "simhash_wide",
+    "token_stats",
+]
