@@ -71,10 +71,25 @@ def _replay_once(spark, work: str, n_events: int, n_urls: int, n_epochs: int,
     cache_key = f"ev{n_events}-u{n_urls}-k{cfg.html_kb}-s{n_epochs}"
     cache_base = "/dev/shm/ccs-feedcache" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
     feed_dir = os.path.join(cache_base, cache_key)
+    # evict stale generations: ad-hoc probe sizes would otherwise
+    # accumulate multi-GB feeds in tmpfs for the host's lifetime. Age-based
+    # (3 h since last use, _DONE touched on every hit) so the warmup and
+    # main keys of a live bench run never evict each other.
     done_marker = os.path.join(feed_dir, "_DONE")
+    if os.path.isdir(cache_base):
+        for old in os.listdir(cache_base):
+            marker = os.path.join(cache_base, old, "_DONE")
+            try:
+                stale = time.time() - os.path.getmtime(marker) > 3 * 3600
+            except OSError:
+                stale = old != cache_key  # unfinished generation, not ours
+            if old != cache_key and stale:
+                shutil.rmtree(os.path.join(cache_base, old), ignore_errors=True)
     if not os.path.exists(done_marker):
         materialize_feed(spark, cfg, feed_dir, n_slices=n_epochs, files_per_slice=64)
         open(done_marker, "w").close()
+    else:
+        os.utime(done_marker)
     os.makedirs(f"{work}", exist_ok=True)
     if not os.path.isdir(f"{work}/feed"):
         os.symlink(feed_dir, f"{work}/feed")

@@ -446,6 +446,8 @@ class LakeTable:
         """
         commit_id = uuid.uuid4().hex[:12]
         tmp = os.path.join(self.path, f".stage-{commit_id}")
+        _tm = os.environ.get("CCS_TIMING") == "1"
+        _t0 = time.monotonic()
         # hash-distribute buckets over ~core-count tasks; partitionBy still
         # yields one file per bucket per task — same file count, fewer and
         # larger write tasks than one-task-per-bucket
@@ -457,6 +459,9 @@ class LakeTable:
             .mode("overwrite")
             .parquet(tmp)
         )
+        if _tm:
+            print(f"[write spark-job: {time.monotonic() - _t0:.2f}s]", flush=True)
+            _t0 = time.monotonic()
         import pyarrow.parquet as pq
 
         entries: list[dict] = []
@@ -497,6 +502,8 @@ class LakeTable:
                     }
                 )
         shutil.rmtree(tmp)
+        if _tm:
+            print(f"[write manifest({len(entries)}f): {time.monotonic() - _t0:.2f}s]", flush=True)
         return entries
 
     def lineage(self, version: int | None = None) -> list[dict]:
@@ -725,10 +732,12 @@ class LakeTable:
         import os as _os, time as _time
         if _os.environ.get("CCS_EXPLAIN") == "1":
             delta.explain("formatted")
+        _tm = _os.environ.get("CCS_TIMING") == "1"
         _t0 = _time.monotonic()
         new_files = self._write_data_files(snap, delta)
-        if _os.environ.get("CCS_TIMING") == "1":
+        if _tm:
             print(f"[mor delta-write: {_time.monotonic() - _t0:.2f}s]", flush=True)
+            _t0 = _time.monotonic()
         epochs = dict(snap.committed_epochs)
         if epoch_id is not None:
             epochs[str(epoch_id)] = (lineage() if callable(lineage) else lineage) or {}
@@ -739,6 +748,8 @@ class LakeTable:
             operation=f"merge-mor:epoch={epoch_id}",
         )
         self._write_snapshot(child)
+        if _tm:
+            print(f"[mor commit: {_time.monotonic() - _t0:.2f}s]", flush=True)
         result = MergeResult(
             applied=True, version=child.version,
             touched_buckets=len({f["bucket"] for f in new_files}),

@@ -224,6 +224,7 @@ def _apply_fast(
     strategy, salted = _effective_strategy(cfg, hints.n_events)
     source = _dedup_flatten(rows, cfg, strategy=strategy, salted=salted, wins_source=rows_plain)
     aligned = _align_to_table(source, table)
+    _tlog(f"e{epoch_id} plan-build", t0)
     mr = table.merge(
         aligned,
         epoch_id=epoch_id,

@@ -128,11 +128,17 @@ class FeedFollower:
         return files
 
     def _apply(self, epoch_id: int, files: list[str]) -> ApplyResult:
+        import os as _os, time as _time
+        _t0 = _time.monotonic()
+        hints = footer_hints(files)
+        if _os.environ.get("CCS_TIMING") == "1":
+            print(f"[follower e{epoch_id} hints({len(files)}f): {_time.monotonic() - _t0:.2f}s]",
+                  flush=True)
         batch = self.spark.read.schema(CHANGE_EVENT_SCHEMA).parquet(*files)
         return apply_epoch(
             self.spark, batch, epoch_id, self.table, self.cfg,
             metrics_table=self.metrics_table,
-            hints=footer_hints(files),
+            hints=hints,
         )
 
     def _cut_epochs(self, fresh: list[str]) -> list[list[str]]:
