@@ -913,6 +913,38 @@ def q_cdc_changelog_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_windowed_metrics",
+    f"""
+    SELECT CAST(epoch_us(time_bucket(INTERVAL '1 day', ts)) AS BIGINT) AS window_start_us,
+           'events' AS table_name,
+           count(*) AS n_events,
+           count(*) AS n_rows,
+           CAST(sum(CASE WHEN {_OP_EXPR} = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes,
+           CAST(min(event_id) AS BIGINT) AS lsn_min,
+           CAST(max(event_id) AS BIGINT) AS lsn_max
+    FROM events GROUP BY 1
+    """,
+)
+def q_cdc_windowed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked windowed metrics (batch twin — the same operator runs
+    streaming with ``withWatermark`` bounding state; late-data semantics
+    asserted in tests/test_windowed_stream.py): per-day event/delete
+    counts + LSN range over the change feed (streaming/windows.py)."""
+    from .streaming.windows import windowed_event_counts
+
+    out = windowed_event_counts(_events_as_feed(spark, sf_dir), "1 day")
+    return out.select(
+        F.unix_micros(F.col("window_start")).alias("window_start_us"),
+        "table_name",
+        "n_events",
+        "n_rows",
+        "n_deletes",
+        "lsn_min",
+        "lsn_max",
+    )
+
+
+@register(
     "cdc_point_lookup",
     f"""
     SELECT 'u' || CAST(user_id AS VARCHAR) AS url, CAST({_CENTS} AS VARCHAR) AS text

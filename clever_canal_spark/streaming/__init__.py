@@ -1,5 +1,14 @@
 from .follower import FeedFollower, footer_hints, throughput_view
 from .pipeline import CdcPipeline, run_available
 from .stateful import winner_delta_stream
+from .windows import windowed_event_counts
 
-__all__ = ["CdcPipeline", "FeedFollower", "footer_hints", "run_available", "throughput_view", "winner_delta_stream"]
+__all__ = [
+    "CdcPipeline",
+    "FeedFollower",
+    "footer_hints",
+    "run_available",
+    "throughput_view",
+    "windowed_event_counts",
+    "winner_delta_stream",
+]

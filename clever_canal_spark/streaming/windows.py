@@ -1,0 +1,74 @@
+"""Watermarked windowed aggregation over the change-event stream.
+
+The engine's apply path needs no watermark (LWW by LSN is order-insensitive,
+so late events are reconciled, not dropped), but the *metrics* side of a
+CDC deployment is classic windowed streaming: events/sec per table per
+time window, with bounded state. This is the Structured Streaming
+restatement of the reference's prometheus rate gauges
+(EntryCollector.java:32-33, StoreCollector.java:33-43) as a windowed
+aggregation with late-data tolerance:
+
+- ``withWatermark(ts, slack)`` bounds the aggregation state: a window's
+  state is dropped once the watermark (max observed ts - slack) passes its
+  end, so the query runs forever on bounded memory — the 100-TB/forever
+  requirement for any streaming agg;
+- events arriving later than the watermark are dropped (their window's
+  state is gone); events late but within the slack still update their
+  window — the standard lateness trade, tuned by ``watermark``.
+
+Output mode notes: use ``update`` to emit per-batch window deltas to a
+changelog-style sink, or ``append`` to emit each window exactly once when
+the watermark closes it (append holds a window back until it cannot
+receive late data anymore).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..model import KIND_DDL, KIND_HEARTBEAT, KIND_ROW
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window_duration: str = "1 minute",
+    slide: str | None = None,
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Per-(time window, table) event/row/delete counts over a (streaming
+    or batch) change-event DataFrame, with watermark-bounded state.
+
+    Works identically on a batch DataFrame (the watermark folds away) —
+    the driver-contract oracle checks the batch twin; streaming semantics
+    (late-row drop, state eviction) are asserted in
+    tests/test_windowed_stream.py.
+    """
+    if events.isStreaming:
+        events = events.withWatermark("ts", watermark)
+    win = F.window(F.col("ts"), window_duration, slide or window_duration)
+    return (
+        events.groupBy(win.alias("win"), F.col("table_name"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((F.col("kind") == KIND_ROW).cast("long")).alias("n_rows"),
+            F.sum(((F.col("kind") == KIND_ROW) & (F.col("op") == "D")).cast("long")).alias(
+                "n_deletes"
+            ),
+            F.sum((F.col("kind") == KIND_DDL).cast("long")).alias("n_ddl"),
+            F.sum((F.col("kind") == KIND_HEARTBEAT).cast("long")).alias("n_heartbeats"),
+            F.min("lsn").alias("lsn_min"),
+            F.max("lsn").alias("lsn_max"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "table_name",
+            "n_events",
+            "n_rows",
+            "n_deletes",
+            "n_ddl",
+            "n_heartbeats",
+            "lsn_min",
+            "lsn_max",
+        )
+    )

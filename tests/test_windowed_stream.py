@@ -1,0 +1,99 @@
+"""Watermarked windowed aggregation: batch twin correctness + streaming
+late-data semantics (late-within-slack updates its window; later than the
+watermark is dropped; state is evicted)."""
+
+import os
+import time
+
+from pyspark.sql import Row, functions as F
+
+from clever_canal_spark.model import CHANGE_EVENT_SCHEMA
+from clever_canal_spark.streaming import windowed_event_counts
+
+
+def _event(lsn, ts, kind="ROW", op="U", table="pages"):
+    return Row(
+        lsn=lsn, ts=ts, kind=kind, schema_name="cc", table_name=table,
+        op=op if kind == "ROW" else None, txn_id=lsn // 10, server_id=1,
+        gtid=None, before=None, after=None, ddl_type=None, ddl_sql=None,
+        ddl_column=None, ddl_new_name=None, ddl_new_type=None, props=None,
+    )
+
+
+def _ts(minute, second=0):
+    import datetime
+
+    return datetime.datetime(2024, 1, 1, 12, minute, second)
+
+
+def test_windowed_counts_batch_twin(spark):
+    rows = [
+        _event(1, _ts(0, 10)), _event(2, _ts(0, 50), op="D"),
+        _event(3, _ts(1, 10)), _event(4, _ts(1, 20), kind="HEARTBEAT"),
+        _event(5, _ts(3, 0), table="other"),
+    ]
+    df = spark.createDataFrame(rows, CHANGE_EVENT_SCHEMA)
+    out = {
+        (str(r["window_start"]), r["table_name"]): r
+        for r in windowed_event_counts(df, "1 minute").collect()
+    }
+    w0 = out[("2024-01-01 12:00:00", "pages")]
+    assert w0["n_events"] == 2 and w0["n_deletes"] == 1 and w0["lsn_max"] == 2
+    w1 = out[("2024-01-01 12:01:00", "pages")]
+    assert w1["n_events"] == 2 and w1["n_rows"] == 1 and w1["n_heartbeats"] == 1
+    assert out[("2024-01-01 12:03:00", "other")]["n_events"] == 1
+
+
+def test_windowed_stream_watermark_late_data(spark, tmp_path):
+    """File-stream drive: batch 1 establishes the watermark; batch 2
+    carries one late-but-within-slack event (must update its window) and
+    one event older than the watermark (must be dropped)."""
+    feed = str(tmp_path / "feed")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(feed)
+
+    def write_slice(name, rows):
+        spark.createDataFrame(rows, CHANGE_EVENT_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / name))
+        src = [
+            f for f in os.listdir(tmp_path / name) if f.endswith(".parquet")
+        ][0]
+        os.rename(str(tmp_path / name / src), os.path.join(feed, f"{name}.parquet"))
+
+    # batch 1: events at 12:00 and 12:10 → watermark after batch = 12:10 - 2min = 12:08
+    write_slice("a", [_event(1, _ts(0, 30)), _event(2, _ts(10, 0))])
+
+    stream = (
+        spark.readStream.schema(CHANGE_EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+    )
+    agg = windowed_event_counts(stream, "1 minute", watermark="2 minutes")
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("winagg")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = {
+            (str(r["window_start"]), r["n_events"])
+            for r in spark.sql("SELECT * FROM winagg").collect()
+        }
+        assert ("2024-01-01 12:00:00", 1) in first
+        assert ("2024-01-01 12:10:00", 1) in first
+
+        time.sleep(1.1)  # distinct mtime so file order is deterministic
+        # batch 2: 12:09:30 is late but >= watermark (12:08) → its window
+        # updates; 12:01:00 is older than the watermark → dropped
+        write_slice("b", [_event(3, _ts(9, 30)), _event(4, _ts(1, 0))])
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM winagg").collect()
+        emitted = {(str(r["window_start"]), r["n_events"]) for r in rows}
+        assert ("2024-01-01 12:09:00", 1) in emitted  # late-within-slack kept
+        assert not any(w == "2024-01-01 12:01:00" for w, _ in emitted)  # too-late dropped
+    finally:
+        q.stop()
