@@ -763,6 +763,69 @@ class LakeTable:
             self.compact()
         return result
 
+    # -- retention / garbage collection ------------------------------------
+
+    def expire_snapshots(self, keep_last: int = 10) -> list[int]:
+        """Delete snapshot log entries older than the newest ``keep_last``
+        (the Iceberg ``expire_snapshots`` analog). Time travel and
+        ``scan_changes`` reach back only as far as the oldest retained
+        snapshot afterwards. Data files are NOT touched here — run
+        :meth:`vacuum` to drop files no retained snapshot references.
+        Returns the expired version numbers."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        versions = sorted(
+            int(n[1:9])
+            for n in os.listdir(self._log_path)
+            if n.startswith("v") and n.endswith(".json")
+        )
+        expired = versions[:-keep_last]
+        for v in expired:
+            os.unlink(os.path.join(self._log_path, f"v{v:08d}.json"))
+        return expired
+
+    def vacuum(self, orphan_ttl_s: float = 3600.0) -> dict:
+        """Remove data files referenced by NO retained snapshot and stale
+        ``.stage-*`` write directories (the ``remove_orphan_files``
+        analog; crash-killed writes leave both behind).
+
+        Only paths older than ``orphan_ttl_s`` are deleted: a concurrent
+        writer's files exist on disk BEFORE its snapshot commits, so a
+        too-eager vacuum would eat an in-flight commit — the TTL is the
+        standard defense (Iceberg defaults to 3 days; an hour is generous
+        for a single commit). Snapshot logs themselves are immutable, so
+        reference collection over every retained version is exact."""
+        now = time.time()
+        referenced: set[str] = set()
+        for name in os.listdir(self._log_path):
+            if name.startswith("v") and name.endswith(".json"):
+                snap = self.snapshot(int(name[1:9]))
+                referenced.update(f["path"] for f in snap.files + snap.delta_files)
+        removed_files: list[str] = []
+        for fn in os.listdir(self._data_path):
+            rel = os.path.join(_DATA_DIR, fn)
+            full = os.path.join(self._data_path, fn)
+            if rel in referenced:
+                continue
+            try:
+                if now - os.path.getmtime(full) < orphan_ttl_s:
+                    continue
+                os.unlink(full)
+                removed_files.append(rel)
+            except OSError:
+                continue
+        removed_stages = 0
+        for dn in os.listdir(self.path):
+            full = os.path.join(self.path, dn)
+            if dn.startswith(".stage-") and os.path.isdir(full):
+                try:
+                    if now - os.path.getmtime(full) >= orphan_ttl_s:
+                        shutil.rmtree(full, ignore_errors=True)
+                        removed_stages += 1
+                except OSError:
+                    continue
+        return {"removed_files": removed_files, "removed_stage_dirs": removed_stages}
+
     def compact(self, purge_tombstones_below: int | None = None) -> int | None:
         """Fold MOR delta files into the base — **incrementally**: only
         buckets that actually have delta files are reconciled and rewritten;

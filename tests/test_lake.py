@@ -207,3 +207,43 @@ def test_per_file_lsn_lineage(spark, tmp_table_dir):
     base = [f for f in lin2 if f["kind"] == "base" and f["rows"]]
     assert min(f["lsn_min"] for f in base) == 10
     assert max(f["lsn_max"] for f in base) == 30
+
+
+def test_expire_snapshots_and_vacuum(spark, tmp_table_dir):
+    """Retention GC: expired snapshots disappear from the log; vacuum
+    removes data files only expired snapshots referenced (plus stale
+    .stage dirs), never files a retained snapshot needs, and never files
+    younger than the orphan TTL."""
+    import os
+
+    t = make_table(spark, tmp_table_dir)
+    t.merge(src(spark, [("u1", "2024-01-01 00:00:00", "a")]), epoch_id=0)
+    t.merge(src(spark, [("u1", "2024-01-01 00:00:00", "b")]), epoch_id=1)  # rewrites u1's bucket
+    t.merge(src(spark, [("u2", "2024-01-01 00:00:00", "c")]), epoch_id=2)
+    v_head = t.current_version()
+    n_data_before = len(os.listdir(os.path.join(tmp_table_dir, "data")))
+    os.makedirs(os.path.join(tmp_table_dir, ".stage-dead"))
+
+    expired = t.expire_snapshots(keep_last=1)
+    assert expired and t.current_version() == v_head
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        t.snapshot(expired[0])
+
+    # TTL guard: nothing young gets deleted
+    res = t.vacuum(orphan_ttl_s=3600)
+    assert not res["removed_files"] and res["removed_stage_dirs"] == 0
+
+    res = t.vacuum(orphan_ttl_s=0)
+    assert res["removed_files"] and res["removed_stage_dirs"] == 1
+    # the live state is intact and fully readable
+    assert rows_of(t.scan()) == {
+        ("u1", "2024-01-01 00:00:00", "b"),
+        ("u2", "2024-01-01 00:00:00", "c"),
+    }
+    # every retained-referenced file survived
+    snap = t.snapshot()
+    for f in snap.files + snap.delta_files:
+        assert os.path.exists(os.path.join(tmp_table_dir, f["path"]))
+    assert len(os.listdir(os.path.join(tmp_table_dir, "data"))) < n_data_before
