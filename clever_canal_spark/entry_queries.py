@@ -567,7 +567,7 @@ def q_doc_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH sh AS (
       SELECT doc_id, source, list_distinct({_DUCK_SHINGLES}) AS s
-      FROM documents WHERE doc_id < 400
+      FROM documents WHERE doc_id < 500
     ),
     ex0 AS (SELECT doc_id, source, unnest(s) AS h FROM sh),
     hot AS (
@@ -586,17 +586,19 @@ def q_doc_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM pairs
     JOIN sz sa ON sa.doc_id = doc_a
     JOIN sz sb ON sb.doc_id = doc_b
-    WHERE 5 * inter >= 4 * (sa.n + sb.n - inter)
+    WHERE 5 * inter >= 3 * (sa.n + sb.n - inter)
     """,
 )
 def q_doc_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard near-dup pairs (exact integer threshold test),
     shingle-join blocked within source groups + a stop-shingle document-
-    frequency cap (max_df) bounding the self-join fan-out, doc_id<400
+    frequency cap (max_df) bounding the self-join fan-out, doc_id<500
     window. The cap is a no-op at fixture scale (df ≤ group size < cap);
-    the oracle applies the identical cap so parity holds at any SF."""
-    docs = _documents(spark, sf_dir).filter(F.col("doc_id") < 400)
-    return ngram_jaccard_pairs(docs, max_df=10_000)
+    the oracle applies the identical cap so parity holds at any SF.
+    τ = 3/5 yields ~400 pairs on the fixture (τ = 4/5 found exactly one —
+    too thin an oracle to trust)."""
+    docs = _documents(spark, sf_dir).filter(F.col("doc_id") < 500)
+    return ngram_jaccard_pairs(docs, tau_num=3, tau_den=5, max_df=10_000)
 
 
 def _duck_simhash_expr() -> str:
