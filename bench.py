@@ -394,6 +394,10 @@ def main() -> None:
                           shuffle_partitions=cpus)
     queries: dict[str, float] = {}
     try:
+        # session warmup so the first listed query doesn't absorb executor
+        # spin-up + codegen init (measured ~7s attributed to whichever
+        # query ran first)
+        QUERIES[QUERY_NAMES[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
         for name in QUERY_NAMES:
             t0 = time.monotonic()
             QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
