@@ -78,13 +78,20 @@ def _replay_once(spark, work: str, n_events: int, n_urls: int, n_epochs: int,
     done_marker = os.path.join(feed_dir, "_DONE")
     if os.path.isdir(cache_base):
         for old in os.listdir(cache_base):
-            marker = os.path.join(cache_base, old, "_DONE")
+            if old == cache_key:
+                continue
+            entry = os.path.join(cache_base, old)
             try:
-                stale = time.time() - os.path.getmtime(marker) > 3 * 3600
+                # no _DONE yet = possibly a CONCURRENT process mid-write —
+                # judge staleness by the dir itself, never delete young
+                ref = os.path.join(entry, "_DONE")
+                if not os.path.exists(ref):
+                    ref = entry
+                stale = time.time() - os.path.getmtime(ref) > 3 * 3600
             except OSError:
-                stale = old != cache_key  # unfinished generation, not ours
-            if old != cache_key and stale:
-                shutil.rmtree(os.path.join(cache_base, old), ignore_errors=True)
+                continue
+            if stale:
+                shutil.rmtree(entry, ignore_errors=True)
     if not os.path.exists(done_marker):
         materialize_feed(spark, cfg, feed_dir, n_slices=n_epochs, files_per_slice=64)
         open(done_marker, "w").close()
@@ -396,8 +403,18 @@ def main() -> None:
     try:
         # session warmup so the first listed query doesn't absorb executor
         # spin-up + codegen init (measured ~7s attributed to whichever
-        # query ran first)
-        QUERIES[QUERY_NAMES[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        # query ran first). Warm with a NON-measured op — re-running the
+        # first listed query would hand it a warm-repeat advantage the
+        # other queries don't get.
+        from pyspark.sql import functions as _F
+
+        from clever_canal_spark.functions.transforms import enrich_udf as _warm_udf
+
+        (
+            spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            .select(_warm_udf(_F.encode("text", "UTF-8")))
+            .write.format("noop").mode("overwrite").save()
+        )
         for name in QUERY_NAMES:
             t0 = time.monotonic()
             QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()

@@ -15,6 +15,7 @@ value-hash at sf=0.01):
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -827,10 +828,19 @@ def _events_as_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# replay results memoized per (session, sf_dir, n_epochs): three driver
+# queries (flagship scan, changelog read, point lookup) share one engine
+# replay instead of each paying the full 4-epoch apply — and one tmpdir
+# per sweep instead of three
+_REPLAY_CACHE: dict[tuple, tuple[str, list[int]]] = {}
+
+
 def _replay_events_table(spark: SparkSession, sf_dir: str, n_epochs: int = 4):
     """Drive the real engine over the events feed in ``n_epochs`` LSN
     slices into a fresh MOR LakeTable; returns (table, versions) with the
-    snapshot version recorded after each epoch (for changelog reads)."""
+    snapshot version recorded after each epoch (for changelog reads).
+    Memoized per Spark application — replaying is deterministic, so every
+    caller sees the identical table."""
     import shutil
     import tempfile
 
@@ -838,6 +848,12 @@ def _replay_events_table(spark: SparkSession, sf_dir: str, n_epochs: int = 4):
     from .model import PAGE_SCHEMA
     from .plans import ApplyConfig, apply_epoch
     from .plans.apply import BatchHints
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), n_epochs)
+    hit = _REPLAY_CACHE.get(key)
+    if hit is not None:
+        path, versions = hit
+        return LakeTable(spark, path), list(versions)
 
     feed = _events_as_feed(spark, sf_dir)
     tmp = tempfile.mkdtemp(prefix="ccs-replay-")
@@ -857,6 +873,7 @@ def _replay_events_table(spark: SparkSession, sf_dir: str, n_epochs: int = 4):
         # hint so each epoch takes the single-pass observe() fast path
         apply_epoch(spark, batch, e, table, cfg, hints=BatchHints(ddl_possible=False))
         versions.append(table.current_version())
+    _REPLAY_CACHE[key] = (tmp, list(versions))
     return table, versions
 
 

@@ -137,6 +137,15 @@ def neardup_clusters(
     # localCheckpoint (not cache): the label loop would otherwise grow the
     # logical plan by two joins per round — analysis/optimization time
     # compounds until round 5 costs 4x round 0 (measured)
+    def _free_checkpoint(cp_df) -> None:
+        """Best-effort unpersist of a localCheckpoint's materialized RDD
+        (no public DataFrame API); on failure the ContextCleaner frees the
+        blocks once the JVM GCs the dereferenced Dataset."""
+        try:
+            cp_df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        except Exception:
+            pass
+
     bi = edges.unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).localCheckpoint()
@@ -174,9 +183,12 @@ def neardup_clusters(
         )
         # eager localCheckpoint runs the round's ONE job (materialize +
         # resolve the observation) and truncates lineage for the next
+        prev = labels
         labels = new_labels.localCheckpoint()
+        _free_checkpoint(prev)
         if not (obs.get["n_changed"] or 0):
             break
+    _free_checkpoint(bi)
     return labels
 
 
@@ -237,20 +249,40 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash_expr(text_col: str, bits: int = SIMHASH_BITS) -> str:
-    """SQL expression for a ``bits``-wide SimHash over whitespace tokens of
-    length ≥ 3 (token hash = 3-char polynomial of its prefix; each bit is
-    the sign of the ±1 votes)."""
-    tokens = f"filter(split({text_col}, ' '), t -> length(t) >= 3)"
-    th = "CAST(ascii(substring(t, 1, 1))*961 + ascii(substring(t, 2, 1))*31 + ascii(substring(t, 3, 1)) AS BIGINT)"
-    bit_terms = []
+# 3-char-prefix token hash — the single source for both simhash forms and
+# (via entry_queries' generators) the DuckDB oracle's literal twin
+_TH3 = (
+    "CAST(ascii(substring(t, 1, 1))*961 + ascii(substring(t, 2, 1))*31 "
+    "+ ascii(substring(t, 3, 1)) AS BIGINT)"
+)
+
+
+def _token_hash3_array_expr(text_col: str) -> str:
+    """Array of 3-char-prefix token hashes for whitespace tokens ≥ 3 chars."""
+    return f"transform(filter(split({text_col}, ' '), t -> length(t) >= 3), t -> {_TH3})"
+
+
+def _vote_terms(hash_array: str, bits: int) -> list[str]:
+    """One CASE term per signature bit: sign of the ±1 votes of
+    ``hash_array``'s elements' k-th bit. The single implementation behind
+    simhash / simhash_expr / simhash_wide — keep it bit-identical to the
+    DuckDB oracle generators in entry_queries."""
+    terms = []
     for k in range(bits):
         vote = (
-            f"aggregate({tokens}, CAST(0 AS BIGINT), (acc, t) -> acc + "
-            f"(CASE WHEN ({th} div {1 << k}) % 2 = 1 THEN 1 ELSE -1 END))"
+            f"aggregate({hash_array}, CAST(0 AS BIGINT), (acc, h) -> acc + "
+            f"(CASE WHEN (h div {1 << k}) % 2 = 1 THEN 1 ELSE -1 END))"
         )
-        bit_terms.append(f"(CASE WHEN ({vote}) > 0 THEN {1 << k} ELSE 0 END)")
-    return " + ".join(bit_terms)
+        terms.append(f"(CASE WHEN ({vote}) > 0 THEN {1 << k} ELSE 0 END)")
+    return terms
+
+
+def simhash_expr(text_col: str, bits: int = SIMHASH_BITS) -> str:
+    """Single SQL expression for a ``bits``-wide SimHash over whitespace
+    tokens of length ≥ 3 (token hash = 3-char polynomial of its prefix;
+    each bit is the sign of the ±1 votes). Self-contained but recomputes
+    the token-hash array per bit — prefer :func:`simhash` in plans."""
+    return " + ".join(_vote_terms(_token_hash3_array_expr(text_col), bits))
 
 
 def simhash(df: DataFrame, text_col: str = "text", bits: int = SIMHASH_BITS) -> DataFrame:
@@ -258,24 +290,12 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = SIMHASH_BITS) -> 
     once in an inner projection and each bit votes over it — the inline
     form recomputes the tokenize+hash pass per bit (16× at default width;
     same CollapseProject cost-guard reasoning as minhash_signature)."""
-    th = (
-        "CAST(ascii(substring(t, 1, 1))*961 + ascii(substring(t, 2, 1))*31 "
-        "+ ascii(substring(t, 3, 1)) AS BIGINT)"
-    )
     hashed = df.select(
-        "doc_id",
-        F.expr(
-            f"transform(filter(split({text_col}, ' '), t -> length(t) >= 3), t -> {th})"
-        ).alias("__th"),
+        "doc_id", F.expr(_token_hash3_array_expr(text_col)).alias("__th")
     )
-    terms = []
-    for k in range(bits):
-        vote = (
-            f"aggregate(__th, cast(0 as bigint), (acc, h) -> acc + "
-            f"(CASE WHEN (h div {1 << k}) % 2 = 1 THEN 1 ELSE -1 END))"
-        )
-        terms.append(f"(CASE WHEN ({vote}) > 0 THEN {1 << k} ELSE 0 END)")
-    return hashed.select("doc_id", F.expr(" + ".join(terms)).alias("simhash"))
+    return hashed.select(
+        "doc_id", F.expr(" + ".join(_vote_terms("__th", bits))).alias("simhash")
+    )
 
 
 # --- wide SimHash + Hamming-distance near-dup join -------------------------
@@ -317,15 +337,9 @@ def simhash_wide(
     ``bits`` vote-reductions over the cached array — per-row expressions,
     no shuffle)."""
     hashed = df.select("doc_id", F.expr(token_hash_array_expr(text_col)).alias("__th"))
-    terms = []
-    for k in range(bits):
-        vote = (
-            f"aggregate(__th, cast(0 as bigint), (acc, h) -> acc + "
-            f"(CASE WHEN (h div {1 << k}) % 2 = 1 THEN 1 ELSE -1 END))"
-        )
-        terms.append(f"(CASE WHEN ({vote}) > 0 THEN {1 << k} ELSE 0 END)")
     return hashed.select(
-        "doc_id", F.expr(" + ".join(terms)).cast("long").alias("simhash")
+        "doc_id",
+        F.expr(" + ".join(_vote_terms("__th", bits))).cast("long").alias("simhash"),
     )
 
 

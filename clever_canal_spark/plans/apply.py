@@ -224,6 +224,8 @@ def _apply_fast(
     strategy, salted = _effective_strategy(cfg, hints.n_events)
     source = _dedup_flatten(rows, cfg, strategy=strategy, salted=salted, wins_source=rows_plain)
     aligned = _align_to_table(source, table)
+    # NB both stamps measure from epoch start: "plan-build" = driver time
+    # before the merge call, "fast total" = the whole epoch (inclusive)
     _tlog(f"e{epoch_id} plan-build", t0)
     mr = table.merge(
         aligned,
@@ -233,7 +235,7 @@ def _apply_fast(
         lsn_col="lsn",
         compact_every=cfg.compact_every,
     )
-    _tlog(f"e{epoch_id} fast merge", t0)
+    _tlog(f"e{epoch_id} fast total", t0)
     res.applied = True
     res.segments = 1
     if mr.applied:

@@ -157,6 +157,6 @@ def test_simhash_neardup_banding_complete(spark):
         .collect()
     }
     assert banded == brute
-    assert (0, 1, *(h for a_, b_, h in brute if (a_, b_) == (0, 1))) and (0, 1) in {
-        (x, y) for x, y, _ in brute
-    }  # the engineered near-dup pair is found
+    # the engineered near-dup pair is found, within the radius
+    h01 = [h for a_, b_, h in brute if (a_, b_) == (0, 1)]
+    assert h01 and h01[0] <= radius
