@@ -763,6 +763,17 @@ class LakeTable:
             self.compact()
         return result
 
+    def schema_history(self) -> list[dict]:
+        """Every schema version with its fields — the TableMeta-TSDB view
+        (MemoryTableMeta.java:67-88 keeps schema-as-of-position; here
+        schema-as-of-snapshot). Driver-side metadata, zero Spark jobs."""
+        snap = self.snapshot()
+        return [
+            {"schema_version": int(sv), "fields": [dict(f) for f in fields],
+             "current": int(sv) == snap.schema_version}
+            for sv, fields in sorted(snap.schemas.items(), key=lambda kv: int(kv[0]))
+        ]
+
     # -- retention / garbage collection ------------------------------------
 
     def expire_snapshots(self, keep_last: int = 10) -> list[int]:

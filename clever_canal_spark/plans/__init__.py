@@ -1,4 +1,4 @@
-from .apply import ApplyConfig, ApplyResult, apply_epoch
+from .apply import ApplyConfig, ApplyResult, apply_epoch, bootstrap_epoch
 from .ddl import apply_ddl_idempotent
 
-__all__ = ["ApplyConfig", "ApplyResult", "apply_epoch", "apply_ddl_idempotent"]
+__all__ = ["ApplyConfig", "ApplyResult", "apply_epoch", "apply_ddl_idempotent", "bootstrap_epoch"]

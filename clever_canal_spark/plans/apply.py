@@ -347,6 +347,47 @@ def apply_epoch(
     return res
 
 
+def bootstrap_epoch(
+    table: LakeTable,
+    snapshot_df: DataFrame,
+    as_of_lsn: int,
+    epoch_id: str = "bootstrap",
+) -> ApplyResult:
+    """Initial load (snapshot-then-tail): seed the table from a full-table
+    snapshot consistent as of ``as_of_lsn``, exactly once.
+
+    The Debezium/Canal bootstrap problem (the reference assumes a dump
+    taken at a binlog position, MysqlConnection.java dump+position): every
+    snapshot row enters at ``__lsn = as_of_lsn``, so the LWW reconcile
+    gives the correct overlap semantics for the subsequent CDC tail —
+    change events at lsn ≤ as_of_lsn (already reflected in the snapshot)
+    LOSE to the seeded rows; events after it win. The feed can therefore
+    be replayed from any position at-or-before the snapshot without
+    double-apply, and the whole bootstrap is one idempotent epoch (crash
+    → rerun → no-op)."""
+    res = ApplyResult(epoch_id=epoch_id, applied=False)
+    if table.is_epoch_committed(epoch_id):
+        return res
+    cols = [f["name"] for f in table.snapshot().current_fields()]
+    src = snapshot_df.select(
+        *cols,
+        F.lit("I").alias("op"),
+        F.lit(as_of_lsn).cast("long").alias("lsn"),
+    )
+    mr = table.merge(
+        src,
+        epoch_id=epoch_id,
+        lineage={"lsn_min": as_of_lsn, "lsn_max": as_of_lsn, "bootstrap": True},
+        mode="mor",
+        lsn_col="lsn",
+        compact_every=0,
+    )
+    res.applied = True
+    if mr.applied:
+        res.versions.append(mr.version)
+    return res
+
+
 def _record_metrics(metrics_table, epoch_id, stats, t0, snapshot_version) -> None:
     """One lineage row per epoch — driver-side pyarrow append (zero Spark
     jobs), idempotent via the metrics table's own epoch registry."""

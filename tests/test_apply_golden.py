@@ -151,3 +151,65 @@ def test_defer_requires_mor(spark, tmp_table_dir):
     )
     with pytest.raises(ValueError, match="defer"):
         apply_epoch(spark, feed, 0, table, ApplyConfig(merge_mode="cow", dedup_strategy="defer"))
+
+
+def test_bootstrap_then_tail(spark, tmp_table_dir):
+    """Snapshot-then-tail: seed at as_of_lsn, then replay a feed straddling
+    it — pre-snapshot events lose to the seed, post-snapshot events win;
+    bootstrap replays idempotently."""
+    from pyspark.sql import functions as F
+
+    from clever_canal_spark.lake import LakeTable
+    from clever_canal_spark.model import PAGE_SCHEMA
+    from clever_canal_spark.plans import ApplyConfig, apply_epoch
+    from clever_canal_spark.plans.apply import bootstrap_epoch
+
+    table = LakeTable.create(
+        spark, tmp_table_dir, PAGE_SCHEMA, merge_key=["url", "warc_ts"], n_buckets=4
+    )
+    snap = spark.createDataFrame(
+        [("u1", "2024-01-01 00:00:00", None, "seed1", "en"),
+         ("u2", "2024-01-01 00:00:00", None, "seed2", "en")],
+        "url string, warc_ts string, html binary, text string, lang string",
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+    r = bootstrap_epoch(table, snap, as_of_lsn=100)
+    assert r.applied and r.versions
+    r2 = bootstrap_epoch(table, snap, as_of_lsn=100)
+    assert not r2.versions  # idempotent replay
+
+    def ev(lsn, url, text):
+        img = F.struct(
+            F.lit(url).alias("url"),
+            F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+            F.lit(None).cast("binary").alias("html"),
+            F.lit(text).cast("string").alias("text"),
+            F.lit(None).cast("string").alias("lang"),
+        )
+        return (
+            spark.range(1)
+            .select(
+                F.lit(lsn).cast("long").alias("lsn"),
+                F.current_timestamp().alias("ts"),
+                F.lit("ROW").alias("kind"),
+                F.lit("cc").alias("schema_name"),
+                F.lit("pages").alias("table_name"),
+                F.lit("U").alias("op"),
+                F.lit(0).cast("long").alias("txn_id"),
+                F.lit(1).cast("long").alias("server_id"),
+                F.lit(None).cast("string").alias("gtid"),
+                img.alias("before"),
+                img.alias("after"),
+                F.lit(None).cast("string").alias("ddl_type"),
+                F.lit(None).cast("string").alias("ddl_sql"),
+                F.lit(None).cast("string").alias("ddl_column"),
+                F.lit(None).cast("string").alias("ddl_new_name"),
+                F.lit(None).cast("string").alias("ddl_new_type"),
+                F.lit(None).cast("map<string,string>").alias("props"),
+            )
+        )
+
+    # lsn=50 (pre-snapshot, already reflected) must LOSE; lsn=150 must WIN
+    feed = ev(50, "u1", "stale-update").unionByName(ev(150, "u2", "fresh-update"))
+    apply_epoch(spark, feed, 1, table, ApplyConfig(transform=False, merge_mode="mor"))
+    state = {r["url"]: r["text"] for r in table.scan().collect()}
+    assert state == {"u1": "seed1", "u2": "fresh-update"}

@@ -247,3 +247,14 @@ def test_expire_snapshots_and_vacuum(spark, tmp_table_dir):
     for f in snap.files + snap.delta_files:
         assert os.path.exists(os.path.join(tmp_table_dir, f["path"]))
     assert len(os.listdir(os.path.join(tmp_table_dir, "data"))) < n_data_before
+
+
+def test_schema_history(spark, tmp_table_dir):
+    t = make_table(spark, tmp_table_dir)
+    t.add_column("score", "double")
+    t.rename_column("score", "rank")
+    hist = t.schema_history()
+    assert [h["schema_version"] for h in hist] == [0, 1, 2]
+    assert hist[-1]["current"] and not hist[0]["current"]
+    assert "rank" in [f["name"] for f in hist[-1]["fields"]]
+    assert "score" in [f["name"] for f in hist[1]["fields"]]
