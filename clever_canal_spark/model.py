@@ -116,6 +116,11 @@ EPOCH_METRICS_SCHEMA = T.StructType(
         T.StructField("n_ddl", T.LongType()),
         T.StructField("n_heartbeats", T.LongType()),
         T.StructField("wall_ms", T.LongType()),
+        # per-stage decomposition (StoreCollector-style gauges, per epoch):
+        # driver plan-build time and the merge's Spark-job time; null on
+        # the conservative (DDL-splitting) path which runs several merges
+        T.StructField("plan_ms", T.LongType()),
+        T.StructField("merge_ms", T.LongType()),
         T.StructField("snapshot_version", T.LongType()),
         T.StructField("committed_at", T.TimestampType()),
     ]

@@ -227,6 +227,8 @@ def _apply_fast(
     # NB both stamps measure from epoch start: "plan-build" = driver time
     # before the merge call, "fast total" = the whole epoch (inclusive)
     _tlog(f"e{epoch_id} plan-build", t0)
+    t_merge = time.monotonic()
+    plan_ms = int((t_merge - t0) * 1000)
     mr = table.merge(
         aligned,
         epoch_id=epoch_id,
@@ -235,6 +237,7 @@ def _apply_fast(
         lsn_col="lsn",
         compact_every=cfg.compact_every,
     )
+    merge_ms = int((time.monotonic() - t_merge) * 1000)
     _tlog(f"e{epoch_id} fast total", t0)
     res.applied = True
     res.segments = 1
@@ -242,7 +245,10 @@ def _apply_fast(
         res.versions.append(mr.version)
         stats = obs.get
         res.n_rows = stats["n_rows"] or 0
-        _record_metrics(metrics_table, epoch_id, stats, t0, mr.version)
+        _record_metrics(
+            metrics_table, epoch_id, stats, t0, mr.version,
+            stages={"plan_ms": plan_ms, "merge_ms": merge_ms},
+        )
     return res
 
 
@@ -388,7 +394,9 @@ def bootstrap_epoch(
     return res
 
 
-def _record_metrics(metrics_table, epoch_id, stats, t0, snapshot_version) -> None:
+def _record_metrics(
+    metrics_table, epoch_id, stats, t0, snapshot_version, stages: dict | None = None
+) -> None:
     """One lineage row per epoch — driver-side pyarrow append (zero Spark
     jobs), idempotent via the metrics table's own epoch registry."""
     if metrics_table is None:
@@ -399,6 +407,7 @@ def _record_metrics(metrics_table, epoch_id, stats, t0, snapshot_version) -> Non
         [
             {
                 "epoch_id": int(epoch_id),
+                **(stages or {}),
                 "lsn_min": stats["lsn_min"],
                 "lsn_max": stats["lsn_max"],
                 "n_events": stats["n_events"],
