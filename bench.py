@@ -255,6 +255,15 @@ def _stream(_):
     return n * 128
 
 
+def _pin_to(n: int) -> None:
+    """Confine the calling process (and its future children) to cores
+    0..n-1 — see _scaling_probe on why legs must be pinned."""
+    try:
+        os.sched_setaffinity(0, range(n))
+    except (AttributeError, OSError):
+        pass
+
+
 def _cpu_ceiling(lo: int = 4, hi: int = 16) -> dict:
     """The host's own scaling ceilings between the two leg widths, no
     Spark, no IO: (a) a cache-resident pure-Python burn (compute ceiling)
@@ -268,9 +277,11 @@ def _cpu_ceiling(lo: int = 4, hi: int = 16) -> dict:
 
     burn, stream = {}, {}
     for n in (lo, hi):
-        with mp.Pool(n) as p:
+        # pinned to the same core set the engine leg uses, so the probe
+        # measures contention ON those cores, not idle-core borrowing
+        with mp.Pool(n, initializer=_pin_to, initargs=(n,)) as p:
             burn[n] = sum(p.map(_burn, range(n))) / 1.5
-        with mp.Pool(n) as p:
+        with mp.Pool(n, initializer=_pin_to, initargs=(n,)) as p:
             stream[n] = sum(p.map(_stream, range(n))) / 1.5
     ratio = hi / lo
     return {
@@ -296,10 +307,22 @@ def _scaling_probe(n_events: int, trials: int = 2, lo: int = 4, hi: int = 16) ->
     peaks: dict[int, float] = {lo: 0.0, hi: 0.0}  # global best epoch rate
     ceilings = [_cpu_ceiling(lo, hi)]  # bracket the legs: before + after
 
+    # CPU-PIN each leg to exactly its core budget. local[N] bounds JVM task
+    # slots only — the N pandas-UDF worker PROCESSES (plus GC/shuffle
+    # threads) land on other idle cores, so an unpinned "4-core" leg on an
+    # idle 32-core host really consumes ~8+ cores (measured: unpinned
+    # local[4] sustained 90-108k vs 67k pinned-equivalent quiet), inflating
+    # the denominator and deflating efficiency arbitrarily with host
+    # idleness. taskset makes "N cores" literal for JVM + Python workers
+    # alike (affinity inherits), which is what the north rule's "N and 4N
+    # cores" compares.
+    pin = shutil.which("taskset")
+
     def run_round():
         for cpus in (lo, hi):
+            prefix = [pin, "-c", f"0-{cpus - 1}"] if pin else []
             out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--replay-probe", str(cpus), str(n_events)],
+                prefix + [sys.executable, os.path.abspath(__file__), "--replay-probe", str(cpus), str(n_events)],
                 capture_output=True, text=True, timeout=1800,
                 env={**os.environ, "PYTHONPATH": REPO,
                      "SPARK_DRIVER_MEM": os.environ.get("SPARK_DRIVER_MEM", "32g")},
