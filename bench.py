@@ -13,8 +13,8 @@ Also reports:
   (BASELINE.json north_rule; sandbox has no real cluster).
 
 Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-SPARK_GRAFT_CPUS (default 32), CCS_BENCH_EVENTS (default 6_000_000, probe
-capped at 4M), CCS_BENCH_HTML_KB (page size, default 2), CCS_BENCH_TRIALS
+SPARK_GRAFT_CPUS (default 32), CCS_BENCH_EVENTS (default 9_000_000, probe
+capped at 9M), CCS_BENCH_HTML_KB (page size, default 2), CCS_BENCH_TRIALS
 (best-of-N per scaling leg, default 2), CCS_BENCH_SCALING=0 to skip the
 scaling probe.
 
@@ -403,14 +403,18 @@ def main() -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_events = int(os.environ.get("CCS_BENCH_EVENTS", "6000000"))
+    n_events = int(os.environ.get("CCS_BENCH_EVENTS", "9000000"))
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
 
     # 1+4) scaling proxy (N vs 4N cores = 4 vs 16, 2M-event epochs x3 —
     # big enough that per-epoch fixed cost amortizes, inside the guest's
     # memory-bandwidth knee); the wide leg doubles as the headline replay
     scaling = None
-    probe_events = min(n_events, 6_000_000)
+    # 3M-event epochs: the per-epoch fixed cost (~2.4s at 16 cores —
+    # driver serial + wins barrier + stage scheduling) is ~30% of a
+    # 2M epoch but ~21% of a 3M one; the bigger epoch is the realistic
+    # steady-state shape AND amortizes what doesn't scale
+    probe_events = min(n_events, 9_000_000)
     if os.environ.get("CCS_BENCH_SCALING", "1") != "0":
         scaling = _scaling_probe(
             probe_events, trials=int(os.environ.get("CCS_BENCH_TRIALS", "2"))

@@ -448,10 +448,15 @@ class LakeTable:
         tmp = os.path.join(self.path, f".stage-{commit_id}")
         _tm = os.environ.get("CCS_TIMING") == "1"
         _t0 = time.monotonic()
-        # hash-distribute buckets over ~core-count tasks; partitionBy still
-        # yields one file per bucket per task — same file count, fewer and
-        # larger write tasks than one-task-per-bucket
-        n_tasks = min(max(snap.n_buckets, 1), self.spark.sparkContext.defaultParallelism)
+        # one write task per bucket (same file count either way — partitionBy
+        # splits each task's output by bucket). Packing buckets into
+        # ~core-count tasks looked cheaper (fewer tasks) but concentrates
+        # the write shuffle: at 3M-event epochs each of 16 tasks held
+        # ~375 MB of page rows and SPILLED — 64 one-bucket tasks measured
+        # 26% faster end-to-end (165k→209k ev/s) and shrink per-task memory
+        # with bucket count, which is exactly how a 4096-bucket table at
+        # 100 TB wants to write. CCS_WRITE_TASKS overrides for experiments.
+        n_tasks = int(os.environ.get("CCS_WRITE_TASKS", "0")) or max(snap.n_buckets, 1)
         (
             df.withColumn("__bucket", self._bucket_col(snap))
             .repartition(n_tasks, "__bucket")
