@@ -1,0 +1,64 @@
+"""Multi-table routing: one batch fans out to N destination tables, each
+LWW-correct in isolation and exactly-once per destination."""
+
+from pyspark.sql import functions as F
+
+from clever_canal_spark.gen import FeedConfig, generate_feed, reference_apply
+from clever_canal_spark.lake import LakeTable
+from clever_canal_spark.model import PAGE_SCHEMA
+from clever_canal_spark.plans import ApplyConfig
+from clever_canal_spark.plans.route import Route, route_epoch
+
+
+def _state(table):
+    return {
+        (r["url"], str(r["warc_ts"])): r["text"] for r in table.scan().collect()
+    }
+
+
+def _oracle(rows):
+    return {
+        (u, str(ts)): None  # text filled by transform; compare keys only here
+        for (u, ts) in reference_apply(rows).keys()
+    }
+
+
+def test_route_two_tables(spark, tmp_path):
+    # two interleaved feeds over DISJOINT lsn ranges (global LSN uniqueness)
+    cfg_a = FeedConfig(n_events=800, n_urls=60, seed=11, table_name="pages")
+    feed_a = generate_feed(spark, cfg_a)
+    cfg_b = FeedConfig(n_events=800, n_urls=40, seed=23, table_name="users")
+    feed_b = generate_feed(spark, cfg_b, id_start=0, id_end=800).withColumn(
+        "lsn", F.col("lsn") + 100_000
+    )
+    batch = feed_a.unionByName(feed_b)
+
+    t_pages = LakeTable.create(spark, str(tmp_path / "pages"), PAGE_SCHEMA,
+                               merge_key=["url", "warc_ts"], n_buckets=4)
+    t_users = LakeTable.create(spark, str(tmp_path / "users"), PAGE_SCHEMA,
+                               merge_key=["url", "warc_ts"], n_buckets=4)
+    routes = [Route(r"cc\.pages", t_pages), Route(r"cc\.users", t_users)]
+    res = route_epoch(spark, batch, 0, routes, ApplyConfig(merge_mode="mor"))
+    assert all(r.applied for r in res.values())
+
+    # each destination matches the per-feed reference apply (keys)
+    want_pages = _oracle([r.asDict(recursive=True) for r in feed_a.collect()])
+    want_users = _oracle([r.asDict(recursive=True) for r in feed_b.collect()])
+    assert set(_state(t_pages)) == set(want_pages)
+    assert set(_state(t_users)) == set(want_users)
+    assert set(want_pages)  # non-trivial
+    # cross-isolation: no users urls in pages (url space collides by id,
+    # so compare row counts against per-table expectations instead)
+    assert t_pages.scan().count() == len(want_pages)
+    assert t_users.scan().count() == len(want_users)
+
+    # exactly-once per destination: replay no-ops both
+    res2 = route_epoch(spark, batch, 0, routes, ApplyConfig(merge_mode="mor"))
+    assert all(not r.versions for r in res2.values())
+
+    # partial-crash recovery: epoch 1 already committed for pages only ->
+    # replay applies it just to users
+    batch2 = batch.withColumn("lsn", F.col("lsn") + 1_000_000)
+    route_epoch(spark, batch2, 1, [routes[0]], ApplyConfig(merge_mode="mor"))
+    res3 = route_epoch(spark, batch2, 1, routes, ApplyConfig(merge_mode="mor"))
+    assert not res3[r"cc\.pages"].versions and res3[r"cc\.users"].versions
