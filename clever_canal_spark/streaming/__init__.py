@@ -1,4 +1,4 @@
-from .follower import FeedFollower, footer_hints, throughput_view
+from .follower import FeedFollower, RoutedFeedFollower, footer_hints, throughput_view
 from .pipeline import CdcPipeline, run_available
 from .stateful import winner_delta_stream
 from .windows import windowed_event_counts
@@ -6,6 +6,7 @@ from .windows import windowed_event_counts
 __all__ = [
     "CdcPipeline",
     "FeedFollower",
+    "RoutedFeedFollower",
     "footer_hints",
     "run_available",
     "throughput_view",

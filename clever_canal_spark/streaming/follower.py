@@ -164,6 +164,11 @@ class FeedFollower:
             groups.append(cur)
         return groups
 
+    def _epoch_committed(self, epoch_id: int) -> bool:
+        """Crash-recovery check; RoutedFeedFollower overrides (an epoch is
+        done only when EVERY destination committed it)."""
+        return self.table.is_epoch_committed(epoch_id)
+
     def run_available(self) -> list[ApplyResult]:
         """Drain everything currently in the source dir: finish any bound
         but uncommitted epoch (crash recovery), then consume new files in
@@ -175,7 +180,7 @@ class FeedFollower:
         for epoch_id, files in log:
             consumed.update(files)
             next_epoch = max(next_epoch, epoch_id + 1)
-            if not self.table.is_epoch_committed(epoch_id):
+            if not self._epoch_committed(epoch_id):
                 results.append(self._apply(epoch_id, files))
 
         dirs = [self.source_dir] if isinstance(self.source_dir, str) else list(self.source_dir)
@@ -234,6 +239,38 @@ class FeedFollower:
             "pending_files": len(pending),
             "total_files": len(all_files),
         }
+
+
+@dataclass
+class RoutedFeedFollower(FeedFollower):
+    """FeedFollower fanning each epoch to N destination tables via
+    ``plans.route_epoch`` (the MQ-sink per-table routing analog). Epoch
+    bookkeeping (file binding, cut, rotation order) is inherited; an
+    epoch counts as committed only when EVERY destination's registry has
+    it, so a crash between two destinations' commits replays the epoch
+    and only the uncommitted destinations re-apply. ``table`` may be
+    passed as None — it defaults to the first route's table (used only
+    for the base class's field slot)."""
+
+    routes: list | None = None
+
+    def __post_init__(self):
+        if not self.routes:
+            raise ValueError("RoutedFeedFollower requires routes")
+        if self.table is None:
+            self.table = self.routes[0].table
+
+    def _epoch_committed(self, epoch_id: int) -> bool:
+        return all(r.table.is_epoch_committed(epoch_id) for r in self.routes)
+
+    def _apply(self, epoch_id: int, files: list[str]):
+        from ..plans.route import route_epoch
+
+        hints = footer_hints(files)
+        batch = self.spark.read.schema(CHANGE_EVENT_SCHEMA).parquet(*files)
+        return route_epoch(
+            self.spark, batch, epoch_id, self.routes, self.cfg, hints=hints
+        )
 
 
 def throughput_view(metrics_table: LakeTable):

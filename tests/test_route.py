@@ -62,3 +62,65 @@ def test_route_two_tables(spark, tmp_path):
     route_epoch(spark, batch2, 1, [routes[0]], ApplyConfig(merge_mode="mor"))
     res3 = route_epoch(spark, batch2, 1, routes, ApplyConfig(merge_mode="mor"))
     assert not res3[r"cc\.pages"].versions and res3[r"cc\.users"].versions
+
+
+def test_routed_follower_crash_between_destinations(spark, tmp_path):
+    """Checkpointed routed tail: epoch fans to two tables; a 'crash' that
+    committed only the first destination replays the epoch on restart and
+    applies just the second (exactly-once per destination)."""
+    import os
+
+    from clever_canal_spark.sources import write_feed_slices
+    from clever_canal_spark.streaming import RoutedFeedFollower
+
+    cfg_a = FeedConfig(n_events=400, n_urls=30, seed=5, table_name="pages")
+    cfg_b = FeedConfig(n_events=400, n_urls=30, seed=6, table_name="users")
+    feed = generate_feed(spark, cfg_a).unionByName(
+        generate_feed(spark, cfg_b).withColumn("lsn", F.col("lsn") + 10_000)
+    )
+    src = str(tmp_path / "feed")
+    write_feed_slices(feed, src, n_slices=2, n_events=800)
+
+    t_pages = LakeTable.create(spark, str(tmp_path / "p"), PAGE_SCHEMA,
+                               merge_key=["url", "warc_ts"], n_buckets=4)
+    t_users = LakeTable.create(spark, str(tmp_path / "u"), PAGE_SCHEMA,
+                               merge_key=["url", "warc_ts"], n_buckets=4)
+    routes = [Route(r"cc\.pages", t_pages), Route(r"cc\.users", t_users)]
+    mk = lambda: RoutedFeedFollower(
+        spark, src, str(tmp_path / "ck"), None,
+        ApplyConfig(merge_mode="mor"), routes=routes, max_files_per_epoch=1,
+    )
+    res = mk().run_available()
+    assert len(res) == 2 and all(
+        all(r.applied for r in d.values()) for d in res
+    )
+    n_pages, n_users = t_pages.scan().count(), t_users.scan().count()
+    assert n_pages > 0 and n_users > 0
+
+    # simulate crash-between-destinations on a NEW epoch: bind a new file,
+    # commit it to pages only, then restart the routed follower
+    extra = generate_feed(
+        spark, FeedConfig(n_events=100, n_urls=10, seed=7, table_name="users")
+    ).withColumn("lsn", F.col("lsn") + 50_000)
+    write_feed_slices(extra, str(tmp_path / "x"), n_slices=1, n_events=100)
+    xfile = os.path.join(src, "zz-extra.parquet")
+    os.rename(
+        [os.path.join(str(tmp_path / "x"), f) for f in os.listdir(tmp_path / "x")
+         if f.endswith(".parquet")][0],
+        xfile,
+    )
+    from clever_canal_spark.plans.route import route_epoch as _re  # noqa
+    # pages-only partial apply under the SAME epoch id the follower will use
+    f2 = mk()
+    fresh_epoch = 2
+    f2._bind_epoch(fresh_epoch, [xfile])
+    route_epoch(spark, spark.read.schema(
+        __import__("clever_canal_spark.model", fromlist=["CHANGE_EVENT_SCHEMA"]).CHANGE_EVENT_SCHEMA
+    ).parquet(xfile), fresh_epoch, [routes[0]], ApplyConfig(merge_mode="mor"))
+    assert t_pages.is_epoch_committed(fresh_epoch)
+    assert not t_users.is_epoch_committed(fresh_epoch)
+
+    res2 = mk().run_available()  # restart: replays epoch 2 for users only
+    assert t_users.is_epoch_committed(fresh_epoch)
+    assert t_users.scan().count() > n_users          # users got the new rows
+    assert t_pages.scan().count() == n_pages         # pages unchanged (no double-apply)
