@@ -1099,7 +1099,7 @@ from .sources.flat_message import decode_value_expr  # noqa: E402
 # backticks, schema-qualified and bare names, IF [NOT] EXISTS, index DDL,
 # DML fallthrough). Dialect-neutral SQL (CASE/concat/CAST only).
 _DDL_TEXT_CASE = (
-    "CASE CAST(event_id % 8 AS INT) "
+    "CASE CAST(event_id % 16 AS INT) "
     "WHEN 0 THEN concat('ALTER TABLE cc.pages ADD COLUMN q', CAST(event_id % 3 AS STRING), ' double') "
     "WHEN 1 THEN 'ALTER TABLE `cc`.`pages` RENAME COLUMN lang TO language' "
     "WHEN 2 THEN 'alter table pages MODIFY COLUMN rank bigint' "
@@ -1107,12 +1107,24 @@ _DDL_TEXT_CASE = (
     "WHEN 4 THEN 'DROP TABLE IF EXISTS cc.extra' "
     "WHEN 5 THEN 'TRUNCATE TABLE cc.pages' "
     "WHEN 6 THEN 'CREATE UNIQUE INDEX idx_url ON cc.pages (url)' "
+    # adversarial ADD/DROP clauses: index/key/constraint DDL that must NOT
+    # classify as a column operation (the round-2 misclassification bug)
+    "WHEN 7 THEN 'ALTER TABLE cc.pages ADD INDEX idx_u (url)' "
+    "WHEN 8 THEN 'ALTER TABLE cc.pages ADD PRIMARY KEY (url)' "
+    "WHEN 9 THEN 'ALTER TABLE cc.pages ADD CONSTRAINT ck CHECK (rank > 0)' "
+    "WHEN 10 THEN 'ALTER TABLE cc.pages DROP INDEX idx_u' "
+    # multi-clause ALTER (every clause counts in ddl_n_ops), DROP COLUMN,
+    # backtick-quoted reserved-word column, CHANGE rename
+    "WHEN 11 THEN 'ALTER TABLE cc.pages ADD COLUMN a int, ADD COLUMN b bigint, DROP COLUMN lang' "
+    "WHEN 12 THEN 'ALTER TABLE cc.pages DROP COLUMN stale' "
+    "WHEN 13 THEN 'ALTER TABLE cc.pages ADD `key` int' "
+    "WHEN 14 THEN 'ALTER TABLE cc.pages CHANGE COLUMN lang language varchar(32)' "
     "ELSE 'INSERT INTO cc.pages VALUES (1)' END"
 )
 
 _DDL_OUT_COLS = [
     "stmt_class", "schema_name", "table_name",
-    "ddl_type", "ddl_column", "ddl_new_name", "ddl_new_type",
+    "ddl_type", "ddl_column", "ddl_new_name", "ddl_new_type", "ddl_n_ops",
 ]
 
 

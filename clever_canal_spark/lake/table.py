@@ -223,17 +223,43 @@ class LakeTable:
         return child.version
 
     def add_column(self, name: str, dtype: str) -> int:
-        """ADD COLUMN — metadata-only; old files read the column as null."""
+        """ADD COLUMN — metadata-only; old files read the column as null.
+
+        The new field id is allocated above every id EVER used (all schema
+        versions, not just the current one) — after a DROP COLUMN, reusing
+        the dropped id would resurrect the old files' dropped bytes into
+        the new column (Iceberg's field-id freshness rule)."""
+        snap = self.snapshot()
+        next_id = 1 + max(
+            f["id"] for fields in snap.schemas.values() for f in fields
+        )
 
         def mutate(fields):
             if not name or not isinstance(name, str):
                 raise ValueError(f"invalid column name {name!r}")
             if any(f["name"] == name for f in fields):
                 raise ValueError(f"column {name} exists")
-            nid = max(f["id"] for f in fields) + 1
-            return fields + [{"id": nid, "name": name, "type": dtype}]
+            return fields + [{"id": next_id, "name": name, "type": dtype}]
 
         return self._evolve(mutate, f"add_column:{name}")
+
+    def drop_column(self, name: str) -> int:
+        """DROP COLUMN — metadata-only (Iceberg ``deleteColumn`` analog):
+        the field id leaves the current schema, so every read projects the
+        column away; old data files keep the bytes but no schema maps them.
+        A later ADD COLUMN of the same name allocates a FRESH field id —
+        dropped data is never resurrected (see :meth:`add_column`)."""
+        snap = self.snapshot()
+        protected = set(snap.merge_key) | set(snap.bucket_key)
+        if name in protected:
+            raise ValueError(f"cannot drop key/bucket column {name}")
+
+        def mutate(fields):
+            if not any(f["name"] == name for f in fields):
+                raise ValueError(f"no column {name}")
+            return [f for f in fields if f["name"] != name]
+
+        return self._evolve(mutate, f"drop_column:{name}")
 
     def rename_column(self, old: str, new: str) -> int:
         """RENAME COLUMN — metadata-only via stable field ids."""

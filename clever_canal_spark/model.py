@@ -52,11 +52,14 @@ OP_DELETE = "D"
 DML_OPS = (OP_INSERT, OP_UPDATE, OP_DELETE)
 
 # DDL channel operation kinds (ref EventType CREATE/ALTER/RENAME +
-# TableMeta apply, MemoryTableMeta.java:67-88). We support the three
-# schema evolutions named by the north rule.
+# TableMeta apply, MemoryTableMeta.java:67-88). The three schema evolutions
+# named by the north rule plus DROP COLUMN (Iceberg deleteColumn analog;
+# the reference's Druid/Simple parsers route the full ALTER surface,
+# SimpleDdlParser.java:49-110).
 DDL_ADD_COLUMN = "ADD_COLUMN"
 DDL_RENAME_COLUMN = "RENAME_COLUMN"
 DDL_WIDEN_TYPE = "WIDEN_TYPE"
+DDL_DROP_COLUMN = "DROP_COLUMN"
 
 # Event-class kinds carried by the feed (ref EntryType,
 # EntryProtocol.proto:10-23). ROW kinds carry before/after payloads;

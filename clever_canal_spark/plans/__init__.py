@@ -1,5 +1,5 @@
-from .apply import ApplyConfig, ApplyResult, apply_epoch, bootstrap_epoch
+from .apply import ApplyConfig, ApplyResult, BatchHints, apply_epoch, bootstrap_epoch
 from .route import Route, route_epoch
 from .ddl import apply_ddl_idempotent
 
-__all__ = ["ApplyConfig", "ApplyResult", "apply_epoch", "apply_ddl_idempotent", "bootstrap_epoch", "Route", "route_epoch"]
+__all__ = ["ApplyConfig", "ApplyResult", "BatchHints", "apply_epoch", "apply_ddl_idempotent", "bootstrap_epoch", "Route", "route_epoch"]

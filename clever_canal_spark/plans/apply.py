@@ -203,6 +203,24 @@ def _align_to_table(source: DataFrame, table: LakeTable) -> DataFrame:
     )
 
 
+_EMPTY_STATS = {
+    "n_events": 0, "lsn_min": None, "lsn_max": None, "n_rows": 0,
+    "n_upserts": 0, "n_deletes": 0, "n_ddl": 0, "n_heartbeats": 0,
+}
+
+
+def _resolve_obs(obs: Observation) -> dict:
+    """Resolve a ``DataFrame.observe`` after the write job. When the write
+    plan collapsed to zero tasks (a filter — e.g. a route's table whitelist
+    — left the epoch empty, so AQE pruned the scan away), the CollectMetrics
+    node never executed and ``Observation.get`` raises in the JVM; that case
+    IS the empty epoch, so report zero stats instead of crashing."""
+    try:
+        return dict(obs.get)
+    except Exception:
+        return dict(_EMPTY_STATS)
+
+
 def _apply_fast(
     filtered: DataFrame,
     epoch_id: int,
@@ -232,7 +250,9 @@ def _apply_fast(
     mr = table.merge(
         aligned,
         epoch_id=epoch_id,
-        lineage=lambda: {k: obs.get[k] for k in ("lsn_min", "lsn_max", "n_events")},
+        lineage=lambda: {
+            k: _resolve_obs(obs)[k] for k in ("lsn_min", "lsn_max", "n_events")
+        },
         mode="mor",
         lsn_col="lsn",
         compact_every=cfg.compact_every,
@@ -243,7 +263,7 @@ def _apply_fast(
     res.segments = 1
     if mr.applied:
         res.versions.append(mr.version)
-        stats = obs.get
+        stats = _resolve_obs(obs)
         res.n_rows = stats["n_rows"] or 0
         _record_metrics(
             metrics_table, epoch_id, stats, t0, mr.version,

@@ -16,20 +16,30 @@ covers schema changes too).
 from __future__ import annotations
 
 from ..lake import LakeTable
-from ..model import DDL_ADD_COLUMN, DDL_RENAME_COLUMN, DDL_WIDEN_TYPE
+from ..model import (
+    DDL_ADD_COLUMN,
+    DDL_DROP_COLUMN,
+    DDL_RENAME_COLUMN,
+    DDL_WIDEN_TYPE,
+)
 
 
 def apply_ddl_idempotent(table: LakeTable, ddl_row: dict) -> bool:
-    """Apply one DDL-channel row; returns True if a schema change happened,
-    False if it was already applied (replay no-op).
+    """Apply one DDL-channel row; returns True if any schema change
+    happened, False if it was already applied (replay no-op).
 
     A row may carry only raw SQL text (``ddl_sql``) — the real-binlog shape
     (LogEventConvert.java:236-246 emits the statement text; the reference
-    parses it with DruidDdlParser/SimpleDdlParser). Here the structured
-    fields are recovered by :func:`..sources.ddl_sql.parse_ddl` and then
-    applied identically. Statements that aren't one of the three supported
-    schema evolutions (index DDL, TRUNCATE, table-level ops) are no-ops for
-    the lake schema, matching the reference's pass-through behavior."""
+    parses it with DruidDdlParser/SimpleDdlParser). The structured fields
+    are recovered by :func:`..sources.ddl_sql.parse_ddl`; a multi-clause
+    ALTER yields SEVERAL sub-operations (``parsed["ops"]``, clause order —
+    the Druid AST iterate-all-items analog) and every one applies.
+    Statements that aren't a supported schema evolution (index DDL,
+    TRUNCATE, table-level ops) are no-ops for the lake schema, matching
+    the reference's pass-through behavior.
+
+    Replay after a crash mid-statement is safe: each sub-op re-checks the
+    current schema, so already-applied clauses no-op individually."""
     # fall back to SQL parsing when the structured fields are absent OR
     # incomplete (e.g. a row constructed with only ``ddl_sql`` text but a
     # defaulted ddl_type) — a half-filled row must never reach the schema
@@ -40,33 +50,58 @@ def apply_ddl_idempotent(table: LakeTable, ddl_row: dict) -> bool:
         from ..sources.ddl_sql import parse_ddl
 
         parsed = parse_ddl(ddl_row["ddl_sql"])
-        if not parsed["ddl_type"]:
+        ops = parsed["ops"]
+        if not ops:
             return False  # classified, but not a schema evolution we track
-        ddl_row = {**ddl_row, **{k: parsed[k] for k in
-                                 ("ddl_type", "ddl_column", "ddl_new_name", "ddl_new_type")}}
+    else:
+        ops = [{k: ddl_row.get(k) for k in
+                ("ddl_type", "ddl_column", "ddl_new_name", "ddl_new_type")}]
+    changed = False
+    for op in ops:
+        changed = _apply_one(table, op, ddl_row) or changed
+    return changed
+
+
+def _apply_one(table: LakeTable, op: dict, ddl_row: dict) -> bool:
     names = {f["name"]: f for f in table.snapshot().current_fields()}
-    t = ddl_row["ddl_type"]
-    if not ddl_row.get("ddl_column"):
+    t = op["ddl_type"]
+    if not op.get("ddl_column"):
         raise ValueError(
-            f"DDL row has ddl_type={t!r} but no ddl_column and no parseable "
+            f"DDL op has ddl_type={t!r} but no ddl_column and no parseable "
             f"ddl_sql ({ddl_row.get('ddl_sql')!r})"
         )
     if t == DDL_ADD_COLUMN:
-        if ddl_row["ddl_column"] in names:
+        if op["ddl_column"] in names:
             return False
-        table.add_column(ddl_row["ddl_column"], ddl_row["ddl_new_type"] or "string")
+        table.add_column(op["ddl_column"], op["ddl_new_type"] or "string")
+        return True
+    if t == DDL_DROP_COLUMN:
+        if op["ddl_column"] not in names:
+            return False  # already dropped (replay)
+        table.drop_column(op["ddl_column"])
         return True
     if t == DDL_RENAME_COLUMN:
-        if ddl_row["ddl_column"] not in names and ddl_row["ddl_new_name"] in names:
+        if op["ddl_column"] not in names and op["ddl_new_name"] in names:
             return False  # already renamed
-        table.rename_column(ddl_row["ddl_column"], ddl_row["ddl_new_name"])
+        table.rename_column(op["ddl_column"], op["ddl_new_name"])
+        # CHANGE COLUMN carries a type as well — widen when it's a legal
+        # promotion; same-or-narrower types are a rename-only no-op
+        nt = op.get("ddl_new_type")
+        if nt:
+            from ..lake.table import _WIDEN_OK
+
+            cur = {f["name"]: f for f in table.snapshot().current_fields()}[
+                op["ddl_new_name"]
+            ]
+            if cur["type"] != nt and (cur["type"], nt) in _WIDEN_OK:
+                table.widen_column(op["ddl_new_name"], nt)
         return True
     if t == DDL_WIDEN_TYPE:
-        cur = names.get(ddl_row["ddl_column"])
+        cur = names.get(op["ddl_column"])
         if cur is None:
-            raise ValueError(f"widen of unknown column {ddl_row['ddl_column']}")
-        if cur["type"] == ddl_row["ddl_new_type"]:
+            raise ValueError(f"widen of unknown column {op['ddl_column']}")
+        if cur["type"] == op["ddl_new_type"]:
             return False
-        table.widen_column(ddl_row["ddl_column"], ddl_row["ddl_new_type"])
+        table.widen_column(op["ddl_column"], op["ddl_new_type"])
         return True
     raise ValueError(f"unknown ddl_type {t}")

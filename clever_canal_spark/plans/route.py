@@ -59,11 +59,21 @@ def route_epoch(
             rcfg,
             filters=replace(rcfg.filters, table_whitelist=r.pattern, table_blacklist=""),
         )
-        # per-destination hints: event counts/ddl proofs from the footer
-        # cover the WHOLE batch — still valid as conservative upper bounds
-        # for each destination's slice (never proves something false)
+        # Per-destination hints: only PROOFS that stay true for a slice of
+        # the batch survive routing. ``ddl_possible=False`` (no DDL row in
+        # the whole batch → none in any slice) and ``n_events == 0`` (empty
+        # batch → every slice empty) carry over; the batch-wide event COUNT
+        # and LSN bounds do not — forwarding a non-zero n_events once sent a
+        # route whose filter matched nothing down the fast path believing it
+        # had rows, and the un-run Observation crashed at lineage time.
+        rhints = None
+        if hints is not None:
+            rhints = BatchHints(
+                n_events=0 if hints.n_events == 0 else None,
+                ddl_possible=hints.ddl_possible,
+            )
         out[r.pattern] = apply_epoch(
             spark, batch_df, epoch_id, r.table, rcfg,
-            metrics_table=r.metrics_table, hints=hints,
+            metrics_table=r.metrics_table, hints=rhints,
         )
     return out

@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import re
 
-from ..model import DDL_ADD_COLUMN, DDL_RENAME_COLUMN, DDL_WIDEN_TYPE
+from ..model import DDL_ADD_COLUMN, DDL_DROP_COLUMN, DDL_RENAME_COLUMN, DDL_WIDEN_TYPE
 
 # ---------------------------------------------------------------------------
 # Shared pattern source (written in DuckDB/RE2-compatible syntax with single
@@ -51,11 +51,35 @@ INSERT_PAT = r"(?i)^(INSERT|MERGE|REPLACE)\b"
 UPDATE_PAT = r"(?i)^UPDATE\b"
 DELETE_PAT = r"(?i)^DELETE\b"
 
-# ALTER sub-operations → the engine's three schema evolutions
-# (MySQL grammar: ADD [COLUMN], RENAME COLUMN ... TO ..., MODIFY [COLUMN])
+# ALTER sub-operations → the engine's four schema evolutions
+# (MySQL grammar: ADD [COLUMN], DROP [COLUMN], RENAME COLUMN ... TO ...,
+# MODIFY [COLUMN], CHANGE [COLUMN] old new type). A statement may carry
+# SEVERAL comma-separated clauses (Druid AST iterates all alter items,
+# DruidDdlParser.java:1-200) — the classifier extracts them ALL
+# (regexp_extract_all / re.finditer), not just the first.
+#
+# `ADD`/`DROP` are overloaded in MySQL: `ADD INDEX|KEY|CONSTRAINT|...` and
+# `DROP INDEX|PRIMARY KEY|...` are NOT column operations. RE2 (the DuckDB
+# oracle's engine) has no lookahead, so exclusion happens on the EXTRACTED
+# name: a clause whose name token is one of the keywords below — and was
+# not backtick-quoted — is discarded. (`ADD \`key\` int` stays a column:
+# quoting is how MySQL spells a reserved-word column.)
 ADD_COL_PAT = r"(?i)\bADD\s+(COLUMN\s+)?`?(\w+)`?\s+(\w+(\([0-9, ]+\))?)"
+DROP_COL_PAT = r"(?i)\bDROP\s+(COLUMN\s+)?`?(\w+)`?"
 RENAME_COL_PAT = r"(?i)\bRENAME\s+COLUMN\s+`?(\w+)`?\s+TO\s+`?(\w+)`?"
 MODIFY_PAT = r"(?i)\bMODIFY\s+(COLUMN\s+)?`?(\w+)`?\s+(\w+(\([0-9, ]+\))?)"
+CHANGE_PAT = r"(?i)\bCHANGE\s+(COLUMN\s+)?`?(\w+)`?\s+`?(\w+)`?\s+(\w+(\([0-9, ]+\))?)"
+
+# name tokens that mean the ADD/DROP clause is index/constraint/partition
+# DDL, not a column op (SimpleDdlParser passes these through untyped)
+ADD_EXCLUDE_KEYWORDS = (
+    "INDEX", "KEY", "CONSTRAINT", "UNIQUE", "PRIMARY", "FULLTEXT",
+    "SPATIAL", "FOREIGN", "PARTITION", "CHECK",
+)
+DROP_EXCLUDE_KEYWORDS = (
+    "INDEX", "KEY", "CONSTRAINT", "PRIMARY", "FOREIGN", "PARTITION",
+    "CHECK", "TABLE", "TEMPORARY",
+)
 
 # MySQL type → engine (Spark DDL) type; promotion-aware mapping used for
 # ADD/MODIFY targets. MODIFY to a wider class maps onto widen_column's
@@ -154,24 +178,84 @@ def ddl_classify_exprs(sql_col: str, dialect: str, default_schema: str = "") -> 
     )
 
     is_alter = m(ALTER_PAT)
-    add_col, add_type = ex(ADD_COL_PAT, 2), ex(ADD_COL_PAT, 3)
-    ren_old, ren_new = ex(RENAME_COL_PAT, 1), ex(RENAME_COL_PAT, 2)
-    mod_col, mod_type = ex(MODIFY_PAT, 2), ex(MODIFY_PAT, 3)
+
+    # -- multi-clause ALTER machinery (arrays of full clause matches) ------
+    # dialect seams: array length, safe first element (''-coalesced)
+    def alen(arr: str) -> str:
+        return f"size({arr})" if dialect == "spark" else f"len({arr})"
+
+    def afirst(arr: str) -> str:
+        if dialect == "spark":
+            return f"coalesce(get({arr}, 0), '')"  # 0-based, NULL-safe
+        return f"coalesce(({arr})[1], '')"         # 1-based, NULL on empty
+
+    def clause_arr(pat: str, exclude: tuple[str, ...] = ()) -> str:
+        """Array of full-match clause strings, keyword-excluded. The lambda
+        re-extracts the name from each clause; a backtick anywhere in the
+        clause marks a quoted (reserved-word) column name — never excluded."""
+        arr = f"regexp_extract_all({c}, {_p(pat, dialect)}, 0)"
+        if not exclude:
+            return arr
+        kws = ", ".join(f"'{k}'" for k in exclude)
+        name = f"upper(regexp_extract(x, {_p(pat, dialect)}, 2))"
+        return f"filter({arr}, x -> instr(x, '`') > 0 OR {name} NOT IN ({kws}))"
+
+    adds = clause_arr(ADD_COL_PAT, ADD_EXCLUDE_KEYWORDS)
+    drops = clause_arr(DROP_COL_PAT, DROP_EXCLUDE_KEYWORDS)
+    rens = clause_arr(RENAME_COL_PAT)
+    mods = clause_arr(MODIFY_PAT)
+    chgs = clause_arr(CHANGE_PAT)
+
+    def first_grp(arr: str, pat: str, grp: int) -> str:
+        return f"regexp_extract({afirst(arr)}, {_p(pat, dialect)}, {grp})"
+
+    add_col, add_type = first_grp(adds, ADD_COL_PAT, 2), first_grp(adds, ADD_COL_PAT, 3)
+    drop_col = first_grp(drops, DROP_COL_PAT, 2)
+    ren_old, ren_new = first_grp(rens, RENAME_COL_PAT, 1), first_grp(rens, RENAME_COL_PAT, 2)
+    mod_col, mod_type = first_grp(mods, MODIFY_PAT, 2), first_grp(mods, MODIFY_PAT, 3)
+    chg_old, chg_new = first_grp(chgs, CHANGE_PAT, 2), first_grp(chgs, CHANGE_PAT, 3)
+    chg_type = first_grp(chgs, CHANGE_PAT, 4)
+
+    # FLAT fields report the first clause by CLASS precedence (add > drop >
+    # rename > change > modify) — deterministic and dialect-agreed; the full
+    # position-ordered clause list drives actual schema evolution through
+    # the driver twin (parse_ddl()["ops"]). ddl_n_ops counts every valid
+    # column clause so multi-clause statements are visible in the output.
     ddl_type = (
-        f"CASE WHEN {is_alter} AND {add_col} != '' THEN '{DDL_ADD_COLUMN}' "
-        f"WHEN {is_alter} AND {ren_old} != '' THEN '{DDL_RENAME_COLUMN}' "
-        f"WHEN {is_alter} AND {mod_col} != '' THEN '{DDL_WIDEN_TYPE}' "
+        f"CASE WHEN NOT {is_alter} THEN '' "
+        f"WHEN {add_col} != '' THEN '{DDL_ADD_COLUMN}' "
+        f"WHEN {drop_col} != '' THEN '{DDL_DROP_COLUMN}' "
+        f"WHEN {ren_old} != '' THEN '{DDL_RENAME_COLUMN}' "
+        f"WHEN {chg_old} != '' THEN '{DDL_RENAME_COLUMN}' "
+        f"WHEN {mod_col} != '' THEN '{DDL_WIDEN_TYPE}' "
         "ELSE '' END"
     )
     ddl_column = (
-        f"CASE WHEN {is_alter} AND {add_col} != '' THEN {add_col} "
-        f"WHEN {is_alter} AND {ren_old} != '' THEN {ren_old} "
-        f"WHEN {is_alter} AND {mod_col} != '' THEN {mod_col} ELSE '' END"
+        f"CASE WHEN NOT {is_alter} THEN '' "
+        f"WHEN {add_col} != '' THEN {add_col} "
+        f"WHEN {drop_col} != '' THEN {drop_col} "
+        f"WHEN {ren_old} != '' THEN {ren_old} "
+        f"WHEN {chg_old} != '' THEN {chg_old} "
+        f"WHEN {mod_col} != '' THEN {mod_col} ELSE '' END"
     )
-    ddl_new_name = f"CASE WHEN {is_alter} THEN {ren_new} ELSE '' END"
+    ddl_new_name = (
+        f"CASE WHEN NOT {is_alter} THEN '' "
+        f"WHEN {add_col} != '' OR {drop_col} != '' THEN '' "
+        f"WHEN {ren_old} != '' THEN {ren_new} "
+        f"WHEN {chg_old} != '' THEN {chg_new} ELSE '' END"
+    )
     raw_type = (
-        f"CASE WHEN {is_alter} AND {add_col} != '' THEN {add_type} "
-        f"WHEN {is_alter} AND {mod_col} != '' THEN {mod_type} ELSE '' END"
+        f"CASE WHEN NOT {is_alter} THEN '' "
+        f"WHEN {add_col} != '' THEN {add_type} "
+        f"WHEN {drop_col} != '' THEN '' "
+        f"WHEN {ren_old} != '' THEN '' "
+        f"WHEN {chg_old} != '' THEN {chg_type} "
+        f"WHEN {mod_col} != '' THEN {mod_type} ELSE '' END"
+    )
+    n_ops = (
+        f"CASE WHEN {is_alter} THEN "
+        f"{alen(adds)} + {alen(drops)} + {alen(rens)} + {alen(mods)} + {alen(chgs)} "
+        "ELSE 0 END"
     )
     return {
         "stmt_class": stmt_class,
@@ -181,6 +265,7 @@ def ddl_classify_exprs(sql_col: str, dialect: str, default_schema: str = "") -> 
         "ddl_column": ddl_column,
         "ddl_new_name": ddl_new_name,
         "ddl_new_type": _type_case_sql(raw_type),
+        "ddl_n_ops": f"CAST({n_ops} AS BIGINT)",
     }
 
 
@@ -204,14 +289,66 @@ def _search(pat: str, s: str) -> re.Match | None:
     return re.search(pat, s)
 
 
+def _clause_ops(s: str) -> list[dict]:
+    """Every column sub-operation in an ALTER statement, in clause order
+    (re.finditer per pattern, merged by match position — the Druid-AST
+    iterate-all-items analog). Keyword-named ADD/DROP clauses (index /
+    constraint / partition DDL) are excluded unless backtick-quoted."""
+    found: list[tuple[int, dict]] = []
+    for mm in re.finditer(ADD_COL_PAT, s):
+        if mm.group(2).upper() in ADD_EXCLUDE_KEYWORDS and "`" not in mm.group(0):
+            continue
+        found.append((mm.start(), {
+            "ddl_type": DDL_ADD_COLUMN, "ddl_column": mm.group(2),
+            "ddl_new_name": None, "ddl_new_type": _engine_type(mm.group(3)),
+            "_src": "add",
+        }))
+    for mm in re.finditer(DROP_COL_PAT, s):
+        if mm.group(2).upper() in DROP_EXCLUDE_KEYWORDS and "`" not in mm.group(0):
+            continue
+        found.append((mm.start(), {
+            "ddl_type": DDL_DROP_COLUMN, "ddl_column": mm.group(2),
+            "ddl_new_name": None, "ddl_new_type": None, "_src": "drop",
+        }))
+    for mm in re.finditer(RENAME_COL_PAT, s):
+        found.append((mm.start(), {
+            "ddl_type": DDL_RENAME_COLUMN, "ddl_column": mm.group(1),
+            "ddl_new_name": mm.group(2), "ddl_new_type": None, "_src": "ren",
+        }))
+    for mm in re.finditer(MODIFY_PAT, s):
+        found.append((mm.start(), {
+            "ddl_type": DDL_WIDEN_TYPE, "ddl_column": mm.group(2),
+            "ddl_new_name": None, "ddl_new_type": _engine_type(mm.group(3)),
+            "_src": "mod",
+        }))
+    for mm in re.finditer(CHANGE_PAT, s):
+        found.append((mm.start(), {
+            "ddl_type": DDL_RENAME_COLUMN, "ddl_column": mm.group(2),
+            "ddl_new_name": mm.group(3), "ddl_new_type": _engine_type(mm.group(4)),
+            "_src": "chg",
+        }))
+    return [op for _, op in sorted(found, key=lambda t: t[0])]
+
+
+# flat-field precedence by source pattern — mirrors ddl_classify_exprs'
+# CASE order exactly (RENAME-pattern clauses outrank CHANGE-pattern ones
+# even though both produce DDL_RENAME_COLUMN ops)
+_FLAT_PRECEDENCE = ("add", "drop", "ren", "chg", "mod")
+
+
 def parse_ddl(sql: str, default_schema: str = "") -> dict:
     """Parse one DDL statement into the structured ddl-channel fields.
-    Mirrors :func:`ddl_classify_exprs` exactly (tested for agreement)."""
+    Mirrors :func:`ddl_classify_exprs` exactly (tested for agreement).
+
+    ``out["ops"]`` carries EVERY column sub-operation of a multi-clause
+    ALTER in clause order — that list is what the DDL channel applies; the
+    flat ``ddl_type/ddl_column/...`` fields report the first op by class
+    precedence, matching the vectorized classifier's output columns."""
     s = _REMOVE_COMMENT.sub(" ", sql or "").strip()
     out = {
         "stmt_class": "QUERY", "schema_name": "", "table_name": "",
         "ddl_type": None, "ddl_column": None, "ddl_new_name": None,
-        "ddl_new_type": None,
+        "ddl_new_type": None, "ops": [],
     }
     for cls, pat, grp in (
         ("ALTER", ALTER_PAT, 2), ("CINDEX", CINDEX_PAT, 2), ("DINDEX", DINDEX_PAT, 1),
@@ -235,13 +372,12 @@ def parse_ddl(sql: str, default_schema: str = "") -> dict:
         return out
 
     if out["stmt_class"] == "ALTER":
-        if (mm := _search(ADD_COL_PAT, s)) is not None:
-            out.update(ddl_type=DDL_ADD_COLUMN, ddl_column=mm.group(2),
-                       ddl_new_type=_engine_type(mm.group(3)))
-        elif (mm := _search(RENAME_COL_PAT, s)) is not None:
-            out.update(ddl_type=DDL_RENAME_COLUMN, ddl_column=mm.group(1),
-                       ddl_new_name=mm.group(2))
-        elif (mm := _search(MODIFY_PAT, s)) is not None:
-            out.update(ddl_type=DDL_WIDEN_TYPE, ddl_column=mm.group(2),
-                       ddl_new_type=_engine_type(mm.group(3)))
+        ops = _clause_ops(s)
+        out["ops"] = [{k: v for k, v in o.items() if k != "_src"} for o in ops]
+        for want in _FLAT_PRECEDENCE:
+            first = next((o for o in ops if o["_src"] == want), None)
+            if first is not None:
+                out.update({k: first[k] for k in
+                            ("ddl_type", "ddl_column", "ddl_new_name", "ddl_new_type")})
+                break
     return out

@@ -120,3 +120,85 @@ def test_ddl_sql_only_spec_parses_and_rejects_half_filled(spark, tmp_table_dir):
                                      "ddl_new_type": None})
     with pytest.raises(ValueError, match="invalid column name"):
         table.add_column(None, "string")
+
+
+def test_drop_column_and_readd_no_resurrection(spark, tmp_table_dir):
+    """DROP COLUMN projects the column away everywhere; re-adding the same
+    name allocates a FRESH field id, so the dropped files' bytes stay dead
+    (Iceberg deleteColumn + field-id freshness)."""
+    import pytest
+    from pyspark.sql import types as T
+
+    table = LakeTable.create(
+        spark, tmp_table_dir,
+        T.StructType([
+            T.StructField("url", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("rank", T.LongType()),
+        ]),
+        merge_key=["url"], n_buckets=2,
+    )
+    table.append(spark.createDataFrame(
+        [("u1", "en", 1), ("u2", "de", 2)], "url string, lang string, rank long"
+    ))
+    assert {r["lang"] for r in table.scan().collect()} == {"en", "de"}
+
+    table.drop_column("lang")
+    assert "lang" not in [f.name for f in table.schema().fields]
+    assert table.scan().count() == 2  # rows survive, column gone
+
+    # re-add under the same name: NEW field id -> old values must NOT return
+    table.add_column("lang", "string")
+    rows = {r["url"]: r["lang"] for r in table.scan().collect()}
+    assert rows == {"u1": None, "u2": None}
+
+    # key/bucket columns are protected
+    with pytest.raises(ValueError, match="key/bucket"):
+        table.drop_column("url")
+
+
+def test_ddl_drop_column_via_sql_channel(spark, tmp_table_dir):
+    """Raw-SQL DROP COLUMN through the DDL channel: applies once, replays
+    as a no-op; ADD INDEX-family statements never touch the schema."""
+    table = LakeTable.create(
+        spark, tmp_table_dir, PAGE_SCHEMA, merge_key=["url", "warc_ts"], n_buckets=2
+    )
+    row = {"ddl_sql": "ALTER TABLE cc.pages DROP COLUMN lang"}
+    assert apply_ddl_idempotent(table, row) is True
+    assert "lang" not in [f.name for f in table.schema().fields]
+    assert apply_ddl_idempotent(table, row) is False  # replay no-op
+
+    # the round-2 bug shape: index/constraint DDL must be a schema no-op
+    before = [f.name for f in table.schema().fields]
+    for sql in (
+        "ALTER TABLE cc.pages ADD INDEX idx_u (url)",
+        "ALTER TABLE cc.pages ADD PRIMARY KEY (url)",
+        "ALTER TABLE cc.pages ADD CONSTRAINT ck CHECK (1=1)",
+        "ALTER TABLE cc.pages DROP INDEX idx_u",
+    ):
+        assert apply_ddl_idempotent(table, {"ddl_sql": sql}) is False, sql
+    assert [f.name for f in table.schema().fields] == before
+
+
+def test_ddl_multi_clause_alter_applies_every_clause(spark, tmp_table_dir):
+    """ALTER ... ADD COLUMN a, ADD COLUMN b, DROP COLUMN lang applies ALL
+    three clauses (Druid AST iteration analog), idempotently on replay."""
+    table = LakeTable.create(
+        spark, tmp_table_dir, PAGE_SCHEMA, merge_key=["url", "warc_ts"], n_buckets=2
+    )
+    row = {"ddl_sql": ("ALTER TABLE cc.pages ADD COLUMN a int, "
+                       "ADD COLUMN b bigint, DROP COLUMN lang")}
+    assert apply_ddl_idempotent(table, row) is True
+    cols = [f.name for f in table.schema().fields]
+    assert "a" in cols and "b" in cols and "lang" not in cols
+    v = table.current_version()
+    assert apply_ddl_idempotent(table, row) is False  # full replay no-op
+    assert table.current_version() == v
+
+    # CHANGE = rename (+legal widen): b -> c bigint stays bigint,
+    # a (int) -> a2 bigint renames AND widens
+    assert apply_ddl_idempotent(
+        table, {"ddl_sql": "ALTER TABLE cc.pages CHANGE COLUMN a a2 bigint"}
+    ) is True
+    f = {x["name"]: x["type"] for x in table.snapshot().current_fields()}
+    assert "a" not in f and f["a2"] == "bigint"

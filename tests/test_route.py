@@ -64,6 +64,36 @@ def test_route_two_tables(spark, tmp_path):
     assert not res3[r"cc\.pages"].versions and res3[r"cc\.users"].versions
 
 
+def test_route_empty_destination_fast_path(spark, tmp_path):
+    """A route whose filter matches NOTHING in the epoch must commit an
+    epoch marker (positions advance), not crash — even on the hints-driven
+    fast path where the un-run Observation cannot resolve stats."""
+    from clever_canal_spark.plans import BatchHints
+
+    feed = generate_feed(
+        spark, FeedConfig(n_events=200, n_urls=20, seed=9, table_name="pages")
+    )
+    t_pages = LakeTable.create(spark, str(tmp_path / "p"), PAGE_SCHEMA,
+                               merge_key=["url", "warc_ts"], n_buckets=4)
+    t_users = LakeTable.create(spark, str(tmp_path / "u"), PAGE_SCHEMA,
+                               merge_key=["url", "warc_ts"], n_buckets=4)
+    routes = [Route(r"cc\.pages", t_pages), Route(r"cc\.users", t_users)]
+    # batch-wide footer hints claim 200 events + no DDL (true for the whole
+    # batch); the users route's slice is empty — this is the crash shape
+    hints = BatchHints(n_events=200, lsn_min=0, lsn_max=199, ddl_possible=False)
+    res = route_epoch(spark, feed, 0, routes,
+                      ApplyConfig(merge_mode="mor"), hints=hints)
+    assert all(r.applied for r in res.values())
+    assert t_pages.scan().count() > 0
+    assert t_users.scan().count() == 0
+    # the empty destination still committed the epoch (exactly-once cursor)
+    assert t_users.is_epoch_committed(0)
+    # replay no-ops both
+    res2 = route_epoch(spark, feed, 0, routes,
+                       ApplyConfig(merge_mode="mor"), hints=hints)
+    assert all(not r.versions for r in res2.values())
+
+
 def test_routed_follower_crash_between_destinations(spark, tmp_path):
     """Checkpointed routed tail: epoch fans to two tables; a 'crash' that
     committed only the first destination replays the epoch on restart and
@@ -75,8 +105,11 @@ def test_routed_follower_crash_between_destinations(spark, tmp_path):
 
     cfg_a = FeedConfig(n_events=400, n_urls=30, seed=5, table_name="pages")
     cfg_b = FeedConfig(n_events=400, n_urls=30, seed=6, table_name="users")
+    # users occupy lsn 400-799: slice 1 is pages-only, slice 2 users-only —
+    # each epoch leaves ONE route's filter empty (the crash shape), and both
+    # lsn ranges stay inside write_feed_slices' [0, n_events) slicing window
     feed = generate_feed(spark, cfg_a).unionByName(
-        generate_feed(spark, cfg_b).withColumn("lsn", F.col("lsn") + 10_000)
+        generate_feed(spark, cfg_b).withColumn("lsn", F.col("lsn") + 400)
     )
     src = str(tmp_path / "feed")
     write_feed_slices(feed, src, n_slices=2, n_events=800)
@@ -98,18 +131,20 @@ def test_routed_follower_crash_between_destinations(spark, tmp_path):
     assert n_pages > 0 and n_users > 0
 
     # simulate crash-between-destinations on a NEW epoch: bind a new file,
-    # commit it to pages only, then restart the routed follower
+    # commit it to pages only, then restart the routed follower. Written
+    # directly (write_feed_slices slices by lsn range and would drop the
+    # +50_000-shifted rows); lsn 50_000+ beats every earlier users event.
     extra = generate_feed(
         spark, FeedConfig(n_events=100, n_urls=10, seed=7, table_name="users")
     ).withColumn("lsn", F.col("lsn") + 50_000)
-    write_feed_slices(extra, str(tmp_path / "x"), n_slices=1, n_events=100)
+    xtmp = str(tmp_path / "x")
+    extra.coalesce(1).write.mode("overwrite").parquet(xtmp)
     xfile = os.path.join(src, "zz-extra.parquet")
     os.rename(
-        [os.path.join(str(tmp_path / "x"), f) for f in os.listdir(tmp_path / "x")
+        [os.path.join(xtmp, f) for f in os.listdir(xtmp)
          if f.endswith(".parquet")][0],
         xfile,
     )
-    from clever_canal_spark.plans.route import route_epoch as _re  # noqa
     # pages-only partial apply under the SAME epoch id the follower will use
     f2 = mk()
     fresh_epoch = 2
@@ -122,5 +157,11 @@ def test_routed_follower_crash_between_destinations(spark, tmp_path):
 
     res2 = mk().run_available()  # restart: replays epoch 2 for users only
     assert t_users.is_epoch_committed(fresh_epoch)
-    assert t_users.scan().count() > n_users          # users got the new rows
+    # users state now matches the ordered reference apply of feed+extra
+    # (extra keys overlap the earlier feed's, so assert state, not counts)
+    users_rows = [
+        r.asDict(recursive=True)
+        for r in feed.filter(F.col("table_name") == "users").collect()
+    ] + [r.asDict(recursive=True) for r in extra.collect()]
+    assert set(_state(t_users)) == set(_oracle(users_rows))
     assert t_pages.scan().count() == n_pages         # pages unchanged (no double-apply)

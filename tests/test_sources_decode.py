@@ -35,6 +35,28 @@ STATEMENTS = [
     "UPDATE cc.pages SET x = 1",
     "DELETE FROM cc.pages",
     "SET NAMES utf8",
+    # adversarial ADD/DROP clauses (index/constraint DDL, NOT column ops)
+    "ALTER TABLE cc.pages ADD INDEX idx_u (url)",
+    "ALTER TABLE cc.pages ADD KEY k_u (url)",
+    "ALTER TABLE cc.pages ADD PRIMARY KEY (url)",
+    "ALTER TABLE cc.pages ADD CONSTRAINT ck CHECK (rank > 0)",
+    "ALTER TABLE cc.pages ADD UNIQUE KEY uq (url)",
+    "ALTER TABLE cc.pages ADD FULLTEXT INDEX ft (text)",
+    "ALTER TABLE cc.pages ADD FOREIGN KEY (uid) REFERENCES u(id)",
+    "ALTER TABLE cc.pages DROP PRIMARY KEY",
+    "ALTER TABLE cc.pages DROP INDEX idx_u",
+    "ALTER TABLE cc.pages DROP FOREIGN KEY fk_x",
+    # column ops that LOOK like the above (quoted reserved words)
+    "ALTER TABLE cc.pages ADD `key` int",
+    "ALTER TABLE cc.pages ADD `index` bigint",
+    # DROP COLUMN (both spellings) + multi-clause + CHANGE
+    "ALTER TABLE cc.pages DROP COLUMN stale",
+    "ALTER TABLE cc.pages DROP stale",
+    "ALTER TABLE cc.pages ADD COLUMN a int, ADD COLUMN b bigint",
+    "ALTER TABLE cc.pages ADD COLUMN a decimal(10,2), DROP COLUMN lang, MODIFY rank bigint",
+    "ALTER TABLE cc.pages ADD INDEX i (c), ADD COLUMN x int",
+    "ALTER TABLE cc.pages CHANGE COLUMN lang language varchar(32)",
+    "ALTER TABLE cc.pages CHANGE lang language text",
 ]
 
 
@@ -57,6 +79,97 @@ def test_python_twin_matches_sql_classifier(spark):
         assert g["ddl_column"] == (p["ddl_column"] or ""), s
         assert g["ddl_new_name"] == (p["ddl_new_name"] or ""), s
         assert g["ddl_new_type"] == (p["ddl_new_type"] or ""), s
+        assert g["ddl_n_ops"] == len(p["ops"]), s
+
+
+def test_duckdb_dialect_matches_twin():
+    """Same agreement for the DuckDB-dialect generated classifier (the
+    oracle's evaluator). RE2 has no lookahead, so the keyword exclusion
+    uses a different mechanism than a Java-regex version naturally would —
+    this pins both dialects to the twin."""
+    import duckdb
+
+    con = duckdb.connect()
+    exprs = ddl_classify_exprs("stmt", "duckdb", default_schema="cc")
+    cols = ", ".join(f"{e} AS {k}" for k, e in exprs.items())
+    con.execute("CREATE TABLE s(stmt VARCHAR)")
+    con.executemany("INSERT INTO s VALUES (?)", [(x,) for x in STATEMENTS])
+    for s, row in zip(STATEMENTS, con.sql(f"SELECT {cols} FROM s").fetchall()):
+        p = parse_ddl(s, default_schema="cc")
+        want = (p["stmt_class"], p["schema_name"], p["table_name"],
+                p["ddl_type"] or "", p["ddl_column"] or "",
+                p["ddl_new_name"] or "", p["ddl_new_type"] or "", len(p["ops"]))
+        assert tuple(row) == want, (s, row, want)
+
+
+def test_adversarial_ddl_hand_written_expectations():
+    """HAND-WRITTEN expected outputs — deliberately not produced by any of
+    the three classifier evaluators. The driver's cdc_ddl_parse oracle runs
+    the same generated classifier on both sides, so a bug shared by the
+    generator passes the hash check by construction; these literals are the
+    independent check. (This is how the round-2 ADD INDEX→ADD_COLUMN bug
+    slipped through the all-green oracle.)"""
+    cases = {
+        # index/constraint DDL: ALTER class, NO column op
+        "ALTER TABLE cc.pages ADD INDEX idx_u (url)": (None, None, None, 0),
+        "ALTER TABLE cc.pages ADD PRIMARY KEY (url)": (None, None, None, 0),
+        "ALTER TABLE cc.pages ADD CONSTRAINT ck CHECK (rank > 0)": (None, None, None, 0),
+        "ALTER TABLE cc.pages ADD UNIQUE KEY uq (url)": (None, None, None, 0),
+        "ALTER TABLE cc.pages ADD FULLTEXT INDEX ft (text)": (None, None, None, 0),
+        "ALTER TABLE cc.pages ADD SPATIAL INDEX sp (geom)": (None, None, None, 0),
+        "ALTER TABLE cc.pages ADD FOREIGN KEY (uid) REFERENCES u(id)": (None, None, None, 0),
+        "ALTER TABLE cc.pages ADD PARTITION (PARTITION p1 VALUES LESS THAN (10))": (None, None, None, 0),
+        "ALTER TABLE cc.pages DROP PRIMARY KEY": (None, None, None, 0),
+        "ALTER TABLE cc.pages DROP INDEX idx_u": (None, None, None, 0),
+        "ALTER TABLE cc.pages DROP FOREIGN KEY fk_x": (None, None, None, 0),
+        "ALTER TABLE cc.pages DROP KEY k_u": (None, None, None, 0),
+        # quoted reserved words ARE columns
+        "ALTER TABLE cc.pages ADD `key` int": ("ADD_COLUMN", "key", "int", 1),
+        "ALTER TABLE cc.pages ADD `index` bigint": ("ADD_COLUMN", "index", "bigint", 1),
+        # plain column ops
+        "ALTER TABLE cc.pages ADD COLUMN q double": ("ADD_COLUMN", "q", "double", 1),
+        "ALTER TABLE cc.pages ADD q2 float": ("ADD_COLUMN", "q2", "float", 1),
+        "ALTER TABLE cc.pages DROP COLUMN stale": ("DROP_COLUMN", "stale", None, 1),
+        "ALTER TABLE cc.pages DROP stale": ("DROP_COLUMN", "stale", None, 1),
+        "ALTER TABLE cc.pages MODIFY rank bigint": ("WIDEN_TYPE", "rank", "bigint", 1),
+    }
+    for s, (typ, col, new_type, n_ops) in cases.items():
+        p = parse_ddl(s, default_schema="cc")
+        assert p["stmt_class"] == "ALTER", s
+        assert p["ddl_type"] == typ, (s, p)
+        assert p["ddl_column"] == col, (s, p)
+        assert p["ddl_new_type"] == new_type, (s, p)
+        assert len(p["ops"]) == n_ops, (s, p)
+
+
+def test_multi_clause_alter_ops_hand_written():
+    """Multi-clause ALTER: every comma-separated sub-op is extracted, in
+    clause order (Druid AST iteration analog) — hand-written expectations."""
+    p = parse_ddl(
+        "ALTER TABLE cc.pages ADD COLUMN a int, ADD COLUMN b bigint, "
+        "DROP COLUMN lang, MODIFY rank bigint, RENAME COLUMN x TO y",
+        default_schema="cc",
+    )
+    assert [
+        (o["ddl_type"], o["ddl_column"], o["ddl_new_name"], o["ddl_new_type"])
+        for o in p["ops"]
+    ] == [
+        ("ADD_COLUMN", "a", None, "int"),
+        ("ADD_COLUMN", "b", None, "bigint"),
+        ("DROP_COLUMN", "lang", None, None),
+        ("WIDEN_TYPE", "rank", None, "bigint"),
+        ("RENAME_COLUMN", "x", "y", None),
+    ]
+    # flat fields = first clause by class precedence (add first)
+    assert (p["ddl_type"], p["ddl_column"]) == ("ADD_COLUMN", "a")
+    # a keyword clause between column clauses is skipped, the rest kept
+    p2 = parse_ddl("ALTER TABLE t ADD INDEX i (c), ADD COLUMN x int", "cc")
+    assert [(o["ddl_type"], o["ddl_column"]) for o in p2["ops"]] == [("ADD_COLUMN", "x")]
+    assert (p2["ddl_type"], p2["ddl_column"]) == ("ADD_COLUMN", "x")
+    # CHANGE = rename carrying a type
+    p3 = parse_ddl("ALTER TABLE t CHANGE COLUMN lang language varchar(32)", "cc")
+    assert p3["ops"] == [{"ddl_type": "RENAME_COLUMN", "ddl_column": "lang",
+                          "ddl_new_name": "language", "ddl_new_type": "string"}]
 
 
 def test_parse_ddl_classification():
