@@ -428,6 +428,37 @@ class LakeTable:
             out = out.filter(F.col(c) == F.lit(v))
         return out.select(*[f["name"] for f in snap.current_fields()])
 
+    def scan_for_keys(self, values: list) -> DataFrame:
+        """Multi-point read: reconcile ONLY the buckets holding the given
+        bucket-key values (``lookup`` generalized to N keys — the probe path
+        of a secondary index, or a batched 'current row for these urls').
+
+        ``values``: bucket-key values — scalars for a single-column bucket
+        key, tuples for composite keys. The physical buckets are computed by
+        one tiny Spark job over the probe list (O(len(values)) work, exact
+        writer-side xxhash64), then only those buckets' files are read —
+        an O(probes/n_buckets) fraction of the table, never a full scan.
+        """
+        snap = self.snapshot()
+        out_cols = [f["name"] for f in snap.current_fields()]
+        if not values:
+            return self.spark.createDataFrame([], snap.spark_schema())
+        vals = [v if isinstance(v, tuple) else (v,) for v in values]
+        cols = {f["name"]: f["type"] for f in snap.current_fields()}
+        probe = self.spark.createDataFrame(
+            vals, ", ".join(f"{c} {cols[c]}" for c in snap.bucket_key)
+        )
+        buckets = {
+            int(r["__b"])
+            for r in probe.select(self._bucket_col(snap).alias("__b")).collect()
+        }
+        out = self._reconciled(snap, buckets=buckets)
+        if len(snap.bucket_key) == 1:
+            out = out.filter(F.col(snap.bucket_key[0]).isin([v[0] for v in vals]))
+        else:
+            out = out.join(F.broadcast(probe), on=list(snap.bucket_key), how="left_semi")
+        return out.select(*out_cols)
+
     def scan_changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
         """Incremental changelog read (the Iceberg incremental-source
         analog, SURVEY.md §1.7): rows written between two snapshots, with

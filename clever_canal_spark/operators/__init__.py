@@ -8,6 +8,13 @@ from .dedup import (
     simhash_neardup_pairs,
     simhash_wide,
 )
+from .ann_index import (
+    ann_indexed_topk,
+    build_ivf_index,
+    build_lsh_index,
+    ivf_indexed_topk,
+    open_ann_index,
+)
 from .lww import lww_dedup, salted_lww_dedup
 from .multimodal import extract_media_meta, resize_images, sample_frames
 from .similarity import (
@@ -22,14 +29,18 @@ from .similarity import (
 from .text import doc_fingerprint, lang_id, quality_score, token_stats
 
 __all__ = [
+    "ann_indexed_topk",
     "ann_lsh_topk",
     "ann_multiprobe_topk",
     "brute_force_topk",
+    "build_ivf_index",
+    "build_lsh_index",
     "cosine_neardup_pairs",
     "doc_fingerprint",
     "embedding_norms",
     "exact_dedup",
     "extract_media_meta",
+    "ivf_indexed_topk",
     "ivf_topk",
     "lang_id",
     "lsh_buckets",
@@ -38,6 +49,7 @@ __all__ = [
     "minhash_signature",
     "neardup_clusters",
     "ngram_jaccard_pairs",
+    "open_ann_index",
     "quality_score",
     "resize_images",
     "salted_lww_dedup",

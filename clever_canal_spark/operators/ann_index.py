@@ -1,0 +1,274 @@
+"""Persisted ANN indexes: build once, probe many — with batched queries.
+
+The round-2 ANN operators (`similarity.py`) recompute their blocking
+structure inline on every call: `ann_multiprobe_topk` re-derives the LSH
+bucket of every corpus vector, and `ivf_topk` re-runs the full
+O(n·centroids) nearest-centroid assignment per query. Correct, but at
+10⁹ vectors that is the index build riding every lookup.
+
+This module separates the two phases the way a real similarity service
+does (reference parity: the reference keeps no vector index — this is
+part of the beyond-reference training-data surface):
+
+- **build**: one batch job computes the blocking column (LSH ``bucket``
+  or IVF ``cent_id``) and stores ``(vec_id, embedding, blocking_col)``
+  in a :class:`~clever_canal_spark.lake.LakeTable` whose *physical*
+  bucket key IS the blocking column — so the lake's manifest-level
+  bucket pruning (the same machinery behind ``lookup``) turns a probe
+  into an O(probes/n_buckets) read. Index parameters land in a sidecar
+  ``index.json`` so ``open_ann_index`` needs no caller-remembered state.
+- **probe**: N-row query batches. Per query, the probe set (flip-masks
+  within Hamming ``radius`` for LSH; top-``n_probes`` centroids for
+  IVF) is derived from the tiny query batch only, collected driver-side
+  (O(#queries·#probes) — never touches the corpus), and pruned-read via
+  ``LakeTable.scan_for_keys``. Scoring joins the candidates against the
+  broadcast probe list; per-query top-k is a window rank over the
+  pruned candidate slice.
+
+At 100 TB: the index table is written bucket-partitioned once (or
+maintained incrementally for insert-only feeds via ``LakeTable.merge``
+keyed on ``vec_id``); every query batch reads only its probe buckets'
+files. Updating a vector in place would move it across blocking buckets
+— express updates as delete+insert of the index row (rebuild the
+affected entry), or rebuild the index from the corpus table; the build
+is a single scan either way.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F, types as T
+
+from ..lake import LakeTable
+from .similarity import (
+    N_DIMS,
+    N_PLANES,
+    dot_e9_expr,
+    ivf_assign,
+    ivf_centroids,
+    lsh_bucket_expr,
+    probe_masks,
+)
+
+_SIDECAR = "index.json"
+
+
+def _index_schema(block_col: str) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("vec_id", T.LongType(), nullable=False),
+            T.StructField("embedding", T.ArrayType(T.FloatType()), nullable=False),
+            T.StructField(block_col, T.LongType(), nullable=False),
+        ]
+    )
+
+
+@dataclass
+class LshIndex:
+    """A persisted hyperplane-LSH index: ``vectors`` is a LakeTable of
+    ``(vec_id, embedding, bucket)`` physically bucketed BY ``bucket``."""
+
+    vectors: LakeTable
+    n_planes: int
+    n_dims: int
+    path: str
+
+
+@dataclass
+class IvfIndex:
+    """A persisted IVF index: ``vectors`` holds ``(vec_id, embedding,
+    cent_id)`` physically bucketed by ``cent_id``; ``centroids`` is the
+    tiny ``(cent_id, cvec)`` coarse-quantizer table."""
+
+    vectors: LakeTable
+    centroids: LakeTable
+    centroid_mod: int
+    n_dims: int
+    path: str
+
+
+def build_lsh_index(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    n_planes: int = N_PLANES,
+    n_dims: int = N_DIMS,
+    n_buckets: int = 16,
+) -> LshIndex:
+    """One pass over the corpus: compute each vector's LSH bucket and store
+    it as the index table's physical bucket key. 2^n_planes logical buckets
+    hash into ``n_buckets`` file buckets — probes prune at file level."""
+    t = LakeTable.create(
+        spark,
+        os.path.join(path, "vectors"),
+        _index_schema("bucket"),
+        merge_key=["vec_id"],
+        bucket_key=["bucket"],
+        n_buckets=n_buckets,
+    )
+    t.append(
+        df.select(
+            "vec_id",
+            "embedding",
+            F.expr(lsh_bucket_expr("embedding", n_planes, n_dims)).cast("long").alias("bucket"),
+        )
+    )
+    meta = {"family": "lsh", "n_planes": n_planes, "n_dims": n_dims}
+    with open(os.path.join(path, _SIDECAR), "w") as fh:
+        json.dump(meta, fh)
+    return LshIndex(vectors=t, n_planes=n_planes, n_dims=n_dims, path=path)
+
+
+def build_ivf_index(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    centroid_mod: int = 32,
+    n_dims: int = N_DIMS,
+    n_buckets: int = 16,
+) -> IvfIndex:
+    """The one-time O(n·centroids) nearest-centroid assignment (broadcast
+    cross + max_by — `similarity.ivf_assign`) runs HERE, never at query
+    time. Assignment rows carry only (vec_id, cent_id) through the agg;
+    the payload joins back by vec_id for the index write."""
+    cents = ivf_centroids(df, centroid_mod)
+    t = LakeTable.create(
+        spark,
+        os.path.join(path, "vectors"),
+        _index_schema("cent_id"),
+        merge_key=["vec_id"],
+        bucket_key=["cent_id"],
+        n_buckets=n_buckets,
+    )
+    assigned = ivf_assign(df, centroid_mod, n_dims)
+    t.append(df.join(assigned, on="vec_id").select("vec_id", "embedding", "cent_id"))
+    ct = LakeTable.create(
+        spark,
+        os.path.join(path, "centroids"),
+        T.StructType(
+            [
+                T.StructField("cent_id", T.LongType(), nullable=False),
+                T.StructField("cvec", T.ArrayType(T.FloatType()), nullable=False),
+            ]
+        ),
+        merge_key=["cent_id"],
+        n_buckets=1,
+    )
+    ct.append(cents)
+    meta = {"family": "ivf", "centroid_mod": centroid_mod, "n_dims": n_dims}
+    with open(os.path.join(path, _SIDECAR), "w") as fh:
+        json.dump(meta, fh)
+    return IvfIndex(vectors=t, centroids=ct, centroid_mod=centroid_mod, n_dims=n_dims, path=path)
+
+
+def open_ann_index(spark: SparkSession, path: str) -> "LshIndex | IvfIndex":
+    """Reopen a persisted index from its sidecar params."""
+    with open(os.path.join(path, _SIDECAR)) as fh:
+        meta = json.load(fh)
+    if meta["family"] == "lsh":
+        return LshIndex(
+            vectors=LakeTable(spark, os.path.join(path, "vectors")),
+            n_planes=meta["n_planes"],
+            n_dims=meta["n_dims"],
+            path=path,
+        )
+    if meta["family"] == "ivf":
+        return IvfIndex(
+            vectors=LakeTable(spark, os.path.join(path, "vectors")),
+            centroids=LakeTable(spark, os.path.join(path, "centroids")),
+            centroid_mod=meta["centroid_mod"],
+            n_dims=meta["n_dims"],
+            path=path,
+        )
+    raise ValueError(f"unknown index family {meta['family']!r}")
+
+
+def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(F.col("dot_e9").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def ann_indexed_topk(
+    index: LshIndex,
+    query_df: DataFrame,
+    k: int = 50,
+    radius: int = 1,
+) -> DataFrame:
+    """Batched multi-probe ANN over a persisted LSH index.
+
+    ``query_df``: (query_id, embedding) — any batch size. Per query the
+    probe set is the flip-mask neighborhood of its bucket; the union of
+    all queries' probes (collected driver-side from the query batch — a
+    few hundred longs, no corpus job) drives ONE bucket-pruned read of
+    the index, and candidates score against their matching query via a
+    broadcast equi-join on (probe bucket). Output: (query_id, vec_id,
+    dot_e9), top-k per query.
+    """
+    masks = probe_masks(index.n_planes, radius)
+    q = query_df.select(
+        "query_id",
+        F.col("embedding").alias("qvec"),
+        F.expr(lsh_bucket_expr("embedding", index.n_planes, index.n_dims))
+        .cast("long")
+        .alias("qbucket"),
+    )
+    probes = q.select(
+        "query_id",
+        "qvec",
+        F.explode(
+            F.array(*[F.expr(f"CAST(qbucket AS BIGINT) ^ {m}") for m in masks])
+        ).alias("probe"),
+    )
+    probe_vals = sorted(
+        {r["probe"] for r in probes.select("probe").distinct().collect()}
+    )
+    cand = index.vectors.scan_for_keys(probe_vals)
+    scored = cand.join(F.broadcast(probes), cand["bucket"] == probes["probe"]).select(
+        "query_id",
+        "vec_id",
+        F.expr(dot_e9_expr("embedding", "qvec", index.n_dims)).alias("dot_e9"),
+    )
+    return _topk_per_query(scored, k)
+
+
+def ivf_indexed_topk(
+    index: IvfIndex,
+    query_df: DataFrame,
+    k: int = 50,
+    n_probes: int = 4,
+) -> DataFrame:
+    """Batched IVF ANN over a persisted index: rank the (tiny, broadcast)
+    centroid table against each query, take each query's top ``n_probes``
+    inverted lists, pruned-read exactly those lists, exact-rank inside.
+    NO corpus-wide assignment job in this path — that ran at build time."""
+    cents = F.broadcast(index.centroids.scan())
+    q = query_df.select("query_id", F.col("embedding").alias("qvec"))
+    ranked = q.crossJoin(cents).select(
+        "query_id",
+        "qvec",
+        "cent_id",
+        F.expr(dot_e9_expr("cvec", "qvec", index.n_dims)).alias("cdot"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cdot").desc(), F.col("cent_id"))
+    probes = (
+        ranked.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_probes)
+        .select("query_id", "qvec", "cent_id")
+    )
+    cent_ids = sorted(
+        {r["cent_id"] for r in probes.select("cent_id").distinct().collect()}
+    )
+    cand = index.vectors.scan_for_keys(cent_ids)
+    scored = cand.join(F.broadcast(probes), on="cent_id").select(
+        "query_id",
+        "vec_id",
+        F.expr(dot_e9_expr("embedding", "qvec", index.n_dims)).alias("dot_e9"),
+    )
+    return _topk_per_query(scored, k)
