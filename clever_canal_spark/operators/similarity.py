@@ -213,20 +213,117 @@ def ivf_topk(
     return scored.orderBy(F.col("dot_e9").desc(), F.col("vec_id")).limit(k)
 
 
+def derive_n_planes(n_rows: int, max_bucket_rows: int = 10_000) -> int:
+    """Scale-aware plane count: enough hyperplanes that the EXPECTED bucket
+    holds ≤ max_bucket_rows/4 rows (4× headroom for non-uniform buckets),
+    floored at 4 (the fixture-scale default) and capped at 30."""
+    import math
+
+    target = max(max_bucket_rows // 4, 1)
+    if n_rows <= target:
+        return 4
+    return min(30, max(4, math.ceil(math.log2(n_rows / target))))
+
+
+def blocked_buckets(
+    df: DataFrame,
+    n_planes: int,
+    n_dims: int = N_DIMS,
+    max_bucket_rows: int | None = None,
+    split_rounds: int = 2,
+    split_planes: int = 4,
+) -> DataFrame:
+    """(vec_id, embedding, bucket) with a per-bucket row cap enforced by
+    recursive re-hashing: buckets over ``max_bucket_rows`` get
+    ``split_planes`` MORE hyperplanes appended (bucket' = bucket·2^s +
+    extra bits — collision-free vs unsplit buckets since an original
+    bucket is either split or not), up to ``split_rounds`` times. Rows
+    whose vectors are (near-)identical never separate — by construction
+    they sit on the same side of every hyperplane — so the cap cannot be
+    enforced for true duplicate blow-ups; callers decide (see
+    ``cosine_neardup_pairs`` ``on_oversized``). Each round costs one small
+    aggregate over (bucket, count) — only the oversized bucket ids (not
+    rows) ever reach the driver."""
+    b = df.select(
+        "vec_id", "embedding",
+        F.expr(lsh_bucket_expr("embedding", n_planes, n_dims)).cast("long").alias("bucket"),
+    )
+    if max_bucket_rows is None:
+        return b
+    offset = n_planes
+    for _ in range(split_rounds):
+        oversized = [
+            r["bucket"]
+            for r in b.groupBy("bucket")
+            .count()
+            .filter(F.col("count") > max_bucket_rows)
+            .select("bucket")
+            .collect()
+        ]
+        if not oversized:
+            break
+        extra = " + ".join(
+            # extra planes continue the deterministic coefficient family at
+            # ``offset`` but shift into the LOW bits of the widened bucket
+            plane_bit_expr("embedding", offset + j, n_dims).replace(
+                f"THEN {1 << (offset + j)}", f"THEN {1 << j}"
+            )
+            for j in range(split_planes)
+        )
+        b = b.withColumn(
+            "bucket",
+            F.col("bucket") * (1 << split_planes)
+            + F.when(F.col("bucket").isin(oversized), F.expr(extra)).otherwise(F.lit(0)),
+        )
+        offset += split_planes
+    return b
+
+
 def cosine_neardup_pairs(
     df: DataFrame,
     tau_e9: int = 300_000_000,
-    n_planes: int = 4,
+    n_planes: int | None = None,
     n_dims: int = N_DIMS,
+    max_bucket_rows: int = 10_000,
+    split_rounds: int = 2,
+    on_oversized: str = "raise",
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs: LSH bucket as the blocking key
     (same-bucket pairs only — never the n² cross join), exact scaled-dot
     threshold inside the bucket. Unit-normalized embeddings → dot =
-    cosine; tau_e9 = cosine·1e9."""
-    b = df.select(
-        "vec_id", "embedding",
-        F.expr(lsh_bucket_expr("embedding", n_planes, n_dims)).alias("bucket"),
+    cosine; tau_e9 = cosine·1e9.
+
+    Scale safety (VERDICT r2 #3): ``n_planes=None`` derives the plane
+    count from the corpus size (one count job) so the expected bucket
+    stays ≤ ~max_bucket_rows/4; buckets that still exceed
+    ``max_bucket_rows`` (skew) are recursively re-hashed with extra
+    planes up to ``split_rounds`` times. If a bucket is STILL oversized
+    after that — which for unit vectors means (near-)identical rows that
+    no hyperplane separates — ``on_oversized='raise'`` rejects with the
+    offending bucket sizes (run exact dedup first), ``'keep'`` proceeds
+    with the documented O(size²) cost inside those buckets."""
+    if on_oversized not in ("raise", "keep"):
+        raise ValueError("on_oversized must be 'raise' or 'keep'")
+    if n_planes is None:
+        n_planes = derive_n_planes(df.count(), max_bucket_rows)
+    b = blocked_buckets(
+        df, n_planes, n_dims, max_bucket_rows=max_bucket_rows, split_rounds=split_rounds
     )
+    if on_oversized == "raise":
+        still = (
+            b.groupBy("bucket")
+            .count()
+            .filter(F.col("count") > max_bucket_rows)
+            .collect()
+        )
+        if still:
+            sizes = {r["bucket"]: r["count"] for r in still[:10]}
+            raise ValueError(
+                f"{len(still)} bucket(s) exceed max_bucket_rows={max_bucket_rows} "
+                f"after {split_rounds} split rounds (likely near-identical "
+                f"vectors — exact-dedup first, or pass on_oversized='keep'): "
+                f"{sizes}"
+            )
     a, c = b.alias("a"), b.alias("c")
     return (
         a.join(c, (F.col("a.bucket") == F.col("c.bucket")) & (F.col("a.vec_id") < F.col("c.vec_id")))

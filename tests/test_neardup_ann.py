@@ -160,3 +160,73 @@ def test_simhash_neardup_banding_complete(spark):
     # the engineered near-dup pair is found, within the radius
     h01 = [h for a_, b_, h in brute if (a_, b_) == (0, 1)]
     assert h01 and h01[0] <= radius
+
+
+# --- scale-safe cosine near-dup blocking (VERDICT r2 #3/#6) ---------------
+
+import math
+
+from clever_canal_spark.operators.similarity import (
+    blocked_buckets,
+    cosine_neardup_pairs,
+    derive_n_planes,
+)
+
+
+def _unit_vecs(spark, n, dims=8, seed=3):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    v = rng.normal(size=(n, dims))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    rows = [(i, [float(x) for x in v[i]]) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_derive_n_planes_scales_with_corpus():
+    assert derive_n_planes(500) == 4                      # fixture scale: unchanged
+    assert derive_n_planes(10_000_000, 10_000) == math.ceil(math.log2(10_000_000 / 2_500))
+    assert derive_n_planes(10**9, 10_000) == 19
+    assert derive_n_planes(10**12, 10_000) == 29          # capped at 30 just above
+
+
+def test_bucket_split_bounds_candidate_pairs(spark):
+    """Skewed fixture: 1 initial plane puts ~500 rows in each of 2 buckets;
+    the cap (100) must force recursive re-hashing until every final bucket
+    is under it — bounding the within-bucket all-pairs count."""
+    df = _unit_vecs(spark, 1000)
+    b = blocked_buckets(df, n_planes=1, n_dims=8, max_bucket_rows=100, split_rounds=2)
+    sizes = [r["count"] for r in b.groupBy("bucket").count().collect()]
+    assert sum(sizes) == 1000
+    assert max(sizes) <= 100, sorted(sizes, reverse=True)[:5]
+    # candidate pairs under the cap-derived bound, far below the n^2/2 naive
+    pairs = sum(s * (s - 1) // 2 for s in sizes)
+    assert pairs <= len(sizes) * 100 * 99 // 2
+    assert pairs < 1000 * 999 // 4
+
+
+def test_identical_vectors_rejected_or_kept(spark):
+    """True duplicates sit on the same side of every hyperplane — no split
+    can separate them. Default rejects with a pointer to exact dedup;
+    on_oversized='keep' processes the documented O(size^2) bucket."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(i, [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="exact-dedup first"):
+        cosine_neardup_pairs(df, n_planes=2, n_dims=8, max_bucket_rows=20).count()
+    kept = cosine_neardup_pairs(
+        df, n_planes=2, n_dims=8, max_bucket_rows=20, on_oversized="keep"
+    )
+    assert kept.count() == 60 * 59 // 2  # identical => dot = 1e9 >= tau
+
+
+def test_auto_planes_matches_explicit_at_fixture_scale(spark):
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet")).select(
+        "vec_id", "embedding"
+    )
+    auto = cosine_neardup_pairs(emb)          # n_planes derived -> 4 at this size
+    explicit = cosine_neardup_pairs(emb, n_planes=4)
+    assert sorted(map(tuple, auto.collect())) == sorted(map(tuple, explicit.collect()))
