@@ -34,12 +34,29 @@ def read_feed(spark: SparkSession, path: str, since_ts=None, since_lsn: int | No
 
 
 def read_feed_stream(
-    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+    max_bytes_per_trigger: int | None = None,
 ) -> DataFrame:
-    """Streaming tail of a feed directory (the dump loop)."""
+    """Streaming tail of a feed directory (the dump loop).
+
+    Batch admission mirrors Canal's get(batchSize) dual units
+    (CanalServerWithEmbedded.java getWithoutAck: ITEMSIZE vs MEMSIZE):
+    ``max_files_per_trigger`` counts rotation units (ITEMSIZE analog),
+    ``max_bytes_per_trigger`` bounds admitted bytes per micro-batch
+    (MEMSIZE analog — Spark's file source admits whole files up to the
+    byte budget, always at least one). Mutually exclusive, as in Spark."""
+    if max_files_per_trigger and max_bytes_per_trigger:
+        raise ValueError(
+            "max_files_per_trigger and max_bytes_per_trigger are mutually "
+            "exclusive batch-admission units (pick ITEM- or MEM-bounded)"
+        )
     r = spark.readStream.schema(CHANGE_EVENT_SCHEMA).option("pathGlobFilter", "*.parquet")
     if max_files_per_trigger:
         r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+    if max_bytes_per_trigger:
+        r = r.option("maxBytesPerTrigger", max_bytes_per_trigger)
     return r.parquet(path)
 
 

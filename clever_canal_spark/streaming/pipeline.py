@@ -10,8 +10,10 @@ The Spark restatement of the whole Canal server loop (SURVEY.md §3.1-3.2):
                                      with the MERGE snapshot
 - rollback / crash redelivery      → Spark replays the uncommitted epoch on
                                      restart; apply_epoch is idempotent
-- batch sizing (ITEM/MEM_SIZE)     → ``maxFilesPerTrigger`` (slice files are
+- batch sizing ITEM_SIZE           → ``maxFilesPerTrigger`` (slice files are
                                      the feed's rotation unit)
+- batch sizing MEM_SIZE            → ``maxBytesPerTrigger`` (byte-bounded
+                                     admission; whole files, >= 1 per batch)
 
 Resume-from-checkpoint is lossless: offsets name the exact file set of the
 in-flight epoch, and the epoch registry makes the re-apply a no-op if its
@@ -38,12 +40,21 @@ class CdcPipeline:
     cfg: ApplyConfig
     metrics_table: LakeTable | None = None
     max_files_per_trigger: int | None = 1
+    # byte-bounded admission (the MEM_SIZE analog, E2). Setting it takes
+    # precedence over the file-count default of 1 — the two units are
+    # mutually exclusive on the Spark file source.
+    max_bytes_per_trigger: int | None = None
 
     def start(self, available_now: bool = True, processing_time: str | None = None):
         """Start the streaming query. ``available_now=True`` drains what is
         currently in the source then stops (deterministic for tests/bench);
         a production tail uses ``processing_time``."""
-        stream = read_feed_stream(self.spark, self.source_dir, self.max_files_per_trigger)
+        stream = read_feed_stream(
+            self.spark,
+            self.source_dir,
+            None if self.max_bytes_per_trigger else self.max_files_per_trigger,
+            self.max_bytes_per_trigger,
+        )
 
         def _apply(batch_df, epoch_id: int):
             apply_epoch(

@@ -100,3 +100,38 @@ def test_stream_epoch_lineage_metrics(spark, tmp_table_dir):
     ranges = sorted((r["lsn_min"], r["lsn_max"]) for r in rows.values())
     assert ranges[0][0] == 0 and ranges[-1][1] == cfgf.n_events - 1
     assert all(r["snapshot_version"] is not None for r in rows.values())
+
+
+def test_stream_byte_bounded_epochs(spark, tmp_table_dir):
+    """max_bytes_per_trigger (the MEM_SIZE admission analog, E2) must
+    bound each micro-batch to roughly one slice file's bytes — several
+    committed epochs instead of one drain-everything batch — while the
+    final state stays oracle-identical."""
+    src_dir = os.path.join(tmp_table_dir, "feed")
+    ckpt = os.path.join(tmp_table_dir, "ckpt")
+    tbl_dir = os.path.join(tmp_table_dir, "pages")
+
+    cfgf = FeedConfig(n_events=1200, n_urls=80, seed=11)
+    feed = generate_feed(spark, cfgf).cache()
+    slices = write_feed_slices(feed, src_dir, n_slices=4, n_events=cfgf.n_events)
+    slice_bytes = max(os.path.getsize(p) for p in slices)
+
+    table = LakeTable.create(
+        spark, tbl_dir, PAGE_SCHEMA, merge_key=["url", "warc_ts"], n_buckets=4
+    )
+    pipe = CdcPipeline(
+        spark, src_dir, ckpt, table, ApplyConfig(),
+        max_bytes_per_trigger=slice_bytes,  # budget ~ 1 file => >= 2 epochs
+    )
+    pipe.run_until_drained()
+    assert len(set(table.committed_epochs())) >= 2
+    assert _final_state(table) == _oracle(feed.collect())
+
+
+def test_stream_admission_units_exclusive(spark, tmp_table_dir):
+    import pytest
+
+    from clever_canal_spark.sources import read_feed_stream
+
+    with pytest.raises(ValueError, match="mutually"):
+        read_feed_stream(spark, tmp_table_dir, 2, 1024)
