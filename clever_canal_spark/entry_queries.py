@@ -1582,3 +1582,87 @@ def q_emb_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = open_ann_index(spark, _ann_index_dir(spark, sf_dir, "ivf"))
     out = ivf_indexed_topk(idx, _ann_query_batch(spark, sf_dir), k=_ANN_K, n_probes=_IVF_PROBES)
     return out.select("query_id", "vec_id", "dot_e9")
+
+
+@register(
+    "cdc_multi_point_lookup",
+    f"""
+    SELECT 'u' || CAST(user_id AS VARCHAR) AS url, CAST({_CENTS} AS VARCHAR) AS text
+    FROM (
+      SELECT user_id, value, {_OP_EXPR} AS op,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      FROM events WHERE user_id IN (3, 7, 11)
+    ) WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def q_cdc_multi_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched point read (`scan_for_keys`, round 3): the N-key
+    generalization of `lookup` — ONE tiny job maps the keys to their hash
+    buckets, only those buckets' files reconcile. The same primitive the
+    persisted-ANN probe path rides; here in its native CDC role ('current
+    rows for these urls')."""
+    table, _ = _replay_events_table(spark, sf_dir)
+    return table.scan_for_keys(["u3", "u7", "u11"]).select("url", "text")
+
+
+def _index_sync_oracle() -> str:
+    return f"""
+    WITH base AS (
+      SELECT vec_id,
+             CASE WHEN vec_id < 10
+                  THEN list_transform(embedding, x -> -x)
+                  ELSE embedding END AS e
+      FROM embeddings WHERE vec_id NOT BETWEEN 10 AND 14
+    ),
+    ins AS (
+      SELECT 9000 + vec_id AS vec_id, embedding AS e
+      FROM embeddings WHERE vec_id < 5
+    ),
+    fin AS (SELECT * FROM base UNION ALL SELECT * FROM ins)
+    SELECT vec_id, {_duck_lsh_bucket('e', _MP_PLANES)} AS bucket FROM fin
+    """
+
+
+@register("emb_index_sync", _index_sync_oracle())
+def q_emb_index_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN-index maintenance end-to-end (round 3): build the
+    LSH index, then apply one CDC-style change batch — 10 updates that
+    MOVE vectors across buckets (negated embeddings flip every
+    hyperplane), 5 deletes, 5 inserts — via `apply_index_changes`
+    (directory-routed old-bucket tombstones + new-bucket upserts, one MOR
+    epoch per table). The oracle computes the final corpus state directly
+    and re-derives every bucket: parity proves the incrementally
+    maintained index equals a from-scratch rebuild."""
+    import tempfile
+
+    from .operators.ann_index import apply_index_changes, build_lsh_index, open_ann_index
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), "lsh-sync")
+    hit = _ANN_INDEX_CACHE.get(key)
+    if hit is None:
+        emb = _embeddings(spark, sf_dir)
+        tmp = tempfile.mkdtemp(prefix="ccs-annidx-sync-")
+        idx = build_lsh_index(spark, emb, tmp, n_planes=_MP_PLANES)
+        upd = emb.filter(F.col("vec_id") < 10).select(
+            "vec_id",
+            F.expr("transform(embedding, x -> -x)").alias("embedding"),
+            F.lit("U").alias("op"),
+            (F.lit(1000) + F.col("vec_id")).alias("lsn"),
+        )
+        dels = emb.filter(F.col("vec_id").between(10, 14)).select(
+            "vec_id",
+            F.lit(None).cast("array<float>").alias("embedding"),
+            F.lit("D").alias("op"),
+            (F.lit(2000) + F.col("vec_id")).alias("lsn"),
+        )
+        ins = emb.filter(F.col("vec_id") < 5).select(
+            (F.lit(9000) + F.col("vec_id")).alias("vec_id"),
+            "embedding",
+            F.lit("I").alias("op"),
+            (F.lit(3000) + F.col("vec_id")).alias("lsn"),
+        )
+        apply_index_changes(idx, upd.unionByName(dels).unionByName(ins), epoch_id=0)
+        _ANN_INDEX_CACHE[key] = tmp
+        hit = tmp
+    idx = open_ann_index(spark, hit)
+    return idx.vectors.scan().select("vec_id", "bucket")

@@ -10,6 +10,7 @@ from .dedup import (
 )
 from .ann_index import (
     ann_indexed_topk,
+    apply_index_changes,
     build_ivf_index,
     build_lsh_index,
     ivf_indexed_topk,
@@ -30,6 +31,7 @@ from .text import doc_fingerprint, lang_id, quality_score, token_stats
 
 __all__ = [
     "ann_indexed_topk",
+    "apply_index_changes",
     "ann_lsh_topk",
     "ann_multiprobe_topk",
     "brute_force_topk",

@@ -69,25 +69,35 @@ def _index_schema(block_col: str) -> T.StructType:
 @dataclass
 class LshIndex:
     """A persisted hyperplane-LSH index: ``vectors`` is a LakeTable of
-    ``(vec_id, embedding, bucket)`` physically bucketed BY ``bucket``."""
+    ``(vec_id, embedding, bucket)`` physically bucketed BY ``bucket``;
+    ``directory`` is the reverse lookup ``(vec_id, bucket)`` bucketed by
+    ``vec_id`` — the piece that makes *incremental* maintenance a pruned
+    point-read instead of an index scan (see `apply_index_changes`)."""
 
     vectors: LakeTable
+    directory: LakeTable
     n_planes: int
     n_dims: int
     path: str
+
+    block_col = "bucket"
 
 
 @dataclass
 class IvfIndex:
     """A persisted IVF index: ``vectors`` holds ``(vec_id, embedding,
     cent_id)`` physically bucketed by ``cent_id``; ``centroids`` is the
-    tiny ``(cent_id, cvec)`` coarse-quantizer table."""
+    tiny ``(cent_id, cvec)`` coarse-quantizer table; ``directory`` maps
+    ``vec_id → cent_id`` for incremental maintenance."""
 
     vectors: LakeTable
     centroids: LakeTable
+    directory: LakeTable
     centroid_mod: int
     n_dims: int
     path: str
+
+    block_col = "cent_id"
 
 
 def build_lsh_index(
@@ -116,10 +126,12 @@ def build_lsh_index(
             F.expr(lsh_bucket_expr("embedding", n_planes, n_dims)).cast("long").alias("bucket"),
         )
     )
+    d = _create_directory(spark, path, "bucket", n_buckets)
+    d.append(t.scan().select("vec_id", "bucket"))
     meta = {"family": "lsh", "n_planes": n_planes, "n_dims": n_dims}
     with open(os.path.join(path, _SIDECAR), "w") as fh:
         json.dump(meta, fh)
-    return LshIndex(vectors=t, n_planes=n_planes, n_dims=n_dims, path=path)
+    return LshIndex(vectors=t, directory=d, n_planes=n_planes, n_dims=n_dims, path=path)
 
 
 def build_ivf_index(
@@ -158,10 +170,30 @@ def build_ivf_index(
         n_buckets=1,
     )
     ct.append(cents)
+    d = _create_directory(spark, path, "cent_id", n_buckets)
+    d.append(t.scan().select("vec_id", "cent_id"))
     meta = {"family": "ivf", "centroid_mod": centroid_mod, "n_dims": n_dims}
     with open(os.path.join(path, _SIDECAR), "w") as fh:
         json.dump(meta, fh)
-    return IvfIndex(vectors=t, centroids=ct, centroid_mod=centroid_mod, n_dims=n_dims, path=path)
+    return IvfIndex(
+        vectors=t, centroids=ct, directory=d,
+        centroid_mod=centroid_mod, n_dims=n_dims, path=path,
+    )
+
+
+def _create_directory(spark: SparkSession, path: str, block_col: str, n_buckets: int) -> LakeTable:
+    return LakeTable.create(
+        spark,
+        os.path.join(path, "directory"),
+        T.StructType(
+            [
+                T.StructField("vec_id", T.LongType(), nullable=False),
+                T.StructField(block_col, T.LongType(), nullable=False),
+            ]
+        ),
+        merge_key=["vec_id"],
+        n_buckets=n_buckets,
+    )
 
 
 def open_ann_index(spark: SparkSession, path: str) -> "LshIndex | IvfIndex":
@@ -171,6 +203,7 @@ def open_ann_index(spark: SparkSession, path: str) -> "LshIndex | IvfIndex":
     if meta["family"] == "lsh":
         return LshIndex(
             vectors=LakeTable(spark, os.path.join(path, "vectors")),
+            directory=LakeTable(spark, os.path.join(path, "directory")),
             n_planes=meta["n_planes"],
             n_dims=meta["n_dims"],
             path=path,
@@ -179,6 +212,7 @@ def open_ann_index(spark: SparkSession, path: str) -> "LshIndex | IvfIndex":
         return IvfIndex(
             vectors=LakeTable(spark, os.path.join(path, "vectors")),
             centroids=LakeTable(spark, os.path.join(path, "centroids")),
+            directory=LakeTable(spark, os.path.join(path, "directory")),
             centroid_mod=meta["centroid_mod"],
             n_dims=meta["n_dims"],
             path=path,
@@ -236,6 +270,129 @@ def ann_indexed_topk(
         F.expr(dot_e9_expr("embedding", "qvec", index.n_dims)).alias("dot_e9"),
     )
     return _topk_per_query(scored, k)
+
+
+def apply_index_changes(
+    index: "LshIndex | IvfIndex",
+    changes: DataFrame,
+    epoch_id: int | None = None,
+    lookup_threshold: int = 10_000,
+) -> None:
+    """Incrementally maintain a persisted index from a CDC-style change
+    batch — the piece that lets the ANN index ride the same ingest loop as
+    the lake tables instead of being rebuilt.
+
+    ``changes``: (vec_id, embedding, op, lsn) with op ∈ {I,U,D} (I≡U;
+    embedding may be null for D) and ``lsn`` the monotonic change order.
+
+    The hard part is *moves*: an updated vector usually lands in a
+    different blocking bucket, and a pruned probe of the OLD bucket must
+    not surface the stale row. The ``directory`` table (vec_id → bucket,
+    physically bucketed by vec_id) provides the old location as a pruned
+    point-read for small batches (``scan_for_keys``) or one semi-join for
+    large ones — never an index scan per batch at small batch sizes. Each
+    move merges a tombstone into the old bucket and the new row into the
+    new bucket as ONE MOR epoch (O(batch) appends); per-row the tombstone
+    orders at ``2·lsn`` and the upsert at ``2·lsn + 1``, so the pair
+    resolves deterministically under LWW in any read or compaction, pruned
+    or global. Exactly-once per ``epoch_id`` rides the tables' committed-
+    epoch registries (vectors first, then directory; a crash between the
+    two replays idempotently — epoch ordering is the caller's contract,
+    as everywhere in the engine).
+    """
+    bc = index.block_col
+    # intra-batch LWW: at most one surviving change per vec_id, so a
+    # same-batch insert→update pair cannot strand a row in the first
+    # change's bucket
+    w = (
+        changes.groupBy("vec_id")
+        .agg(
+            F.max_by(F.struct("embedding", "op", "lsn"), F.col("lsn")).alias("__w")
+        )
+        .select("vec_id", "__w.embedding", "__w.op", "__w.lsn")
+    ).cache()
+    try:
+        n = w.count()
+        live = w.filter(F.col("op") != "D")
+        if isinstance(index, LshIndex):
+            upserts = live.withColumn(
+                bc,
+                F.expr(lsh_bucket_expr("embedding", index.n_planes, index.n_dims)).cast("long"),
+            )
+        else:
+            cents = F.broadcast(index.centroids.scan())
+            assigned = (
+                live.crossJoin(cents)
+                .select(
+                    "vec_id",
+                    "cent_id",
+                    F.expr(dot_e9_expr("embedding", "cvec", index.n_dims)).alias("__d"),
+                )
+                .groupBy("vec_id")
+                .agg(
+                    F.max_by(
+                        F.col("cent_id"), F.struct(F.col("__d"), -F.col("cent_id"))
+                    ).alias(bc)
+                )
+            )
+            upserts = live.join(assigned, on="vec_id")
+        if n <= lookup_threshold:
+            ids = [r["vec_id"] for r in w.select("vec_id").collect()]
+            old = index.directory.scan_for_keys(ids)
+        else:
+            old = index.directory.scan().join(
+                w.select("vec_id"), on="vec_id", how="left_semi"
+            )
+        # tombstone the old location when the vec is deleted or moved
+        tombs = (
+            old.withColumnRenamed(bc, "__oldb")
+            .join(w.select("vec_id", "op", "lsn"), on="vec_id")
+            .join(
+                upserts.select("vec_id", F.col(bc).alias("__newb")),
+                on="vec_id",
+                how="left",
+            )
+            .filter(
+                (F.col("op") == "D")
+                | F.col("__newb").isNull()
+                | (F.col("__newb") != F.col("__oldb"))
+            )
+            .select(
+                "vec_id",
+                F.lit(None).cast(T.ArrayType(T.FloatType())).alias("embedding"),
+                F.col("__oldb").alias(bc),
+                F.lit("D").alias("op"),
+                (F.col("lsn") * 2).alias("__l2"),
+            )
+        )
+        ups = upserts.select(
+            "vec_id", "embedding", bc, F.lit("U").alias("op"),
+            (F.col("lsn") * 2 + 1).alias("__l2"),
+        )
+        index.vectors.merge(
+            tombs.unionByName(ups), epoch_id=epoch_id, op_col="op",
+            mode="mor", lsn_col="__l2",
+        )
+        dir_src = (
+            w.filter(F.col("op") == "D")
+            .select(
+                "vec_id",
+                F.lit(None).cast("long").alias(bc),
+                F.lit("D").alias("op"),
+                (F.col("lsn") * 2).alias("__l2"),
+            )
+            .unionByName(
+                upserts.select(
+                    "vec_id", bc, F.lit("U").alias("op"),
+                    (F.col("lsn") * 2 + 1).alias("__l2"),
+                )
+            )
+        )
+        index.directory.merge(
+            dir_src, epoch_id=epoch_id, op_col="op", mode="mor", lsn_col="__l2"
+        )
+    finally:
+        w.unpersist()
 
 
 def ivf_indexed_topk(

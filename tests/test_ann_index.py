@@ -123,3 +123,100 @@ def test_scan_for_keys_multi_point(spark, tmp_table_dir):
     all_files = {f["path"] for f in t.lineage()}
     assert 0 < len(set(got_df.inputFiles())) < len(all_files)
     assert t.scan_for_keys([]).count() == 0
+
+
+def _changes(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, op string, lsn long"
+    )
+
+
+def test_incremental_maintenance_lsh(spark, tmp_table_dir):
+    """CDC batch against the index: insert a new vector, move an existing
+    one (update → different bucket), delete one. Pruned probes must see
+    exactly the post-change state — the old bucket must NOT surface the
+    moved vector's stale row."""
+    from clever_canal_spark.operators.ann_index import apply_index_changes
+
+    emb = _emb(spark)
+    idx = build_lsh_index(spark, emb, tmp_table_dir + "/lsh", n_planes=4)
+    v1 = emb.filter(F.col("vec_id") == 1).collect()[0]["embedding"]
+    neg = [-x for x in v1]  # moves to the complement bucket (all planes flip)
+    new_id = 100_000
+    apply_index_changes(
+        idx,
+        _changes(
+            spark,
+            [
+                (new_id, v1, "I", 1_000),   # new vector, same bucket as vec 1
+                (1, neg, "U", 1_001),       # vec 1 moves buckets
+                (2, None, "D", 1_002),      # vec 2 disappears
+            ],
+        ),
+        epoch_id=0,
+    )
+    state = {r["vec_id"]: r["bucket"] for r in idx.vectors.scan().collect()}
+    dirs = {r["vec_id"]: r["bucket"] for r in idx.directory.scan().collect()}
+    assert new_id in state and 2 not in state
+    assert state == dirs
+    # the moved vector's row lives ONLY in its new bucket: a pruned read
+    # of the old bucket must not return vec 1
+    old_bucket = dirs[new_id]  # new_id shares vec 1's ORIGINAL bucket
+    old_read = idx.vectors.scan_for_keys([old_bucket])
+    assert 1 not in {r["vec_id"] for r in old_read.collect()}
+    assert new_id in {r["vec_id"] for r in old_read.collect()}
+    new_read = idx.vectors.scan_for_keys([dirs[1]])
+    got = {r["vec_id"]: r["embedding"] for r in new_read.collect()}
+    assert [round(x, 5) for x in got[1]] == [round(x, 5) for x in neg]
+    # probes reflect the update end-to-end
+    q = spark.createDataFrame([(0, neg)], "query_id long, embedding array<float>")
+    top = ann_indexed_topk(idx, q, k=1, radius=0).collect()
+    assert top and top[0]["vec_id"] == 1
+
+
+def test_incremental_maintenance_exactly_once_and_intra_batch(spark, tmp_table_dir):
+    from clever_canal_spark.operators.ann_index import apply_index_changes
+
+    emb = _emb(spark)
+    idx = build_lsh_index(spark, emb, tmp_table_dir + "/lsh", n_planes=4)
+    v1 = emb.filter(F.col("vec_id") == 1).collect()[0]["embedding"]
+    neg = [-x for x in v1]
+    # same-batch insert->update pair: only the LAST change may materialize
+    batch = _changes(spark, [(500_000, v1, "I", 1), (500_000, neg, "U", 2)])
+    apply_index_changes(idx, batch, epoch_id=0)
+    rows = idx.vectors.scan().filter(F.col("vec_id") == 500_000).collect()
+    assert len(rows) == 1
+    assert [round(x, 5) for x in rows[0]["embedding"]] == [round(x, 5) for x in neg]
+    v_before = (idx.vectors.current_version(), idx.directory.current_version())
+    # replaying the committed epoch must no-op both tables
+    apply_index_changes(idx, batch, epoch_id=0)
+    assert (idx.vectors.current_version(), idx.directory.current_version()) == v_before
+
+
+def test_incremental_maintenance_ivf(spark, tmp_table_dir):
+    from clever_canal_spark.operators.ann_index import apply_index_changes
+
+    emb = _emb(spark)
+    idx = build_ivf_index(spark, emb, tmp_table_dir + "/ivf", centroid_mod=32)
+    v1 = emb.filter(F.col("vec_id") == 1).collect()[0]["embedding"]
+    neg = [-x for x in v1]
+    apply_index_changes(
+        idx, _changes(spark, [(1, neg, "U", 10), (3, None, "D", 11)]), epoch_id=0
+    )
+    state = {r["vec_id"]: r["cent_id"] for r in idx.vectors.scan().collect()}
+    dirs = {r["vec_id"]: r["cent_id"] for r in idx.directory.scan().collect()}
+    assert 3 not in state and state == dirs
+    # the new assignment is the true nearest centroid of the new vector
+    from clever_canal_spark.operators.similarity import ivf_assign
+
+    one = spark.createDataFrame([(1, neg)], "vec_id long, embedding array<float>")
+    cents_corpus = emb  # centroids derive from the ORIGINAL corpus ids
+    expected = (
+        one.crossJoin(F.broadcast(
+            cents_corpus.filter(F.col("vec_id") % 32 == 0).select(
+                F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec"))))
+        .select("vec_id", "cent_id",
+                F.expr("aggregate(transform(sequence(1, 64), i -> CAST(ROUND(CAST(element_at(embedding, i) AS DOUBLE) * CAST(element_at(cvec, i) AS DOUBLE) * 1e9) AS BIGINT)), CAST(0 AS BIGINT), (acc, x) -> acc + x)").alias("d"))
+        .orderBy(F.col("d").desc(), "cent_id").limit(1).collect()[0]["cent_id"]
+    )
+    assert state[1] == expected
