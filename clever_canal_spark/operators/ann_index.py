@@ -237,32 +237,33 @@ def ann_indexed_topk(
 ) -> DataFrame:
     """Batched multi-probe ANN over a persisted LSH index.
 
-    ``query_df``: (query_id, embedding) — any batch size. Per query the
-    probe set is the flip-mask neighborhood of its bucket; the union of
-    all queries' probes (collected driver-side from the query batch — a
-    few hundred longs, no corpus job) drives ONE bucket-pruned read of
-    the index, and candidates score against their matching query via a
-    broadcast equi-join on (probe bucket). Output: (query_id, vec_id,
-    dot_e9), top-k per query.
+    ``query_df``: (query_id, embedding) — any batch size. The query batch
+    is collected ONCE (O(#queries) rows — never touches the corpus); the
+    flip-mask probe neighborhoods are then pure driver arithmetic (the
+    bucket itself is computed by the same JVM expression the build used,
+    so index and probe hashing cannot drift). One bucket-pruned read of
+    the index follows, and candidates score against their matching query
+    via a broadcast equi-join on (probe bucket) built from a LOCAL
+    DataFrame — no re-scan of the query source per Spark job. Output:
+    (query_id, vec_id, dot_e9), top-k per query.
     """
     masks = probe_masks(index.n_planes, radius)
-    q = query_df.select(
+    qrows = query_df.select(
         "query_id",
         F.col("embedding").alias("qvec"),
         F.expr(lsh_bucket_expr("embedding", index.n_planes, index.n_dims))
         .cast("long")
         .alias("qbucket"),
+    ).collect()
+    # driver-side probe expansion: bucket values are non-negative
+    # (< 2^n_planes), so Python ^ matches the SQL BIGINT XOR exactly
+    probe_rows = [
+        (r["query_id"], r["qvec"], r["qbucket"] ^ m) for r in qrows for m in masks
+    ]
+    probes = query_df.sparkSession.createDataFrame(
+        probe_rows, "query_id bigint, qvec array<float>, probe bigint"
     )
-    probes = q.select(
-        "query_id",
-        "qvec",
-        F.explode(
-            F.array(*[F.expr(f"CAST(qbucket AS BIGINT) ^ {m}") for m in masks])
-        ).alias("probe"),
-    )
-    probe_vals = sorted(
-        {r["probe"] for r in probes.select("probe").distinct().collect()}
-    )
+    probe_vals = sorted({p[2] for p in probe_rows})
     cand = index.vectors.scan_for_keys(probe_vals)
     scored = cand.join(F.broadcast(probes), cand["bucket"] == probes["probe"]).select(
         "query_id",
@@ -414,14 +415,20 @@ def ivf_indexed_topk(
         F.expr(dot_e9_expr("cvec", "qvec", index.n_dims)).alias("cdot"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cdot").desc(), F.col("cent_id"))
-    probes = (
-        ranked.withColumn("__rn", F.row_number().over(w))
+    # one collect for BOTH the pruned-read key list and the broadcast probe
+    # side (≤ #queries·n_probes rows) — re-deriving the ranking per Spark
+    # job would re-run the centroid scan for the broadcast build
+    probe_rows = [
+        (r["query_id"], r["qvec"], r["cent_id"])
+        for r in ranked.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= n_probes)
         .select("query_id", "qvec", "cent_id")
+        .collect()
+    ]
+    probes = query_df.sparkSession.createDataFrame(
+        probe_rows, "query_id bigint, qvec array<float>, cent_id bigint"
     )
-    cent_ids = sorted(
-        {r["cent_id"] for r in probes.select("cent_id").distinct().collect()}
-    )
+    cent_ids = sorted({p[2] for p in probe_rows})
     cand = index.vectors.scan_for_keys(cent_ids)
     scored = cand.join(F.broadcast(probes), on="cent_id").select(
         "query_id",
