@@ -1666,3 +1666,99 @@ def q_emb_index_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         hit = tmp
     idx = open_ann_index(spark, hit)
     return idx.vectors.scan().select("vec_id", "bucket")
+
+
+# --------------------------------------------------------------------------
+# Round-3 training-data additions: composite quality filter, deterministic
+# stratified sampling, FlatMessage wire-format encode
+# --------------------------------------------------------------------------
+
+from .operators.text import gopher_quality, stratified_sample  # noqa: E402
+from .sources.flat_message import encode_flat_message_expr  # noqa: E402
+
+
+@register(
+    "doc_quality_gopher",
+    r"""
+    SELECT doc_id,
+           CAST(n_tok BETWEEN 10 AND 100000 AS INT) AS r_len,
+           CAST(3 * n_tok <= n_nonspace AND n_nonspace <= 12 * n_tok AS INT) AS r_wordlen,
+           CAST(10 * n_sym <= n_tok AS INT) AS r_symbol,
+           CAST(n_stop >= 2 AS INT) AS r_stop,
+           CAST(5 * n_digit < n_chars AS INT) AS r_digit,
+           CAST(n_tok BETWEEN 10 AND 100000
+                AND 3 * n_tok <= n_nonspace AND n_nonspace <= 12 * n_tok
+                AND 10 * n_sym <= n_tok AND n_stop >= 2
+                AND 5 * n_digit < n_chars AS INT) AS passes
+    FROM (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '\S+')) AS n_tok,
+             length(text) AS n_chars,
+             length(text) - len(regexp_extract_all(text, '\s')) AS n_nonspace,
+             len(regexp_extract_all(text, '#|\.\.\.')) AS n_sym,
+             len(regexp_extract_all(text, '\b(the|and|of|to|in)\b')) AS n_stop,
+             len(regexp_extract_all(text, '[0-9]')) AS n_digit
+      FROM documents
+    )
+    """,
+)
+def q_doc_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style composite quality filter: five integer-exact rules as
+    per-rule ablation flags + the AND verdict (beyond-reference
+    training-data surface; stateless map, no shuffle)."""
+    return gopher_quality(_documents(spark, sf_dir))
+
+
+@register(
+    "doc_sample_stratified",
+    """
+    SELECT doc_id, lang, rk FROM (
+      SELECT doc_id, lang, ROW_NUMBER() OVER (
+        PARTITION BY lang
+        ORDER BY md5(CAST(doc_id AS STRING)), doc_id
+      ) AS rk FROM documents
+    ) WHERE rk <= 20
+    """,
+)
+def q_doc_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic exact-N-per-stratum sampling: md5-rank inside each
+    language stratum, keep the first 20 — same sample on every engine,
+    run, and partitioning (the property `rand()`-based sampling lacks)."""
+    return stratified_sample(_documents(spark, sf_dir), "lang", 20)
+
+
+# FlatMessage encode fixture: change rows synthesized from events with a
+# value that CONTAINS a JSON-special quote, to exercise the escape chain
+_FM_URL = "'https://example.org/u/' || CAST(user_id AS STRING)"
+_FM_QUOTED = "'say \"' || event_type || '\"'"
+
+
+def _fm_out_oracle() -> str:
+    msg = encode_flat_message_expr(
+        "'cc'", "'pages'", _OP_EXPR, "event_id",
+        pk_names=["url"],
+        data_cols=[("url", _FM_URL), ("note", _FM_QUOTED)],
+        dialect="duckdb",
+    )
+    return f"""
+    SELECT event_id, {msg} AS msg
+    FROM events WHERE event_id < 1000
+    """
+
+
+@register("cdc_flat_message_out", _fm_out_oracle())
+def q_cdc_flat_message_out(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FlatMessage ENCODE — the client-facing wire format
+    (FlatMessage.java:10-35, the shape Canal's MQ sinks serialize): one
+    canonical JSON document per change row, fixed key order, JSON-escaped
+    values (fixture includes embedded quotes), built by shared-template
+    concatenation rendered per dialect. Pure JVM expressions — the sink
+    encode path stays codegen'd at 100 TB."""
+    ev = _events(spark, sf_dir).filter(F.col("event_id") < 1000)
+    msg = encode_flat_message_expr(
+        "'cc'", "'pages'", _OP_EXPR, "event_id",
+        pk_names=["url"],
+        data_cols=[("url", _FM_URL), ("note", _FM_QUOTED)],
+        dialect="spark",
+    )
+    return ev.select("event_id", F.expr(msg).alias("msg"))

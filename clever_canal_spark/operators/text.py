@@ -10,7 +10,7 @@ strings only.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # polynomial 3-gram hash base — small enough that a*h+b stays in int64
 SHINGLE_W = 961  # 31^2
@@ -126,4 +126,75 @@ def bpe_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.regexp_count(t, F.lit(TOKEN_RE)).alias("n_ws_tokens"),
         F.regexp_count(t, F.lit(BPE_TOKEN_RE)).alias("n_bpe_tokens"),
         F.length(t).alias("n_chars_m"),
+    )
+
+
+def gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style composite quality filter (Rae et al. 2021 §A.1.1
+    shape): five integer-exact repetition/length/symbol rules, each
+    reported as its own flag plus the AND verdict — a pipeline keeps the
+    per-rule flags for ablation instead of a single opaque score.
+
+    All rules are pure JVM regexp/arithmetic (RE2-safe patterns, integer
+    cross-multiplication instead of float ratios, so the DuckDB oracle is
+    bit-identical):
+
+    - ``r_len``:      10 ≤ whitespace tokens ≤ 100 000
+    - ``r_wordlen``:  mean non-space chars per token in [3, 12]
+                      (3·tokens ≤ nonspace ≤ 12·tokens)
+    - ``r_symbol``:   '#'/ellipsis symbols ≤ 10% of tokens
+    - ``r_stop``:     ≥ 2 stopword hits (the|and|of|to|in)
+    - ``r_digit``:    digit chars < 20% of all chars
+
+    At 100 TB this is a stateless map over the corpus — no shuffle, no
+    UDF; it composes with dedup/sampling downstream.
+    """
+    t = F.col(text_col)
+    n_tok = F.regexp_count(t, F.lit(TOKEN_RE))
+    n_chars = F.length(t)
+    n_nonspace = n_chars - F.regexp_count(t, F.lit(r"\s"))
+    n_sym = F.regexp_count(t, F.lit(r"#|\.\.\."))
+    n_stop = F.regexp_count(t, F.lit(r"\b(the|and|of|to|in)\b"))
+    n_digit = F.regexp_count(t, F.lit(r"[0-9]"))
+    r_len = (n_tok >= 10) & (n_tok <= 100_000)
+    r_wordlen = (3 * n_tok <= n_nonspace) & (n_nonspace <= 12 * n_tok)
+    r_symbol = 10 * n_sym <= n_tok
+    r_stop = n_stop >= 2
+    r_digit = 5 * n_digit < n_chars
+    flags = {
+        "r_len": r_len, "r_wordlen": r_wordlen, "r_symbol": r_symbol,
+        "r_stop": r_stop, "r_digit": r_digit,
+    }
+    passes = r_len & r_wordlen & r_symbol & r_stop & r_digit
+    return df.select(
+        "doc_id",
+        *[v.cast("int").alias(k) for k, v in flags.items()],
+        passes.cast("int").alias("passes"),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str = "lang",
+    n_per_stratum: int = 20,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic exact-N-per-stratum sample: rank rows inside each
+    stratum by ``md5(id)`` (a fixed pseudo-random permutation — same
+    result on every engine, every run, every partitioning) and keep the
+    first N. The rank column is returned so downstream jobs can take
+    nested subsamples (rk ≤ M for any M ≤ N) without resampling.
+
+    Scale shape: one hash-partition shuffle on the stratum key; skewed
+    strata cost their row count, not a sort of the corpus — the window
+    only materializes per-stratum groups. For rate-based (not exact-N)
+    sampling at extreme scale, filter ``md5(id) < threshold`` directly
+    and skip the shuffle entirely.
+    """
+    h = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(strata_col).orderBy(h, F.col(id_col))
+    return (
+        df.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= n_per_stratum)
+        .select(id_col, strata_col, "rk")
     )

@@ -131,3 +131,69 @@ def decode_row_images(
         F.expr("CASE type WHEN 'INSERT' THEN 'I' WHEN 'DELETE' THEN 'D' ELSE 'U' END").alias("op"),
         "row_idx", "es", *cols,
     )
+
+
+def _slit(s: str, dialect: str) -> str:
+    """Python string → SQL string literal for the dialect. Spark string
+    literals process backslash escapes (and need quotes escaped with a
+    backslash); DuckDB's are standard SQL (backslash literal, single
+    quote doubled). Same seam as ddl_sql._p."""
+    if dialect == "spark":
+        body = s.replace("\\", "\\\\").replace("'", "\\'")
+    else:
+        body = s.replace("'", "''")
+    return "'" + body + "'"
+
+
+def encode_flat_message_expr(
+    database_expr: str,
+    table_expr: str,
+    op_expr: str,
+    es_expr: str,
+    pk_names: list[str],
+    data_cols: list[tuple[str, str]],
+    dialect: str = "spark",
+) -> str:
+    """One FlatMessage JSON document per change row, as a SQL string
+    expression rendered for ``dialect`` ('spark' | 'duckdb') from one
+    template — the ENCODE twin of `decode_row_images`, i.e. the wire
+    format the reference's clients consume (FlatMessage.java:10-35;
+    serialized by the MQ sinks).
+
+    Built by string concatenation with a fixed key order rather than
+    ``to_json``: engines disagree on struct-to-JSON spacing/key order, and
+    a wire format needs ONE canonical byte encoding. ``data_cols``:
+    [(json_key, value_sql_expr_yielding_string), ...]; values are
+    JSON-escaped (quote and backslash — the feeds this encodes carry no
+    control characters; a real deployment extends the replace chain the
+    same way). ``op_expr`` must yield I/U/D; the encoder maps it to
+    Canal's INSERT/UPDATE/DELETE spellings.
+    """
+
+    def lit(s: str) -> str:
+        return _slit(s, dialect)
+
+    def esc(expr: str) -> str:
+        # backslash first, then quote — JSON escaping for string values
+        return (
+            f"replace(replace({expr}, {lit(chr(92))}, {lit(chr(92) * 2)}), "
+            f"{lit(chr(34))}, {lit(chr(92) + chr(34))})"
+        )
+
+    ty = (
+        f"CASE {op_expr} WHEN 'I' THEN 'INSERT' "
+        "WHEN 'D' THEN 'DELETE' ELSE 'UPDATE' END"
+    )
+    pks = ",".join('"' + p + '"' for p in pk_names)
+    parts: list[str] = [
+        lit('{"database":"'), database_expr,
+        lit('","table":"'), table_expr,
+        lit('","type":"'), ty,
+        lit('","es":'), f"CAST({es_expr} AS STRING)",
+        lit(f',"pkNames":[{pks}],"isDdl":false,"data":[{{'),
+    ]
+    for i, (k, v) in enumerate(data_cols):
+        sep = "," if i else ""
+        parts += [lit(f'{sep}"{k}":"'), esc(v), lit('"')]
+    parts.append(lit("}]}"))
+    return " || ".join(parts)
