@@ -1762,3 +1762,64 @@ def q_cdc_flat_message_out(spark: SparkSession, sf_dir: str) -> DataFrame:
         dialect="spark",
     )
     return ev.select("event_id", F.expr(msg).alias("msg"))
+
+
+_TRUNC_CACHE: dict[tuple, str] = {}
+
+
+@register(
+    "cdc_truncate_replay",
+    f"""
+    WITH bounds AS (SELECT max(event_id) + 1 AS n FROM events)
+    SELECT 'u' || CAST(user_id AS VARCHAR) AS url,
+           CAST({_CENTS} AS VARCHAR) AS text
+    FROM (
+      SELECT user_id, value, {_OP_EXPR} AS op,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      FROM events, bounds
+      WHERE event_id > n // 2
+    ) WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def q_cdc_truncate_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END TRUNCATE: replay the events feed with the event at
+    lsn = n//2 rewritten into a raw-SQL TRUNCATE DDL row (two epochs, the
+    truncate mid-epoch-1 — exercising the E3 segment split, the SQL-text
+    parse channel, and LakeTable.truncate_rows). Final state must equal
+    plain-SQL LWW over ONLY the post-truncate events — erased rows stay
+    erased, later ingest lands normally (EventType.TRUNCATE applied at
+    the sink; EntryProtocol.proto:26-59)."""
+    import shutil
+    import tempfile
+
+    from .lake import LakeTable
+    from .model import PAGE_SCHEMA
+    from .plans import ApplyConfig, apply_epoch
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    path = _TRUNC_CACHE.get(key)
+    if path is None:
+        feed = _events_as_feed(spark, sf_dir)
+        n = feed.agg(F.max("lsn")).collect()[0][0] + 1
+        t_lsn = n // 2
+        is_t = F.col("lsn") == t_lsn
+        feed = (
+            feed.withColumn("kind", F.when(is_t, F.lit("DDL")).otherwise(F.col("kind")))
+            .withColumn(
+                "ddl_sql",
+                F.when(is_t, F.lit("TRUNCATE TABLE cc.events")).otherwise(F.col("ddl_sql")),
+            )
+        )
+        tmp = tempfile.mkdtemp(prefix="ccs-truncate-")
+        shutil.rmtree(tmp, ignore_errors=True)
+        table = LakeTable.create(
+            spark, tmp, PAGE_SCHEMA, merge_key=["url", "warc_ts"], n_buckets=8
+        )
+        cfg = ApplyConfig(transform=False, merge_mode="mor")
+        cut = n // 4  # epoch 0 pre-truncate only; epoch 1 spans the DDL
+        apply_epoch(spark, feed.filter(F.col("lsn") < cut), 0, table, cfg)
+        apply_epoch(spark, feed.filter(F.col("lsn") >= cut), 1, table, cfg)
+        _TRUNC_CACHE[key] = tmp
+        path = tmp
+    table = LakeTable(spark, path)
+    return table.scan().select("url", "text")

@@ -102,6 +102,11 @@ class _Snapshot:
     # merge-on-read deltas (Iceberg-v2-style): winner rows w/ __lsn/__op,
     # reconciled against base files at scan time, folded in by compact()
     delta_files: list[dict] = field(default_factory=list)
+    # TRUNCATE watermark: highest feed LSN at which the table was truncated
+    # (0 = never). merge() drops source rows at-or-below it so a lagging
+    # shard cannot resurrect pre-truncate state (same rule that keeps
+    # pre-snapshot events losing to a bootstrap seed).
+    truncate_lsn: int = 0
 
     def to_json(self) -> str:
         return json.dumps(self.__dict__, separators=(",", ":"))
@@ -636,6 +641,37 @@ class LakeTable:
         self._write_snapshot(child)
         return child.version
 
+    def truncate_rows(self, lsn: int) -> int | None:
+        """Apply a feed TRUNCATE at ``lsn``: a METADATA-ONLY commit that
+        drops every live base/delta file from the new snapshot (the
+        Iceberg unconditional-DELETE shape — O(#files) manifest work, no
+        data job) and records ``truncate_lsn``. Time travel to earlier
+        versions still sees the rows; `expire_snapshots` + `vacuum`
+        reclaim the bytes on the normal retention schedule.
+
+        Idempotent by watermark: replaying a truncate at-or-below the
+        recorded ``truncate_lsn`` is a no-op (returns None), so the DDL
+        channel's crash-replay rule holds. Late events BELOW the watermark
+        are rejected by :meth:`merge` — emptiness wins over lower LSNs,
+        exactly as a tombstone would.
+
+        Reference: TRUNCATE is a first-class EventType the stream carries
+        (EntryProtocol.proto:26-59; classified by SimpleDdlParser.java:
+        49-110) — the reference hands it to clients; a lake SINK applying
+        the feed must execute it."""
+        snap = self.snapshot()
+        if lsn <= snap.truncate_lsn:
+            return None
+        child = self._child(
+            snap,
+            files=[],
+            delta_files=[],
+            truncate_lsn=int(lsn),
+            operation=f"truncate:lsn={lsn}",
+        )
+        self._write_snapshot(child)
+        return child.version
+
     def commit_epoch_marker(self, epoch_id, lineage: dict | None = None) -> int | None:
         """Metadata-only epoch commit (empty micro-batch: positions advance
         with no data — the empty-transaction passthrough analog,
@@ -695,6 +731,13 @@ class LakeTable:
         """
         if epoch_id is not None and self.is_epoch_committed(epoch_id):
             return MergeResult(applied=False, version=self.current_version())
+        if lsn_col is not None:
+            t_lsn = self.snapshot().truncate_lsn
+            if t_lsn:
+                # truncate watermark: rows at-or-below the truncate position
+                # were erased by it — a lagging shard re-delivering them must
+                # not resurrect pre-truncate state (emptiness wins the LWW)
+                source = source.filter(F.col(lsn_col) > t_lsn)
         if mode == "mor":
             return self._merge_mor(source, epoch_id, lineage, op_col, lsn_col, compact_every)
 

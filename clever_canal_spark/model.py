@@ -60,6 +60,10 @@ DDL_ADD_COLUMN = "ADD_COLUMN"
 DDL_RENAME_COLUMN = "RENAME_COLUMN"
 DDL_WIDEN_TYPE = "WIDEN_TYPE"
 DDL_DROP_COLUMN = "DROP_COLUMN"
+# table-level row erasure (EventType.TRUNCATE, EntryProtocol.proto:26-59):
+# not a schema evolution — the lake applies it as a metadata-only
+# drop-all-files commit with an LSN watermark (LakeTable.truncate_rows)
+DDL_TRUNCATE = "TRUNCATE"
 
 # Event-class kinds carried by the feed (ref EntryType,
 # EntryProtocol.proto:10-23). ROW kinds carry before/after payloads;

@@ -20,6 +20,7 @@ from ..model import (
     DDL_ADD_COLUMN,
     DDL_DROP_COLUMN,
     DDL_RENAME_COLUMN,
+    DDL_TRUNCATE,
     DDL_WIDEN_TYPE,
 )
 
@@ -35,8 +36,10 @@ def apply_ddl_idempotent(table: LakeTable, ddl_row: dict) -> bool:
     ALTER yields SEVERAL sub-operations (``parsed["ops"]``, clause order —
     the Druid AST iterate-all-items analog) and every one applies.
     Statements that aren't a supported schema evolution (index DDL,
-    TRUNCATE, table-level ops) are no-ops for the lake schema, matching
-    the reference's pass-through behavior.
+    CREATE/DROP table) are no-ops for the lake schema, matching the
+    reference's pass-through behavior. TRUNCATE is the exception: the
+    lake IS the sink, so it applies as `LakeTable.truncate_rows` at the
+    statement's feed LSN (metadata-only drop-all-files commit).
 
     Replay after a crash mid-statement is safe: each sub-op re-checks the
     current schema, so already-applied clauses no-op individually."""
@@ -50,6 +53,10 @@ def apply_ddl_idempotent(table: LakeTable, ddl_row: dict) -> bool:
         from ..sources.ddl_sql import parse_ddl
 
         parsed = parse_ddl(ddl_row["ddl_sql"])
+        if parsed["stmt_class"] == "TRUNCATE":
+            # statement-level row erasure, not a column op — parse_ddl's
+            # ``ops`` list stays column-only (classifier agreement)
+            return _apply_one(table, {"ddl_type": DDL_TRUNCATE}, ddl_row)
         ops = parsed["ops"]
         if not ops:
             return False  # classified, but not a schema evolution we track
@@ -65,6 +72,12 @@ def apply_ddl_idempotent(table: LakeTable, ddl_row: dict) -> bool:
 def _apply_one(table: LakeTable, op: dict, ddl_row: dict) -> bool:
     names = {f["name"]: f for f in table.snapshot().current_fields()}
     t = op["ddl_type"]
+    if t == DDL_TRUNCATE:
+        # idempotence lives in the LSN watermark, not column presence
+        lsn = int(ddl_row.get("lsn") or 0)
+        if lsn <= 0:
+            raise ValueError("TRUNCATE apply requires the DDL row's feed lsn")
+        return table.truncate_rows(lsn) is not None
     if not op.get("ddl_column"):
         raise ValueError(
             f"DDL op has ddl_type={t!r} but no ddl_column and no parseable "
