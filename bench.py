@@ -378,18 +378,18 @@ def _scaling_probe(n_events: int, trials: int = 2, lo: int | None = None, hi: in
     # reads <80% of the best bandwidth seen this run, sleep and re-probe
     # rather than burn a 100s leg into a known storm. Both loops are
     # wall-clock-bounded so the bench terminates.
-    extra = int(os.environ.get("CCS_BENCH_MAX_EXTRA_ROUNDS", "8"))
-    deadline = time.monotonic() + float(os.environ.get("CCS_BENCH_RETRY_BUDGET_S", "1200"))
+    extra = int(os.environ.get("CCS_BENCH_MAX_EXTRA_ROUNDS", "10"))
+    deadline = time.monotonic() + float(os.environ.get("CCS_BENCH_RETRY_BUDGET_S", "1500"))
     best_stream_hi = max(c[f"stream{hi}_mb_per_sec"] for c in ceilings)
 
     def wait_for_quiet():
         nonlocal best_stream_hi
         import multiprocessing as mp
-        for _ in range(6):
+        for _ in range(8):
             with mp.Pool(hi, initializer=_pin_to, initargs=(hi,)) as p:
                 mb = sum(p.map(_stream, range(hi))) / 1.5
             best_stream_hi = max(best_stream_hi, mb)
-            if mb >= 0.8 * best_stream_hi or time.monotonic() > deadline:
+            if mb >= 0.85 * best_stream_hi or time.monotonic() > deadline:
                 return
             time.sleep(45)
 
