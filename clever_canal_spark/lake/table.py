@@ -36,12 +36,13 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 import time
 import uuid
 from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F, types as T
+
+from .fs import LocalFS, MetadataFS
 
 _LOG_DIR = "_log"
 _DATA_DIR = "data"
@@ -125,13 +126,22 @@ class _Snapshot:
 
 
 class LakeTable:
-    """One lake table rooted at ``path``."""
+    """One lake table rooted at ``path``.
 
-    def __init__(self, spark: SparkSession, path: str):
+    ``fs`` (a :class:`~clever_canal_spark.lake.fs.MetadataFS`, default
+    :class:`~clever_canal_spark.lake.fs.LocalFS`) carries every
+    metadata/manifest filesystem operation — snapshot log, data-file
+    moves, footer reads, GC — so the log can live on an object store
+    (ArrowFS) once the store provides the atomic-commit primitive; the
+    data plane itself rides Spark's Hadoop filesystem via the path
+    scheme, exactly as Iceberg's would."""
+
+    def __init__(self, spark: SparkSession, path: str, fs: "MetadataFS | None" = None):
         self.spark = spark
         self.path = os.path.abspath(path)
         self._log_path = os.path.join(self.path, _LOG_DIR)
         self._data_path = os.path.join(self.path, _DATA_DIR)
+        self._fs: MetadataFS = fs or LocalFS()
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -143,13 +153,14 @@ class LakeTable:
         merge_key: list[str],
         bucket_key: list[str] | None = None,
         n_buckets: int = 16,
+        fs: "MetadataFS | None" = None,
     ) -> "LakeTable":
         """Create an empty table. ``bucket_key`` defaults to the first merge
         key column — bucketing on the key *prefix* colocates all versions of
         an entity while keeping the bucket computable from either key form."""
-        t = LakeTable(spark, path)
-        os.makedirs(t._log_path, exist_ok=True)
-        os.makedirs(t._data_path, exist_ok=True)
+        t = LakeTable(spark, path, fs=fs)
+        t._fs.makedirs(t._log_path)
+        t._fs.makedirs(t._data_path)
         fields = [
             {"id": i, "name": f.name, "type": f.dataType.simpleString()}
             for i, f in enumerate(schema.fields)
@@ -170,13 +181,13 @@ class LakeTable:
         return t
 
     def exists(self) -> bool:
-        return os.path.isdir(self._log_path) and self.current_version() > 0
+        return self._fs.isdir(self._log_path) and self.current_version() > 0
 
     # -- snapshot log ------------------------------------------------------
 
     def current_version(self) -> int:
         try:
-            names = os.listdir(self._log_path)
+            names = self._fs.listdir(self._log_path)
         except FileNotFoundError:
             return 0
         versions = [int(n[1:9]) for n in names if n.startswith("v") and n.endswith(".json")]
@@ -184,22 +195,19 @@ class LakeTable:
 
     def snapshot(self, version: int | None = None) -> _Snapshot:
         v = version if version is not None else self.current_version()
-        with open(os.path.join(self._log_path, f"v{v:08d}.json")) as fh:
-            return _Snapshot.from_json(fh.read())
+        return _Snapshot.from_json(
+            self._fs.read_text(os.path.join(self._log_path, f"v{v:08d}.json"))
+        )
 
     def _write_snapshot(self, snap: _Snapshot) -> None:
-        """Atomic exclusive commit: hard-link tmp → final fails with EEXIST
-        if another writer won the race (optimistic concurrency)."""
+        """Atomic exclusive commit via the fs seam (LocalFS: write-tmp +
+        hard-link, EEXIST if another writer won the race — optimistic
+        concurrency; object stores substitute their conditional PUT)."""
         final = os.path.join(self._log_path, f"v{snap.version:08d}.json")
-        tmp = os.path.join(self._log_path, f".tmp-{uuid.uuid4().hex}.json")
-        with open(tmp, "w") as fh:
-            fh.write(snap.to_json())
         try:
-            os.link(tmp, final)
+            self._fs.write_text_exclusive(final, snap.to_json())
         except FileExistsError as e:
             raise CommitConflict(f"version {snap.version} already committed") from e
-        finally:
-            os.unlink(tmp)
 
     def _child(self, parent: _Snapshot, **overrides) -> _Snapshot:
         d = dict(parent.__dict__)
@@ -532,17 +540,18 @@ class LakeTable:
         import pyarrow.parquet as pq
 
         entries: list[dict] = []
-        for bdir in sorted(os.listdir(tmp)):
+        for bdir in sorted(self._fs.listdir(tmp)):
             if not bdir.startswith("__bucket="):
                 continue
             bucket = int(bdir.split("=", 1)[1])
-            for i, fn in enumerate(sorted(os.listdir(os.path.join(tmp, bdir)))):
+            for i, fn in enumerate(sorted(self._fs.listdir(os.path.join(tmp, bdir)))):
                 if not fn.endswith(".parquet"):
                     continue
                 dest_rel = os.path.join(_DATA_DIR, f"{commit_id}-b{bucket:05d}-{i:04d}.parquet")
                 dest = os.path.join(self.path, dest_rel)
-                os.rename(os.path.join(tmp, bdir, fn), dest)
-                md = pq.ParquetFile(dest).metadata
+                self._fs.move(os.path.join(tmp, bdir, fn), dest)
+                with self._fs.open_binary(dest) as _pf:
+                    md = pq.ParquetFile(_pf).metadata
                 # per-file source-LSN range from the footer's __lsn column
                 # statistics (per-partition lineage: every data file knows
                 # which slice of the change stream produced it — zero extra
@@ -568,7 +577,7 @@ class LakeTable:
                         "lsn_max": lsn_hi,
                     }
                 )
-        shutil.rmtree(tmp)
+        self._fs.rmtree(tmp)
         if _tm:
             print(f"[write manifest({len(entries)}f): {time.monotonic() - _t0:.2f}s]", flush=True)
         return entries
@@ -630,7 +639,11 @@ class LakeTable:
         cols = {f["name"]: [r.get(f["name"]) for r in rows] for f in fields}
         tbl = pa.Table.from_pydict(cols, schema=arrow_schema)
         rel = os.path.join(_DATA_DIR, f"drv-{uuid.uuid4().hex[:12]}.parquet")
-        pq.write_table(tbl, os.path.join(self.path, rel))
+        import io as _io
+
+        _buf = _io.BytesIO()
+        pq.write_table(tbl, _buf)
+        self._fs.write_bytes(os.path.join(self.path, rel), _buf.getvalue())
         entry = {"path": rel, "bucket": 0, "rows": len(rows), "schema_version": snap.schema_version}
         epochs = dict(snap.committed_epochs)
         if epoch_id is not None:
@@ -892,12 +905,12 @@ class LakeTable:
             raise ValueError("keep_last must be >= 1")
         versions = sorted(
             int(n[1:9])
-            for n in os.listdir(self._log_path)
+            for n in self._fs.listdir(self._log_path)
             if n.startswith("v") and n.endswith(".json")
         )
         expired = versions[:-keep_last]
         for v in expired:
-            os.unlink(os.path.join(self._log_path, f"v{v:08d}.json"))
+            self._fs.remove(os.path.join(self._log_path, f"v{v:08d}.json"))
         return expired
 
     def vacuum(self, orphan_ttl_s: float = 3600.0) -> dict:
@@ -913,30 +926,30 @@ class LakeTable:
         reference collection over every retained version is exact."""
         now = time.time()
         referenced: set[str] = set()
-        for name in os.listdir(self._log_path):
+        for name in self._fs.listdir(self._log_path):
             if name.startswith("v") and name.endswith(".json"):
                 snap = self.snapshot(int(name[1:9]))
                 referenced.update(f["path"] for f in snap.files + snap.delta_files)
         removed_files: list[str] = []
-        for fn in os.listdir(self._data_path):
+        for fn in self._fs.listdir(self._data_path):
             rel = os.path.join(_DATA_DIR, fn)
             full = os.path.join(self._data_path, fn)
             if rel in referenced:
                 continue
             try:
-                if now - os.path.getmtime(full) < orphan_ttl_s:
+                if now - self._fs.mtime(full) < orphan_ttl_s:
                     continue
-                os.unlink(full)
+                self._fs.remove(full)
                 removed_files.append(rel)
             except OSError:
                 continue
         removed_stages = 0
-        for dn in os.listdir(self.path):
+        for dn in self._fs.listdir(self.path):
             full = os.path.join(self.path, dn)
-            if dn.startswith(".stage-") and os.path.isdir(full):
+            if dn.startswith(".stage-") and self._fs.isdir(full):
                 try:
-                    if now - os.path.getmtime(full) >= orphan_ttl_s:
-                        shutil.rmtree(full, ignore_errors=True)
+                    if now - self._fs.mtime(full) >= orphan_ttl_s:
+                        self._fs.rmtree(full)
                         removed_stages += 1
                 except OSError:
                     continue

@@ -1,5 +1,6 @@
 from .follower import FeedFollower, RoutedFeedFollower, footer_hints, throughput_view
 from .pipeline import CdcPipeline, run_available
+from .prometheus import render_metrics
 from .stateful import winner_delta_stream
 from .windows import windowed_event_counts
 
@@ -8,6 +9,7 @@ __all__ = [
     "FeedFollower",
     "RoutedFeedFollower",
     "footer_hints",
+    "render_metrics",
     "run_available",
     "throughput_view",
     "windowed_event_counts",

@@ -10,14 +10,19 @@ Cluster usage (the north-star packaging shape):
         --metrics-dir /mnt/shared/lake/pages_metrics/ \
         --merge-mode mor --n-buckets 4096 --table-whitelist 'cc\\..*'
 
-FILESYSTEM REQUIREMENT: the feed, table, checkpoint, and metrics paths
-must live on a POSIX filesystem shared by the driver and all executors
-(NFS/Lustre/EFS-style). LakeTable's snapshot log uses exclusive hard-link
-creation for its atomic commit and the follower binds epochs with
-O_CREAT|O_EXCL — both driver-side POSIX semantics. Object stores
-(s3a://...) are NOT supported by this lake layer; on such deployments the
-lake calls map 1:1 onto Iceberg (`merge` → MERGE INTO, the epoch registry
-→ snapshot summary properties — see lake/table.py module docstring), with
+FILESYSTEM REQUIREMENT: with the default LocalFS metadata store, the
+feed, table, checkpoint, and metrics paths must live on a POSIX
+filesystem shared by the driver and all executors (NFS/Lustre/EFS-style):
+the snapshot log commits via exclusive hard-link creation and the
+follower binds epochs with O_CREAT|O_EXCL. The lake's metadata layer is
+now pluggable (lake/fs.py — MetadataFS seam; ArrowFS wraps any
+pyarrow.fs.FileSystem for S3/GCS/HDFS): object stores work once the
+store supplies the atomic create-if-absent commit (S3 conditional PUT
+If-None-Match — subclass ArrowFS.write_text_exclusive), or in
+single-writer deployments as-is (ArrowFS(single_writer=True); one
+follower per table is the normal CDC topology). Alternatively the lake
+calls map 1:1 onto Iceberg (`merge` → MERGE INTO, the epoch registry →
+snapshot summary properties — see lake/table.py module docstring), with
 Iceberg's catalog supplying the atomic swap instead.
 
 Local smoke:
