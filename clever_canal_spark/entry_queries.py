@@ -1673,7 +1673,12 @@ def q_emb_index_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
 # stratified sampling, FlatMessage wire-format encode
 # --------------------------------------------------------------------------
 
-from .operators.text import gopher_quality, stratified_sample  # noqa: E402
+from .operators.text import (  # noqa: E402
+    benchmark_contamination,
+    gopher_quality,
+    repetition_stats,
+    stratified_sample,
+)
 from .sources.flat_message import encode_flat_message_expr  # noqa: E402
 
 
@@ -1725,6 +1730,60 @@ def q_doc_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     language stratum, keep the first 20 — same sample on every engine,
     run, and partitioning (the property `rand()`-based sampling lacks)."""
     return stratified_sample(_documents(spark, sf_dir), "lang", 20)
+
+
+# DuckDB twin of operators.text.word_ngrams_expr(n=2): adjacent word
+# pairs, empty for <2 tokens (generate_series(1,0) is empty)
+_DUCK_2GRAMS = (
+    "list_transform(generate_series(1, greatest(len(t) - 1, 0)), "
+    "i -> t[i] || ' ' || t[i+1])"
+)
+
+
+@register(
+    "doc_repetition_stats",
+    f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    g AS (SELECT doc_id, unnest({_DUCK_2GRAMS}) AS gram FROM toks),
+    per AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_grams,
+           CAST(count(*) AS BIGINT) AS n_distinct_grams,
+           CAST(max(c) AS BIGINT) AS top_gram_count,
+           CAST(sum(c) - count(*) AS BIGINT) AS dup_grams,
+           CAST(CASE WHEN max(c) >= 2 AND 10 * max(c) >= sum(c)
+                THEN 1 ELSE 0 END AS INT) AS repetitive
+    FROM per GROUP BY doc_id
+    """,
+)
+def q_doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition signal: top word-2-gram dominance per doc,
+    integer-exact. Per-row expression fold (array_sort + aggregate run
+    count) — zero corpus shuffle; the oracle's explode-and-group plan is
+    the semantics, not the mechanics."""
+    return repetition_stats(_documents(spark, sf_dir))
+
+
+@register(
+    "doc_contamination",
+    f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    g3 AS (SELECT doc_id, unnest(
+             list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+           ) AS gram FROM toks),
+    bench AS (SELECT DISTINCT gram FROM g3 WHERE doc_id % 101 = 0)
+    SELECT doc_id, count(*) AS n_hits, count(DISTINCT gram) AS n_hit_grams
+    FROM g3 JOIN bench USING (gram)
+    WHERE doc_id % 101 <> 0
+    GROUP BY doc_id
+    """,
+)
+def q_doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination scan: corpus docs sharing any word
+    3-gram with the (deterministically carved) eval set. Benchmark gram
+    set broadcasts; the corpus never shuffles against itself."""
+    return benchmark_contamination(_documents(spark, sf_dir))
 
 
 # FlatMessage encode fixture: change rows synthesized from events with a

@@ -198,3 +198,104 @@ def stratified_sample(
         .filter(F.col("rk") <= n_per_stratum)
         .select(id_col, strata_col, "rk")
     )
+
+
+def word_ngrams_expr(text_col: str, n: int = 2) -> str:
+    """Adjacent word n-grams as space-joined strings (tokens are
+    space-split, so ' ' cannot occur inside a token and the join is
+    unambiguous). ``slice`` (not ``sequence``) supplies the index range so
+    a doc with < n tokens yields an empty array, matching DuckDB's empty
+    ``generate_series``."""
+    toks = f"split({text_col}, ' ')"
+    parts = ["t"] + [f"element_at({toks}, i + {k + 1})" for k in range(1, n)]
+    return (
+        f"transform(slice({toks}, 1, greatest(size({toks}) - {n - 1}, 0)), "
+        f"(t, i) -> concat_ws(' ', {', '.join(parts)}))"
+    )
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signal: how much of a document is its own
+    most-frequent word 2-gram (Rae et al. 2021 §A.1.1 'duplicate n-gram
+    fraction' family). Returns per doc: total / distinct 2-gram counts,
+    the top 2-gram's count, the duplicated-gram surplus, and an integer
+    verdict ``repetitive`` (top 2-gram ≥ 10% of all 2-grams, by integer
+    cross-multiplication; a top count of 1 never flags — the percentage
+    rule alone would mark every ≤10-gram doc).
+
+    Scale shape: documents are independent, so this is a stateless
+    per-row computation — the gram array is sorted once (O(L log L) in
+    the doc's own length) and the max run length is folded with
+    ``aggregate``; NO corpus-wide shuffle, unlike the naive
+    explode → groupBy(doc, gram) plan whose shuffle would carry ~2× the
+    corpus text. Docs with < 2 tokens emit no row (they have no 2-gram;
+    the oracle's unnest-of-empty drops them identically).
+    """
+    g = word_ngrams_expr(text_col, 2)
+    # fold sorted grams into (prev, current-run, best-run); equal
+    # neighbors extend the run — best-run = the top gram's count
+    top = (
+        f"aggregate(array_sort({g}), "
+        f"named_struct('prev', cast(null as string), 'run', 0, 'best', 0), "
+        f"(a, x) -> named_struct("
+        f"  'prev', x, "
+        f"  'run', IF(a.prev IS NOT NULL AND x = a.prev, a.run + 1, 1), "
+        f"  'best', greatest(a.best, IF(a.prev IS NOT NULL AND x = a.prev, a.run + 1, 1))), "
+        f"a -> a.best)"
+    )
+    out = df.select(
+        "doc_id",
+        F.expr(f"cast(size({g}) as bigint)").alias("n_grams"),
+        F.expr(f"cast(size(array_distinct({g})) as bigint)").alias("n_distinct_grams"),
+        F.expr(f"cast({top} as bigint)").alias("top_gram_count"),
+    ).filter(F.col("n_grams") > 0)
+    return out.select(
+        "doc_id",
+        "n_grams",
+        "n_distinct_grams",
+        "top_gram_count",
+        (F.col("n_grams") - F.col("n_distinct_grams")).alias("dup_grams"),
+        (
+            (F.col("top_gram_count") >= 2)
+            & (10 * F.col("top_gram_count") >= F.col("n_grams"))
+        ).cast("int").alias("repetitive"),
+    )
+
+
+def benchmark_contamination(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    eval_modulus: int = 101,
+) -> DataFrame:
+    """Benchmark-contamination scan: flag corpus documents sharing any
+    word n-gram with a held-out evaluation set (the decontamination pass
+    every training-data pipeline runs before a model sees the corpus; the
+    GPT-3 appendix-C / Gopher §A.2 shape, n-gram overlap flavor).
+
+    The eval set here is carved deterministically from the corpus itself
+    (``doc_id % eval_modulus == 0``) so tests and oracle need no external
+    data; production passes its real benchmark table in the same
+    position. n=3 suits the fixture's small vocabulary — real passes use
+    8-13-gram windows, which this expression builds unchanged.
+
+    Scale shape: the benchmark gram set is benchmark-sized, not
+    corpus-sized — it broadcasts; the corpus side explodes its grams and
+    hash-aggregates per doc with map-side combine. No corpus-vs-corpus
+    shuffle anywhere, and non-matching grams die at the broadcast join
+    before the aggregation.
+    """
+    g = F.expr(word_ngrams_expr(text_col, n))
+    is_eval = F.col("doc_id") % eval_modulus == 0
+    bench = (
+        df.filter(is_eval).select(F.explode(g).alias("gram")).distinct()
+    )
+    hits = (
+        df.filter(~is_eval)
+        .select("doc_id", F.explode(g).alias("gram"))
+        .join(F.broadcast(bench), "gram")
+    )
+    return hits.groupBy("doc_id").agg(
+        F.count("*").alias("n_hits"),
+        F.countDistinct("gram").alias("n_hit_grams"),
+    )

@@ -83,3 +83,55 @@ def test_flat_message_encode_roundtrip(spark):
     assert json.loads(out[3])["type"] == "UPDATE"
     # fixed key order: the canonical byte encoding is stable
     assert out[3].startswith('{"database":"db1","table":"t1","type":"UPDATE","es":3,')
+
+
+def test_repetition_hand_cases(spark):
+    from clever_canal_spark.operators.text import repetition_stats
+
+    rows = [
+        (1, "a b a b a b", "en"),       # grams: ab,ba,ab,ba,ab -> top=3/5
+        (2, "w x y z", "en"),           # 3 distinct grams, top=1
+        (3, "solo", "en"),              # <2 tokens: no row
+        (4, "t t t t t t t t t t t", "en"),  # 10x "t t" -> fully repetitive
+    ]
+    out = {r["doc_id"]: r.asDict() for r in
+           repetition_stats(_docs(spark, rows)).collect()}
+    assert 3 not in out and len(out) == 3
+    assert out[1] == {"doc_id": 1, "n_grams": 5, "n_distinct_grams": 2,
+                      "top_gram_count": 3, "dup_grams": 3, "repetitive": 1}
+    # top=1 never flags, however short the doc (the 10% rule alone
+    # would mark every <=10-gram doc repetitive)
+    assert out[2] == {"doc_id": 2, "n_grams": 3, "n_distinct_grams": 3,
+                      "top_gram_count": 1, "dup_grams": 0, "repetitive": 0}
+    assert out[4]["top_gram_count"] == 10 and out[4]["repetitive"] == 1
+
+
+def test_contamination_hand_cases(spark):
+    from clever_canal_spark.operators.text import benchmark_contamination
+
+    # docs 0 and 202 are the eval set (% 101 == 0); doc 50 shares an
+    # eval 3-gram twice, doc 7 shares nothing
+    rows = [
+        (0, "alpha beta gamma delta", "en"),
+        (50, "x alpha beta gamma y alpha beta gamma z", "en"),
+        (7, "unrelated words entirely here today", "en"),
+        (202, "alpha beta gamma delta echo", "en"),
+    ]
+    out = {r["doc_id"]: r.asDict() for r in
+           benchmark_contamination(_docs(spark, rows)).collect()}
+    assert set(out) == {50}
+    # doc 50's 3-grams hitting the eval set: "alpha beta gamma" twice,
+    # nothing else -> 2 hit occurrences of 1 distinct gram
+    assert out[50]["n_hits"] == 2 and out[50]["n_hit_grams"] == 1
+
+
+def test_contamination_broadcasts_benchmark(spark):
+    """The benchmark gram set must broadcast — the corpus side never
+    shuffles into a sort-merge join (100-TB contract)."""
+    from clever_canal_spark.operators.text import benchmark_contamination
+    from tests.test_plans import _plan
+
+    rows = [(i, f"w{i} w{i+1} w{i+2} w{i+3}", "en") for i in range(250)]
+    plan = _plan(benchmark_contamination(_docs(spark, rows)))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
