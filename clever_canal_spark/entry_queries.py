@@ -1882,3 +1882,164 @@ def q_cdc_truncate_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         path = tmp
     table = LakeTable(spark, path)
     return table.scan().select("url", "text")
+
+
+# ---------------------------------------------------------------------------
+# Persisted dedup index (operators/dedup_index.py): probe the delta against
+# a compact fingerprint/band index — the incremental-ingest dedup shape.
+# Corpus = doc_id < 400; delta = docs >= 400 plus re-crawls of every 50th
+# corpus doc (same text, new id) so the exact probe has guaranteed hits.
+# ---------------------------------------------------------------------------
+
+_DEDUP_IDX_CACHE: dict[tuple, str] = {}
+
+_DIDX_BATCH_SQL = """
+      SELECT doc_id, text FROM documents WHERE doc_id >= 400
+      UNION ALL
+      SELECT doc_id + 10000, text FROM documents
+      WHERE doc_id < 400 AND doc_id % 50 = 0
+"""
+
+
+def _dedup_index_for(spark: SparkSession, sf_dir: str) -> "object":
+    from .operators.dedup_index import build_dedup_index, open_dedup_index
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), "dedup-idx")
+    path = _DEDUP_IDX_CACHE.get(key)
+    if path is None:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="ccs-didx-")
+        build_dedup_index(
+            spark, _documents(spark, sf_dir).filter(F.col("doc_id") < 400), path
+        )
+        _DEDUP_IDX_CACHE[key] = path
+        return open_dedup_index(spark, path)
+    return open_dedup_index(spark, path)
+
+
+def _didx_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _documents(spark, sf_dir)
+    recrawl = docs.filter((F.col("doc_id") < 400) & (F.col("doc_id") % 50 == 0)).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    )
+    return docs.filter(F.col("doc_id") >= 400).select("doc_id", "text").unionByName(recrawl)
+
+
+@register(
+    "doc_dedup_index_exact_probe",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id < 400
+    ),
+    batch AS (
+      SELECT doc_id AS new_doc_id, md5(text) AS fp FROM ({_DIDX_BATCH_SQL})
+    )
+    SELECT new_doc_id, min(corpus.doc_id) AS dup_of_doc_id,
+           CAST(count(*) AS BIGINT) AS n_dups
+    FROM batch JOIN corpus USING (fp) GROUP BY new_doc_id
+    """,
+)
+def q_doc_dedup_index_exact_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup: batch fingerprints (broadcast) vs the
+    persisted fps table — the corpus text is never read at probe time."""
+    from .operators.dedup_index import probe_exact
+
+    return probe_exact(_dedup_index_for(spark, sf_dir), _didx_batch(spark, sf_dir))
+
+
+@register(
+    "doc_dedup_index_neardup_probe",
+    f"""
+    WITH batch_docs AS ({_DIDX_BATCH_SQL}),
+    csig AS (
+      SELECT doc_id, {_duck_minhash_cols()} FROM documents WHERE doc_id < 400
+    ),
+    bsig AS (SELECT doc_id, {_duck_minhash_cols()} FROM batch_docs),
+    cb AS (
+      SELECT doc_id, 0 AS band, mh0 * {MINHASH_P} + mh1 AS bucket_key FROM csig
+      UNION ALL
+      SELECT doc_id, 1, mh2 * {MINHASH_P} + mh3 FROM csig
+      UNION ALL
+      SELECT doc_id, 2, mh4 * {MINHASH_P} + mh5 FROM csig
+    ),
+    bb AS (
+      SELECT doc_id, 0 AS band, mh0 * {MINHASH_P} + mh1 AS bucket_key FROM bsig
+      UNION ALL
+      SELECT doc_id, 1, mh2 * {MINHASH_P} + mh3 FROM bsig
+      UNION ALL
+      SELECT doc_id, 2, mh4 * {MINHASH_P} + mh5 FROM bsig
+    )
+    SELECT bb.doc_id AS new_doc_id, cb.doc_id AS cand_doc_id,
+           CAST(count(*) AS BIGINT) AS n_shared_bands
+    FROM bb JOIN cb ON bb.band = cb.band AND bb.bucket_key = cb.bucket_key
+    GROUP BY 1, 2
+    """,
+)
+def q_doc_dedup_index_neardup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash-LSH near-dup candidates: delta band keys
+    (broadcast) vs the persisted bands table."""
+    from .operators.dedup_index import probe_neardup
+
+    return probe_neardup(_dedup_index_for(spark, sf_dir), _didx_batch(spark, sf_dir))
+
+
+_DIDX_NEW_TEXT = "a completely fresh crawl of document zero replacing the old body"
+_DIDX_INS_TEXT = "a brand new document arriving as id nine thousand"
+
+
+@register(
+    "doc_dedup_index_sync",
+    f"""
+    WITH final AS (
+      SELECT doc_id,
+             CASE WHEN doc_id = 0 THEN '{_DIDX_NEW_TEXT}' ELSE text END AS text
+      FROM documents WHERE doc_id < 400 AND doc_id <> 1
+      UNION ALL
+      SELECT CAST(9000 AS BIGINT), '{_DIDX_INS_TEXT}'
+    ),
+    sig AS (SELECT doc_id, {_duck_minhash_cols()} FROM final)
+    SELECT f.doc_id, md5(f.text) AS fp,
+           mh0 * {MINHASH_P} + mh1 AS b0,
+           mh2 * {MINHASH_P} + mh3 AS b1,
+           mh4 * {MINHASH_P} + mh5 AS b2
+    FROM final f JOIN sig USING (doc_id)
+    """,
+)
+def q_doc_dedup_index_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance == from-scratch rebuild: build the
+    index on the corpus window, apply one CDC change batch (update doc 0,
+    delete doc 1, insert doc 9000) via `apply_dedup_index_changes`, then
+    dump (fp, band keys) per doc. The oracle derives the same state
+    directly from the final corpus — parity proves the incremental path
+    converges to the rebuild."""
+    import tempfile
+
+    from .operators.dedup_index import (
+        apply_dedup_index_changes, build_dedup_index, open_dedup_index,
+    )
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), "dedup-sync")
+    path = _DEDUP_IDX_CACHE.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="ccs-didx-sync-")
+        idx = build_dedup_index(
+            spark, _documents(spark, sf_dir).filter(F.col("doc_id") < 400), path
+        )
+        changes = spark.createDataFrame(
+            [
+                (0, _DIDX_NEW_TEXT, "U", 100),
+                (1, None, "D", 101),
+                (9000, _DIDX_INS_TEXT, "I", 102),
+            ],
+            "doc_id bigint, text string, op string, lsn bigint",
+        )
+        apply_dedup_index_changes(idx, changes, epoch_id=0)
+        _DEDUP_IDX_CACHE[key] = path
+    idx = open_dedup_index(spark, path)
+    b = idx.bands.scan().groupBy("doc_id").agg(
+        F.max(F.when(F.col("band") == 0, F.col("bucket_key"))).alias("b0"),
+        F.max(F.when(F.col("band") == 1, F.col("bucket_key"))).alias("b1"),
+        F.max(F.when(F.col("band") == 2, F.col("bucket_key"))).alias("b2"),
+    )
+    return idx.fps.scan().join(b, "doc_id")

@@ -1,0 +1,195 @@
+"""Persisted dedup index: probe the DELTA against a compact fingerprint
+index — never rescan the corpus.
+
+Every dedup operator in `dedup.py` is a batch pass over the whole
+corpus. That is the right shape for a one-time backfill, but an
+ingest pipeline receives a few million new/changed documents per epoch
+against a 10¹⁰-document corpus: recomputing corpus-wide MinHash-LSH per
+epoch would read 100 TB of text to dedup a 0.01% delta. This module is
+the incremental shape (the dedup analog of `ann_index.py`, and the
+training-data counterpart of the CDC apply loop itself):
+
+- **build** (once): two LakeTables, both keyed AND bucketed by
+  ``doc_id`` — ``fps`` (doc_id, fp) for exact dedup and ``bands``
+  (doc_id, band, bucket_key) for MinHash-LSH near-dup. Together they
+  hold ~50 bytes/doc: ~0.005% of a 2 KB-average corpus, which is what
+  makes probing the index instead of the corpus a 10⁴× read reduction.
+- **probe** (per epoch): the delta's fingerprints / band keys are
+  computed from the delta only and broadcast; candidates fall out of a
+  broadcast-hash join against the index scan. The corpus text is never
+  read, and nothing corpus-sized ever shuffles.
+- **maintain** (per epoch): `apply_dedup_index_changes` merges the
+  delta's I/U/D into both tables under the same LWW/exactly-once
+  contract as every lake table. Unlike the ANN index there is NO
+  directory/move problem: the physical bucket is ``doc_id`` (stable
+  under update) and a doc's band ids are the fixed set 0..n_bands-1, so
+  an update simply overwrites all its rows in place.
+
+The reference has no dedup machinery at all — this is part of the
+beyond-reference training-data surface (prompt requirement).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from ..lake import LakeTable
+from .dedup import _band_keys, minhash_signature
+
+_SIDECAR = "index.json"
+
+_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), nullable=False),
+        T.StructField("fp", T.StringType()),
+    ]
+)
+
+_BAND_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), nullable=False),
+        T.StructField("band", T.IntegerType(), nullable=False),
+        T.StructField("bucket_key", T.LongType()),
+    ]
+)
+
+
+@dataclass
+class DedupIndex:
+    fps: LakeTable
+    bands: LakeTable
+    n_bands: int
+    rows_per_band: int
+    path: str
+
+
+def _band_rows(df: DataFrame, text_col: str, n_bands: int, rows_per_band: int) -> DataFrame:
+    sig = minhash_signature(df, text_col, k=n_bands * rows_per_band)
+    return _band_keys(sig, n_bands, rows_per_band).select(
+        "doc_id", F.col("band").cast("int").alias("band"), "bucket_key"
+    )
+
+
+def build_dedup_index(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    n_bands: int = 3,
+    rows_per_band: int = 2,
+    n_buckets: int = 16,
+) -> DedupIndex:
+    """One pass over the corpus computes md5 fingerprints and MinHash band
+    keys; the corpus text itself is not stored."""
+    fps = LakeTable.create(
+        spark, os.path.join(path, "fps"), _FP_SCHEMA,
+        merge_key=["doc_id"], n_buckets=n_buckets,
+    )
+    fps.append(df.select("doc_id", F.md5(F.col(text_col)).alias("fp")))
+    bands = LakeTable.create(
+        spark, os.path.join(path, "bands"), _BAND_SCHEMA,
+        merge_key=["doc_id", "band"], n_buckets=n_buckets,
+    )
+    bands.append(_band_rows(df, text_col, n_bands, rows_per_band))
+    meta = {"n_bands": n_bands, "rows_per_band": rows_per_band}
+    with open(os.path.join(path, _SIDECAR), "w") as fh:
+        json.dump(meta, fh)
+    return DedupIndex(fps=fps, bands=bands, n_bands=n_bands,
+                      rows_per_band=rows_per_band, path=path)
+
+
+def open_dedup_index(spark: SparkSession, path: str) -> DedupIndex:
+    with open(os.path.join(path, _SIDECAR)) as fh:
+        meta = json.load(fh)
+    return DedupIndex(
+        fps=LakeTable(spark, os.path.join(path, "fps")),
+        bands=LakeTable(spark, os.path.join(path, "bands")),
+        n_bands=meta["n_bands"],
+        rows_per_band=meta["rows_per_band"],
+        path=path,
+    )
+
+
+def probe_exact(index: DedupIndex, batch: DataFrame, text_col: str = "text") -> DataFrame:
+    """Which batch docs already exist verbatim in the corpus? Returns one
+    row per DUPLICATE batch doc: (new_doc_id, dup_of_doc_id = smallest
+    matching corpus doc, n_dups = matching corpus docs). The batch side
+    broadcasts; the index side is the compact fps table."""
+    bfp = batch.select(
+        F.col("doc_id").alias("new_doc_id"), F.md5(F.col(text_col)).alias("fp")
+    )
+    return (
+        index.fps.scan()
+        .join(F.broadcast(bfp), "fp")
+        .groupBy("new_doc_id")
+        .agg(F.min("doc_id").alias("dup_of_doc_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def probe_neardup(index: DedupIndex, batch: DataFrame, text_col: str = "text") -> DataFrame:
+    """Near-dup CANDIDATES between the batch and the corpus: batch docs
+    sharing ≥1 MinHash-LSH band bucket with an indexed doc. Returns
+    (new_doc_id, cand_doc_id, n_shared_bands); downstream confirms with
+    an exact measure on just these pairs (the standard LSH contract —
+    candidates, not verdicts)."""
+    bb = _band_rows(batch, text_col, index.n_bands, index.rows_per_band).select(
+        F.col("doc_id").alias("new_doc_id"), "band", "bucket_key"
+    )
+    return (
+        index.bands.scan()
+        .join(F.broadcast(bb), ["band", "bucket_key"])
+        .groupBy("new_doc_id", F.col("doc_id").alias("cand_doc_id"))
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+
+
+def apply_dedup_index_changes(
+    index: DedupIndex,
+    changes: DataFrame,
+    text_col: str = "text",
+    epoch_id: int | None = None,
+) -> None:
+    """Maintain the index from a CDC-style change batch — (doc_id,
+    text, op, lsn), op ∈ {I,U,D} (I≡U; text may be null for D).
+
+    Intra-batch LWW first (at most one surviving change per doc), then
+    ONE MOR epoch per table: fps gets the new fingerprint (or a
+    tombstone), bands gets all ``n_bands`` rows rewritten (or
+    tombstoned) — band ids are a fixed set, so updates overwrite in
+    place and no old-location bookkeeping exists. Exactly-once rides
+    each table's committed-epoch registry (fps first, then bands; a
+    crash between the two replays idempotently)."""
+    w = (
+        changes.groupBy("doc_id")
+        .agg(F.max_by(F.struct(text_col, "op", "lsn"), F.col("lsn")).alias("__w"))
+        .select("doc_id", f"__w.{text_col}", "__w.op", "__w.lsn")
+    )
+    live = w.filter(F.col("op") != "D")
+    dead = w.filter(F.col("op") == "D")
+    fp_src = live.select(
+        "doc_id", F.md5(F.col(text_col)).alias("fp"), F.lit("U").alias("op"), "lsn"
+    ).unionByName(
+        dead.select("doc_id", F.lit(None).cast("string").alias("fp"),
+                    F.lit("D").alias("op"), "lsn")
+    )
+    index.fps.merge(fp_src, epoch_id=epoch_id, op_col="op", mode="mor", lsn_col="lsn")
+
+    band_ids = F.explode(
+        F.sequence(F.lit(0), F.lit(index.n_bands - 1))
+    ).alias("band")
+    band_src = _band_rows(live, text_col, index.n_bands, index.rows_per_band).join(
+        w.select("doc_id", "lsn"), on="doc_id"
+    ).select(
+        "doc_id", "band", "bucket_key", F.lit("U").alias("op"), "lsn"
+    ).unionByName(
+        dead.select("doc_id", band_ids, "lsn").select(
+            "doc_id", F.col("band").cast("int").alias("band"),
+            F.lit(None).cast("long").alias("bucket_key"),
+            F.lit("D").alias("op"), "lsn",
+        )
+    )
+    index.bands.merge(band_src, epoch_id=epoch_id, op_col="op", mode="mor", lsn_col="lsn")

@@ -1,0 +1,112 @@
+"""Persisted dedup index: build/probe/maintain lifecycle, exactly-once
+replay, and incremental == rebuild parity on hand-crafted docs."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from clever_canal_spark.operators.dedup_index import (
+    apply_dedup_index_changes,
+    build_dedup_index,
+    open_dedup_index,
+    probe_exact,
+    probe_neardup,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+CORPUS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2, "an entirely different document about spark shuffles and joins"),
+    (3, "the quick brown fox jumps over the lazy dog near the river bank"),  # dup of 1
+    (4, "columnar storage formats parquet orc and arrow in depth"),
+]
+
+
+def test_probe_exact_hits_and_misses(spark, tmp_table_dir):
+    idx = build_dedup_index(spark, _docs(spark, CORPUS),
+                            os.path.join(tmp_table_dir, "idx"))
+    batch = _docs(spark, [
+        (100, CORPUS[0][1]),            # dup of docs 1 and 3
+        (101, "something never seen before in the corpus at all"),
+    ])
+    out = {r["new_doc_id"]: r.asDict() for r in probe_exact(idx, batch).collect()}
+    assert set(out) == {100}
+    assert out[100]["dup_of_doc_id"] == 1 and out[100]["n_dups"] == 2
+
+
+def test_probe_neardup_candidates(spark, tmp_table_dir):
+    idx = build_dedup_index(spark, _docs(spark, CORPUS),
+                            os.path.join(tmp_table_dir, "idx"))
+    # identical text shares ALL bands with docs 1 and 3
+    batch = _docs(spark, [(200, CORPUS[0][1])])
+    out = {r["cand_doc_id"]: r["n_shared_bands"]
+           for r in probe_neardup(idx, batch).collect()}
+    assert out.get(1) == idx.n_bands and out.get(3) == idx.n_bands
+
+
+def test_incremental_equals_rebuild(spark, tmp_table_dir):
+    """Apply U/D/I through the index, then rebuild from the final corpus —
+    both tables must match row-for-row."""
+    inc = build_dedup_index(spark, _docs(spark, CORPUS),
+                            os.path.join(tmp_table_dir, "inc"))
+    changes = spark.createDataFrame(
+        [
+            (1, "doc one rewritten with wholly new words", "U", 10),
+            (2, None, "D", 11),
+            (9, "a new arrival about watermarks and state stores", "I", 12),
+        ],
+        "doc_id bigint, text string, op string, lsn bigint",
+    )
+    apply_dedup_index_changes(inc, changes, epoch_id=0)
+    final = [
+        (1, "doc one rewritten with wholly new words"),
+        (3, CORPUS[2][1]),
+        (4, CORPUS[3][1]),
+        (9, "a new arrival about watermarks and state stores"),
+    ]
+    ref = build_dedup_index(spark, _docs(spark, final),
+                            os.path.join(tmp_table_dir, "ref"))
+
+    fps_inc = sorted((r["doc_id"], r["fp"]) for r in inc.fps.scan().collect())
+    fps_ref = sorted((r["doc_id"], r["fp"]) for r in ref.fps.scan().collect())
+    assert fps_inc == fps_ref
+    b_inc = sorted(tuple(r) for r in inc.bands.scan().collect())
+    b_ref = sorted(tuple(r) for r in ref.bands.scan().collect())
+    assert b_inc == b_ref
+
+
+def test_replay_is_noop_and_reopen(spark, tmp_table_dir):
+    path = os.path.join(tmp_table_dir, "idx")
+    idx = build_dedup_index(spark, _docs(spark, CORPUS), path)
+    changes = spark.createDataFrame(
+        [(2, None, "D", 5)], "doc_id bigint, text string, op string, lsn bigint"
+    )
+    apply_dedup_index_changes(idx, changes, epoch_id=0)
+    v_fps = idx.fps.current_version()
+    v_bands = idx.bands.current_version()
+    # crash-redelivery: the same epoch replays as a no-op on both tables
+    apply_dedup_index_changes(idx, changes, epoch_id=0)
+    assert idx.fps.current_version() == v_fps
+    assert idx.bands.current_version() == v_bands
+    # reopen from the sidecar alone
+    idx2 = open_dedup_index(spark, path)
+    assert idx2.n_bands == idx.n_bands
+    assert idx2.fps.scan().filter(F.col("doc_id") == 2).count() == 0
+    assert idx2.fps.scan().count() == 3
+
+
+def test_probe_plan_broadcasts_delta(spark, tmp_table_dir):
+    """Both probes must broadcast the delta side — the index scan never
+    shuffles into a sort-merge join."""
+    from tests.test_plans import _plan
+
+    idx = build_dedup_index(spark, _docs(spark, CORPUS),
+                            os.path.join(tmp_table_dir, "idx"))
+    batch = _docs(spark, [(300, "probe text one"), (301, "probe text two")])
+    for df in (probe_exact(idx, batch), probe_neardup(idx, batch)):
+        plan = _plan(df)
+        assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
