@@ -2043,3 +2043,64 @@ def q_doc_dedup_index_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("band") == 2, F.col("bucket_key"))).alias("b2"),
     )
     return idx.fps.scan().join(b, "doc_id")
+
+
+@register(
+    "doc_sequence_pack",
+    r"""
+    WITH tc AS (
+      SELECT doc_id, source,
+             len(regexp_extract_all(text, '\S+')) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, source, n_tokens,
+           COALESCE(SUM(n_tokens) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS tokens_before,
+           CAST(COALESCE(SUM(n_tokens) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) // 256 AS BIGINT) AS bin_id,
+           COALESCE(SUM(n_tokens) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) % 256 AS offset_in_bin
+    FROM tc
+    """,
+)
+def q_doc_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sequence packing: docs laid end-to-end per source,
+    cut into 256-token training sequences — each doc's start bin and
+    offset, integer-exact. Per-source windows only; no corpus-wide
+    sort."""
+    from .operators.text import sequence_pack
+
+    return sequence_pack(_documents(spark, sf_dir), budget=256)
+
+
+@register(
+    "doc_source_mix",
+    """
+    WITH ranked AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS STRING)), doc_id
+             ) AS rk,
+             COUNT(*) OVER (PARTITION BY source) AS n,
+             CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+                  THEN 40 ELSE 80 END AS pct
+      FROM documents
+    )
+    SELECT doc_id, source, rk FROM ranked WHERE rk * 100 <= pct * n
+    """,
+)
+def q_doc_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic data mixing: down-sample even-numbered sources to
+    40% and odd to 80% by md5-rank — exactly floor(pct*n/100) docs per
+    source, same set on every engine/run/partitioning."""
+    from .operators.text import source_mix
+
+    rates = {f"src{i}": (40 if i % 2 == 0 else 80) for i in range(100)}
+    return source_mix(_documents(spark, sf_dir), rates_pct=rates, default_pct=80)

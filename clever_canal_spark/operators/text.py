@@ -299,3 +299,75 @@ def benchmark_contamination(
         F.count("*").alias("n_hits"),
         F.countDistinct("gram").alias("n_hit_grams"),
     )
+
+
+def sequence_pack(
+    df: DataFrame,
+    budget: int = 256,
+    part_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic sequence packing: lay documents end-to-end inside
+    each ``part_col`` partition (ordered by doc_id) and cut fixed
+    ``budget``-token training sequences from the concatenation — the
+    standard pack-with-document-concatenation recipe, where a doc may
+    straddle a sequence boundary and continue into the next bin. Returns
+    per doc: its token count, the bin it STARTS in
+    (``bin_id = tokens_before / budget``) and its offset inside that bin
+    — everything a downstream tokenize-and-pack job needs to materialize
+    sequences without re-scanning order.
+
+    Scale shape: one window per partition key (sources are many and
+    independent — no global ordering, no corpus-wide sort); token counts
+    are a regexp_count expression, integer-exact for the oracle."""
+    n_tok = F.regexp_count(F.col(text_col), F.lit(TOKEN_RE)).alias("n_tokens")
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        df.select("doc_id", part_col, n_tok)
+        .withColumn("tokens_before", cum_before)
+        .select(
+            "doc_id",
+            part_col,
+            "n_tokens",
+            "tokens_before",
+            (F.col("tokens_before") / budget).cast("long").alias("bin_id"),
+            (F.col("tokens_before") % budget).alias("offset_in_bin"),
+        )
+    )
+
+
+def source_mix(
+    df: DataFrame,
+    rates_pct: dict[str, int] | None = None,
+    default_pct: int = 100,
+    part_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic data mixing: resample each source to a target
+    percentage by md5-rank (keep ``rk·100 ≤ pct·n_source`` — exactly
+    ⌊pct·n/100⌋ docs per source, same set on every engine/run/
+    partitioning). ``rates_pct`` maps source → integer percent;
+    everything else keeps ``default_pct``. The usual knob for steering a
+    training mix (up-weight curated sources, down-weight crawl) without
+    a non-deterministic ``sample()``.
+
+    Scale shape: identical to `stratified_sample` — one hash-partition
+    window per source; for rate-only mixing at extreme scale the
+    md5-threshold filter variant skips the shuffle entirely."""
+    rate = F.lit(default_pct)
+    for src, pct in (rates_pct or {}).items():
+        rate = F.when(F.col(part_col) == src, F.lit(pct)).otherwise(rate)
+    h = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(part_col).orderBy(h, F.col(id_col))
+    wn = Window.partitionBy(part_col)
+    return (
+        df.withColumn("rk", F.row_number().over(w))
+        .withColumn("__n", F.count("*").over(wn))
+        .filter(F.col("rk") * 100 <= rate * F.col("__n"))
+        .select(id_col, part_col, "rk")
+    )

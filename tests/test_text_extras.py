@@ -135,3 +135,43 @@ def test_contamination_broadcasts_benchmark(spark):
     plan = _plan(benchmark_contamination(_docs(spark, rows)))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_sequence_pack_hand_cases(spark):
+    from clever_canal_spark.operators.text import sequence_pack
+
+    rows = [
+        (1, "a b c d e", "s1"),     # 5 tokens, starts bin 0 offset 0
+        (2, "f g h", "s1"),         # before=5 -> bin 0 offset 5
+        (3, "i j k l", "s1"),       # before=8 -> straddles: bin 1 offset 0
+        (9, "x y", "s2"),           # other partition restarts at 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    out = {r["doc_id"]: r.asDict()
+           for r in sequence_pack(df, budget=8, part_col="source").collect()}
+    assert out[1]["tokens_before"] == 0 and out[1]["bin_id"] == 0
+    assert out[2] == {"doc_id": 2, "source": "s1", "n_tokens": 3,
+                      "tokens_before": 5, "bin_id": 0, "offset_in_bin": 5}
+    assert out[3]["tokens_before"] == 8 and out[3]["bin_id"] == 1 \
+        and out[3]["offset_in_bin"] == 0
+    assert out[9]["tokens_before"] == 0 and out[9]["bin_id"] == 0
+
+
+def test_source_mix_exact_rates_and_nesting(spark):
+    from clever_canal_spark.operators.text import source_mix
+
+    rows = [(i, f"t{i}", "a" if i < 40 else "b") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    out = source_mix(df, rates_pct={"a": 25}, default_pct=50).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    # exactly floor(pct*n/100) per source
+    assert len(by_src["a"]) == 10   # 25% of 40
+    assert len(by_src["b"]) == 30   # 50% of 60
+    # determinism + nesting: the 25% 'a' sample is a prefix of the 50% one
+    half = {r["doc_id"] for r in
+            source_mix(df, rates_pct={"a": 50}, default_pct=50).collect()
+            if r["source"] == "a"}
+    quarter = {r["doc_id"] for r in by_src["a"]}
+    assert quarter <= half
