@@ -193,3 +193,83 @@ def apply_dedup_index_changes(
         )
     )
     index.bands.merge(band_src, epoch_id=epoch_id, op_col="op", mode="mor", lsn_col="lsn")
+
+
+_CURSOR = "lake_cursor.json"
+
+
+def _read_lake_cursor(path: str) -> int:
+    try:
+        with open(os.path.join(path, _CURSOR)) as fh:
+            return int(json.load(fh)["version"])
+    except FileNotFoundError:
+        return 0
+
+
+def _write_lake_cursor(path: str, version: int) -> None:
+    tmp = os.path.join(path, f".{_CURSOR}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"version": version}, fh)
+    os.replace(tmp, os.path.join(path, _CURSOR))
+
+
+def sync_from_lake(
+    index: DedupIndex,
+    table: LakeTable,
+    text_col: str = "text",
+    doc_id_expr=None,
+) -> int:
+    """Tail a LakeTable's changelog into the dedup index — the CDC ×
+    webtext composition: the follower applies an epoch to the lake, this
+    advances the index to match, and the next epoch's docs can be
+    dedup-probed against the whole corpus without reading it.
+
+    Reads ``scan_changes(cursor, head)`` (file-diff only — no table
+    scan), derives a stable ``doc_id`` from the merge key
+    (``xxhash64`` by default), folds the change rows into the
+    (doc_id, text, op, lsn) contract and applies ONE index epoch keyed
+    by the target lake version. Exactly-once: the merge registry skips
+    a replayed version, and a crash between the merge and the cursor
+    write re-applies rows whose (doc_id, lsn) winners are unchanged —
+    value-idempotent under LWW. Returns the number of lake versions
+    consumed (0 = already current)."""
+    head = table.current_version()
+    synced = _read_lake_cursor(index.path)
+    if head <= synced:
+        return 0
+    snap = table.snapshot(head)
+    key = list(snap.merge_key)
+    did = doc_id_expr if doc_id_expr is not None else F.xxhash64(*key)
+    changes = table.scan_changes(synced, head).select(
+        did.alias("doc_id"),
+        F.col(text_col).alias(text_col),
+        F.col("__op").alias("op"),
+        F.col("__lsn").alias("lsn"),
+    )
+    apply_dedup_index_changes(index, changes, text_col=text_col, epoch_id=head)
+    _write_lake_cursor(index.path, head)
+    return head - synced
+
+
+def build_dedup_index_from_lake(
+    table: LakeTable,
+    path: str,
+    text_col: str = "text",
+    doc_id_expr=None,
+    n_bands: int = 3,
+    rows_per_band: int = 2,
+    n_buckets: int = 16,
+) -> DedupIndex:
+    """Bootstrap the index from a lake table's CURRENT state (one corpus
+    scan — the only full read the index ever costs) and stamp the lake
+    cursor so the first `sync_from_lake` starts from this snapshot."""
+    head = table.current_version()
+    snap = table.snapshot(head)
+    did = doc_id_expr if doc_id_expr is not None else F.xxhash64(*snap.merge_key)
+    corpus = table.scan(version=head).select(did.alias("doc_id"), F.col(text_col))
+    idx = build_dedup_index(
+        table.spark, corpus, path, text_col=text_col,
+        n_bands=n_bands, rows_per_band=rows_per_band, n_buckets=n_buckets,
+    )
+    _write_lake_cursor(path, head)
+    return idx

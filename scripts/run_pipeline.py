@@ -63,6 +63,10 @@ def main() -> None:
     p.add_argument("--max-files-per-epoch", type=int, default=64)
     p.add_argument("--table-whitelist", default="")
     p.add_argument("--table-blacklist", default="")
+    p.add_argument("--dedup-index-dir", default="",
+                   help="maintain a persisted dedup index (md5 fps + MinHash-LSH bands) "
+                        "in sync with the lake table: bootstrap from the current state "
+                        "on first run, then tail scan_changes() after each drain")
     p.add_argument("--engine", choices=["follower", "structured"], default="follower",
                    help="native follower (full pushdown) or Structured Streaming foreachBatch")
     p.add_argument("--continuous", action="store_true",
@@ -121,6 +125,19 @@ def main() -> None:
         results = fol.run_available()
         print(f"applied {len(results)} epochs; table version {table.current_version()}, "
               f"rows {table.scan().count()}")
+        if args.dedup_index_dir:
+            from clever_canal_spark.operators.dedup_index import (
+                build_dedup_index_from_lake, open_dedup_index, sync_from_lake,
+            )
+
+            if os.path.exists(os.path.join(args.dedup_index_dir, "index.json")):
+                idx = open_dedup_index(spark, args.dedup_index_dir)
+                n = sync_from_lake(idx, table)
+                print(f"dedup index: consumed {n} lake versions")
+            else:
+                idx = build_dedup_index_from_lake(table, args.dedup_index_dir)
+                print("dedup index: bootstrapped from current table state")
+            print(f"dedup index: {idx.fps.scan().count()} fingerprints")
     else:
         pipe = CdcPipeline(
             spark, args.source_dir, args.checkpoint, table, cfg,

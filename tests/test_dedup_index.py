@@ -110,3 +110,102 @@ def test_probe_plan_broadcasts_delta(spark, tmp_table_dir):
     for df in (probe_exact(idx, batch), probe_neardup(idx, batch)):
         plan = _plan(df)
         assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def _fp_state(idx):
+    return sorted(
+        (r.doc_id, r.fp) for r in idx.fps.scan().collect()
+    )
+
+
+def _band_state(idx):
+    return sorted(
+        (r.doc_id, r.band, r.bucket_key) for r in idx.bands.scan().collect()
+    )
+
+
+def test_sync_from_lake_tails_changelog(spark, tmp_table_dir):
+    """CDC x webtext composition: the index bootstraps from a lake table,
+    then a `sync_from_lake` after each lake merge converges to the
+    from-scratch rebuild on the final corpus."""
+    from clever_canal_spark.lake import LakeTable
+    from clever_canal_spark.model import change_event_schema  # noqa: F401
+    from clever_canal_spark.operators.dedup_index import (
+        build_dedup_index_from_lake, sync_from_lake,
+    )
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType(), nullable=False),
+        T.StructField("text", T.StringType()),
+    ])
+    table = LakeTable.create(
+        spark, os.path.join(tmp_table_dir, "corpus"), schema,
+        merge_key=["doc_id"], n_buckets=4,
+    )
+    table.append(_docs(spark, CORPUS))
+
+    idx = build_dedup_index_from_lake(
+        table, os.path.join(tmp_table_dir, "didx"), doc_id_expr=F.col("doc_id")
+    )
+    assert _fp_state(idx) == _fp_state(
+        build_dedup_index(spark, _docs(spark, CORPUS),
+                          os.path.join(tmp_table_dir, "ref0"))
+    )
+
+    changes = spark.createDataFrame(
+        [
+            (1, "fresh replacement text for document one", "U", 100),
+            (2, None, "D", 101),
+            (9, "a brand new ninth document arrives late", "I", 102),
+        ],
+        "doc_id bigint, text string, op string, lsn bigint",
+    )
+    table.merge(changes, epoch_id=1, op_col="op", mode="mor", lsn_col="lsn")
+    consumed = sync_from_lake(idx, table, doc_id_expr=F.col("doc_id"))
+    assert consumed >= 1
+
+    final = [
+        (1, "fresh replacement text for document one"),
+        (3, CORPUS[2][1]),
+        (4, CORPUS[3][1]),
+        (9, "a brand new ninth document arrives late"),
+    ]
+    ref = build_dedup_index(spark, _docs(spark, final),
+                            os.path.join(tmp_table_dir, "ref1"))
+    assert _fp_state(idx) == _fp_state(ref)
+    assert {(d, b, k) for d, b, k in _band_state(idx)} == set(_band_state(ref))
+
+    # already current -> no-op (and no new index epochs)
+    v_before = (idx.fps.current_version(), idx.bands.current_version())
+    assert sync_from_lake(idx, table, doc_id_expr=F.col("doc_id")) == 0
+    assert (idx.fps.current_version(), idx.bands.current_version()) == v_before
+
+
+def test_sync_from_lake_default_doc_id_is_stable(spark, tmp_table_dir):
+    """With no doc_id_expr, the index keys by xxhash64(merge key) — an
+    update to a doc's text must overwrite its rows in place (same id)."""
+    from clever_canal_spark.lake import LakeTable
+    from clever_canal_spark.operators.dedup_index import (
+        build_dedup_index_from_lake, sync_from_lake,
+    )
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType(), nullable=False),
+        T.StructField("text", T.StringType()),
+    ])
+    table = LakeTable.create(
+        spark, os.path.join(tmp_table_dir, "corpus2"), schema,
+        merge_key=["doc_id"], n_buckets=4,
+    )
+    table.append(_docs(spark, CORPUS))
+    idx = build_dedup_index_from_lake(table, os.path.join(tmp_table_dir, "didx2"))
+    n0 = idx.fps.scan().count()
+    table.merge(
+        spark.createDataFrame([(1, "changed text", "U", 50)],
+                              "doc_id bigint, text string, op string, lsn bigint"),
+        epoch_id=1, op_col="op", mode="mor", lsn_col="lsn",
+    )
+    sync_from_lake(idx, table)
+    assert idx.fps.scan().count() == n0  # overwrite, not a second row
