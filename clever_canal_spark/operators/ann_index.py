@@ -436,3 +436,83 @@ def ivf_indexed_topk(
         F.expr(dot_e9_expr("embedding", "qvec", index.n_dims)).alias("dot_e9"),
     )
     return _topk_per_query(scored, k)
+
+
+def sync_ann_from_lake(
+    index: "LshIndex | IvfIndex",
+    table: LakeTable,
+    embedding_col: str = "embedding",
+    vec_id_expr=None,
+) -> int:
+    """Tail a LakeTable's changelog into the ANN index — the similarity
+    twin of ``dedup_index.sync_from_lake``: the ingest loop applies an
+    epoch to the embeddings lake table, this advances the index to match,
+    and query batches keep probing pruned buckets with no rebuild.
+
+    Reads ``scan_changes(cursor, head)`` (file-diff only), folds the rows
+    into the (vec_id, embedding, op, lsn) contract of
+    :func:`apply_index_changes` (which handles cross-bucket moves and
+    tombstones), and applies ONE index epoch keyed by the target lake
+    version. ``vec_id`` defaults to the table's merge-key column when it
+    is a single column (cast to long), else ``xxhash64`` over the
+    composite key. Crash-safety matches the dedup sync: the merge
+    registry skips a replayed version, and a replay that spans extra
+    versions re-applies (vec_id, lsn) winners value-idempotently under
+    LWW. Returns lake versions consumed (0 = already current)."""
+    from .dedup_index import _read_lake_cursor, _write_lake_cursor
+
+    head = table.current_version()
+    synced = _read_lake_cursor(index.path)
+    if head <= synced:
+        return 0
+    snap = table.snapshot(head)
+    key = list(snap.merge_key)
+    if vec_id_expr is not None:
+        vid = vec_id_expr
+    elif len(key) == 1:
+        vid = F.col(key[0]).cast("long")
+    else:
+        vid = F.xxhash64(*key)
+    changes = table.scan_changes(synced, head).select(
+        vid.alias("vec_id"),
+        F.col(embedding_col).cast(T.ArrayType(T.FloatType())).alias("embedding"),
+        F.col("__op").alias("op"),
+        F.col("__lsn").alias("lsn"),
+    )
+    apply_index_changes(index, changes, epoch_id=head)
+    _write_lake_cursor(index.path, head)
+    return head - synced
+
+
+def build_ann_index_from_lake(
+    table: LakeTable,
+    path: str,
+    family: str = "lsh",
+    embedding_col: str = "embedding",
+    vec_id_expr=None,
+    **build_kwargs,
+) -> "LshIndex | IvfIndex":
+    """Bootstrap an ANN index from an embeddings lake table's CURRENT
+    state and stamp the lake cursor at the same snapshot, so the first
+    ``sync_ann_from_lake`` resumes exactly where the build read —
+    versions that land between the scan and the stamp are never skipped
+    (the version is pinned before the scan)."""
+    from .dedup_index import _write_lake_cursor
+
+    head = table.current_version()
+    snap = table.snapshot(head)
+    key = list(snap.merge_key)
+    if vec_id_expr is not None:
+        vid = vec_id_expr
+    elif len(key) == 1:
+        vid = F.col(key[0]).cast("long")
+    else:
+        vid = F.xxhash64(*key)
+    corpus = table.scan(version=head).select(
+        vid.alias("vec_id"),
+        F.col(embedding_col).cast(T.ArrayType(T.FloatType())).alias("embedding"),
+    )
+    build = build_lsh_index if family == "lsh" else build_ivf_index
+    idx = build(table.spark, corpus, path, **build_kwargs)
+    _write_lake_cursor(path, head)
+    return idx

@@ -220,3 +220,50 @@ def test_incremental_maintenance_ivf(spark, tmp_table_dir):
         .orderBy(F.col("d").desc(), "cent_id").limit(1).collect()[0]["cent_id"]
     )
     assert state[1] == expected
+
+
+def test_sync_ann_from_lake(spark, tmp_table_dir):
+    """The ANN index tails an embeddings lake table's changelog: bootstrap
+    pins the cursor at the build snapshot, each sync folds the changelog
+    through apply_index_changes, and the result equals a fresh build from
+    the table's final state."""
+    from pyspark.sql import types as T
+
+    from clever_canal_spark.operators.ann_index import (
+        build_ann_index_from_lake, sync_ann_from_lake,
+    )
+
+    emb = _emb(spark).filter(F.col("vec_id") < 40)
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType(), nullable=False),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ])
+    table = LakeTable.create(
+        spark, tmp_table_dir + "/embcorpus", schema,
+        merge_key=["vec_id"], n_buckets=4,
+    )
+    table.append(emb)
+    idx = build_ann_index_from_lake(table, tmp_table_dir + "/lsh", n_planes=4)
+
+    v1 = emb.filter(F.col("vec_id") == 1).collect()[0]["embedding"]
+    neg = [-x for x in v1]
+    table.merge(
+        _changes(spark, [(1, neg, "U", 1_001), (2, None, "D", 1_002),
+                         (100_000, v1, "I", 1_003)]),
+        epoch_id=1, op_col="op", mode="mor", lsn_col="lsn",
+    )
+    assert sync_ann_from_lake(idx, table) >= 1
+
+    ref = build_ann_index_from_lake(table, tmp_table_dir + "/ref", n_planes=4)
+    got = _rows(idx.vectors.scan().select("vec_id", "bucket"))
+    want = _rows(ref.vectors.scan().select("vec_id", "bucket"))
+    assert got == want
+    assert _rows(idx.directory.scan()) == _rows(ref.directory.scan())
+    # stale row must not survive in the moved vector's old bucket
+    dirs = {r["vec_id"]: r["bucket"] for r in idx.directory.scan().collect()}
+    old_read = idx.vectors.scan_for_keys([dirs[100_000]])  # vec 1's old bucket
+    assert 1 not in {r["vec_id"] for r in old_read.collect()}
+    # already current -> no-op
+    v_before = (idx.vectors.current_version(), idx.directory.current_version())
+    assert sync_ann_from_lake(idx, table) == 0
+    assert (idx.vectors.current_version(), idx.directory.current_version()) == v_before
