@@ -2104,3 +2104,104 @@ def q_doc_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     rates = {f"src{i}": (40 if i % 2 == 0 else 80) for i in range(100)}
     return source_mix(_documents(spark, sf_dir), rates_pct=rates, default_pct=80)
+
+
+# --------------------------------------------------------------------------
+# Round-3 continuation: PII scrub, corpus vocabulary, length histogram
+# --------------------------------------------------------------------------
+
+from .operators.text import (  # noqa: E402
+    PII_EMAIL_RE,
+    PII_IPV4_RE,
+    PII_PHONE_RE,
+    length_histogram,
+    pii_scrub,
+    vocab_topk,
+)
+
+# The synthetic documents carry no PII, so the fixture injects a
+# deterministic email/IP/phone suffix into every 5th doc on BOTH sides —
+# otherwise the scrub would be a provably-untested no-op.
+_PII_SUFFIX_SQL = (
+    "' reach me at user' || CAST(doc_id AS VARCHAR) || '@example.org or 10.0.' "
+    "|| CAST(doc_id % 250 AS VARCHAR) || '.7 call 555-867-5309'"
+)
+_PII_ORACLE = """
+    WITH fixture AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN text || @SUFFIX@ ELSE text END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(
+             text, '@EMAIL@', '<EMAIL>', 'g'), '@IP@', '<IP>', 'g'),
+             '@PHONE@', '<PHONE>', 'g') AS clean_text,
+           CAST(len(regexp_extract_all(text, '@EMAIL@')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '@IP@')) AS INT) AS n_ips,
+           CAST(len(regexp_extract_all(text, '@PHONE@')) AS INT) AS n_phones
+    FROM fixture
+""".replace("@SUFFIX@", _PII_SUFFIX_SQL).replace("@EMAIL@", PII_EMAIL_RE).replace(
+    "@IP@", PII_IPV4_RE
+).replace("@PHONE@", PII_PHONE_RE)
+
+
+@register("doc_pii_scrub", _PII_ORACLE)
+def q_doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass (emails / IPv4 / phones) with per-category
+    counts on the raw text. Stateless per-row regex expressions — pure
+    map over the scan, no shuffle, no UDF."""
+    d = _documents(spark, sf_dir)
+    injected = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" reach me at user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.org or 10.0."),
+            (F.col("doc_id") % 250).cast("string"),
+            F.lit(".7 call 555-867-5309"),
+        ),
+    ).otherwise(F.col("text"))
+    return pii_scrub(d.select("doc_id", injected.alias("text")))
+
+
+@register(
+    "doc_vocab_topk",
+    r"""
+    SELECT word, n_total, n_docs FROM (
+      SELECT word, COUNT(*) AS n_total, COUNT(DISTINCT doc_id) AS n_docs
+      FROM (
+        SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS word
+        FROM documents
+      )
+      WHERE word <> ''
+      GROUP BY word
+    )
+    ORDER BY n_total DESC, word ASC
+    LIMIT 50
+    """,
+)
+def q_doc_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary top-50 by total count (ties by word): the
+    shuffle key is the word — vocabulary-bounded — and the explode feeds
+    a partial aggregation, so exchanged rows are ~|vocab|·cores at any
+    corpus size."""
+    return vocab_topk(_documents(spark, sf_dir), k=50)
+
+
+@register(
+    "doc_length_histogram",
+    """
+    SELECT CAST(length(bin(greatest(length(text), 1))) - 1 AS INT) AS len_bin,
+           COUNT(*) AS n_docs,
+           CAST(MIN(length(text)) AS INT) AS min_len,
+           CAST(MAX(length(text)) AS INT) AS max_len
+    FROM documents
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed length histogram via the integer-exact
+    length(bin(n))-1 formulation; O(bins) reduce side."""
+    return length_histogram(_documents(spark, sf_dir))

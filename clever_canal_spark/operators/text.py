@@ -371,3 +371,74 @@ def source_mix(
         .filter(F.col("rk") * 100 <= rate * F.col("__n"))
         .select(id_col, part_col, "rk")
     )
+
+
+# PII regexes shared by the Spark and oracle sides. Kept in the syntax
+# subset Java regex and RE2 agree on (\b, \d, bounded reps): the engines
+# must count and replace the exact same spans or the value oracle breaks.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails / IPv4 addresses / phone numbers — the standard
+    pre-training privacy pass. Counts are taken on the RAW text, then the
+    three replacements chain in a fixed order (email → ip → phone), so
+    the output is deterministic and a placeholder can never re-match a
+    later rule. Stateless per-row expressions: no shuffle, no UDF, scales
+    as a pure map over the corpus scan."""
+    t = F.col(text_col)
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"),
+            PII_IPV4_RE, "<IP>",
+        ),
+        PII_PHONE_RE, "<PHONE>",
+    )
+    return df.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        F.regexp_count(t, F.lit(PII_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_IPV4_RE)).alias("n_ips"),
+        F.regexp_count(t, F.lit(PII_PHONE_RE)).alias("n_phones"),
+    )
+
+
+def vocab_topk(df: DataFrame, k: int = 50, text_col: str = "text") -> DataFrame:
+    """Corpus vocabulary: per-word total count + document frequency,
+    top-k by count (ties broken by word for determinism). The shuffle key
+    is the WORD — vocabulary-bounded, not corpus-bounded — and the
+    explode feeds a partial (map-side) aggregation, so at 100 TB the
+    exchanged data is ~|vocab|·cores rows regardless of corpus size."""
+    words = df.select(
+        "doc_id", F.explode(F.split(F.col(text_col), r"\s+")).alias("word")
+    ).filter(F.col("word") != "")
+    return (
+        words.groupBy("word")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_total"), F.asc("word"))
+        .limit(k)
+    )
+
+
+def length_histogram(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Log2-bucketed document-length histogram — the one-line corpus
+    shape check every curation run starts with. The bin is computed as
+    ``length(bin(n)) - 1`` (== floor(log2 n)) rather than floating log2:
+    integer-exact on every engine, so the value oracle can't drift on
+    power-of-two edges. ~40 groups total — the reduce side is O(bins)
+    whatever the corpus size."""
+    b = F.length(F.bin(F.greatest(F.length(F.col(text_col)), F.lit(1)))) - 1
+    return (
+        df.groupBy(b.cast("int").alias("len_bin"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min(F.length(F.col(text_col))).alias("min_len"),
+            F.max(F.length(F.col(text_col))).alias("max_len"),
+        )
+        .orderBy("len_bin")
+    )

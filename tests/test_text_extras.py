@@ -175,3 +175,59 @@ def test_source_mix_exact_rates_and_nesting(spark):
             if r["source"] == "a"}
     quarter = {r["doc_id"] for r in by_src["a"]}
     assert quarter <= half
+
+
+def test_pii_scrub_hand_cases(spark):
+    """Hand-computed expectations — deliberately NOT the shared-regex
+    oracle, so a bug in the patterns themselves can't pass by
+    construction."""
+    from clever_canal_spark.operators.text import pii_scrub
+
+    rows = [
+        (1, "mail bob.smith+x@corp.example.co today"),
+        (2, "server at 10.0.3.77 and 192.168.001.001 rebooted"),
+        (3, "call 555-867-5309 or 555 123 4567 now"),
+        (4, "no pii here at all"),
+        (5, "a@b.io pings 1.2.3.4 then 555-000-1111"),
+        (6, "half matches: user@nodot 999.999 12-34-56"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r.asDict() for r in pii_scrub(df).collect()}
+    assert out[1]["clean_text"] == "mail <EMAIL> today"
+    assert (out[1]["n_emails"], out[1]["n_ips"], out[1]["n_phones"]) == (1, 0, 0)
+    assert out[2]["clean_text"] == "server at <IP> and <IP> rebooted"
+    assert out[2]["n_ips"] == 2
+    assert out[3]["clean_text"] == "call <PHONE> or <PHONE> now"
+    assert out[3]["n_phones"] == 2
+    assert out[4]["clean_text"] == rows[3][1]
+    assert (out[5]["n_emails"], out[5]["n_ips"], out[5]["n_phones"]) == (1, 1, 1)
+    assert out[5]["clean_text"] == "<EMAIL> pings <IP> then <PHONE>"
+    # near-misses must NOT be redacted
+    assert out[6]["clean_text"] == rows[5][1]
+    assert (out[6]["n_emails"], out[6]["n_ips"], out[6]["n_phones"]) == (0, 0, 0)
+
+
+def test_vocab_topk_hand_cases(spark):
+    from clever_canal_spark.operators.text import vocab_topk
+
+    rows = [
+        (1, "spark spark shuffle"),
+        (2, "spark  join"),         # double space -> no empty token
+        (3, "join shuffle join"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = [(r["word"], r["n_total"], r["n_docs"]) for r in vocab_topk(df, k=2).collect()]
+    assert got == [("join", 3, 2), ("spark", 3, 2)]  # tie broken by word
+    full = {r["word"]: (r["n_total"], r["n_docs"]) for r in vocab_topk(df, k=10).collect()}
+    assert full == {"join": (3, 2), "spark": (3, 2), "shuffle": (2, 2)}
+
+
+def test_length_histogram_hand_cases(spark):
+    from clever_canal_spark.operators.text import length_histogram
+
+    rows = [(1, ""), (2, "a"), (3, "ab"), (4, "abc"), (5, "abcd"), (6, "x" * 8)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["len_bin"]: (r["n_docs"], r["min_len"], r["max_len"])
+           for r in length_histogram(df).collect()}
+    # "" clamps to 1 -> bin 0; bin edges land exactly on powers of two
+    assert got == {0: (2, 0, 1), 1: (2, 2, 3), 2: (1, 4, 4), 3: (1, 8, 8)}
