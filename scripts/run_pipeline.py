@@ -125,19 +125,6 @@ def main() -> None:
         results = fol.run_available()
         print(f"applied {len(results)} epochs; table version {table.current_version()}, "
               f"rows {table.scan().count()}")
-        if args.dedup_index_dir:
-            from clever_canal_spark.operators.dedup_index import (
-                build_dedup_index_from_lake, open_dedup_index, sync_from_lake,
-            )
-
-            if os.path.exists(os.path.join(args.dedup_index_dir, "index.json")):
-                idx = open_dedup_index(spark, args.dedup_index_dir)
-                n = sync_from_lake(idx, table)
-                print(f"dedup index: consumed {n} lake versions")
-            else:
-                idx = build_dedup_index_from_lake(table, args.dedup_index_dir)
-                print("dedup index: bootstrapped from current table state")
-            print(f"dedup index: {idx.fps.scan().count()} fingerprints")
     else:
         pipe = CdcPipeline(
             spark, args.source_dir, args.checkpoint, table, cfg,
@@ -149,6 +136,24 @@ def main() -> None:
         else:
             pipe.run_until_drained()
             print(f"drained; table version {table.current_version()}")
+
+    # post-drain index maintenance works for BOTH engines: the index tails
+    # the lake's changelog, not the feed, so it doesn't care which engine
+    # applied the epochs (and --continuous streaming users run it from a
+    # separate periodic invocation against the same dirs).
+    if args.dedup_index_dir and not args.continuous:
+        from clever_canal_spark.operators.dedup_index import (
+            build_dedup_index_from_lake, open_dedup_index, sync_from_lake,
+        )
+
+        if os.path.exists(os.path.join(args.dedup_index_dir, "index.json")):
+            idx = open_dedup_index(spark, args.dedup_index_dir)
+            n = sync_from_lake(idx, table)
+            print(f"dedup index: consumed {n} lake versions")
+        else:
+            idx = build_dedup_index_from_lake(table, args.dedup_index_dir)
+            print("dedup index: bootstrapped from current table state")
+        print(f"dedup index: {idx.fps.scan().count()} fingerprints")
 
     spark.stop()
 
