@@ -2205,3 +2205,93 @@ def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Log2-bucketed length histogram via the integer-exact
     length(bin(n))-1 formulation; O(bins) reduce side."""
     return length_histogram(_documents(spark, sf_dir))
+
+
+from .operators.text import boilerplate_strip, paragraph_dedup  # noqa: E402
+
+# The synthetic documents are single-line, so both sides inject a newline
+# after every 3rd whitespace token (leftmost non-overlapping — Java regex
+# and RE2 agree) to give the line-level operators real structure.
+_LINEIZE_SPARK = r"((\S+ ){3})"
+_LINEIZE_SQL = (
+    "SELECT doc_id, regexp_replace(text, '((\\S+ ){3})', '\\1' || chr(10), 'g') AS text "
+    "FROM documents"
+)
+_LINES_SQL = """
+    lines0 AS (
+      SELECT doc_id,
+             unnest(string_split(text, chr(10))) AS line,
+             unnest(range(len(string_split(text, chr(10))))) AS idx
+      FROM fixture
+    ),
+    lines AS (SELECT * FROM lines0 WHERE line <> ''),
+    base AS (
+      SELECT doc_id,
+             len(list_filter(string_split(text, chr(10)), x -> x <> '')) AS n_lines
+      FROM fixture
+    )
+"""
+
+
+def _lineized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _documents(spark, sf_dir).select(
+        "doc_id", F.regexp_replace(F.col("text"), _LINEIZE_SPARK, "$1\n").alias("text")
+    )
+
+
+@register(
+    "doc_paragraph_dedup",
+    f"""
+    WITH fixture AS ({_LINEIZE_SQL}),
+    {_LINES_SQL},
+    kept AS (
+      SELECT doc_id, idx, line FROM lines
+      QUALIFY row_number() OVER (PARTITION BY line ORDER BY doc_id, idx) = 1
+    ),
+    rebuilt AS (
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS clean_text,
+             COUNT(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT b.doc_id, COALESCE(r.clean_text, '') AS clean_text,
+           CAST(COALESCE(r.n_kept, 0) AS INT) AS n_kept,
+           CAST(b.n_lines AS INT) AS n_lines
+    FROM base b LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def q_doc_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style global line dedup: every exact duplicate line keeps only
+    its first corpus-wide occurrence; docs reassemble from survivors in
+    order. Three line-keyed exchanges, payloads never ride the winner
+    agg."""
+    return paragraph_dedup(_lineized(spark, sf_dir))
+
+
+@register(
+    "doc_boilerplate_strip",
+    f"""
+    WITH fixture AS ({_LINEIZE_SQL}),
+    {_LINES_SQL},
+    hot AS (
+      SELECT line FROM (
+        SELECT line, COUNT(DISTINCT doc_id) AS line_df FROM lines GROUP BY line
+      ) WHERE line_df > 5
+    ),
+    kept AS (SELECT l.* FROM lines l ANTI JOIN hot USING (line)),
+    rebuilt AS (
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS clean_text,
+             COUNT(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT b.doc_id, COALESCE(r.clean_text, '') AS clean_text,
+           CAST(COALESCE(r.n_kept, 0) AS INT) AS n_kept,
+           CAST(b.n_lines AS INT) AS n_lines
+    FROM base b LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def q_doc_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style boilerplate removal: lines occurring in more than
+    5 distinct docs are dropped everywhere; the hot-line list is the agg
+    output (tiny by definition) and broadcasts into the removal anti-
+    join."""
+    return boilerplate_strip(_lineized(spark, sf_dir), max_df=5)

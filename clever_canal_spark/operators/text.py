@@ -442,3 +442,110 @@ def length_histogram(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .orderBy("len_bin")
     )
+
+
+def _doc_lines(df: DataFrame, text_col: str, delim: str) -> DataFrame:
+    """(doc_id, idx, line) — posexplode keeps the original position so the
+    surviving lines can be reassembled in order. Empty lines are dropped
+    (they carry no content and would dedup against each other)."""
+    return (
+        df.select(
+            "doc_id",
+            F.posexplode(F.split(F.col(text_col), F.lit(delim), -1)).alias("idx", "line"),
+        )
+        .filter(F.col("line") != "")
+    )
+
+
+def paragraph_dedup(
+    df: DataFrame, text_col: str = "text", delim: str = "\n"
+) -> DataFrame:
+    """C4-style global line/paragraph dedup: every exact duplicate line
+    keeps only its FIRST occurrence corpus-wide (first = smallest
+    (doc_id, idx)), and each doc is reassembled from its surviving lines
+    in original order. Docs whose every line was claimed elsewhere come
+    back as an empty string, not a dropped row.
+
+    Scale shape: one hash-agg keyed on the line to pick winners, one
+    shuffle join on (line, doc_id, idx) to keep them, one hash-agg on
+    doc_id to reassemble — three line-keyed exchanges, which is the
+    floor for a corpus-global dedup; no window over the whole corpus and
+    nothing ever collects. The winner agg carries only (line, doc_id,
+    idx) — payloads never ride the dedup shuffle."""
+    lines = _doc_lines(df, text_col, delim)
+    winners = (
+        lines.groupBy("line")
+        .agg(F.min(F.struct("doc_id", "idx")).alias("__w"))
+        .select("line", F.col("__w.doc_id").alias("doc_id"), F.col("__w.idx").alias("idx"))
+    )
+    kept = lines.join(winners, on=["line", "doc_id", "idx"], how="left_semi")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "line"))),
+                lambda s: s["line"],
+            ),
+            delim,
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    base = df.select("doc_id", F.size(F.filter(
+        F.split(F.col(text_col), F.lit(delim), -1), lambda x: x != ""
+    )).alias("n_lines"))
+    return (
+        base.join(rebuilt, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_kept", F.lit(0)).cast("int").alias("n_kept"),
+            F.col("n_lines").cast("int").alias("n_lines"),
+        )
+    )
+
+
+def boilerplate_strip(
+    df: DataFrame,
+    max_df: int = 2,
+    text_col: str = "text",
+    delim: str = "\n",
+) -> DataFrame:
+    """RefinedWeb-style boilerplate removal: drop every line that occurs
+    in MORE than ``max_df`` distinct documents (nav bars, cookie
+    banners, license footers), keep everything else in place.
+
+    Scale shape: the line-frequency agg keys on the line (bounded by
+    distinct-line count, with map-side partial counts); the hot-line
+    list is the agg's OUTPUT filtered to df > max_df — usually tiny
+    (boilerplate is by definition few distinct strings), so the removal
+    join broadcasts when small and falls back to a shuffle join when
+    not. Reassembly is the same doc_id hash-agg as paragraph_dedup."""
+    lines = _doc_lines(df, text_col, delim)
+    hot = (
+        lines.groupBy("line")
+        .agg(F.countDistinct("doc_id").alias("line_df"))
+        .filter(F.col("line_df") > max_df)
+        .select("line")
+    )
+    kept = lines.join(F.broadcast(hot), on="line", how="left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "line"))),
+                lambda s: s["line"],
+            ),
+            delim,
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    base = df.select("doc_id", F.size(F.filter(
+        F.split(F.col(text_col), F.lit(delim), -1), lambda x: x != ""
+    )).alias("n_lines"))
+    return (
+        base.join(rebuilt, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_kept", F.lit(0)).cast("int").alias("n_kept"),
+            F.col("n_lines").cast("int").alias("n_lines"),
+        )
+    )

@@ -231,3 +231,67 @@ def test_length_histogram_hand_cases(spark):
            for r in length_histogram(df).collect()}
     # "" clamps to 1 -> bin 0; bin edges land exactly on powers of two
     assert got == {0: (2, 0, 1), 1: (2, 2, 3), 2: (1, 4, 4), 3: (1, 8, 8)}
+
+
+def test_paragraph_dedup_hand_cases(spark):
+    from clever_canal_spark.operators.text import paragraph_dedup
+
+    rows = [
+        (1, "alpha\nshared line\nbeta"),
+        (2, "shared line\ngamma"),       # loses 'shared line' to doc 1
+        (3, "shared line"),              # everything claimed -> empty
+        (4, "delta\n\nepsilon"),         # empty line dropped, not deduped
+        (5, "alpha"),                    # 'alpha' belongs to doc 1 idx 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r.asDict() for r in paragraph_dedup(df).collect()}
+    assert out[1] == {"doc_id": 1, "clean_text": "alpha\nshared line\nbeta",
+                      "n_kept": 3, "n_lines": 3}
+    assert out[2] == {"doc_id": 2, "clean_text": "gamma", "n_kept": 1, "n_lines": 2}
+    assert out[3] == {"doc_id": 3, "clean_text": "", "n_kept": 0, "n_lines": 1}
+    assert out[4] == {"doc_id": 4, "clean_text": "delta\nepsilon",
+                      "n_kept": 2, "n_lines": 2}
+    assert out[5]["clean_text"] == "" and out[5]["n_lines"] == 1
+
+
+def test_boilerplate_strip_hand_cases(spark):
+    from clever_canal_spark.operators.text import boilerplate_strip
+
+    cookie = "accept our cookies"
+    rows = [
+        (1, f"{cookie}\nreal content one"),
+        (2, f"{cookie}\nreal content two"),
+        (3, f"{cookie}\nreal content three"),
+        (4, "rare line\nreal content four"),
+        (5, "rare line\nreal content five"),  # df=2 == max_df -> kept
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r.asDict() for r in boilerplate_strip(df, max_df=2).collect()}
+    # cookie banner occurs in 3 docs > max_df=2 -> stripped everywhere
+    assert out[1]["clean_text"] == "real content one"
+    assert out[2]["clean_text"] == "real content two"
+    assert out[3]["clean_text"] == "real content three"
+    # 'rare line' df=2 is NOT over the threshold -> kept in place
+    assert out[4]["clean_text"] == "rare line\nreal content four"
+    assert out[5]["clean_text"] == "rare line\nreal content five"
+    assert out[1]["n_kept"] == 1 and out[1]["n_lines"] == 2
+
+
+def test_line_ops_plan_shapes(spark):
+    """boilerplate: hot-line list broadcasts into the anti-join;
+    paragraph dedup: winner semi-join, never a corpus-wide window."""
+    jvm = spark._jvm
+
+    def _plan(df):
+        return jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+
+    from clever_canal_spark.operators.text import boilerplate_strip, paragraph_dedup
+
+    rows = [(i, f"line {i % 3}\nbody {i}") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    pb = _plan(boilerplate_strip(df))
+    assert "BroadcastHashJoin" in pb and "LeftAnti" in pb
+    pp = _plan(paragraph_dedup(df))
+    assert "Window" not in pp and "LeftSemi" in pp
