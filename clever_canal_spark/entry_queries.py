@@ -2295,3 +2295,41 @@ def q_doc_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     output (tiny by definition) and broadcasts into the removal anti-
     join."""
     return boilerplate_strip(_lineized(spark, sf_dir), max_df=5)
+
+
+from .operators.text import normalize_text  # noqa: E402
+
+
+@register(
+    "doc_text_normalize",
+    r"""
+    WITH fixture AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 4 = 0
+                  THEN '  ' || text || chr(7) || chr(27) || '   tail  '
+                  ELSE text END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           clean_text,
+           CAST(length(text) - length(clean_text) AS INT) AS n_removed
+    FROM (
+      SELECT doc_id, text,
+             trim(regexp_replace(
+               regexp_replace(text, '[\x00-\x08\x0B-\x1F\x7F-\x9F]', '', 'g'),
+               '[ \t]+', ' ', 'g')) AS clean_text
+      FROM fixture
+    )
+    """,
+)
+def q_doc_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Control-char strip + whitespace collapse + trim, with the removed-
+    char count (the standard pre-tokenization cleanup). The fixture wraps
+    every 4th doc in padding and control chars on both sides so the pass
+    provably fires."""
+    d = _documents(spark, sf_dir)
+    injected = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.concat(F.lit("  "), F.col("text"), F.lit("\x07\x1b   tail  ")),
+    ).otherwise(F.col("text"))
+    return normalize_text(d.select("doc_id", injected.alias("text")))

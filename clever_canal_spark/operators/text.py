@@ -549,3 +549,18 @@ def boilerplate_strip(
             F.col("n_lines").cast("int").alias("n_lines"),
         )
     )
+
+
+def normalize_text(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Pre-tokenization cleanup: drop C0/C1 control characters (except
+    \\t \\n), collapse runs of spaces/tabs to one space, trim. Reported
+    with the removed-char count so a pipeline can flag docs that were
+    mostly garbage. Stateless per-row regex — no shuffle, no UDF."""
+    t = F.col(text_col)
+    no_ctrl = F.regexp_replace(t, "[\\x00-\\x08\\x0B-\\x1F\\x7F-\\x9F]", "")
+    collapsed = F.trim(F.regexp_replace(no_ctrl, "[ \\t]+", " "))
+    return df.select(
+        "doc_id",
+        collapsed.alias("clean_text"),
+        (F.length(t) - F.length(collapsed)).cast("int").alias("n_removed"),
+    )

@@ -1,0 +1,206 @@
+"""spark-submit entry point for the corpus-curation pipeline — the
+webtext half of the engine: the CDC follower (scripts/run_pipeline.py)
+keeps the pages lake current, and THIS job turns the lake's current
+state into a training-ready corpus table.
+
+    zip -r ccs.zip clever_canal_spark
+    spark-submit --py-files ccs.zip scripts/run_curation.py \
+        --table-dir /mnt/shared/lake/pages/ \
+        --out-dir   /mnt/shared/corpus/pages-curated/ \
+        --dedup-index-dir /mnt/shared/lake/pages_didx/ \
+        --seq-budget 2048
+
+Stages (each prints its row count; all JVM-side except nothing):
+
+    lake scan -> normalize (control chars / whitespace)
+              -> Gopher quality filter (5-rule AND)
+              -> PII scrub (emails / IPv4 / phones)
+              -> boilerplate line strip (df > max-df lines dropped)
+              -> exact dedup (persisted-index probe when an index dir is
+                 given — the corpus text is never rescanned; in-corpus
+                 md5 group-by otherwise)
+              -> deterministic language mix (--mix 'en=100,de=50,...')
+              -> sequence packing (fixed --seq-budget token bins)
+              -> parquet out
+
+Local smoke:
+
+    PYTHONPATH=. python scripts/run_curation.py --demo
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from clever_canal_spark.lake import LakeTable
+from clever_canal_spark.operators.dedup_index import open_dedup_index, probe_exact
+from clever_canal_spark.operators.text import (
+    boilerplate_strip,
+    gopher_quality,
+    normalize_text,
+    pii_scrub,
+    sequence_pack,
+    source_mix,
+)
+from clever_canal_spark.session import build_session
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description="clever-canal-spark corpus curation")
+    p.add_argument("--table-dir", help="pages lake table root")
+    p.add_argument("--out-dir", help="curated corpus output (parquet)")
+    p.add_argument("--dedup-index-dir", default="",
+                   help="persisted dedup index to probe for cross-corpus exact dups "
+                        "(docs already in the index are dropped); omit for in-corpus dedup")
+    p.add_argument("--max-df", type=int, default=5,
+                   help="boilerplate threshold: lines in more docs than this are stripped")
+    p.add_argument("--mix", default="",
+                   help="language mix, e.g. 'en=100,de=50' (percent kept per lang; "
+                        "default keeps 100%% of every lang)")
+    p.add_argument("--seq-budget", type=int, default=2048,
+                   help="tokens per packed training sequence")
+    p.add_argument("--skip-quality", action="store_true")
+    p.add_argument("--skip-boilerplate", action="store_true")
+    p.add_argument("--demo", action="store_true", help="tiny self-contained demo")
+    args = p.parse_args()
+
+    spark = build_session(app_name="clever-canal-spark-curation")
+
+    if args.demo:
+        import tempfile
+
+        from clever_canal_spark.filters import EventFilterConfig
+        from clever_canal_spark.gen import FeedConfig, materialize_feed
+        from clever_canal_spark.model import PAGE_SCHEMA
+        from clever_canal_spark.plans import ApplyConfig
+        from clever_canal_spark.streaming import FeedFollower
+
+        work = tempfile.mkdtemp(prefix="ccs-curation-demo-")
+        print(f"demo working dir: {work}")
+        materialize_feed(spark, FeedConfig(n_events=5000, n_urls=400), f"{work}/feed", 4, 4)
+        table = LakeTable.create(
+            spark, f"{work}/pages", PAGE_SCHEMA,
+            merge_key=["url", "warc_ts"], n_buckets=16,
+        )
+        FeedFollower(
+            spark, f"{work}/feed", f"{work}/ckpt", table,
+            ApplyConfig(filters=EventFilterConfig()),
+        ).run_available()
+        # adversarial rows so every stage provably fires in the demo:
+        # an exact-dup pair, a PII doc, a control-char doc, a too-short doc
+        dup = ("the quick brown fox jumps over the lazy dog and then runs down "
+               "to the river bank before the sun sets on the far hills")
+        crafted = [
+            ("https://demo/dup-a", dup),
+            ("https://demo/dup-b", dup),
+            ("https://demo/pii", "write to alice@example.com from 10.1.2.3 "
+                                 "or dial 555-123-9876 about the order we "
+                                 "placed for the warehouse and the invoice"),
+            ("https://demo/ctrl", "bell\x07chars and the rest of the text of "
+                                  "this page is long enough to pass the "
+                                  "quality filter with the usual words in it"),
+            ("https://demo/short", "too short"),
+        ]
+        table.merge(
+            spark.createDataFrame(
+                [(u, "2024-01-01 00:00:00", t, "U", 10_000_000 + i)
+                 for i, (u, t) in enumerate(crafted)],
+                "url string, warc_ts string, text string, op string, lsn bigint",
+            )
+            .withColumn("warc_ts", F.to_timestamp("warc_ts"))
+            .withColumn("html", F.lit(None).cast("binary"))
+            .withColumn("lang", F.lit("en")),
+            epoch_id=999, op_col="op", mode="mor", lsn_col="lsn",
+        )
+        args.table_dir = f"{work}/pages"
+        args.out_dir = f"{work}/curated"
+
+    if not (args.table_dir and args.out_dir):
+        p.error("--table-dir and --out-dir are required (or --demo)")
+
+    table = LakeTable(spark, args.table_dir)
+    snap = table.snapshot()
+    corpus = table.scan().select(
+        F.xxhash64(*snap.merge_key).alias("doc_id"),
+        F.col("text"),
+        F.coalesce(F.col("lang"), F.lit("und")).alias("lang"),
+    ).filter(F.col("text").isNotNull())
+    print(f"[curate] lake scan: {corpus.count()} docs (table v{snap.version})")
+
+    # normalize BEFORE anything hashes text: dedup keys and quality rules
+    # should see the canonical form
+    corpus = (
+        normalize_text(corpus, "text")
+        .withColumnRenamed("clean_text", "text")
+        .drop("n_removed")
+        .join(corpus.select("doc_id", "lang"), on="doc_id")
+    )
+
+    if not args.skip_quality:
+        passed = gopher_quality(corpus, "text").filter(F.col("passes") == 1)
+        corpus = corpus.join(passed.select("doc_id"), on="doc_id", how="left_semi")
+        print(f"[curate] gopher quality: {corpus.count()} docs pass")
+
+    scrubbed = pii_scrub(corpus, "text").withColumnRenamed("clean_text", "text")
+    pii = scrubbed.agg(
+        F.sum("n_emails").alias("e"), F.sum("n_ips").alias("i"),
+        F.sum("n_phones").alias("p"),
+    ).first()
+    print(f"[curate] pii scrub: {pii['e']} emails, {pii['i']} ips, "
+          f"{pii['p']} phones redacted")
+    corpus = scrubbed.select("doc_id", "text").join(
+        corpus.select("doc_id", "lang"), on="doc_id"
+    )
+
+    if not args.skip_boilerplate:
+        stripped = boilerplate_strip(corpus, max_df=args.max_df, text_col="text")
+        corpus = (
+            stripped.filter(F.col("n_kept") > 0)
+            .select("doc_id", F.col("clean_text").alias("text"))
+            .join(corpus.select("doc_id", "lang"), on="doc_id")
+        )
+        print(f"[curate] boilerplate strip (max_df={args.max_df}): "
+              f"{corpus.count()} docs survive")
+
+    if args.dedup_index_dir:
+        idx = open_dedup_index(spark, args.dedup_index_dir)
+        dups = probe_exact(idx, corpus, "text").select(
+            F.col("new_doc_id").alias("doc_id")
+        )
+        corpus = corpus.join(dups, on="doc_id", how="left_anti")
+        print(f"[curate] index dedup probe: {corpus.count()} docs new vs index")
+    else:
+        first = (
+            corpus.groupBy(F.md5("text").alias("__fp"))
+            .agg(F.min("doc_id").alias("doc_id"))
+        )
+        corpus = corpus.join(first.select("doc_id"), on="doc_id", how="left_semi")
+        print(f"[curate] in-corpus exact dedup: {corpus.count()} docs kept")
+
+    rates = {}
+    for part in filter(None, args.mix.split(",")):
+        k, v = part.split("=")
+        rates[k.strip()] = int(v)
+    mixed = source_mix(corpus, rates_pct=rates or None, part_col="lang")
+    corpus = corpus.join(mixed.select("doc_id"), on="doc_id", how="left_semi")
+    print(f"[curate] mix {rates or '(100% all)'}: {corpus.count()} docs")
+
+    packed = sequence_pack(corpus, budget=args.seq_budget, part_col="lang")
+    out = corpus.join(packed.drop("lang"), on="doc_id")
+    out.write.mode("overwrite").parquet(args.out_dir)
+    final = spark.read.parquet(args.out_dir)
+    n_bins = final.select("lang", "bin_id").distinct().count()
+    print(f"[curate] wrote {final.count()} docs in {n_bins} packed "
+          f"{args.seq_budget}-token bins -> {args.out_dir}")
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -295,3 +295,21 @@ def test_line_ops_plan_shapes(spark):
     assert "BroadcastHashJoin" in pb and "LeftAnti" in pb
     pp = _plan(paragraph_dedup(df))
     assert "Window" not in pp and "LeftSemi" in pp
+
+
+def test_normalize_text_hand_cases(spark):
+    from clever_canal_spark.operators.text import normalize_text
+
+    rows = [
+        (1, "plain text stays"),
+        (2, "bell\x07and\x1bescape"),
+        (3, "  padded   with\t\ttabs  "),
+        (4, "keep\nnewlines\nintact"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r.asDict() for r in normalize_text(df).collect()}
+    assert out[1] == {"doc_id": 1, "clean_text": "plain text stays", "n_removed": 0}
+    assert out[2]["clean_text"] == "bellandescape"
+    assert out[2]["n_removed"] == 2
+    assert out[3]["clean_text"] == "padded with tabs"
+    assert out[4]["clean_text"] == "keep\nnewlines\nintact"
