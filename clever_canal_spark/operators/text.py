@@ -508,6 +508,7 @@ def boilerplate_strip(
     max_df: int = 2,
     text_col: str = "text",
     delim: str = "\n",
+    broadcast_hot: bool = True,
 ) -> DataFrame:
     """RefinedWeb-style boilerplate removal: drop every line that occurs
     in MORE than ``max_df`` distinct documents (nav bars, cookie
@@ -516,9 +517,15 @@ def boilerplate_strip(
     Scale shape: the line-frequency agg keys on the line (bounded by
     distinct-line count, with map-side partial counts); the hot-line
     list is the agg's OUTPUT filtered to df > max_df — usually tiny
-    (boilerplate is by definition few distinct strings), so the removal
-    join broadcasts when small and falls back to a shuffle join when
-    not. Reassembly is the same doc_id hash-agg as paragraph_dedup."""
+    (boilerplate is by definition few distinct strings), so the default
+    FORCES a broadcast into the removal anti-join. On an adversarial
+    corpus where the over-threshold list could itself be huge (tiny
+    max_df over a template-heavy crawl), pass ``broadcast_hot=False``:
+    the anti-join then shuffles on the line key, and AQE still converts
+    it back to a broadcast at runtime when the built side turns out
+    small — the no-OOM-cliff fallback, chosen without a second
+    counting pass over the corpus. Reassembly is the same doc_id
+    hash-agg as paragraph_dedup."""
     lines = _doc_lines(df, text_col, delim)
     hot = (
         lines.groupBy("line")
@@ -526,7 +533,9 @@ def boilerplate_strip(
         .filter(F.col("line_df") > max_df)
         .select("line")
     )
-    kept = lines.join(F.broadcast(hot), on="line", how="left_anti")
+    if broadcast_hot:
+        hot = F.broadcast(hot)
+    kept = lines.join(hot, on="line", how="left_anti")
     rebuilt = kept.groupBy("doc_id").agg(
         F.array_join(
             F.transform(

@@ -313,3 +313,28 @@ def test_normalize_text_hand_cases(spark):
     assert out[2]["n_removed"] == 2
     assert out[3]["clean_text"] == "padded with tabs"
     assert out[4]["clean_text"] == "keep\nnewlines\nintact"
+
+
+def test_boilerplate_strip_broadcast_opt_out(spark):
+    """broadcast_hot=False must not force a driver-side broadcast: the
+    anti-join plans as a shuffle join (AQE may still convert it at
+    runtime), and results are identical to the default path."""
+    from clever_canal_spark.operators.text import boilerplate_strip
+
+    jvm = spark._jvm
+
+    def _plan(df):
+        return jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+
+    rows = [(i, f"line {i % 3}\nbody {i}") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    forced = boilerplate_strip(df, max_df=2)
+    loose = boilerplate_strip(df, max_df=2, broadcast_hot=False)
+    pf, pl = _plan(forced), _plan(loose)
+    assert "BroadcastHashJoin" in pf and "LeftAnti" in pf
+    # without the hint the STATIC anti-join is a shuffle join (AQE may
+    # still convert at runtime; the point is no forced driver broadcast)
+    assert "SortMergeJoin" in pl or "ShuffledHashJoin" in pl
+    assert sorted(map(tuple, loose.collect())) == sorted(map(tuple, forced.collect()))
