@@ -338,3 +338,29 @@ def test_boilerplate_strip_broadcast_opt_out(spark):
     # still convert at runtime; the point is no forced driver broadcast)
     assert "SortMergeJoin" in pl or "ShuffledHashJoin" in pl
     assert sorted(map(tuple, loose.collect())) == sorted(map(tuple, forced.collect()))
+
+
+def test_paragraph_dedup_properties(spark):
+    """Two invariants stronger than any fixture: (1) conservation — total
+    kept lines == corpus-wide distinct lines; (2) idempotence — running
+    the dedup over its own output keeps every line."""
+    import pyspark.sql.functions as F
+
+    from clever_canal_spark.operators.text import paragraph_dedup
+
+    # adversarial mix: heavy cross-doc dup, self-dup inside one doc,
+    # fully-claimed docs, unique docs
+    rows = [(i, "\n".join(f"l{(i * 7 + j) % 11}" for j in range(5))) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = paragraph_dedup(df)
+    n_distinct = (
+        df.select(F.explode(F.split("text", "\n")).alias("l"))
+        .filter(F.col("l") != "").distinct().count()
+    )
+    assert out.agg(F.sum("n_kept")).first()[0] == n_distinct
+    # note: within-doc repeated lines also collapse to one — by design
+    again = paragraph_dedup(
+        out.filter(F.col("n_kept") > 0)
+        .select("doc_id", F.col("clean_text").alias("text"))
+    )
+    assert again.filter(F.col("n_kept") != F.col("n_lines")).count() == 0
