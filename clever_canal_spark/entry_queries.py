@@ -2054,18 +2054,18 @@ def q_doc_dedup_index_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     SELECT doc_id, source, n_tokens,
-           COALESCE(SUM(n_tokens) OVER (
+           CAST(COALESCE(SUM(n_tokens) OVER (
              PARTITION BY source ORDER BY doc_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-           ), 0) AS tokens_before,
+           ), 0) AS BIGINT) AS tokens_before,
            CAST(COALESCE(SUM(n_tokens) OVER (
              PARTITION BY source ORDER BY doc_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
            ), 0) // 256 AS BIGINT) AS bin_id,
-           COALESCE(SUM(n_tokens) OVER (
+           CAST(COALESCE(SUM(n_tokens) OVER (
              PARTITION BY source ORDER BY doc_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-           ), 0) % 256 AS offset_in_bin
+           ), 0) % 256 AS BIGINT) AS offset_in_bin
     FROM tc
     """,
 )
@@ -2333,3 +2333,53 @@ def q_doc_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("  "), F.col("text"), F.lit("\x07\x1b   tail  ")),
     ).otherwise(F.col("text"))
     return normalize_text(d.select("doc_id", injected.alias("text")))
+
+
+from .operators.dedup import lsh_verified_pairs  # noqa: E402
+
+
+@register(
+    "doc_lsh_verified_pairs",
+    f"""
+    WITH sig AS (SELECT doc_id, {_duck_minhash_cols()} FROM documents),
+    bands AS (
+      SELECT doc_id, 0 AS band, mh0 * {MINHASH_P} + mh1 AS bucket_key FROM sig
+      UNION ALL
+      SELECT doc_id, 1 AS band, mh2 * {MINHASH_P} + mh3 AS bucket_key FROM sig
+      UNION ALL
+      SELECT doc_id, 2 AS band, mh4 * {MINHASH_P} + mh5 AS bucket_key FROM sig
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket_key = b.bucket_key
+       AND a.doc_id < b.doc_id
+    ),
+    ids AS (
+      SELECT doc_a AS doc_id FROM cand UNION SELECT doc_b FROM cand
+    ),
+    sh AS (
+      SELECT d.doc_id, list_distinct({_DUCK_SHINGLES}) AS s
+      FROM documents d SEMI JOIN ids USING (doc_id)
+    ),
+    ex AS (SELECT doc_id, unnest(s) AS h FROM sh),
+    sz AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS inter
+      FROM cand c
+      JOIN ex a ON a.doc_id = c.doc_a
+      JOIN ex b ON b.doc_id = c.doc_b AND b.h = a.h
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b, i.inter, (sa.n + sb.n - i.inter) AS un
+    FROM inter i
+    JOIN sz sa ON sa.doc_id = i.doc_a
+    JOIN sz sb ON sb.doc_id = i.doc_b
+    WHERE 5 * i.inter >= 3 * (sa.n + sb.n - i.inter)
+    """,
+)
+def q_doc_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage near-dup: MinHash-LSH band candidates → exact shingle-
+    Jaccard verdicts on candidates only; the verification shingle
+    universe is semi-joined down to candidate docs first."""
+    return lsh_verified_pairs(_documents(spark, sf_dir))

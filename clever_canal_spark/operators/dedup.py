@@ -397,3 +397,66 @@ def simhash_neardup_pairs(
         "doc_b",
         F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb"))).cast("long").alias("hamming"),
     ).filter(F.col("hamming") <= radius)
+
+
+def lsh_verified_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    n_bands: int = 3,
+    rows_per_band: int = 2,
+    tau_num: int = 3,
+    tau_den: int = 5,
+) -> DataFrame:
+    """Two-stage near-dup pipeline: MinHash-LSH candidates → exact
+    shingle-Jaccard verification (tau_den·|∩| ≥ tau_num·|∪|) — the
+    standard production contract: the cheap stage is recall-oriented,
+    the exact stage runs ONLY on candidates.
+
+    Scale shape: candidate pairs come from the band-bucket equi-join
+    (never all-pairs — `minhash_lsh_buckets`' blocking); the shingle
+    universe for verification is semi-joined down to candidate docs
+    BEFORE the intersection join, so the exact stage reads O(candidate
+    docs) shingle rows however big the corpus. Compare
+    `ngram_jaccard_pairs`, whose shingle-join blocking touches every
+    doc's shingles — LSH-then-verify is the shape that scales when
+    candidates are sparse."""
+    sig = minhash_signature(df, text_col, k=n_bands * rows_per_band)
+    bands = _band_keys(sig, n_bands, rows_per_band)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket_key") == F.col("b.bucket_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = F.expr(f"array_distinct({shingle_hashes_expr(text_col)})")
+    ex = df.join(ids, on="doc_id", how="left_semi").select(
+        "doc_id", F.explode(sh).alias("h")
+    )
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    exa = ex.select(F.col("doc_id").alias("doc_a"), "h")
+    exb = ex.select(F.col("doc_id").alias("doc_b"), "h")
+    inter = (
+        cand.join(exa, on="doc_a")
+        .join(exb, on=["doc_b", "h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("un", F.col("na") + F.col("nb") - F.col("inter"))
+        .filter(F.lit(tau_den) * F.col("inter") >= F.lit(tau_num) * F.col("un"))
+        .select("doc_a", "doc_b", "inter", "un")
+    )

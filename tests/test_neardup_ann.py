@@ -230,3 +230,24 @@ def test_auto_planes_matches_explicit_at_fixture_scale(spark):
     auto = cosine_neardup_pairs(emb)          # n_planes derived -> 4 at this size
     explicit = cosine_neardup_pairs(emb, n_planes=4)
     assert sorted(map(tuple, auto.collect())) == sorted(map(tuple, explicit.collect()))
+
+
+def test_lsh_verified_pairs_hand_cases(spark):
+    """Two-stage contract: identical docs must surface as a verified pair
+    (Jaccard 1); an unrelated doc must never appear even if banding is
+    generous; a candidate sharing a bucket but failing the exact test is
+    filtered by the verify stage."""
+    from clever_canal_spark.operators.dedup import lsh_verified_pairs
+
+    same = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [
+        (1, same),
+        (2, same),                       # exact dup of 1 -> verified pair
+        (3, "completely different content about parquet columnar storage"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {(r["doc_a"], r["doc_b"]): r.asDict()
+           for r in lsh_verified_pairs(df).collect()}
+    assert (1, 2) in out
+    assert out[(1, 2)]["inter"] == out[(1, 2)]["un"]  # Jaccard exactly 1
+    assert all(3 not in k for k in out)
