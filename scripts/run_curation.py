@@ -12,13 +12,14 @@ state into a training-ready corpus table.
 
 Stages (each prints its row count; all JVM-side except nothing):
 
-    lake scan -> normalize (control chars / whitespace)
+    lake scan -> persisted-index dedup probe (RAW text — the index holds
+                 fingerprints of what sync_from_lake saw; self-match-aware
+                 so canonical copies stay and claimed twins drop)
+              -> normalize (control chars / whitespace)
               -> Gopher quality filter (5-rule AND)
               -> PII scrub (emails / IPv4 / phones)
               -> boilerplate line strip (df > max-df lines dropped)
-              -> exact dedup (persisted-index probe when an index dir is
-                 given — the corpus text is never rescanned; in-corpus
-                 md5 group-by otherwise)
+              -> in-corpus exact dedup of the CURATED text (md5 group-by)
               -> deterministic language mix (--mix 'en=100,de=50,...')
               -> sequence packing (fixed --seq-budget token bins)
               -> parquet out
@@ -133,8 +134,23 @@ def main() -> None:
     ).filter(F.col("text").isNotNull())
     print(f"[curate] lake scan: {corpus.count()} docs (table v{snap.version})")
 
-    # normalize BEFORE anything hashes text: dedup keys and quality rules
-    # should see the canonical form
+    # index probe FIRST, on the raw lake text: the persisted index holds
+    # fingerprints of exactly what sync_from_lake saw, so any later text
+    # mutation (normalize/scrub/strip) would mask every match. Self-match-
+    # aware: a doc whose best match IS itself is the canonical copy and
+    # stays; only docs claimed by a smaller-id twin (or, for a delta batch,
+    # by an already-indexed doc) drop.
+    if args.dedup_index_dir:
+        idx = open_dedup_index(spark, args.dedup_index_dir)
+        claimed = probe_exact(idx, corpus, "text").filter(
+            F.col("dup_of_doc_id") != F.col("new_doc_id")
+        ).select(F.col("new_doc_id").alias("doc_id"))
+        corpus = corpus.join(claimed, on="doc_id", how="left_anti")
+        print(f"[curate] index dedup probe: {corpus.count()} docs keep "
+              f"(canonical or unseen)")
+
+    # normalize BEFORE anything else hashes text: in-corpus dedup keys and
+    # quality rules should see the canonical form
     corpus = (
         normalize_text(corpus, "text")
         .withColumnRenamed("clean_text", "text")
@@ -168,20 +184,20 @@ def main() -> None:
         print(f"[curate] boilerplate strip (max_df={args.max_df}): "
               f"{corpus.count()} docs survive")
 
-    if args.dedup_index_dir:
-        idx = open_dedup_index(spark, args.dedup_index_dir)
-        dups = probe_exact(idx, corpus, "text").select(
-            F.col("new_doc_id").alias("doc_id")
-        )
-        corpus = corpus.join(dups, on="doc_id", how="left_anti")
-        print(f"[curate] index dedup probe: {corpus.count()} docs new vs index")
-    else:
-        first = (
-            corpus.groupBy(F.md5("text").alias("__fp"))
-            .agg(F.min("doc_id").alias("doc_id"))
-        )
-        corpus = corpus.join(first.select("doc_id"), on="doc_id", how="left_semi")
-        print(f"[curate] in-corpus exact dedup: {corpus.count()} docs kept")
+    # in-corpus exact dedup of the CURATED text (runs with or without the
+    # index: stripping/scrubbing can merge docs that differed only in
+    # boilerplate, and the index probe upstream saw only raw text)
+    first = (
+        corpus.groupBy(F.md5("text").alias("__fp"))
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    corpus = corpus.join(first.select("doc_id"), on="doc_id", how="left_semi")
+    # truncate the lineage before mixing/packing: the final pack join reads
+    # the curated corpus TWICE (rows + window), and without a checkpoint
+    # each side would re-run the whole scan→probe→strip chain — plan depth,
+    # not data size, dominated the tail of this job before this line
+    corpus = corpus.localCheckpoint()
+    print(f"[curate] in-corpus exact dedup: {corpus.count()} docs kept")
 
     rates = {}
     for part in filter(None, args.mix.split(",")):
