@@ -84,7 +84,11 @@ def main() -> None:
 
         work = tempfile.mkdtemp(prefix="ccs-curation-demo-")
         print(f"demo working dir: {work}")
-        materialize_feed(spark, FeedConfig(n_events=5000, n_urls=400), f"{work}/feed", 4, 4)
+        n_ev = int(os.environ.get("CCS_DEMO_EVENTS", "5000"))
+        materialize_feed(
+            spark, FeedConfig(n_events=n_ev, n_urls=max(n_ev // 12, 50)),
+            f"{work}/feed", 4, 4,
+        )
         table = LakeTable.create(
             spark, f"{work}/pages", PAGE_SCHEMA,
             merge_key=["url", "warc_ts"], n_buckets=16,

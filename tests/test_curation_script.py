@@ -1,0 +1,44 @@
+"""End-to-end smoke of scripts/run_curation.py --demo: every stage prints
+a non-trivial count and the packed output parquet carries the curated
+invariants (PII placeholders present, exactly one dup survivor)."""
+
+import glob
+import os
+import re
+import subprocess
+import sys
+
+import duckdb
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_curation_demo_end_to_end():
+    env = {**os.environ, "PYTHONPATH": REPO, "CCS_DEMO_EVENTS": "900"}
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "run_curation.py"), "--demo"],
+        env=env, capture_output=True, text=True, timeout=540, cwd=REPO,
+    )
+    out = r.stdout.replace("\r", "\n")
+    assert r.returncode == 0, out[-2000:] + r.stderr[-2000:]
+    for stage in ("[curate] lake scan", "[curate] gopher quality",
+                  "[curate] pii scrub", "[curate] boilerplate strip",
+                  "[curate] in-corpus exact dedup", "[curate] mix",
+                  "[curate] wrote"):
+        assert stage in out, (stage, out[-1500:])
+    # counts: short doc dropped by quality, one dup twin removed by dedup
+    scan = int(re.search(r"lake scan: (\d+)", out).group(1))
+    qual = int(re.search(r"gopher quality: (\d+)", out).group(1))
+    kept = int(re.search(r"exact dedup: (\d+)", out).group(1))
+    assert qual < scan and kept == qual - 1
+    assert re.search(r"pii scrub: 1 emails, 1 ips, 1 phones", out)
+    out_dir = re.search(r"-> (\S+)$", out.strip().splitlines()[-1]).group(1)
+    con = duckdb.connect()
+    n_pii = con.execute(
+        f"SELECT COUNT(*) FROM '{out_dir}/*.parquet' WHERE text LIKE '%<EMAIL>%'"
+    ).fetchone()[0]
+    n_dup = con.execute(
+        f"SELECT COUNT(*) FROM '{out_dir}/*.parquet' "
+        f"WHERE text LIKE 'the quick brown fox jumps over the lazy dog and then runs%'"
+    ).fetchone()[0]
+    assert n_pii == 1 and n_dup == 1
