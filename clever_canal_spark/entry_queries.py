@@ -2133,13 +2133,20 @@ _PII_ORACLE = """
       FROM documents
     )
     SELECT doc_id,
-           regexp_replace(regexp_replace(regexp_replace(
-             text, '@EMAIL@', '<EMAIL>', 'g'), '@IP@', '<IP>', 'g'),
-             '@PHONE@', '<PHONE>', 'g') AS clean_text,
-           CAST(len(regexp_extract_all(text, '@EMAIL@')) AS INT) AS n_emails,
-           CAST(len(regexp_extract_all(text, '@IP@')) AS INT) AS n_ips,
-           CAST(len(regexp_extract_all(text, '@PHONE@')) AS INT) AS n_phones
-    FROM fixture
+           regexp_replace(after_ip, '@PHONE@', '<PHONE>', 'g') AS clean_text,
+           n_emails,
+           CAST(len(regexp_extract_all(after_email, '@IP@')) AS INT) AS n_ips,
+           CAST(len(regexp_extract_all(after_ip, '@PHONE@')) AS INT) AS n_phones
+    FROM (
+      SELECT doc_id, after_email, n_emails,
+             regexp_replace(after_email, '@IP@', '<IP>', 'g') AS after_ip
+      FROM (
+        SELECT doc_id,
+               regexp_replace(text, '@EMAIL@', '<EMAIL>', 'g') AS after_email,
+               CAST(len(regexp_extract_all(text, '@EMAIL@')) AS INT) AS n_emails
+        FROM fixture
+      )
+    )
 """.replace("@SUFFIX@", _PII_SUFFIX_SQL).replace("@EMAIL@", PII_EMAIL_RE).replace(
     "@IP@", PII_IPV4_RE
 ).replace("@PHONE@", PII_PHONE_RE)

@@ -438,6 +438,23 @@ def ivf_indexed_topk(
     return _topk_per_query(scored, k)
 
 
+def _lake_vec_id_expr(table: LakeTable, snap) -> "F.Column":
+    """vec_id from a lake table's merge key: the key column itself when it
+    is a single INTEGRAL column (ids stay comparable with directly-built
+    indexes), else xxhash64 over the key — never a silent cast: casting a
+    string key to long yields NULLs that would collapse the whole batch
+    into one LWW winner inside apply_index_changes."""
+    key = list(snap.merge_key)
+    if len(key) == 1:
+        fields = {f["name"]: f.get("type", "") for f in snap.current_fields()}
+        if fields.get(key[0], "").lower() in (
+            "tinyint", "smallint", "int", "integer", "bigint",
+            "byte", "short", "long",
+        ):
+            return F.col(key[0]).cast("long")
+    return F.xxhash64(*key)
+
+
 def sync_ann_from_lake(
     index: "LshIndex | IvfIndex",
     table: LakeTable,
@@ -466,13 +483,7 @@ def sync_ann_from_lake(
     if head <= synced:
         return 0
     snap = table.snapshot(head)
-    key = list(snap.merge_key)
-    if vec_id_expr is not None:
-        vid = vec_id_expr
-    elif len(key) == 1:
-        vid = F.col(key[0]).cast("long")
-    else:
-        vid = F.xxhash64(*key)
+    vid = vec_id_expr if vec_id_expr is not None else _lake_vec_id_expr(table, snap)
     changes = table.scan_changes(synced, head).select(
         vid.alias("vec_id"),
         F.col(embedding_col).cast(T.ArrayType(T.FloatType())).alias("embedding"),
@@ -499,15 +510,11 @@ def build_ann_index_from_lake(
     (the version is pinned before the scan)."""
     from .dedup_index import _write_lake_cursor
 
+    if family not in ("lsh", "ivf"):
+        raise ValueError(f"unknown ANN index family: {family!r} (expected 'lsh' or 'ivf')")
     head = table.current_version()
     snap = table.snapshot(head)
-    key = list(snap.merge_key)
-    if vec_id_expr is not None:
-        vid = vec_id_expr
-    elif len(key) == 1:
-        vid = F.col(key[0]).cast("long")
-    else:
-        vid = F.xxhash64(*key)
+    vid = vec_id_expr if vec_id_expr is not None else _lake_vec_id_expr(table, snap)
     corpus = table.scan(version=head).select(
         vid.alias("vec_id"),
         F.col(embedding_col).cast(T.ArrayType(T.FloatType())).alias("embedding"),

@@ -114,17 +114,31 @@ def open_dedup_index(spark: SparkSession, path: str) -> DedupIndex:
     )
 
 
-def probe_exact(index: DedupIndex, batch: DataFrame, text_col: str = "text") -> DataFrame:
+def probe_exact(
+    index: DedupIndex,
+    batch: DataFrame,
+    text_col: str = "text",
+    broadcast_batch: bool = True,
+) -> DataFrame:
     """Which batch docs already exist verbatim in the corpus? Returns one
     row per DUPLICATE batch doc: (new_doc_id, dup_of_doc_id = smallest
-    matching corpus doc, n_dups = matching corpus docs). The batch side
-    broadcasts; the index side is the compact fps table."""
+    matching corpus doc, n_dups = matching corpus docs).
+
+    ``broadcast_batch=True`` (default) is the per-epoch delta shape: the
+    small batch broadcasts against the fps scan. When the "batch" is
+    corpus-sized — e.g. run_curation probing the WHOLE lake against its
+    own index — pass ``False``: the join then shuffles on the fp key
+    (both sides hash-partition; AQE still broadcasts at runtime if one
+    side turns out small) instead of forcing a corpus-sized driver
+    broadcast."""
     bfp = batch.select(
         F.col("doc_id").alias("new_doc_id"), F.md5(F.col(text_col)).alias("fp")
     )
+    if broadcast_batch:
+        bfp = F.broadcast(bfp)
     return (
         index.fps.scan()
-        .join(F.broadcast(bfp), "fp")
+        .join(bfp, "fp")
         .groupBy("new_doc_id")
         .agg(F.min("doc_id").alias("dup_of_doc_id"), F.count("*").alias("n_dups"))
     )

@@ -383,25 +383,23 @@ PII_PHONE_RE = r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"
 
 def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Redact emails / IPv4 addresses / phone numbers — the standard
-    pre-training privacy pass. Counts are taken on the RAW text, then the
-    three replacements chain in a fixed order (email → ip → phone), so
-    the output is deterministic and a placeholder can never re-match a
-    later rule. Stateless per-row expressions: no shuffle, no UDF, scales
-    as a pure map over the corpus scan."""
+    pre-training privacy pass. Replacements chain in a fixed order
+    (email → ip → phone) and EACH count is taken on the text as that
+    stage sees it, so counts always equal the placeholders actually
+    emitted — on overlapping spans ('10.0.0.1@example.com': the email
+    rule swallows the IP) the later category correctly reports 0 instead
+    of counting a span that no longer exists. Stateless per-row
+    expressions: no shuffle, no UDF, a pure map over the corpus scan."""
     t = F.col(text_col)
-    clean = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"),
-            PII_IPV4_RE, "<IP>",
-        ),
-        PII_PHONE_RE, "<PHONE>",
-    )
+    after_email = F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>")
+    after_ip = F.regexp_replace(after_email, PII_IPV4_RE, "<IP>")
+    clean = F.regexp_replace(after_ip, PII_PHONE_RE, "<PHONE>")
     return df.select(
         "doc_id",
         clean.alias("clean_text"),
         F.regexp_count(t, F.lit(PII_EMAIL_RE)).alias("n_emails"),
-        F.regexp_count(t, F.lit(PII_IPV4_RE)).alias("n_ips"),
-        F.regexp_count(t, F.lit(PII_PHONE_RE)).alias("n_phones"),
+        F.regexp_count(after_email, F.lit(PII_IPV4_RE)).alias("n_ips"),
+        F.regexp_count(after_ip, F.lit(PII_PHONE_RE)).alias("n_phones"),
     )
 
 

@@ -146,10 +146,13 @@ def main() -> None:
     # by an already-indexed doc) drop.
     if args.dedup_index_dir:
         idx = open_dedup_index(spark, args.dedup_index_dir)
-        claimed = probe_exact(idx, corpus, "text").filter(
+        claimed = probe_exact(idx, corpus, "text", broadcast_batch=False).filter(
             F.col("dup_of_doc_id") != F.col("new_doc_id")
         ).select(F.col("new_doc_id").alias("doc_id"))
         corpus = corpus.join(claimed, on="doc_id", how="left_anti")
+        # checkpoint: the probe reads the whole fps index — without this,
+        # every later stage's count would re-run the probe join
+        corpus = corpus.localCheckpoint()
         print(f"[curate] index dedup probe: {corpus.count()} docs keep "
               f"(canonical or unseen)")
 

@@ -141,6 +141,10 @@ def main() -> None:
     # the lake's changelog, not the feed, so it doesn't care which engine
     # applied the epochs (and --continuous streaming users run it from a
     # separate periodic invocation against the same dirs).
+    if args.dedup_index_dir and args.continuous:
+        print("dedup index: NOT maintained in --continuous mode; run a "
+              "separate periodic invocation (same dirs, no --continuous) "
+              "to sync it")
     if args.dedup_index_dir and not args.continuous:
         from clever_canal_spark.operators.dedup_index import (
             build_dedup_index_from_lake, open_dedup_index, sync_from_lake,
@@ -149,11 +153,13 @@ def main() -> None:
         if os.path.exists(os.path.join(args.dedup_index_dir, "index.json")):
             idx = open_dedup_index(spark, args.dedup_index_dir)
             n = sync_from_lake(idx, table)
+            # no fps count here: the sync is O(delta) by design and a
+            # count would rescan the whole fingerprint index every drain
             print(f"dedup index: consumed {n} lake versions")
         else:
             idx = build_dedup_index_from_lake(table, args.dedup_index_dir)
-            print("dedup index: bootstrapped from current table state")
-        print(f"dedup index: {idx.fps.scan().count()} fingerprints")
+            print(f"dedup index: bootstrapped from current table state "
+                  f"({idx.fps.scan().count()} fingerprints)")
 
     spark.stop()
 

@@ -207,6 +207,22 @@ def test_pii_scrub_hand_cases(spark):
     assert (out[6]["n_emails"], out[6]["n_ips"], out[6]["n_phones"]) == (0, 0, 0)
 
 
+def test_pii_scrub_overlapping_spans(spark):
+    """When the email rule swallows an embedded IP ('10.0.0.1@example.com'),
+    the IP count must be 0 — counts always equal the placeholders actually
+    emitted, never matches against spans a prior rule already consumed."""
+    from clever_canal_spark.operators.text import pii_scrub
+
+    rows = [(1, "reach 10.0.0.1@example.com now"),
+            (2, "plain 10.0.0.1 stays an ip")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r.asDict() for r in pii_scrub(df).collect()}
+    assert out[1]["clean_text"] == "reach <EMAIL> now"
+    assert (out[1]["n_emails"], out[1]["n_ips"], out[1]["n_phones"]) == (1, 0, 0)
+    assert out[2]["clean_text"] == "plain <IP> stays an ip"
+    assert out[2]["n_ips"] == 1
+
+
 def test_vocab_topk_hand_cases(spark):
     from clever_canal_spark.operators.text import vocab_topk
 
