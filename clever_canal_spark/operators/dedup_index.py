@@ -144,18 +144,26 @@ def probe_exact(
     )
 
 
-def probe_neardup(index: DedupIndex, batch: DataFrame, text_col: str = "text") -> DataFrame:
+def probe_neardup(
+    index: DedupIndex,
+    batch: DataFrame,
+    text_col: str = "text",
+    broadcast_batch: bool = True,
+) -> DataFrame:
     """Near-dup CANDIDATES between the batch and the corpus: batch docs
     sharing ≥1 MinHash-LSH band bucket with an indexed doc. Returns
     (new_doc_id, cand_doc_id, n_shared_bands); downstream confirms with
     an exact measure on just these pairs (the standard LSH contract —
-    candidates, not verdicts)."""
+    candidates, not verdicts). ``broadcast_batch`` as in
+    :func:`probe_exact`: pass ``False`` for corpus-sized batches."""
     bb = _band_rows(batch, text_col, index.n_bands, index.rows_per_band).select(
         F.col("doc_id").alias("new_doc_id"), "band", "bucket_key"
     )
+    if broadcast_batch:
+        bb = F.broadcast(bb)
     return (
         index.bands.scan()
-        .join(F.broadcast(bb), ["band", "bucket_key"])
+        .join(bb, ["band", "bucket_key"])
         .groupBy("new_doc_id", F.col("doc_id").alias("cand_doc_id"))
         .agg(F.count("*").alias("n_shared_bands"))
     )

@@ -380,3 +380,25 @@ def test_paragraph_dedup_properties(spark):
         .select("doc_id", F.col("clean_text").alias("text"))
     )
     assert again.filter(F.col("n_kept") != F.col("n_lines")).count() == 0
+
+
+def test_pii_counts_equal_emitted_placeholders_property(spark):
+    """Property over adversarial generated strings: each count column
+    equals the number of its placeholders in clean_text (counts report
+    emitted redactions, never raw-text matches a prior rule consumed)."""
+    import random
+
+    rng = random.Random(7)
+    frags = ["word", "a@b.co", "10.0.0.1", "555-123-4567", "x@1.2.3.4",
+             "10.0.0.1@example.com", "v2.0", "a.b", "999-99-9999",
+             "call 555 123 4567", "." , "@", "e@f.g.io", "7.8.9.10"]
+    rows = [(i, " ".join(rng.choice(frags) for _ in range(rng.randint(1, 12))))
+            for i in range(120)]
+    from clever_canal_spark.operators.text import pii_scrub
+
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    for r in pii_scrub(df).collect():
+        c = r["clean_text"]
+        assert c.count("<EMAIL>") == r["n_emails"], (r["doc_id"], c)
+        assert c.count("<IP>") == r["n_ips"], (r["doc_id"], c)
+        assert c.count("<PHONE>") == r["n_phones"], (r["doc_id"], c)
