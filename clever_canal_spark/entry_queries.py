@@ -1884,6 +1884,113 @@ def q_cdc_truncate_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.scan().select("url", "text")
 
 
+@register(
+    "cdc_time_travel",
+    f"""
+    WITH bounds AS (SELECT max(event_id) + 1 AS n FROM events)
+    SELECT 'u' || CAST(user_id AS VARCHAR) AS url,
+           CAST({_CENTS} AS VARCHAR) AS text
+    FROM (
+      SELECT user_id, value, {_OP_EXPR} AS op,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      FROM events, bounds
+      WHERE event_id < 2 * (n // 4 + 1)
+    ) WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def q_cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time travel (the Iceberg snapshot-id read; lake/table.py
+    ``scan(version=)``): replay all 4 epochs, then read the table AS OF the
+    snapshot committed after epoch 1 — exactly the LWW final state of the
+    first two LSN slices, verified against plain SQL bounded at that LSN.
+    Rides the memoized flagship replay (zero extra apply cost); the scan
+    reconciles only the file groups retained by that snapshot."""
+    table, versions = _replay_events_table(spark, sf_dir)
+    return table.scan(version=versions[1]).select("url", "text")
+
+
+# schema-evolution replay: one table shared by the rename-DDL scan and the
+# post-compaction scan (compaction must not change the logical table, so
+# the two queries are order-independent)
+_SCHEVO_CACHE: dict[tuple, str] = {}
+
+_SCHEVO_ORACLE = f"""
+    WITH bounds AS (SELECT max(event_id) + 1 AS n FROM events)
+    SELECT 'u' || CAST(user_id AS VARCHAR) AS url,
+           CAST({_CENTS} AS VARCHAR) AS body
+    FROM (
+      SELECT user_id, value, {_OP_EXPR} AS op,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      FROM events, bounds
+      WHERE event_id <> n - 1
+    ) WHERE rn = 1 AND op <> 'D'
+    """
+
+
+def _schevo_table(spark: SparkSession, sf_dir: str):
+    """Replay the events feed with its LAST event rewritten into a raw-SQL
+    ``ALTER TABLE cc.events RENAME COLUMN text TO body`` DDL row (two
+    epochs; the DDL closes epoch 1). Memoized like the flagship replay."""
+    import shutil
+    import tempfile
+
+    from .lake import LakeTable
+    from .model import PAGE_SCHEMA
+    from .plans import ApplyConfig, apply_epoch
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), "schevo")
+    path = _SCHEVO_CACHE.get(key)
+    if path is None:
+        feed = _events_as_feed(spark, sf_dir)
+        n = feed.agg(F.max("lsn")).collect()[0][0] + 1
+        is_d = F.col("lsn") == n - 1
+        feed = feed.withColumn(
+            "kind", F.when(is_d, F.lit("DDL")).otherwise(F.col("kind"))
+        ).withColumn(
+            "ddl_sql",
+            F.when(
+                is_d, F.lit("ALTER TABLE cc.events RENAME COLUMN text TO body")
+            ).otherwise(F.col("ddl_sql")),
+        )
+        tmp = tempfile.mkdtemp(prefix="ccs-schevo-")
+        shutil.rmtree(tmp, ignore_errors=True)
+        table = LakeTable.create(
+            spark, tmp, PAGE_SCHEMA, merge_key=["url", "warc_ts"], n_buckets=8
+        )
+        cfg = ApplyConfig(transform=False, merge_mode="mor")
+        cut = n // 2
+        apply_epoch(spark, feed.filter(F.col("lsn") < cut), 0, table, cfg)
+        apply_epoch(spark, feed.filter(F.col("lsn") >= cut), 1, table, cfg)
+        _SCHEVO_CACHE[key] = tmp
+        return table
+    return LakeTable(spark, path)
+
+
+@register("cdc_schema_evolution_replay", _SCHEVO_ORACLE)
+def q_cdc_schema_evolution_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END schema evolution through the raw-SQL DDL channel (T5+T6,
+    the TableMeta-TSDB read path: MemoryTableMeta.apply,
+    MemoryTableMeta.java:67-88): every data file was written under the OLD
+    column name ``text``, the in-stream DDL renames it, and the final scan
+    must surface all of them under ``body`` via field-id reconciliation —
+    value-equal to plain-SQL LWW aliased AS body (the rewritten last event
+    is excluded on both sides)."""
+    return _schevo_table(spark, sf_dir).scan().select("url", "body")
+
+
+@register("cdc_compact_replay", _SCHEVO_ORACLE)
+def q_cdc_compact_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction equivalence (Iceberg ``rewrite_data_files`` analog,
+    lake/table.py ``compact``): rewriting the MOR per-epoch delta files
+    into per-bucket bases must not change the logical table — the scan
+    after ``compact()`` hashes equal to the same plain-SQL LWW oracle as
+    the pre-compaction scan, across the renamed-column schema boundary
+    (old-schema files fold into current-schema bases)."""
+    table = _schevo_table(spark, sf_dir)
+    table.compact()
+    return table.scan().select("url", "body")
+
+
 # ---------------------------------------------------------------------------
 # Persisted dedup index (operators/dedup_index.py): probe the delta against
 # a compact fingerprint/band index — the incremental-ingest dedup shape.
