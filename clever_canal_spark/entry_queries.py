@@ -1978,6 +1978,87 @@ def q_cdc_schema_evolution_replay(spark: SparkSession, sf_dir: str) -> DataFrame
     return _schevo_table(spark, sf_dir).scan().select("url", "body")
 
 
+@register(
+    "cdc_scd2_history",
+    f"""
+    SELECT url, text, valid_from_lsn, valid_to_lsn,
+           valid_to_lsn IS NULL AS is_current
+    FROM (
+      SELECT 'u' || CAST(user_id AS VARCHAR) AS url,
+             CAST({_CENTS} AS VARCHAR) AS text,
+             {_OP_EXPR} AS op,
+             CAST(event_id AS BIGINT) AS valid_from_lsn,
+             CAST(LEAD(event_id) OVER (
+               PARTITION BY user_id ORDER BY event_id) AS BIGINT) AS valid_to_lsn
+      FROM events
+    ) WHERE op <> 'D'
+    """,
+)
+def q_cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history materialization (operators/history.py) — the
+    warehouse-sink shape consumers build from Canal's ordered row events:
+    one row per surviving I/U version with its validity LSN range; ANY
+    later event (including a delete) closes the range; deletes emit no
+    row. One shuffle on the key, lead() inside the key partition."""
+    from .operators.history import scd2_history
+
+    ev = _events(spark, sf_dir)
+    flat = ev.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("url"),
+        F.expr(_CENTS).cast("string").alias("text"),
+        F.expr(_OP_EXPR).alias("op"),
+        F.col("event_id").alias("lsn"),
+    )
+    return scd2_history(flat, ["url"], value_cols=["text"])
+
+
+@register(
+    "cdc_sessionize",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           CAST(epoch_us(min(ts)) AS BIGINT) AS session_start_us,
+           CAST(epoch_us(max(ts)) AS BIGINT) AS session_end_us,
+           count(*) AS n_events
+    FROM numbered GROUP BY user_id, session_seq
+    """,
+)
+def q_cdc_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization over the change feed (operators/history.py):
+    per-user sessions split at >=30 min of inactivity (the batch twin of
+    ``F.session_window`` — same merge rule). One shuffle on the key;
+    lag + cumulative sum inside the key partition."""
+    from .operators.history import sessionize
+
+    ev = _events(spark, sf_dir)
+    out = sessionize(ev, ["user_id"], ts_col="ts", gap="30 minutes",
+                     order_tiebreak="event_id")
+    return out.select(
+        "user_id",
+        F.col("session_seq").cast("long").alias("session_seq"),
+        F.unix_micros(F.col("session_start").cast("timestamp")).alias(
+            "session_start_us"
+        ),
+        F.unix_micros(F.col("session_end").cast("timestamp")).alias(
+            "session_end_us"
+        ),
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
 @register("cdc_compact_replay", _SCHEVO_ORACLE)
 def q_cdc_compact_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compaction equivalence (Iceberg ``rewrite_data_files`` analog,

@@ -1,0 +1,98 @@
+"""Hand-computed cases for the consumer-side materializations
+(operators/history.py): SCD2 validity ranges and session gap boundaries.
+The DuckDB parity for the full events table rides test_oracle_parity."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from clever_canal_spark.operators.history import scd2_history, sessionize
+
+
+def _feed(spark, rows):
+    return spark.createDataFrame(rows, "url string, text string, op string, lsn long")
+
+
+def test_scd2_insert_update_delete(spark):
+    # u1: I@1 -> U@5 -> D@9 : two closed versions, no current row
+    # u2: I@2 : one open version
+    rows = [
+        ("u1", "a", "I", 1),
+        ("u2", "x", "I", 2),
+        ("u1", "b", "U", 5),
+        ("u1", None, "D", 9),
+    ]
+    out = scd2_history(_feed(spark, rows), ["url"], value_cols=["text"])
+    got = {(r.url, r.valid_from_lsn): (r.text, r.valid_to_lsn, r.is_current)
+           for r in out.collect()}
+    assert got == {
+        ("u1", 1): ("a", 5, False),
+        ("u1", 5): ("b", 9, False),   # the DELETE closes the range
+        ("u2", 2): ("x", None, True),
+    }
+    # delete events emit no row of their own
+    assert len(got) == 3
+
+
+def test_scd2_current_after_updates(spark):
+    rows = [("u1", "a", "I", 1), ("u1", "b", "U", 3), ("u1", "c", "U", 7)]
+    out = scd2_history(_feed(spark, rows), ["url"], value_cols=["text"])
+    cur = [r for r in out.collect() if r.is_current]
+    assert len(cur) == 1 and cur[0].text == "c" and cur[0].valid_from_lsn == 7
+
+
+def _ts(minute):
+    return dt.datetime(2024, 1, 1, 0, minute)
+
+
+def test_sessionize_gap_boundary(spark):
+    # gap = 10 min; deltas: 9 min (same session), exactly 10 (NEW — the
+    # session_window merge rule is strict-less-than), 11 (new)
+    rows = [
+        (1, _ts(0), 1), (1, _ts(9), 2),            # session 1 (gap 9 < 10)
+        (1, _ts(19), 3),                            # +10 exactly -> session 2
+        (1, _ts(30), 4),                            # +11 -> session 3
+        (2, _ts(0), 5),                             # other key: own session 1
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long")
+    out = sessionize(df, ["user_id"], ts_col="ts", gap="10 minutes",
+                     order_tiebreak="event_id")
+    got = {(r.user_id, r.session_seq): (r.session_start, r.session_end, r.n_events)
+           for r in out.collect()}
+    assert got == {
+        (1, 1): (_ts(0), _ts(9), 2),
+        (1, 2): (_ts(19), _ts(19), 1),
+        (1, 3): (_ts(30), _ts(30), 1),
+        (2, 1): (_ts(0), _ts(0), 1),
+    }
+
+
+def test_sessionize_matches_spark_session_window(spark):
+    # the operator is the batch twin of F.session_window — same merge
+    # semantics on a randomized fixture (distinct ts per key so ordering
+    # ties can't differ)
+    df = (
+        spark.range(200)
+        .select(
+            (F.col("id") % 7).alias("user_id"),
+            F.timestamp_seconds(
+                F.lit(1704067200)
+                + (F.hash("id") % 10000 + 10000) % 10000 * 97
+            ).alias("ts"),
+            F.col("id").alias("event_id"),
+        )
+        .dropDuplicates(["user_id", "ts"])
+    )
+    mine = sessionize(df, ["user_id"], ts_col="ts", gap="7 minutes",
+                      order_tiebreak="event_id")
+    native = (
+        df.groupBy("user_id", F.session_window("ts", "7 minutes").alias("w"))
+        .agg(F.min("ts").alias("session_start"),
+             F.max("ts").alias("session_end"),
+             F.count(F.lit(1)).alias("n_events"))
+    )
+    a = {(r.user_id, r.session_start, r.session_end, r.n_events)
+         for r in mine.collect()}
+    b = {(r.user_id, r.session_start, r.session_end, r.n_events)
+         for r in native.collect()}
+    assert a == b
