@@ -67,6 +67,33 @@ def test_sessionize_gap_boundary(spark):
     }
 
 
+def _n_exchanges(df):
+    jvm = df._sc._jvm
+    plan = jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    return sum(
+        1 for line in plan.splitlines()
+        if "Exchange hashpartitioning" in line and "Reused" not in line
+    )
+
+
+def test_single_shuffle_plans(spark):
+    # both materializations must shuffle exactly ONCE (on the key):
+    # sessionize's final (key, session_seq) aggregation reuses the
+    # window's hashpartitioning(key) — grouping by a superset of the
+    # partition key needs no second exchange
+    feed = _feed(spark, [("u1", "a", "I", 1)])
+    assert _n_exchanges(scd2_history(feed, ["url"], value_cols=["text"])) == 1
+    ev = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 1)],
+        "user_id long, ts timestamp, event_id long",
+    )
+    assert _n_exchanges(
+        sessionize(ev, ["user_id"], order_tiebreak="event_id")
+    ) == 1
+
+
 def test_sessionize_matches_spark_session_window(spark):
     # the operator is the batch twin of F.session_window — same merge
     # semantics on a randomized fixture (distinct ts per key so ordering
