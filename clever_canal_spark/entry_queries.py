@@ -2059,6 +2059,117 @@ def q_cdc_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DIM_CACHE: dict[tuple, str] = {}
+
+
+@register(
+    "cdc_dim_join",
+    f"""
+    SELECT 'u' || CAST(e.user_id AS VARCHAR) AS url,
+           CAST({_CENTS.replace('value', 'e.value')} AS VARCHAR) AS text,
+           c.c_name AS name, c.c_mktsegment AS mktsegment
+    FROM (
+      SELECT user_id, value, {_OP_EXPR} AS op,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      FROM events
+    ) e JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.rn = 1 AND e.op <> 'D'
+    """,
+)
+def q_cdc_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-consistent fact⋈dim join: the CDC-maintained pages table
+    (memoized flagship replay) joined to a dimension LakeTable initial-
+    loaded via ``bootstrap_epoch`` from the customer table (the
+    snapshot-then-tail load, plans/apply.py:376). The dim side is small →
+    broadcast; both sides read their own consistent snapshot. Verified
+    against plain-SQL LWW ⋈ customer."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from .lake import LakeTable
+    from .plans import bootstrap_epoch
+
+    table, _ = _replay_events_table(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), "dim")
+    path = _DIM_CACHE.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="ccs-dim-")
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        dim_schema = T.StructType(
+            [
+                T.StructField("url", T.StringType()),
+                T.StructField("name", T.StringType()),
+                T.StructField("mktsegment", T.StringType()),
+            ]
+        )
+        dim = LakeTable.create(spark, path, dim_schema, merge_key=["url"], n_buckets=4)
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+            F.concat(F.lit("u"), F.col("c_custkey").cast("string")).alias("url"),
+            F.col("c_name").alias("name"),
+            F.col("c_mktsegment").alias("mktsegment"),
+        )
+        bootstrap_epoch(dim, cust, as_of_lsn=0)
+        _DIM_CACHE[key] = path
+    dim = LakeTable(spark, path)
+    pages = table.scan().select("url", "text")
+    return pages.join(F.broadcast(dim.scan()), on="url", how="inner").select(
+        "url", "text", "name", "mktsegment"
+    )
+
+
+@register(
+    "cdc_snapshot_diff",
+    f"""
+    WITH bounds AS (SELECT max(event_id) + 1 AS n FROM events),
+    old AS (
+      SELECT 'u' || CAST(user_id AS VARCHAR) AS url,
+             CAST({_CENTS} AS VARCHAR) AS text
+      FROM (
+        SELECT user_id, value, {_OP_EXPR} AS op,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        FROM events, bounds WHERE event_id < 2 * (n // 4 + 1)
+      ) WHERE rn = 1 AND op <> 'D'
+    ),
+    head AS (
+      SELECT 'u' || CAST(user_id AS VARCHAR) AS url,
+             CAST({_CENTS} AS VARCHAR) AS text
+      FROM (
+        SELECT user_id, value, {_OP_EXPR} AS op,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1 AND op <> 'D'
+    )
+    SELECT COALESCE(o.url, h.url) AS url,
+           o.text AS old_text, h.text AS new_text,
+           CASE WHEN o.url IS NULL THEN 'A'
+                WHEN h.url IS NULL THEN 'D'
+                ELSE 'U' END AS change
+    FROM old o FULL OUTER JOIN head h ON o.url = h.url
+    WHERE o.url IS NULL OR h.url IS NULL OR o.text <> h.text
+    """,
+)
+def q_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (lake/diff.py — the Iceberg changelog-diff analog):
+    NET row changes between the post-epoch-1 snapshot and head of the
+    flagship replay. A key rewritten to the same value is excluded;
+    adds/updates/deletes are classed A/U/D. Oracle = FULL OUTER JOIN of
+    the two plain-SQL LWW states. (The per-epoch winner stream is the
+    separate `cdc_changelog_read` contract.)"""
+    from .lake.diff import snapshot_diff
+
+    table, versions = _replay_events_table(spark, sf_dir)
+    out = snapshot_diff(table, from_version=versions[1], value_cols=["text"])
+    return out.select(
+        "url",
+        F.col("old_text"),
+        F.col("new_text"),
+        "change",
+    )
+
+
 @register("cdc_compact_replay", _SCHEVO_ORACLE)
 def q_cdc_compact_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compaction equivalence (Iceberg ``rewrite_data_files`` analog,

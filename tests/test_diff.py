@@ -1,0 +1,81 @@
+"""snapshot_diff (lake/diff.py) semantics: NET changes only — a key
+updated then reverted inside the span disappears; rewritten-identical
+values are excluded; A/U/D classes come from key presence, not value
+nullability."""
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from clever_canal_spark.lake import LakeTable
+from clever_canal_spark.lake.diff import snapshot_diff
+from clever_canal_spark.model import PAGE_SCHEMA
+from clever_canal_spark.plans import ApplyConfig, apply_epoch
+
+
+def _batch(spark, rows):
+    # rows: (url, text, op, lsn)
+    df = spark.createDataFrame(rows, "url string, text string, op string, lsn long")
+    img = F.struct(
+        F.col("url"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.col("text"),
+        F.lit(None).cast("string").alias("lang"),
+    )
+    return (
+        df.select(
+            "lsn",
+            F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("ts"),
+            F.lit("ROW").alias("kind"),
+            F.lit("cc").alias("schema_name"),
+            F.lit("pages").alias("table_name"),
+            "op",
+            F.lit(0).cast("long").alias("txn_id"),
+            F.lit(1).cast("long").alias("server_id"),
+            F.lit(None).cast("string").alias("gtid"),
+            F.when(F.col("op") != "I", img).alias("before"),
+            F.when(F.col("op") != "D", img).alias("after"),
+        )
+        .withColumn("ddl_type", F.lit(None).cast("string"))
+        .withColumn("ddl_sql", F.lit(None).cast("string"))
+        .withColumn("ddl_column", F.lit(None).cast("string"))
+        .withColumn("ddl_new_name", F.lit(None).cast("string"))
+        .withColumn("ddl_new_type", F.lit(None).cast("string"))
+        .withColumn("props", F.lit(None).cast("map<string,string>"))
+    )
+
+
+def test_snapshot_diff_net_changes(spark, tmp_path):
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), PAGE_SCHEMA, merge_key=["url", "warc_ts"],
+        n_buckets=2,
+    )
+    cfg = ApplyConfig(transform=False, merge_mode="mor")
+    # epoch 0: k1=a, k2=b, k4=d
+    apply_epoch(spark, _batch(spark, [
+        ("k1", "a", "I", 1), ("k2", "b", "I", 2), ("k4", "d", "I", 3),
+    ]), 0, table, cfg)
+    v1 = table.current_version()
+    # epoch 1: k1 -> a2 ; k3 added ; k4 deleted ; k2 rewritten identical
+    apply_epoch(spark, _batch(spark, [
+        ("k1", "a2", "U", 10), ("k3", "c", "I", 11),
+        ("k4", None, "D", 12), ("k2", "b", "U", 13),
+    ]), 1, table, cfg)
+    # epoch 2: k1 reverted back to a
+    apply_epoch(spark, _batch(spark, [("k1", "a", "U", 20)]), 2, table, cfg)
+
+    out = snapshot_diff(table, from_version=v1, value_cols=["text"])
+    got = {r.url: (r.old_text, r.new_text, r.change) for r in out.collect()}
+    # k1 update+revert nets out; k2 identical rewrite excluded
+    assert got == {
+        "k3": (None, "c", "A"),
+        "k4": ("d", None, "D"),
+    }
+
+    # mid-span diff still sees the k1 update as U
+    mid = snapshot_diff(table, from_version=v1,
+                        to_version=table.current_version() - 1,
+                        value_cols=["text"])
+    by_key = {r.url: (r.old_text, r.new_text, r.change) for r in mid.collect()}
+    assert by_key["k1"] == ("a", "a2", "U")
