@@ -2,7 +2,7 @@ from .follower import FeedFollower, RoutedFeedFollower, footer_hints, throughput
 from .pipeline import CdcPipeline, run_available
 from .prometheus import render_metrics
 from .stateful import winner_delta_stream
-from .windows import windowed_event_counts
+from .windows import sessionized_counts, windowed_event_counts
 
 __all__ = [
     "CdcPipeline",
@@ -11,6 +11,7 @@ __all__ = [
     "footer_hints",
     "render_metrics",
     "run_available",
+    "sessionized_counts",
     "throughput_view",
     "windowed_event_counts",
     "winner_delta_stream",

@@ -29,6 +29,39 @@ from pyspark.sql import DataFrame, functions as F
 from ..model import KIND_DDL, KIND_HEARTBEAT, KIND_ROW
 
 
+def sessionized_counts(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Streaming gap sessionization: per-key activity sessions closed
+    after ``gap`` of inactivity, built on the native ``F.session_window``
+    (dynamic merging windows — Spark manages the session state; the
+    watermark both evicts closed sessions and, in append mode, releases a
+    session exactly once when no more late events can extend it).
+
+    The batch twin with identical merge semantics (and a session ordinal
+    the native API doesn't expose) is ``operators.history.sessionize`` —
+    equality is asserted in tests/test_history.py. Scale shape: state is
+    one (key, open-session) entry per active key, bounded by the
+    watermark; the shuffle is on the key.
+    """
+    if events.isStreaming:
+        events = events.withWatermark(ts_col, watermark)
+    sw = F.session_window(F.col(ts_col), gap)
+    return (
+        events.groupBy(*key_cols, sw.alias("win"))
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .drop("win")
+    )
+
+
 def windowed_event_counts(
     events: DataFrame,
     window_duration: str = "1 minute",

@@ -97,3 +97,65 @@ def test_windowed_stream_watermark_late_data(spark, tmp_path):
         assert not any(w == "2024-01-01 12:01:00" for w, _ in emitted)  # too-late dropped
     finally:
         q.stop()
+
+
+def test_sessionized_stream_merges_across_batches(spark, tmp_path):
+    """session_window streaming (append mode — the only mode Spark
+    supports for session aggregations): an event in a later micro-batch
+    that lands within the gap of an OPEN session merges into it, and the
+    session is emitted exactly once when the watermark closes it; a
+    still-open session is held back."""
+    from clever_canal_spark.streaming import sessionized_counts
+
+    feed = str(tmp_path / "feed")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(feed)
+
+    def write_slice(name, rows):
+        spark.createDataFrame(rows, CHANGE_EVENT_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / name))
+        src = [f for f in os.listdir(tmp_path / name) if f.endswith(".parquet")][0]
+        os.rename(str(tmp_path / name / src), os.path.join(feed, f"{name}.parquet"))
+
+    write_slice("a", [_event(1, _ts(0, 0)), _event(2, _ts(30, 0), table="other")])
+
+    stream = (
+        spark.readStream.schema(CHANGE_EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+    )
+    agg = sessionized_counts(
+        stream, ["table_name"], gap="10 minutes", watermark="5 minutes"
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sessagg")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        time.sleep(1.1)
+        # within 10 min of the open 'other' session at 12:30 -> must merge
+        write_slice("b", [_event(3, _ts(35, 0), table="other")])
+        q.processAllAvailable()
+        time.sleep(1.1)
+        # far-future event advances the watermark past every open session
+        write_slice("c", [_event(4, _ts(0, 0).replace(hour=14))])
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM sessagg").collect()
+        got = {
+            (r["table_name"], str(r["session_start"]), str(r["session_end"]),
+             r["n_events"])
+            for r in rows
+        }
+        # merged cross-batch session emitted ONCE with both events
+        assert ("other", "2024-01-01 12:30:00", "2024-01-01 12:35:00", 2) in got
+        assert ("pages", "2024-01-01 12:00:00", "2024-01-01 12:00:00", 1) in got
+        # the 14:00 session is still open -> held back by append mode
+        assert not any(s.startswith("2024-01-01 14:") for _, s, _, _ in got)
+        assert len([r for r in rows if r["table_name"] == "other"]) == 1
+    finally:
+        q.stop()
