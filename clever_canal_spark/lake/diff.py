@@ -34,12 +34,29 @@ def snapshot_diff(
     head): one row per key whose value set differs, with the old and new
     images and a change class ``A`` (added), ``U`` (updated), ``D``
     (deleted)."""
-    key = table.snapshot().merge_key
+    # schemas may differ between the two versions (the engine's own DDL
+    # channel adds/renames/widens columns routinely): resolve value columns
+    # by FIELD ID, in the NEW schema's names — a renamed column compares
+    # old-name-vs-new-name as the same field, a column added inside the
+    # span reads as null on the old side, a dropped column leaves the diff
+    # (current-schema semantics, the Iceberg changelog-view rule).
+    old_snap = table.snapshot(from_version)
+    new_snap = table.snapshot(to_version)
+    key = new_snap.merge_key
     old = table.scan(version=from_version)
     new = table.scan(version=to_version)
+    new_fields = {f["name"]: f for f in new_snap.current_fields()}
+    old_by_id = {f["id"]: f for f in old_snap.current_fields()}
     vals = value_cols if value_cols is not None else [
         c for c in new.columns if c not in key
     ]
+    def _old_side(c):
+        nf = new_fields.get(c)
+        of = old_by_id.get(nf["id"]) if nf else None
+        if of is None:  # field didn't exist at from_version
+            return F.lit(None).cast(nf["type"] if nf else "string")
+        # cast through the new type so a widened column compares cleanly
+        return F.col(of["name"]).cast(nf["type"])
     changed = F.lit(False)
     for c in vals:
         changed = changed | ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
@@ -47,7 +64,7 @@ def snapshot_diff(
     # present with all-null values is still present — detect via a
     # side-marker instead of value columns
     o2 = old.select(*key, F.lit(True).alias("__in_old"),
-                    *[F.col(c).alias(f"old_{c}") for c in vals])
+                    *[_old_side(c).alias(f"old_{c}") for c in vals])
     n2 = new.select(*key, F.lit(True).alias("__in_new"),
                     *[F.col(c).alias(f"new_{c}") for c in vals])
     j = o2.join(n2, on=list(key), how="full_outer")

@@ -94,21 +94,36 @@ def _apply_one(table: LakeTable, op: dict, ddl_row: dict) -> bool:
         table.drop_column(op["ddl_column"])
         return True
     if t == DDL_RENAME_COLUMN:
-        if op["ddl_column"] not in names and op["ddl_new_name"] in names:
-            return False  # already renamed
-        table.rename_column(op["ddl_column"], op["ddl_new_name"])
+        renamed = False
+        if op["ddl_column"] == op["ddl_new_name"]:
+            # ``CHANGE COLUMN a a bigint`` — MySQL's retype-without-rename
+            # idiom; there is no rename to perform, only the widen below
+            pass
+        elif op["ddl_column"] not in names and op["ddl_new_name"] in names:
+            pass  # already renamed (crash replay) — still re-check the widen
+        else:
+            table.rename_column(op["ddl_column"], op["ddl_new_name"])
+            renamed = True
         # CHANGE COLUMN carries a type as well — widen when it's a legal
-        # promotion; same-or-narrower types are a rename-only no-op
+        # promotion; same-or-narrower types are a rename-only no-op. The
+        # widen re-check runs on the replay path too: a crash between the
+        # rename commit and the widen commit must not lose the type change.
         nt = op.get("ddl_new_type")
+        widened = False
         if nt:
             from ..lake.table import _WIDEN_OK
 
-            cur = {f["name"]: f for f in table.snapshot().current_fields()}[
+            cur = {f["name"]: f for f in table.snapshot().current_fields()}.get(
                 op["ddl_new_name"]
-            ]
-            if cur["type"] != nt and (cur["type"], nt) in _WIDEN_OK:
+            )
+            if (
+                cur is not None
+                and cur["type"] != nt
+                and (cur["type"], nt) in _WIDEN_OK
+            ):
                 table.widen_column(op["ddl_new_name"], nt)
-        return True
+                widened = True
+        return renamed or widened
     if t == DDL_WIDEN_TYPE:
         cur = names.get(op["ddl_column"])
         if cur is None:

@@ -202,3 +202,39 @@ def test_ddl_multi_clause_alter_applies_every_clause(spark, tmp_table_dir):
     ) is True
     f = {x["name"]: x["type"] for x in table.snapshot().current_fields()}
     assert "a" not in f and f["a2"] == "bigint"
+
+
+def test_ddl_change_same_name_retype(spark, tmp_table_dir):
+    """MySQL's retype-without-rename idiom ``CHANGE COLUMN a a bigint``
+    must widen (not crash on rename-to-self), and replay as a no-op."""
+    table = LakeTable.create(
+        spark, tmp_table_dir, PAGE_SCHEMA, merge_key=["url", "warc_ts"], n_buckets=2
+    )
+    table.add_column("n", "int")
+    row = {"ddl_sql": "ALTER TABLE cc.pages CHANGE COLUMN n n bigint"}
+    assert apply_ddl_idempotent(table, row) is True
+    f = {x["name"]: x["type"] for x in table.snapshot().current_fields()}
+    assert f["n"] == "bigint"
+    assert apply_ddl_idempotent(table, row) is False  # replay no-op
+
+    # same-name CHANGE to the SAME type: pure no-op, never an error
+    assert apply_ddl_idempotent(
+        table, {"ddl_sql": "ALTER TABLE cc.pages CHANGE COLUMN n n bigint"}
+    ) is False
+
+
+def test_ddl_change_replay_recovers_lost_widen(spark, tmp_table_dir):
+    """Crash between the rename commit and the widen commit of a
+    ``CHANGE a b bigint``: the replayed statement must still widen b
+    even though the rename half already applied."""
+    table = LakeTable.create(
+        spark, tmp_table_dir, PAGE_SCHEMA, merge_key=["url", "warc_ts"], n_buckets=2
+    )
+    table.add_column("a", "int")
+    # simulate the half-applied state: rename committed, widen lost
+    table.rename_column("a", "b")
+    row = {"ddl_sql": "ALTER TABLE cc.pages CHANGE COLUMN a b bigint"}
+    assert apply_ddl_idempotent(table, row) is True  # widen still applies
+    f = {x["name"]: x["type"] for x in table.snapshot().current_fields()}
+    assert "a" not in f and f["b"] == "bigint"
+    assert apply_ddl_idempotent(table, row) is False  # full replay no-op

@@ -79,3 +79,28 @@ def test_snapshot_diff_net_changes(spark, tmp_path):
                         value_cols=["text"])
     by_key = {r.url: (r.old_text, r.new_text, r.change) for r in mid.collect()}
     assert by_key["k1"] == ("a", "a2", "U")
+
+
+def test_snapshot_diff_across_schema_evolution(spark, tmp_path):
+    """The span crosses ADD / RENAME / widen DDLs: value columns resolve
+    by field id, added columns read null on the old side, and the diff
+    does not crash on either schema boundary."""
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), PAGE_SCHEMA, merge_key=["url", "warc_ts"],
+        n_buckets=2,
+    )
+    cfg = ApplyConfig(transform=False, merge_mode="mor")
+    apply_epoch(spark, _batch(spark, [("k1", "a", "I", 1)]), 0, table, cfg)
+    v1 = table.current_version()
+    apply_epoch(spark, _batch(spark, [("k2", "c", "I", 10)]), 1, table, cfg)
+    # evolve between the endpoints: add a column, rename text -> body —
+    # before the field-id fix either DDL made the diff throw
+    # UNRESOLVED_COLUMN (old side selected by the NEW snapshot's names)
+    table.add_column("quality", "double")
+    table.rename_column("text", "body")
+
+    out = snapshot_diff(table, from_version=v1)  # default vals: NEW schema
+    got = {r.url: (r.old_body, r.new_body, r.old_quality, r.change)
+           for r in out.collect()}
+    # k1 unchanged (text==body via field id, quality null both sides) -> absent
+    assert got == {"k2": (None, "c", None, "A")}
