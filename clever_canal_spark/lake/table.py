@@ -483,7 +483,13 @@ class LakeTable:
         **MOR** commits (delta files hold exactly the applied winners); a
         COW merge rewrites every surviving row of touched buckets, so its
         commits also re-emit unchanged co-bucketed rows — run the follower
-        with ``merge_mode='mor'`` when a downstream consumer tails this."""
+        with ``merge_mode='mor'`` when a downstream consumer tails this.
+
+        TRUNCATE commits are metadata-only and therefore emit NO rows
+        here — a consumer that materializes state must also call
+        :meth:`truncates_between` on the same range and erase its state
+        at each truncate's LSN (see the index syncs in
+        ``operators/dedup_index.py`` / ``operators/ann_index.py``)."""
         to_snap = self.snapshot(to_version)
         from_snap = self.snapshot(from_version)
         # walk the snapshot chain (from, to] and take files INTRODUCED by
@@ -506,6 +512,28 @@ class LakeTable:
             if not s.operation.startswith("compact"):
                 changes.extend(new_here)
         return self._read_files(to_snap, changes, hidden=True)
+
+    def truncates_between(self, from_version: int, to_version: int | None = None) -> list[dict]:
+        """TRUNCATE commits in ``(from_version, to_version]``, oldest
+        first, as ``{"version", "lsn"}`` dicts.
+
+        A truncate is METADATA-ONLY (``truncate_rows`` drops every live
+        file from the manifest without writing per-key delete markers),
+        so :meth:`scan_changes` cannot surface it as rows — a changelog
+        consumer that materializes state (dedup/ANN index sync, a
+        downstream mirror) MUST call this alongside ``scan_changes`` and
+        erase its own state at each truncate's LSN, else it silently
+        keeps rows the table no longer has."""
+        to_snap = self.snapshot(to_version)
+        from_v = int(from_version)  # 0 = before the first version
+        out: list[dict] = []
+        v = to_snap.version
+        while v is not None and v > from_v:
+            s = self.snapshot(v)
+            if s.operation.startswith("truncate:"):
+                out.append({"version": s.version, "lsn": s.truncate_lsn})
+            v = s.parent
+        return list(reversed(out))
 
     # -- write -------------------------------------------------------------
 

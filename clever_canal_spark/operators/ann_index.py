@@ -482,9 +482,22 @@ def sync_ann_from_lake(
     synced = _read_lake_cursor(index.path)
     if head <= synced:
         return 0
+    # mirror metadata-only TRUNCATEs (no D markers in the changelog):
+    # erase the index at the truncate LSN, tail only post-truncate changes
+    truncs = table.truncates_between(synced, head)
+    if truncs:
+        last = truncs[-1]
+        index.vectors.truncate_rows(last["lsn"])
+        index.directory.truncate_rows(last["lsn"])
+        synced_from = last["version"]
+        if synced_from >= head:
+            _write_lake_cursor(index.path, head)
+            return head - synced
+    else:
+        synced_from = synced
     snap = table.snapshot(head)
     vid = vec_id_expr if vec_id_expr is not None else _lake_vec_id_expr(table, snap)
-    changes = table.scan_changes(synced, head).select(
+    changes = table.scan_changes(synced_from, head).select(
         vid.alias("vec_id"),
         F.col(embedding_col).cast(T.ArrayType(T.FloatType())).alias("embedding"),
         F.col("__op").alias("op"),

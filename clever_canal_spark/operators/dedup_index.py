@@ -259,10 +259,26 @@ def sync_from_lake(
     synced = _read_lake_cursor(index.path)
     if head <= synced:
         return 0
+    # TRUNCATE is metadata-only upstream (no D markers in the changelog),
+    # so mirror it as metadata here: erase both index tables at the
+    # truncate LSN and tail only changes AFTER the last truncate —
+    # everything before it no longer exists in the lake. Idempotent by
+    # each table's truncate watermark (crash-replay safe).
+    truncs = table.truncates_between(synced, head)
+    if truncs:
+        last = truncs[-1]
+        index.fps.truncate_rows(last["lsn"])
+        index.bands.truncate_rows(last["lsn"])
+        synced_from = last["version"]
+        if synced_from >= head:
+            _write_lake_cursor(index.path, head)
+            return head - synced
+    else:
+        synced_from = synced
     snap = table.snapshot(head)
     key = list(snap.merge_key)
     did = doc_id_expr if doc_id_expr is not None else F.xxhash64(*key)
-    changes = table.scan_changes(synced, head).select(
+    changes = table.scan_changes(synced_from, head).select(
         did.alias("doc_id"),
         F.col(text_col).alias(text_col),
         F.col("__op").alias("op"),

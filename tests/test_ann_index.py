@@ -267,3 +267,37 @@ def test_sync_ann_from_lake(spark, tmp_table_dir):
     v_before = (idx.vectors.current_version(), idx.directory.current_version())
     assert sync_ann_from_lake(idx, table) == 0
     assert (idx.vectors.current_version(), idx.directory.current_version()) == v_before
+
+
+def test_sync_ann_from_lake_mirrors_truncate(spark, tmp_table_dir):
+    """A metadata-only lake TRUNCATE (no changelog D markers) must empty
+    the ANN index on sync; post-truncate inserts land normally."""
+    from pyspark.sql import types as T
+
+    from clever_canal_spark.operators.ann_index import (
+        build_ann_index_from_lake, sync_ann_from_lake,
+    )
+
+    emb = _emb(spark).filter(F.col("vec_id") < 40)
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType(), nullable=False),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ])
+    table = LakeTable.create(
+        spark, tmp_table_dir + "/embtrunc", schema,
+        merge_key=["vec_id"], n_buckets=4,
+    )
+    table.append(emb)
+    idx = build_ann_index_from_lake(table, tmp_table_dir + "/lshtrunc", n_planes=4)
+    assert idx.vectors.scan().count() == 40
+
+    table.truncate_rows(2_000)
+    v1 = emb.filter(F.col("vec_id") == 1).collect()[0]["embedding"]
+    table.merge(
+        _changes(spark, [(7, v1, "I", 3_000)]),
+        epoch_id=1, op_col="op", mode="mor", lsn_col="lsn",
+    )
+    assert sync_ann_from_lake(idx, table) >= 1
+    assert {r["vec_id"] for r in idx.vectors.scan().collect()} == {7}
+    assert {r["vec_id"] for r in idx.directory.scan().collect()} == {7}
+    assert sync_ann_from_lake(idx, table) == 0  # replay no-op

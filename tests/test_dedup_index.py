@@ -182,6 +182,85 @@ def test_sync_from_lake_tails_changelog(spark, tmp_table_dir):
     assert (idx.fps.current_version(), idx.bands.current_version()) == v_before
 
 
+def test_sync_from_lake_mirrors_truncate(spark, tmp_table_dir):
+    """A feed TRUNCATE is metadata-only in the lake (no D markers in the
+    changelog) — the sync must still erase the index, or a re-crawled
+    page would be reported as a duplicate of an erased doc and dropped
+    from the corpus silently."""
+    from clever_canal_spark.lake import LakeTable
+    from clever_canal_spark.operators.dedup_index import (
+        build_dedup_index_from_lake, sync_from_lake,
+    )
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType(), nullable=False),
+        T.StructField("text", T.StringType()),
+    ])
+    table = LakeTable.create(
+        spark, os.path.join(tmp_table_dir, "corpus3"), schema,
+        merge_key=["doc_id"], n_buckets=4,
+    )
+    table.append(_docs(spark, CORPUS))
+    idx = build_dedup_index_from_lake(
+        table, os.path.join(tmp_table_dir, "didx3"), doc_id_expr=F.col("doc_id")
+    )
+    assert table.truncates_between(0) == []
+    table.truncate_rows(200)
+    assert table.truncates_between(0)[-1]["lsn"] == 200
+    # post-truncate re-crawl: doc 9's text matches ERASED doc 2 exactly
+    table.merge(
+        spark.createDataFrame(
+            [(9, CORPUS[1][1], "I", 300)],
+            "doc_id bigint, text string, op string, lsn bigint"),
+        epoch_id=1, op_col="op", mode="mor", lsn_col="lsn",
+    )
+    assert sync_from_lake(idx, table, doc_id_expr=F.col("doc_id")) >= 1
+
+    # index == from-scratch rebuild on the post-truncate corpus
+    ref = build_dedup_index(spark, _docs(spark, [(9, CORPUS[1][1])]),
+                            os.path.join(tmp_table_dir, "ref3"))
+    assert _fp_state(idx) == _fp_state(ref)
+    assert set(_band_state(idx)) == set(_band_state(ref))
+    # the re-crawled text must NOT probe as a dup of the erased corpus
+    batch = _docs(spark, [(50, CORPUS[0][1])])  # matches erased doc 1/3
+    assert probe_exact(idx, batch).count() == 0
+    # but a dup of the LIVE post-truncate doc still reports
+    batch2 = _docs(spark, [(51, CORPUS[1][1])])  # matches live doc 9
+    assert probe_exact(idx, batch2).count() == 1
+    # replay: sync is a no-op, truncate watermark holds
+    v = (idx.fps.current_version(), idx.bands.current_version())
+    assert sync_from_lake(idx, table, doc_id_expr=F.col("doc_id")) == 0
+    assert (idx.fps.current_version(), idx.bands.current_version()) == v
+
+
+def test_sync_from_lake_truncate_at_head(spark, tmp_table_dir):
+    """Truncate IS the head version when the sync runs: the index empties
+    and the cursor still advances (second sync = 0)."""
+    from clever_canal_spark.lake import LakeTable
+    from clever_canal_spark.operators.dedup_index import (
+        build_dedup_index_from_lake, sync_from_lake,
+    )
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType(), nullable=False),
+        T.StructField("text", T.StringType()),
+    ])
+    table = LakeTable.create(
+        spark, os.path.join(tmp_table_dir, "corpus4"), schema,
+        merge_key=["doc_id"], n_buckets=4,
+    )
+    table.append(_docs(spark, CORPUS))
+    idx = build_dedup_index_from_lake(
+        table, os.path.join(tmp_table_dir, "didx4"), doc_id_expr=F.col("doc_id")
+    )
+    table.truncate_rows(500)
+    assert sync_from_lake(idx, table, doc_id_expr=F.col("doc_id")) >= 1
+    assert _fp_state(idx) == []
+    assert sync_from_lake(idx, table, doc_id_expr=F.col("doc_id")) == 0
+
+
 def test_sync_from_lake_default_doc_id_is_stable(spark, tmp_table_dir):
     """With no doc_id_expr, the index keys by xxhash64(merge key) — an
     update to a doc's text must overwrite its rows in place (same id)."""
