@@ -138,7 +138,12 @@ class LakeTable:
 
     def __init__(self, spark: SparkSession, path: str, fs: "MetadataFS | None" = None):
         self.spark = spark
-        self.path = os.path.abspath(path)
+        # absolutize ONLY schemeless local paths: a URI like s3://bucket/t
+        # (or any non-default MetadataFS target) must pass through verbatim
+        # — abspath would rewrite it into a bogus local key space
+        self.path = (
+            path if "://" in path or fs is not None else os.path.abspath(path)
+        )
         self._log_path = os.path.join(self.path, _LOG_DIR)
         self._data_path = os.path.join(self.path, _DATA_DIR)
         self._fs: MetadataFS = fs or LocalFS()

@@ -243,25 +243,50 @@ def blocked_buckets(
     enforced for true duplicate blow-ups; callers decide (see
     ``cosine_neardup_pairs`` ``on_oversized``). Each round costs one small
     aggregate over (bucket, count) — only the oversized bucket ids (not
-    rows) ever reach the driver."""
+    rows) ever reach the driver, and the corpus hash pass runs ONCE (a
+    lazy localCheckpoint materialized by the first count serves every
+    later count and the caller's self-join)."""
+    b, _ = _blocked_buckets_counted(
+        df, n_planes, n_dims, max_bucket_rows, split_rounds, split_planes
+    )
+    return b
+
+
+def _blocked_buckets_counted(
+    df: DataFrame,
+    n_planes: int,
+    n_dims: int,
+    max_bucket_rows: int | None,
+    split_rounds: int,
+    split_planes: int = 4,
+) -> "tuple[DataFrame, list]":
+    """blocked_buckets plus the FINAL (bucket, count) oversized rows, so a
+    caller enforcing a hard cap reuses the loop's own last count instead
+    of re-aggregating the corpus (r3 review: the raise-check and each
+    split round were each re-deriving every LSH plane expression)."""
     b = df.select(
         "vec_id", "embedding",
         F.expr(lsh_bucket_expr("embedding", n_planes, n_dims)).cast("long").alias("bucket"),
     )
     if max_bucket_rows is None:
-        return b
+        return b, []
+    # one corpus scan total: the first count materializes this checkpoint;
+    # every later count and the caller's self-join read the stored rows
+    b = b.localCheckpoint(eager=False)
+
+    def _oversized(x: DataFrame) -> list:
+        return (
+            x.groupBy("bucket").count()
+            .filter(F.col("count") > max_bucket_rows)
+            .collect()
+        )
+
+    over = _oversized(b)
     offset = n_planes
     for _ in range(split_rounds):
-        oversized = [
-            r["bucket"]
-            for r in b.groupBy("bucket")
-            .count()
-            .filter(F.col("count") > max_bucket_rows)
-            .select("bucket")
-            .collect()
-        ]
-        if not oversized:
+        if not over:
             break
+        ids = [r["bucket"] for r in over]
         extra = " + ".join(
             # extra planes continue the deterministic coefficient family at
             # ``offset`` but shift into the LOW bits of the widened bucket
@@ -273,10 +298,11 @@ def blocked_buckets(
         b = b.withColumn(
             "bucket",
             F.col("bucket") * (1 << split_planes)
-            + F.when(F.col("bucket").isin(oversized), F.expr(extra)).otherwise(F.lit(0)),
+            + F.when(F.col("bucket").isin(ids), F.expr(extra)).otherwise(F.lit(0)),
         )
         offset += split_planes
-    return b
+        over = _oversized(b)
+    return b, over
 
 
 def cosine_neardup_pairs(
@@ -306,24 +332,20 @@ def cosine_neardup_pairs(
         raise ValueError("on_oversized must be 'raise' or 'keep'")
     if n_planes is None:
         n_planes = derive_n_planes(df.count(), max_bucket_rows)
-    b = blocked_buckets(
-        df, n_planes, n_dims, max_bucket_rows=max_bucket_rows, split_rounds=split_rounds
+    # the split loop's own final count doubles as the raise-check — no
+    # second corpus aggregation; the checkpointed blocking output feeds
+    # both sides of the self-join without re-deriving the plane exprs
+    b, still = _blocked_buckets_counted(
+        df, n_planes, n_dims, max_bucket_rows, split_rounds
     )
-    if on_oversized == "raise":
-        still = (
-            b.groupBy("bucket")
-            .count()
-            .filter(F.col("count") > max_bucket_rows)
-            .collect()
+    if on_oversized == "raise" and still:
+        sizes = {r["bucket"]: r["count"] for r in still[:10]}
+        raise ValueError(
+            f"{len(still)} bucket(s) exceed max_bucket_rows={max_bucket_rows} "
+            f"after {split_rounds} split rounds (likely near-identical "
+            f"vectors — exact-dedup first, or pass on_oversized='keep'): "
+            f"{sizes}"
         )
-        if still:
-            sizes = {r["bucket"]: r["count"] for r in still[:10]}
-            raise ValueError(
-                f"{len(still)} bucket(s) exceed max_bucket_rows={max_bucket_rows} "
-                f"after {split_rounds} split rounds (likely near-identical "
-                f"vectors — exact-dedup first, or pass on_oversized='keep'): "
-                f"{sizes}"
-            )
     a, c = b.alias("a"), b.alias("c")
     return (
         a.join(c, (F.col("a.bucket") == F.col("c.bucket")) & (F.col("a.vec_id") < F.col("c.vec_id")))

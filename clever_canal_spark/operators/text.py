@@ -455,28 +455,14 @@ def _doc_lines(df: DataFrame, text_col: str, delim: str) -> DataFrame:
     )
 
 
-def paragraph_dedup(
-    df: DataFrame, text_col: str = "text", delim: str = "\n"
+def _reassemble_docs(
+    df: DataFrame, kept: DataFrame, text_col: str, delim: str
 ) -> DataFrame:
-    """C4-style global line/paragraph dedup: every exact duplicate line
-    keeps only its FIRST occurrence corpus-wide (first = smallest
-    (doc_id, idx)), and each doc is reassembled from its surviving lines
-    in original order. Docs whose every line was claimed elsewhere come
-    back as an empty string, not a dropped row.
-
-    Scale shape: one hash-agg keyed on the line to pick winners, one
-    shuffle join on (line, doc_id, idx) to keep them, one hash-agg on
-    doc_id to reassemble — three line-keyed exchanges, which is the
-    floor for a corpus-global dedup; no window over the whole corpus and
-    nothing ever collects. The winner agg carries only (line, doc_id,
-    idx) — payloads never ride the dedup shuffle."""
-    lines = _doc_lines(df, text_col, delim)
-    winners = (
-        lines.groupBy("line")
-        .agg(F.min(F.struct("doc_id", "idx")).alias("__w"))
-        .select("line", F.col("__w.doc_id").alias("doc_id"), F.col("__w.idx").alias("idx"))
-    )
-    kept = lines.join(winners, on=["line", "doc_id", "idx"], how="left_semi")
+    """Shared tail of the line-level passes: rebuild each doc from its
+    surviving ``(doc_id, idx, line)`` rows in original order (one doc_id
+    hash-agg), then left-join against the full doc list so a doc whose
+    every line was removed comes back as an empty string, not a dropped
+    row. Output: (doc_id, clean_text, n_kept, n_lines)."""
     rebuilt = kept.groupBy("doc_id").agg(
         F.array_join(
             F.transform(
@@ -499,6 +485,31 @@ def paragraph_dedup(
             F.col("n_lines").cast("int").alias("n_lines"),
         )
     )
+
+
+def paragraph_dedup(
+    df: DataFrame, text_col: str = "text", delim: str = "\n"
+) -> DataFrame:
+    """C4-style global line/paragraph dedup: every exact duplicate line
+    keeps only its FIRST occurrence corpus-wide (first = smallest
+    (doc_id, idx)), and each doc is reassembled from its surviving lines
+    in original order. Docs whose every line was claimed elsewhere come
+    back as an empty string, not a dropped row.
+
+    Scale shape: one hash-agg keyed on the line to pick winners, one
+    shuffle join on (line, doc_id, idx) to keep them, one hash-agg on
+    doc_id to reassemble — three line-keyed exchanges, which is the
+    floor for a corpus-global dedup; no window over the whole corpus and
+    nothing ever collects. The winner agg carries only (line, doc_id,
+    idx) — payloads never ride the dedup shuffle."""
+    lines = _doc_lines(df, text_col, delim)
+    winners = (
+        lines.groupBy("line")
+        .agg(F.min(F.struct("doc_id", "idx")).alias("__w"))
+        .select("line", F.col("__w.doc_id").alias("doc_id"), F.col("__w.idx").alias("idx"))
+    )
+    kept = lines.join(winners, on=["line", "doc_id", "idx"], how="left_semi")
+    return _reassemble_docs(df, kept, text_col, delim)
 
 
 def boilerplate_strip(
@@ -534,28 +545,7 @@ def boilerplate_strip(
     if broadcast_hot:
         hot = F.broadcast(hot)
     kept = lines.join(hot, on="line", how="left_anti")
-    rebuilt = kept.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("idx", "line"))),
-                lambda s: s["line"],
-            ),
-            delim,
-        ).alias("clean_text"),
-        F.count("*").alias("n_kept"),
-    )
-    base = df.select("doc_id", F.size(F.filter(
-        F.split(F.col(text_col), F.lit(delim), -1), lambda x: x != ""
-    )).alias("n_lines"))
-    return (
-        base.join(rebuilt, on="doc_id", how="left")
-        .select(
-            "doc_id",
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-            F.coalesce("n_kept", F.lit(0)).cast("int").alias("n_kept"),
-            F.col("n_lines").cast("int").alias("n_lines"),
-        )
-    )
+    return _reassemble_docs(df, kept, text_col, delim)
 
 
 def normalize_text(df: DataFrame, text_col: str = "text") -> DataFrame:

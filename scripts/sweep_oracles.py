@@ -1,0 +1,76 @@
+"""Driver-style correctness sweep: run every entry query AND its DuckDB
+oracle at SF_DIR (default sf0.01), compare rows + schema + value hash the
+way the round driver does (columns sorted by name, rows sorted, values
+stringified). Usage:
+
+    PYTHONPATH=. python scripts/sweep_oracles.py [query ...]
+
+With no args, sweeps ALL queries (oracle-less ones get a rows-only run).
+Exit code 1 if anything mismatches.
+"""
+import hashlib
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+SF = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def _canon(v):
+    # float canonicalization mirrors the driver's tolerant stringify
+    if isinstance(v, float):
+        return f"{v:.9g}"
+    return str(v)
+
+
+def _hash(rows, cols):
+    m = hashlib.md5()
+    for row in sorted(tuple(_canon(row[c]) for c in cols) for row in rows):
+        m.update(repr(row).encode())
+    return m.hexdigest()
+
+
+def main():
+    from clever_canal_spark.entry_queries import ORACLES, QUERIES
+    from clever_canal_spark.session import build_session
+
+    spark = build_session(app_name="sweep", master="local[8]", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{SF}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    names = sys.argv[1:] or sorted(QUERIES)
+    n_bad = 0
+    for name in names:
+        try:
+            sdf = QUERIES[name](spark, SF)
+            srows = [r.asDict() for r in sdf.collect()]
+            scols = sorted(sdf.columns)
+            if name not in ORACLES:
+                print(f"{name}: rows={len(srows)} (no oracle — rows-only)")
+                continue
+            ores = con.execute(ORACLES[name]).fetch_arrow_table().to_pylist()
+            ocols = sorted(ores[0].keys()) if ores else scols
+            ok_rows = len(srows) == len(ores)
+            ok_schema = scols == ocols
+            ok_hash = ok_rows and ok_schema and _hash(srows, scols) == _hash(ores, ocols)
+            status = "OK" if (ok_rows and ok_schema and ok_hash) else "MISMATCH"
+            if status != "OK":
+                n_bad += 1
+            print(f"{name}: rows {len(srows)}/{len(ores)} schema={ok_schema} "
+                  f"hash={ok_hash} -> {status}")
+        except Exception as e:  # noqa: BLE001 — sweep must report, not die
+            n_bad += 1
+            print(f"{name}: ERROR {type(e).__name__}: {e}")
+    print(f"swept {len(names)} queries, {n_bad} bad")
+    spark.stop()
+    sys.exit(1 if n_bad else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -22,6 +22,19 @@ SCHEMA = T.StructType(
 )
 
 
+def test_object_store_paths_pass_through_verbatim(spark):
+    """A URI path (s3://...) or any explicit-fs path must NOT be run
+    through os.path.abspath — that would rewrite it into a local key
+    space ('/cwd/s3:/bucket/t') and break every metadata op against the
+    store. Schemeless default-fs paths keep the historical abspath."""
+    t = LakeTable(spark, "s3://bucket/tbl")
+    assert t.path == "s3://bucket/tbl"
+    t2 = LakeTable(spark, "bucket/tbl", fs=MemFS())
+    assert t2.path == "bucket/tbl"
+    t3 = LakeTable(spark, "somewhere/local")
+    assert os.path.isabs(t3.path)
+
+
 def test_memfs_metadata_lifecycle(spark):
     """Create / evolve / epoch-register / time-travel / expire / truncate —
     the full metadata surface — on a store that has no POSIX behind it."""
