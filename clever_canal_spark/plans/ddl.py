@@ -69,6 +69,12 @@ def apply_ddl_idempotent(table: LakeTable, ddl_row: dict) -> bool:
     return changed
 
 
+def _widen_ok():
+    from ..lake.table import _WIDEN_OK
+
+    return _WIDEN_OK
+
+
 def _apply_one(table: LakeTable, op: dict, ddl_row: dict) -> bool:
     names = {f["name"]: f for f in table.snapshot().current_fields()}
     t = op["ddl_type"]
@@ -129,6 +135,14 @@ def _apply_one(table: LakeTable, op: dict, ddl_row: dict) -> bool:
         if cur is None:
             raise ValueError(f"widen of unknown column {op['ddl_column']}")
         if cur["type"] == op["ddl_new_type"]:
+            return False
+        if ddl_row.get("ddl_sql") and (
+            cur["type"], op["ddl_new_type"]
+        ) not in _widen_ok():
+            # SQL channel (MODIFY/CHANGE from a real binlog): a non-widening
+            # retype is a no-op for the lake schema, same as the CHANGE
+            # branch — a valid upstream statement must never crash the
+            # apply loop. Direct structured WIDEN_TYPE keeps the hard error.
             return False
         table.widen_column(op["ddl_column"], op["ddl_new_type"])
         return True

@@ -222,6 +222,19 @@ def test_ddl_change_same_name_retype(spark, tmp_table_dir):
         table, {"ddl_sql": "ALTER TABLE cc.pages CHANGE COLUMN n n bigint"}
     ) is False
 
+    # MODIFY (the WIDEN_TYPE classification): legal promotion applies,
+    # a NON-widening retype from the SQL channel no-ops instead of
+    # crashing the apply loop on widen_column's illegal-widen guard
+    table.add_column("m", "int")
+    assert apply_ddl_idempotent(
+        table, {"ddl_sql": "ALTER TABLE cc.pages MODIFY COLUMN m double"}
+    ) is True
+    assert apply_ddl_idempotent(
+        table, {"ddl_sql": "ALTER TABLE cc.pages MODIFY COLUMN m varchar(50)"}
+    ) is False  # not a legal widen -> lake schema unchanged, no crash
+    f = {x["name"]: x["type"] for x in table.snapshot().current_fields()}
+    assert f["m"] == "double"
+
 
 def test_ddl_change_replay_recovers_lost_widen(spark, tmp_table_dir):
     """Crash between the rename commit and the widen commit of a
