@@ -2170,6 +2170,47 @@ def q_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "cdc_change_rollup",
+    f"""
+    WITH bounds AS (SELECT max(event_id) + 1 AS n FROM events),
+    winners AS (
+      SELECT user_id, event_id, {_OP_EXPR} AS op,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, event_id // (n // 4 + 1)
+               ORDER BY event_id DESC) AS rn
+      FROM events, bounds
+    )
+    SELECT 'u' || CAST(user_id AS VARCHAR) AS url,
+           CAST(count(*) AS BIGINT) AS n_changes,
+           CAST(sum(CASE WHEN op <> 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_upserts,
+           CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes,
+           CAST(max(event_id) AS BIGINT) AS last_lsn
+    FROM winners WHERE rn = 1 GROUP BY user_id
+    """,
+)
+def q_cdc_change_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained changelog rollup (lake/rollup.py —
+    materialized-view maintenance over the CDC stream): the flagship
+    replay's table tailed into a per-url traffic view, synced once per
+    epoch version (4 incremental read-modify-writes, each touching only
+    the buckets the delta's groups hash into — never a corpus read).
+    Oracle = winners-per-epoch reconstruction aggregated per url. This
+    view is the hot-key detector that closes the salting loop."""
+    import shutil
+    import tempfile
+
+    from .lake import create_rollup, sync_rollup
+
+    table, versions = _replay_events_table(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="ccs-rollup-")
+    shutil.rmtree(tmp, ignore_errors=True)
+    view = create_rollup(spark, tmp, "url", n_buckets=8)
+    for v in versions:
+        sync_rollup(view, table, to_version=v)
+    return view.scan()
+
+
 @register("cdc_compact_replay", _SCHEVO_ORACLE)
 def q_cdc_compact_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compaction equivalence (Iceberg ``rewrite_data_files`` analog,

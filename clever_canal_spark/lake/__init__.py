@@ -1,7 +1,9 @@
 from .fs import ArrowFS, LocalFS, MemFS, MetadataFS
+from .rollup import create_rollup, hot_groups, sync_rollup
 from .table import CommitConflict, LakeTable, MergeResult
 
 __all__ = [
     "LakeTable", "MergeResult", "CommitConflict",
     "MetadataFS", "LocalFS", "ArrowFS", "MemFS",
+    "create_rollup", "sync_rollup", "hot_groups",
 ]

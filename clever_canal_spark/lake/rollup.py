@@ -1,0 +1,159 @@
+"""Incrementally-maintained changelog rollup — materialized-view
+maintenance over the CDC stream.
+
+A downstream consumer often wants per-key traffic statistics, not the
+row images themselves: how many changes has each url/domain seen, how
+many were deletes, where is its write frontier. The reference exposes
+the raw event stream and leaves aggregation to the client; here the
+rollup is a first-class lake table the engine keeps in lockstep with
+the source table's changelog (the same consume-the-changelog shape as
+the dedup/ANN index syncs, and the closed loop behind hot-key salting:
+the rollup IS the hot-key detector).
+
+Why these aggregates: every rollup column is ADDITIVE over the change
+stream (counts, max) — so maintenance needs **no before-images**, which
+the changelog does not carry. A sync aggregates the NEW change rows
+only, reads the current rollup rows for JUST the touched groups
+(bucket-pruned — the view is keyed AND bucketed by the group column),
+adds, and LWW-merges back. Nothing corpus-sized is ever read or
+shuffled: per sync the work is O(changes) + O(touched buckets' view
+files).
+
+Semantics note: the rollup counts CHANGELOG ROWS (what ``scan_changes``
+emits — for an ``apply_epoch``-fed table that is one pre-deduped winner
+per key per epoch; for raw ``merge`` calls, every source row), not raw
+feed events and not current table state. A TRUNCATE therefore does NOT
+reset it: erased keys keep their historical traffic counts, which is
+exactly what a hot-key detector wants. Consumers needing current-state
+aggregates should aggregate ``scan()`` instead.
+
+Exactly-once: the merge is registered under the consumed lake version
+in the view's committed-epoch registry; a crash between the merge and
+the cursor write replays into a registered epoch and no-ops, so deltas
+are never double-added.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from .table import LakeTable
+
+_AGG_COLS = ("n_changes", "n_upserts", "n_deletes", "last_lsn")
+
+
+def rollup_schema(group_col: str, group_type: str = "string") -> T.StructType:
+    return T.StructType(
+        [T.StructField(group_col, T.DataType.fromDDL(group_type), nullable=False)]
+        + [T.StructField(c, T.LongType()) for c in _AGG_COLS]
+    )
+
+
+def create_rollup(
+    spark: SparkSession,
+    path: str,
+    group_col: str,
+    group_type: str = "string",
+    n_buckets: int = 16,
+) -> LakeTable:
+    """An empty rollup view keyed AND physically bucketed by the group
+    column — bucketing on the group is what makes each sync's
+    read-modify-write touch only the buckets the delta lands in."""
+    return LakeTable.create(
+        spark, path, rollup_schema(group_col, group_type),
+        merge_key=[group_col], n_buckets=n_buckets,
+    )
+
+
+def sync_rollup(
+    view: LakeTable,
+    table: LakeTable,
+    group_expr=None,
+    to_version: int | None = None,
+) -> int:
+    """Advance the rollup to ``table``'s head (or ``to_version``):
+    aggregate the changelog slice, add onto the current rollup rows of
+    the touched groups, merge back. Returns lake versions consumed
+    (0 = already current). Cursor = the view's own max committed epoch
+    id (the consumed lake version), so the view needs no sidecar file
+    and reopening it in a fresh process resumes exactly.
+
+    ``group_expr`` must derive from the source table's MERGE-KEY columns
+    (default: the view's key column by name): delete markers carry only
+    the key — a payload-derived group would roll deletes up under null."""
+    head = table.current_version() if to_version is None else int(to_version)
+    synced = _rollup_cursor(view)
+    if head <= synced:
+        return 0
+    vsnap = view.snapshot()
+    gcol = vsnap.merge_key[0]
+    gexpr = group_expr if group_expr is not None else F.col(gcol)
+
+    delta = (
+        table.scan_changes(synced, head)
+        .select(gexpr.alias(gcol), F.col("__op").alias("__op"), F.col("__lsn").alias("__lsn"))
+        .groupBy(gcol)
+        .agg(
+            F.count("*").alias("d_changes"),
+            F.sum((F.col("__op") != "D").cast("long")).alias("d_upserts"),
+            F.sum((F.col("__op") == "D").cast("long")).alias("d_deletes"),
+            F.max("__lsn").alias("d_last_lsn"),
+        )
+        # one materialization serves the touched-bucket collect, the
+        # semi-join build and the merge source
+        .localCheckpoint(eager=False)
+    )
+    # current rollup rows for the touched groups only: prune to the
+    # buckets the delta's groups hash into (a tiny distinct over the
+    # delta agg — never a driver-side list of group VALUES), then
+    # semi-join the group key distributed-side
+    touched = {
+        int(r["__b"])
+        for r in delta.select(view._bucket_col(vsnap).alias("__b")).distinct().collect()
+    }
+    if not touched:
+        # versions in range carried no change rows (epoch markers,
+        # compactions) — advance the cursor with a metadata-only commit
+        view.commit_epoch_marker(head)
+        return head - synced
+    cur = (
+        view._reconciled(vsnap, buckets=touched)
+        .select(gcol, *_AGG_COLS)
+        .join(delta.select(gcol), on=gcol, how="left_semi")
+        if (vsnap.files or vsnap.delta_files)
+        else view.spark.createDataFrame([], view.schema())
+    )
+    src = (
+        delta.join(cur, on=gcol, how="left")
+        .select(
+            gcol,
+            (F.coalesce("n_changes", F.lit(0)) + F.col("d_changes")).alias("n_changes"),
+            (F.coalesce("n_upserts", F.lit(0)) + F.col("d_upserts")).alias("n_upserts"),
+            (F.coalesce("n_deletes", F.lit(0)) + F.col("d_deletes")).alias("n_deletes"),
+            F.greatest(F.coalesce("last_lsn", F.lit(0)), F.col("d_last_lsn")).alias("last_lsn"),
+            F.lit("U").alias("op"),
+            # merge-LWW ordinal = the consumed lake VERSION, not the feed
+            # lsn: an out-of-order shard can put a LOWER feed lsn in a
+            # LATER epoch, and the updated row (higher n_changes) must
+            # still win the reconcile against its predecessor
+            F.lit(int(head)).cast("long").alias("lsn"),
+        )
+    )
+    view.merge(src, epoch_id=head, op_col="op", mode="mor", lsn_col="lsn")
+    return head - synced
+
+
+def _rollup_cursor(view: LakeTable) -> int:
+    """The highest lake version this view has consumed — read from the
+    view's own committed-epoch registry (epoch id == consumed version),
+    so the cursor commits ATOMICALLY with the merge itself."""
+    epochs = view.snapshot().committed_epochs
+    return max((int(e) for e in epochs), default=0)
+
+
+def hot_groups(view: LakeTable, min_changes: int) -> DataFrame:
+    """Groups whose change traffic crosses ``min_changes`` — the input a
+    follower feeds back into ``ApplyConfig(salted=...)`` key-skew
+    handling. A full view scan, but the view is O(#distinct groups), not
+    O(events)."""
+    return view.scan().filter(F.col("n_changes") >= F.lit(min_changes))

@@ -496,18 +496,23 @@ class LakeTable:
         at each truncate's LSN (see the index syncs in
         ``operators/dedup_index.py`` / ``operators/ann_index.py``)."""
         to_snap = self.snapshot(to_version)
-        from_snap = self.snapshot(from_version)
+        if from_version <= 0:
+            from_v, seen0 = 0, []  # 0 = before the first version: everything
+        else:
+            from_snap = self.snapshot(from_version)
+            from_v = from_snap.version
+            seen0 = from_snap.files + from_snap.delta_files
         # walk the snapshot chain (from, to] and take files INTRODUCED by
         # non-compaction commits. Compaction output is a rewrite of already
         # -delivered rows, not a change; conversely, deltas folded away by a
         # later compaction still count (their files remain on disk).
         chain = []
         v = to_snap.version
-        while v is not None and v > from_snap.version:
+        while v is not None and v > from_v:
             s = self.snapshot(v)
             chain.append(s)
             v = s.parent
-        seen = {f["path"] for f in from_snap.files + from_snap.delta_files}
+        seen = {f["path"] for f in seen0}
         changes: list[dict] = []
         for s in reversed(chain):
             new_here = [

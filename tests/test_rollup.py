@@ -1,0 +1,99 @@
+"""Changelog rollup view (lake/rollup.py): additive maintenance equals
+a from-scratch aggregate of the change stream; exactly-once across
+replays and reopen; out-of-order shard LSNs never drop counts."""
+
+import os
+
+from pyspark.sql import functions as F, types as T
+
+from clever_canal_spark.lake import LakeTable, create_rollup, hot_groups, sync_rollup
+
+SCHEMA = T.StructType([
+    T.StructField("url", T.StringType(), nullable=False),
+    T.StructField("text", T.StringType()),
+])
+
+
+def _changes(spark, rows):
+    return spark.createDataFrame(rows, "url string, text string, op string, lsn bigint")
+
+
+def _mk(spark, tmp, name):
+    return LakeTable.create(
+        spark, os.path.join(tmp, name), SCHEMA, merge_key=["url"], n_buckets=4
+    )
+
+
+def _state(view):
+    return {
+        r["url"]: (r["n_changes"], r["n_upserts"], r["n_deletes"], r["last_lsn"])
+        for r in view.scan().collect()
+    }
+
+
+def test_rollup_tracks_change_stream(spark, tmp_table_dir):
+    t = _mk(spark, tmp_table_dir, "src")
+    view = create_rollup(spark, os.path.join(tmp_table_dir, "v"), "url", n_buckets=4)
+
+    t.merge(_changes(spark, [("a", "x", "I", 1), ("b", "y", "I", 2)]),
+            epoch_id=0, op_col="op", mode="mor", lsn_col="lsn")
+    assert sync_rollup(view, t) >= 1
+    assert _state(view) == {"a": (1, 1, 0, 1), "b": (1, 1, 0, 2)}
+
+    # epoch 1: a updated twice, b deleted. A raw merge() writes BOTH a-rows
+    # to the delta (pre-dedup lives in apply_epoch, not merge), so the
+    # rollup counts 3 changelog rows for a — change TRAFFIC, by design
+    t.merge(_changes(spark, [("a", "x2", "U", 10), ("a", "x3", "U", 11),
+                             ("b", None, "D", 12)]),
+            epoch_id=1, op_col="op", mode="mor", lsn_col="lsn")
+    assert sync_rollup(view, t) >= 1
+    assert _state(view) == {"a": (3, 3, 0, 11), "b": (2, 1, 1, 12)}
+
+    # already current -> no-op, version unchanged
+    v = view.current_version()
+    assert sync_rollup(view, t) == 0
+    assert view.current_version() == v
+
+    assert {r["url"] for r in hot_groups(view, 2).collect()} == {"a", "b"}
+
+
+def test_rollup_single_sync_spans_epochs_and_reopen(spark, tmp_table_dir):
+    """One sync over several lake versions equals per-version syncs; the
+    cursor lives in the view's own epoch registry, so a fresh-object
+    reopen resumes with no sidecar."""
+    t = _mk(spark, tmp_table_dir, "src2")
+    view = create_rollup(spark, os.path.join(tmp_table_dir, "v2"), "url", n_buckets=4)
+    t.merge(_changes(spark, [("a", "x", "I", 1)]), epoch_id=0,
+            op_col="op", mode="mor", lsn_col="lsn")
+    t.merge(_changes(spark, [("a", "y", "U", 5), ("c", "z", "I", 6)]), epoch_id=1,
+            op_col="op", mode="mor", lsn_col="lsn")
+    assert sync_rollup(view, t) >= 2
+    assert _state(view) == {"a": (2, 2, 0, 5), "c": (1, 1, 0, 6)}
+
+    reopened = LakeTable(spark, view.path)
+    assert sync_rollup(reopened, t) == 0  # cursor survives reopen
+
+
+def test_rollup_out_of_order_shard_lsn(spark, tmp_table_dir):
+    """A LATER epoch carrying a LOWER feed lsn (lagging shard) must still
+    add its counts — the merge ordinal is the consumed lake version, not
+    the feed lsn."""
+    t = _mk(spark, tmp_table_dir, "src3")
+    view = create_rollup(spark, os.path.join(tmp_table_dir, "v3"), "url", n_buckets=4)
+    t.merge(_changes(spark, [("a", "new", "U", 100)]), epoch_id=0,
+            op_col="op", mode="mor", lsn_col="lsn")
+    assert sync_rollup(view, t) >= 1
+    t.merge(_changes(spark, [("a", "old", "U", 50)]), epoch_id=1,
+            op_col="op", mode="mor", lsn_col="lsn")
+    assert sync_rollup(view, t) >= 1
+    # both stream winners counted; last_lsn stays at the frontier
+    assert _state(view) == {"a": (2, 2, 0, 100)}
+
+
+def test_rollup_marker_only_version_advances_cursor(spark, tmp_table_dir):
+    t = _mk(spark, tmp_table_dir, "src4")
+    view = create_rollup(spark, os.path.join(tmp_table_dir, "v4"), "url", n_buckets=4)
+    t.commit_epoch_marker(0)
+    assert sync_rollup(view, t) >= 1
+    assert _state(view) == {}
+    assert sync_rollup(view, t) == 0  # cursor advanced past the marker
