@@ -67,6 +67,10 @@ def main() -> None:
                    help="maintain a persisted dedup index (md5 fps + MinHash-LSH bands) "
                         "in sync with the lake table: bootstrap from the current state "
                         "on first run, then tail scan_changes() after each drain")
+    p.add_argument("--rollup-dir", default="",
+                   help="maintain a per-url changelog rollup view (lake/rollup.py: "
+                        "n_changes/n_upserts/n_deletes/last_lsn, the hot-key "
+                        "detector) in sync with the lake table after each drain")
     p.add_argument("--engine", choices=["follower", "structured"], default="follower",
                    help="native follower (full pushdown) or Structured Streaming foreachBatch")
     p.add_argument("--continuous", action="store_true",
@@ -88,6 +92,7 @@ def main() -> None:
         args.table_dir = f"{work}/pages"
         args.checkpoint = f"{work}/ckpt"
         args.metrics_dir = f"{work}/metrics"
+        args.rollup_dir = args.rollup_dir or f"{work}/rollup"
 
     if not (args.source_dir and args.table_dir and args.checkpoint):
         p.error("--source-dir, --table-dir and --checkpoint are required (or --demo)")
@@ -160,6 +165,17 @@ def main() -> None:
             idx = build_dedup_index_from_lake(table, args.dedup_index_dir)
             print(f"dedup index: bootstrapped from current table state "
                   f"({idx.fps.scan().count()} fingerprints)")
+
+    if args.rollup_dir and not args.continuous:
+        from clever_canal_spark.lake import create_rollup, sync_rollup
+
+        if os.path.exists(os.path.join(args.rollup_dir, "_log")):
+            view = LakeTable(spark, args.rollup_dir)
+        else:
+            view = create_rollup(spark, args.rollup_dir, "url",
+                                 n_buckets=args.n_buckets)
+        n = sync_rollup(view, table)
+        print(f"rollup view: consumed {n} lake versions")
 
     spark.stop()
 

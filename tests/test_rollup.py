@@ -90,6 +90,33 @@ def test_rollup_out_of_order_shard_lsn(spark, tmp_table_dir):
     assert _state(view) == {"a": (2, 2, 0, 100)}
 
 
+def test_rollup_sync_reads_only_touched_buckets(spark, tmp_table_dir, monkeypatch):
+    """The read-modify-write must prune the view read to the buckets the
+    delta's groups hash into — never a full view scan (the property that
+    keeps a sync O(changes) at 10^10 groups)."""
+    t = _mk(spark, tmp_table_dir, "src5")
+    view = create_rollup(spark, os.path.join(tmp_table_dir, "v5"), "url", n_buckets=8)
+    t.merge(_changes(spark, [(f"u{i}", "x", "I", i + 1) for i in range(64)]),
+            epoch_id=0, op_col="op", mode="mor", lsn_col="lsn")
+    assert sync_rollup(view, t) >= 1  # seed: every view bucket populated
+
+    seen = {}
+    orig = LakeTable._reconciled
+
+    def spy(self, snap, buckets=None, keep_deletes=False):
+        if self.path == view.path:
+            seen["buckets"] = buckets
+        return orig(self, snap, buckets=buckets, keep_deletes=keep_deletes)
+
+    monkeypatch.setattr(LakeTable, "_reconciled", spy)
+    t.merge(_changes(spark, [("u3", "y", "U", 100)]),
+            epoch_id=1, op_col="op", mode="mor", lsn_col="lsn")
+    assert sync_rollup(view, t) >= 1
+    assert seen["buckets"] is not None and len(seen["buckets"]) == 1
+    monkeypatch.undo()
+    assert _state(view)["u3"] == (2, 2, 0, 100)
+
+
 def test_rollup_marker_only_version_advances_cursor(spark, tmp_table_dir):
     t = _mk(spark, tmp_table_dir, "src4")
     view = create_rollup(spark, os.path.join(tmp_table_dir, "v4"), "url", n_buckets=4)
