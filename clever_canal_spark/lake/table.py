@@ -63,6 +63,16 @@ class CommitConflict(RuntimeError):
     """Another writer committed the target snapshot version first."""
 
 
+class SnapshotExpired(RuntimeError):
+    """An incremental read (``scan_changes`` / ``truncates_between``)
+    reached a snapshot that ``expire_snapshots`` already deleted — the
+    consumer's cursor is older than the table's retention window. The
+    changelog between cursor and the oldest retained snapshot is gone;
+    the consumer must REBUILD from current state (e.g.
+    ``build_dedup_index_from_lake``) instead of tailing. Same contract
+    as Iceberg's incremental source past expired snapshots."""
+
+
 def _arrow_type(ddl: str):
     import pyarrow as pa
 
@@ -499,7 +509,7 @@ class LakeTable:
         if from_version <= 0:
             from_v, seen0 = 0, []  # 0 = before the first version: everything
         else:
-            from_snap = self.snapshot(from_version)
+            from_snap = self._snapshot_retained(from_version)
             from_v = from_snap.version
             seen0 = from_snap.files + from_snap.delta_files
         # walk the snapshot chain (from, to] and take files INTRODUCED by
@@ -509,7 +519,7 @@ class LakeTable:
         chain = []
         v = to_snap.version
         while v is not None and v > from_v:
-            s = self.snapshot(v)
+            s = self._snapshot_retained(v)
             chain.append(s)
             v = s.parent
         seen = {f["path"] for f in seen0}
@@ -539,11 +549,25 @@ class LakeTable:
         out: list[dict] = []
         v = to_snap.version
         while v is not None and v > from_v:
-            s = self.snapshot(v)
+            s = self._snapshot_retained(v)
             if s.operation.startswith("truncate:"):
                 out.append({"version": s.version, "lsn": s.truncate_lsn})
             v = s.parent
         return list(reversed(out))
+
+    def _snapshot_retained(self, version: int) -> _Snapshot:
+        """snapshot(), but an expired log entry raises :class:`SnapshotExpired`
+        with the rebuild instruction instead of a bare FileNotFoundError —
+        the incremental-read contract past the retention window."""
+        try:
+            return self.snapshot(version)
+        except FileNotFoundError as e:
+            raise SnapshotExpired(
+                f"snapshot v{version} of {self.path} was expired by "
+                f"expire_snapshots — the changelog below the oldest retained "
+                f"snapshot is gone; rebuild the consumer from current state "
+                f"instead of tailing from this cursor"
+            ) from e
 
     # -- write -------------------------------------------------------------
 

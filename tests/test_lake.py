@@ -248,6 +248,15 @@ def test_expire_snapshots_and_vacuum(spark, tmp_table_dir):
         assert os.path.exists(os.path.join(tmp_table_dir, f["path"]))
     assert len(os.listdir(os.path.join(tmp_table_dir, "data"))) < n_data_before
 
+    # incremental reads from a cursor below the retention window raise
+    # the REBUILD contract, not a bare FileNotFoundError
+    from clever_canal_spark.lake.table import SnapshotExpired
+
+    with pytest.raises(SnapshotExpired, match="rebuild the consumer"):
+        t.scan_changes(expired[0], v_head)
+    with pytest.raises(SnapshotExpired, match="rebuild the consumer"):
+        t.truncates_between(expired[0], v_head)
+
 
 def test_schema_history(spark, tmp_table_dir):
     t = make_table(spark, tmp_table_dir)
