@@ -22,7 +22,13 @@ files).
 Semantics note: the rollup counts CHANGELOG ROWS (what ``scan_changes``
 emits — for an ``apply_epoch``-fed table that is one pre-deduped winner
 per key per epoch; for raw ``merge`` calls, every source row), not raw
-feed events and not current table state. A TRUNCATE therefore does NOT
+feed events and not current table state. **The source table must be
+MOR-fed**: a COW merge rewrites every surviving row of a touched bucket
+into new files, and ``scan_changes`` re-emits those rewrites — the
+rollup would count a cold key as "changed" every time a hot co-bucketed
+key commits (the same caveat ``scan_changes`` documents; the LWW index
+syncs tolerate re-emits because their apply is idempotent — additive
+counting is not). A TRUNCATE therefore does NOT
 reset it: erased keys keep their historical traffic counts, which is
 exactly what a hot-key detector wants. Consumers needing current-state
 aggregates should aggregate ``scan()`` instead.
@@ -55,14 +61,27 @@ def create_rollup(
     group_col: str,
     group_type: str = "string",
     n_buckets: int = 16,
+    start_after: int = 0,
 ) -> LakeTable:
     """An empty rollup view keyed AND physically bucketed by the group
     column — bucketing on the group is what makes each sync's
-    read-modify-write touch only the buckets the delta lands in."""
-    return LakeTable.create(
+    read-modify-write touch only the buckets the delta lands in.
+
+    ``start_after``: lake version to start tailing AFTER (stamped as the
+    initial cursor). Default 0 = count the table's whole retained
+    history on the first sync. Pass ``table.current_version()`` to count
+    from NOW — REQUIRED when the table's early snapshots were expired
+    (a 0 cursor would walk past retention and raise
+    :class:`~clever_canal_spark.lake.table.SnapshotExpired`), and the
+    right choice for any long-lived table where the first sync reading
+    the full changelog would defeat the O(changes) contract."""
+    view = LakeTable.create(
         spark, path, rollup_schema(group_col, group_type),
         merge_key=[group_col], n_buckets=n_buckets,
     )
+    if start_after > 0:
+        view.commit_epoch_marker(int(start_after))
+    return view
 
 
 def sync_rollup(
@@ -115,6 +134,7 @@ def sync_rollup(
         # versions in range carried no change rows (epoch markers,
         # compactions) — advance the cursor with a metadata-only commit
         view.commit_epoch_marker(head)
+        _free_checkpoint(delta)
         return head - synced
     cur = (
         view._reconciled(vsnap, buckets=touched)
@@ -140,7 +160,18 @@ def sync_rollup(
         )
     )
     view.merge(src, epoch_id=head, op_col="op", mode="mor", lsn_col="lsn")
+    _free_checkpoint(delta)
     return head - synced
+
+
+def _free_checkpoint(cp_df) -> None:
+    """Best-effort unpersist of a localCheckpoint's materialized RDD (no
+    public DataFrame API; same pattern as operators/dedup.py) — a
+    periodic-sync loop must not accumulate storage blocks until GC."""
+    try:
+        cp_df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
 
 
 def _rollup_cursor(view: LakeTable) -> int:

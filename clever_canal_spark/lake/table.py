@@ -505,7 +505,10 @@ class LakeTable:
         :meth:`truncates_between` on the same range and erase its state
         at each truncate's LSN (see the index syncs in
         ``operators/dedup_index.py`` / ``operators/ann_index.py``)."""
-        to_snap = self.snapshot(to_version)
+        to_snap = (
+            self.snapshot() if to_version is None
+            else self._snapshot_retained(to_version)
+        )
         if from_version <= 0:
             from_v, seen0 = 0, []  # 0 = before the first version: everything
         else:
@@ -544,7 +547,10 @@ class LakeTable:
         downstream mirror) MUST call this alongside ``scan_changes`` and
         erase its own state at each truncate's LSN, else it silently
         keeps rows the table no longer has."""
-        to_snap = self.snapshot(to_version)
+        to_snap = (
+            self.snapshot() if to_version is None
+            else self._snapshot_retained(to_version)
+        )
         from_v = int(from_version)  # 0 = before the first version
         out: list[dict] = []
         v = to_snap.version

@@ -117,15 +117,13 @@ def _apply_one(table: LakeTable, op: dict, ddl_row: dict) -> bool:
         nt = op.get("ddl_new_type")
         widened = False
         if nt:
-            from ..lake.table import _WIDEN_OK
-
             cur = {f["name"]: f for f in table.snapshot().current_fields()}.get(
                 op["ddl_new_name"]
             )
             if (
                 cur is not None
                 and cur["type"] != nt
-                and (cur["type"], nt) in _WIDEN_OK
+                and (cur["type"], nt) in _widen_ok()
             ):
                 table.widen_column(op["ddl_new_name"], nt)
                 widened = True

@@ -96,6 +96,13 @@ def main() -> None:
 
     if not (args.source_dir and args.table_dir and args.checkpoint):
         p.error("--source-dir, --table-dir and --checkpoint are required (or --demo)")
+    if args.rollup_dir and args.merge_mode != "mor":
+        # a COW merge re-emits every surviving co-bucketed row into
+        # scan_changes; additive counting would inflate cold keys
+        # (lake/rollup.py module docstring) — refuse, don't corrupt
+        p.error("--rollup-dir requires --merge-mode mor (COW commits "
+                "re-emit unchanged co-bucketed rows into the changelog, "
+                "which would inflate the rollup's additive counts)")
 
     table = LakeTable(spark, args.table_dir)
     if not table.exists():
@@ -166,16 +173,32 @@ def main() -> None:
             print(f"dedup index: bootstrapped from current table state "
                   f"({idx.fps.scan().count()} fingerprints)")
 
+    if args.rollup_dir and args.continuous:
+        print("rollup view: NOT maintained in --continuous mode; run a "
+              "separate periodic invocation (same dirs, no --continuous) "
+              "to sync it")
     if args.rollup_dir and not args.continuous:
-        from clever_canal_spark.lake import create_rollup, sync_rollup
+        from clever_canal_spark.lake import SnapshotExpired, create_rollup, sync_rollup
 
         if os.path.exists(os.path.join(args.rollup_dir, "_log")):
             view = LakeTable(spark, args.rollup_dir)
         else:
             view = create_rollup(spark, args.rollup_dir, "url",
                                  n_buckets=args.n_buckets)
-        n = sync_rollup(view, table)
-        print(f"rollup view: consumed {n} lake versions")
+        try:
+            n = sync_rollup(view, table)
+            print(f"rollup view: consumed {n} lake versions")
+        except SnapshotExpired:
+            # the changelog below retention is gone and traffic counts
+            # cannot be rebuilt from current state — RESET loudly: erase
+            # the view (in its own lsn domain = lake versions) and count
+            # from NOW
+            head = table.current_version()
+            view.truncate_rows(head)
+            view.commit_epoch_marker(head)
+            print(f"rollup view: cursor fell below the source table's "
+                  f"snapshot retention — view RESET; counts restart at "
+                  f"version {head}")
 
     spark.stop()
 

@@ -117,6 +117,35 @@ def test_rollup_sync_reads_only_touched_buckets(spark, tmp_table_dir, monkeypatc
     assert _state(view)["u3"] == (2, 2, 0, 100)
 
 
+def test_rollup_start_after_skips_history(spark, tmp_table_dir):
+    """create_rollup(start_after=head) begins counting at NOW — required
+    for long-lived tables (O(changes), not O(history)) and for tables
+    whose early snapshots were expired."""
+    from clever_canal_spark.lake import SnapshotExpired
+
+    t = _mk(spark, tmp_table_dir, "src6")
+    t.merge(_changes(spark, [("a", "x", "I", 1)]), epoch_id=0,
+            op_col="op", mode="mor", lsn_col="lsn")
+    t.merge(_changes(spark, [("a", "y", "U", 2)]), epoch_id=1,
+            op_col="op", mode="mor", lsn_col="lsn")
+    t.expire_snapshots(keep_last=1)
+
+    # a 0-cursor view cannot tail past retention: clear contract error
+    v0 = create_rollup(spark, os.path.join(tmp_table_dir, "v6a"), "url", n_buckets=4)
+    import pytest
+    with pytest.raises(SnapshotExpired):
+        sync_rollup(v0, t)
+
+    # start_after=head: tail only what comes next
+    view = create_rollup(spark, os.path.join(tmp_table_dir, "v6b"), "url",
+                         n_buckets=4, start_after=t.current_version())
+    assert sync_rollup(view, t) == 0
+    t.merge(_changes(spark, [("b", "z", "I", 3)]), epoch_id=2,
+            op_col="op", mode="mor", lsn_col="lsn")
+    assert sync_rollup(view, t) >= 1
+    assert _state(view) == {"b": (1, 1, 0, 3)}  # history before NOW not counted
+
+
 def test_rollup_marker_only_version_advances_cursor(spark, tmp_table_dir):
     t = _mk(spark, tmp_table_dir, "src4")
     view = create_rollup(spark, os.path.join(tmp_table_dir, "v4"), "url", n_buckets=4)
