@@ -48,6 +48,11 @@ def test_soak_everything_at_once(spark, tmp_table_dir):
         max_files_per_epoch=3, max_bytes_per_epoch=total_bytes // 4,
     )
 
+    from clever_canal_spark.lake import create_rollup, sync_rollup
+
+    view = create_rollup(spark, os.path.join(tmp_table_dir, "rollup"),
+                         "url", n_buckets=4)
+
     # first follower "crashes" after draining only shard1's early files:
     # simulate by consuming with shard2 files hidden, then restoring
     hidden = os.path.join(tmp_table_dir, "hidden")
@@ -55,6 +60,7 @@ def test_soak_everything_at_once(spark, tmp_table_dir):
     os.makedirs(s2)
     r1 = mk().run_available()
     assert r1 and all(r.applied for r in r1)
+    sync_rollup(view, table)  # mid-run sync (pre-crash state)
     os.rmdir(s2)
     os.rename(hidden, s2)
 
@@ -63,6 +69,18 @@ def test_soak_everything_at_once(spark, tmp_table_dir):
     assert r2 and all(r.applied for r in r2)
     # and a third pass is a no-op
     assert mk().run_available() == []
+    sync_rollup(view, table)
+
+    # rollup invariant: incremental (two syncs straddling the crash, with
+    # compactions interleaved) == one-shot rebuild over the full changelog
+    fresh = create_rollup(spark, os.path.join(tmp_table_dir, "rollup2"),
+                          "url", n_buckets=4)
+    sync_rollup(fresh, table)
+    as_map = lambda v: {
+        r["url"]: (r["n_changes"], r["n_upserts"], r["n_deletes"], r["last_lsn"])
+        for r in v.scan().collect()
+    }
+    assert as_map(view) == as_map(fresh)
 
     # final state == ordered reference apply (text byte-identical)
     want = {}
