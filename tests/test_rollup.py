@@ -146,6 +146,49 @@ def test_rollup_start_after_skips_history(spark, tmp_table_dir):
     assert _state(view) == {"b": (1, 1, 0, 3)}  # history before NOW not counted
 
 
+import pytest
+from hypothesis import given, settings, strategies as st
+
+batches_strategy = st.lists(  # 1-3 epochs of 1-6 change rows each
+    st.lists(
+        st.tuples(st.integers(0, 3), st.booleans()),  # (key idx, is_delete)
+        min_size=1, max_size=6,
+    ),
+    min_size=1, max_size=3,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(batches_strategy)
+def test_rollup_property_matches_python(spark_global, tmp_path_factory, batches):
+    """For arbitrary epoch batches, per-sync incremental maintenance ==
+    one-shot rebuild == a Python reference over the raw change rows."""
+    spark = spark_global
+    base = str(tmp_path_factory.mktemp("rollupprop"))
+    t = _mk(spark, base, "src")
+    view = create_rollup(spark, os.path.join(base, "v"), "url", n_buckets=2)
+    lsn, want = 0, {}
+    for e, batch in enumerate(batches):
+        rows = []
+        for k, is_d in batch:
+            lsn += 1
+            key = f"k{k}"
+            rows.append((key, None if is_d else f"t{lsn}", "D" if is_d else "U", lsn))
+            n, u, d, _ = want.get(key, (0, 0, 0, 0))
+            want[key] = (n + 1, u + (0 if is_d else 1), d + (1 if is_d else 0), lsn)
+        t.merge(_changes(spark, rows), epoch_id=e, op_col="op", mode="mor", lsn_col="lsn")
+        assert sync_rollup(view, t) >= 1  # per-epoch incremental sync
+    assert _state(view) == want
+    fresh = create_rollup(spark, os.path.join(base, "vf"), "url", n_buckets=2)
+    sync_rollup(fresh, t)  # one-shot over the whole changelog
+    assert _state(fresh) == want
+
+
+@pytest.fixture(scope="session")
+def spark_global(spark):
+    return spark
+
+
 def test_rollup_marker_only_version_advances_cursor(spark, tmp_table_dir):
     t = _mk(spark, tmp_table_dir, "src4")
     view = create_rollup(spark, os.path.join(tmp_table_dir, "v4"), "url", n_buckets=4)
