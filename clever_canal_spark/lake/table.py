@@ -59,6 +59,23 @@ _WIDEN_OK = {
 }
 
 
+def _key_range_pred(values: list):
+    """Manifest-entry predicate for point reads: keep a file iff its
+    footer-recorded bucket-key range [key_min, key_max] covers ANY probe
+    value. Files without stats (pre-stats snapshots, driver pylist
+    appends) and type-mismatched probes are always kept — pruning must
+    never be wrong, only incomplete."""
+    def pred(f: dict) -> bool:
+        lo, hi = f.get("key_min"), f.get("key_max")
+        if lo is None or hi is None:
+            return True
+        try:
+            return any(lo <= v <= hi for v in values)
+        except TypeError:
+            return True
+    return pred
+
+
 class CommitConflict(RuntimeError):
     """Another writer committed the target snapshot version first."""
 
@@ -379,6 +396,7 @@ class LakeTable:
         snap: _Snapshot,
         buckets: set[int] | None = None,
         keep_deletes: bool = False,
+        file_pred=None,
     ) -> DataFrame:
         """Base ∪ deltas folded to current state, hidden cols retained.
 
@@ -387,9 +405,16 @@ class LakeTable:
         against a tiny max-lsn aggregate — the payload never rides the
         dedup shuffle. ``keep_deletes=True`` retains delete-winner rows as
         tombstones (needed by compaction and COW reconcile so a late
-        lower-LSN upsert cannot resurrect a deleted key)."""
+        lower-LSN upsert cannot resurrect a deleted key).
+
+        ``file_pred(entry) -> bool`` skips manifest entries entirely
+        (key-range stats pruning). ONLY safe when the caller filters the
+        result to keys the skipped files provably cannot contain — the
+        per-key LWW winner is unaffected by dropping files without that
+        key (all of a key's rows share one bucket and one file set)."""
         def pick(files):
-            return files if buckets is None else [f for f in files if f["bucket"] in buckets]
+            out = files if buckets is None else [f for f in files if f["bucket"] in buckets]
+            return out if file_pred is None else [f for f in out if file_pred(f)]
 
         base_files = pick(snap.files)
         base = self._read_files(snap, base_files, hidden=True)
@@ -440,6 +465,11 @@ class LakeTable:
 
         The bucket id is computed by a 1-row Spark job so it uses the
         exact xxhash64 the writer used (no driver-side reimplementation).
+        Within the bucket, files whose footer-recorded [key_min, key_max]
+        range excludes the probe value are skipped entirely (the Iceberg
+        lower/upper-bound pruning analog) — a hot bucket holds many delta
+        files between compactions and a point read wants only the ones
+        that can contain the key.
         """
         snap = self.snapshot()
         missing = [c for c in snap.bucket_key if c not in key_vals]
@@ -451,7 +481,10 @@ class LakeTable:
             ", ".join(f"{c} {cols[c]}" for c in snap.bucket_key),
         )
         bucket = probe.select(self._bucket_col(snap).alias("b")).collect()[0]["b"]
-        out = self._reconciled(snap, buckets={int(bucket)})
+        out = self._reconciled(
+            snap, buckets={int(bucket)},
+            file_pred=_key_range_pred([key_vals[snap.bucket_key[0]]]),
+        )
         for c, v in key_vals.items():
             out = out.filter(F.col(c) == F.lit(v))
         return out.select(*[f["name"] for f in snap.current_fields()])
@@ -480,7 +513,10 @@ class LakeTable:
             int(r["__b"])
             for r in probe.select(self._bucket_col(snap).alias("__b")).collect()
         }
-        out = self._reconciled(snap, buckets=buckets)
+        out = self._reconciled(
+            snap, buckets=buckets,
+            file_pred=_key_range_pred([v[0] for v in vals]),
+        )
         if len(snap.bucket_key) == 1:
             out = out.filter(F.col(snap.bucket_key[0]).isin([v[0] for v in vals]))
         else:
@@ -633,6 +669,23 @@ class LakeTable:
                         if st is not None and st.has_min_max:
                             lsn_lo = st.min if lsn_lo is None else min(lsn_lo, st.min)
                             lsn_hi = st.max if lsn_hi is None else max(lsn_hi, st.max)
+                # bucket-key range from the same open footer (Iceberg
+                # lower/upper-bound column stats analog): lets point reads
+                # skip files WITHIN a bucket — a hot bucket accumulates
+                # many delta files between compactions, and a lookup only
+                # needs the ones whose [key_min, key_max] covers the probe
+                key_lo = key_hi = None
+                ki = idx.get(snap.bucket_key[0])
+                if ki is not None:
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(ki).statistics
+                        if st is None or not st.has_min_max:
+                            key_lo = key_hi = None
+                            break
+                        mn = st.min.decode() if isinstance(st.min, bytes) else st.min
+                        mx = st.max.decode() if isinstance(st.max, bytes) else st.max
+                        key_lo = mn if key_lo is None else min(key_lo, mn)
+                        key_hi = mx if key_hi is None else max(key_hi, mx)
                 entries.append(
                     {
                         "path": dest_rel,
@@ -643,6 +696,8 @@ class LakeTable:
                         "schema_version": snap.schema_version,
                         "lsn_min": lsn_lo,
                         "lsn_max": lsn_hi,
+                        "key_min": key_lo,
+                        "key_max": key_hi,
                     }
                 )
         self._fs.rmtree(tmp)

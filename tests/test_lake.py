@@ -258,6 +258,46 @@ def test_expire_snapshots_and_vacuum(spark, tmp_table_dir):
         t.truncates_between(expired[0], v_head)
 
 
+def test_lookup_prunes_files_by_key_range(spark, tmp_table_dir, monkeypatch):
+    """Within a bucket, a point read must skip files whose footer
+    [key_min, key_max] range excludes the probe (Iceberg bound-pruning
+    analog): 3 MOR epochs with disjoint url ranges land 3 delta files in
+    ONE bucket; lookup('m1') may open only the middle one."""
+    t = LakeTable.create(
+        spark, tmp_table_dir, SCHEMA, merge_key=["url", "warc_ts"], n_buckets=1
+    )
+    for e, urls in enumerate([("a1", "a2"), ("m1", "m2"), ("z1", "z2")]):
+        d = src(spark, [(u, "2024-01-01 00:00:00", f"v{e}") for u in urls])
+        t.merge(d.withColumn("lsn", F.lit(e + 1).cast("long")),
+                epoch_id=e, op_col="op", mode="mor", lsn_col="lsn")
+    snap = t.snapshot()
+    assert len(snap.delta_files) == 3
+    assert all(f.get("key_min") and f.get("key_max") for f in snap.delta_files)
+
+    read = []
+    orig = LakeTable._read_files
+
+    def spy(self, s, files, hidden=False):
+        read.extend(files)
+        return orig(self, s, files, hidden=hidden)
+
+    monkeypatch.setattr(LakeTable, "_read_files", spy)
+    got = rows_of(t.lookup(url="m1"))
+    monkeypatch.undo()
+    assert got == {("m1", "2024-01-01 00:00:00", "v1")}
+    assert len(read) == 1  # only the m-range file was opened
+
+    # scan_for_keys prunes the same way, keeping every covering file
+    read.clear()
+    monkeypatch.setattr(LakeTable, "_read_files", spy)
+    got2 = {r["url"] for r in t.scan_for_keys(["a1", "z2"]).collect()}
+    monkeypatch.undo()
+    assert got2 == {"a1", "z2"} and len(read) == 2
+
+    # full scans are untouched by stats pruning
+    assert t.scan().count() == 6
+
+
 def test_schema_history(spark, tmp_table_dir):
     t = make_table(spark, tmp_table_dir)
     t.add_column("score", "double")
