@@ -147,6 +147,14 @@ def build_ivf_index(
     time. Assignment rows carry only (vec_id, cent_id) through the agg;
     the payload joins back by vec_id for the index write."""
     cents = ivf_centroids(df, centroid_mod)
+    if cents.limit(1).count() == 0:
+        # the deterministic sampler picks vec_id % centroid_mod == 0 rows;
+        # a corpus without any would SILENTLY build an empty index (every
+        # assignment cross-joins against zero centroids) — refuse loudly
+        raise ValueError(
+            f"no centroid candidates: no vec_id %% {centroid_mod} == 0 in "
+            f"the corpus — pick a smaller centroid_mod or remap vec_ids"
+        )
     t = LakeTable.create(
         spark,
         os.path.join(path, "vectors"),

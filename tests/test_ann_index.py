@@ -301,3 +301,38 @@ def test_sync_ann_from_lake_mirrors_truncate(spark, tmp_table_dir):
     assert {r["vec_id"] for r in idx.vectors.scan().collect()} == {7}
     assert {r["vec_id"] for r in idx.directory.scan().collect()} == {7}
     assert sync_ann_from_lake(idx, table) == 0  # replay no-op
+
+    # IVF family: same mirror semantics on its own table; centroids (the
+    # coarse quantizer) survive the truncate — they stay a valid
+    # assignment function for post-truncate inserts
+    t2 = LakeTable.create(
+        spark, tmp_table_dir + "/embtrunc2", schema,
+        merge_key=["vec_id"], n_buckets=4,
+    )
+    t2.append(emb)
+    ivf = build_ann_index_from_lake(
+        table=t2, path=tmp_table_dir + "/ivftrunc", family="ivf", centroid_mod=4
+    )
+    n_cents = ivf.centroids.scan().count()
+    assert n_cents > 0
+    t2.truncate_rows(4_000)
+    t2.merge(
+        _changes(spark, [(8, v1, "I", 5_000)]),
+        epoch_id=2, op_col="op", mode="mor", lsn_col="lsn",
+    )
+    assert sync_ann_from_lake(ivf, t2) >= 1
+    assert {r["vec_id"] for r in ivf.vectors.scan().collect()} == {8}
+    assert ivf.centroids.scan().count() == n_cents
+
+    # degenerate-corpus IVF build (no vec_id % mod == 0) must refuse
+    # loudly, never build a silently-empty index
+    import pytest
+    t3 = LakeTable.create(
+        spark, tmp_table_dir + "/embtrunc3", schema,
+        merge_key=["vec_id"], n_buckets=4,
+    )
+    t3.append(emb.filter(F.col("vec_id") == 7))
+    with pytest.raises(ValueError, match="no centroid candidates"):
+        build_ann_index_from_lake(
+            table=t3, path=tmp_table_dir + "/ivfempty", family="ivf", centroid_mod=4
+        )
