@@ -679,11 +679,23 @@ class LakeTable:
                 if ki is not None:
                     for rg in range(md.num_row_groups):
                         st = md.row_group(rg).column(ki).statistics
-                        if st is None or not st.has_min_max:
+                        mn = mx = None
+                        if st is not None and st.has_min_max:
+                            mn, mx = st.min, st.max
+                            if isinstance(mn, bytes):
+                                try:
+                                    mn, mx = mn.decode(), mx.decode()
+                                except UnicodeDecodeError:
+                                    mn = mx = None  # non-UTF8 binary key
+                            # only JSON-representable, totally-ordered
+                            # scalars go in the manifest — timestamp/
+                            # decimal/bool keys skip stats (prune-
+                            # incomplete, never crash the commit)
+                            if not isinstance(mn, (str, int, float)) or isinstance(mn, bool):
+                                mn = mx = None
+                        if mn is None:
                             key_lo = key_hi = None
                             break
-                        mn = st.min.decode() if isinstance(st.min, bytes) else st.min
-                        mx = st.max.decode() if isinstance(st.max, bytes) else st.max
                         key_lo = mn if key_lo is None else min(key_lo, mn)
                         key_hi = mx if key_hi is None else max(key_hi, mx)
                 entries.append(

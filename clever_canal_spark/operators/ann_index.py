@@ -147,24 +147,10 @@ def build_ivf_index(
     time. Assignment rows carry only (vec_id, cent_id) through the agg;
     the payload joins back by vec_id for the index write."""
     cents = ivf_centroids(df, centroid_mod)
-    if cents.limit(1).count() == 0:
-        # the deterministic sampler picks vec_id % centroid_mod == 0 rows;
-        # a corpus without any would SILENTLY build an empty index (every
-        # assignment cross-joins against zero centroids) — refuse loudly
-        raise ValueError(
-            f"no centroid candidates: no vec_id %% {centroid_mod} == 0 in "
-            f"the corpus — pick a smaller centroid_mod or remap vec_ids"
-        )
-    t = LakeTable.create(
-        spark,
-        os.path.join(path, "vectors"),
-        _index_schema("cent_id"),
-        merge_key=["vec_id"],
-        bucket_key=["cent_id"],
-        n_buckets=n_buckets,
-    )
-    assigned = ivf_assign(df, centroid_mod, n_dims)
-    t.append(df.join(assigned, on="vec_id").select("vec_id", "embedding", "cent_id"))
+    # write the (tiny) centroid table FIRST and check emptiness from its
+    # manifest row counts — zero extra jobs over the corpus. A corpus with
+    # no vec_id % centroid_mod == 0 rows would otherwise SILENTLY build an
+    # empty index (every assignment cross-joins zero centroids).
     ct = LakeTable.create(
         spark,
         os.path.join(path, "centroids"),
@@ -178,6 +164,21 @@ def build_ivf_index(
         n_buckets=1,
     )
     ct.append(cents)
+    if sum(f["rows"] for f in ct.snapshot().files) == 0:
+        raise ValueError(
+            f"no centroid candidates: no vec_id % {centroid_mod} == 0 in "
+            f"the corpus — pick a smaller centroid_mod or remap vec_ids"
+        )
+    t = LakeTable.create(
+        spark,
+        os.path.join(path, "vectors"),
+        _index_schema("cent_id"),
+        merge_key=["vec_id"],
+        bucket_key=["cent_id"],
+        n_buckets=n_buckets,
+    )
+    assigned = ivf_assign(df, centroid_mod, n_dims)
+    t.append(df.join(assigned, on="vec_id").select("vec_id", "embedding", "cent_id"))
     d = _create_directory(spark, path, "cent_id", n_buckets)
     d.append(t.scan().select("vec_id", "cent_id"))
     meta = {"family": "ivf", "centroid_mod": centroid_mod, "n_dims": n_dims}

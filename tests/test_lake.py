@@ -298,6 +298,24 @@ def test_lookup_prunes_files_by_key_range(spark, tmp_table_dir, monkeypatch):
     assert t.scan().count() == 6
 
 
+def test_timestamp_bucket_key_commits_without_stats(spark, tmp_table_dir):
+    """Key-range stats are recorded only for JSON-representable scalar
+    types — a timestamp bucket key must commit fine (stats skipped), not
+    crash the snapshot serialization."""
+    t = LakeTable.create(
+        spark, tmp_table_dir, SCHEMA, merge_key=["warc_ts", "url"], n_buckets=2
+    )
+    d = src(spark, [("u1", "2024-01-01 00:00:00", "a")])
+    t.merge(d.withColumn("lsn", F.lit(1).cast("long")),
+            epoch_id=0, op_col="op", mode="mor", lsn_col="lsn")
+    files = t.snapshot().delta_files
+    assert files and all(f.get("key_min") is None for f in files)
+    import datetime
+
+    got = rows_of(t.lookup(warc_ts=datetime.datetime(2024, 1, 1), url="u1"))
+    assert got == {("u1", "2024-01-01 00:00:00", "a")}
+
+
 def test_schema_history(spark, tmp_table_dir):
     t = make_table(spark, tmp_table_dir)
     t.add_column("score", "double")

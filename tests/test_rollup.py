@@ -4,6 +4,8 @@ replays and reopen; out-of-order shard LSNs never drop counts."""
 
 import os
 
+import pytest
+from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F, types as T
 
 from clever_canal_spark.lake import LakeTable, create_rollup, hot_groups, sync_rollup
@@ -146,9 +148,6 @@ def test_rollup_start_after_skips_history(spark, tmp_table_dir):
     assert _state(view) == {"b": (1, 1, 0, 3)}  # history before NOW not counted
 
 
-import pytest
-from hypothesis import given, settings, strategies as st
-
 batches_strategy = st.lists(  # 1-3 epochs of 1-6 change rows each
     st.lists(
         st.tuples(st.integers(0, 3), st.booleans()),  # (key idx, is_delete)
@@ -160,10 +159,11 @@ batches_strategy = st.lists(  # 1-3 epochs of 1-6 change rows each
 
 @settings(max_examples=8, deadline=None)
 @given(batches_strategy)
-def test_rollup_property_matches_python(spark_global, tmp_path_factory, batches):
+def test_rollup_property_matches_python(spark, tmp_path_factory, batches):
     """For arbitrary epoch batches, per-sync incremental maintenance ==
-    one-shot rebuild == a Python reference over the raw change rows."""
-    spark = spark_global
+    one-shot rebuild == a Python reference over the raw change rows.
+    (`spark` is session-scoped in conftest, so hypothesis's function-
+    scoped-fixture health check does not apply.)"""
     base = str(tmp_path_factory.mktemp("rollupprop"))
     t = _mk(spark, base, "src")
     view = create_rollup(spark, os.path.join(base, "v"), "url", n_buckets=2)
@@ -182,11 +182,6 @@ def test_rollup_property_matches_python(spark_global, tmp_path_factory, batches)
     fresh = create_rollup(spark, os.path.join(base, "vf"), "url", n_buckets=2)
     sync_rollup(fresh, t)  # one-shot over the whole changelog
     assert _state(fresh) == want
-
-
-@pytest.fixture(scope="session")
-def spark_global(spark):
-    return spark
 
 
 def test_rollup_marker_only_version_advances_cursor(spark, tmp_table_dir):
