@@ -101,7 +101,7 @@ def sync_rollup(
     (default: the view's key column by name): delete markers carry only
     the key — a payload-derived group would roll deletes up under null."""
     head = table.current_version() if to_version is None else int(to_version)
-    synced = _rollup_cursor(view)
+    synced = rollup_cursor(view)
     if head <= synced:
         return 0
     vsnap = view.snapshot()
@@ -174,7 +174,7 @@ def _free_checkpoint(cp_df) -> None:
         pass
 
 
-def _rollup_cursor(view: LakeTable) -> int:
+def rollup_cursor(view: LakeTable) -> int:
     """The highest lake version this view has consumed — read from the
     view's own committed-epoch registry (epoch id == consumed version),
     so the cursor commits ATOMICALLY with the merge itself."""

@@ -1,6 +1,6 @@
 from .follower import FeedFollower, RoutedFeedFollower, footer_hints, throughput_view
 from .pipeline import CdcPipeline, run_available
-from .prometheus import render_metrics
+from .prometheus import render_hotkey_metrics, render_metrics
 from .stateful import winner_delta_stream
 from .windows import sessionized_counts, windowed_event_counts
 
@@ -10,6 +10,7 @@ __all__ = [
     "RoutedFeedFollower",
     "footer_hints",
     "render_metrics",
+    "render_hotkey_metrics",
     "run_available",
     "sessionized_counts",
     "throughput_view",

@@ -17,6 +17,8 @@ days of ingest (and callers can pre-filter by epoch range).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import functions as F
 
 # (metric suffix, metrics-table column, help text)
@@ -31,10 +33,17 @@ _COUNTERS = [
 ]
 
 
+def _esc(v) -> str:
+    """Prometheus label-value escaping (exposition format: backslash,
+    double-quote, newline). Group values come from DATA (urls), so this
+    is not optional hygiene."""
+    return str(v).replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
+
+
 def _fmt_labels(labels: dict[str, str]) -> str:
     if not labels:
         return ""
-    body = ",".join(f'{k}="{v}"' for k, v in sorted(labels.items()))
+    body = ",".join(f'{k}="{_esc(v)}"' for k, v in sorted(labels.items()))
     return "{" + body + "}"
 
 
@@ -85,4 +94,64 @@ def render_metrics(
              "gauge", lag.get("pending_events"))
         emit("pending_files", "feed files not yet bound to an epoch",
              "gauge", lag.get("pending_files"))
+    return "\n".join(out) + "\n"
+
+
+# (hotkey metric suffix, rollup column, help text)
+_HOTKEY_GAUGES = [
+    ("hotkey_changes", "n_changes", "changelog rows seen for a hot group"),
+    ("hotkey_deletes", "n_deletes", "delete rows seen for a hot group"),
+    ("hotkey_last_lsn", "last_lsn", "write frontier of a hot group"),
+]
+
+_LABEL_NAME_OK = re.compile(r"^[a-zA-Z_][a-zA-Z0-9_]*$")
+
+
+def render_hotkey_metrics(
+    view,
+    top_k: int = 10,
+    namespace: str = "ccs",
+    labels: dict[str, str] | None = None,
+) -> str:
+    """Per-hot-group gauges from a changelog rollup view
+    (:func:`~clever_canal_spark.lake.create_rollup`) — the reference's
+    per-destination Collector family analog (impl/SinkCollector /
+    EntryCollector register one child per destination; here one sample
+    per hot group), and the observable half of the hot-key-salting loop:
+    the same view ``hot_groups`` feeds back into ``ApplyConfig(salted=…)``
+    is what a dashboard scrapes to see WHICH keys are hot.
+
+    Cost shape: ONE TakeOrdered job over the (group, aggregates)
+    projection — the rollup view is O(#distinct groups), never O(events),
+    and parquet column pruning keeps the scan to the four aggregate
+    columns. The consumed-version gauge rides the view's snapshot
+    registry (zero jobs). No full count(*) is emitted on purpose: a
+    per-scrape full-view aggregate would grow with the key space.
+    """
+    from ..lake.rollup import rollup_cursor
+
+    labels = labels or {}
+    group_col = view.snapshot().merge_key[0]
+    label_name = group_col if _LABEL_NAME_OK.match(group_col) else "key"
+    rows = (
+        view.scan()
+        .select(group_col, *[c for _, c, _ in _HOTKEY_GAUGES])
+        .orderBy(F.col("n_changes").desc(), F.col(group_col))
+        .limit(top_k)
+        .collect()
+    )
+
+    out: list[str] = []
+    out.append(f"# HELP {namespace}_rollup_consumed_version "
+               "source lake version this rollup has consumed")
+    out.append(f"# TYPE {namespace}_rollup_consumed_version gauge")
+    out.append(f"{namespace}_rollup_consumed_version{_fmt_labels(labels)} "
+               f"{rollup_cursor(view)}")
+    for suffix, col, help_ in _HOTKEY_GAUGES:
+        out.append(f"# HELP {namespace}_{suffix} {help_}")
+        out.append(f"# TYPE {namespace}_{suffix} gauge")
+        for r in rows:
+            lab = _fmt_labels({**labels, label_name: r[group_col]})
+            v = r[col]
+            out.append(f"{namespace}_{suffix}{lab} {0 if v is None else v}")
     return "\n".join(out) + "\n"

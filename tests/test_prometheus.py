@@ -119,3 +119,51 @@ def test_render_lag_gauges(spark, tmp_table_dir):
     assert vals["ccs_lag_events"] == 200  # two slices of 100 unconsumed
     assert vals["ccs_pending_files"] == 2
     feed.unpersist()
+
+
+def test_render_hotkey_metrics_from_rollup(spark, tmp_table_dir):
+    """Top-k hot-group gauges off a changelog rollup view: exact values
+    (hand-computed from the merged change rows), deterministic tie order,
+    label-value escaping for data-derived group names."""
+    from pyspark.sql import types as T
+
+    from clever_canal_spark.lake import LakeTable, create_rollup, sync_rollup
+    from clever_canal_spark.streaming import render_hotkey_metrics
+
+    schema = T.StructType([
+        T.StructField("url", T.StringType(), nullable=False),
+        T.StructField("text", T.StringType()),
+    ])
+    t = LakeTable.create(
+        spark, os.path.join(tmp_table_dir, "src"), schema,
+        merge_key=["url"], n_buckets=4,
+    )
+    view = create_rollup(spark, os.path.join(tmp_table_dir, "v"), "url", n_buckets=4)
+    rows = [
+        ("hot", "a", "I", 1), ("hot", "b", "U", 2), ("hot", None, "D", 3),
+        ('q"\\ote', "c", "I", 4),
+        ("cold", "d", "I", 5),
+    ]
+    t.merge(
+        spark.createDataFrame(rows, "url string, text string, op string, lsn bigint"),
+        epoch_id=0, op_col="op", mode="mor", lsn_col="lsn",
+    )
+    assert sync_rollup(view, t) >= 1
+
+    body = render_hotkey_metrics(view, top_k=2, labels={"destination": "pages"})
+    lines = [l for l in body.splitlines() if not l.startswith("#")]
+
+    # consumed-version gauge rides the registry (== source lake version)
+    assert lines[0] == (
+        f'ccs_rollup_consumed_version{{destination="pages"}} {t.current_version()}'
+    )
+    # top-2 by n_changes: "hot" (3 rows) then the tie broken by group
+    # name — "cold" < 'q"\ote' lexicographically
+    assert 'ccs_hotkey_changes{destination="pages",url="hot"} 3' in lines
+    assert 'ccs_hotkey_changes{destination="pages",url="cold"} 1' in lines
+    # quote/backslash in a data-derived label value must be escaped out
+    assert all('q"' not in l for l in lines)
+    assert 'ccs_hotkey_deletes{destination="pages",url="hot"} 1' in lines
+    assert 'ccs_hotkey_last_lsn{destination="pages",url="hot"} 3' in lines
+    # top_k honored: exactly 2 sample lines per hotkey gauge
+    assert sum(l.startswith("ccs_hotkey_changes{") for l in lines) == 2
