@@ -2730,3 +2730,38 @@ def q_doc_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard verdicts on candidates only; the verification shingle
     universe is semi-joined down to candidate docs first."""
     return lsh_verified_pairs(_documents(spark, sf_dir))
+
+
+@register(
+    "cdc_asof_enrich",
+    f"""
+    WITH f AS (
+      SELECT 'u' || CAST(user_id AS VARCHAR) AS url, event_id AS lsn FROM events
+    ), d AS (
+      SELECT 'u' || CAST(user_id AS VARCHAR) AS url, event_id AS lsn,
+             {_CENTS} AS seg_cents
+      FROM events WHERE event_id % 7 = 0
+    )
+    SELECT f.url, f.lsn, d.seg_cents
+    FROM f ASOF LEFT JOIN d ON f.url = d.url AND f.lsn >= d.lsn
+    """,
+)
+def q_cdc_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal as-of enrichment (operators/history.asof_join): every
+    change event picks up the dimension version in effect AT ITS LSN —
+    not at head (that is ``cdc_dim_join``). Dim versions are a
+    deterministic slice of the feed itself (every event_id % 7 == 0 row
+    opens a new per-user version). Plan shape: the union-window form —
+    one shuffle, NO join node, O(|facts|+|dims|) regardless of
+    versions-per-key (plan-asserted in tests/test_history.py). Oracle =
+    DuckDB's native ASOF LEFT JOIN, a fully independent implementation
+    of the same semantics (inclusive backward match)."""
+    from .operators.history import asof_join
+
+    ev = _events(spark, sf_dir)
+    url = F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("url")
+    facts = ev.select(url, F.col("event_id").alias("lsn"))
+    dims = ev.filter(F.col("event_id") % 7 == 0).select(
+        url, F.col("event_id").alias("lsn"), F.expr(_CENTS).alias("seg_cents")
+    )
+    return asof_join(facts, dims, ["url"], "lsn", payload_cols=["seg_cents"])

@@ -27,12 +27,14 @@ from .similarity import (
     ivf_topk,
     lsh_buckets,
 )
+from .history import asof_join, scd2_history, sessionize
 from .text import doc_fingerprint, lang_id, quality_score, token_stats
 
 __all__ = [
     "ann_indexed_topk",
     "apply_index_changes",
     "ann_lsh_topk",
+    "asof_join",
     "ann_multiprobe_topk",
     "brute_force_topk",
     "build_ivf_index",
@@ -56,6 +58,8 @@ __all__ = [
     "resize_images",
     "salted_lww_dedup",
     "sample_frames",
+    "scd2_history",
+    "sessionize",
     "simhash",
     "simhash_neardup_pairs",
     "simhash_wide",

@@ -101,3 +101,69 @@ def sessionize(
         F.max(ts_col).alias("session_end"),
         F.count(F.lit(1)).alias("n_events"),
     ).withColumnRenamed("__session_seq", "session_seq")
+
+
+def asof_join(
+    facts: DataFrame,
+    dims: DataFrame,
+    on: list[str],
+    ts_col: str,
+    payload_cols: list[str] | None = None,
+    direction: str = "backward",
+) -> DataFrame:
+    """Temporal as-of join: every fact row gains the dim payload from the
+    version in effect at the fact's timestamp — ``backward`` takes the
+    dim row with the LARGEST ``ts_col`` ≤ the fact's (inclusive),
+    ``forward`` the SMALLEST ≥. Facts with no qualifying dim version get
+    nulls (LEFT semantics; DuckDB twin: ``f ASOF LEFT JOIN d ON f.k = d.k
+    AND f.ts >= d.ts``). The CDC shape this serves: enriching a change
+    stream with a slowly-changing dimension *as of each event*, not as of
+    head — ``scd2_history`` builds the versions, ``asof_join`` consumes
+    them without materializing validity intervals.
+
+    NOT a join in the plan: the equi-join-plus-max-filter form first
+    manufactures |fact| × |versions-per-key| intermediate rows per key;
+    this is the union form — tag both sides, ONE hash shuffle on the key,
+    and a per-key ordered ``last(…, ignorenulls=True)`` carries each dim
+    version forward onto the facts that follow it. Every input row rides
+    the shuffle exactly once, so cost is O(|facts| + |dims|) regardless
+    of how many versions a key has. Skew bound = rows per key, same as
+    ``scd2_history``. Payload fields ride inside ONE struct so a dim
+    version whose payload value is genuinely NULL still *wins* (a naive
+    per-column ``last(col, ignorenulls)`` would resurrect the previous
+    version's value).
+
+    Ties: a dim row at exactly the fact's timestamp applies to it (both
+    directions — inclusive, matching DuckDB ASOF). Dims must be unique
+    per (key, ts); with duplicates the surviving payload is undefined.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    payload = payload_cols if payload_cols is not None else [
+        c for c in dims.columns if c not in set(on) | {ts_col}
+    ]
+    clash = set(payload) & set(facts.columns)
+    if clash:
+        raise ValueError(f"payload columns already exist on the fact side: {sorted(clash)}")
+
+    d = dims.select(
+        *on,
+        F.col(ts_col),
+        F.struct(*[F.col(p) for p in payload]).alias("__dim"),
+        F.lit(True).alias("__is_dim"),
+    )
+    u = facts.withColumn("__is_dim", F.lit(False)).unionByName(
+        d, allowMissingColumns=True
+    )
+    ts_ord = F.col(ts_col).asc() if direction == "backward" else F.col(ts_col).desc()
+    # dim-before-fact at equal ts in BOTH directions => inclusive match
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(ts_ord, F.col("__is_dim").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.withColumn("__dim", F.last("__dim", ignorenulls=True).over(w))
+    return filled.filter(~F.col("__is_dim")).select(
+        *facts.columns,
+        *[F.col("__dim").getField(p).alias(p) for p in payload],
+    )

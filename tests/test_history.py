@@ -123,3 +123,83 @@ def test_sessionize_matches_spark_session_window(spark):
     b = {(r.user_id, r.session_start, r.session_end, r.n_events)
          for r in native.collect()}
     assert a == b
+
+
+def _facts(spark, rows):
+    return spark.createDataFrame(rows, "url string, lsn long")
+
+
+def _dims(spark, rows):
+    return spark.createDataFrame(rows, "url string, lsn long, seg string")
+
+
+def test_asof_backward_hand_case(spark):
+    from clever_canal_spark.operators.history import asof_join
+
+    facts = _facts(spark, [("u1", 3), ("u1", 5), ("u1", 9), ("u2", 1), ("u3", 7)])
+    dims = _dims(spark, [("u1", 5, "b"), ("u1", 8, "c"), ("u1", 1, "a"),
+                         ("u2", 4, "z")])
+    out = asof_join(facts, dims, ["url"], "lsn")
+    got = {(r.url, r.lsn): r.seg for r in out.collect()}
+    assert got == {
+        ("u1", 3): "a",
+        ("u1", 5): "b",    # tie: dim at exactly the fact ts applies
+        ("u1", 9): "c",
+        ("u2", 1): None,   # fact precedes every dim version -> LEFT null
+        ("u3", 7): None,   # key with no dim rows at all
+    }
+    # every fact survives exactly once
+    assert out.count() == 5
+
+
+def test_asof_null_payload_version_wins(spark):
+    """A dim version whose payload VALUE is null must still shadow the
+    older version — the struct tag distinguishes 'no version' from 'a
+    version carrying null' (a naive last(col, ignorenulls) conflates
+    them)."""
+    from clever_canal_spark.operators.history import asof_join
+
+    facts = _facts(spark, [("u1", 10)])
+    dims = _dims(spark, [("u1", 1, "old"), ("u1", 5, None)])
+    out = asof_join(facts, dims, ["url"], "lsn").collect()
+    assert out[0].seg is None
+
+
+def test_asof_forward_direction(spark):
+    from clever_canal_spark.operators.history import asof_join
+
+    facts = _facts(spark, [("u1", 3), ("u1", 8), ("u1", 9)])
+    dims = _dims(spark, [("u1", 5, "b"), ("u1", 8, "c")])
+    out = asof_join(facts, dims, ["url"], "lsn", direction="forward")
+    got = {(r.url, r.lsn): r.seg for r in out.collect()}
+    assert got == {("u1", 3): "b", ("u1", 8): "c", ("u1", 9): None}
+
+
+def test_asof_payload_clash_rejected(spark):
+    import pytest as _pytest
+
+    from clever_canal_spark.operators.history import asof_join
+
+    facts = spark.createDataFrame([("u1", 1, "x")], "url string, lsn long, seg string")
+    dims = _dims(spark, [("u1", 1, "a")])
+    with _pytest.raises(ValueError, match="payload columns already exist"):
+        asof_join(facts, dims, ["url"], "lsn")
+    with _pytest.raises(ValueError, match="direction"):
+        asof_join(_facts(spark, [("u1", 1)]), dims, ["url"], "lsn", direction="nearest")
+
+
+def test_asof_single_shuffle_no_join(spark):
+    """The union-window form: ONE hash exchange on the key, and no join
+    operator anywhere in the plan (the equi-join+filter alternative
+    explodes per-key versions; this is the plan-shape guarantee)."""
+    from clever_canal_spark.operators.history import asof_join
+
+    out = asof_join(
+        _facts(spark, [("u1", 1)]), _dims(spark, [("u1", 1, "a")]), ["url"], "lsn"
+    )
+    assert _n_exchanges(out) == 1
+    jvm = out._sc._jvm
+    plan = jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "simple"
+    )
+    assert "Join" not in plan
