@@ -2765,3 +2765,37 @@ def q_cdc_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         url, F.col("event_id").alias("lsn"), F.expr(_CENTS).alias("seg_cents")
     )
     return asof_join(facts, dims, ["url"], "lsn", payload_cols=["seg_cents"])
+
+
+@register(
+    "cdc_attrib_range_join",
+    """
+    SELECT f.event_id AS purchase_lsn, i.event_id AS signup_lsn
+    FROM (SELECT event_id FROM events WHERE event_type = 'purchase') f
+    JOIN (SELECT event_id FROM events WHERE event_type = 'signup') i
+      ON f.event_id >= i.event_id AND f.event_id < i.event_id + 20
+    """,
+)
+def q_cdc_attrib_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution range join (operators/history.range_join): every
+    purchase event paired with every signup whose 20-LSN attribution
+    window [signup, signup+20) contains it — the interval-containment
+    join Spark would otherwise plan as a broadcast nested loop. The
+    bin-bucketed decomposition (bin_width=16 ≈ window width) makes it a
+    shuffled equi-join on the bin; plan-asserted NestedLoop-free in
+    tests/test_history.py. Oracle = DuckDB's native inequality (IE)
+    join — an independent execution strategy for the same predicate."""
+    from .operators.history import range_join
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_lsn")
+    )
+    windows = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_lsn"),
+        F.col("event_id").alias("__lo"),
+        (F.col("event_id") + F.lit(20)).alias("__hi"),
+    )
+    return range_join(
+        purchases, windows, "purchase_lsn", "__lo", "__hi", bin_width=16
+    ).select("purchase_lsn", "signup_lsn")

@@ -27,7 +27,7 @@ from .similarity import (
     ivf_topk,
     lsh_buckets,
 )
-from .history import asof_join, scd2_history, sessionize
+from .history import asof_join, range_join, scd2_history, sessionize
 from .text import doc_fingerprint, lang_id, quality_score, token_stats
 
 __all__ = [
@@ -55,6 +55,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "open_ann_index",
     "quality_score",
+    "range_join",
     "resize_images",
     "salted_lww_dedup",
     "sample_frames",

@@ -203,3 +203,71 @@ def test_asof_single_shuffle_no_join(spark):
         out._jdf.queryExecution(), "simple"
     )
     assert "Join" not in plan
+
+
+def test_range_join_hand_case(spark):
+    """Half-open boundaries, multi-bin intervals, empty intervals, and
+    points in untouched bins."""
+    from clever_canal_spark.operators.history import range_join
+
+    points = spark.createDataFrame([(0,), (5,), (10,), (99,), (100,), (37,)],
+                                   "p long")
+    ivals = spark.createDataFrame(
+        [("a", 5, 100), ("b", 0, 6), ("c", 50, 50), ("d", 90, 91)],
+        "tag string, lo long, hi long",
+    )
+    out = range_join(points, ivals, "p", "lo", "hi", bin_width=16)
+    got = {(r.p, r.tag) for r in out.collect()}
+    assert got == {
+        (0, "b"), (5, "a"), (5, "b"),   # p=5: lo-inclusive for a
+        (10, "a"), (37, "a"), (99, "a"),  # 99 < hi=100
+        # p=100 excluded (hi-exclusive); "c" empty; "d" matches nothing here
+    }
+
+
+def test_range_join_keyed_and_brute_force(spark):
+    """Keyed variant equals a per-key brute force on a seeded random
+    fixture — cross-checks the bin decomposition end to end."""
+    import random
+
+    from clever_canal_spark.operators.history import range_join
+
+    rng = random.Random(42)
+    pts = [(rng.randrange(3), rng.randrange(200)) for _ in range(120)]
+    ivs = []
+    for n in range(40):
+        lo = rng.randrange(200)
+        ivs.append((rng.randrange(3), n, lo, lo + rng.randrange(0, 50)))
+    points = spark.createDataFrame(pts, "k long, p long")
+    ivals = spark.createDataFrame(ivs, "k long, iid long, lo long, hi long")
+    out = range_join(points, ivals, "p", "lo", "hi", bin_width=13, on=["k"])
+    got = sorted((r.k, r.p, r.iid) for r in out.collect())
+    want = sorted(
+        (pk, p, iid)
+        for pk, p in pts
+        for ik, iid, lo, hi in ivs
+        if pk == ik and lo <= p < hi
+    )
+    assert got == want and len(want) > 50
+
+
+def test_range_join_validation_and_plan(spark):
+    import pytest as _pytest
+
+    from clever_canal_spark.operators.history import range_join
+
+    points = spark.createDataFrame([(1, 2)], "p long, dup long")
+    ivals = spark.createDataFrame([(1, 2, 3)], "lo long, hi long, dup long")
+    with _pytest.raises(ValueError, match="disjoint"):
+        range_join(points, ivals, "p", "lo", "hi", bin_width=4)
+    with _pytest.raises(ValueError, match="bin_width"):
+        range_join(points.select("p"), ivals.select("lo", "hi"),
+                   "p", "lo", "hi", bin_width=0)
+    # the whole point of the decomposition: NO nested-loop join node
+    out = range_join(points.select("p"), ivals.select("lo", "hi"),
+                     "p", "lo", "hi", bin_width=4)
+    jvm = out._sc._jvm
+    plan = jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "simple"
+    )
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
