@@ -146,7 +146,10 @@ def asof_join(
     if clash:
         raise ValueError(f"payload columns already exist on the fact side: {sorted(clash)}")
 
-    d = dims.select(
+    # a null-ts dim version can never satisfy ts >= / <= (SQL comparison
+    # semantics; DuckDB ASOF agrees) — drop it before it can sort first
+    # in the backward window and masquerade as the oldest version
+    d = dims.filter(F.col(ts_col).isNotNull()).select(
         *on,
         F.col(ts_col),
         F.struct(*[F.col(p) for p in payload]).alias("__dim"),

@@ -271,3 +271,19 @@ def test_range_join_validation_and_plan(spark):
         out._jdf.queryExecution(), "simple"
     )
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_asof_null_ts_dim_never_matches(spark):
+    """SQL comparison semantics: a dim version with NULL ts satisfies no
+    inequality — it must not sort to the front of the backward window
+    and act as an 'oldest version'."""
+    from clever_canal_spark.operators.history import asof_join
+
+    facts = _facts(spark, [("u1", 10)])
+    dims = spark.createDataFrame([("u1", None, "ghost"), ("u1", 3, "real")],
+                                 "url string, lsn long, seg string")
+    out = asof_join(facts, dims, ["url"], "lsn").collect()
+    assert out[0].seg == "real"
+    facts2 = _facts(spark, [("u1", 1)])  # precedes 'real'; ghost must not fill
+    out2 = asof_join(facts2, dims, ["url"], "lsn").collect()
+    assert out2[0].seg is None
