@@ -2799,3 +2799,65 @@ def q_cdc_attrib_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return range_join(
         purchases, windows, "purchase_lsn", "__lo", "__hi", bin_width=16
     ).select("purchase_lsn", "signup_lsn")
+
+
+@register(
+    "cdc_hypertable_rollup",
+    f"""
+    SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS bucket_us,
+           CAST(count(*) AS BIGINT) AS n_changes,
+           CAST(sum(CASE WHEN {_OP_EXPR} <> 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_upserts,
+           CAST(sum(CASE WHEN {_OP_EXPR} = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes,
+           CAST(max(event_id) AS BIGINT) AS last_lsn
+    FROM events GROUP BY 1
+    """,
+)
+def q_cdc_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate (TimescaleDB continuous-
+    aggregate / Druid rollup analog, lake/rollup.py group_expr): the
+    change stream lands in a lake table keyed (url, hour-bucket) — the
+    time-partitioned-upsert hypertable shape — and an incrementally-
+    maintained rollup view tracks per-HOUR change traffic via
+    sync_rollup(group_expr=warc_ts), one sync per merged epoch, each
+    touching only the view buckets the delta's hours hash into. The
+    changelog of a raw MOR merge carries every source row, so the oracle
+    is the direct per-hour GROUP BY of all events — independent of the
+    maintenance path."""
+    import shutil
+    import tempfile
+
+    from .lake import LakeTable, create_rollup, sync_rollup
+    from .model import PAGE_SCHEMA
+
+    ev = _events(spark, sf_dir)
+    feed = ev.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("url"),
+        F.date_trunc("hour", F.col("ts")).alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.expr(_CENTS).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+        F.expr(_OP_EXPR).alias("op"),
+        F.col("event_id").alias("lsn"),
+    )
+    n = ev.agg(F.max("event_id")).collect()[0][0] + 1
+    t_dir = tempfile.mkdtemp(prefix="ccs-hyper-")
+    shutil.rmtree(t_dir, ignore_errors=True)
+    table = LakeTable.create(
+        spark, t_dir, PAGE_SCHEMA, merge_key=["url", "warc_ts"], n_buckets=8
+    )
+    v_dir = tempfile.mkdtemp(prefix="ccs-hyperv-")
+    shutil.rmtree(v_dir, ignore_errors=True)
+    view = create_rollup(
+        spark, v_dir, "bucket_ts", group_type="timestamp", n_buckets=4
+    )
+    step = n // 3 + 1
+    for e in range(3):
+        batch = feed.filter(
+            (F.col("lsn") >= e * step) & (F.col("lsn") < (e + 1) * step)
+        )
+        table.merge(batch, epoch_id=e, op_col="op", mode="mor", lsn_col="lsn")
+        sync_rollup(view, table, group_expr=F.col("warc_ts"))
+    return view.scan().select(
+        F.unix_micros(F.col("bucket_ts")).alias("bucket_us"),
+        "n_changes", "n_upserts", "n_deletes", "last_lsn",
+    )

@@ -191,3 +191,25 @@ def test_rollup_marker_only_version_advances_cursor(spark, tmp_table_dir):
     assert sync_rollup(view, t) >= 1
     assert _state(view) == {}
     assert sync_rollup(view, t) == 0  # cursor advanced past the marker
+
+
+def test_rollup_derived_group_expr(spark, tmp_table_dir):
+    """group_expr: the view groups by an expression DERIVED from the
+    source merge key (here a url prefix) — the hypertable/continuous-
+    aggregate shape. Counts must land under the derived group, including
+    for delete rows (key-derived groups are well-defined on D markers)."""
+    t = _mk(spark, tmp_table_dir, "srcg")
+    view = create_rollup(spark, os.path.join(tmp_table_dir, "vg"), "shard",
+                         n_buckets=4)
+    t.merge(_changes(spark, [("apple", "x", "I", 1), ("avocado", "y", "U", 2),
+                             ("banana", None, "D", 3)]),
+            epoch_id=0, op_col="op", mode="mor", lsn_col="lsn")
+    assert sync_rollup(view, t, group_expr=F.substring("url", 1, 1)) >= 1
+    got = {r["shard"]: (r["n_changes"], r["n_upserts"], r["n_deletes"], r["last_lsn"])
+           for r in view.scan().collect()}
+    assert got == {"a": (2, 2, 0, 2), "b": (1, 0, 1, 3)}
+    # second wave keeps adding under the derived groups
+    t.merge(_changes(spark, [("apple", "z", "U", 9)]),
+            epoch_id=1, op_col="op", mode="mor", lsn_col="lsn")
+    assert sync_rollup(view, t, group_expr=F.substring("url", 1, 1)) >= 1
+    assert {r["shard"]: r["n_changes"] for r in view.scan().collect()} == {"a": 3, "b": 1}
