@@ -287,3 +287,40 @@ def test_asof_null_ts_dim_never_matches(spark):
     facts2 = _facts(spark, [("u1", 1)])  # precedes 'real'; ghost must not fill
     out2 = asof_join(facts2, dims, ["url"], "lsn").collect()
     assert out2[0].seg is None
+
+
+def test_asof_matches_brute_force_both_directions(spark):
+    """Seeded random fixture vs a Python brute force — inclusive
+    boundaries, duplicated fact timestamps, sparse keys."""
+    import random
+
+    from clever_canal_spark.operators.history import asof_join
+
+    rng = random.Random(7)
+    facts = [(f"k{rng.randrange(5)}", rng.randrange(100)) for _ in range(150)]
+    dims = {}
+    while len(dims) < 60:
+        dims[(f"k{rng.randrange(6)}", rng.randrange(100))] = None
+    dims = [(k, t, f"v{i}") for i, (k, t) in enumerate(sorted(dims))]
+    fdf = spark.createDataFrame(facts, "url string, lsn long")
+    ddf = spark.createDataFrame(dims, "url string, lsn long, seg string")
+
+    def brute(direction):
+        out = []
+        for fk, ft in facts:
+            cand = [(t, v) for k, t, v in dims if k == fk
+                    and (t <= ft if direction == "backward" else t >= ft)]
+            if not cand:
+                out.append((fk, ft, None))
+            elif direction == "backward":
+                out.append((fk, ft, max(cand)[1]))
+            else:
+                out.append((fk, ft, min(cand)[1]))
+        return sorted(out)
+
+    for direction in ("backward", "forward"):
+        got = sorted(
+            (r.url, r.lsn, r.seg)
+            for r in asof_join(fdf, ddf, ["url"], "lsn", direction=direction).collect()
+        )
+        assert got == brute(direction), direction
