@@ -2861,3 +2861,39 @@ def q_cdc_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.col("bucket_ts")).alias("bucket_us"),
         "n_changes", "n_upserts", "n_deletes", "last_lsn",
     )
+
+
+@register(
+    "emb_neardup_clusters",
+    f"""
+    WITH RECURSIVE b AS (
+      SELECT vec_id, embedding,
+             {_duck_lsh_bucket('embedding', 4)} AS bucket
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS pa, c.vec_id AS pb
+      FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+      WHERE {_duck_dot_e9('a.embedding', 'c.embedding')} >= {_NEARDUP_TAU_E9}
+    ),
+    bi AS (SELECT pa AS a, pb AS b FROM pairs UNION SELECT pb AS a, pa AS b FROM pairs),
+    reach AS (
+      SELECT vec_id AS vec, vec_id AS node FROM embeddings
+      UNION
+      SELECT r.vec, bi.b FROM reach r JOIN bi ON bi.a = r.node
+    )
+    SELECT vec AS vec_id, min(node) AS cluster_id FROM reach GROUP BY vec
+    """,
+)
+def q_emb_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup clusters (operators/similarity.
+    cosine_neardup_clusters): verified cosine-pair edges → min-label
+    connected components, the agglomerate-at-threshold twin of
+    doc_neardup_clusters. Oracle = recursive transitive closure over the
+    same exact-threshold pair set (pairs themselves already value-oracled
+    by emb_cosine_neardup_pairs)."""
+    from .operators.similarity import cosine_neardup_clusters
+
+    return cosine_neardup_clusters(
+        _embeddings(spark, sf_dir), tau_e9=_NEARDUP_TAU_E9, n_planes=4
+    )

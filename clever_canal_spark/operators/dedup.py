@@ -134,30 +134,54 @@ def neardup_clusters(
         .select(F.col("doc_id").alias("a"), F.col("root").alias("b"))
         .distinct()
     )
-    # localCheckpoint (not cache): the label loop would otherwise grow the
-    # logical plan by two joins per round — analysis/optimization time
-    # compounds until round 5 costs 4x round 0 (measured)
-    def _free_checkpoint(cp_df) -> None:
-        """Best-effort unpersist of a localCheckpoint's materialized RDD
-        (no public DataFrame API); on failure the ContextCleaner frees the
-        blocks once the JVM GCs the dereferenced Dataset."""
-        try:
-            cp_df._jdf.queryExecution().analyzed().rdd().unpersist(False)
-        except Exception:
-            pass
+    # materialize the (small) edge set eagerly so the bands cache —
+    # O(corpus × n_bands) rows — frees BEFORE the label loop runs, not
+    # after it finishes
+    edges = edges.localCheckpoint()
+    bands.unpersist()
+    out = min_label_components(df.select("doc_id"), edges, max_iter=max_iter)
+    _free_checkpoint(edges)
+    return out
+
+
+def _free_checkpoint(cp_df) -> None:
+    """Best-effort unpersist of a localCheckpoint's materialized RDD
+    (no public DataFrame API); on failure the ContextCleaner frees the
+    blocks once the JVM GCs the dereferenced Dataset."""
+    try:
+        cp_df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
+def min_label_components(
+    ids: DataFrame, edges: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Connected components by iterative min-label propagation (the
+    standard Spark loop; GraphFrames-free): ``ids`` is one ``doc_id``
+    column (every node, including isolates), ``edges`` is (a, b) —
+    returns (doc_id, cluster_id) with cluster_id = the component's min
+    id. Shared by the MinHash cluster resolution and the embedding-
+    cosine variant (similarity.cosine_neardup_clusters).
+
+    localCheckpoint (not cache): the label loop would otherwise grow the
+    logical plan by two joins per round — analysis/optimization time
+    compounds until round 5 costs 4x round 0 (measured). Each round is
+    ONE Spark job: the nbr-min join materializes the new label cache
+    while the count of still-changing labels rides the same pass as a
+    CollectMetrics observation (exact, overflow-safe at any id range —
+    unlike a sum-of-labels checksum) — round 1's three jobs (join,
+    cache-count, changed-probe join) measured 3x slower. Rounds needed =
+    graph diameter (near-dup clusters are shallow); the loop stops early
+    at the observation-resolved fixpoint."""
+    from pyspark.sql import Observation
 
     bi = edges.unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).localCheckpoint()
-    bands.unpersist()
-    labels = df.select(F.col("doc_id"), F.col("doc_id").alias("cluster_id")).localCheckpoint()
-    # each round is ONE Spark job: the nbr-min join materializes the new
-    # label cache while the count of still-changing labels rides the same
-    # pass as a CollectMetrics observation (exact, overflow-safe at any id
-    # range — unlike a sum-of-labels checksum) — round 1's three jobs
-    # (join, cache-count, changed-probe join) measured 3x slower
-    from pyspark.sql import Observation
-
+    labels = ids.select(
+        F.col("doc_id"), F.col("doc_id").alias("cluster_id")
+    ).localCheckpoint()
     for _ in range(max_iter):
         nbr = (
             bi.join(labels, bi["b"] == labels["doc_id"])

@@ -356,3 +356,40 @@ def cosine_neardup_pairs(
         )
         .filter(F.col("dot_e9") >= tau_e9)
     )
+
+
+def cosine_neardup_clusters(
+    df: DataFrame,
+    tau_e9: int = 300_000_000,
+    n_planes: int | None = None,
+    n_dims: int = N_DIMS,
+    max_bucket_rows: int = 10_000,
+    split_rounds: int = 2,
+    on_oversized: str = "raise",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Embedding near-dup CLUSTER resolution: the verified cosine pairs
+    (``cosine_neardup_pairs`` — LSH-blocked candidates, exact scaled-dot
+    threshold) become the edge set of a min-label connected-components
+    pass → (vec_id, cluster_id), cluster_id = the component's min vec_id
+    (the keeper). The embedding twin of ``dedup.neardup_clusters``: the
+    MinHash variant trusts bucket co-membership, this one only links
+    pairs that PASSED the exact threshold — agglomerative near-dup at
+    cosine ≥ tau. Edge count is bounded by the pairs output (itself
+    bucket-capped), the loop is the shared observation-resolved
+    fixpoint; rounds = component diameter."""
+    from .dedup import min_label_components
+
+    pairs = cosine_neardup_pairs(
+        df,
+        tau_e9=tau_e9,
+        n_planes=n_planes,
+        n_dims=n_dims,
+        max_bucket_rows=max_bucket_rows,
+        split_rounds=split_rounds,
+        on_oversized=on_oversized,
+    )
+    ids = df.select(F.col("vec_id").alias("doc_id"))
+    edges = pairs.select(F.col("vec_a").alias("a"), F.col("vec_b").alias("b"))
+    out = min_label_components(ids, edges, max_iter=max_iter)
+    return out.select(F.col("doc_id").alias("vec_id"), "cluster_id")

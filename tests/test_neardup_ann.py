@@ -251,3 +251,34 @@ def test_lsh_verified_pairs_hand_cases(spark):
     assert (1, 2) in out
     assert out[(1, 2)]["inter"] == out[(1, 2)]["un"]  # Jaccard exactly 1
     assert all(3 not in k for k in out)
+
+
+def test_cosine_neardup_clusters_hand_case(spark):
+    """Deterministic clusters: two tight groups + an isolate. Components
+    must agglomerate transitively through the verified pair graph and
+    label isolates with themselves."""
+    import numpy as np
+
+    from clever_canal_spark.operators.similarity import cosine_neardup_clusters
+
+    def unit(v):
+        a = np.asarray(v, dtype=float)
+        return [float(x) for x in a / np.linalg.norm(a)]
+
+    base_a = [1.0, 0.1, 0, 0, 0, 0, 0, 0]
+    base_b = [0, 0, 1.0, -0.1, 0, 0, 0, 0]
+    rows = [
+        (0, unit(base_a)),
+        (1, unit([1.0, 0.12, 0.01, 0, 0, 0, 0, 0])),   # near 0
+        (2, unit([1.0, 0.08, -0.01, 0, 0, 0, 0, 0])),  # near 0 and 1
+        (5, unit(base_b)),
+        (6, unit([0, 0.01, 1.0, -0.08, 0, 0, 0, 0])),  # near 5
+        (9, unit([0, 0, 0, 0, 0, 0, 1.0, 0])),         # isolate
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = cosine_neardup_clusters(df, tau_e9=950_000_000, n_planes=2, n_dims=8)
+    got = {r.vec_id: r.cluster_id for r in out.collect()}
+    assert got[0] == got[1] == got[2] == 0
+    assert got[5] == got[6] == 5
+    assert got[9] == 9
+    assert len(got) == 6
