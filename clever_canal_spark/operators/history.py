@@ -145,11 +145,19 @@ def asof_join(
     clash = set(payload) & set(facts.columns)
     if clash:
         raise ValueError(f"payload columns already exist on the fact side: {sorted(clash)}")
+    reserved = {"__dim", "__is_dim"} & (set(facts.columns) | set(dims.columns))
+    if reserved:
+        raise ValueError(f"column names are reserved by asof_join: {sorted(reserved)}")
 
-    # a null-ts dim version can never satisfy ts >= / <= (SQL comparison
-    # semantics; DuckDB ASOF agrees) — drop it before it can sort first
-    # in the backward window and masquerade as the oldest version
-    d = dims.filter(F.col(ts_col).isNotNull()).select(
+    # a dim version with a null ts OR a null join key can never satisfy
+    # the equi+inequality predicate (SQL comparison semantics; DuckDB
+    # ASOF agrees) — drop such rows before the backward window can sort
+    # them first and masquerade them as the oldest version / before the
+    # NULL-key window partition can pair null-key facts with them
+    dim_ok = F.col(ts_col).isNotNull()
+    for k in on:
+        dim_ok = dim_ok & F.col(k).isNotNull()
+    d = dims.filter(dim_ok).select(
         *on,
         F.col(ts_col),
         F.struct(*[F.col(p) for p in payload]).alias("__dim"),
@@ -166,9 +174,15 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = u.withColumn("__dim", F.last("__dim", ignorenulls=True).over(w))
+    # a null-ts FACT matches nothing either — backward gets this for free
+    # (asc NULLS FIRST: nothing precedes it) but forward's desc NULLS LAST
+    # would hand it the window's final fill
     return filled.filter(~F.col("__is_dim")).select(
         *facts.columns,
-        *[F.col("__dim").getField(p).alias(p) for p in payload],
+        *[
+            F.when(F.col(ts_col).isNotNull(), F.col("__dim").getField(p)).alias(p)
+            for p in payload
+        ],
     )
 
 
@@ -210,6 +224,8 @@ def range_join(
         raise ValueError(
             f"point/interval columns must be disjoint outside `on`: {sorted(clash)}"
         )
+    if "__bin" in set(points.columns) | set(intervals.columns):
+        raise ValueError("column name __bin is reserved by range_join")
     p = points.withColumn("__bin", F.floor(F.col(point_col) / bin_width)).alias("__p")
     i = (
         intervals.filter(F.col(hi_col) > F.col(lo_col))

@@ -378,7 +378,7 @@ def cosine_neardup_clusters(
     cosine ≥ tau. Edge count is bounded by the pairs output (itself
     bucket-capped), the loop is the shared observation-resolved
     fixpoint; rounds = component diameter."""
-    from .dedup import min_label_components
+    from .dedup import _free_checkpoint, min_label_components
 
     pairs = cosine_neardup_pairs(
         df,
@@ -390,6 +390,13 @@ def cosine_neardup_clusters(
         on_oversized=on_oversized,
     )
     ids = df.select(F.col("vec_id").alias("doc_id"))
-    edges = pairs.select(F.col("vec_a").alias("a"), F.col("vec_b").alias("b"))
+    # materialize the (small) edge set so the bidirectional union inside
+    # min_label_components reuses it — unioning the raw plan would run
+    # the bucket join + exact dot filter once PER BRANCH (same reasoning
+    # as dedup.neardup_clusters' pre-loop checkpoint)
+    edges = pairs.select(
+        F.col("vec_a").alias("a"), F.col("vec_b").alias("b")
+    ).localCheckpoint()
     out = min_label_components(ids, edges, max_iter=max_iter)
+    _free_checkpoint(edges)
     return out.select(F.col("doc_id").alias("vec_id"), "cluster_id")

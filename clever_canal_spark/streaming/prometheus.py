@@ -133,6 +133,11 @@ def render_hotkey_metrics(
     labels = labels or {}
     group_col = view.snapshot().merge_key[0]
     label_name = group_col if _LABEL_NAME_OK.match(group_col) else "key"
+    if label_name in labels:
+        raise ValueError(
+            f"static label {label_name!r} collides with the per-group label "
+            "(the view's group column) — rename the static label"
+        )
     rows = (
         view.scan()
         .select(group_col, *[c for _, c, _ in _HOTKEY_GAUGES])

@@ -324,3 +324,37 @@ def test_asof_matches_brute_force_both_directions(spark):
             for r in asof_join(fdf, ddf, ["url"], "lsn", direction=direction).collect()
         )
         assert got == brute(direction), direction
+
+
+def test_asof_null_key_and_null_ts_facts(spark):
+    """Equi-join NULL semantics: a null-KEY fact matches no dim even when
+    a null-key dim row exists (NULL = NULL is not a match); a null-TS
+    fact matches nothing in EITHER direction (forward's desc NULLS LAST
+    ordering must not hand it the window's final fill)."""
+    from clever_canal_spark.operators.history import asof_join
+
+    facts = spark.createDataFrame([(None, 10), ("u1", None)],
+                                  "url string, lsn long")
+    dims = spark.createDataFrame([(None, 5, "nullkey"), ("u1", 5, "b")],
+                                 "url string, lsn long, seg string")
+    for direction in ("backward", "forward"):
+        rows = asof_join(facts, dims, ["url"], "lsn",
+                         direction=direction).collect()
+        assert {r.seg for r in rows} == {None}, direction
+        assert len(rows) == 2, direction
+
+
+def test_reserved_internal_names_rejected(spark):
+    import pytest as _pytest
+
+    from clever_canal_spark.operators.history import asof_join, range_join
+
+    facts = spark.createDataFrame([("u1", 1, True)],
+                                  "url string, lsn long, __is_dim boolean")
+    dims = _dims(spark, [("u1", 1, "a")])
+    with _pytest.raises(ValueError, match="reserved"):
+        asof_join(facts, dims, ["url"], "lsn")
+    points = spark.createDataFrame([(1, 2)], "p long, __bin long")
+    ivals = spark.createDataFrame([(1, 2)], "lo long, hi long")
+    with _pytest.raises(ValueError, match="reserved"):
+        range_join(points, ivals, "p", "lo", "hi", bin_width=4)

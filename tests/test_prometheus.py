@@ -167,3 +167,16 @@ def test_render_hotkey_metrics_from_rollup(spark, tmp_table_dir):
     assert 'ccs_hotkey_last_lsn{destination="pages",url="hot"} 3' in lines
     # top_k honored: exactly 2 sample lines per hotkey gauge
     assert sum(l.startswith("ccs_hotkey_changes{") for l in lines) == 2
+
+
+def test_hotkey_static_label_collision_rejected(spark, tmp_table_dir):
+    import pytest as _pytest
+    from pyspark.sql import types as T
+
+    from clever_canal_spark.lake import LakeTable, create_rollup, sync_rollup
+    from clever_canal_spark.streaming import render_hotkey_metrics
+
+    view = create_rollup(spark, os.path.join(tmp_table_dir, "vc"), "url",
+                         n_buckets=2)
+    with _pytest.raises(ValueError, match="collides"):
+        render_hotkey_metrics(view, labels={"url": "static"})
