@@ -110,6 +110,7 @@ def asof_join(
     ts_col: str,
     payload_cols: list[str] | None = None,
     direction: str = "backward",
+    tolerance=None,
 ) -> DataFrame:
     """Temporal as-of join: every fact row gains the dim payload from the
     version in effect at the fact's timestamp — ``backward`` takes the
@@ -120,6 +121,13 @@ def asof_join(
     stream with a slowly-changing dimension *as of each event*, not as of
     head — ``scd2_history`` builds the versions, ``asof_join`` consumes
     them without materializing validity intervals.
+
+    ``tolerance`` (pandas ``merge_asof`` analog): the matched version must
+    additionally lie within ``tolerance`` of the fact's timestamp
+    (``fact - dim <= tolerance`` backward, ``dim - fact`` forward) — a
+    staler version yields nulls, NOT the next-older one. Compared with
+    Spark's ``-`` on the ts column's type, so pass a number for numeric
+    timestamps (LSNs, epoch micros).
 
     NOT a join in the plan: the equi-join-plus-max-filter form first
     manufactures |fact| × |versions-per-key| intermediate rows per key;
@@ -145,7 +153,9 @@ def asof_join(
     clash = set(payload) & set(facts.columns)
     if clash:
         raise ValueError(f"payload columns already exist on the fact side: {sorted(clash)}")
-    reserved = {"__dim", "__is_dim"} & (set(facts.columns) | set(dims.columns))
+    reserved = {"__dim", "__dim_ts", "__is_dim"} & (
+        set(facts.columns) | set(dims.columns)
+    )
     if reserved:
         raise ValueError(f"column names are reserved by asof_join: {sorted(reserved)}")
 
@@ -174,15 +184,30 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = u.withColumn("__dim", F.last("__dim", ignorenulls=True).over(w))
+    # the matched version's own ts, for the tolerance bound: non-null on
+    # exactly the rows where __dim is (dim rows, ts non-null by filter),
+    # same window + order => always the SAME row the struct fill picked
+    if tolerance is not None:
+        filled = filled.withColumn(
+            "__dim_ts",
+            F.last(
+                F.when(F.col("__is_dim"), F.col(ts_col)), ignorenulls=True
+            ).over(w),
+        )
+        gap = (
+            F.col(ts_col) - F.col("__dim_ts")
+            if direction == "backward"
+            else F.col("__dim_ts") - F.col(ts_col)
+        )
+        keep = F.col(ts_col).isNotNull() & (gap <= F.lit(tolerance))
+    else:
+        keep = F.col(ts_col).isNotNull()
     # a null-ts FACT matches nothing either — backward gets this for free
     # (asc NULLS FIRST: nothing precedes it) but forward's desc NULLS LAST
     # would hand it the window's final fill
     return filled.filter(~F.col("__is_dim")).select(
         *facts.columns,
-        *[
-            F.when(F.col(ts_col).isNotNull(), F.col("__dim").getField(p)).alias(p)
-            for p in payload
-        ],
+        *[F.when(keep, F.col("__dim").getField(p)).alias(p) for p in payload],
     )
 
 

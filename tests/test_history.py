@@ -358,3 +358,31 @@ def test_reserved_internal_names_rejected(spark):
     ivals = spark.createDataFrame([(1, 2)], "lo long, hi long")
     with _pytest.raises(ValueError, match="reserved"):
         range_join(points, ivals, "p", "lo", "hi", bin_width=4)
+
+
+def test_asof_tolerance_bound(spark):
+    """merge_asof-style staleness bound: a version outside tolerance
+    yields NULL — never the next-older version."""
+    from clever_canal_spark.operators.history import asof_join
+
+    facts = _facts(spark, [("u1", 10), ("u1", 4)])
+    dims = _dims(spark, [("u1", 1, "old"), ("u1", 3, "new")])
+
+    def run(tol, direction="backward"):
+        out = asof_join(facts, dims, ["url"], "lsn",
+                        direction=direction, tolerance=tol)
+        return {r.lsn: r.seg for r in out.collect()}
+
+    assert run(None) == {10: "new", 4: "new"}
+    assert run(7) == {10: "new", 4: "new"}     # gap 7 and 1, both within
+    assert run(5) == {10: None, 4: "new"}      # gap 7 > 5 -> null, not "old"
+    assert run(0) == {10: None, 4: None}       # exact-ts matches only
+    # forward: fact 4 -> nothing at/after except none; fact at 1?
+    ffacts = _facts(spark, [("u1", 1), ("u1", 2)])
+    outf = asof_join(ffacts, dims, ["url"], "lsn",
+                     direction="forward", tolerance=1)
+    got = {r.lsn: r.seg for r in outf.collect()}
+    assert got == {1: "old", 2: "new"}         # gaps 0 and 1, both within
+    outf2 = asof_join(ffacts, dims, ["url"], "lsn",
+                      direction="forward", tolerance=0)
+    assert {r.lsn: r.seg for r in outf2.collect()} == {1: "old", 2: None}
