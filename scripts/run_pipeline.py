@@ -188,6 +188,13 @@ def main() -> None:
         try:
             n = sync_rollup(view, table)
             print(f"rollup view: consumed {n} lake versions")
+            from clever_canal_spark.streaming import render_hotkey_metrics
+
+            # top hot keys in scrape format — the per-destination
+            # Collector body an operator would wire to an HTTP endpoint
+            print(render_hotkey_metrics(view, top_k=5,
+                                        labels={"destination": "pages"}),
+                  end="")
         except SnapshotExpired:
             # the changelog below retention is gone and traffic counts
             # cannot be rebuilt from current state — RESET loudly: erase
