@@ -240,6 +240,10 @@ def range_join(
     one bin; at scale size bins so one bin's rows fit a task (truly
     pathological overlap is inherent to the OUTPUT size, not this plan).
     Empty intervals (``hi <= lo``) match nothing.
+
+    Bin ids use float floor-division — exact for |values| < 2^53, which
+    covers LSNs (10^10-event feeds), epoch micros (~2^51) and any
+    realistic axis; pre-scale the axis if yours genuinely exceeds that.
     """
     if bin_width <= 0:
         raise ValueError(f"bin_width must be positive, got {bin_width}")
