@@ -44,6 +44,21 @@ class CdcPipeline:
     # precedence over the file-count default of 1 — the two units are
     # mutually exclusive on the Spark file source.
     max_bytes_per_trigger: int | None = None
+    # changelog rollup view kept in lockstep with the sink: synced after
+    # every micro-batch's apply. Crash-safe without extra state: the
+    # view's own registry keys syncs by consumed LAKE VERSION, so a
+    # replayed epoch (apply no-ops) syncs 0, and a crash between apply
+    # and sync is healed by the next batch's sync-to-head. Requires the
+    # sink to be MOR-fed (lake/rollup.py module docstring).
+    rollup_view: LakeTable | None = None
+
+    def __post_init__(self):
+        if self.rollup_view is not None and self.cfg.merge_mode != "mor":
+            raise ValueError(
+                "rollup_view requires merge_mode='mor' (COW commits re-emit "
+                "surviving co-bucketed rows in scan_changes, inflating the "
+                "rollup's additive counts)"
+            )
 
     def start(self, available_now: bool = True, processing_time: str | None = None):
         """Start the streaming query. ``available_now=True`` drains what is
@@ -65,6 +80,10 @@ class CdcPipeline:
                 self.cfg,
                 metrics_table=self.metrics_table,
             )
+            if self.rollup_view is not None:
+                from ..lake import sync_rollup
+
+                sync_rollup(self.rollup_view, self.table)
 
         w = stream.writeStream.foreachBatch(_apply).option(
             "checkpointLocation", self.checkpoint_dir

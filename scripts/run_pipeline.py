@@ -118,6 +118,15 @@ def main() -> None:
                 spark, args.metrics_dir, EPOCH_METRICS_SCHEMA,
                 merge_key=["epoch_id"], n_buckets=4,
             )
+    view = None
+    if args.rollup_dir:
+        from clever_canal_spark.lake import create_rollup
+
+        if os.path.exists(os.path.join(args.rollup_dir, "_log")):
+            view = LakeTable(spark, args.rollup_dir)
+        else:
+            view = create_rollup(spark, args.rollup_dir, "url",
+                                 n_buckets=args.n_buckets)
 
     cfg = ApplyConfig(
         filters=EventFilterConfig(
@@ -141,6 +150,7 @@ def main() -> None:
         pipe = CdcPipeline(
             spark, args.source_dir, args.checkpoint, table, cfg,
             metrics_table=metrics, max_files_per_trigger=args.max_files_per_epoch,
+            rollup_view=view,
         )
         if args.continuous:
             q = pipe.start(available_now=False, processing_time="10 seconds")
@@ -173,18 +183,16 @@ def main() -> None:
             print(f"dedup index: bootstrapped from current table state "
                   f"({idx.fps.scan().count()} fingerprints)")
 
-    if args.rollup_dir and args.continuous:
-        print("rollup view: NOT maintained in --continuous mode; run a "
-              "separate periodic invocation (same dirs, no --continuous) "
-              "to sync it")
+    if args.rollup_dir and args.continuous and args.engine == "follower":
+        print("rollup view: NOT maintained by the follower in --continuous "
+              "mode; run a separate periodic invocation (same dirs, no "
+              "--continuous) to sync it")
     if args.rollup_dir and not args.continuous:
-        from clever_canal_spark.lake import SnapshotExpired, create_rollup, sync_rollup
+        # streaming engine already synced per micro-batch (CdcPipeline
+        # rollup_view); this catch-up is a no-op there and the real sync
+        # for the follower engine — either way the view is now at head
+        from clever_canal_spark.lake import SnapshotExpired, sync_rollup
 
-        if os.path.exists(os.path.join(args.rollup_dir, "_log")):
-            view = LakeTable(spark, args.rollup_dir)
-        else:
-            view = create_rollup(spark, args.rollup_dir, "url",
-                                 n_buckets=args.n_buckets)
         try:
             n = sync_rollup(view, table)
             print(f"rollup view: consumed {n} lake versions")

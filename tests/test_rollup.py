@@ -213,3 +213,61 @@ def test_rollup_derived_group_expr(spark, tmp_table_dir):
             epoch_id=1, op_col="op", mode="mor", lsn_col="lsn")
     assert sync_rollup(view, t, group_expr=F.substring("url", 1, 1)) >= 1
     assert {r["shard"]: r["n_changes"] for r in view.scan().collect()} == {"a": 3, "b": 1}
+
+
+def test_pipeline_maintains_rollup_per_microbatch(spark, tmp_table_dir):
+    """CdcPipeline(rollup_view=...) keeps the view in lockstep with the
+    sink across micro-batches, stays exactly-once across a re-drain of
+    the same checkpoint, and picks up a second feed wave. COW sinks are
+    refused."""
+    import pytest as _pytest
+
+    from clever_canal_spark.gen import FeedConfig, generate_feed
+    from clever_canal_spark.lake import rollup_cursor
+    from clever_canal_spark.model import PAGE_SCHEMA
+    from clever_canal_spark.plans.apply import ApplyConfig
+    from clever_canal_spark.sources import write_feed_slices
+    from clever_canal_spark.streaming import CdcPipeline
+
+    src = os.path.join(tmp_table_dir, "feed")
+    cfgf = FeedConfig(n_events=400, n_urls=30, seed=11)
+    feed = generate_feed(spark, cfgf)
+    write_feed_slices(feed, src, n_slices=2, n_events=cfgf.n_events)
+
+    table = LakeTable.create(
+        spark, os.path.join(tmp_table_dir, "pages"), PAGE_SCHEMA,
+        merge_key=["url", "warc_ts"], n_buckets=4,
+    )
+    view = create_rollup(spark, os.path.join(tmp_table_dir, "v"), "url",
+                         n_buckets=4)
+    with _pytest.raises(ValueError, match="mor"):
+        CdcPipeline(spark, src, os.path.join(tmp_table_dir, "ck0"), table,
+                    ApplyConfig(merge_mode="cow"), rollup_view=view)
+
+    ckpt = os.path.join(tmp_table_dir, "ckpt")
+    pipe = CdcPipeline(spark, src, ckpt, table,
+                       ApplyConfig(merge_mode="mor", transform=False),
+                       max_files_per_trigger=1, rollup_view=view)
+    pipe.run_until_drained()
+    assert rollup_cursor(view) == table.current_version()
+    state1 = {r["url"]: r["n_changes"] for r in view.scan().collect()}
+    assert sum(state1.values()) > 0
+
+    # re-drain with nothing new: no replays, no double counts
+    pipe.run_until_drained()
+    assert {r["url"]: r["n_changes"] for r in view.scan().collect()} == state1
+
+    # second wave lands in the same source dir under LATER slice names
+    # (write_feed_slices numbers from 0, which would overwrite wave 1)
+    import shutil
+
+    feed2 = generate_feed(spark, FeedConfig(n_events=200, n_urls=30, seed=12))
+    stage = os.path.join(tmp_table_dir, "wave2")
+    for i, f in enumerate(write_feed_slices(feed2, stage, n_slices=1,
+                                            n_events=200)):
+        shutil.move(f, os.path.join(src, f"binlog-9{i:05d}-000.parquet"))
+    pipe.run_until_drained()
+    state2 = {r["url"]: r["n_changes"] for r in view.scan().collect()}
+    assert sum(state2.values()) > sum(state1.values())
+    assert rollup_cursor(view) == table.current_version()
+    feed.unpersist(); feed2.unpersist()
