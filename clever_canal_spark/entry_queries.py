@@ -932,6 +932,57 @@ def q_cdc_changelog_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_consumer_delivery",
+    f"""
+    WITH bounds AS (SELECT max(event_id) + 1 AS n FROM events),
+    ranked AS (
+      SELECT 'u' || CAST(user_id AS VARCHAR) AS url,
+             CASE WHEN {_OP_EXPR} = 'D' THEN NULL
+                  ELSE CAST({_CENTS} AS VARCHAR) END AS text,
+             {_OP_EXPR} AS op, event_id AS lsn,
+             event_id // (n // 4 + 1) AS epoch,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, event_id // (n // 4 + 1)
+               ORDER BY event_id DESC) AS rn
+      FROM events, bounds
+    )
+    SELECT url, text, op, CAST(lsn AS BIGINT) AS lsn
+    FROM ranked WHERE rn = 1 AND epoch >= 1
+    """,
+)
+def q_cdc_consumer_delivery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-subscriber delivery (the MemoryMetaManager.java:19-318 /
+    CanalServerWithEmbedded.java:253-398 analog, lake/consumers.py): a
+    named consumer subscribes at the post-epoch-0 snapshot and drains the
+    changelog through the get_without_ack → ack protocol one lake version
+    per batch; the UNION of the delivered batches must equal the SQL
+    winners-per-epoch reconstruction — i.e. cursor-driven delivery is
+    exhaustive and non-overlapping (same oracle as `cdc_changelog_read`,
+    which reads the identical range in one scan)."""
+    import uuid
+
+    from .lake.consumers import Consumer
+
+    table, versions = _replay_events_table(spark, sf_dir)
+    # the replay table is memoized across queries in one sweep — a fresh
+    # client id makes the subscribe/drain cycle self-contained per call
+    c = Consumer(table, f"oracle-{uuid.uuid4().hex[:8]}", start_after=versions[0])
+    parts = []
+    while (b := c.get_without_ack(max_versions=1)) is not None:
+        parts.append(
+            b.df.select(
+                "url", "text", F.col("__op").alias("op"), F.col("__lsn").alias("lsn")
+            )
+        )
+        c.ack(b.batch_id)
+    c.unsubscribe()
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@register(
     "cdc_windowed_metrics",
     f"""
     SELECT CAST(epoch_us(time_bucket(INTERVAL '1 day', ts)) AS BIGINT) AS window_start_us,
