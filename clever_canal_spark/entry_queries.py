@@ -2471,6 +2471,41 @@ def q_doc_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_chunk_windows",
+    r"""
+    WITH t AS (
+      SELECT doc_id, regexp_extract_all(text, '\S+') AS toks,
+             COALESCE(len(regexp_extract_all(text, '\S+')), 0) AS n
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, toks, n,
+             unnest(range(CASE WHEN n = 0 THEN 0
+                               WHEN n <= 24 THEN 1
+                               ELSE (n - 24 + 15) // 16 + 1 END)) AS chunk_id
+      FROM t
+    )
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(chunk_id * 16 AS BIGINT) AS start_token,
+           CAST(least(24, n - chunk_id * 16) AS BIGINT) AS n_chunk_tokens,
+           array_to_string(toks[chunk_id * 16 + 1 : chunk_id * 16 + 24], ' ')
+             AS chunk_text
+    FROM c
+    """,
+)
+def q_doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document sliding-window chunking (context-window prep for
+    training): 24-token windows, 8-token overlap, last window reaching
+    the tail — a 1→N explode of per-row JVM expressions
+    (operators/text.py chunk_windows); documents are independent, so no
+    shuffle and no UDF anywhere. Chunk text, start offsets, and window
+    counts are integer/string-exact against the DuckDB reconstruction."""
+    from .operators.text import chunk_windows
+
+    return chunk_windows(_documents(spark, sf_dir), chunk_tokens=24, overlap=8)
+
+
+@register(
     "doc_source_mix",
     """
     WITH ranked AS (

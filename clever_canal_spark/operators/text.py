@@ -341,6 +341,61 @@ def sequence_pack(
     )
 
 
+def chunk_windows(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document sliding-window chunking (context-window prep): cut
+    each document's whitespace tokens into windows of ``chunk_tokens``
+    with ``overlap`` tokens shared between consecutive windows. The last
+    window always reaches the document tail (it may overlap its
+    predecessor by more than ``overlap``); a document that fits in one
+    window emits exactly one chunk; an empty document emits none.
+    Window count is integer-exact: ``1 + ceil((n - chunk) / step)`` with
+    ``step = chunk_tokens - overlap``.
+
+    Scale shape: a 1→N explode over per-row JVM expressions
+    (regexp_extract_all / sequence / slice / array_join) — documents are
+    independent, so NO shuffle, no UDF, and output partitioning inherits
+    the input scan's. Chunk text re-joins tokens with single spaces
+    (whitespace-run canonicalization), which keeps the output
+    byte-deterministic across engines."""
+    if not (0 <= overlap < chunk_tokens):
+        raise ValueError(f"need 0 <= overlap < chunk_tokens, got {overlap}/{chunk_tokens}")
+    step = chunk_tokens - overlap
+    toks = F.expr(f"regexp_extract_all({text_col}, r'{TOKEN_RE}', 0)")
+    n = F.size(toks)
+    n_chunks = F.when(n <= 0, F.lit(0)).when(n <= chunk_tokens, F.lit(1)).otherwise(
+        ((n - chunk_tokens + (step - 1)) / step).cast("int") + 1
+    )
+    base = df.select(
+        id_col,
+        toks.alias("__toks"),
+        n.alias("__n"),
+        # explicit empty-array branch: sequence(0, -1) would walk BACKWARD
+        F.when(
+            n_chunks > 0, F.sequence(F.lit(0), n_chunks.cast("int") - 1)
+        ).otherwise(F.array().cast("array<int>")).alias("__ids"),
+    )
+    start = F.col("chunk_id").cast("long") * step
+    return base.select(
+        id_col, "__toks", "__n", F.explode("__ids").alias("chunk_id")
+    ).select(
+        id_col,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        start.alias("start_token"),
+        F.least(F.lit(chunk_tokens).cast("long"), F.col("__n") - start).alias(
+            "n_chunk_tokens"
+        ),
+        F.array_join(
+            F.slice(F.col("__toks"), (start + 1).cast("int"), chunk_tokens), " "
+        ).alias("chunk_text"),
+    )
+
+
 def source_mix(
     df: DataFrame,
     rates_pct: dict[str, int] | None = None,

@@ -402,3 +402,75 @@ def test_pii_counts_equal_emitted_placeholders_property(spark):
         assert c.count("<EMAIL>") == r["n_emails"], (r["doc_id"], c)
         assert c.count("<IP>") == r["n_ips"], (r["doc_id"], c)
         assert c.count("<PHONE>") == r["n_phones"], (r["doc_id"], c)
+
+
+# -- chunk_windows (per-doc sliding-window chunking) -------------------------
+
+def test_chunk_windows_hand_cases(spark):
+    from clever_canal_spark.operators.text import chunk_windows
+
+    rows = [
+        (1, "a b c d e f g", "en"),   # n=7, chunk 3 step 2 -> 3 windows
+        (2, "x y", "en"),             # fits one window
+        (3, "", "en"),                # empty -> no chunks
+        (4, None, "en"),              # null -> no chunks
+        (5, "  p   q  r ", "en"),     # whitespace runs canonicalize
+    ]
+    out = chunk_windows(_docs(spark, rows), chunk_tokens=3, overlap=1)
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["start_token"], r["n_chunk_tokens"], r["chunk_text"])
+        for r in out.collect()
+    }
+    assert got == {
+        (1, 0): (0, 3, "a b c"),
+        (1, 1): (2, 3, "c d e"),
+        (1, 2): (4, 3, "e f g"),
+        (2, 0): (0, 2, "x y"),
+        (5, 0): (0, 3, "p q r"),
+    }
+
+
+def test_chunk_windows_tail_and_overlap_properties(spark):
+    """Every doc's last window reaches the tail; consecutive windows
+    overlap by exactly `overlap` tokens (except the final window, which
+    may overlap more); stitching step-sized prefixes + the last window
+    reconstructs the canonicalized document."""
+    from clever_canal_spark.operators.text import chunk_windows
+
+    texts = [
+        (i, " ".join(f"t{i}w{j}" for j in range(n)), "en")
+        for i, n in enumerate([1, 5, 6, 7, 11, 12, 13, 24, 25])
+    ]
+    chunk, ov, step = 6, 2, 4
+    out = chunk_windows(_docs(spark, texts), chunk_tokens=chunk, overlap=ov)
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, n in enumerate([1, 5, 6, 7, 11, 12, 13, 24, 25]):
+        chunks = sorted(by_doc[i], key=lambda r: r["chunk_id"])
+        expect = 1 if n <= chunk else (n - chunk + step - 1) // step + 1
+        assert len(chunks) == expect, (n, len(chunks))
+        last = chunks[-1]
+        assert last["start_token"] + last["n_chunk_tokens"] == n  # tail reached
+        toks = [f"t{i}w{j}" for j in range(n)]
+        for c in chunks:
+            s = c["start_token"]
+            assert c["chunk_text"].split(" ") == toks[s:s + chunk]
+        stitched = []
+        for c in chunks[:-1]:
+            stitched += c["chunk_text"].split(" ")[:step]
+        stitched = stitched[: last["start_token"]] + last["chunk_text"].split(" ")
+        assert stitched == toks  # lossless reconstruction
+
+
+def test_chunk_windows_no_shuffle_plan(spark):
+    """Documents are independent: the chunking plan must contain NO
+    Exchange — a map-only 1->N explode."""
+    from clever_canal_spark.operators.text import chunk_windows
+
+    df = chunk_windows(_docs(spark, [(1, "a b c", "en")]), chunk_tokens=2, overlap=1)
+    jvm = df._sc._jvm
+    plan = jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    assert "Exchange" not in plan
