@@ -2471,6 +2471,35 @@ def q_doc_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_token_rarity",
+    r"""
+    WITH inst AS (
+      SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok
+      FROM documents
+    ),
+    pd AS (SELECT doc_id, tok, count(*) AS in_doc FROM inst GROUP BY 1, 2),
+    v AS (SELECT tok, sum(in_doc) AS corpus_tf FROM pd GROUP BY 1)
+    SELECT doc_id,
+           CAST(sum(in_doc) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           CAST(sum(in_doc * corpus_tf) AS BIGINT) AS tf_sum,
+           CAST(min(corpus_tf) AS BIGINT) AS min_tf
+    FROM pd JOIN v USING (tok) GROUP BY doc_id
+    """,
+)
+def q_doc_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency rarity stats (the integer-exact core of the
+    CCNet/KenLM perplexity quality filter, operators/text.py
+    token_rarity): per doc, Σ corpus term frequency over its token
+    instances and its rarest token's corpus count — rare-token-heavy
+    docs surface without any float log-sum whose addition order could
+    drift between engines. Vocabulary-bounded shuffles only."""
+    from .operators.text import token_rarity
+
+    return token_rarity(_documents(spark, sf_dir))
+
+
+@register(
     "doc_chunk_windows",
     r"""
     WITH t AS (

@@ -341,6 +341,55 @@ def sequence_pack(
     )
 
 
+def token_rarity(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-frequency rarity stats per document — the integer-exact
+    core of the CCNet/KenLM-style perplexity quality filter (docs made
+    of rare tokens score low; a float LM score is just a monotone
+    transform of these counts). Per doc: token totals plus
+    ``tf_sum`` = Σ over token INSTANCES of that token's corpus-wide
+    occurrence count, and ``min_tf`` = the rarest token's corpus count.
+    All BIGINT arithmetic — no floating log-sums whose addition order
+    could drift between engines.
+
+    Scale shape (three bounded shuffles, no UDF):
+    1. explode → partial-agg count by (doc, token): the shuffle carries
+       per-partition partial counts, not token instances;
+    2. the corpus vocabulary (groupBy token) is vocabulary-bounded —
+       exactly `vocab_topk`'s shape — and joins back on the token key
+       against per-doc DISTINCT tokens (Σ distinct-per-doc rows, far
+       below corpus token count);
+    3. re-agg by doc. Documents never carry text past step 1."""
+    toks = F.expr(f"regexp_extract_all({text_col}, r'{TOKEN_RE}', 0)")
+    per_doc_tok = (
+        df.select(id_col, F.explode(toks).alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count("*").alias("in_doc"))
+    )
+    # vocabulary from its own explode (NOT from per_doc_tok): Spark would
+    # otherwise recompute the corpus-sized (doc, token) shuffle on both
+    # sides of the join — this side's shuffle carries only vocab-bounded
+    # partial counts straight off the scan
+    vocab = (
+        df.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("corpus_tf"))
+    )
+    return (
+        per_doc_tok.join(vocab, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.sum("in_doc").alias("n_tokens"),
+            F.count("*").alias("n_distinct"),
+            F.sum(F.col("in_doc") * F.col("corpus_tf")).alias("tf_sum"),
+            F.min("corpus_tf").alias("min_tf"),
+        )
+    )
+
+
 def chunk_windows(
     df: DataFrame,
     chunk_tokens: int = 64,

@@ -474,3 +474,22 @@ def test_chunk_windows_no_shuffle_plan(spark):
         df._jdf.queryExecution(), "simple"
     )
     assert "Exchange" not in plan
+
+
+# -- token_rarity (CCNet-style rarity counts) --------------------------------
+
+def test_token_rarity_hand_case(spark):
+    from clever_canal_spark.operators.text import token_rarity
+
+    rows = [
+        (1, "the cat sat", "en"),     # the:2 cat:1 sat:2 (corpus-wide)
+        (2, "the sat sat rare", "en"),
+        (3, "", "en"),                # no tokens -> no row
+    ]
+    out = {r["doc_id"]: r.asDict() for r in token_rarity(_docs(spark, rows)).collect()}
+    # corpus tf: the=2, cat=1, sat=3, rare=1
+    assert set(out) == {1, 2}
+    assert out[1] == {"doc_id": 1, "n_tokens": 3, "n_distinct": 3,
+                      "tf_sum": 2 + 1 + 3, "min_tf": 1}
+    assert out[2] == {"doc_id": 2, "n_tokens": 4, "n_distinct": 3,
+                      "tf_sum": 2 + 3 * 2 + 1, "min_tf": 1}
