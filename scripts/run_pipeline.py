@@ -75,6 +75,11 @@ def main() -> None:
                    help="native follower (full pushdown) or Structured Streaming foreachBatch")
     p.add_argument("--continuous", action="store_true",
                    help="structured engine only: keep tailing instead of drain-and-exit")
+    p.add_argument("--consumer", default="",
+                   help="named downstream subscriber: after the drain, deliver "
+                        "the table's changelog through the getWithoutAck/ack "
+                        "cursor protocol (lake/consumers.py) and print progress; "
+                        "reopening the same name resumes from its acked cursor")
     p.add_argument("--demo", action="store_true", help="run a tiny self-contained demo")
     args = p.parse_args()
 
@@ -93,6 +98,7 @@ def main() -> None:
         args.checkpoint = f"{work}/ckpt"
         args.metrics_dir = f"{work}/metrics"
         args.rollup_dir = args.rollup_dir or f"{work}/rollup"
+        args.consumer = args.consumer or "demo-client"
 
     if not (args.source_dir and args.table_dir and args.checkpoint):
         p.error("--source-dir, --table-dir and --checkpoint are required (or --demo)")
@@ -214,6 +220,28 @@ def main() -> None:
             print(f"rollup view: cursor fell below the source table's "
                   f"snapshot retention — view RESET; counts restart at "
                   f"version {head}")
+
+    if args.consumer and args.continuous:
+        print("consumer: not drained in --continuous mode; run a separate "
+              "periodic invocation (same dirs, no --continuous) to consume")
+    if args.consumer and not args.continuous:
+        # the downstream-subscriber surface (MemoryMetaManager /
+        # getWithoutAck-ack protocol analog): a fresh name replays the
+        # whole retained changelog; a reopened name resumes from its
+        # durably acked cursor — crash between batches redelivers
+        from clever_canal_spark.lake import Consumer
+
+        c = Consumer(table, args.consumer, start_after=0)
+        n_rows = n_batches = 0
+        while (b := c.get_without_ack(max_versions=8)) is not None:
+            n_rows += b.df.count()
+            for tr in b.truncates:
+                print(f"consumer {args.consumer}: TRUNCATE at lsn {tr['lsn']} "
+                      f"(erase downstream state)")
+            c.ack(b.batch_id)
+            n_batches += 1
+        print(f"consumer {args.consumer}: delivered {n_batches} batch(es), "
+              f"{n_rows} change rows; acked cursor v{c.cursor()}")
 
     spark.stop()
 
