@@ -613,7 +613,9 @@ class LakeTable:
 
     # -- write -------------------------------------------------------------
 
-    def _write_data_files(self, snap: _Snapshot, df: DataFrame) -> list[dict]:
+    def _write_data_files(
+        self, snap: _Snapshot, df: DataFrame, sort_cols: list[str] | None = None
+    ) -> list[dict]:
         """Write ``df`` as immutable bucket-partitioned parquet files and
         return their manifest entries. Files land flat under ``data/`` with
         the bucket encoded in the name (no Hive-partition inference on read).
@@ -631,10 +633,18 @@ class LakeTable:
         # with bucket count, which is exactly how a 4096-bucket table at
         # 100 TB wants to write. CCS_WRITE_TASKS overrides for experiments.
         n_tasks = int(os.environ.get("CCS_WRITE_TASKS", "0")) or max(snap.n_buckets, 1)
+        staged = df.withColumn("__bucket", self._bucket_col(snap)).repartition(
+            n_tasks, "__bucket"
+        )
+        if sort_cols:
+            # key-clustered layout (Iceberg sort-order analog): rows sorted
+            # within each write task so every parquet ROW GROUP covers a
+            # narrow key range — a pushed-down point/range predicate then
+            # skips row groups inside big compacted files, not just whole
+            # files via the manifest's [key_min, key_max]
+            staged = staged.sortWithinPartitions("__bucket", *sort_cols)
         (
-            df.withColumn("__bucket", self._bucket_col(snap))
-            .repartition(n_tasks, "__bucket")
-            .write.partitionBy("__bucket")
+            staged.write.partitionBy("__bucket")
             .mode("overwrite")
             .parquet(tmp)
         )
@@ -1090,7 +1100,11 @@ class LakeTable:
                     continue
         return {"removed_files": removed_files, "removed_stage_dirs": removed_stages}
 
-    def compact(self, purge_tombstones_below: int | None = None) -> int | None:
+    def compact(
+        self,
+        purge_tombstones_below: int | None = None,
+        cluster: bool = True,
+    ) -> int | None:
         """Fold MOR delta files into the base — **incrementally**: only
         buckets that actually have delta files are reconciled and rewritten;
         untouched base files carry over by reference (at 100 TB an epoch
@@ -1103,6 +1117,14 @@ class LakeTable:
         ``purge_tombstones_below`` = a low-watermark LSN (below which no
         shard can still deliver events, e.g. min across shard cursors) to
         garbage-collect tombstones older than it. One atomic snapshot swap.
+
+        ``cluster`` (default on) sorts each rewritten bucket by
+        (bucket key, merge key, __lsn) — the Iceberg sort-order /
+        ``rewrite_data_files(sort)`` analog. Compaction is the one moment
+        the table pays a full rewrite of the touched buckets anyway, so
+        clustering there is near-free and buys row-group-level predicate
+        pruning for every later point/range read of the big base files
+        (delta files stay write-order: they're small and short-lived).
         """
         snap = self.snapshot()
         if not snap.delta_files:
@@ -1114,8 +1136,15 @@ class LakeTable:
             winners = winners.filter(
                 ~((F.col("__op") == "D") & (F.col("__lsn") < F.lit(purge_tombstones_below)))
             )
+        sort_cols = None
+        if cluster:
+            key = list(snap.bucket_key)
+            key += [k for k in snap.merge_key if k not in key]
+            sort_cols = key + ["__lsn"]
         new_files = self._write_data_files(
-            snap, winners.select(*[f["name"] for f in snap.current_fields()], "__lsn", "__op")
+            snap,
+            winners.select(*[f["name"] for f in snap.current_fields()], "__lsn", "__op"),
+            sort_cols=sort_cols,
         )
         child = self._child(
             snap, files=keep_files + new_files, delta_files=[], operation="compact"

@@ -325,3 +325,36 @@ def test_schema_history(spark, tmp_table_dir):
     assert hist[-1]["current"] and not hist[0]["current"]
     assert "rank" in [f["name"] for f in hist[-1]["fields"]]
     assert "score" in [f["name"] for f in hist[1]["fields"]]
+
+
+def test_compact_clusters_rows_by_key(spark, tmp_table_dir):
+    """compact(cluster=True) — the Iceberg sort-order rewrite analog —
+    must physically order every rewritten bucket file by (bucket key,
+    merge key, __lsn) so pushed-down key predicates can skip row groups
+    inside big base files; the logical table must be unchanged."""
+    import pyarrow.parquet as pq
+
+    t = make_table(spark, tmp_table_dir, n_buckets=2)
+    # interleaved keys across several MOR epochs -> write-order is jumbled
+    for e in range(3):
+        triples = [
+            (f"u{(i * 7) % 10}", f"2024-01-0{e + 1} 00:00:00", f"v{e}-{i}")
+            for i in range(10)
+        ]
+        df = src(spark, triples).withColumn("lsn", F.lit(e * 100) + F.monotonically_increasing_id())
+        t.merge(df, epoch_id=e, mode="mor", lsn_col="lsn")
+    before = rows_of(t.scan())
+    assert t.compact() is not None
+    assert rows_of(t.scan()) == before  # rewrite is logically invisible
+
+    snap = t.snapshot()
+    assert snap.delta_files == [] and snap.files
+    checked_rows = 0
+    for f in snap.files:
+        tbl = pq.read_table(f"{t.path}/{f['path']}", columns=["url", "warc_ts", "__lsn"])
+        keys = list(zip(tbl.column("url").to_pylist(),
+                        [str(x) for x in tbl.column("warc_ts").to_pylist()],
+                        tbl.column("__lsn").to_pylist()))
+        assert keys == sorted(keys), f["path"]
+        checked_rows += len(keys)
+    assert checked_rows >= 20  # the fixture actually exercised multi-row files
