@@ -717,6 +717,37 @@ def q_emb_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "emb_filtered_topk",
+    f"""
+    WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id AS vec_id, {_duck_dot_e9('e.embedding', 'qvec')} AS dot_e9
+    FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id, q
+    WHERE d.lang = 'en'
+    ORDER BY dot_e9 DESC, vec_id LIMIT 50
+    """,
+)
+def q_emb_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered vector search (the pre-filtered-ANN shape every
+    hybrid retrieval stack needs): restrict the corpus by a document
+    attribute FIRST — the lang predicate pushes into the documents scan,
+    survivors semi-join the vector table on id — and score only the
+    surviving vectors. At 100 TB the filter+semi-join prunes the scoring
+    set before any vector math runs; the scorer is the same broadcast
+    brute-force baseline (a probe of the persisted LSH/IVF index drops in
+    for the scoring stage unchanged)."""
+    from .operators.similarity import brute_force_topk
+
+    emb = _embeddings(spark, sf_dir)
+    keep = (
+        _documents(spark, sf_dir)
+        .filter(F.col("lang") == "en")
+        .select(F.col("doc_id").alias("vec_id"))
+    )
+    sub = emb.join(keep, "vec_id", "left_semi")
+    return brute_force_topk(sub, emb.filter(F.col("vec_id") == 0), k=50)
+
+
+@register(
     "emb_lsh_buckets",
     f"SELECT vec_id, CAST({_duck_lsh_bucket('embedding')} AS BIGINT) AS bucket FROM embeddings",
 )
