@@ -167,3 +167,41 @@ def test_unsubscribe_and_memfs_cursor_lifecycle(spark):
     assert Consumer.list_all(t) == {}
     with pytest.raises(ValueError):
         Consumer(t, "../evil")
+
+
+def test_downstream_mirror_via_consumer_protocol(spark, tmp_table_dir):
+    """The full replication contract: a second LakeTable maintained ONLY
+    through the consumer protocol (get_without_ack -> merge -> ack, one
+    idempotent mirror epoch per batch_id) converges to the source table —
+    including across a consumer crash that redelivers an applied-but-
+    unacked batch (the mirror's epoch registry absorbs the replay)."""
+    src_t = make_table(spark, f"{tmp_table_dir}/src")
+    mirror = make_table(spark, f"{tmp_table_dir}/mirror")
+    v0 = src_t.current_version()
+    mor(src_t, [("a", "v1", 1), ("b", "v1", 2)], epoch=0)
+    mor(src_t, [("a", "v2", 3), ("c", "v1", 4)], epoch=1)
+    mor(src_t, [("b", None, 5)], epoch=2, op="D")
+
+    def apply_batch(b):
+        mirror.merge(
+            b.df, epoch_id=b.batch_id, mode="mor",
+            op_col="__op", lsn_col="__lsn",
+        )
+
+    c = Consumer(src_t, "mirror", start_after=v0)
+    b1 = c.get_without_ack(max_versions=1)
+    apply_batch(b1)
+    # CRASH between apply and ack: redelivery must not double-apply
+    del c
+    c2 = Consumer(src_t, "mirror")
+    rb = c2.get_without_ack(max_versions=1)
+    assert rb.batch_id == b1.batch_id
+    apply_batch(rb)  # replayed epoch -> merge no-ops via the registry
+    c2.ack(rb.batch_id)
+    while (b := c2.get_without_ack(max_versions=1)) is not None:
+        apply_batch(b)
+        c2.ack(b.batch_id)
+
+    src_rows = {(r["url"], r["text"]) for r in src_t.scan().collect()}
+    mir_rows = {(r["url"], r["text"]) for r in mirror.scan().collect()}
+    assert mir_rows == src_rows == {("a", "v2"), ("c", "v1")}
