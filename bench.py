@@ -57,6 +57,9 @@ QUERY_NAMES = [
     # memoized flagship replay (the maintenance cost of a materialized
     # view, not a query cost)
     "cdc_change_rollup",
+    # corpus-frequency rarity (round-3 late): the vocab-bounded-shuffle
+    # shape — explode → partial-agg counts → broadcast join back
+    "doc_token_rarity",
 ]
 
 
