@@ -3043,3 +3043,51 @@ def q_emb_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_neardup_clusters(
         _embeddings(spark, sf_dir), tau_e9=_NEARDUP_TAU_E9, n_planes=4
     )
+
+
+_BM25_TERMS = ("spark", "vector", "merge", "warehouse")
+
+
+def _bm25_oracle(terms: tuple[str, ...], k: int) -> str:
+    tf_cols = ", ".join(
+        f"len(list_filter(regexp_extract_all(text, '\\S+'), x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ", ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(terms))
+    )
+    contrib = " + ".join(
+        "CAST(ROUND(CAST(CAST(ROUND(LN((CAST(n_docs AS DOUBLE) - CAST(df{i} AS DOUBLE) + 0.5)"
+        " / (CAST(df{i} AS DOUBLE) + 0.5) + 1.0) * 1e6) AS BIGINT) AS DOUBLE)"
+        " * (CAST(22 * tf{i} * s_dl AS DOUBLE)"
+        " / CAST(10 * s_dl * tf{i} + 3 * s_dl + 9 * dl * n_docs AS DOUBLE))) AS BIGINT)".format(i=i)
+        for i in range(len(terms))
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id, len(regexp_extract_all(text, '\\S+')) AS dl, {tf_cols}
+      FROM documents
+    ),
+    stats AS (
+      SELECT count(*) AS n_docs, sum(dl) AS s_dl, {df_cols} FROM base
+    )
+    SELECT doc_id, dl, score_e6 FROM (
+      SELECT b.doc_id, b.dl, {contrib} AS score_e6
+      FROM base b CROSS JOIN stats
+    ) WHERE score_e6 > 0
+    ORDER BY score_e6 DESC, doc_id LIMIT {k}
+    """
+
+
+@register("doc_bm25_topk", _bm25_oracle(_BM25_TERMS, 25))
+def q_doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval (operators/text.bm25_topk): top-25 docs
+    for a 4-term query (one term absent from the corpus — the df=0 idf
+    edge). Integer-exact scoring (idf quantized at e6, exact-rational tf
+    saturation); plan = one scan projection + 1-row stats reduce +
+    broadcast-back + TakeOrdered, no corpus-wide shuffle. Reference has
+    no retrieval surface — webtext-analytics addition."""
+    from .operators.text import bm25_topk
+
+    return bm25_topk(_documents(spark, sf_dir), list(_BM25_TERMS), k=25)

@@ -665,3 +665,81 @@ def normalize_text(df: DataFrame, text_col: str = "text") -> DataFrame:
         collapsed.alias("clean_text"),
         (F.length(t) - F.length(collapsed)).cast("int").alias("n_removed"),
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    terms: list[str],
+    k: int = 25,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 keyword search: top-``k`` documents for a bag of query
+    ``terms`` (k1=1.2, b=0.75 — the Robertson/Okapi defaults, with the
+    Lucene ``ln(1 + (N-df+0.5)/(df+0.5))`` idf that never goes
+    negative). The reference engine has no text-retrieval surface; this
+    is the webtext-analytics addition a corpus-exploration user expects
+    (find the documents about X before eyeballing a filter rule).
+
+    Integer-exact across engines: with k1=6/5 and b=3/4 the
+    tf-saturation term is the exact integer rational
+    ``22·tf·S / (10·S·tf + 3·S + 9·dl·N)`` (S = Σ doc lengths), so the
+    only transcendental is the idf ln over exactly-representable integer
+    ratios, quantized to ``idf_e6`` BIGINT before use; each term's score
+    contribution is rounded at e6 and summed as BIGINT, so cross-engine
+    float drift cannot accumulate.
+
+    Scale shape (NO corpus-wide shuffle): the query's term list is tiny
+    and fixed, so per-doc tf for every term comes from one projection
+    over the scan (higher-order ``filter`` over the token array — the
+    tokenizer array is computed once and subexpression-eliminated);
+    global stats (N, S, per-term df) are ONE 1-row partial-aggregated
+    reduce; the 1-row stats broadcast back via crossJoin; the result is
+    a TakeOrdered(k). An inverted index would only beat this when the
+    term list is per-row, not per-query."""
+    if not terms:
+        raise ValueError("bm25_topk needs at least one query term")
+    if len(set(terms)) != len(terms):
+        raise ValueError("query terms must be distinct")
+    toks = F.expr(f"regexp_extract_all({text_col}, r'{TOKEN_RE}', 0)")
+
+    def _eq(term: str):
+        # single-arg lambda: a 2-arg callable would be read as (element,
+        # index) by pyspark's higher-order filter
+        return lambda x: x == F.lit(term)
+
+    base = df.select(
+        id_col,
+        F.size(toks).alias("dl"),
+        *[
+            F.size(F.filter(toks, _eq(t))).alias(f"tf{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    stats = base.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("s_dl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+    contrib = []
+    for i in range(len(terms)):
+        idf_e6 = (
+            "CAST(ROUND(LN((CAST(n_docs AS DOUBLE) - CAST(df{i} AS DOUBLE) + 0.5)"
+            " / (CAST(df{i} AS DOUBLE) + 0.5) + 1.0) * 1e6) AS BIGINT)"
+        ).format(i=i)
+        num = f"CAST(22 * tf{i} * s_dl AS DOUBLE)"
+        den = f"CAST(10 * s_dl * tf{i} + 3 * s_dl + 9 * dl * n_docs AS DOUBLE)"
+        contrib.append(
+            f"CAST(ROUND(CAST({idf_e6} AS DOUBLE) * ({num} / {den})) AS BIGINT)"
+        )
+    score = " + ".join(contrib)
+    return (
+        scored.select(id_col, "dl", F.expr(score).alias("score_e6"))
+        .where(F.col("score_e6") > 0)
+        .orderBy(F.col("score_e6").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -493,3 +493,69 @@ def test_token_rarity_hand_case(spark):
                       "tf_sum": 2 + 1 + 3, "min_tf": 1}
     assert out[2] == {"doc_id": 2, "n_tokens": 4, "n_distinct": 3,
                       "tf_sum": 2 + 3 * 2 + 1, "min_tf": 1}
+
+
+# -- bm25_topk (keyword retrieval) -------------------------------------------
+
+def test_bm25_hand_case(spark):
+    """Single-term query over a 3-doc corpus — score computed by hand.
+    N=3, S=3+6+3=12. term 'cat': df=2 (docs 1,2).
+    idf_e6 = round(ln((3-2+0.5)/(2+0.5)+1)*1e6) = round(ln(1.6)*1e6) = 470004.
+    doc1: tf=1, dl=3 -> tfn = 22*1*12/(10*12*1+3*12+9*3*3) = 264/237
+    doc2: tf=2, dl=6 -> tfn = 22*2*12/(10*12*2+3*12+9*6*3) = 528/438
+    """
+    import math
+    from clever_canal_spark.operators.text import bm25_topk
+
+    rows = [
+        (1, "cat sat mat", "en"),
+        (2, "cat cat dog dog dog dog", "en"),
+        (3, "bird bird bird", "en"),
+    ]
+    out = {r["doc_id"]: r["score_e6"]
+           for r in bm25_topk(_docs(spark, rows), ["cat"], k=10).collect()}
+    idf_e6 = round(math.log((3 - 2 + 0.5) / (2 + 0.5) + 1) * 1e6)
+    assert set(out) == {1, 2}  # doc 3 has no query term -> filtered
+    assert out[1] == round(idf_e6 * (264 / 237))
+    assert out[2] == round(idf_e6 * (528 / 438))
+    assert out[2] > out[1]  # higher tf saturates but still wins here
+
+
+def test_bm25_absent_term_contributes_zero(spark):
+    from clever_canal_spark.operators.text import bm25_topk
+
+    rows = [(1, "cat sat", "en"), (2, "dog ran", "en")]
+    both = bm25_topk(_docs(spark, rows), ["cat", "unicorn"], k=10).collect()
+    solo = bm25_topk(_docs(spark, rows), ["cat"], k=10).collect()
+    assert {(r["doc_id"], r["score_e6"]) for r in both} == \
+           {(r["doc_id"], r["score_e6"]) for r in solo}
+
+
+def test_bm25_rare_term_outscores_common_at_equal_tf(spark):
+    """idf must dominate when tf and dl are equal: a doc matching the
+    rare term beats a doc matching the everywhere-term."""
+    from clever_canal_spark.operators.text import bm25_topk
+
+    rows = [
+        (1, "common rare", "en"),
+        (2, "common other", "en"),
+        (3, "common thing", "en"),
+    ]
+    out = bm25_topk(_docs(spark, rows), ["rare"], k=1).collect()
+    assert out[0]["doc_id"] == 1
+
+
+def test_bm25_plan_no_wide_shuffle(spark):
+    """The only Exchange allowed is the 1-row stats reduce (SinglePartition)
+    and its broadcast — never a corpus-keyed repartition."""
+    from clever_canal_spark.operators.text import bm25_topk
+
+    df = bm25_topk(_docs(spark, [(1, "a b", "en")]), ["a"], k=5)
+    jvm = df._sc._jvm
+    plan = jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    import re
+    for m in re.finditer(r"(?<!Broadcast)Exchange (\w+)", plan):
+        assert m.group(1) in ("SinglePartition,", "SinglePartition"), plan
+    assert "TakeOrdered" in plan
