@@ -3048,7 +3048,7 @@ def q_emb_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BM25_TERMS = ("spark", "vector", "merge", "warehouse")
 
 
-def _bm25_oracle(terms: tuple[str, ...], k: int) -> str:
+def _bm25_oracle(terms: tuple[str, ...], k: int, source: str = "documents") -> str:
     tf_cols = ", ".join(
         f"len(list_filter(regexp_extract_all(text, '\\S+'), x -> x = '{t}')) AS tf{i}"
         for i, t in enumerate(terms)
@@ -3067,7 +3067,7 @@ def _bm25_oracle(terms: tuple[str, ...], k: int) -> str:
     return f"""
     WITH base AS (
       SELECT doc_id, len(regexp_extract_all(text, '\\S+')) AS dl, {tf_cols}
-      FROM documents
+      FROM {source}
     ),
     stats AS (
       SELECT count(*) AS n_docs, sum(dl) AS s_dl, {df_cols} FROM base
@@ -3091,3 +3091,87 @@ def q_doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text import bm25_topk
 
     return bm25_topk(_documents(spark, sf_dir), list(_BM25_TERMS), k=25)
+
+
+_TIDX_CACHE: dict = {}
+_TIDX_NEW_TEXT = "vector vector merge pipeline shuffle spark"
+_TIDX_INS_TEXT = "spark stream vector warehouse joins the corpus"
+
+
+def _text_index_for(spark: SparkSession, sf_dir: str) -> "object":
+    from .operators.text_index import build_text_index, open_text_index
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), "text-idx")
+    path = _TIDX_CACHE.get(key)
+    if path is None:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="ccs-tidx-")
+        build_text_index(
+            spark, _documents(spark, sf_dir).select("doc_id", "text"), path
+        )
+        _TIDX_CACHE[key] = path
+    return open_text_index(spark, path)
+
+
+@register("doc_text_index_bm25", _bm25_oracle(_BM25_TERMS, 25))
+def q_doc_text_index_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 served from the persisted inverted index (operators/
+    text_index.probe_bm25): the probe reads ONLY the query terms'
+    posting buckets plus a 1-row fwd-stats aggregate — corpus text is
+    never touched. Oracle = the corpus-path BM25 SQL (an independent
+    full recomputation), so parity proves index build + probe end to
+    end."""
+    from .operators.text_index import probe_bm25
+
+    return probe_bm25(_text_index_for(spark, sf_dir), list(_BM25_TERMS), k=25)
+
+
+@register(
+    "doc_text_index_sync",
+    _bm25_oracle(
+        _BM25_TERMS,
+        25,
+        source=f"""(
+      SELECT doc_id,
+             CASE WHEN doc_id = 0 THEN '{_TIDX_NEW_TEXT}' ELSE text END AS text
+      FROM documents WHERE doc_id < 400 AND doc_id <> 1
+      UNION ALL
+      SELECT CAST(9000 AS BIGINT), '{_TIDX_INS_TEXT}'
+    )""",
+    ),
+)
+def q_doc_text_index_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental inverted-index maintenance == from-scratch rebuild:
+    build on the doc_id<400 window, apply one CDC change batch (update
+    doc 0 — its whole old token set becomes tombstones — delete doc 1,
+    insert doc 9000), then serve BM25 from the maintained index. Oracle
+    recomputes BM25 directly over the FINAL corpus in DuckDB — parity
+    proves the tombstone/upsert delta converges to the rebuild."""
+    import tempfile
+
+    from .operators.text_index import (
+        apply_text_index_changes, build_text_index, open_text_index, probe_bm25,
+    )
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), "text-idx-sync")
+    path = _TIDX_CACHE.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="ccs-tidx-sync-")
+        idx = build_text_index(
+            spark,
+            _documents(spark, sf_dir).filter(F.col("doc_id") < 400)
+            .select("doc_id", "text"),
+            path,
+        )
+        changes = spark.createDataFrame(
+            [
+                (0, _TIDX_NEW_TEXT, "U", 100),
+                (1, None, "D", 101),
+                (9000, _TIDX_INS_TEXT, "I", 102),
+            ],
+            "doc_id bigint, text string, op string, lsn bigint",
+        )
+        apply_text_index_changes(idx, changes, epoch_id=1)
+        _TIDX_CACHE[key] = path
+    return probe_bm25(open_text_index(spark, path), list(_BM25_TERMS), k=25)

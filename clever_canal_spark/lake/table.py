@@ -523,6 +523,27 @@ class LakeTable:
             out = out.join(F.broadcast(probe), on=list(snap.bucket_key), how="left_semi")
         return out.select(*out_cols)
 
+    def scan_for_keys_df(self, probe: DataFrame) -> DataFrame:
+        """:meth:`scan_for_keys` with a DataFrame probe — the delta-sized
+        variant. Only the probe's DISTINCT BUCKET IDS are collected
+        (≤ ``n_buckets`` values, regardless of probe size), never the key
+        values themselves, so a multi-million-key change batch prunes the
+        read without a driver-side key list. Rows are then restricted to
+        the probe keys with a broadcast left-semi join (broadcast is the
+        distinct probe keys — epoch-delta-sized by contract)."""
+        snap = self.snapshot()
+        out_cols = [f["name"] for f in snap.current_fields()]
+        keys = probe.select(*snap.bucket_key).distinct()
+        buckets = {
+            int(r["__b"])
+            for r in keys.select(self._bucket_col(snap).alias("__b")).distinct().collect()
+        }
+        if not buckets:
+            return self.spark.createDataFrame([], snap.spark_schema()).select(*out_cols)
+        out = self._reconciled(snap, buckets=buckets)
+        out = out.join(F.broadcast(keys), on=list(snap.bucket_key), how="left_semi")
+        return out.select(*out_cols)
+
     def scan_changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
         """Incremental changelog read (the Iceberg incremental-source
         analog, SURVEY.md §1.7): rows written between two snapshots, with

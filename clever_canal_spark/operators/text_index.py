@@ -1,0 +1,339 @@
+"""Persisted inverted text index: BM25 probes read ONLY the query
+terms' posting buckets — never the corpus.
+
+`text.bm25_topk` is the right shape for an ad-hoc query over a scanned
+corpus: one projection pass + a 1-row stats reduce. But a retrieval
+service answering many queries against a 10¹⁰-document corpus must not
+re-tokenize 100 TB of text per query. This module is the incremental
+shape — the third member of the index family (exact/near-dup:
+`dedup_index.py`; vectors: `ann_index.py`), maintained from the lake
+changelog like the other two:
+
+- **build** (once): two LakeTables. ``postings`` (tok, doc_id, tf, dl)
+  is keyed ``(tok, doc_id)`` and BUCKETED BY ``tok``, so a query's
+  terms map to a handful of physical buckets and the probe reads an
+  O(terms/n_buckets) fraction of the index. ``fwd`` (doc_id, toks, dl)
+  is the forward index keyed by ``doc_id`` — it exists because postings
+  maintenance needs each changed document's OLD token set (a doc update
+  that drops a token must tombstone that posting; the changelog carries
+  no before-images), and its ``dl`` column doubles as the corpus-stats
+  source.
+- **probe** (per query batch): ``scan_for_keys(terms)`` on postings
+  (bucket-pruned); per-term df falls out of the pruned read itself;
+  global (N, Σdl) is ONE column-pruned 1-row aggregate over ``fwd.dl``
+  — the only non-pruned read, two int columns, amortizable across a
+  query batch. Scoring is byte-identical to `text.bm25_topk` (same
+  integer-exact idf-e6 / rational-tf arithmetic), which the tests
+  assert by equivalence.
+- **maintain** (per epoch): `sync_text_index_from_lake` tails
+  ``scan_changes``. Changed docs' old token sets come from a
+  bucket-pruned ``fwd.scan_for_keys_df`` read; dropped/deleted tokens
+  become posting tombstones, new token counts become upserts. Postings
+  merge FIRST, fwd merge LAST: a crash replays into committed epochs
+  (registry no-ops) while the delta — which is derived from the OLD fwd
+  state — recomputes identically until the fwd merge lands. No sidecar
+  stats to drift: corpus stats derive from fwd state itself.
+
+The reference engine has no text-retrieval surface — this is part of
+the beyond-reference webtext-analytics layer (prompt requirement).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from ..lake import LakeTable
+from .text import TOKEN_RE
+
+_SIDECAR = "index.json"
+
+_FWD_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), nullable=False),
+        T.StructField("toks", T.ArrayType(T.StringType())),
+        T.StructField("dl", T.IntegerType()),
+    ]
+)
+
+_POSTINGS_SCHEMA = T.StructType(
+    [
+        T.StructField("tok", T.StringType(), nullable=False),
+        T.StructField("doc_id", T.LongType(), nullable=False),
+        T.StructField("tf", T.IntegerType()),
+        T.StructField("dl", T.IntegerType()),
+    ]
+)
+
+
+@dataclass
+class TextIndex:
+    fwd: LakeTable
+    postings: LakeTable
+    path: str
+
+
+def _toks(text_col: str):
+    # null text tokenizes to the empty array (size 0, not -1)
+    return F.coalesce(
+        F.expr(f"regexp_extract_all({text_col}, r'{TOKEN_RE}', 0)"),
+        F.array().cast("array<string>"),
+    )
+
+
+def _fwd_rows(df: DataFrame, text_col: str) -> DataFrame:
+    """(doc_id, toks=DISTINCT sorted tokens, dl) — one per doc, empty
+    docs included (they count toward N with dl=0)."""
+    t = _toks(text_col)
+    return df.select(
+        "doc_id",
+        F.sort_array(F.array_distinct(t)).alias("toks"),
+        F.size(t).cast("int").alias("dl"),
+    )
+
+
+def _posting_rows(df: DataFrame, text_col: str) -> DataFrame:
+    """(tok, doc_id, tf, dl) — the corpus-shuffle explode; bootstrap and
+    per-delta maintenance only, never the probe path."""
+    t = _toks(text_col)
+    exploded = df.select(
+        "doc_id", F.size(t).cast("int").alias("dl"), F.explode(t).alias("tok")
+    )
+    return (
+        exploded.groupBy("tok", "doc_id")
+        .agg(F.count("*").cast("int").alias("tf"), F.first("dl").alias("dl"))
+        .select("tok", "doc_id", "tf", "dl")
+    )
+
+
+def build_text_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    path: str,
+    text_col: str = "text",
+    n_buckets: int = 16,
+) -> TextIndex:
+    """Bootstrap from a (doc_id, text) corpus — the one full tokenize
+    the index ever costs."""
+    fwd = LakeTable.create(
+        spark, os.path.join(path, "fwd"), _FWD_SCHEMA,
+        merge_key=["doc_id"], n_buckets=n_buckets,
+    )
+    postings = LakeTable.create(
+        spark, os.path.join(path, "postings"), _POSTINGS_SCHEMA,
+        merge_key=["tok", "doc_id"], bucket_key=["tok"], n_buckets=n_buckets,
+    )
+    lsn0 = F.lit(0).cast("long")
+    postings.merge(
+        _posting_rows(corpus, text_col)
+        .withColumn("op", F.lit("U")).withColumn("lsn", lsn0),
+        epoch_id=0, op_col="op", mode="mor", lsn_col="lsn",
+    )
+    fwd.merge(
+        _fwd_rows(corpus, text_col)
+        .withColumn("op", F.lit("U")).withColumn("lsn", lsn0),
+        epoch_id=0, op_col="op", mode="mor", lsn_col="lsn",
+    )
+    with open(os.path.join(path, _SIDECAR), "w") as fh:
+        json.dump({"n_buckets": n_buckets}, fh)
+    return TextIndex(fwd=fwd, postings=postings, path=path)
+
+
+def open_text_index(spark: SparkSession, path: str) -> TextIndex:
+    with open(os.path.join(path, _SIDECAR)) as fh:
+        json.load(fh)  # validates the sidecar exists / is well-formed
+    return TextIndex(
+        fwd=LakeTable(spark, os.path.join(path, "fwd")),
+        postings=LakeTable(spark, os.path.join(path, "postings")),
+        path=path,
+    )
+
+
+def probe_bm25(index: TextIndex, terms: list[str], k: int = 25) -> DataFrame:
+    """Top-k BM25 over the index — scoring arithmetic byte-identical to
+    `text.bm25_topk` (k1=6/5, b=3/4, idf quantized at e6, per-term
+    contributions rounded at e6 and summed as BIGINT), so the two paths
+    return identical rows on the same corpus state.
+
+    Reads: the query terms' posting buckets (``scan_for_keys`` — bucket
+    + file-range pruned) and one 1-row (count, sum) aggregate over
+    ``fwd.dl``. A term with no postings simply contributes nothing —
+    matching the corpus path, where df=0 forces tf=0 everywhere."""
+    if not terms:
+        raise ValueError("probe_bm25 needs at least one query term")
+    if len(set(terms)) != len(terms):
+        raise ValueError("query terms must be distinct")
+    stats = F.broadcast(
+        index.fwd.scan().agg(
+            F.count("*").alias("n_docs"), F.sum("dl").alias("s_dl")
+        )
+    )
+    posts = index.postings.scan_for_keys(list(terms))
+    dfs = posts.groupBy("tok").agg(F.count("*").alias("df"))
+    scored = (
+        posts.join(F.broadcast(dfs), "tok")
+        .crossJoin(stats)
+        .select(
+            "doc_id",
+            "dl",
+            F.expr(
+                "CAST(ROUND(CAST(CAST(ROUND(LN((CAST(n_docs AS DOUBLE)"
+                " - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)"
+                " + 1.0) * 1e6) AS BIGINT) AS DOUBLE)"
+                " * (CAST(22 * tf * s_dl AS DOUBLE)"
+                " / CAST(10 * s_dl * tf + 3 * s_dl + 9 * dl * n_docs"
+                " AS DOUBLE))) AS BIGINT)"
+            ).alias("contrib_e6"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.first("dl").alias("dl"), F.sum("contrib_e6").alias("score_e6"))
+        .where(F.col("score_e6") > 0)
+        .orderBy(F.col("score_e6").desc(), F.col("doc_id"))
+        .limit(k)
+    )
+
+
+_CURSOR = "lake_cursor.json"
+
+
+def _read_lake_cursor(path: str) -> int:
+    try:
+        with open(os.path.join(path, _CURSOR)) as fh:
+            return int(json.load(fh)["version"])
+    except FileNotFoundError:
+        return 0
+
+
+def _write_lake_cursor(path: str, version: int) -> None:
+    tmp = os.path.join(path, f".{_CURSOR}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"version": version}, fh)
+    os.replace(tmp, os.path.join(path, _CURSOR))
+
+
+def apply_text_index_changes(
+    index: TextIndex,
+    changes: DataFrame,
+    text_col: str = "text",
+    epoch_id: int | None = None,
+) -> None:
+    """Maintain the index from a CDC-style change batch — (doc_id, text,
+    op, lsn), op ∈ {I,U,D} (I≡U; text may be null for D).
+
+    Intra-batch LWW first, then the old token set for every touched doc
+    comes from ONE bucket-pruned ``fwd.scan_for_keys_df`` read. Posting
+    rows: upserts for every token of a live doc's new text, tombstones
+    for dropped tokens (old ∖ new) and for every token of a deleted
+    doc. Merge order is postings FIRST, fwd LAST — the delta derives
+    from the OLD fwd state, so a crash between the two merges recomputes
+    it identically on replay (the committed postings epoch no-ops)."""
+    w = (
+        changes.groupBy("doc_id")
+        .agg(F.max_by(F.struct(text_col, "op", "lsn"), F.col("lsn")).alias("__w"))
+        .select("doc_id", f"__w.{text_col}", "__w.op", "__w.lsn")
+    )
+    old = index.fwd.scan_for_keys_df(w.select("doc_id")).select(
+        "doc_id", F.col("toks").alias("old_toks")
+    )
+    w = w.join(old, "doc_id", "left").withColumn(
+        "old_toks", F.coalesce("old_toks", F.array().cast("array<string>"))
+    )
+    live = w.filter(F.col("op") != "D")
+    dead = w.filter(F.col("op") == "D")
+
+    new_posts = _posting_rows(live.select("doc_id", text_col), text_col).join(
+        w.select("doc_id", "lsn"), "doc_id"
+    ).select("tok", "doc_id", "tf", "dl", F.lit("U").alias("op"), "lsn")
+    dropped = live.select(
+        "doc_id", "lsn",
+        F.explode(
+            F.array_except("old_toks", F.array_distinct(_toks(text_col)))
+        ).alias("tok"),
+    )
+    erased = dead.select("doc_id", "lsn", F.explode("old_toks").alias("tok"))
+    tombstones = dropped.unionByName(erased).select(
+        "tok", "doc_id",
+        F.lit(None).cast("int").alias("tf"), F.lit(None).cast("int").alias("dl"),
+        F.lit("D").alias("op"), "lsn",
+    )
+    index.postings.merge(
+        new_posts.unionByName(tombstones),
+        epoch_id=epoch_id, op_col="op", mode="mor", lsn_col="lsn",
+    )
+
+    fwd_src = _fwd_rows(live.select("doc_id", text_col), text_col).join(
+        w.select("doc_id", "lsn"), "doc_id"
+    ).select("doc_id", "toks", "dl", F.lit("U").alias("op"), "lsn").unionByName(
+        dead.select(
+            "doc_id",
+            F.lit(None).cast("array<string>").alias("toks"),
+            F.lit(None).cast("int").alias("dl"),
+            F.lit("D").alias("op"), "lsn",
+        )
+    )
+    index.fwd.merge(fwd_src, epoch_id=epoch_id, op_col="op", mode="mor", lsn_col="lsn")
+
+
+def sync_text_index_from_lake(
+    index: TextIndex,
+    table: LakeTable,
+    text_col: str = "text",
+    doc_id_expr=None,
+) -> int:
+    """Tail a LakeTable's changelog into the text index — same contract
+    as `dedup_index.sync_from_lake`: file-diff changelog read, stable
+    ``doc_id`` from the merge key (``xxhash64`` default), ONE index
+    epoch keyed by the consumed lake version (exactly-once via the merge
+    registry), TRUNCATE mirrored as metadata. Returns lake versions
+    consumed (0 = already current)."""
+    head = table.current_version()
+    synced = _read_lake_cursor(index.path)
+    if head <= synced:
+        return 0
+    truncs = table.truncates_between(synced, head)
+    if truncs:
+        last = truncs[-1]
+        index.postings.truncate_rows(last["lsn"])
+        index.fwd.truncate_rows(last["lsn"])
+        synced_from = last["version"]
+        if synced_from >= head:
+            _write_lake_cursor(index.path, head)
+            return head - synced
+    else:
+        synced_from = synced
+    snap = table.snapshot(head)
+    did = doc_id_expr if doc_id_expr is not None else F.xxhash64(*snap.merge_key)
+    changes = table.scan_changes(synced_from, head).select(
+        did.alias("doc_id"),
+        F.col(text_col).alias(text_col),
+        F.col("__op").alias("op"),
+        F.col("__lsn").alias("lsn"),
+    )
+    apply_text_index_changes(index, changes, text_col=text_col, epoch_id=head)
+    _write_lake_cursor(index.path, head)
+    return head - synced
+
+
+def build_text_index_from_lake(
+    table: LakeTable,
+    path: str,
+    text_col: str = "text",
+    doc_id_expr=None,
+    n_buckets: int = 16,
+) -> TextIndex:
+    """Bootstrap from a lake table's CURRENT state and stamp the cursor
+    so the first sync starts from this snapshot."""
+    head = table.current_version()
+    snap = table.snapshot(head)
+    did = doc_id_expr if doc_id_expr is not None else F.xxhash64(*snap.merge_key)
+    corpus = table.scan(version=head).select(did.alias("doc_id"), F.col(text_col))
+    idx = build_text_index(
+        table.spark, corpus, path, text_col=text_col, n_buckets=n_buckets
+    )
+    _write_lake_cursor(path, head)
+    return idx

@@ -67,6 +67,11 @@ def main() -> None:
                    help="maintain a persisted dedup index (md5 fps + MinHash-LSH bands) "
                         "in sync with the lake table: bootstrap from the current state "
                         "on first run, then tail scan_changes() after each drain")
+    p.add_argument("--text-index-dir", default="",
+                   help="maintain a persisted inverted text index (postings "
+                        "bucketed by token + forward index) in sync with the "
+                        "lake table — BM25 probes then read only the query "
+                        "terms' buckets, never the corpus")
     p.add_argument("--rollup-dir", default="",
                    help="maintain a per-url changelog rollup view (lake/rollup.py: "
                         "n_changes/n_upserts/n_deletes/last_lsn, the hot-key "
@@ -188,6 +193,25 @@ def main() -> None:
             idx = build_dedup_index_from_lake(table, args.dedup_index_dir)
             print(f"dedup index: bootstrapped from current table state "
                   f"({idx.fps.scan().count()} fingerprints)")
+
+    if args.text_index_dir and args.continuous:
+        print("text index: NOT maintained in --continuous mode; run a "
+              "separate periodic invocation (same dirs, no --continuous) "
+              "to sync it")
+    if args.text_index_dir and not args.continuous:
+        from clever_canal_spark.operators.text_index import (
+            build_text_index_from_lake, open_text_index,
+            sync_text_index_from_lake,
+        )
+
+        if os.path.exists(os.path.join(args.text_index_dir, "index.json")):
+            tidx = open_text_index(spark, args.text_index_dir)
+            n = sync_text_index_from_lake(tidx, table)
+            print(f"text index: consumed {n} lake versions")
+        else:
+            tidx = build_text_index_from_lake(table, args.text_index_dir)
+            print(f"text index: bootstrapped from current table state "
+                  f"({tidx.fwd.scan().count()} documents)")
 
     if args.rollup_dir and args.continuous and args.engine == "follower":
         print("rollup view: NOT maintained by the follower in --continuous "

@@ -1,0 +1,196 @@
+"""Persisted inverted text index: build/probe/maintain lifecycle,
+incremental == rebuild parity, lake-changelog sync, truncate mirroring,
+exactly-once replay, and probe == corpus-path BM25 equivalence."""
+
+import os
+
+from pyspark.sql import functions as F, types as T
+
+from clever_canal_spark.operators.text import bm25_topk
+from clever_canal_spark.operators.text_index import (
+    apply_text_index_changes,
+    build_text_index,
+    build_text_index_from_lake,
+    open_text_index,
+    probe_bm25,
+    sync_text_index_from_lake,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+CORPUS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2, "spark shuffles spark joins spark aggregates in the executor"),
+    (3, "columnar storage formats parquet orc and arrow in depth"),
+    (4, ""),  # empty doc: counts toward N with dl=0, no postings
+]
+
+TERMS = ["spark", "river", "parquet", "unicorn"]  # last one absent
+
+
+def _state(idx):
+    fwd = sorted((r["doc_id"], tuple(r["toks"]), r["dl"])
+                 for r in idx.fwd.scan().collect())
+    posts = sorted((r["tok"], r["doc_id"], r["tf"], r["dl"])
+                   for r in idx.postings.scan().collect())
+    return fwd, posts
+
+
+def _bm25_rows(df):
+    return [(r["doc_id"], r["dl"], r["score_e6"]) for r in df.collect()]
+
+
+def test_probe_equals_corpus_path(spark, tmp_table_dir):
+    """Index-served BM25 must be row-identical to the corpus-scan BM25
+    (same integer-exact arithmetic, same N/S/df inputs — including the
+    empty doc in N and an absent query term)."""
+    docs = _docs(spark, CORPUS)
+    idx = build_text_index(spark, docs, os.path.join(tmp_table_dir, "tidx"))
+    assert _bm25_rows(probe_bm25(idx, TERMS, k=10)) == \
+        _bm25_rows(bm25_topk(docs, TERMS, k=10))
+
+
+def test_incremental_equals_rebuild(spark, tmp_table_dir):
+    """U (token set changes entirely), D, I through the index == a
+    from-scratch build on the final corpus, table-for-table."""
+    inc = build_text_index(spark, _docs(spark, CORPUS),
+                           os.path.join(tmp_table_dir, "inc"))
+    changes = spark.createDataFrame(
+        [
+            (1, "entirely new words here now", "U", 10),
+            (2, None, "D", 11),
+            (9, "a ninth document about spark state stores", "I", 12),
+        ],
+        "doc_id bigint, text string, op string, lsn bigint",
+    )
+    apply_text_index_changes(inc, changes, epoch_id=1)
+    final = [
+        (1, "entirely new words here now"),
+        (3, CORPUS[2][1]),
+        (4, ""),
+        (9, "a ninth document about spark state stores"),
+    ]
+    ref = build_text_index(spark, _docs(spark, final),
+                           os.path.join(tmp_table_dir, "ref"))
+    assert _state(inc) == _state(ref)
+    # and the probe agrees with the corpus path over the final corpus
+    assert _bm25_rows(probe_bm25(inc, TERMS, k=10)) == \
+        _bm25_rows(bm25_topk(_docs(spark, final), TERMS, k=10))
+
+
+def test_dropped_token_is_tombstoned(spark, tmp_table_dir):
+    """An update that drops a token must remove its posting — the stale
+    (tok, doc) row is the classic inverted-index maintenance bug."""
+    idx = build_text_index(spark, _docs(spark, CORPUS),
+                           os.path.join(tmp_table_dir, "tidx2"))
+    # doc 2 currently matches 'spark' with tf=3
+    before = {r["doc_id"]: r["tf"] for r in
+              idx.postings.scan().where(F.col("tok") == "spark").collect()}
+    assert before == {2: 3}
+    apply_text_index_changes(
+        idx,
+        spark.createDataFrame([(2, "no engine words at all", "U", 50)],
+                              "doc_id bigint, text string, op string, lsn bigint"),
+        epoch_id=1,
+    )
+    assert idx.postings.scan().where(F.col("tok") == "spark").count() == 0
+    # and the probe no longer returns doc 2 for 'spark'
+    assert all(r["doc_id"] != 2
+               for r in probe_bm25(idx, ["spark"], k=10).collect())
+
+
+def test_replay_is_noop_and_reopen(spark, tmp_table_dir):
+    path = os.path.join(tmp_table_dir, "tidx3")
+    idx = build_text_index(spark, _docs(spark, CORPUS), path)
+    changes = spark.createDataFrame(
+        [(1, "replacement body", "U", 10)],
+        "doc_id bigint, text string, op string, lsn bigint",
+    )
+    apply_text_index_changes(idx, changes, epoch_id=1)
+    state = _state(idx)
+    v = (idx.fwd.current_version(), idx.postings.current_version())
+    # replay the same epoch: both merges must no-op via the registry
+    apply_text_index_changes(idx, changes, epoch_id=1)
+    assert (idx.fwd.current_version(), idx.postings.current_version()) == v
+    # a fresh open sees the same state
+    assert _state(open_text_index(spark, path)) == state
+
+
+def test_sync_from_lake_tails_changelog(spark, tmp_table_dir):
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType(), nullable=False),
+        T.StructField("text", T.StringType()),
+    ])
+    table = LakeTableHelper(spark, tmp_table_dir, "corpus", schema)
+    table.t.append(_docs(spark, CORPUS))
+    idx = build_text_index_from_lake(
+        table.t, os.path.join(tmp_table_dir, "tidx4"),
+        doc_id_expr=F.col("doc_id"),
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "fresh replacement text for document one", "U", 100),
+            (2, None, "D", 101),
+            (9, "a brand new ninth document arrives late", "I", 102),
+        ],
+        "doc_id bigint, text string, op string, lsn bigint",
+    )
+    table.t.merge(changes, epoch_id=1, op_col="op", mode="mor", lsn_col="lsn")
+    assert sync_text_index_from_lake(
+        idx, table.t, doc_id_expr=F.col("doc_id")) >= 1
+    final = [
+        (1, "fresh replacement text for document one"),
+        (3, CORPUS[2][1]),
+        (4, ""),
+        (9, "a brand new ninth document arrives late"),
+    ]
+    ref = build_text_index(spark, _docs(spark, final),
+                           os.path.join(tmp_table_dir, "ref4"))
+    assert _state(idx) == _state(ref)
+    # already current -> 0 consumed, no new index epochs
+    v = (idx.fwd.current_version(), idx.postings.current_version())
+    assert sync_text_index_from_lake(
+        idx, table.t, doc_id_expr=F.col("doc_id")) == 0
+    assert (idx.fwd.current_version(), idx.postings.current_version()) == v
+
+
+def test_sync_mirrors_truncate(spark, tmp_table_dir):
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType(), nullable=False),
+        T.StructField("text", T.StringType()),
+    ])
+    table = LakeTableHelper(spark, tmp_table_dir, "corpus5", schema)
+    table.t.append(_docs(spark, CORPUS))
+    idx = build_text_index_from_lake(
+        table.t, os.path.join(tmp_table_dir, "tidx5"),
+        doc_id_expr=F.col("doc_id"),
+    )
+    table.t.truncate_rows(200)
+    table.t.merge(
+        spark.createDataFrame(
+            [(9, "post truncate spark document", "I", 300)],
+            "doc_id bigint, text string, op string, lsn bigint"),
+        epoch_id=1, op_col="op", mode="mor", lsn_col="lsn",
+    )
+    assert sync_text_index_from_lake(
+        idx, table.t, doc_id_expr=F.col("doc_id")) >= 1
+    ref = build_text_index(
+        spark, _docs(spark, [(9, "post truncate spark document")]),
+        os.path.join(tmp_table_dir, "ref5"))
+    assert _state(idx) == _state(ref)
+    # erased docs must not surface in a probe
+    assert {r["doc_id"] for r in probe_bm25(idx, ["spark"], k=10).collect()} \
+        == {9}
+
+
+class LakeTableHelper:
+    def __init__(self, spark, base, name, schema):
+        from clever_canal_spark.lake import LakeTable
+
+        self.t = LakeTable.create(
+            spark, os.path.join(base, name), schema,
+            merge_key=["doc_id"], n_buckets=4,
+        )
