@@ -3175,3 +3175,29 @@ def q_doc_text_index_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         apply_text_index_changes(idx, changes, epoch_id=1)
         _TIDX_CACHE[key] = path
     return probe_bm25(open_text_index(spark, path), list(_BM25_TERMS), k=25)
+
+
+_BM25_BATCH = ((1, ("spark", "vector")), (2, ("merge", "warehouse")), (3, ("customer",)))
+
+
+@register(
+    "doc_text_index_bm25_batch",
+    " UNION ALL ".join(
+        f"SELECT CAST({qid} AS BIGINT) AS query_id, doc_id, dl, score_e6 "
+        f"FROM ({_bm25_oracle(terms, 10)})"
+        for qid, terms in _BM25_BATCH
+    ),
+)
+def q_doc_text_index_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched BM25 over the persisted index (probe_bm25_batch): three
+    queries share ONE bucket-pruned postings read and one stats
+    aggregate; per-query top-k via window rank. Oracle = per-query
+    corpus-path BM25 recomputations UNION ALL'd — each batch row must
+    equal its single-query twin."""
+    from .operators.text_index import probe_bm25_batch
+
+    return probe_bm25_batch(
+        _text_index_for(spark, sf_dir),
+        [(qid, list(terms)) for qid, terms in _BM25_BATCH],
+        k=10,
+    )

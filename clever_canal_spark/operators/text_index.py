@@ -337,3 +337,68 @@ def build_text_index_from_lake(
     )
     _write_lake_cursor(path, head)
     return idx
+
+
+def probe_bm25_batch(
+    index: TextIndex,
+    queries: list[tuple[int, list[str]]],
+    k: int = 25,
+) -> DataFrame:
+    """Batched BM25: N (query_id, terms) pairs per probe — the text
+    analog of `ann_index.ann_indexed_topk`'s batch contract. The term
+    UNION across the batch drives ONE bucket-pruned postings read; a
+    LOCAL (query_id, tok) DataFrame broadcast-joins candidates to their
+    queries; per-term df and the 1-row corpus stats are shared by every
+    query in the batch (df is a corpus property, not a query property).
+    Per-query top-k is a window rank — each row equals what the
+    single-query `probe_bm25` would return (equivalence-tested).
+    Output: (query_id, doc_id, dl, score_e6)."""
+    from pyspark.sql import Window
+
+    if not queries:
+        raise ValueError("probe_bm25_batch needs at least one query")
+    for qid, terms in queries:
+        if not terms or len(set(terms)) != len(terms):
+            raise ValueError(f"query {qid}: terms must be non-empty and distinct")
+    spark = index.fwd.spark
+    pairs = [(int(qid), t) for qid, terms in queries for t in terms]
+    union_terms = sorted({t for _, t in pairs})
+    qmap = F.broadcast(
+        spark.createDataFrame(pairs, "query_id bigint, tok string")
+    )
+    stats = F.broadcast(
+        index.fwd.scan().agg(
+            F.count("*").alias("n_docs"), F.sum("dl").alias("s_dl")
+        )
+    )
+    posts = index.postings.scan_for_keys(union_terms)
+    dfs = posts.groupBy("tok").agg(F.count("*").alias("df"))
+    scored = (
+        posts.join(qmap, "tok")
+        .join(F.broadcast(dfs), "tok")
+        .crossJoin(stats)
+        .select(
+            "query_id",
+            "doc_id",
+            "dl",
+            F.expr(
+                "CAST(ROUND(CAST(CAST(ROUND(LN((CAST(n_docs AS DOUBLE)"
+                " - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)"
+                " + 1.0) * 1e6) AS BIGINT) AS DOUBLE)"
+                " * (CAST(22 * tf * s_dl AS DOUBLE)"
+                " / CAST(10 * s_dl * tf + 3 * s_dl + 9 * dl * n_docs"
+                " AS DOUBLE))) AS BIGINT)"
+            ).alias("contrib_e6"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.first("dl").alias("dl"), F.sum("contrib_e6").alias("score_e6"))
+        .where(F.col("score_e6") > 0)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_e6").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -194,3 +194,24 @@ class LakeTableHelper:
             spark, os.path.join(base, name), schema,
             merge_key=["doc_id"], n_buckets=4,
         )
+
+
+def test_batch_probe_equals_single_probes(spark, tmp_table_dir):
+    """Each query's rows in the batch output must equal its single-query
+    probe (same scoring, same per-query top-k tie-break)."""
+    from clever_canal_spark.operators.text_index import probe_bm25_batch
+
+    idx = build_text_index(spark, _docs(spark, CORPUS),
+                           os.path.join(tmp_table_dir, "tidx6"))
+    queries = [(1, ["spark", "river"]), (2, ["parquet"]), (3, ["unicorn"])]
+    batch = probe_bm25_batch(idx, queries, k=10).collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["doc_id"], r["dl"], r["score_e6"]))
+    for qid, terms in queries:
+        single = _bm25_rows(probe_bm25(idx, terms, k=10))
+        got = sorted(by_q.get(qid, []),
+                     key=lambda t: (-t[2], t[0]))
+        assert got == single, (qid, got, single)
+    assert 3 not in by_q  # absent-term query returns nothing
