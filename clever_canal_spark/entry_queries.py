@@ -3201,3 +3201,42 @@ def q_doc_text_index_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(qid, list(terms)) for qid, terms in _BM25_BATCH],
         k=10,
     )
+
+
+_MIX_TARGET = {"en": (1, 5), "de": (3, 10), "fr": (3, 10), "es": (1, 10)}
+_MIX_W = (
+    "COALESCE(CAST(ROUND(CAST(1000000 * t_num * n_total AS DOUBLE)"
+    " / CAST(t_den * n_stratum AS DOUBLE)) AS BIGINT), 0)"
+)
+_MIX_U32 = "(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT)"
+
+
+@register(
+    "doc_mix_weights",
+    f"""
+    WITH counts AS (SELECT lang, count(*) AS n_stratum FROM documents GROUP BY lang),
+    tot AS (SELECT count(*) AS n_total FROM documents),
+    tgt(lang, t_num, t_den) AS (VALUES {", ".join(
+        f"('{s}', {n}, {d})" for s, (n, d) in _MIX_TARGET.items())})
+    SELECT d.doc_id, d.lang, c.n_stratum,
+           {_MIX_W} AS weight_e6,
+           CAST({_MIX_W} // 1000000 AS INT)
+           + CAST(CASE WHEN {_MIX_U32} * 1000000 <
+                       ({_MIX_W} % 1000000) * 4294967296
+                  THEN 1 ELSE 0 END AS INT) AS n_copies
+    FROM documents d
+    JOIN counts c USING (lang)
+    LEFT JOIN tgt USING (lang)
+    CROSS JOIN tot
+    """,
+)
+def q_doc_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture reweighting (operators/text.mix_weights): move
+    the observed lang mix to a target mix (en 20%, de 30%, fr 30%,
+    es 10%; zh absent → audited drop). Integer-exact weights and a
+    deterministic md5-u32 fractional keep — same doc picks on every
+    engine/run. Plan: stratum-count broadcast-back, per-row exprs, no
+    corpus shuffle."""
+    from .operators.text import mix_weights
+
+    return mix_weights(_documents(spark, sf_dir), _MIX_TARGET)

@@ -743,3 +743,70 @@ def bm25_topk(
         .orderBy(F.col("score_e6").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def mix_weights(
+    df: DataFrame,
+    target: dict[str, tuple[int, int]],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Data-mixing reweighting: per-document copy counts that move the
+    corpus from its OBSERVED stratum mix to a TARGET mix — the static
+    core of training-mixture control (the sampling-weights half of
+    DoReMi-style pipelines; the weights here are given, not learned).
+
+    ``target`` maps stratum → exact rational share (num, den), e.g.
+    ``{"en": (1, 2), "de": (1, 2)}``. Per doc: ``weight = target_share
+    × N / n_stratum`` (the resample ratio), emitted integer-exact as
+    ``weight_e6``, and ``n_copies`` = ⌊weight⌋ + a deterministic
+    fractional keep — the md5-derived uniform ``u32 / 2³²`` compared to
+    the fractional part in EXACT BIGINT arithmetic (u32·10⁶ <
+    frac_e6·2³²), so every engine and every run picks the same docs.
+    E[n_copies] = weight per stratum, which is what makes the expected
+    output mix equal the target. Strata absent from ``target`` get
+    weight 0 (dropped — emitted with n_copies=0 so the drop is
+    auditable, not silent).
+
+    Scale shape: a stratum-count aggregate (vocabulary-bounded — one
+    row per stratum) broadcast back over the scan; everything else is
+    per-row JVM expressions. No corpus-keyed shuffle, no UDF."""
+    if not target:
+        raise ValueError("mix_weights needs at least one target stratum")
+    for s, (num, den) in target.items():
+        if num < 0 or den <= 0:
+            raise ValueError(f"stratum {s}: share must be a non-negative rational")
+    spark = df.sparkSession
+    tgt = F.broadcast(
+        spark.createDataFrame(
+            [(s, num, den) for s, (num, den) in target.items()],
+            f"{strata_col} string, t_num bigint, t_den bigint",
+        )
+    )
+    counts = df.groupBy(strata_col).agg(F.count("*").alias("n_stratum"))
+    totals = df.agg(F.count("*").alias("n_total"))
+    u32 = (
+        f"CAST(conv(substring(md5(CAST({id_col} AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+    )
+    w_e6 = (
+        "CAST(ROUND(CAST(1000000 * t_num * n_total AS DOUBLE)"
+        " / CAST(t_den * n_stratum AS DOUBLE)) AS BIGINT)"
+    )
+    return (
+        df.select(id_col, strata_col)
+        .join(F.broadcast(counts), strata_col)
+        .join(tgt, strata_col, "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            id_col,
+            strata_col,
+            F.col("n_stratum"),
+            F.expr(f"COALESCE({w_e6}, 0)").alias("weight_e6"),
+            F.expr(
+                f"CAST(COALESCE({w_e6}, 0) DIV 1000000 AS INT)"
+                f" + CAST(CASE WHEN {u32} * 1000000 <"
+                f" (COALESCE({w_e6}, 0) % 1000000) * 4294967296"
+                " THEN 1 ELSE 0 END AS INT)"
+            ).alias("n_copies"),
+        )
+    )

@@ -559,3 +559,57 @@ def test_bm25_plan_no_wide_shuffle(spark):
     for m in re.finditer(r"(?<!Broadcast)Exchange (\w+)", plan):
         assert m.group(1) in ("SinglePartition,", "SinglePartition"), plan
     assert "TakeOrdered" in plan
+
+
+# -- mix_weights (training-mixture reweighting) -------------------------------
+
+def test_mix_weights_hand_case(spark):
+    """2 strata, 4+1 docs: en weight = (1/2 × 5) / 4 = 0.625; de weight =
+    (1/2 × 5) / 1 = 2.5 → de doc gets 2 or 3 copies, en docs 0 or 1."""
+    from clever_canal_spark.operators.text import mix_weights
+
+    rows = [(i, "x", "en") for i in range(4)] + [(9, "x", "de")]
+    out = {r["doc_id"]: r.asDict() for r in mix_weights(
+        _docs(spark, rows), {"en": (1, 2), "de": (1, 2)}).collect()}
+    assert out[9]["weight_e6"] == 2500000
+    assert out[9]["n_copies"] in (2, 3)
+    for i in range(4):
+        assert out[i]["weight_e6"] == 625000
+        assert out[i]["n_copies"] in (0, 1)
+
+
+def test_mix_weights_untargeted_stratum_audited_drop(spark):
+    from clever_canal_spark.operators.text import mix_weights
+
+    rows = [(1, "x", "en"), (2, "x", "zz")]
+    out = {r["doc_id"]: r.asDict() for r in mix_weights(
+        _docs(spark, rows), {"en": (1, 1)}).collect()}
+    assert out[2]["weight_e6"] == 0 and out[2]["n_copies"] == 0
+    assert out[1]["weight_e6"] == 2000000 and out[1]["n_copies"] == 2
+
+
+def test_mix_weights_deterministic_across_runs(spark):
+    from clever_canal_spark.operators.text import mix_weights
+
+    rows = [(i, "x", "en" if i % 3 else "de") for i in range(30)]
+    tgt = {"en": (1, 3), "de": (2, 3)}
+    a = sorted(tuple(r) for r in mix_weights(_docs(spark, rows), tgt).collect())
+    b = sorted(tuple(r) for r in mix_weights(
+        _docs(spark, rows).repartition(7), tgt).collect())
+    assert a == b
+
+
+def test_mix_weights_expected_mix_converges(spark):
+    """Over many docs the copy-weighted mix must sit near the target
+    (the fractional keep is unbiased)."""
+    from clever_canal_spark.operators.text import mix_weights
+
+    rows = [(i, "x", "en" if i % 4 else "de") for i in range(400)]
+    tgt = {"en": (1, 2), "de": (1, 2)}
+    out = mix_weights(_docs(spark, rows), tgt).collect()
+    copies = {}
+    for r in out:
+        copies[r["lang"]] = copies.get(r["lang"], 0) + r["n_copies"]
+    total = sum(copies.values())
+    assert abs(copies["en"] / total - 0.5) < 0.05
+    assert abs(copies["de"] / total - 0.5) < 0.05
