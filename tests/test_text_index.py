@@ -215,3 +215,20 @@ def test_batch_probe_equals_single_probes(spark, tmp_table_dir):
                      key=lambda t: (-t[2], t[0]))
         assert got == single, (qid, got, single)
     assert 3 not in by_q  # absent-term query returns nothing
+
+
+def test_probe_reads_only_term_buckets(spark, tmp_table_dir):
+    """The pruning contract, pinned via inputFiles(): a single-term probe's
+    postings read must touch strictly fewer files than the full postings
+    scan (terms hash to a subset of the 16 buckets)."""
+    rows = [(i, f"w{i} w{i} shared") for i in range(64)]
+    idx = build_text_index(spark, _docs(spark, rows),
+                           os.path.join(tmp_table_dir, "tidx7"))
+    all_files = set(idx.postings.scan().inputFiles())
+    probe_files = set(idx.postings.scan_for_keys(["w3"]).inputFiles())
+    assert probe_files and probe_files < all_files, (
+        len(probe_files), len(all_files))
+    # and the pruned read still finds the posting
+    got = {r["doc_id"] for r in
+           idx.postings.scan_for_keys(["w3"]).collect()}
+    assert got == {3}
