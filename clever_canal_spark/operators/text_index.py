@@ -243,6 +243,11 @@ def apply_text_index_changes(
     w = w.join(old, "doc_id", "left").withColumn(
         "old_toks", F.coalesce("old_toks", F.array().cast("array<string>"))
     )
+    # materialize the winner delta ONCE: both merges below derive from it,
+    # and without this each would re-run the changelog read + LWW agg +
+    # fwd bucket read; it also pins the PRE-merge fwd state for the fwd
+    # merge's own source, independent of evaluation order
+    w = w.localCheckpoint()
     live = w.filter(F.col("op") != "D")
     dead = w.filter(F.col("op") == "D")
 
