@@ -60,6 +60,9 @@ QUERY_NAMES = [
     # corpus-frequency rarity (round-3 late): the vocab-bounded-shuffle
     # shape — explode → partial-agg counts → broadcast join back
     "doc_token_rarity",
+    # BM25 retrieval, corpus path: one scan projection + 1-row stats
+    # reduce + TakeOrdered — the shuffle-free retrieval shape
+    "doc_bm25_topk",
 ]
 
 
