@@ -3057,11 +3057,15 @@ def _bm25_oracle(terms: tuple[str, ...], k: int, source: str = "documents") -> s
         f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
         for i in range(len(terms))
     )
+    # independent transcription of bm25_contrib_sql's formula (small
+    # BIGINT factors widened to DOUBLE before the corpus-sized products)
     contrib = " + ".join(
         "CAST(ROUND(CAST(CAST(ROUND(LN((CAST(n_docs AS DOUBLE) - CAST(df{i} AS DOUBLE) + 0.5)"
         " / (CAST(df{i} AS DOUBLE) + 0.5) + 1.0) * 1e6) AS BIGINT) AS DOUBLE)"
-        " * (CAST(22 * tf{i} * s_dl AS DOUBLE)"
-        " / CAST(10 * s_dl * tf{i} + 3 * s_dl + 9 * dl * n_docs AS DOUBLE))) AS BIGINT)".format(i=i)
+        " * ((CAST(22 * tf{i} AS DOUBLE) * CAST(s_dl AS DOUBLE))"
+        " / (CAST(10 * tf{i} AS DOUBLE) * CAST(s_dl AS DOUBLE)"
+        " + 3 * CAST(s_dl AS DOUBLE)"
+        " + CAST(9 * dl AS DOUBLE) * CAST(n_docs AS DOUBLE)))) AS BIGINT)".format(i=i)
         for i in range(len(terms))
     )
     return f"""

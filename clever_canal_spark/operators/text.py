@@ -667,6 +667,35 @@ def normalize_text(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def bm25_contrib_sql(
+    tf: str, df: str, dl: str, n_docs: str = "n_docs", s_dl: str = "s_dl"
+) -> str:
+    """One query term's BM25 contribution (e6-scaled BIGINT) — THE
+    scoring expression, shared verbatim by the corpus path
+    (:func:`bm25_topk`) and both index probes (text_index), which is
+    what makes their equivalence a contract rather than a coincidence.
+
+    k1=6/5, b=3/4 → contribution = idf_e6 · 22·tf·S / (10·tf·S + 3·S +
+    9·dl·N). BIGINT products are kept small (22·tf, 10·tf, 9·dl — all
+    ≤ ~2³¹) and widened to DOUBLE BEFORE multiplying by the
+    corpus-sized S and N, so nothing wraps at 10¹⁰-doc scale; beyond
+    2⁵³ the double products round, but identically in every IEEE
+    engine, so cross-engine hashes still match. idf is the Lucene
+    ln(1 + (N−df+0.5)/(df+0.5)) (never negative), quantized to BIGINT
+    e6 before use. A tf=0 term contributes exactly 0."""
+    idf_e6 = (
+        f"CAST(ROUND(LN((CAST({n_docs} AS DOUBLE) - CAST({df} AS DOUBLE) + 0.5)"
+        f" / (CAST({df} AS DOUBLE) + 0.5) + 1.0) * 1e6) AS BIGINT)"
+    )
+    num = f"(CAST(22 * {tf} AS DOUBLE) * CAST({s_dl} AS DOUBLE))"
+    den = (
+        f"(CAST(10 * {tf} AS DOUBLE) * CAST({s_dl} AS DOUBLE)"
+        f" + 3 * CAST({s_dl} AS DOUBLE)"
+        f" + CAST(9 * {dl} AS DOUBLE) * CAST({n_docs} AS DOUBLE))"
+    )
+    return f"CAST(ROUND(CAST({idf_e6} AS DOUBLE) * ({num} / {den})) AS BIGINT)"
+
+
 def bm25_topk(
     df: DataFrame,
     terms: list[str],
@@ -681,13 +710,16 @@ def bm25_topk(
     is the webtext-analytics addition a corpus-exploration user expects
     (find the documents about X before eyeballing a filter rule).
 
-    Integer-exact across engines: with k1=6/5 and b=3/4 the
-    tf-saturation term is the exact integer rational
-    ``22·tf·S / (10·S·tf + 3·S + 9·dl·N)`` (S = Σ doc lengths), so the
+    Exact-across-engines: with k1=6/5 and b=3/4 the tf-saturation term
+    is the rational ``22·tf·S / (10·tf·S + 3·S + 9·dl·N)`` (S = Σ doc
+    lengths) — computed via :func:`bm25_contrib_sql`, whose factor
+    grouping keeps every BIGINT product small before widening to DOUBLE
+    (no 64-bit wrap even at S ~ 10¹³), after which every operation is
+    deterministic IEEE arithmetic identical in Spark and DuckDB; the
     only transcendental is the idf ln over exactly-representable integer
-    ratios, quantized to ``idf_e6`` BIGINT before use; each term's score
-    contribution is rounded at e6 and summed as BIGINT, so cross-engine
-    float drift cannot accumulate.
+    ratios, quantized to ``idf_e6`` BIGINT before use; per-term
+    contributions round at e6 and sum as BIGINT, so cross-engine float
+    drift cannot accumulate.
 
     Scale shape (NO corpus-wide shuffle): the query's term list is tiny
     and fixed, so per-doc tf for every term comes from one projection
@@ -701,7 +733,13 @@ def bm25_topk(
         raise ValueError("bm25_topk needs at least one query term")
     if len(set(terms)) != len(terms):
         raise ValueError("query terms must be distinct")
-    toks = F.expr(f"regexp_extract_all({text_col}, r'{TOKEN_RE}', 0)")
+    # null text tokenizes to the empty array (size 0, not Spark's
+    # size(NULL) = -1, which would corrupt S and diverge from the
+    # index path and the SQL oracle, where NULL rows fall out of sums)
+    toks = F.coalesce(
+        F.expr(f"regexp_extract_all({text_col}, r'{TOKEN_RE}', 0)"),
+        F.expr("CAST(array() AS array<string>)"),
+    )
 
     def _eq(term: str):
         # single-arg lambda: a 2-arg callable would be read as (element,
@@ -725,18 +763,9 @@ def bm25_topk(
         ],
     )
     scored = base.crossJoin(F.broadcast(stats))
-    contrib = []
-    for i in range(len(terms)):
-        idf_e6 = (
-            "CAST(ROUND(LN((CAST(n_docs AS DOUBLE) - CAST(df{i} AS DOUBLE) + 0.5)"
-            " / (CAST(df{i} AS DOUBLE) + 0.5) + 1.0) * 1e6) AS BIGINT)"
-        ).format(i=i)
-        num = f"CAST(22 * tf{i} * s_dl AS DOUBLE)"
-        den = f"CAST(10 * s_dl * tf{i} + 3 * s_dl + 9 * dl * n_docs AS DOUBLE)"
-        contrib.append(
-            f"CAST(ROUND(CAST({idf_e6} AS DOUBLE) * ({num} / {den})) AS BIGINT)"
-        )
-    score = " + ".join(contrib)
+    score = " + ".join(
+        bm25_contrib_sql(f"tf{i}", f"df{i}", "dl") for i in range(len(terms))
+    )
     return (
         scored.select(id_col, "dl", F.expr(score).alias("score_e6"))
         .where(F.col("score_e6") > 0)

@@ -47,7 +47,8 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from ..lake import LakeTable
-from .text import TOKEN_RE
+from ._cursor import read_lake_cursor as _read_lake_cursor, write_lake_cursor as _write_lake_cursor
+from .text import TOKEN_RE, bm25_contrib_sql
 
 _SIDECAR = "index.json"
 
@@ -179,14 +180,7 @@ def probe_bm25(index: TextIndex, terms: list[str], k: int = 25) -> DataFrame:
         .select(
             "doc_id",
             "dl",
-            F.expr(
-                "CAST(ROUND(CAST(CAST(ROUND(LN((CAST(n_docs AS DOUBLE)"
-                " - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)"
-                " + 1.0) * 1e6) AS BIGINT) AS DOUBLE)"
-                " * (CAST(22 * tf * s_dl AS DOUBLE)"
-                " / CAST(10 * s_dl * tf + 3 * s_dl + 9 * dl * n_docs"
-                " AS DOUBLE))) AS BIGINT)"
-            ).alias("contrib_e6"),
+            F.expr(bm25_contrib_sql("tf", "df", "dl")).alias("contrib_e6"),
         )
     )
     return (
@@ -198,22 +192,6 @@ def probe_bm25(index: TextIndex, terms: list[str], k: int = 25) -> DataFrame:
     )
 
 
-_CURSOR = "lake_cursor.json"
-
-
-def _read_lake_cursor(path: str) -> int:
-    try:
-        with open(os.path.join(path, _CURSOR)) as fh:
-            return int(json.load(fh)["version"])
-    except FileNotFoundError:
-        return 0
-
-
-def _write_lake_cursor(path: str, version: int) -> None:
-    tmp = os.path.join(path, f".{_CURSOR}.tmp")
-    with open(tmp, "w") as fh:
-        json.dump({"version": version}, fh)
-    os.replace(tmp, os.path.join(path, _CURSOR))
 
 
 def apply_text_index_changes(
@@ -236,6 +214,10 @@ def apply_text_index_changes(
         changes.groupBy("doc_id")
         .agg(F.max_by(F.struct(text_col, "op", "lsn"), F.col("lsn")).alias("__w"))
         .select("doc_id", f"__w.{text_col}", "__w.op", "__w.lsn")
+        # materialize the winners BEFORE scan_for_keys_df's bucket-id
+        # collect — otherwise the changelog read + LWW agg would run for
+        # the collect AND again for every downstream use
+        .localCheckpoint()
     )
     old = index.fwd.scan_for_keys_df(w.select("doc_id")).select(
         "doc_id", F.col("toks").alias("old_toks")
@@ -243,10 +225,10 @@ def apply_text_index_changes(
     w = w.join(old, "doc_id", "left").withColumn(
         "old_toks", F.coalesce("old_toks", F.array().cast("array<string>"))
     )
-    # materialize the winner delta ONCE: both merges below derive from it,
-    # and without this each would re-run the changelog read + LWW agg +
-    # fwd bucket read; it also pins the PRE-merge fwd state for the fwd
-    # merge's own source, independent of evaluation order
+    # second materialization: both merges below derive from this join, and
+    # without it each would re-read the fwd buckets; it also pins the
+    # PRE-merge fwd state for the fwd merge's own source, independent of
+    # evaluation order
     w = w.localCheckpoint()
     live = w.filter(F.col("op") != "D")
     dead = w.filter(F.col("op") == "D")
@@ -365,8 +347,12 @@ def probe_bm25_batch(
     for qid, terms in queries:
         if not terms or len(set(terms)) != len(terms):
             raise ValueError(f"query {qid}: terms must be non-empty and distinct")
-    spark = index.fwd.spark
     pairs = [(int(qid), t) for qid, terms in queries for t in terms]
+    if len(set(pairs)) != len(pairs):
+        # a repeated query_id re-listing a term would double-count that
+        # term's contribution through the qmap join — refuse loudly
+        raise ValueError("duplicate (query_id, term) across batch entries")
+    spark = index.fwd.spark
     union_terms = sorted({t for _, t in pairs})
     qmap = F.broadcast(
         spark.createDataFrame(pairs, "query_id bigint, tok string")
@@ -386,14 +372,7 @@ def probe_bm25_batch(
             "query_id",
             "doc_id",
             "dl",
-            F.expr(
-                "CAST(ROUND(CAST(CAST(ROUND(LN((CAST(n_docs AS DOUBLE)"
-                " - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)"
-                " + 1.0) * 1e6) AS BIGINT) AS DOUBLE)"
-                " * (CAST(22 * tf * s_dl AS DOUBLE)"
-                " / CAST(10 * s_dl * tf + 3 * s_dl + 9 * dl * n_docs"
-                " AS DOUBLE))) AS BIGINT)"
-            ).alias("contrib_e6"),
+            F.expr(bm25_contrib_sql("tf", "df", "dl")).alias("contrib_e6"),
         )
         .groupBy("query_id", "doc_id")
         .agg(F.first("dl").alias("dl"), F.sum("contrib_e6").alias("score_e6"))

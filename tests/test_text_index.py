@@ -232,3 +232,27 @@ def test_probe_reads_only_term_buckets(spark, tmp_table_dir):
     got = {r["doc_id"] for r in
            idx.postings.scan_for_keys(["w3"]).collect()}
     assert got == {3}
+
+
+def test_batch_probe_rejects_duplicate_query_term(spark, tmp_table_dir):
+    import pytest
+    from clever_canal_spark.operators.text_index import probe_bm25_batch
+
+    idx = build_text_index(spark, _docs(spark, CORPUS[:2]),
+                           os.path.join(tmp_table_dir, "tidx8"))
+    with pytest.raises(ValueError, match="duplicate"):
+        probe_bm25_batch(idx, [(1, ["spark"]), (1, ["spark", "river"])], k=5)
+
+
+def test_bm25_null_text_counts_as_empty(spark):
+    """A null-text doc (the D-op convention) must behave as dl=0 — it
+    counts toward N but cannot corrupt S with Spark's size(NULL) = -1."""
+    rows = [(1, "cat sat", "en"), (2, None, "en"), (3, "cat", "en")]
+    no_null = [(1, "cat sat", "en"), (2, "", "en"), (3, "cat", "en")]
+    got = _bm25_rows(bm25_topk(
+        spark.createDataFrame(rows, "doc_id bigint, text string, lang string"),
+        ["cat"], k=5))
+    want = _bm25_rows(bm25_topk(
+        spark.createDataFrame(no_null, "doc_id bigint, text string, lang string"),
+        ["cat"], k=5))
+    assert got == want and len(got) == 2
