@@ -3244,3 +3244,55 @@ def q_doc_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text import mix_weights
 
     return mix_weights(_documents(spark, sf_dir), _MIX_TARGET)
+
+
+@register(
+    "doc_search_snippets",
+    f"""
+    WITH hits AS ({_bm25_oracle(('spark',), 25)})
+    SELECT h.doc_id, h.score_e6,
+           CAST(strpos(d.text, 'spark') AS INT) AS match_at,
+           substr(d.text, greatest(strpos(d.text, 'spark') - 40, 1), 85)
+             AS snippet
+    FROM hits h JOIN documents d USING (doc_id)
+    ORDER BY h.score_e6 DESC, h.doc_id
+    """,
+)
+def q_doc_search_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval UX (operators/text.search_snippets): BM25 top-25 for
+    'spark' with a ±40-char snippet around the first occurrence.
+    locate/strpos and substring/substr are both 1-based and
+    clamp identically — string-exact across engines."""
+    from .operators.text import search_snippets
+
+    return search_snippets(_documents(spark, sf_dir), "spark", k=25)
+
+
+@register(
+    "doc_langid_confusion",
+    r"""
+    SELECT lang,
+           CASE WHEN en_hits + de_hits + fr_hits + es_hits = 0 THEN 'und'
+                WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits THEN 'en'
+                WHEN de_hits >= fr_hits AND de_hits >= es_hits THEN 'de'
+                WHEN fr_hits >= es_hits THEN 'fr'
+                ELSE 'es' END AS pred_lang,
+           count(*) AS n_docs
+    FROM (
+      SELECT lang,
+             len(regexp_extract_all(text, '\b(the|and|of|to|in|is|that|for)\b')) AS en_hits,
+             len(regexp_extract_all(text, '\b(der|die|das|und|ist|nicht|von|mit)\b')) AS de_hits,
+             len(regexp_extract_all(text, '\b(le|la|les|des|et|est|pour|dans)\b')) AS fr_hits,
+             len(regexp_extract_all(text, '\b(el|los|las|y|es|para|en|que)\b')) AS es_hits
+      FROM documents
+    )
+    GROUP BY lang, pred_lang
+    """,
+)
+def q_doc_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lang-ID eval (operators/text.langid_confusion): confusion matrix
+    of the marker-word classifier vs the labeled lang — the standing
+    drift check for the heuristic. One projection + |langs|² agg."""
+    from .operators.text import langid_confusion
+
+    return langid_confusion(_documents(spark, sf_dir))

@@ -86,19 +86,28 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Marker-word language ID with fixed tie precedence (JVM regex path;
-    the pandas-UDF twin is functions.transforms.tag_language)."""
+def _pred_lang_col(text_col: str) -> Column:
+    """The marker-word prediction as a bare column (fixed tie precedence
+    en > de > fr > es) — shared by lang_id and langid_confusion."""
     t = F.col(text_col)
     hits = {k: F.regexp_count(t, F.lit(v)) for k, v in LANG_MARKERS.items()}
     en, de, fr, es = hits["en"], hits["de"], hits["fr"], hits["es"]
-    pred = (
+    return (
         F.when((en + de + fr + es) == 0, "und")
         .when((en >= de) & (en >= fr) & (en >= es), "en")
         .when((de >= fr) & (de >= es), "de")
         .when(fr >= es, "fr")
         .otherwise("es")
     )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language ID with fixed tie precedence (JVM regex path;
+    the pandas-UDF twin is functions.transforms.tag_language)."""
+    t = F.col(text_col)
+    hits = {k: F.regexp_count(t, F.lit(v)) for k, v in LANG_MARKERS.items()}
+    en, de, fr, es = hits["en"], hits["de"], hits["fr"], hits["es"]
+    pred = _pred_lang_col(text_col)
     return df.select(
         "doc_id",
         en.alias("en_hits"),
@@ -838,4 +847,54 @@ def mix_weights(
                 " THEN 1 ELSE 0 END AS INT)"
             ).alias("n_copies"),
         )
+    )
+
+
+def search_snippets(
+    df: DataFrame,
+    term: str,
+    k: int = 25,
+    window_chars: int = 40,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Retrieval UX: BM25 top-``k`` for a single term, each hit carrying
+    a ±``window_chars`` snippet around the term's FIRST occurrence
+    (1-based ``locate``/``strpos`` — identical in Spark and DuckDB) and
+    the match offset. The snippet window clamps at the document start;
+    ``substring`` clamps the tail natively.
+
+    Scale shape: scoring is :func:`bm25_topk` (no corpus shuffle); the
+    snippet join touches only the k winner rows (broadcast semi of a
+    25-row side against the scan — Catalyst prunes to (id, text))."""
+    hits = bm25_topk(df, [term], k=k, id_col=id_col, text_col=text_col)
+    pos = F.expr(f"locate('{term}', {text_col})")
+    start = F.greatest(pos - window_chars, F.lit(1))
+    snip = F.expr(
+        f"substring({text_col}, greatest(locate('{term}', {text_col}) - {window_chars}, 1), "
+        f"{2 * window_chars} + {len(term)})"
+    )
+    return (
+        hits.join(df.select(id_col, text_col), id_col)
+        .select(
+            id_col,
+            "score_e6",
+            pos.cast("int").alias("match_at"),
+            snip.alias("snippet"),
+        )
+        .orderBy(F.col("score_e6").desc(), F.col(id_col))
+    )
+
+
+def langid_confusion(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Operator eval: confusion matrix of the marker-word language ID
+    against the corpus's labeled ``lang`` — (label, prediction, count).
+    The standing check that the heuristic hasn't rotted as the corpus
+    mix shifts; a pipeline alerts when off-diagonal mass grows.
+    One projection + one vocabulary-bounded aggregate (|langs|² rows,
+    map-side partials) — no join, no second scan."""
+    return (
+        df.select("lang", _pred_lang_col(text_col).alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n_docs"))
     )

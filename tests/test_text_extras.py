@@ -613,3 +613,36 @@ def test_mix_weights_expected_mix_converges(spark):
     total = sum(copies.values())
     assert abs(copies["en"] / total - 0.5) < 0.05
     assert abs(copies["de"] / total - 0.5) < 0.05
+
+
+# -- search_snippets / langid_confusion ---------------------------------------
+
+def test_search_snippets_hand_case(spark):
+    from clever_canal_spark.operators.text import search_snippets
+
+    rows = [
+        (1, ("x " * 50) + "needle in the middle " + ("y " * 50), "en"),
+        (2, "needle at the start of it all", "en"),
+        (3, "nothing relevant here", "en"),
+    ]
+    out = {r["doc_id"]: r.asDict()
+           for r in search_snippets(_docs(spark, rows), "needle",
+                                    k=5, window_chars=10).collect()}
+    assert set(out) == {1, 2}
+    assert out[2]["match_at"] == 1
+    assert out[2]["snippet"].startswith("needle")  # window clamps at start
+    assert "needle" in out[1]["snippet"]
+    assert len(out[1]["snippet"]) == 2 * 10 + len("needle")
+
+
+def test_langid_confusion_counts(spark):
+    from clever_canal_spark.operators.text import langid_confusion
+
+    rows = [
+        (1, "the cat and the dog of the house", "en"),   # en -> en
+        (2, "der hund und die katze ist nicht da", "de"),  # de -> de
+        (3, "zzz qqq www", "en"),                          # en -> und
+    ]
+    out = {(r["lang"], r["pred_lang"]): r["n_docs"]
+           for r in langid_confusion(_docs(spark, rows)).collect()}
+    assert out == {("en", "en"): 1, ("de", "de"): 1, ("en", "und"): 1}
