@@ -868,11 +868,12 @@ def search_snippets(
     snippet join touches only the k winner rows (broadcast semi of a
     25-row side against the scan — Catalyst prunes to (id, text))."""
     hits = bm25_topk(df, [term], k=k, id_col=id_col, text_col=text_col)
-    pos = F.expr(f"locate('{term}', {text_col})")
+    # F.locate/F.substring take the needle as a literal — no SQL string
+    # interpolation, so quotes/backslashes in the term cannot inject
+    pos = F.locate(term, F.col(text_col))
     start = F.greatest(pos - window_chars, F.lit(1))
-    snip = F.expr(
-        f"substring({text_col}, greatest(locate('{term}', {text_col}) - {window_chars}, 1), "
-        f"{2 * window_chars} + {len(term)})"
+    snip = F.substring(
+        F.col(text_col), start, F.lit(2 * window_chars + len(term))
     )
     return (
         hits.join(df.select(id_col, text_col), id_col)
