@@ -3296,3 +3296,51 @@ def q_doc_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text import langid_confusion
 
     return langid_confusion(_documents(spark, sf_dir))
+
+
+_RRF_TERMS = ("spark", "vector")
+
+
+@register(
+    "doc_hybrid_rrf_topk",
+    f"""
+    WITH t_hits AS ({_bm25_oracle(_RRF_TERMS, 100)}),
+    t_ranks AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY score_e6 DESC, doc_id) AS INT)
+               AS r_text
+      FROM t_hits
+    ),
+    q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+    v_hits AS (
+      SELECT vec_id AS doc_id, {_duck_dot_e9('embedding', 'qvec')} AS dot_e9
+      FROM embeddings, q
+      ORDER BY dot_e9 DESC, vec_id LIMIT 100
+    ),
+    v_ranks AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY dot_e9 DESC, doc_id) AS INT)
+               AS r_vec
+      FROM v_hits
+    )
+    SELECT COALESCE(t.doc_id, v.doc_id) AS doc_id, r_text, r_vec,
+           COALESCE(CAST(ROUND(1e9 / CAST(60 + r_text AS DOUBLE)) AS BIGINT), 0)
+           + COALESCE(CAST(ROUND(1e9 / CAST(60 + r_vec AS DOUBLE)) AS BIGINT), 0)
+             AS rrf_e9
+    FROM t_ranks t FULL OUTER JOIN v_ranks v USING (doc_id)
+    ORDER BY rrf_e9 DESC, doc_id LIMIT 25
+    """,
+)
+def q_doc_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (operators/similarity.hybrid_rrf_topk): BM25
+    top-100 for ('spark','vector') fused with cosine top-100 vs the
+    vec_id=0 query by reciprocal-rank fusion (k=60) — integer ranks,
+    rrf_e9 exact. Each channel keeps its own scale shape; the fusion
+    join touches 200 rows."""
+    from .operators.similarity import hybrid_rrf_topk
+
+    emb = _embeddings(spark, sf_dir)
+    return hybrid_rrf_topk(
+        _documents(spark, sf_dir), emb, list(_RRF_TERMS),
+        emb.filter(F.col("vec_id") == 0), k=25,
+    )

@@ -14,7 +14,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 N_PLANES = 8
 N_DIMS = 64
@@ -400,3 +400,59 @@ def cosine_neardup_clusters(
     out = min_label_components(ids, edges, max_iter=max_iter)
     _free_checkpoint(edges)
     return out.select(F.col("doc_id").alias("vec_id"), "cluster_id")
+
+
+def hybrid_rrf_topk(
+    docs: DataFrame,
+    emb: DataFrame,
+    terms: list[str],
+    query_df: DataFrame,
+    k: int = 25,
+    depth: int = 100,
+    k_rrf: int = 60,
+    n_dims: int = N_DIMS,
+) -> DataFrame:
+    """Hybrid retrieval: BM25 keyword ranks fused with cosine vector
+    ranks by reciprocal-rank fusion (RRF, Cormack et al. 2009) —
+    ``score = Σ 1/(k_rrf + rank)`` over the channels that returned the
+    doc. The modern search default: lexical recall catches what the
+    embedding misses and vice versa, and rank fusion needs no score
+    calibration between channels.
+
+    Exact across engines: both channels' ranks are integers (each
+    channel's own tie-break: score desc, id asc); the fused score is
+    emitted as ``rrf_e9`` = Σ ROUND(1e9/(k_rrf+rank)) — double division
+    of exact small ints, deterministic everywhere. Per-channel ranks are
+    returned (NULL when a channel missed the doc) so downstream can
+    re-fuse with different k_rrf without re-running retrieval.
+
+    Scale shape: each channel is its own top-``depth`` (BM25: shuffle-
+    free corpus pass; cosine: broadcast-1-row + TakeOrdered), so the
+    fusion join touches 2·depth rows — driver-trivial regardless of
+    corpus size. ``vec_id`` is the embedding row's document id (the
+    documents↔embeddings contract used by emb_filtered_topk)."""
+    from .text import bm25_topk
+
+    w_t = Window.orderBy(F.col("score_e6").desc(), F.col("doc_id"))
+    t_ranks = (
+        bm25_topk(docs, terms, k=depth)
+        .select("doc_id", F.row_number().over(w_t).alias("r_text"))
+    )
+    w_v = Window.orderBy(F.col("dot_e9").desc(), F.col("vec_id"))
+    v_ranks = (
+        brute_force_topk(emb, query_df, k=depth, n_dims=n_dims)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.row_number().over(w_v).alias("r_vec"),
+        )
+    )
+    rrf = (
+        "COALESCE(CAST(ROUND(1e9 / CAST({k} + r_text AS DOUBLE)) AS BIGINT), 0)"
+        " + COALESCE(CAST(ROUND(1e9 / CAST({k} + r_vec AS DOUBLE)) AS BIGINT), 0)"
+    ).format(k=k_rrf)
+    return (
+        t_ranks.join(v_ranks, "doc_id", "full_outer")
+        .select("doc_id", "r_text", "r_vec", F.expr(rrf).alias("rrf_e9"))
+        .orderBy(F.col("rrf_e9").desc(), F.col("doc_id"))
+        .limit(k)
+    )

@@ -282,3 +282,43 @@ def test_cosine_neardup_clusters_hand_case(spark):
     assert got[5] == got[6] == 5
     assert got[9] == 9
     assert len(got) == 6
+
+
+# -- hybrid RRF fusion ---------------------------------------------------------
+
+def test_hybrid_rrf_hand_case(spark):
+    """doc 1 ranks #1 in text only, doc 2 #1 in vector only, doc 3 #2 in
+    both — fusion must put the both-channels doc first."""
+    from clever_canal_spark.operators.similarity import hybrid_rrf_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "needle needle needle haystack"),       # text #1
+            (2, "nothing relevant at all right here"),  # text miss
+            (3, "a needle somewhere in this text"),     # text #2
+        ],
+        "doc_id bigint, text string",
+    )
+    # unit vectors in 4 dims: q = e1; doc2 = e1 (cos 1.0), doc3 close,
+    # doc1 orthogonal (vector miss at depth 2 via limit)
+    emb = spark.createDataFrame(
+        [
+            (1, [0.0, 1.0, 0.0, 0.0]),
+            (2, [1.0, 0.0, 0.0, 0.0]),
+            (3, [0.9, 0.435889894, 0.0, 0.0]),
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    q = emb.filter("vec_id = 2").select("vec_id", "embedding")
+    out = hybrid_rrf_topk(docs, emb, ["needle"], q,
+                          k=3, depth=2, k_rrf=60, n_dims=4)
+    rows = [(r["doc_id"], r["r_text"], r["r_vec"], r["rrf_e9"])
+            for r in out.collect()]
+    by_id = {r[0]: r for r in rows}
+    assert by_id[3][1] == 2 and by_id[3][2] == 2          # both channels
+    assert by_id[1][1] == 1 and by_id[1][2] is None       # text only
+    assert by_id[2][1] is None and by_id[2][2] == 1       # vector only
+    e9 = lambda r: round(1e9 / (60 + r))
+    assert by_id[3][3] == e9(2) + e9(2)
+    assert by_id[1][3] == e9(1) and by_id[2][3] == e9(1)
+    assert rows[0][0] == 3  # fused winner: present in both channels
