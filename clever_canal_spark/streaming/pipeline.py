@@ -51,6 +51,16 @@ class CdcPipeline:
     # and sync is healed by the next batch's sync-to-head. Requires the
     # sink to be MOR-fed (lake/rollup.py module docstring).
     rollup_view: LakeTable | None = None
+    # generic derived-state maintenance: callables invoked with the sink
+    # table after every micro-batch's apply — the hook the persisted
+    # indexes plug into (dedup_index.sync_from_lake, text_index.
+    # sync_text_index_from_lake, ann_index.sync_ann_from_lake, each
+    # curried over its index). Same crash contract as rollup_view: every
+    # sync keys its own exactly-once on the consumed lake version, so a
+    # replayed micro-batch syncs 0 and a crash between apply and hook is
+    # healed by the next batch's sync-to-head. Hooks run in list order,
+    # AFTER the rollup sync.
+    sync_hooks: tuple = ()
 
     def __post_init__(self):
         if self.rollup_view is not None and self.cfg.merge_mode != "mor":
@@ -84,6 +94,8 @@ class CdcPipeline:
                 from ..lake import sync_rollup
 
                 sync_rollup(self.rollup_view, self.table)
+            for hook in self.sync_hooks:
+                hook(self.table)
 
         w = stream.writeStream.foreachBatch(_apply).option(
             "checkpointLocation", self.checkpoint_dir

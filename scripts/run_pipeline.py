@@ -158,10 +158,35 @@ def main() -> None:
         print(f"applied {len(results)} epochs; table version {table.current_version()}, "
               f"rows {table.scan().count()}")
     else:
+        # --continuous: indexes ride the micro-batch loop via sync_hooks
+        # (each sync is exactly-once on consumed lake version, so this is
+        # crash-equivalent to the post-drain path below)
+        sync_hooks = []
+        if args.continuous and args.dedup_index_dir:
+            from clever_canal_spark.operators.dedup_index import (
+                build_dedup_index_from_lake, open_dedup_index, sync_from_lake,
+            )
+
+            didx = (open_dedup_index(spark, args.dedup_index_dir)
+                    if os.path.exists(os.path.join(args.dedup_index_dir, "index.json"))
+                    else build_dedup_index_from_lake(table, args.dedup_index_dir))
+            sync_hooks.append(lambda t, _i=didx: sync_from_lake(_i, t))
+            print("dedup index: maintained per micro-batch")
+        if args.continuous and args.text_index_dir:
+            from clever_canal_spark.operators.text_index import (
+                build_text_index_from_lake, open_text_index,
+                sync_text_index_from_lake,
+            )
+
+            tidx = (open_text_index(spark, args.text_index_dir)
+                    if os.path.exists(os.path.join(args.text_index_dir, "index.json"))
+                    else build_text_index_from_lake(table, args.text_index_dir))
+            sync_hooks.append(lambda t, _i=tidx: sync_text_index_from_lake(_i, t))
+            print("text index: maintained per micro-batch")
         pipe = CdcPipeline(
             spark, args.source_dir, args.checkpoint, table, cfg,
             metrics_table=metrics, max_files_per_trigger=args.max_files_per_epoch,
-            rollup_view=view,
+            rollup_view=view, sync_hooks=tuple(sync_hooks),
         )
         if args.continuous:
             q = pipe.start(available_now=False, processing_time="10 seconds")
@@ -174,10 +199,10 @@ def main() -> None:
     # the lake's changelog, not the feed, so it doesn't care which engine
     # applied the epochs (and --continuous streaming users run it from a
     # separate periodic invocation against the same dirs).
-    if args.dedup_index_dir and args.continuous:
-        print("dedup index: NOT maintained in --continuous mode; run a "
-              "separate periodic invocation (same dirs, no --continuous) "
-              "to sync it")
+    if args.dedup_index_dir and args.continuous and args.engine == "follower":
+        print("dedup index: NOT maintained by the follower in --continuous "
+              "mode; use --engine structured (per-micro-batch sync_hooks) or "
+              "a separate periodic invocation (same dirs, no --continuous)")
     if args.dedup_index_dir and not args.continuous:
         from clever_canal_spark.operators.dedup_index import (
             build_dedup_index_from_lake, open_dedup_index, sync_from_lake,
@@ -194,10 +219,10 @@ def main() -> None:
             print(f"dedup index: bootstrapped from current table state "
                   f"({idx.fps.scan().count()} fingerprints)")
 
-    if args.text_index_dir and args.continuous:
-        print("text index: NOT maintained in --continuous mode; run a "
-              "separate periodic invocation (same dirs, no --continuous) "
-              "to sync it")
+    if args.text_index_dir and args.continuous and args.engine == "follower":
+        print("text index: NOT maintained by the follower in --continuous "
+              "mode; use --engine structured (per-micro-batch sync_hooks) or "
+              "a separate periodic invocation (same dirs, no --continuous)")
     if args.text_index_dir and not args.continuous:
         from clever_canal_spark.operators.text_index import (
             build_text_index_from_lake, open_text_index,

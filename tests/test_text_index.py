@@ -256,3 +256,42 @@ def test_bm25_null_text_counts_as_empty(spark):
         spark.createDataFrame(no_null, "doc_id bigint, text string, lang string"),
         ["cat"], k=5))
     assert got == want and len(got) == 2
+
+
+def test_pipeline_sync_hook_maintains_text_index(spark, tmp_table_dir):
+    """CdcPipeline(sync_hooks=...) keeps the text index in lockstep with
+    the streaming sink per micro-batch; a re-drain of the same
+    checkpoint syncs 0 (no double maintenance); state == from-scratch
+    rebuild on the final table."""
+    from clever_canal_spark.gen import FeedConfig, generate_feed
+    from clever_canal_spark.model import PAGE_SCHEMA
+    from clever_canal_spark.plans.apply import ApplyConfig
+    from clever_canal_spark.sources import write_feed_slices
+    from clever_canal_spark.streaming import CdcPipeline
+    from clever_canal_spark.lake import LakeTable
+
+    src = os.path.join(tmp_table_dir, "feed6")
+    cfgf = FeedConfig(n_events=300, n_urls=25, seed=13)
+    write_feed_slices(generate_feed(spark, cfgf), src, n_slices=2,
+                      n_events=cfgf.n_events)
+    table = LakeTable.create(
+        spark, os.path.join(tmp_table_dir, "pages6"), PAGE_SCHEMA,
+        merge_key=["url", "warc_ts"], n_buckets=4,
+    )
+    idx = build_text_index_from_lake(
+        table, os.path.join(tmp_table_dir, "tidx6s"))
+    pipe = CdcPipeline(
+        spark, src, os.path.join(tmp_table_dir, "ck6"), table,
+        ApplyConfig(merge_mode="mor", transform=False),
+        max_files_per_trigger=1,
+        sync_hooks=(lambda t: sync_text_index_from_lake(idx, t),),
+    )
+    pipe.run_until_drained()
+    assert sync_text_index_from_lake(idx, table) == 0  # already at head
+    ref = build_text_index_from_lake(
+        table, os.path.join(tmp_table_dir, "ref6s"))
+    assert _state(idx) == _state(ref)
+    # re-drain: no new epochs, index untouched
+    v = (idx.fwd.current_version(), idx.postings.current_version())
+    pipe.run_until_drained()
+    assert (idx.fwd.current_version(), idx.postings.current_version()) == v
