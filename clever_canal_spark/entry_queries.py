@@ -3344,3 +3344,23 @@ def q_doc_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         _documents(spark, sf_dir), emb, list(_RRF_TERMS),
         emb.filter(F.col("vec_id") == 0), k=25,
     )
+
+
+@register("doc_hybrid_indexed_topk", ORACLES["doc_hybrid_rrf_topk"])
+def q_doc_hybrid_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval served entirely from the persisted indexes
+    (similarity.hybrid_rrf_indexed_topk): inverted-index BM25 probe +
+    LSH ANN multi-probe, fused by RRF. Probed at radius = n_planes
+    (full bucket coverage → exact vector ranks), so the oracle is the
+    SAME corpus-path SQL as doc_hybrid_rrf_topk — parity proves the
+    index-served pipeline reproduces the corpus-scan answer end to
+    end."""
+    from .operators.ann_index import open_ann_index
+    from .operators.similarity import hybrid_rrf_indexed_topk
+
+    tidx = _text_index_for(spark, sf_dir)
+    aidx = open_ann_index(spark, _ann_index_dir(spark, sf_dir, "lsh"))
+    qv = _embeddings(spark, sf_dir).filter(F.col("vec_id") == 0)
+    return hybrid_rrf_indexed_topk(
+        tidx, aidx, list(_RRF_TERMS), qv, k=25, radius=_MP_PLANES,
+    )

@@ -456,3 +456,54 @@ def hybrid_rrf_topk(
         .orderBy(F.col("rrf_e9").desc(), F.col("doc_id"))
         .limit(k)
     )
+
+
+def hybrid_rrf_indexed_topk(
+    text_index,
+    ann_index,
+    terms: list[str],
+    query_df: DataFrame,
+    k: int = 25,
+    depth: int = 100,
+    k_rrf: int = 60,
+    radius: int = 1,
+) -> DataFrame:
+    """:func:`hybrid_rrf_topk` served ENTIRELY from persisted indexes —
+    the index-family composition: the text channel is a bucket-pruned
+    BM25 probe (`text_index.probe_bm25`), the vector channel a
+    multi-probe read of the LSH ANN index (`ann_index.ann_indexed_topk`)
+    — the corpus is never scanned at query time, and both indexes stay
+    current by tailing the same lake changelog.
+
+    ``radius`` trades vector recall for probe cost exactly as in
+    `ann_indexed_topk`; at ``radius = n_planes`` the probe set covers
+    every bucket and the fused output is row-identical to the
+    corpus-path :func:`hybrid_rrf_topk` (the tested/oracled setting —
+    production picks a smaller radius and accepts ANN recall)."""
+    from .ann_index import ann_indexed_topk
+    from .text_index import probe_bm25
+
+    w_t = Window.orderBy(F.col("score_e6").desc(), F.col("doc_id"))
+    t_ranks = (
+        probe_bm25(text_index, terms, k=depth)
+        .select("doc_id", F.row_number().over(w_t).alias("r_text"))
+    )
+    q = query_df.select(F.lit(0).cast("long").alias("query_id"), "embedding")
+    w_v = Window.orderBy(F.col("dot_e9").desc(), F.col("vec_id"))
+    v_ranks = (
+        ann_indexed_topk(ann_index, q, k=depth, radius=radius)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.row_number().over(w_v).alias("r_vec"),
+        )
+    )
+    rrf = (
+        "COALESCE(CAST(ROUND(1e9 / CAST({k} + r_text AS DOUBLE)) AS BIGINT), 0)"
+        " + COALESCE(CAST(ROUND(1e9 / CAST({k} + r_vec AS DOUBLE)) AS BIGINT), 0)"
+    ).format(k=k_rrf)
+    return (
+        t_ranks.join(v_ranks, "doc_id", "full_outer")
+        .select("doc_id", "r_text", "r_vec", F.expr(rrf).alias("rrf_e9"))
+        .orderBy(F.col("rrf_e9").desc(), F.col("doc_id"))
+        .limit(k)
+    )

@@ -322,3 +322,39 @@ def test_hybrid_rrf_hand_case(spark):
     assert by_id[3][3] == e9(2) + e9(2)
     assert by_id[1][3] == e9(1) and by_id[2][3] == e9(1)
     assert rows[0][0] == 3  # fused winner: present in both channels
+
+
+def test_hybrid_indexed_equals_corpus_path_at_full_radius(spark, tmp_table_dir):
+    """Index-served hybrid == corpus-path hybrid when the ANN probe
+    covers every bucket (radius = n_planes) — the composition contract
+    of the index family."""
+    import os
+
+    from clever_canal_spark.operators.ann_index import build_lsh_index, open_ann_index
+    from clever_canal_spark.operators.similarity import (
+        hybrid_rrf_indexed_topk, hybrid_rrf_topk,
+    )
+    from clever_canal_spark.operators.text_index import build_text_index
+
+    docs = spark.createDataFrame(
+        [(i, f"word{i} shared spark" if i % 2 else f"word{i} other text")
+         for i in range(12)],
+        "doc_id bigint, text string",
+    )
+    import math
+    emb = spark.createDataFrame(
+        [(i, [math.cos(i / 5.0), math.sin(i / 5.0), 0.0, 0.0]) for i in range(12)],
+        "vec_id bigint, embedding array<float>",
+    )
+    tidx = build_text_index(spark, docs, os.path.join(tmp_table_dir, "hti"))
+    build_lsh_index(spark, emb, os.path.join(tmp_table_dir, "hai"),
+                    n_planes=3, n_dims=4)
+    aidx = open_ann_index(spark, os.path.join(tmp_table_dir, "hai"))
+    q = emb.filter("vec_id = 0")
+    corpus = [(r["doc_id"], r["r_text"], r["r_vec"], r["rrf_e9"]) for r in
+              hybrid_rrf_topk(docs, emb, ["spark"], q, k=8, depth=6,
+                              n_dims=4).collect()]
+    indexed = [(r["doc_id"], r["r_text"], r["r_vec"], r["rrf_e9"]) for r in
+               hybrid_rrf_indexed_topk(tidx, aidx, ["spark"], q, k=8,
+                                       depth=6, radius=3).collect()]
+    assert corpus == indexed and len(corpus) > 0
