@@ -512,10 +512,10 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE 'es' END AS pred_lang
     FROM (
       SELECT doc_id,
-             len(regexp_extract_all(text, '\b(the|and|of|to|in|is|that|for)\b')) AS en_hits,
-             len(regexp_extract_all(text, '\b(der|die|das|und|ist|nicht|von|mit)\b')) AS de_hits,
-             len(regexp_extract_all(text, '\b(le|la|les|des|et|est|pour|dans)\b')) AS fr_hits,
-             len(regexp_extract_all(text, '\b(el|los|las|y|es|para|en|que)\b')) AS es_hits
+             COALESCE(len(regexp_extract_all(text, '\b(the|and|of|to|in|is|that|for)\b')), 0) AS en_hits,
+             COALESCE(len(regexp_extract_all(text, '\b(der|die|das|und|ist|nicht|von|mit)\b')), 0) AS de_hits,
+             COALESCE(len(regexp_extract_all(text, '\b(le|la|les|des|et|est|pour|dans)\b')), 0) AS fr_hits,
+             COALESCE(len(regexp_extract_all(text, '\b(el|los|las|y|es|para|en|que)\b')), 0) AS es_hits
       FROM documents
     )
     """,
@@ -3280,10 +3280,10 @@ def q_doc_search_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_docs
     FROM (
       SELECT lang,
-             len(regexp_extract_all(text, '\b(the|and|of|to|in|is|that|for)\b')) AS en_hits,
-             len(regexp_extract_all(text, '\b(der|die|das|und|ist|nicht|von|mit)\b')) AS de_hits,
-             len(regexp_extract_all(text, '\b(le|la|les|des|et|est|pour|dans)\b')) AS fr_hits,
-             len(regexp_extract_all(text, '\b(el|los|las|y|es|para|en|que)\b')) AS es_hits
+             COALESCE(len(regexp_extract_all(text, '\b(the|and|of|to|in|is|that|for)\b')), 0) AS en_hits,
+             COALESCE(len(regexp_extract_all(text, '\b(der|die|das|und|ist|nicht|von|mit)\b')), 0) AS de_hits,
+             COALESCE(len(regexp_extract_all(text, '\b(le|la|les|des|et|est|pour|dans)\b')), 0) AS fr_hits,
+             COALESCE(len(regexp_extract_all(text, '\b(el|los|las|y|es|para|en|que)\b')), 0) AS es_hits
       FROM documents
     )
     GROUP BY lang, pred_lang

@@ -311,3 +311,12 @@ def build_dedup_index_from_lake(
     )
     _write_lake_cursor(path, head)
     return idx
+
+
+def open_or_build_dedup_index(table: LakeTable, path: str, **kwargs) -> DedupIndex:
+    """Open the index at ``path`` if its sidecar exists, else bootstrap it
+    from ``table``'s current state — the shared open/bootstrap decision
+    (mirrors text_index.open_or_build_text_index)."""
+    if os.path.exists(os.path.join(path, _SIDECAR)):
+        return open_dedup_index(table.spark, path)
+    return build_dedup_index_from_lake(table, path, **kwargs)

@@ -402,6 +402,32 @@ def cosine_neardup_clusters(
     return out.select(F.col("doc_id").alias("vec_id"), "cluster_id")
 
 
+def _require_one_query_row(query_df: DataFrame, fn: str) -> None:
+    # both hybrid shapes fuse exactly one query's two channels; a
+    # multi-row query_df would silently merge unrelated queries into one
+    # garbage ranking (the batched contract lives in ann_index)
+    if query_df.limit(2).count() != 1:
+        raise ValueError(f"{fn} takes exactly ONE query row; "
+                         "batch queries via ann_index.ann_indexed_topk")
+
+
+def _rrf_fuse(t_ranks: DataFrame, v_ranks: DataFrame, k: int, k_rrf: int) -> DataFrame:
+    """Fuse per-channel integer ranks: rrf_e9 = Σ ROUND(1e9/(k_rrf+r))
+    over the channels that returned the doc — ONE definition, so the
+    corpus path and the index path cannot drift from each other or from
+    the shared oracle SQL."""
+    rrf = (
+        "COALESCE(CAST(ROUND(1e9 / CAST({k} + r_text AS DOUBLE)) AS BIGINT), 0)"
+        " + COALESCE(CAST(ROUND(1e9 / CAST({k} + r_vec AS DOUBLE)) AS BIGINT), 0)"
+    ).format(k=k_rrf)
+    return (
+        t_ranks.join(v_ranks, "doc_id", "full_outer")
+        .select("doc_id", "r_text", "r_vec", F.expr(rrf).alias("rrf_e9"))
+        .orderBy(F.col("rrf_e9").desc(), F.col("doc_id"))
+        .limit(k)
+    )
+
+
 def hybrid_rrf_topk(
     docs: DataFrame,
     emb: DataFrame,
@@ -433,6 +459,7 @@ def hybrid_rrf_topk(
     documents↔embeddings contract used by emb_filtered_topk)."""
     from .text import bm25_topk
 
+    _require_one_query_row(query_df, "hybrid_rrf_topk")
     w_t = Window.orderBy(F.col("score_e6").desc(), F.col("doc_id"))
     t_ranks = (
         bm25_topk(docs, terms, k=depth)
@@ -446,16 +473,7 @@ def hybrid_rrf_topk(
             F.row_number().over(w_v).alias("r_vec"),
         )
     )
-    rrf = (
-        "COALESCE(CAST(ROUND(1e9 / CAST({k} + r_text AS DOUBLE)) AS BIGINT), 0)"
-        " + COALESCE(CAST(ROUND(1e9 / CAST({k} + r_vec AS DOUBLE)) AS BIGINT), 0)"
-    ).format(k=k_rrf)
-    return (
-        t_ranks.join(v_ranks, "doc_id", "full_outer")
-        .select("doc_id", "r_text", "r_vec", F.expr(rrf).alias("rrf_e9"))
-        .orderBy(F.col("rrf_e9").desc(), F.col("doc_id"))
-        .limit(k)
-    )
+    return _rrf_fuse(t_ranks, v_ranks, k, k_rrf)
 
 
 def hybrid_rrf_indexed_topk(
@@ -483,6 +501,7 @@ def hybrid_rrf_indexed_topk(
     from .ann_index import ann_indexed_topk
     from .text_index import probe_bm25
 
+    _require_one_query_row(query_df, "hybrid_rrf_indexed_topk")
     w_t = Window.orderBy(F.col("score_e6").desc(), F.col("doc_id"))
     t_ranks = (
         probe_bm25(text_index, terms, k=depth)
@@ -497,13 +516,4 @@ def hybrid_rrf_indexed_topk(
             F.row_number().over(w_v).alias("r_vec"),
         )
     )
-    rrf = (
-        "COALESCE(CAST(ROUND(1e9 / CAST({k} + r_text AS DOUBLE)) AS BIGINT), 0)"
-        " + COALESCE(CAST(ROUND(1e9 / CAST({k} + r_vec AS DOUBLE)) AS BIGINT), 0)"
-    ).format(k=k_rrf)
-    return (
-        t_ranks.join(v_ranks, "doc_id", "full_outer")
-        .select("doc_id", "r_text", "r_vec", F.expr(rrf).alias("rrf_e9"))
-        .orderBy(F.col("rrf_e9").desc(), F.col("doc_id"))
-        .limit(k)
-    )
+    return _rrf_fuse(t_ranks, v_ranks, k, k_rrf)

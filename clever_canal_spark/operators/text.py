@@ -86,11 +86,22 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _lang_hits(text_col: str) -> dict:
+    """Marker-word hit counts, null-coalesced: NULL text counts as 0
+    hits everywhere (→ 'und'), never a NULL that would fall through a
+    CASE chain to the last branch. One construction shared by lang_id
+    and langid_confusion so hit columns and prediction cannot drift."""
+    t = F.col(text_col)
+    return {
+        k: F.coalesce(F.regexp_count(t, F.lit(v)), F.lit(0))
+        for k, v in LANG_MARKERS.items()
+    }
+
+
 def _pred_lang_col(text_col: str) -> Column:
     """The marker-word prediction as a bare column (fixed tie precedence
-    en > de > fr > es) — shared by lang_id and langid_confusion."""
-    t = F.col(text_col)
-    hits = {k: F.regexp_count(t, F.lit(v)) for k, v in LANG_MARKERS.items()}
+    en > de > fr > es; NULL/markerless text → 'und')."""
+    hits = _lang_hits(text_col)
     en, de, fr, es = hits["en"], hits["de"], hits["fr"], hits["es"]
     return (
         F.when((en + de + fr + es) == 0, "und")
@@ -104,8 +115,7 @@ def _pred_lang_col(text_col: str) -> Column:
 def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Marker-word language ID with fixed tie precedence (JVM regex path;
     the pandas-UDF twin is functions.transforms.tag_language)."""
-    t = F.col(text_col)
-    hits = {k: F.regexp_count(t, F.lit(v)) for k, v in LANG_MARKERS.items()}
+    hits = _lang_hits(text_col)
     en, de, fr, es = hits["en"], hits["de"], hits["fr"], hits["es"]
     pred = _pred_lang_col(text_col)
     return df.select(
@@ -876,7 +886,7 @@ def search_snippets(
         F.col(text_col), start, F.lit(2 * window_chars + len(term))
     )
     return (
-        hits.join(df.select(id_col, text_col), id_col)
+        df.select(id_col, text_col).join(F.broadcast(hits), id_col)
         .select(
             id_col,
             "score_e6",

@@ -386,3 +386,12 @@ def probe_bm25_batch(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def open_or_build_text_index(table: LakeTable, path: str, **kwargs) -> TextIndex:
+    """Open the index at ``path`` if its sidecar exists, else bootstrap it
+    from ``table``'s current state — the one open/bootstrap decision
+    every entry point (run_pipeline drain, --continuous hooks) shares."""
+    if os.path.exists(os.path.join(path, _SIDECAR)):
+        return open_text_index(table.spark, path)
+    return build_text_index_from_lake(table, path, **kwargs)

@@ -164,23 +164,18 @@ def main() -> None:
         sync_hooks = []
         if args.continuous and args.dedup_index_dir:
             from clever_canal_spark.operators.dedup_index import (
-                build_dedup_index_from_lake, open_dedup_index, sync_from_lake,
+                open_or_build_dedup_index, sync_from_lake,
             )
 
-            didx = (open_dedup_index(spark, args.dedup_index_dir)
-                    if os.path.exists(os.path.join(args.dedup_index_dir, "index.json"))
-                    else build_dedup_index_from_lake(table, args.dedup_index_dir))
+            didx = open_or_build_dedup_index(table, args.dedup_index_dir)
             sync_hooks.append(lambda t, _i=didx: sync_from_lake(_i, t))
             print("dedup index: maintained per micro-batch")
         if args.continuous and args.text_index_dir:
             from clever_canal_spark.operators.text_index import (
-                build_text_index_from_lake, open_text_index,
-                sync_text_index_from_lake,
+                open_or_build_text_index, sync_text_index_from_lake,
             )
 
-            tidx = (open_text_index(spark, args.text_index_dir)
-                    if os.path.exists(os.path.join(args.text_index_dir, "index.json"))
-                    else build_text_index_from_lake(table, args.text_index_dir))
+            tidx = open_or_build_text_index(table, args.text_index_dir)
             sync_hooks.append(lambda t, _i=tidx: sync_text_index_from_lake(_i, t))
             print("text index: maintained per micro-batch")
         pipe = CdcPipeline(
@@ -205,19 +200,19 @@ def main() -> None:
               "a separate periodic invocation (same dirs, no --continuous)")
     if args.dedup_index_dir and not args.continuous:
         from clever_canal_spark.operators.dedup_index import (
-            build_dedup_index_from_lake, open_dedup_index, sync_from_lake,
+            open_or_build_dedup_index, sync_from_lake,
         )
 
-        if os.path.exists(os.path.join(args.dedup_index_dir, "index.json")):
-            idx = open_dedup_index(spark, args.dedup_index_dir)
+        fresh = not os.path.isdir(args.dedup_index_dir)
+        idx = open_or_build_dedup_index(table, args.dedup_index_dir)
+        if fresh:
+            print(f"dedup index: bootstrapped from current table state "
+                  f"({idx.fps.scan().count()} fingerprints)")
+        else:
             n = sync_from_lake(idx, table)
             # no fps count here: the sync is O(delta) by design and a
             # count would rescan the whole fingerprint index every drain
             print(f"dedup index: consumed {n} lake versions")
-        else:
-            idx = build_dedup_index_from_lake(table, args.dedup_index_dir)
-            print(f"dedup index: bootstrapped from current table state "
-                  f"({idx.fps.scan().count()} fingerprints)")
 
     if args.text_index_dir and args.continuous and args.engine == "follower":
         print("text index: NOT maintained by the follower in --continuous "
@@ -225,18 +220,17 @@ def main() -> None:
               "a separate periodic invocation (same dirs, no --continuous)")
     if args.text_index_dir and not args.continuous:
         from clever_canal_spark.operators.text_index import (
-            build_text_index_from_lake, open_text_index,
-            sync_text_index_from_lake,
+            open_or_build_text_index, sync_text_index_from_lake,
         )
 
-        if os.path.exists(os.path.join(args.text_index_dir, "index.json")):
-            tidx = open_text_index(spark, args.text_index_dir)
-            n = sync_text_index_from_lake(tidx, table)
-            print(f"text index: consumed {n} lake versions")
-        else:
-            tidx = build_text_index_from_lake(table, args.text_index_dir)
+        fresh = not os.path.isdir(args.text_index_dir)
+        tidx = open_or_build_text_index(table, args.text_index_dir)
+        if fresh:
             print(f"text index: bootstrapped from current table state "
                   f"({tidx.fwd.scan().count()} documents)")
+        else:
+            n = sync_text_index_from_lake(tidx, table)
+            print(f"text index: consumed {n} lake versions")
 
     if args.rollup_dir and args.continuous and args.engine == "follower":
         print("rollup view: NOT maintained by the follower in --continuous "

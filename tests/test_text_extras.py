@@ -646,3 +646,29 @@ def test_langid_confusion_counts(spark):
     out = {(r["lang"], r["pred_lang"]): r["n_docs"]
            for r in langid_confusion(_docs(spark, rows)).collect()}
     assert out == {("en", "en"): 1, ("de", "de"): 1, ("en", "und"): 1}
+
+
+def test_lang_id_null_text_is_und(spark):
+    """NULL text must classify as 'und' with 0 hits — not fall through
+    the CASE chain to 'es' (null-coalesced hit counts)."""
+    from clever_canal_spark.operators.text import lang_id, langid_confusion
+
+    rows = [(1, None, "en"), (2, "the cat and the dog of it", "en")]
+    out = {r["doc_id"]: r.asDict() for r in lang_id(_docs(spark, rows)).collect()}
+    assert out[1]["pred_lang"] == "und" and out[1]["en_hits"] == 0
+    assert out[2]["pred_lang"] == "en"
+    conf = {(r["lang"], r["pred_lang"]) for r in
+            langid_confusion(_docs(spark, rows)).collect()}
+    assert ("en", "und") in conf and ("en", "es") not in conf
+
+
+def test_hybrid_rejects_multi_row_query(spark):
+    import pytest
+    from clever_canal_spark.operators.similarity import hybrid_rrf_topk
+
+    docs = _docs(spark, [(1, "a b", "en")]).select("doc_id", "text")
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id bigint, embedding array<float>")
+    with pytest.raises(ValueError, match="ONE query row"):
+        hybrid_rrf_topk(docs, emb, ["a"], emb, k=2, n_dims=2)
