@@ -3048,11 +3048,25 @@ def q_emb_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BM25_TERMS = ("spark", "vector", "merge", "warehouse")
 
 
-def _bm25_oracle(terms: tuple[str, ...], k: int, source: str = "documents") -> str:
-    tf_cols = ", ".join(
-        f"len(list_filter(regexp_extract_all(text, '\\S+'), x -> x = '{t}')) AS tf{i}"
-        for i, t in enumerate(terms)
+def _duck_tf(term: str, i: int) -> str:
+    """One term's tf — unigram: list_filter count; phrase: non-overlapping
+    needle count over the canonical single-space token string (same
+    replace() semantics as the Spark side)."""
+    if " " not in term:
+        return (
+            f"len(list_filter(regexp_extract_all(text, '\\S+'), x -> x = '{term}'))"
+            f" AS tf{i}"
+        )
+    needle = f" {term} "
+    canon = "(' ' || list_aggregate(regexp_extract_all(text, '\\S+'), 'string_agg', ' ') || ' ')"
+    return (
+        f"CAST((length({canon}) - length(replace({canon}, '{needle}', '')))"
+        f" // {len(needle)} AS BIGINT) AS tf{i}"
     )
+
+
+def _bm25_oracle(terms: tuple[str, ...], k: int, source: str = "documents") -> str:
+    tf_cols = ", ".join(_duck_tf(t, i) for i, t in enumerate(terms))
     df_cols = ", ".join(
         f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
         for i in range(len(terms))
@@ -3363,4 +3377,18 @@ def q_doc_hybrid_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = _embeddings(spark, sf_dir).filter(F.col("vec_id") == 0)
     return hybrid_rrf_indexed_topk(
         tidx, aidx, list(_RRF_TERMS), qv, k=25, radius=_MP_PLANES,
+    )
+
+
+@register("doc_bm25_phrase_topk", _bm25_oracle(("table value", "fast scan", "spark"), 25))
+def q_doc_bm25_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase-aware BM25 (corpus path): two 2-token phrases (tf =
+    non-overlapping exact token-sequence count over the canonical
+    single-space token string) mixed with a unigram — phrases are far
+    rarer than unigrams here (df ~30 vs ~385 of 500), so idf does real
+    work. The unigram index refuses phrase terms (no positions)."""
+    from .operators.text import bm25_topk
+
+    return bm25_topk(
+        _documents(spark, sf_dir), ["table value", "fast scan", "spark"], k=25
     )

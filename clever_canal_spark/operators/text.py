@@ -725,7 +725,9 @@ def bm25_topk(
     """BM25 keyword search: top-``k`` documents for a bag of query
     ``terms`` (k1=1.2, b=0.75 — the Robertson/Okapi defaults, with the
     Lucene ``ln(1 + (N-df+0.5)/(df+0.5))`` idf that never goes
-    negative). The reference engine has no text-retrieval surface; this
+    negative). A term containing whitespace is a PHRASE: its tf is the
+    non-overlapping count of that exact token sequence (the unigram
+    index cannot serve these — corpus path only). The reference engine has no text-retrieval surface; this
     is the webtext-analytics addition a corpus-exploration user expects
     (find the documents about X before eyeballing a filter rule).
 
@@ -750,6 +752,9 @@ def bm25_topk(
     term list is per-row, not per-query."""
     if not terms:
         raise ValueError("bm25_topk needs at least one query term")
+    terms = [" ".join(t.split()) for t in terms]  # canonicalize phrase spacing
+    if any(not t for t in terms):
+        raise ValueError("query terms must be non-empty")
     if len(set(terms)) != len(terms):
         raise ValueError("query terms must be distinct")
     # null text tokenizes to the empty array (size 0, not Spark's
@@ -765,13 +770,28 @@ def bm25_topk(
         # index) by pyspark's higher-order filter
         return lambda x: x == F.lit(term)
 
+    def _tf(term: str) -> Column:
+        words = term.split()
+        if len(words) == 1:
+            return F.size(F.filter(toks, _eq(term)))
+        # PHRASE term: non-overlapping count of the exact token sequence,
+        # matched against the canonical single-space token string (so it
+        # is whitespace-run-insensitive, like the tokenizer itself).
+        # replace() removes non-overlapping occurrences left-to-right
+        # identically in Spark and DuckDB; each removal shortens the
+        # string by exactly len(needle), so the count is an exact
+        # integer quotient. Needle goes through F.lit — no injection.
+        needle = f" {term} "
+        canon = F.concat(F.lit(" "), F.array_join(toks, " "), F.lit(" "))
+        removed = F.length(canon) - F.length(
+            F.replace(canon, F.lit(needle), F.lit(""))
+        )
+        return F.floor(removed / F.lit(len(needle))).cast("int")
+
     base = df.select(
         id_col,
         F.size(toks).alias("dl"),
-        *[
-            F.size(F.filter(toks, _eq(t))).alias(f"tf{i}")
-            for i, t in enumerate(terms)
-        ],
+        *[_tf(t).alias(f"tf{i}") for i, t in enumerate(terms)],
     )
     stats = base.agg(
         F.count("*").alias("n_docs"),

@@ -167,6 +167,10 @@ def probe_bm25(index: TextIndex, terms: list[str], k: int = 25) -> DataFrame:
         raise ValueError("probe_bm25 needs at least one query term")
     if len(set(terms)) != len(terms):
         raise ValueError("query terms must be distinct")
+    if any(" " in t or not t for t in terms):
+        raise ValueError(
+            "phrase terms need positions the unigram index does not "
+            "store — use text.bm25_topk (corpus path) for phrases")
     stats = F.broadcast(
         index.fwd.scan().agg(
             F.count("*").alias("n_docs"), F.sum("dl").alias("s_dl")
@@ -347,6 +351,9 @@ def probe_bm25_batch(
     for qid, terms in queries:
         if not terms or len(set(terms)) != len(terms):
             raise ValueError(f"query {qid}: terms must be non-empty and distinct")
+        if any(" " in t or not t for t in terms):
+            raise ValueError(f"query {qid}: phrase terms need the corpus "
+                             "path (text.bm25_topk)")
     pairs = [(int(qid), t) for qid, terms in queries for t in terms]
     if len(set(pairs)) != len(pairs):
         # a repeated query_id re-listing a term would double-count that

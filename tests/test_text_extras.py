@@ -672,3 +672,31 @@ def test_hybrid_rejects_multi_row_query(spark):
         "vec_id bigint, embedding array<float>")
     with pytest.raises(ValueError, match="ONE query row"):
         hybrid_rrf_topk(docs, emb, ["a"], emb, k=2, n_dims=2)
+
+
+def test_bm25_phrase_tf_hand_case(spark):
+    """Phrase tf: exact token-sequence count, non-overlapping,
+    whitespace-run-insensitive; phrase presence beats scattered words."""
+    import pytest
+    from clever_canal_spark.operators.text import bm25_topk
+
+    rows = [
+        (1, "big data big data big", "en"),      # "big data" x2
+        (2, "big stuff and data here now", "en"),  # words apart: tf 0
+        (3, "big\t data  big   data", "en"),     # whitespace runs: x2
+        (4, "data big", "en"),                   # reversed: tf 0
+    ]
+    out = {r["doc_id"]: r["score_e6"]
+           for r in bm25_topk(_docs(spark, rows), ["big data"], k=10).collect()}
+    assert set(out) == {1, 3}
+    # doc 3 (dl=4) outscores doc 1 (dl=5) at equal tf
+    assert out[3] > out[1]
+    # overlap semantics: "a a a" has ONE non-overlapping "a a"
+    solo = bm25_topk(_docs(spark, [(9, "a a a", "en"), (8, "b c d", "en")]),
+                     ["a a"], k=5).collect()
+    assert [r["doc_id"] for r in solo] == [9]
+    # the unigram index refuses phrases
+    from clever_canal_spark.operators.text_index import probe_bm25
+
+    with pytest.raises(ValueError, match="phrase"):
+        probe_bm25(None, ["big data"], k=5)
