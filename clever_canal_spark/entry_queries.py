@@ -3057,11 +3057,13 @@ def _duck_tf(term: str, i: int) -> str:
             f"len(list_filter(regexp_extract_all(text, '\\S+'), x -> x = '{term}'))"
             f" AS tf{i}"
         )
-    needle = f" {term} "
-    canon = "(' ' || list_aggregate(regexp_extract_all(text, '\\S+'), 'string_agg', ' ') || ' ')"
+    words = term.split()
+    lit = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+    L = len(words)
+    toks = "regexp_extract_all(text, '\\S+')"
     return (
-        f"CAST((length({canon}) - length(replace({canon}, '{needle}', '')))"
-        f" // {len(needle)} AS BIGINT) AS tf{i}"
+        f"len(list_filter(range(1, len({toks}) - {L} + 2),"
+        f" i -> list_slice({toks}, i, i + {L} - 1) = {lit})) AS tf{i}"
     )
 
 
@@ -3391,4 +3393,21 @@ def q_doc_bm25_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return bm25_topk(
         _documents(spark, sf_dir), ["table value", "fast scan", "spark"], k=25
+    )
+
+
+@register(
+    "doc_text_index_phrase",
+    _bm25_oracle(("table value", "fast scan", "spark"), 25),
+)
+def q_doc_text_index_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase search served from the POSITIONAL index: per-word
+    position-list intersection reproduces the corpus path's overlapping
+    start count — oracle IS the corpus-path phrase SQL, so parity
+    proves positions build + intersection end to end. Reads only the
+    phrase words' posting buckets."""
+    from .operators.text_index import probe_bm25
+
+    return probe_bm25(
+        _text_index_for(spark, sf_dir), ["table value", "fast scan", "spark"], k=25
     )

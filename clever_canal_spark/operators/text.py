@@ -726,8 +726,9 @@ def bm25_topk(
     ``terms`` (k1=1.2, b=0.75 — the Robertson/Okapi defaults, with the
     Lucene ``ln(1 + (N-df+0.5)/(df+0.5))`` idf that never goes
     negative). A term containing whitespace is a PHRASE: its tf is the
-    non-overlapping count of that exact token sequence (the unigram
-    index cannot serve these — corpus path only). The reference engine has no text-retrieval surface; this
+    number of token positions where that exact sequence starts
+    (overlapping, the Lucene phrase-freq convention); the positional
+    text index serves phrases too (text_index.probe_bm25). The reference engine has no text-retrieval surface; this
     is the webtext-analytics addition a corpus-exploration user expects
     (find the documents about X before eyeballing a filter rule).
 
@@ -774,19 +775,22 @@ def bm25_topk(
         words = term.split()
         if len(words) == 1:
             return F.size(F.filter(toks, _eq(term)))
-        # PHRASE term: non-overlapping count of the exact token sequence,
-        # matched against the canonical single-space token string (so it
-        # is whitespace-run-insensitive, like the tokenizer itself).
-        # replace() removes non-overlapping occurrences left-to-right
-        # identically in Spark and DuckDB; each removal shortens the
-        # string by exactly len(needle), so the count is an exact
-        # integer quotient. Needle goes through F.lit — no injection.
-        needle = f" {term} "
-        canon = F.concat(F.lit(" "), F.array_join(toks, " "), F.lit(" "))
-        removed = F.length(canon) - F.length(
-            F.replace(canon, F.lit(needle), F.lit(""))
+        # PHRASE term: the count of token positions where the exact
+        # sequence starts (OVERLAPPING, the Lucene phrase-freq
+        # convention — "a a a" has two starts of "a a"). A higher-order
+        # filter over candidate start ordinals compares each L-slice to
+        # the phrase literal; both engines slice and compare lists
+        # identically, and the ordinal space is the tokenizer's, so the
+        # match is whitespace-run-insensitive by construction. All
+        # literals bind via F.lit/F.array — no SQL interpolation.
+        L = len(words)
+        phrase = F.array(*[F.lit(w) for w in words])
+        starts = F.when(
+            F.size(toks) < L, F.expr("CAST(array() AS array<int>)")
+        ).otherwise(F.sequence(F.lit(1), F.size(toks) - L + 1))
+        return F.size(
+            F.filter(starts, lambda i: F.slice(toks, i, L) == phrase)
         )
-        return F.floor(removed / F.lit(len(needle))).cast("int")
 
     base = df.select(
         id_col,

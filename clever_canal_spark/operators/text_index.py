@@ -66,6 +66,11 @@ _POSTINGS_SCHEMA = T.StructType(
         T.StructField("doc_id", T.LongType(), nullable=False),
         T.StructField("tf", T.IntegerType()),
         T.StructField("dl", T.IntegerType()),
+        # 1-based token ordinals of each occurrence (sorted) — what makes
+        # the index POSITIONAL: phrase probes intersect these instead of
+        # falling back to a corpus scan. ~4 bytes per token occurrence,
+        # the standard positional-postings overhead.
+        T.StructField("positions", T.ArrayType(T.IntegerType())),
     ]
 )
 
@@ -97,16 +102,23 @@ def _fwd_rows(df: DataFrame, text_col: str) -> DataFrame:
 
 
 def _posting_rows(df: DataFrame, text_col: str) -> DataFrame:
-    """(tok, doc_id, tf, dl) — the corpus-shuffle explode; bootstrap and
-    per-delta maintenance only, never the probe path."""
+    """(tok, doc_id, tf, dl, positions) — the corpus-shuffle explode;
+    bootstrap and per-delta maintenance only, never the probe path.
+    ``positions`` are 1-based token ordinals (sorted)."""
     t = _toks(text_col)
     exploded = df.select(
-        "doc_id", F.size(t).cast("int").alias("dl"), F.explode(t).alias("tok")
+        "doc_id",
+        F.size(t).cast("int").alias("dl"),
+        F.posexplode(t).alias("pos", "tok"),
     )
     return (
         exploded.groupBy("tok", "doc_id")
-        .agg(F.count("*").cast("int").alias("tf"), F.first("dl").alias("dl"))
-        .select("tok", "doc_id", "tf", "dl")
+        .agg(
+            F.count("*").cast("int").alias("tf"),
+            F.first("dl").alias("dl"),
+            F.sort_array(F.collect_list(F.col("pos") + 1)).alias("positions"),
+        )
+        .select("tok", "doc_id", "tf", "dl", "positions")
     )
 
 
@@ -153,33 +165,83 @@ def open_text_index(spark: SparkSession, path: str) -> TextIndex:
     )
 
 
+def _phrase_tf_rows(posts: DataFrame, phrase: str) -> DataFrame:
+    """(term, doc_id, tf, dl) for one phrase, from POSITIONAL postings:
+    per doc, intersect each word's position list — tf = |{p ∈ P₁ :
+    p+j-1 ∈ Pⱼ ∀j}|, the overlapping start count, exactly the corpus
+    path's slice-count semantics. L−1 doc_id equi-joins over the
+    already-pruned posting rows; a doc missing any word drops out (tf
+    would be 0)."""
+    words = phrase.split()
+    base = posts.where(F.col("tok") == words[0]).select(
+        "doc_id", "dl", F.col("positions").alias("p0")
+    )
+    for j, w in enumerate(words[1:], start=1):
+        base = base.join(
+            posts.where(F.col("tok") == w).select(
+                "doc_id", F.col("positions").alias(f"p{j}")
+            ),
+            "doc_id",
+        )
+    L = len(words)
+
+    def _starts(p):
+        cond = F.lit(True)
+        for j in range(1, L):
+            cond = cond & F.array_contains(F.col(f"p{j}"), p + j)
+        return cond
+
+    tf = F.size(F.filter(F.col("p0"), _starts)).cast("int")
+    return base.select(
+        F.lit(phrase).alias("term"), "doc_id", tf.alias("tf"), "dl"
+    ).where(F.col("tf") > 0)
+
+
 def probe_bm25(index: TextIndex, terms: list[str], k: int = 25) -> DataFrame:
     """Top-k BM25 over the index — scoring arithmetic byte-identical to
     `text.bm25_topk` (k1=6/5, b=3/4, idf quantized at e6, per-term
     contributions rounded at e6 and summed as BIGINT), so the two paths
-    return identical rows on the same corpus state.
+    return identical rows on the same corpus state. PHRASE terms
+    (whitespace-separated) are served from the positional postings —
+    per-word position-list intersection reproduces the corpus path's
+    overlapping start count without touching any text.
 
-    Reads: the query terms' posting buckets (``scan_for_keys`` — bucket
-    + file-range pruned) and one 1-row (count, sum) aggregate over
-    ``fwd.dl``. A term with no postings simply contributes nothing —
-    matching the corpus path, where df=0 forces tf=0 everywhere."""
+    Reads: the query words' posting buckets (``scan_for_keys`` — bucket
+    + file-range pruned; a phrase reads its words' buckets) and one
+    1-row (count, sum) aggregate over ``fwd.dl``. A term with no
+    postings simply contributes nothing — matching the corpus path,
+    where df=0 forces tf=0 everywhere."""
     if not terms:
         raise ValueError("probe_bm25 needs at least one query term")
+    terms = [" ".join(t.split()) for t in terms]
+    if any(not t for t in terms):
+        raise ValueError("query terms must be non-empty")
     if len(set(terms)) != len(terms):
         raise ValueError("query terms must be distinct")
-    if any(" " in t or not t for t in terms):
-        raise ValueError(
-            "phrase terms need positions the unigram index does not "
-            "store — use text.bm25_topk (corpus path) for phrases")
+    unigrams = [t for t in terms if " " not in t]
+    phrases = [t for t in terms if " " in t]
+    words = sorted({w for ph in phrases for w in ph.split()} | set(unigrams))
     stats = F.broadcast(
         index.fwd.scan().agg(
             F.count("*").alias("n_docs"), F.sum("dl").alias("s_dl")
         )
     )
-    posts = index.postings.scan_for_keys(list(terms))
-    dfs = posts.groupBy("tok").agg(F.count("*").alias("df"))
+    posts = index.postings.scan_for_keys(words)
+    tf_parts = []
+    if unigrams:
+        tf_parts.append(
+            posts.where(F.col("tok").isin(unigrams)).select(
+                F.col("tok").alias("term"), "doc_id", "tf", "dl"
+            )
+        )
+    for ph in phrases:
+        tf_parts.append(_phrase_tf_rows(posts, ph))
+    tfs = tf_parts[0]
+    for part in tf_parts[1:]:
+        tfs = tfs.unionByName(part)
+    dfs = tfs.groupBy("term").agg(F.count("*").alias("df"))
     scored = (
-        posts.join(F.broadcast(dfs), "tok")
+        tfs.join(F.broadcast(dfs), "term")
         .crossJoin(stats)
         .select(
             "doc_id",
@@ -239,7 +301,8 @@ def apply_text_index_changes(
 
     new_posts = _posting_rows(live.select("doc_id", text_col), text_col).join(
         w.select("doc_id", "lsn"), "doc_id"
-    ).select("tok", "doc_id", "tf", "dl", F.lit("U").alias("op"), "lsn")
+    ).select("tok", "doc_id", "tf", "dl", "positions",
+             F.lit("U").alias("op"), "lsn")
     dropped = live.select(
         "doc_id", "lsn",
         F.explode(
@@ -250,6 +313,7 @@ def apply_text_index_changes(
     tombstones = dropped.unionByName(erased).select(
         "tok", "doc_id",
         F.lit(None).cast("int").alias("tf"), F.lit(None).cast("int").alias("dl"),
+        F.lit(None).cast("array<int>").alias("positions"),
         F.lit("D").alias("op"), "lsn",
     )
     index.postings.merge(
@@ -352,8 +416,9 @@ def probe_bm25_batch(
         if not terms or len(set(terms)) != len(terms):
             raise ValueError(f"query {qid}: terms must be non-empty and distinct")
         if any(" " in t or not t for t in terms):
-            raise ValueError(f"query {qid}: phrase terms need the corpus "
-                             "path (text.bm25_topk)")
+            raise ValueError(f"query {qid}: the batch probe is "
+                             "unigram-only; phrase queries go through "
+                             "probe_bm25 / text.bm25_topk")
     pairs = [(int(qid), t) for qid, terms in queries for t in terms]
     if len(set(pairs)) != len(pairs):
         # a repeated query_id re-listing a term would double-count that

@@ -691,10 +691,12 @@ def test_bm25_phrase_tf_hand_case(spark):
     assert set(out) == {1, 3}
     # doc 3 (dl=4) outscores doc 1 (dl=5) at equal tf
     assert out[3] > out[1]
-    # overlap semantics: "a a a" has ONE non-overlapping "a a"
-    solo = bm25_topk(_docs(spark, [(9, "a a a", "en"), (8, "b c d", "en")]),
+    # overlap semantics (Lucene convention): "a a a" has TWO starts
+    # of "a a" — verify via a corpus where tf drives the only difference
+    solo = bm25_topk(_docs(spark, [(9, "a a a", "en"), (7, "a a x", "en"),
+                                   (8, "b c d", "en")]),
                      ["a a"], k=5).collect()
-    assert [r["doc_id"] for r in solo] == [9]
+    assert [r["doc_id"] for r in solo] == [9, 7]  # tf 2 beats tf 1 at equal dl
     # the unigram index refuses phrases
     from clever_canal_spark.operators.text_index import probe_bm25
 

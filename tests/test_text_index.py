@@ -34,7 +34,8 @@ TERMS = ["spark", "river", "parquet", "unicorn"]  # last one absent
 def _state(idx):
     fwd = sorted((r["doc_id"], tuple(r["toks"]), r["dl"])
                  for r in idx.fwd.scan().collect())
-    posts = sorted((r["tok"], r["doc_id"], r["tf"], r["dl"])
+    posts = sorted((r["tok"], r["doc_id"], r["tf"], r["dl"],
+                    tuple(r["positions"]))
                    for r in idx.postings.scan().collect())
     return fwd, posts
 
@@ -295,3 +296,27 @@ def test_pipeline_sync_hook_maintains_text_index(spark, tmp_table_dir):
     v = (idx.fwd.current_version(), idx.postings.current_version())
     pipe.run_until_drained()
     assert (idx.fwd.current_version(), idx.postings.current_version()) == v
+
+
+def test_phrase_probe_equals_corpus_path(spark, tmp_table_dir):
+    """Positional postings serve phrases: probe == corpus path,
+    including the overlapping-start case and after an update that
+    shifts positions."""
+    rows = [(9, "a a a"), (7, "x a a y"), (8, "b c d"),
+            (1, "spark joins spark joins spark")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    idx = build_text_index(spark, docs, os.path.join(tmp_table_dir, "ptidx"))
+    for terms in (["a a"], ["spark joins", "b"], ["joins spark", "a a", "d"]):
+        a = _bm25_rows(bm25_topk(docs, terms, k=10))
+        b = _bm25_rows(probe_bm25(idx, terms, k=10))
+        assert a == b, (terms, a, b)
+    # update shifts doc 9's positions; maintained index must re-agree
+    changes = spark.createDataFrame(
+        [(9, "z z a a", "U", 5)],
+        "doc_id bigint, text string, op string, lsn bigint")
+    apply_text_index_changes(idx, changes, epoch_id=1)
+    final = [(9, "z z a a"), (7, "x a a y"), (8, "b c d"),
+             (1, "spark joins spark joins spark")]
+    fdocs = spark.createDataFrame(final, "doc_id bigint, text string")
+    assert _bm25_rows(probe_bm25(idx, ["a a"], k=10)) == \
+        _bm25_rows(bm25_topk(fdocs, ["a a"], k=10))
