@@ -697,8 +697,9 @@ def test_bm25_phrase_tf_hand_case(spark):
                                    (8, "b c d", "en")]),
                      ["a a"], k=5).collect()
     assert [r["doc_id"] for r in solo] == [9, 7]  # tf 2 beats tf 1 at equal dl
-    # the unigram index refuses phrases
-    from clever_canal_spark.operators.text_index import probe_bm25
+    # the BATCH probe stays unigram-only (single probe serves phrases
+    # from the positional postings — tests/test_text_index.py)
+    from clever_canal_spark.operators.text_index import probe_bm25_batch
 
-    with pytest.raises(ValueError, match="phrase"):
-        probe_bm25(None, ["big data"], k=5)
+    with pytest.raises(ValueError, match="unigram-only"):
+        probe_bm25_batch(None, [(1, ["big data"])], k=5)
