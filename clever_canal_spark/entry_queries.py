@@ -2609,7 +2609,7 @@ from .operators.text import (  # noqa: E402
 # deterministic email/IP/phone suffix into every 5th doc on BOTH sides —
 # otherwise the scrub would be a provably-untested no-op.
 _PII_SUFFIX_SQL = (
-    "' reach me at user' || CAST(doc_id AS VARCHAR) || '@example.org or 10.0.' "
+    "' reach me at user' || CAST(doc_id AS STRING) || '@example.org or 10.0.' "
     "|| CAST(doc_id % 250 AS VARCHAR) || '.7 call 555-867-5309'"
 )
 _PII_ORACLE = """
@@ -3411,3 +3411,67 @@ def q_doc_text_index_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return probe_bm25(
         _text_index_for(spark, sf_dir), ["table value", "fast scan", "spark"], k=25
     )
+
+
+# deterministic messy-URL synthesis (the tables carry no URL column):
+# rotating host case/port/trailing-slash/unsorted-query/fragment warts
+_MESSY_URL = (
+    "'HTTP://Example' || CAST(doc_id % 7 AS STRING) || '.COM"
+    "' || CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE '' END"
+    " || '/path/' || CAST(doc_id AS STRING)"
+    " || CASE WHEN doc_id % 3 = 0 THEN '/?b=2&a=1#frag'"
+    "         WHEN doc_id % 3 = 1 THEN '/' ELSE '?z=9&&y=8' END"
+)
+
+
+@register(
+    "doc_url_canonical",
+    f"""
+    WITH u AS (SELECT doc_id, {_MESSY_URL} AS url FROM documents),
+    p AS (
+      SELECT doc_id, url,
+             trim(regexp_replace(url, '#.*$', '')) AS s
+      FROM u
+    ),
+    x AS (
+      SELECT doc_id, url, s,
+             lower(regexp_extract(s, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?]+)([^?]*)(\\?.*)?$', 1)) AS scheme,
+             lower(regexp_extract(s, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?]+)([^?]*)(\\?.*)?$', 2)) AS hostport,
+             regexp_extract(s, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?]+)([^?]*)(\\?.*)?$', 3) AS path,
+             regexp_extract(s, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?]+)([^?]*)(\\?.*)?$', 4) AS query
+      FROM p
+    ),
+    y AS (
+      SELECT doc_id, url, scheme,
+             CASE WHEN (scheme = 'http' AND hostport LIKE '%:80')
+                    OR (scheme = 'https' AND hostport LIKE '%:443')
+                  THEN regexp_replace(hostport, ':[0-9]+$', '')
+                  ELSE hostport END AS host,
+             CASE WHEN path = '' THEN '/'
+                  WHEN path <> '/' AND path LIKE '%/'
+                  THEN substr(path, 1, length(path) - 1)
+                  ELSE path END AS norm_path,
+             list_aggregate(list_sort(list_filter(
+               string_split(regexp_replace(query, '^\\?', ''), '&'),
+               q -> q <> '')), 'string_agg', '&') AS q
+      FROM x
+    )
+    SELECT doc_id, url,
+           scheme || '://' || host || norm_path ||
+           CASE WHEN q IS NULL OR q = '' THEN '' ELSE '?' || q END AS canon_url
+    FROM y
+    """,
+)
+def q_doc_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (operators/text.canonical_url): the
+    pre-merge-key normalization of a crawl CDC pipeline — fragment
+    drop, scheme/host lowercase, default-port strip, trailing-slash and
+    query-param-order normalization. Input URLs are synthesized
+    deterministically from doc_id with rotating warts (the fixture
+    tables carry no URL column); oracle is an independent SQL
+    transcription of the same rules. Stateless per-row exprs — no
+    shuffle."""
+    from .operators.text import canonical_url
+
+    d = _documents(spark, sf_dir).select("doc_id", F.expr(_MESSY_URL).alias("url"))
+    return d.select("doc_id", "url", canonical_url(F.col("url")).alias("canon_url"))

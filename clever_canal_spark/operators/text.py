@@ -933,3 +933,54 @@ def langid_confusion(df: DataFrame, text_col: str = "text") -> DataFrame:
         .groupBy("lang", "pred_lang")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+def canonical_url(col: Column) -> Column:
+    """URL canonicalization — the normalization pass that runs BEFORE
+    url-keyed dedup/merge in a crawl pipeline (the same page arrives as
+    ``HTTP://Site.COM:80/a/?b=2&a=1#x`` and ``http://site.com/a?a=1&b=2``
+    and must land on one merge key). Pure JVM expressions, expressible
+    identically in DuckDB (the oracle).
+
+    Rules (each one deterministic and order-independent):
+    - drop the fragment (``#…``);
+    - lowercase scheme and host (path and query stay case-sensitive);
+    - strip the scheme's default port (:80 http, :443 https);
+    - empty path → ``/``; otherwise drop ONE trailing slash (non-root);
+    - query params split on ``&``, empties dropped, sorted bytewise,
+      rejoined (``?`` omitted when nothing survives).
+    Non-URL-shaped strings pass through trimmed-and-defragmented only —
+    a conservative no-op, never a mangle."""
+    s = F.trim(F.regexp_replace(col, "#.*$", ""))
+    pat = r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?]+)([^?]*)(\?.*)?$"
+    scheme = F.lower(F.regexp_extract(s, pat, 1))
+    hostport = F.lower(F.regexp_extract(s, pat, 2))
+    path = F.regexp_extract(s, pat, 3)
+    query = F.regexp_extract(s, pat, 4)
+    host = F.when(
+        ((scheme == "http") & hostport.endswith(":80"))
+        | ((scheme == "https") & hostport.endswith(":443")),
+        F.regexp_replace(hostport, ":[0-9]+$", ""),
+    ).otherwise(hostport)
+    norm_path = (
+        F.when(path == "", F.lit("/"))
+        .when(
+            (path != "/") & path.endswith("/"),
+            F.substring(path, F.lit(1), F.length(path) - 1),
+        )
+        .otherwise(path)
+    )
+    q = F.array_join(
+        F.sort_array(
+            F.filter(
+                F.split(F.regexp_replace(query, r"^\?", ""), "&"),
+                lambda x: x != "",
+            )
+        ),
+        "&",
+    )
+    canon = F.concat(
+        scheme, F.lit("://"), host, norm_path,
+        F.when(q == "", F.lit("")).otherwise(F.concat(F.lit("?"), q)),
+    )
+    return F.when(scheme == "", s).otherwise(canon)

@@ -703,3 +703,26 @@ def test_bm25_phrase_tf_hand_case(spark):
 
     with pytest.raises(ValueError, match="unigram-only"):
         probe_bm25_batch(None, [(1, ["big data"])], k=5)
+
+
+def test_canonical_url_hand_cases(spark):
+    from clever_canal_spark.operators.text import canonical_url
+
+    cases = {
+        "HTTP://Example.COM:80/a/?b=2&a=1#frag": "http://example.com/a?a=1&b=2",
+        "https://Host.net:443/x": "https://host.net/x",
+        "https://host.net:8443/x/": "https://host.net:8443/x",  # non-default port kept
+        "http://h.com": "http://h.com/",
+        "http://h.com/?": "http://h.com/",
+        "http://h.com/A/B/?z=1&&y=2": "http://h.com/A/B?y=2&z=1",  # case-sensitive path
+        "not a url at all #tag": "not a url at all",  # conservative pass-through
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    out = {r["url"]: r["c"] for r in
+           df.select("url", canonical_url(F.col("url")).alias("c")).collect()}
+    assert out == cases
+    # idempotence: canonicalizing a canonical URL is a no-op
+    df2 = spark.createDataFrame([(v,) for v in cases.values()], "url string")
+    out2 = {r["url"]: r["c"] for r in
+            df2.select("url", canonical_url(F.col("url")).alias("c")).collect()}
+    assert all(k == v for k, v in out2.items())
