@@ -2610,7 +2610,7 @@ from .operators.text import (  # noqa: E402
 # otherwise the scrub would be a provably-untested no-op.
 _PII_SUFFIX_SQL = (
     "' reach me at user' || CAST(doc_id AS STRING) || '@example.org or 10.0.' "
-    "|| CAST(doc_id % 250 AS VARCHAR) || '.7 call 555-867-5309'"
+    "|| CAST(doc_id % 250 AS STRING) || '.7 call 555-867-5309'"
 )
 _PII_ORACLE = """
     WITH fixture AS (
@@ -3049,9 +3049,9 @@ _BM25_TERMS = ("spark", "vector", "merge", "warehouse")
 
 
 def _duck_tf(term: str, i: int) -> str:
-    """One term's tf — unigram: list_filter count; phrase: non-overlapping
-    needle count over the canonical single-space token string (same
-    replace() semantics as the Spark side)."""
+    """One term's tf — unigram: list_filter count; phrase: OVERLAPPING
+    start count of the exact token sequence (list_slice equality over
+    candidate start ordinals — same semantics as the Spark side)."""
     if " " not in term:
         return (
             f"len(list_filter(regexp_extract_all(text, '\\S+'), x -> x = '{term}'))"
@@ -3384,11 +3384,12 @@ def q_doc_hybrid_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("doc_bm25_phrase_topk", _bm25_oracle(("table value", "fast scan", "spark"), 25))
 def q_doc_bm25_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Phrase-aware BM25 (corpus path): two 2-token phrases (tf =
-    non-overlapping exact token-sequence count over the canonical
-    single-space token string) mixed with a unigram — phrases are far
+    """Phrase-aware BM25 (corpus path): two 2-token phrases (tf = the
+    OVERLAPPING count of exact token-sequence starts, the Lucene
+    phrase-freq convention) mixed with a unigram — phrases are far
     rarer than unigrams here (df ~30 vs ~385 of 500), so idf does real
-    work. The unigram index refuses phrase terms (no positions)."""
+    work. The positional index serves the same phrases
+    (doc_text_index_phrase); only the BATCH probe is unigram-only."""
     from .operators.text import bm25_topk
 
     return bm25_topk(
@@ -3447,10 +3448,8 @@ _MESSY_URL = (
                     OR (scheme = 'https' AND hostport LIKE '%:443')
                   THEN regexp_replace(hostport, ':[0-9]+$', '')
                   ELSE hostport END AS host,
-             CASE WHEN path = '' THEN '/'
-                  WHEN path <> '/' AND path LIKE '%/'
-                  THEN substr(path, 1, length(path) - 1)
-                  ELSE path END AS norm_path,
+             CASE WHEN regexp_replace(path, '/+$', '') = '' THEN '/'
+                  ELSE regexp_replace(path, '/+$', '') END AS norm_path,
              list_aggregate(list_sort(list_filter(
                string_split(regexp_replace(query, '^\\?', ''), '&'),
                q -> q <> '')), 'string_agg', '&') AS q

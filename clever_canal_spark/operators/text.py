@@ -946,7 +946,7 @@ def canonical_url(col: Column) -> Column:
     - drop the fragment (``#…``);
     - lowercase scheme and host (path and query stay case-sensitive);
     - strip the scheme's default port (:80 http, :443 https);
-    - empty path → ``/``; otherwise drop ONE trailing slash (non-root);
+    - the whole trailing-slash run drops; empty/all-slash path → ``/``;
     - query params split on ``&``, empties dropped, sorted bytewise,
       rejoined (``?`` omitted when nothing survives).
     Non-URL-shaped strings pass through trimmed-and-defragmented only —
@@ -962,14 +962,11 @@ def canonical_url(col: Column) -> Column:
         | ((scheme == "https") & hostport.endswith(":443")),
         F.regexp_replace(hostport, ":[0-9]+$", ""),
     ).otherwise(hostport)
-    norm_path = (
-        F.when(path == "", F.lit("/"))
-        .when(
-            (path != "/") & path.endswith("/"),
-            F.substring(path, F.lit(1), F.length(path) - 1),
-        )
-        .otherwise(path)
-    )
+    # strip the WHOLE trailing-slash run (not one slash — '/a//' and
+    # '/a/' must land on the same key, and canonicalizing twice must be
+    # a no-op); an all-slash or empty path is the root
+    stripped = F.regexp_replace(path, "/+$", "")
+    norm_path = F.when(stripped == "", F.lit("/")).otherwise(stripped)
     q = F.array_join(
         F.sort_array(
             F.filter(

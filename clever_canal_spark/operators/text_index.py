@@ -151,13 +151,21 @@ def build_text_index(
         epoch_id=0, op_col="op", mode="mor", lsn_col="lsn",
     )
     with open(os.path.join(path, _SIDECAR), "w") as fh:
-        json.dump({"n_buckets": n_buckets}, fh)
+        json.dump({"n_buckets": n_buckets, "format": 2, "positional": True}, fh)
     return TextIndex(fwd=fwd, postings=postings, path=path)
 
 
 def open_text_index(spark: SparkSession, path: str) -> TextIndex:
     with open(os.path.join(path, _SIDECAR)) as fh:
-        json.load(fh)  # validates the sidecar exists / is well-formed
+        meta = json.load(fh)
+    if meta.get("format", 1) < 2:
+        # format 1 postings lack the positions column — opening one
+        # would fail at phrase-probe or sync time with an opaque
+        # unresolved-column error; fail at open with the remedy instead
+        raise ValueError(
+            f"text index at {path} is format {meta.get('format', 1)} "
+            "(pre-positional); rebuild it with build_text_index[_from_lake]"
+        )
     return TextIndex(
         fwd=LakeTable(spark, os.path.join(path, "fwd")),
         postings=LakeTable(spark, os.path.join(path, "postings")),
@@ -412,10 +420,14 @@ def probe_bm25_batch(
 
     if not queries:
         raise ValueError("probe_bm25_batch needs at least one query")
+    queries = [(qid, [" ".join(t.split()) for t in terms])
+               for qid, terms in queries]
     for qid, terms in queries:
-        if not terms or len(set(terms)) != len(terms):
-            raise ValueError(f"query {qid}: terms must be non-empty and distinct")
-        if any(" " in t or not t for t in terms):
+        if not terms or any(not t for t in terms):
+            raise ValueError(f"query {qid}: terms must be non-empty")
+        if len(set(terms)) != len(terms):
+            raise ValueError(f"query {qid}: terms must be distinct")
+        if any(" " in t for t in terms):
             raise ValueError(f"query {qid}: the batch probe is "
                              "unigram-only; phrase queries go through "
                              "probe_bm25 / text.bm25_topk")

@@ -675,7 +675,7 @@ def test_hybrid_rejects_multi_row_query(spark):
 
 
 def test_bm25_phrase_tf_hand_case(spark):
-    """Phrase tf: exact token-sequence count, non-overlapping,
+    """Phrase tf: OVERLAPPING count of exact token-sequence starts,
     whitespace-run-insensitive; phrase presence beats scattered words."""
     import pytest
     from clever_canal_spark.operators.text import bm25_topk
@@ -716,6 +716,8 @@ def test_canonical_url_hand_cases(spark):
         "http://h.com/?": "http://h.com/",
         "http://h.com/A/B/?z=1&&y=2": "http://h.com/A/B?y=2&z=1",  # case-sensitive path
         "not a url at all #tag": "not a url at all",  # conservative pass-through
+        "http://h.com/a//": "http://h.com/a",   # whole trailing run drops
+        "http://h.com///": "http://h.com/",     # all-slash path is root
     }
     df = spark.createDataFrame([(u,) for u in cases], "url string")
     out = {r["url"]: r["c"] for r in
