@@ -3474,3 +3474,104 @@ def q_doc_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _documents(spark, sf_dir).select("doc_id", F.expr(_MESSY_URL).alias("url"))
     return d.select("doc_id", "url", canonical_url(F.col("url")).alias("canon_url"))
+
+
+# --------------------------------------------------------------------------
+# Mergeable cardinality sketches (operators/sketch.py)
+# --------------------------------------------------------------------------
+
+from .operators.sketch import hll_distinct, hll_numerator, hll_overlap  # noqa: E402
+
+# DuckDB twin of the HLL register pipeline (b=5 -> m=32, SC=28): uniform
+# u32 hash of each shingle value, bucket/rank split, max-rank registers.
+_HLL_REGS_SQL = f"""
+    sh AS (SELECT source, unnest({_DUCK_SHINGLES}) AS s FROM documents),
+    hh AS (SELECT source,
+                  ('0x' || substr(md5(CAST(s AS VARCHAR)), 1, 8))::BIGINT AS h,
+                  s
+           FROM sh),
+    rho AS (SELECT source, h % 32 AS bucket,
+                   CASE WHEN h // 32 = 0 THEN 28
+                        ELSE 28 - length(bin(h // 32)) END AS rho
+            FROM hh),
+    regs AS (SELECT source, bucket, max(rho) AS r FROM rho GROUP BY 1, 2)
+"""
+_HLL_NUMER = hll_numerator(5)
+_HLL_Z = "sum(1::BIGINT << (28 - r)) + (32 - count(*)) * (1::BIGINT << 28)"
+
+
+@register(
+    "doc_hll_distinct_shingles",
+    f"""
+    WITH {_HLL_REGS_SQL},
+    z AS (SELECT source, {_HLL_Z} AS z FROM regs GROUP BY 1),
+    exact AS (SELECT source, count(DISTINCT s) AS exact_distinct FROM sh GROUP BY 1)
+    SELECT z.source,
+           {_HLL_NUMER} // z.z AS hll_distinct,
+           exact.exact_distinct,
+           abs({_HLL_NUMER} // z.z - exact_distinct) * 1000 // exact_distinct
+             AS err_permille
+    FROM z JOIN exact USING (source)
+    """,
+)
+def q_doc_hll_distinct_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-shingle estimate per source next to the exact
+    count (operators/sketch.py — the mergeable-register replacement for
+    a corpus-wide COUNT(DISTINCT) shuffle; clever-canal's counter
+    metrics analog at distinct-cardinality scale). Integer-exact
+    register algebra end to end; the oracle transcribes the same
+    sketch independently in DuckDB. b=5 keeps the fixture above the raw-
+    HLL validity floor (2.5m = 80 << ~350 distinct/source); production
+    uses b=14 for 0.8% error with the identical plan shape."""
+    from .operators.text import shingle_hashes_expr
+
+    sh = _documents(spark, sf_dir).select(
+        "source", F.explode(F.expr(shingle_hashes_expr("text"))).alias("s")
+    )
+    return hll_distinct(sh, ["source"], "s", b=5)
+
+
+@register(
+    "doc_source_overlap_hll",
+    f"""
+    WITH {_HLL_REGS_SQL},
+    ests AS (SELECT source, {_HLL_NUMER} // ({_HLL_Z}) AS est
+             FROM regs GROUP BY source),
+    groups AS (SELECT DISTINCT source AS g FROM documents),
+    buckets AS (SELECT unnest(range(32)) AS bucket),
+    dense AS (
+      SELECT g, buckets.bucket AS bucket, COALESCE(regs.r, 0) AS r
+      FROM (groups CROSS JOIN buckets)
+      LEFT JOIN regs ON regs.source = g AND regs.bucket = buckets.bucket
+    ),
+    pz AS (
+      SELECT a.g AS g_a, c.g AS g_b,
+             sum(1::BIGINT << (28 - greatest(a.r, c.r))) AS z_union
+      FROM dense a JOIN dense c ON a.bucket = c.bucket AND a.g < c.g
+      GROUP BY 1, 2
+    )
+    SELECT g_a, g_b, ea.est AS est_a, eb.est AS est_b,
+           {_HLL_NUMER} // z_union AS est_union,
+           greatest(0::BIGINT, ea.est + eb.est - {_HLL_NUMER} // z_union)
+             AS est_intersect,
+           greatest(0::BIGINT, ea.est + eb.est - {_HLL_NUMER} // z_union) * 1000
+             // ({_HLL_NUMER} // z_union) AS jaccard_permille
+    FROM pz
+    JOIN ests ea ON ea.source = g_a
+    JOIN ests eb ON eb.source = g_b
+    """,
+)
+def q_doc_source_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise shingle-set overlap between sources from MERGED HLL
+    registers (union = element-wise max, intersection by inclusion-
+    exclusion, Jaccard in permille): the cross-snapshot duplication
+    estimator a crawl pipeline runs before committing a new dump —
+    one corpus scan builds the registers, then all 190 pair estimates
+    are O(pairs x m) register algebra. Oracle = independent DuckDB
+    transcription of the same integer-exact merge."""
+    from .operators.text import shingle_hashes_expr
+
+    sh = _documents(spark, sf_dir).select(
+        "source", F.explode(F.expr(shingle_hashes_expr("text"))).alias("s")
+    )
+    return hll_overlap(sh, "source", "s", b=5)
