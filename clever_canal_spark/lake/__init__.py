@@ -4,9 +4,19 @@ from .fs import ArrowFS, LocalFS, MemFS, MetadataFS
 from .rollup import create_rollup, hot_groups, rollup_cursor, sync_rollup
 from .table import CommitConflict, LakeTable, MergeResult, SnapshotExpired
 
+# after .table: sketch_view pulls in operators/, whose ann_index imports
+# LakeTable back out of this (then partially-initialized) package
+from .sketch_view import (  # noqa: E402
+    create_hll_view,
+    hll_view_config,
+    hll_view_estimates,
+    sync_hll_view,
+)
+
 __all__ = [
     "LakeTable", "MergeResult", "CommitConflict", "SnapshotExpired",
     "MetadataFS", "LocalFS", "ArrowFS", "MemFS",
     "create_rollup", "sync_rollup", "hot_groups", "rollup_cursor",
+    "create_hll_view", "sync_hll_view", "hll_view_estimates", "hll_view_config",
     "Consumer", "Batch", "snapshot_diff",
 ]

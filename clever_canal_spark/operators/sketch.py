@@ -124,6 +124,60 @@ def hll_distinct(
     )
 
 
+def hll_regs_dense(
+    df: DataFrame,
+    group_cols: list[str],
+    item_col: str,
+    b: int = 5,
+    regs_col: str = "regs",
+) -> DataFrame:
+    """Per-group registers as ONE dense ``array<int>`` row of length m —
+    the storage form a maintained sketch view wants (row count = #groups,
+    merge = element-wise ``zip_with greatest``). Missing buckets are 0."""
+    m = 1 << b
+    return (
+        hll_add(df, group_cols, item_col, b)
+        .groupBy(*group_cols)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(
+                    F.struct(F.col("bucket").cast("int").alias("bucket"), "r")
+                )
+            ).alias("_m")
+        )
+        .select(
+            *group_cols,
+            F.expr(
+                f"transform(sequence(0, {m - 1}), "
+                f"i -> coalesce(element_at(_m, CAST(i AS INT)), 0))"
+            ).cast("array<int>").alias(regs_col),
+        )
+    )
+
+
+def hll_card_from_regs_expr(b: int, regs_col: str = "regs") -> str:
+    """SQL expression estimating cardinality from a DENSE register array
+    (every bucket present; 0 = empty register). Same integer algebra as
+    :func:`hll_card` — one BIGINT division, bit-identical cross-engine."""
+    sc = 33 - b
+    numer = hll_numerator(b)
+    z = (
+        f"aggregate({regs_col}, CAST(0 AS BIGINT), "
+        f"(acc, r) -> acc + shiftleft(CAST(1 AS BIGINT), {sc} - r))"
+    )
+    return f"CAST({numer} AS BIGINT) div ({z})"
+
+
+def hll_merge_regs_expr(a_col: str, b_col: str, m: int) -> str:
+    """SQL expression merging two dense register arrays (either may be
+    NULL = empty sketch): element-wise max — the HLL union."""
+    zero = f"array_repeat(0, {m})"
+    return (
+        f"zip_with(coalesce({a_col}, {zero}), coalesce({b_col}, {zero}), "
+        f"(x, y) -> greatest(x, y))"
+    )
+
+
 def hll_overlap(
     df: DataFrame, group_col: str, item_col: str, b: int = 5
 ) -> DataFrame:

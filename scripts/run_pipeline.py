@@ -76,6 +76,11 @@ def main() -> None:
                    help="maintain a per-url changelog rollup view (lake/rollup.py: "
                         "n_changes/n_upserts/n_deletes/last_lsn, the hot-key "
                         "detector) in sync with the lake table after each drain")
+    p.add_argument("--hll-view-dir", default="",
+                   help="maintain a per-domain HLL sketch view (lake/sketch_view.py: "
+                        "distinct urls EVER SEEN per domain, dense register rows) in "
+                        "sync with the lake changelog — monotone, so it tolerates "
+                        "either merge mode and duplicate delivery")
     p.add_argument("--engine", choices=["follower", "structured"], default="follower",
                    help="native follower (full pushdown) or Structured Streaming foreachBatch")
     p.add_argument("--continuous", action="store_true",
@@ -103,6 +108,7 @@ def main() -> None:
         args.checkpoint = f"{work}/ckpt"
         args.metrics_dir = f"{work}/metrics"
         args.rollup_dir = args.rollup_dir or f"{work}/rollup"
+        args.hll_view_dir = args.hll_view_dir or f"{work}/hllview"
         args.consumer = args.consumer or "demo-client"
 
     if not (args.source_dir and args.table_dir and args.checkpoint):
@@ -138,6 +144,19 @@ def main() -> None:
         else:
             view = create_rollup(spark, args.rollup_dir, "url",
                                  n_buckets=args.n_buckets)
+
+    hview = None
+    if args.hll_view_dir:
+        from clever_canal_spark.lake import create_hll_view
+
+        if os.path.exists(os.path.join(args.hll_view_dir, "_log")):
+            hview = LakeTable(spark, args.hll_view_dir)
+        else:
+            # b=5 (m=32): validity floor 2.5*32=80 distinct — right for the
+            # demo's ~300 urls; production passes b=12+ (floor ~10k,
+            # stderr 1.6% — see lake/sketch_view.py)
+            hview = create_hll_view(spark, args.hll_view_dir, "domain",
+                                    b=5, n_buckets=args.n_buckets)
 
     cfg = ApplyConfig(
         filters=EventFilterConfig(
@@ -178,6 +197,21 @@ def main() -> None:
             tidx = open_or_build_text_index(table, args.text_index_dir)
             sync_hooks.append(lambda t, _i=tidx: sync_text_index_from_lake(_i, t))
             print("text index: maintained per micro-batch")
+        if args.continuous and args.hll_view_dir:
+            from pyspark.sql import functions as F
+
+            from clever_canal_spark.lake import sync_hll_view
+
+            sync_hooks.append(
+                lambda t, _v=hview: sync_hll_view(
+                    _v, t,
+                    item_expr=F.col("url"),
+                    group_expr=F.regexp_extract(
+                        F.col("url"), r"^[a-z]+://([^/]+)", 1
+                    ),
+                )
+            )
+            print("hll view: maintained per micro-batch")
         pipe = CdcPipeline(
             spark, args.source_dir, args.checkpoint, table, cfg,
             metrics_table=metrics, max_files_per_trigger=args.max_files_per_epoch,
@@ -263,6 +297,36 @@ def main() -> None:
             print(f"rollup view: cursor fell below the source table's "
                   f"snapshot retention — view RESET; counts restart at "
                   f"version {head}")
+
+    if args.hll_view_dir and args.continuous and args.engine == "follower":
+        print("hll view: NOT maintained by the follower in --continuous "
+              "mode; run a separate periodic invocation (same dirs, no "
+              "--continuous) to sync it")
+    if args.hll_view_dir and not args.continuous:
+        from pyspark.sql import functions as F
+
+        from clever_canal_spark.lake import (
+            SnapshotExpired, hll_view_estimates, sync_hll_view,
+        )
+
+        try:
+            n = sync_hll_view(
+                hview, table,
+                item_expr=F.col("url"),
+                group_expr=F.regexp_extract(F.col("url"), r"^[a-z]+://([^/]+)", 1),
+            )
+            print(f"hll view: consumed {n} lake versions")
+            for r in hll_view_estimates(hview).orderBy("domain").limit(5).collect():
+                print(f"hll view: domain={r['domain']} ~{r['hll_distinct']} distinct urls")
+        except SnapshotExpired:
+            # changelog below retention is gone; the registers stay (the
+            # estimate remains a valid ever-seen count of what the view
+            # DID observe) — skip the cursor to head and keep counting
+            head = table.current_version()
+            hview.commit_epoch_marker(head)
+            print(f"hll view: cursor fell below snapshot retention — items "
+                  f"in the expired range were missed (estimate is now a "
+                  f"lower bound); resuming at version {head}")
 
     if args.consumer and args.continuous:
         print("consumer: not drained in --continuous mode; run a separate "
