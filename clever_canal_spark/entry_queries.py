@@ -3575,3 +3575,61 @@ def q_doc_source_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", F.explode(F.expr(shingle_hashes_expr("text"))).alias("s")
     )
     return hll_overlap(sh, "source", "s", b=5)
+
+
+@register(
+    "cdc_windowed_distinct_users",
+    f"""
+    WITH hh AS (
+      SELECT time_bucket(INTERVAL '1 day', ts) AS w,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h,
+             user_id
+      FROM events
+    ),
+    regs AS (
+      SELECT w, h % 32 AS bucket,
+             max(CASE WHEN h // 32 = 0 THEN 28
+                      ELSE 28 - length(bin(h // 32)) END) AS r
+      FROM hh GROUP BY 1, 2
+    ),
+    z AS (SELECT w, {_HLL_Z} AS z FROM regs GROUP BY 1),
+    exact AS (SELECT w, count(DISTINCT user_id) AS exact_distinct FROM hh GROUP BY 1)
+    SELECT CAST(epoch_us(z.w) AS BIGINT) AS window_start_us,
+           {_HLL_NUMER} // z.z AS hll_distinct,
+           exact.exact_distinct,
+           abs({_HLL_NUMER} // z.z - exact_distinct) * 1000 // exact_distinct
+             AS err_permille
+    FROM z JOIN exact USING (w)
+    """,
+)
+def q_cdc_windowed_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed distinct-user estimate (streaming/windows.py
+    ``windowed_distinct_registers`` batch twin): per-day HLL register
+    build — the SAME single watermarked max-agg the streaming query runs
+    with m-rows-per-window bounded state (late-data semantics in
+    tests/test_windowed_stream.py) — then the register-table estimate
+    next to the exact count. The per-day daily-active-users gauge a CDC
+    metrics stack keeps without a distinct-shuffle. Same register
+    geometry as the lake sketch view, so windows merge into cumulative
+    sketches by element-wise max."""
+    from .operators.sketch import hll_card
+    from .streaming.windows import windowed_distinct_registers
+
+    ev = _events(spark, sf_dir)
+    regs = windowed_distinct_registers(ev, F.col("user_id"), "1 day", b=5)
+    est = hll_card(regs, ["window_start"], b=5)
+    exact = ev.groupBy(
+        F.window(F.col("ts"), "1 day").alias("win")
+    ).agg(F.countDistinct("user_id").alias("exact_distinct")).select(
+        F.col("win.start").alias("window_start"), "exact_distinct"
+    )
+    return est.join(exact, "window_start").select(
+        F.unix_micros(F.col("window_start").cast("timestamp")).alias(
+            "window_start_us"
+        ),
+        "hll_distinct",
+        "exact_distinct",
+        F.expr(
+            "abs(hll_distinct - exact_distinct) * 1000 div exact_distinct"
+        ).alias("err_permille"),
+    )

@@ -2,7 +2,11 @@ from .follower import FeedFollower, RoutedFeedFollower, footer_hints, throughput
 from .pipeline import CdcPipeline, run_available
 from .prometheus import render_hotkey_metrics, render_metrics
 from .stateful import winner_delta_stream
-from .windows import sessionized_counts, windowed_event_counts
+from .windows import (
+    sessionized_counts,
+    windowed_distinct_registers,
+    windowed_event_counts,
+)
 
 __all__ = [
     "CdcPipeline",
@@ -15,5 +19,6 @@ __all__ = [
     "sessionized_counts",
     "throughput_view",
     "windowed_event_counts",
+    "windowed_distinct_registers",
     "winner_delta_stream",
 ]

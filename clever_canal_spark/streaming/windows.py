@@ -105,3 +105,63 @@ def windowed_event_counts(
             "lsn_max",
         )
     )
+
+
+def windowed_distinct_registers(
+    events: DataFrame,
+    item,
+    window_duration: str = "1 minute",
+    watermark: str = "2 minutes",
+    b: int = 5,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming distinct-cardinality state: per-(time window, bucket) HLL
+    max-rank registers (``operators/sketch.py`` geometry) as ONE
+    watermark-bounded aggregation — max is associative/commutative, so the
+    register build is an ordinary streaming agg with perfect map-side
+    combine and state of exactly m rows per open window, independent of
+    how many distinct items the window sees.
+
+    Streaming permits a single aggregation per query, so this emits the
+    REGISTER rows (the mergeable state); the estimate is one
+    ``hll_card(regs, ["window_start"], b)`` over the sink — and because
+    registers are monotone, an update-mode sink reconciles by plain
+    max(r) per (window, bucket). Batch input folds the watermark away and
+    yields the exact final registers (the driver-oracle twin).
+
+    Spark's built-in ``approx_count_distinct`` is the same HLL idea
+    fused JVM-side; this restatement exists because its registers (a)
+    interop with the lake sketch view / cross-shard merges and (b) are
+    integer-exact, so a DuckDB oracle reproduces them bit-for-bit —
+    the built-in's binary sketch is opaque and engine-specific.
+    """
+    from ..operators.sketch import u32_expr
+
+    if events.isStreaming:
+        events = events.withWatermark(ts_col, watermark)
+    m, sc = 1 << b, 33 - b
+    h = u32_expr("_item")
+    w = f"({h} div {m})"
+    rho = (
+        f"CASE WHEN {w} = 0 THEN {sc} "
+        f"ELSE {sc} - length(conv({w}, 10, 2)) END"
+    )
+    prepared = events.select(
+        F.col(ts_col),
+        (item if not isinstance(item, str) else F.col(item)).alias("_item"),
+    ).where(F.col("_item").isNotNull())
+    return (
+        prepared.select(
+            F.col(ts_col),
+            F.expr(f"{h} % {m}").alias("bucket"),
+            F.expr(rho).cast("int").alias("rho"),
+        )
+        .groupBy(F.window(F.col(ts_col), window_duration).alias("win"), F.col("bucket"))
+        .agg(F.max("rho").alias("r"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "bucket",
+            "r",
+        )
+    )

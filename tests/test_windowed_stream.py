@@ -159,3 +159,82 @@ def test_sessionized_stream_merges_across_batches(spark, tmp_path):
         assert len([r for r in rows if r["table_name"] == "other"]) == 1
     finally:
         q.stop()
+
+
+def test_windowed_distinct_registers_stream_matches_batch_twin(spark, tmp_path):
+    """HLL register build as a watermarked streaming agg: update-mode
+    emissions reconcile by max (registers are monotone); the final state
+    must equal the batch twin over the rows the watermark kept, and the
+    too-late row must be dropped."""
+    from clever_canal_spark.streaming import windowed_distinct_registers
+
+    feed = str(tmp_path / "feed")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(feed)
+
+    def write_slice(name, rows):
+        spark.createDataFrame(rows, CHANGE_EVENT_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / name))
+        src = [f for f in os.listdir(tmp_path / name) if f.endswith(".parquet")][0]
+        os.rename(str(tmp_path / name / src), os.path.join(feed, f"{name}.parquet"))
+
+    batch1 = [_event(1, _ts(0, 10)), _event(2, _ts(0, 50)), _event(100, _ts(10, 0))]
+    write_slice("a", batch1)
+    stream = (
+        spark.readStream.schema(CHANGE_EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+    )
+    regs = windowed_distinct_registers(
+        stream, F.col("lsn"), "1 minute", watermark="2 minutes", b=4
+    )
+    q = (
+        regs.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("hllregs")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        time.sleep(1.1)
+        # 12:09:30 late-within-slack (kept), 12:01:00 below watermark (dropped)
+        write_slice("b", [_event(3, _ts(9, 30)), _event(4, _ts(1, 0))])
+        q.processAllAvailable()
+        streamed = {}
+        for r in spark.sql("SELECT * FROM hllregs").collect():
+            k = (str(r["window_start"]), r["bucket"])
+            streamed[k] = max(streamed.get(k, 0), r["r"])
+    finally:
+        q.stop()
+
+    kept = [_event(1, _ts(0, 10)), _event(2, _ts(0, 50)), _event(100, _ts(10, 0)),
+            _event(3, _ts(9, 30))]
+    twin = {
+        (str(r["window_start"]), r["bucket"]): r["r"]
+        for r in windowed_distinct_registers(
+            spark.createDataFrame(kept, CHANGE_EVENT_SCHEMA),
+            F.col("lsn"), "1 minute", b=4,
+        ).collect()
+    }
+    assert streamed == twin
+    assert not any(w.startswith("2024-01-01 12:01") for w, _ in streamed)
+
+
+def test_windowed_distinct_registers_duplicates_are_free(spark):
+    """Duplicate items in a window leave its registers unchanged (HLL add
+    is idempotent) — the property that makes update-mode reconcile-by-max
+    and at-least-once sinks safe."""
+    from clever_canal_spark.streaming import windowed_distinct_registers
+
+    once = [_event(i, _ts(0, i % 50)) for i in range(1, 21)]
+    twice = once + [_event(i, _ts(0, (i * 7) % 50)) for i in range(1, 21)]
+    def regs(rows):
+        return sorted(
+            map(tuple, windowed_distinct_registers(
+                spark.createDataFrame(rows, CHANGE_EVENT_SCHEMA),
+                F.col("lsn"), "1 minute", b=4,
+            ).collect())
+        )
+    assert regs(once) == regs(twice)
