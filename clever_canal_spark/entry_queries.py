@@ -3633,3 +3633,132 @@ def q_cdc_windowed_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
             "abs(hll_distinct - exact_distinct) * 1000 div exact_distinct"
         ).alias("err_permille"),
     )
+
+
+@register(
+    "doc_token_cms_heavy_hitters",
+    r"""
+    WITH words AS (
+      SELECT word FROM (
+        SELECT unnest(regexp_split_to_array(text, '\s+')) AS word FROM documents
+      ) WHERE word <> ''
+    ),
+    depths AS (SELECT unnest(range(4)) AS depth),
+    sk AS (
+      SELECT depth,
+             ('0x' || substr(md5(depth::VARCHAR || ':' || word), 1, 8))::BIGINT
+               % 512 AS slot,
+             count(*)::BIGINT AS cnt
+      FROM words, depths GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT word, count(*)::BIGINT AS exact_count FROM words GROUP BY 1
+      ORDER BY exact_count DESC, word LIMIT 20
+    ),
+    probe AS (
+      SELECT t.word, t.exact_count, d.depth,
+             ('0x' || substr(md5(d.depth::VARCHAR || ':' || t.word), 1, 8))::BIGINT
+               % 512 AS slot
+      FROM top t, depths d
+    )
+    SELECT p.word,
+           min(coalesce(sk.cnt, 0))::BIGINT AS est_count,
+           p.exact_count,
+           (min(coalesce(sk.cnt, 0)) - p.exact_count)::BIGINT AS overestimate
+    FROM probe p LEFT JOIN sk ON sk.depth = p.depth AND sk.slot = p.slot
+    GROUP BY 1, 3
+    """,
+)
+def q_doc_token_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter token counts via count-min sketch
+    (``operators/sketch.py cms_add``/``cms_estimate``): the corpus is
+    scanned once into a d=4 x w=512 sketch (one groupBy with perfect
+    map-side combine — the shuffle carries <= d*w rows whatever the
+    corpus size), then the exact top-20 tokens are point-queried against
+    the broadcast sketch. est >= exact always (weights positive); the
+    ``overestimate`` column is the honesty gauge of w vs vocabulary.
+    Integer arithmetic end to end, so the DuckDB oracle transcribing the
+    same seeded-md5 slot algebra hash-matches exactly."""
+    from .operators.sketch import cms_add, cms_estimate
+
+    words = (
+        _documents(spark, sf_dir)
+        .select(F.explode(F.split(F.col("text"), r"\s+")).alias("word"))
+        .where(F.col("word") != "")
+    )
+    sketch = cms_add(words, [], "word", d=4, w=512)
+    top = (
+        words.groupBy("word")
+        .agg(F.count("*").alias("exact_count"))
+        .orderBy(F.desc("exact_count"), F.asc("word"))
+        .limit(20)
+    )
+    est = cms_estimate(sketch, top, "word", [], d=4, w=512, out_col="est_count")
+    return est.select(
+        "word",
+        "est_count",
+        "exact_count",
+        (F.col("est_count") - F.col("exact_count")).alias("overestimate"),
+    )
+
+
+@register(
+    "cdc_user_cms_net",
+    r"""
+    WITH ev AS (
+      SELECT user_id,
+             CASE WHEN event_type = 'error' THEN -1 ELSE 1 END AS wt
+      FROM events
+    ),
+    depths AS (SELECT unnest(range(4)) AS depth),
+    sk AS (
+      SELECT depth,
+             ('0x' || substr(md5(depth::VARCHAR || ':' || CAST(user_id AS VARCHAR)),
+                             1, 8))::BIGINT % 128 AS slot,
+             sum(wt)::BIGINT AS cnt
+      FROM ev, depths GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT user_id, sum(wt)::BIGINT AS exact_net FROM ev GROUP BY 1
+      ORDER BY exact_net DESC, user_id LIMIT 20
+    ),
+    probe AS (
+      SELECT t.user_id, t.exact_net, d.depth,
+             ('0x' || substr(md5(d.depth::VARCHAR || ':' || CAST(t.user_id AS VARCHAR)),
+                             1, 8))::BIGINT % 128 AS slot
+      FROM top t, depths d
+    )
+    SELECT p.user_id,
+           min(coalesce(sk.cnt, 0))::BIGINT AS est_net,
+           p.exact_net,
+           (min(coalesce(sk.cnt, 0)) - p.exact_net)::BIGINT AS err
+    FROM probe p LEFT JOIN sk ON sk.depth = p.depth AND sk.slot = p.slot
+    GROUP BY 1, 3
+    """,
+)
+def q_cdc_user_cms_net(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turnstile count-min over the event stream: error events weigh -1
+    (the CDC changelog mapping is I -> +1, D -> -1, U -> 0 — the sketch
+    is linear, so deletes subtract cleanly, which HLL's monotone
+    registers cannot do). Net per-user activity for the exact top-20
+    most-active users is point-queried from the broadcast d=4 x w=128
+    sketch; ``err`` is the collision noise (>= 0 here because every
+    user's true net is non-negative at this mix)."""
+    from .operators.sketch import cms_add, cms_estimate
+
+    ev = _events(spark, sf_dir)
+    wt = "CASE WHEN event_type = 'error' THEN CAST(-1 AS BIGINT) ELSE CAST(1 AS BIGINT) END"
+    sketch = cms_add(ev, [], "user_id", d=4, w=128, weight_sql=wt)
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.sum(F.expr(wt)).alias("exact_net"))
+        .orderBy(F.desc("exact_net"), F.asc("user_id"))
+        .limit(20)
+    )
+    est = cms_estimate(sketch, top, "user_id", [], d=4, w=128, out_col="est_net")
+    return est.select(
+        "user_id",
+        "est_net",
+        "exact_net",
+        (F.col("est_net") - F.col("exact_net")).alias("err"),
+    )

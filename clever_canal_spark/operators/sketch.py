@@ -1,4 +1,5 @@
-"""Mergeable cardinality sketches: integer-exact HyperLogLog.
+"""Mergeable sketches: integer-exact HyperLogLog (distinct counting) and
+count-min (frequency / heavy hitters, turnstile-capable for CDC deletes).
 
 Reference anchor: clever-canal keeps per-destination throughput/row
 counters in its metrics layer (CanalMetricsService, PrometheusService
@@ -175,6 +176,105 @@ def hll_merge_regs_expr(a_col: str, b_col: str, m: int) -> str:
     return (
         f"zip_with(coalesce({a_col}, {zero}), coalesce({b_col}, {zero}), "
         f"(x, y) -> greatest(x, y))"
+    )
+
+
+def cms_slot_expr(item_sql: str, depth: int, w: int) -> str:
+    """Slot of ``item`` under the depth-th seeded hash: the u32 of
+    ``'<depth>:' || item`` mod w. DuckDB twin:
+    ``('0x' || substr(md5(<depth> || ':' || CAST(x AS VARCHAR)), 1, 8))::BIGINT % w``
+    — identical bytes hashed, identical slot."""
+    seeded = f"concat('{depth}:', CAST({item_sql} AS STRING))"
+    return f"({u32_expr(seeded)} % {w})"
+
+
+def cms_add(
+    df: DataFrame,
+    group_cols: list[str],
+    item_col: str,
+    d: int = 4,
+    w: int = 256,
+    weight_sql: str = "CAST(1 AS BIGINT)",
+) -> DataFrame:
+    """Build per-group count-min sketch rows (Cormode & Muthukrishnan
+    2005): d seeded hash rows of w slots each, stored as one row per
+    (group, depth, slot) with the summed weight.
+
+    The frequency companion to :func:`hll_add`, same 100-TB shape:
+    - one ``groupBy(group, depth, slot).sum`` — perfect map-side combine,
+      the shuffle carries at most ``groups x d x w`` rows whatever the
+      input size;
+    - MERGEABLE: union of two sketches = per-slot SUM (the sketch is
+      linear), so cross-shard rollups re-run the same sum over
+      concatenated sketch tables;
+    - TURNSTILE: ``weight_sql`` may be negative — the CDC changelog maps
+      I -> +1, D -> -1 (U -> 0) and the sketch tracks live-row frequency
+      through deletes, which mergeable-max sketches (HLL) cannot;
+    - integer arithmetic throughout, so the DuckDB oracle transcribing
+      the same algebra hash-matches exactly.
+
+    Point estimate (min over the d slot counts, :func:`cms_estimate`)
+    never under-counts when all true frequencies are >= 0; the
+    overestimate is bounded by 2N/w with prob 1 - (1/2)^d.
+    """
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("depth"),
+                F.expr(cms_slot_expr(item_col, i, w)).cast("int").alias("slot"),
+            )
+            for i in range(d)
+        ]
+    )
+    return (
+        df.select(
+            *group_cols, F.expr(weight_sql).alias("_wt"), F.explode(pairs).alias("p")
+        )
+        .select(*group_cols, F.col("p.depth").alias("depth"), F.col("p.slot").alias("slot"), "_wt")
+        .groupBy(*group_cols, "depth", "slot")
+        .agg(F.sum("_wt").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    item_col: str,
+    group_cols: list[str] | None = None,
+    d: int = 4,
+    w: int = 256,
+    out_col: str = "cms_count",
+) -> DataFrame:
+    """Point-query a count-min sketch for each probe row: recompute the
+    d slots of the probe item, look them up, take the min.
+
+    Plan shape: the sketch is at most ``groups x d x w`` rows by
+    construction, so it is BROADCAST to the probes — point lookups never
+    shuffle the probe side. Missing slots read as 0 (an item whose slot
+    row was never touched has estimate 0). Probe rows are assumed
+    distinct on (group, item); all probe columns pass through.
+    """
+    group_cols = group_cols or []
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("depth"),
+                F.expr(cms_slot_expr(item_col, i, w)).cast("int").alias("slot"),
+            )
+            for i in range(d)
+        ]
+    )
+    keep = list(probes.columns)
+    exploded = probes.select(*keep, F.explode(pairs).alias("p")).select(
+        *keep, F.col("p.depth").alias("depth"), F.col("p.slot").alias("slot")
+    )
+    joined = exploded.join(
+        F.broadcast(sketch.withColumnRenamed("cnt", "_cnt")),
+        [*group_cols, "depth", "slot"],
+        "left",
+    )
+    return joined.groupBy(*keep).agg(
+        F.min(F.coalesce(F.col("_cnt"), F.lit(0).cast("bigint"))).alias(out_col)
     )
 
 
