@@ -7,9 +7,13 @@ from .table import CommitConflict, LakeTable, MergeResult, SnapshotExpired
 # after .table: sketch_view pulls in operators/, whose ann_index imports
 # LakeTable back out of this (then partially-initialized) package
 from .sketch_view import (  # noqa: E402
+    cms_view_config,
+    cms_view_estimate,
+    create_cms_view,
     create_hll_view,
     hll_view_config,
     hll_view_estimates,
+    sync_cms_view,
     sync_hll_view,
 )
 
@@ -18,5 +22,6 @@ __all__ = [
     "MetadataFS", "LocalFS", "ArrowFS", "MemFS",
     "create_rollup", "sync_rollup", "hot_groups", "rollup_cursor",
     "create_hll_view", "sync_hll_view", "hll_view_estimates", "hll_view_config",
+    "create_cms_view", "sync_cms_view", "cms_view_estimate", "cms_view_config",
     "Consumer", "Batch", "snapshot_diff",
 ]

@@ -44,6 +44,8 @@ import json
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from ..operators.sketch import (
+    cms_add,
+    cms_estimate,
     hll_card_from_regs_expr,
     hll_merge_regs_expr,
     hll_regs_dense,
@@ -172,6 +174,154 @@ def sync_hll_view(
     view.merge(src, epoch_id=head, op_col="op", mode="mor", lsn_col="lsn")
     _free_checkpoint(delta)
     return head - synced
+
+
+def create_cms_view(
+    spark: SparkSession,
+    path: str,
+    d: int = 4,
+    w: int = 1024,
+    n_buckets: int = 4,
+    start_after: int = 0,
+) -> LakeTable:
+    """An empty changelog-synced count-min view: the ADDITIVE sketch
+    sibling of the HLL view — per-item NET frequency (inserts minus
+    deletes) over an unbounded item domain in d*w fixed rows.
+
+    Where the rollup keeps EXACT additive counts per group (row count =
+    #distinct groups), the CMS view bounds state at d*w rows however many
+    distinct items flow past — the trade a 100-TB url stream forces — and
+    answers point queries with the classic one-sided error (when all true
+    nets are >= 0, estimate >= truth, over by <= 2N/w w.p. 1-2^-d).
+
+    Semantics and contract (all inherited from the sketch's LINEARITY):
+
+    - The view counts CHANGELOG MARKERS: I -> +1, D -> -1, U -> 0.
+      Deletes SUBTRACT — this is the turnstile property the monotone HLL
+      registers cannot provide. A key-derived ``item_expr`` therefore
+      tracks live-key frequency exactly (collisions aside); like the
+      rollup's ``group_expr``, ``item_expr`` MUST derive from the source
+      MERGE-KEY columns — the changelog carries no before-images, so a
+      payload-derived item cannot be decremented on U/D.
+    - **The source table must be MOR-fed** (same caveat as the rollup):
+      COW rewrites re-emit surviving rows and additive state would
+      double-count them.
+    - TRUNCATE does not reset it (history stance shared with the rollup
+      and HLL view); exact current-state counts come from ``scan()``.
+
+    Exactly-once: identical to ``sync_rollup`` — the merge commits under
+    the consumed lake version in the view's own epoch registry, so crash
+    replays land in a registered epoch and no-op; deltas are never
+    double-added. Geometry (d, w) persists in ``sketch.json``."""
+    schema = T.StructType(
+        [
+            T.StructField("depth", T.IntegerType(), nullable=False),
+            T.StructField("slot", T.IntegerType(), nullable=False),
+            T.StructField("cnt", T.LongType()),
+        ]
+    )
+    view = LakeTable.create(
+        spark, path, schema, merge_key=["depth", "slot"], n_buckets=n_buckets
+    )
+    view._fs.write_text_exclusive(
+        _cfg_path(view), json.dumps({"kind": "cms", "d": int(d), "w": int(w)})
+    )
+    if start_after > 0:
+        view.commit_epoch_marker(int(start_after))
+    return view
+
+
+def cms_view_config(view: LakeTable) -> dict:
+    """The persisted sketch geometry (``{"kind": "cms", "d": ..., "w": ...}``)."""
+    return json.loads(view._fs.read_text(_cfg_path(view)))
+
+
+def sync_cms_view(
+    view: LakeTable,
+    table: LakeTable,
+    item_expr,
+    to_version: int | None = None,
+) -> int:
+    """Advance the CMS view to ``table``'s head (or ``to_version``):
+    sketch ONLY the new changelog rows (I=+1, D=-1, U skipped), add onto
+    the current counts of just the touched slots (bucket-pruned
+    read-modify-write), merge back. Returns lake versions consumed
+    (0 = already current). Cursor = the view's own max committed epoch,
+    exactly like the rollup — a fresh-process reopen resumes with no
+    sidecar state. Per sync the work is O(changes) + O(touched slots)."""
+    cfg = cms_view_config(view)
+    d, w = int(cfg["d"]), int(cfg["w"])
+    head = table.current_version() if to_version is None else int(to_version)
+    synced = rollup_cursor(view)
+    if head <= synced:
+        return 0
+    vsnap = view.snapshot()
+
+    rows = (
+        table.scan_changes(synced, head)
+        .select(item_expr.alias("__item"), F.col("__op").alias("__op"))
+        .filter(F.col("__item").isNotNull() & (F.col("__op") != "U"))
+    )
+    delta = (
+        cms_add(
+            rows,
+            [],
+            "__item",
+            d,
+            w,
+            weight_sql=(
+                "CASE WHEN __op = 'D' THEN CAST(-1 AS BIGINT) "
+                "ELSE CAST(1 AS BIGINT) END"
+            ),
+        )
+        .filter(F.col("cnt") != 0)  # net-zero slots leave state untouched
+        .withColumnRenamed("cnt", "_d_cnt")
+        .localCheckpoint(eager=False)
+    )
+    touched = {
+        int(r["__b"])
+        for r in delta.select(view._bucket_col(vsnap).alias("__b")).distinct().collect()
+    }
+    if not touched:
+        view.commit_epoch_marker(head)
+        _free_checkpoint(delta)
+        return head - synced
+    cur = (
+        view._reconciled(vsnap, buckets=touched)
+        .select("depth", "slot", "cnt")
+        .join(delta.select("depth", "slot"), on=["depth", "slot"], how="left_semi")
+        if (vsnap.files or vsnap.delta_files)
+        else view.spark.createDataFrame([], view.schema())
+    )
+    src = delta.join(cur, on=["depth", "slot"], how="left").select(
+        "depth",
+        "slot",
+        (F.coalesce("cnt", F.lit(0)) + F.col("_d_cnt")).alias("cnt"),
+        F.lit("U").alias("op"),
+        # merge-LWW ordinal = consumed lake version (see rollup)
+        F.lit(int(head)).cast("long").alias("lsn"),
+    )
+    view.merge(src, epoch_id=head, op_col="op", mode="mor", lsn_col="lsn")
+    _free_checkpoint(delta)
+    return head - synced
+
+
+def cms_view_estimate(
+    view: LakeTable, probes: DataFrame, item_col: str, out_col: str = "cms_count"
+) -> DataFrame:
+    """Point-query the maintained sketch for each probe row: the view's
+    d*w rows are broadcast (``operators/sketch.py cms_estimate``), so the
+    probe side never shuffles — and the SOURCE table is never touched."""
+    cfg = cms_view_config(view)
+    return cms_estimate(
+        view.scan().select("depth", "slot", "cnt"),
+        probes,
+        item_col,
+        [],
+        d=int(cfg["d"]),
+        w=int(cfg["w"]),
+        out_col=out_col,
+    )
 
 
 def hll_view_estimates(view: LakeTable, out_col: str = "hll_distinct") -> DataFrame:

@@ -81,6 +81,11 @@ def main() -> None:
                         "distinct urls EVER SEEN per domain, dense register rows) in "
                         "sync with the lake changelog — monotone, so it tolerates "
                         "either merge mode and duplicate delivery")
+    p.add_argument("--cms-view-dir", default="",
+                   help="maintain a count-min sketch view (lake/sketch_view.py: "
+                        "net per-domain url-insert frequency in d*w fixed rows, "
+                        "turnstile I=+1/D=-1) in sync with the lake changelog — "
+                        "additive, so it requires --merge-mode mor like the rollup")
     p.add_argument("--engine", choices=["follower", "structured"], default="follower",
                    help="native follower (full pushdown) or Structured Streaming foreachBatch")
     p.add_argument("--continuous", action="store_true",
@@ -109,17 +114,18 @@ def main() -> None:
         args.metrics_dir = f"{work}/metrics"
         args.rollup_dir = args.rollup_dir or f"{work}/rollup"
         args.hll_view_dir = args.hll_view_dir or f"{work}/hllview"
+        args.cms_view_dir = args.cms_view_dir or f"{work}/cmsview"
         args.consumer = args.consumer or "demo-client"
 
     if not (args.source_dir and args.table_dir and args.checkpoint):
         p.error("--source-dir, --table-dir and --checkpoint are required (or --demo)")
-    if args.rollup_dir and args.merge_mode != "mor":
+    if (args.rollup_dir or args.cms_view_dir) and args.merge_mode != "mor":
         # a COW merge re-emits every surviving co-bucketed row into
         # scan_changes; additive counting would inflate cold keys
         # (lake/rollup.py module docstring) — refuse, don't corrupt
-        p.error("--rollup-dir requires --merge-mode mor (COW commits "
-                "re-emit unchanged co-bucketed rows into the changelog, "
-                "which would inflate the rollup's additive counts)")
+        p.error("--rollup-dir/--cms-view-dir require --merge-mode mor (COW "
+                "commits re-emit unchanged co-bucketed rows into the "
+                "changelog, which would inflate additive counts)")
 
     table = LakeTable(spark, args.table_dir)
     if not table.exists():
@@ -157,6 +163,18 @@ def main() -> None:
             # stderr 1.6% — see lake/sketch_view.py)
             hview = create_hll_view(spark, args.hll_view_dir, "domain",
                                     b=5, n_buckets=args.n_buckets)
+
+    cview = None
+    if args.cms_view_dir:
+        from clever_canal_spark.lake import create_cms_view
+
+        if os.path.exists(os.path.join(args.cms_view_dir, "_log")):
+            cview = LakeTable(spark, args.cms_view_dir)
+        else:
+            # d=4 x w=1024: overestimate <= 2N/1024 w.p. 15/16 — plenty
+            # for the demo's ~300 urls; production sizes w ~ 2N/eps
+            cview = create_cms_view(spark, args.cms_view_dir, d=4, w=1024,
+                                    n_buckets=4)
 
     cfg = ApplyConfig(
         filters=EventFilterConfig(
@@ -212,6 +230,20 @@ def main() -> None:
                 )
             )
             print("hll view: maintained per micro-batch")
+        if args.continuous and args.cms_view_dir:
+            from pyspark.sql import functions as F
+
+            from clever_canal_spark.lake import sync_cms_view
+
+            sync_hooks.append(
+                lambda t, _v=cview: sync_cms_view(
+                    _v, t,
+                    item_expr=F.regexp_extract(
+                        F.col("url"), r"^[a-z]+://([^/]+)", 1
+                    ),
+                )
+            )
+            print("cms view: maintained per micro-batch")
         pipe = CdcPipeline(
             spark, args.source_dir, args.checkpoint, table, cfg,
             metrics_table=metrics, max_files_per_trigger=args.max_files_per_epoch,
@@ -327,6 +359,39 @@ def main() -> None:
             print(f"hll view: cursor fell below snapshot retention — items "
                   f"in the expired range were missed (estimate is now a "
                   f"lower bound); resuming at version {head}")
+
+    if args.cms_view_dir and args.continuous and args.engine == "follower":
+        print("cms view: NOT maintained by the follower in --continuous "
+              "mode; run a separate periodic invocation (same dirs, no "
+              "--continuous) to sync it")
+    if args.cms_view_dir and not args.continuous:
+        from pyspark.sql import functions as F
+
+        from clever_canal_spark.lake import (
+            SnapshotExpired, cms_view_estimate, sync_cms_view,
+        )
+
+        domain = F.regexp_extract(F.col("url"), r"^[a-z]+://([^/]+)", 1)
+        try:
+            n = sync_cms_view(cview, table, item_expr=domain)
+            print(f"cms view: consumed {n} lake versions")
+            # demo probe list: a handful of live domains from the table
+            # (real deployments probe a known watchlist — the sketch
+            # itself never needs the source scanned)
+            probes = (
+                table.scan().select(domain.alias("item")).distinct().limit(5)
+            )
+            for r in cms_view_estimate(cview, probes, "item").orderBy("item").collect():
+                print(f"cms view: domain={r['item']} ~{r['cms_count']} net url inserts (I-D markers)")
+        except SnapshotExpired:
+            # additive state can't absorb a gap (missed I's AND missed
+            # D's) — same stance as the rollup: reset loudly, count from
+            # NOW
+            head = table.current_version()
+            cview.truncate_rows(head)
+            cview.commit_epoch_marker(head)
+            print(f"cms view: cursor fell below snapshot retention — view "
+                  f"RESET; counts restart at version {head}")
 
     if args.consumer and args.continuous:
         print("consumer: not drained in --continuous mode; run a separate "
