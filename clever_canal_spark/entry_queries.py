@@ -3762,3 +3762,81 @@ def q_cdc_user_cms_net(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_net",
         (F.col("est_net") - F.col("exact_net")).alias("err"),
     )
+
+
+@register(
+    "doc_cross_shard_bloom",
+    r"""
+    WITH docs AS (
+      SELECT doc_id, source, md5(text) AS fp FROM documents
+      WHERE text IS NOT NULL
+    ),
+    a AS (
+      SELECT DISTINCT fp FROM docs
+      WHERE ('0x' || substr(md5(source), 1, 8))::BIGINT % 2 = 0
+    ),
+    ks AS (SELECT unnest(range(3)) AS k),
+    bits AS (
+      SELECT DISTINCT
+             ('0x' || substr(md5(k::VARCHAR || ':' || fp), 1, 8))::BIGINT
+               % 512 AS bit
+      FROM a, ks
+    ),
+    b AS (
+      SELECT doc_id, fp FROM docs
+      WHERE ('0x' || substr(md5(source), 1, 8))::BIGINT % 2 = 1
+    ),
+    probe AS (
+      SELECT doc_id, fp,
+             ('0x' || substr(md5(k::VARCHAR || ':' || fp), 1, 8))::BIGINT
+               % 512 AS bit
+      FROM b, ks
+    ),
+    might AS (
+      SELECT doc_id, fp,
+             min(CASE WHEN bits.bit IS NULL THEN 0 ELSE 1 END)::INT
+               AS might_contain
+      FROM probe LEFT JOIN bits USING (bit) GROUP BY 1, 2
+    )
+    SELECT m.doc_id, m.might_contain,
+           (CASE WHEN a.fp IS NULL THEN 0 ELSE 1 END)::INT AS in_shard_a,
+           (CASE WHEN m.might_contain = 1 AND a.fp IS NULL THEN 1 ELSE 0 END)::INT
+             AS false_positive
+    FROM might m LEFT JOIN a ON a.fp = m.fp
+    """,
+)
+def q_doc_cross_shard_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-shard membership pre-filter via Bloom bits
+    (``operators/sketch.py bloom_bits``/``bloom_might_contain``): shard
+    the corpus in two by source hash, build a DELIBERATELY saturated
+    m=512/k=3 filter over shard A's text fingerprints, and test every
+    shard-B doc. ``might_contain=0`` rows are guaranteed absent (never a
+    false negative — those docs skip the exact dedup join entirely);
+    ``false_positive`` shows the price of the tiny m. At scale the bits
+    table (<= m rows) broadcasts, so the pre-filter is shuffle-free for
+    the probe shard — the classic "have we crawled this url" gate.
+    Integer/md5 algebra end to end; the DuckDB oracle transcribes it
+    independently."""
+    from .operators.sketch import bloom_bits, bloom_might_contain, u32_expr
+
+    docs = (
+        _documents(spark, sf_dir)
+        .where(F.col("text").isNotNull())
+        .select("doc_id", F.expr(f"{u32_expr('source')} % 2").alias("side"),
+                F.md5("text").alias("fp"))
+    )
+    a = docs.where(F.col("side") == 0).select("fp").distinct()
+    bdocs = docs.where(F.col("side") == 1).select("doc_id", "fp")
+    bits = bloom_bits(a, "fp", m_bits=512, k=3)
+    might = bloom_might_contain(bits, bdocs, "fp", m_bits=512, k=3)
+    return (
+        might.join(F.broadcast(a.withColumn("_in", F.lit(1))), "fp", "left")
+        .select(
+            "doc_id",
+            "might_contain",
+            F.coalesce("_in", F.lit(0)).cast("int").alias("in_shard_a"),
+            (
+                (F.col("might_contain") == 1) & F.col("_in").isNull()
+            ).cast("int").alias("false_positive"),
+        )
+    )

@@ -278,6 +278,71 @@ def cms_estimate(
     )
 
 
+def bloom_bits(
+    df: DataFrame, item_col: str, m_bits: int = 1 << 20, k: int = 3
+) -> DataFrame:
+    """Bloom filter (Bloom 1970) as a table of DISTINCT set-bit
+    positions — the membership sibling of HLL (distinct) and count-min
+    (frequency). Bit positions reuse the seeded-hash convention of
+    :func:`cms_slot_expr` (a Bloom filter IS a count-min row with
+    saturated bits), so the DuckDB twin is the same md5 algebra.
+
+    The row form (one ``bit: bigint`` per set bit, <= m_bits rows) is the
+    shuffle-friendly mergeable state: union of two filters = DISTINCT of
+    the concatenated bit tables, and the build is an explode + distinct
+    with map-side partial dedup. The classic guarantee holds: NO false
+    negatives ever; false-positive rate ~ (1 - e^(-kn/m))^k — size
+    ``m_bits ~ 10n`` and ``k=3`` for ~8% at its worst, or ``k=7``,
+    ``m ~ 14n`` for ~1%.
+
+    The webtext use is the cross-shard pre-filter: build bits over shard
+    A's url/fingerprint column once (tiny vs the shard), broadcast them,
+    and only the ``might_contain`` survivors of shard B pay the exact
+    (shuffling) semi-join."""
+    pairs = F.array(
+        *[
+            F.expr(cms_slot_expr(item_col, i, m_bits)).cast("bigint")
+            for i in range(k)
+        ]
+    )
+    return (
+        df.where(F.col(item_col).isNotNull())
+        .select(F.explode(pairs).alias("bit"))
+        .distinct()
+    )
+
+
+def bloom_might_contain(
+    bits: DataFrame,
+    probes: DataFrame,
+    item_col: str,
+    m_bits: int = 1 << 20,
+    k: int = 3,
+    out_col: str = "might_contain",
+) -> DataFrame:
+    """Membership test for each probe row against a bit table built by
+    :func:`bloom_bits` with the SAME (m_bits, k): recompute the k
+    positions, require every one present. Returns the probe columns plus
+    ``out_col`` as int 1/0 (1 = maybe present, 0 = definitely absent).
+
+    Plan shape: the bit table is broadcast (<= m_bits tiny rows); the
+    probe side never shuffles — the point of a pre-filter."""
+    keep = list(probes.columns)
+    pairs = F.array(
+        *[
+            F.expr(cms_slot_expr(item_col, i, m_bits)).cast("bigint")
+            for i in range(k)
+        ]
+    )
+    exploded = probes.select(*keep, F.explode(pairs).alias("bit"))
+    joined = exploded.join(
+        F.broadcast(bits.select("bit", F.lit(1).alias("_hit"))), "bit", "left"
+    )
+    return joined.groupBy(*keep).agg(
+        F.min(F.coalesce(F.col("_hit"), F.lit(0))).cast("int").alias(out_col)
+    )
+
+
 def hll_overlap(
     df: DataFrame, group_col: str, item_col: str, b: int = 5
 ) -> DataFrame:
