@@ -3840,3 +3840,103 @@ def q_doc_cross_shard_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("int").alias("false_positive"),
         )
     )
+
+
+@register(
+    "doc_length_quantile_sketch",
+    r"""
+    WITH h AS (
+      SELECT source,
+             CASE WHEN n_chars = 0 THEN 0 ELSE length(bin(n_chars)) END AS bin,
+             count(*)::BIGINT AS n
+      FROM documents GROUP BY 1, 2
+    ),
+    cumh AS (
+      SELECT source, bin,
+             sum(n) OVER (PARTITION BY source ORDER BY bin) AS cum,
+             sum(n) OVER (PARTITION BY source) AS total
+      FROM h
+    ),
+    qs AS (SELECT unnest([500, 900, 990]) AS q_permille),
+    est AS (
+      SELECT source, q_permille, min(bin) AS qbin
+      FROM cumh, qs
+      WHERE cum >= (q_permille * total + 999) // 1000
+      GROUP BY 1, 2
+    ),
+    vc AS (SELECT source, n_chars, count(*)::BIGINT AS c FROM documents GROUP BY 1, 2),
+    cumv AS (
+      SELECT source, n_chars,
+             sum(c) OVER (PARTITION BY source ORDER BY n_chars) AS cum,
+             sum(c) OVER (PARTITION BY source) AS total
+      FROM vc
+    ),
+    ex AS (
+      SELECT source, q_permille, min(n_chars) AS exact_val
+      FROM cumv, qs
+      WHERE cum >= (q_permille * total + 999) // 1000
+      GROUP BY 1, 2
+    )
+    SELECT source, q_permille, est_lo, est_hi, exact_val,
+           (CASE WHEN exact_val BETWEEN est_lo AND est_hi THEN 1 ELSE 0 END)::INT
+             AS within
+    FROM (
+      SELECT e.source, e.q_permille,
+             CASE WHEN qbin = 0 THEN 0::BIGINT
+                  ELSE (1::BIGINT << (qbin - 1)) END AS est_lo,
+             CASE WHEN qbin = 0 THEN 0::BIGINT
+                  ELSE (1::BIGINT << qbin) - 1 END AS est_hi,
+             ex.exact_val
+      FROM est e JOIN ex USING (source, q_permille)
+    )
+    """,
+)
+def q_doc_length_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source p50/p90/p99 document length from the mergeable log2
+    histogram (``operators/sketch.py hist_add``/``hist_quantiles``):
+    the quantile member of the sketch family — state is <= 64 additive
+    bin rows per source (merges across shards/epochs by per-bin sum),
+    and the estimate brackets the true type-1 quantile within one
+    doubling (``within`` asserts it on every row). The exact column is
+    the fixture-scale honesty check (a per-source cumulative window over
+    distinct values); the histogram is the 100-TB path — the same shape
+    serves lag/latency percentiles in the CDC metrics stack. Integer
+    arithmetic throughout; the DuckDB oracle transcribes the same
+    algebra independently."""
+    from pyspark.sql.window import Window
+
+    from .operators.sketch import hist_add, hist_quantiles
+
+    docs = _documents(spark, sf_dir)
+    qs = [500, 900, 990]
+    est = hist_quantiles(hist_add(docs, ["source"], "n_chars"), ["source"], qs)
+
+    counts = docs.groupBy("source", "n_chars").agg(F.count("*").alias("c"))
+    wv = (
+        Window.partitionBy("source")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cumv = counts.select(
+        "source",
+        "n_chars",
+        F.sum("c").over(wv).alias("cum"),
+        F.sum("c").over(Window.partitionBy("source")).alias("total"),
+    )
+    qdf = spark.createDataFrame([(q,) for q in qs], "q_permille int")
+    exact = (
+        cumv.crossJoin(F.broadcast(qdf))
+        .where(F.expr("cum >= (q_permille * total + 999) div 1000"))
+        .groupBy("source", "q_permille")
+        .agg(F.min("n_chars").alias("exact_val"))
+    )
+    return est.join(exact, ["source", "q_permille"]).select(
+        "source",
+        "q_permille",
+        "est_lo",
+        "est_hi",
+        "exact_val",
+        F.col("exact_val").between(F.col("est_lo"), F.col("est_hi"))
+        .cast("int")
+        .alias("within"),
+    )

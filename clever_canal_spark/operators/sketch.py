@@ -278,6 +278,82 @@ def cms_estimate(
     )
 
 
+def hist_add(df: DataFrame, group_cols: list[str], value_sql: str) -> DataFrame:
+    """Mergeable log2 histogram over a non-negative BIGINT value: one row
+    per (group, bin) with the count, where ``bin = 0`` for value 0 and
+    ``floor(log2 v) + 1`` otherwise — computed as binary-digit LENGTH
+    (``length(conv(v, 10, 2))``; DuckDB twin ``length(bin(v))``), never
+    floating log2, so engines agree bit-for-bit.
+
+    The quantile member of the sketch family: like CMS the state is
+    ADDITIVE (merge = per-bin sum, map-side combine keeps the shuffle at
+    groups x ~64 rows), and quantile reads off the cumulative bin counts
+    with a guaranteed 2x relative error (each bin spans one doubling).
+    The CDC use is lag/latency percentiles per destination in the
+    metrics stack — a p99 that merges across shards and epochs without
+    ever revisiting raw values. Negative values raise (one sentinel bin
+    would silently poison cum counts); callers shift or clamp first.
+    """
+    v = f"CAST(({value_sql}) AS BIGINT)"
+    bin_expr = (
+        f"CASE WHEN {v} < 0 THEN raise_error('hist_add: negative value') "
+        f"WHEN {v} = 0 THEN 0 ELSE length(conv({v}, 10, 2)) END"
+    )
+    return (
+        df.select(*group_cols, F.expr(bin_expr).cast("int").alias("bin"))
+        .groupBy(*group_cols, "bin")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def hist_quantiles(
+    hist: DataFrame, group_cols: list[str], qs_permille: list[int]
+) -> DataFrame:
+    """Quantile estimates from a log2-histogram table: for each group and
+    each q (permille), the smallest bin whose cumulative count reaches
+    ``ceil(q * total / 1000)`` (type-1 / lower quantile on bins). Emits
+    the bin's value range — ``est_lo = 2^(bin-1)``, ``est_hi = 2^bin - 1``
+    (0/0 for bin 0): the true quantile lies within, so est_hi is a
+    <= 2x overestimate. All-integer arithmetic.
+
+    Plan: one cumulative window per group over <= 64 bin rows (the
+    histogram is tiny by construction — the window never sees raw data),
+    then a crossJoin against the literal q list."""
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy(*group_cols)
+    cum = hist.select(
+        *group_cols,
+        "bin",
+        F.sum("n").over(w).alias("cum"),
+        F.sum("n").over(wt).alias("total"),
+    )
+    spark = hist.sparkSession
+    qs = spark.createDataFrame([(int(q),) for q in qs_permille], "q_permille int")
+    hit = cum.crossJoin(F.broadcast(qs)).where(
+        F.expr("cum >= (q_permille * total + 999) div 1000")
+    )
+    return hit.groupBy(*group_cols, "q_permille").agg(
+        F.min("bin").alias("qbin")
+    ).select(
+        *group_cols,
+        "q_permille",
+        F.expr(
+            "CASE WHEN qbin = 0 THEN CAST(0 AS BIGINT) "
+            "ELSE shiftleft(CAST(1 AS BIGINT), qbin - 1) END"
+        ).alias("est_lo"),
+        F.expr(
+            "CASE WHEN qbin = 0 THEN CAST(0 AS BIGINT) "
+            "ELSE shiftleft(CAST(1 AS BIGINT), qbin) - 1 END"
+        ).alias("est_hi"),
+    )
+
+
 def bloom_bits(
     df: DataFrame, item_col: str, m_bits: int = 1 << 20, k: int = 3
 ) -> DataFrame:
