@@ -3940,3 +3940,114 @@ def q_doc_length_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("within"),
     )
+
+
+@register(
+    "cdc_windowed_value_quantiles",
+    r"""
+    WITH ev AS (
+      SELECT time_bucket(INTERVAL '1 day', ts) AS w,
+             CAST(floor(value) AS BIGINT) AS v
+      FROM events
+    ),
+    h AS (
+      SELECT w, CASE WHEN v = 0 THEN 0 ELSE length(bin(v)) END AS bin,
+             count(*)::BIGINT AS n
+      FROM ev GROUP BY 1, 2
+    ),
+    cumh AS (
+      SELECT w, bin,
+             sum(n) OVER (PARTITION BY w ORDER BY bin) AS cum,
+             sum(n) OVER (PARTITION BY w) AS total
+      FROM h
+    ),
+    qs AS (SELECT unnest([500, 990]) AS q_permille),
+    est AS (
+      SELECT w, q_permille, min(bin) AS qbin
+      FROM cumh, qs WHERE cum >= (q_permille * total + 999) // 1000
+      GROUP BY 1, 2
+    ),
+    vc AS (SELECT w, v, count(*)::BIGINT AS c FROM ev GROUP BY 1, 2),
+    cumv AS (
+      SELECT w, v,
+             sum(c) OVER (PARTITION BY w ORDER BY v) AS cum,
+             sum(c) OVER (PARTITION BY w) AS total
+      FROM vc
+    ),
+    ex AS (
+      SELECT w, q_permille, min(v) AS exact_val
+      FROM cumv, qs WHERE cum >= (q_permille * total + 999) // 1000
+      GROUP BY 1, 2
+    )
+    SELECT window_start_us, q_permille, est_lo, est_hi, exact_val,
+           (CASE WHEN exact_val BETWEEN est_lo AND est_hi THEN 1 ELSE 0 END)::INT
+             AS within
+    FROM (
+      SELECT CAST(epoch_us(e.w) AS BIGINT) AS window_start_us, e.q_permille,
+             CASE WHEN qbin = 0 THEN 0::BIGINT
+                  ELSE (1::BIGINT << (qbin - 1)) END AS est_lo,
+             CASE WHEN qbin = 0 THEN 0::BIGINT
+                  ELSE (1::BIGINT << qbin) - 1 END AS est_hi,
+             ex.exact_val
+      FROM est e JOIN ex ON e.w = ex.w AND e.q_permille = ex.q_permille
+    )
+    """,
+)
+def q_cdc_windowed_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day p50/p99 event value from the streaming histogram
+    (``streaming/windows.py windowed_value_histogram`` batch twin — the
+    SAME single watermarked count-agg the streaming query runs with
+    <= 64-rows-per-window bounded state), quantiles read via
+    ``hist_quantiles`` per window with the one-doubling bracket asserted
+    by ``within`` against the exact per-window quantile. The metrics
+    stack's latency-percentile gauge shape: histograms merge across
+    shards/epochs by per-bin sum, so a fleet-wide p99 never revisits raw
+    values. ``floor(value)`` (never a bare CAST: Spark truncates,
+    DuckDB rounds) keeps the binning bit-identical cross-engine."""
+    from pyspark.sql.window import Window
+
+    from .operators.sketch import hist_quantiles
+    from .streaming.windows import windowed_value_histogram
+
+    ev = _events(spark, sf_dir)
+    qs = [500, 990]
+    regs = windowed_value_histogram(ev, "floor(value)", "1 day").select(
+        "window_start", "bin", "n"
+    )
+    est = hist_quantiles(regs, ["window_start"], qs)
+
+    vals = ev.select(
+        F.window(F.col("ts"), "1 day").getField("start").alias("window_start"),
+        F.expr("CAST(floor(value) AS BIGINT)").alias("v"),
+    )
+    counts = vals.groupBy("window_start", "v").agg(F.count("*").alias("c"))
+    wv = (
+        Window.partitionBy("window_start")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cumv = counts.select(
+        "window_start",
+        "v",
+        F.sum("c").over(wv).alias("cum"),
+        F.sum("c").over(Window.partitionBy("window_start")).alias("total"),
+    )
+    qdf = spark.createDataFrame([(q,) for q in qs], "q_permille int")
+    exact = (
+        cumv.crossJoin(F.broadcast(qdf))
+        .where(F.expr("cum >= (q_permille * total + 999) div 1000"))
+        .groupBy("window_start", "q_permille")
+        .agg(F.min("v").alias("exact_val"))
+    )
+    return est.join(exact, ["window_start", "q_permille"]).select(
+        F.unix_micros(F.col("window_start").cast("timestamp")).alias(
+            "window_start_us"
+        ),
+        "q_permille",
+        "est_lo",
+        "est_hi",
+        "exact_val",
+        F.col("exact_val").between(F.col("est_lo"), F.col("est_hi"))
+        .cast("int")
+        .alias("within"),
+    )

@@ -278,6 +278,18 @@ def cms_estimate(
     )
 
 
+def hist_bin_expr(value_sql: str) -> str:
+    """The log2 bin of a non-negative BIGINT value: 0 for 0, else its
+    binary digit length (``floor(log2 v) + 1``) — integer-exact; DuckDB
+    twin ``CASE WHEN v = 0 THEN 0 ELSE length(bin(v)) END``. Negative
+    values raise loudly (a sentinel bin would poison cumulative counts)."""
+    v = f"CAST(({value_sql}) AS BIGINT)"
+    return (
+        f"CASE WHEN {v} < 0 THEN raise_error('hist bin: negative value') "
+        f"WHEN {v} = 0 THEN 0 ELSE length(conv({v}, 10, 2)) END"
+    )
+
+
 def hist_add(df: DataFrame, group_cols: list[str], value_sql: str) -> DataFrame:
     """Mergeable log2 histogram over a non-negative BIGINT value: one row
     per (group, bin) with the count, where ``bin = 0`` for value 0 and
@@ -294,13 +306,8 @@ def hist_add(df: DataFrame, group_cols: list[str], value_sql: str) -> DataFrame:
     ever revisiting raw values. Negative values raise (one sentinel bin
     would silently poison cum counts); callers shift or clamp first.
     """
-    v = f"CAST(({value_sql}) AS BIGINT)"
-    bin_expr = (
-        f"CASE WHEN {v} < 0 THEN raise_error('hist_add: negative value') "
-        f"WHEN {v} = 0 THEN 0 ELSE length(conv({v}, 10, 2)) END"
-    )
     return (
-        df.select(*group_cols, F.expr(bin_expr).cast("int").alias("bin"))
+        df.select(*group_cols, F.expr(hist_bin_expr(value_sql)).cast("int").alias("bin"))
         .groupBy(*group_cols, "bin")
         .agg(F.count("*").alias("n"))
     )

@@ -6,6 +6,7 @@ from .windows import (
     sessionized_counts,
     windowed_distinct_registers,
     windowed_event_counts,
+    windowed_value_histogram,
 )
 
 __all__ = [
@@ -20,5 +21,6 @@ __all__ = [
     "throughput_view",
     "windowed_event_counts",
     "windowed_distinct_registers",
+    "windowed_value_histogram",
     "winner_delta_stream",
 ]

@@ -165,3 +165,48 @@ def windowed_distinct_registers(
             "r",
         )
     )
+
+
+def windowed_value_histogram(
+    events: DataFrame,
+    value_sql: str,
+    window_duration: str = "1 minute",
+    watermark: str = "2 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming quantile state: per-(time window, log2 bin) counts
+    (``operators/sketch.py`` histogram geometry) as ONE watermark-bounded
+    aggregation — count is associative/commutative, so the histogram
+    build is an ordinary streaming agg with perfect map-side combine and
+    state of <= 64 rows per open window, whatever the value distribution.
+    The streaming sibling of ``windowed_distinct_registers``, covering
+    the metrics stack's other gauge: p50/p99 event value / apply latency
+    per window, read off the sink with ``hist_quantiles(regs,
+    ["window_start"], [...])`` within a guaranteed one-doubling bracket.
+
+    Update-mode sinks reconcile by max(n) per (window, bin): under an
+    append-only stream each bin's count only grows, so later emissions
+    dominate earlier ones. Unlike the HLL registers this state is NOT
+    duplicate-immune (counts are additive) — the exactly-once file
+    source + checkpoint contract supplies dedup, not the sketch. Batch
+    input folds the watermark away and yields the exact final histogram
+    (the driver-oracle twin).
+    """
+    from ..operators.sketch import hist_bin_expr
+
+    if events.isStreaming:
+        events = events.withWatermark(ts_col, watermark)
+    return (
+        events.select(
+            F.col(ts_col),
+            F.expr(hist_bin_expr(value_sql)).cast("int").alias("bin"),
+        )
+        .groupBy(F.window(F.col(ts_col), window_duration).alias("win"), F.col("bin"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "bin",
+            "n",
+        )
+    )

@@ -238,3 +238,60 @@ def test_windowed_distinct_registers_duplicates_are_free(spark):
             ).collect())
         )
     assert regs(once) == regs(twice)
+
+
+def test_windowed_value_histogram_stream_matches_batch_twin(spark, tmp_path):
+    """Histogram build as a watermarked streaming count-agg: update-mode
+    emissions reconcile by max (per-bin counts only grow under append);
+    final state must equal the batch twin over the watermark-kept rows."""
+    from clever_canal_spark.streaming import windowed_value_histogram
+
+    feed = str(tmp_path / "feed")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(feed)
+
+    def write_slice(name, rows):
+        spark.createDataFrame(rows, CHANGE_EVENT_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / name))
+        src = [f for f in os.listdir(tmp_path / name) if f.endswith(".parquet")][0]
+        os.rename(str(tmp_path / name / src), os.path.join(feed, f"{name}.parquet"))
+
+    write_slice("a", [_event(5, _ts(0, 10)), _event(9, _ts(0, 50)),
+                      _event(300, _ts(10, 0))])
+    stream = (
+        spark.readStream.schema(CHANGE_EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+    )
+    regs = windowed_value_histogram(stream, "lsn", "1 minute", watermark="2 minutes")
+    q = (
+        regs.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("histregs")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        time.sleep(1.1)
+        # 12:09:30 late-within-slack (kept), 12:01:00 below watermark (dropped)
+        write_slice("b", [_event(7, _ts(9, 30)), _event(4, _ts(1, 0))])
+        q.processAllAvailable()
+        streamed = {}
+        for r in spark.sql("SELECT * FROM histregs").collect():
+            k = (str(r["window_start"]), r["bin"])
+            streamed[k] = max(streamed.get(k, 0), r["n"])
+    finally:
+        q.stop()
+
+    kept = [_event(5, _ts(0, 10)), _event(9, _ts(0, 50)), _event(300, _ts(10, 0)),
+            _event(7, _ts(9, 30))]
+    twin = {
+        (str(r["window_start"]), r["bin"]): r["n"]
+        for r in windowed_value_histogram(
+            spark.createDataFrame(kept, CHANGE_EVENT_SCHEMA), "lsn", "1 minute"
+        ).collect()
+    }
+    assert streamed == twin
+    assert not any(w.startswith("2024-01-01 12:01") for w, _ in streamed)
