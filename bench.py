@@ -63,6 +63,10 @@ QUERY_NAMES = [
     # BM25 retrieval, corpus path: one scan projection + 1-row stats
     # reduce + TakeOrdered — the shuffle-free retrieval shape
     "doc_bm25_topk",
+    # two-stage int8 ANN: coarse integer-dot screen over the quantized
+    # column (includes the one-time quantize here), exact re-rank of
+    # candidates only — the memory-bandwidth-bound retrieval shape
+    "emb_int8_topk_rerank",
 ]
 
 

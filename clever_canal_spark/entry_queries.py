@@ -4051,3 +4051,68 @@ def q_cdc_windowed_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFram
         .cast("int")
         .alias("within"),
     )
+
+
+@register(
+    "emb_int8_topk_rerank",
+    f"""
+    WITH mx AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
+      FROM embeddings
+    ),
+    qz AS (
+      SELECT vec_id,
+             list_transform(generate_series(1, {N_DIMS}), i ->
+               CAST(CASE WHEN ma = 0 THEN 0
+                         ELSE ROUND(CAST(embedding[i] AS DOUBLE) * 127 / ma)
+                    END AS INT)) AS qvec
+      FROM mx
+    ),
+    qq AS (SELECT qvec AS q_qvec FROM qz WHERE vec_id = 0),
+    qf AS (SELECT embedding AS q_full FROM embeddings WHERE vec_id = 0),
+    cand AS (
+      SELECT z.vec_id,
+             list_sum(list_transform(generate_series(1, {N_DIMS}), i ->
+               CAST(z.qvec[i] AS BIGINT) * q_qvec[i])) AS qdot
+      FROM qz z, qq
+      ORDER BY qdot DESC, vec_id LIMIT 200
+    ),
+    rescored AS (
+      SELECT e.vec_id, {{dot}} AS dot_e9
+      FROM embeddings e JOIN cand USING (vec_id), qf
+      ORDER BY dot_e9 DESC, vec_id LIMIT 50
+    ),
+    exact AS (
+      SELECT e.vec_id FROM embeddings e, qf
+      ORDER BY {{dot}} DESC, e.vec_id LIMIT 50
+    )
+    SELECT r.vec_id, r.dot_e9,
+           (CASE WHEN x.vec_id IS NULL THEN 0 ELSE 1 END)::INT AS in_exact_topk
+    FROM rescored r LEFT JOIN exact x ON r.vec_id = x.vec_id
+    """.format(dot=_duck_dot_e9("e.embedding", "q_full")),
+)
+def q_emb_int8_topk_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage int8 ANN (``operators/similarity.py int8_quantize``/
+    ``int8_topk_rerank``): coarse top-200 by pure-BIGINT dot over the
+    pre-quantized corpus (built once — the persisted-index pattern, not
+    a per-query rebuild), exact e9 re-rank of the candidates only.
+    ``in_exact_topk`` is the recall honesty column vs brute force (the
+    coarse stage screens 500 vectors down to 200, so recall is near 1
+    here; production tunes rerank/k). The 100-TB point: stage 1 streams
+    a 4x-smaller column with no shuffle, stage 2 touches full-precision
+    vectors for candidates only."""
+    from .operators.similarity import brute_force_topk, int8_quantize, int8_topk_rerank
+
+    emb = _embeddings(spark, sf_dir)
+    query = emb.filter(F.col("vec_id") == 0)
+    quantized = int8_quantize(emb)
+    res = int8_topk_rerank(quantized, emb, query, k=50, rerank=200)
+    exact = brute_force_topk(emb, query, k=50).select(
+        "vec_id", F.lit(1).alias("_in")
+    )
+    return res.join(F.broadcast(exact), "vec_id", "left").select(
+        "vec_id",
+        "dot_e9",
+        F.coalesce("_in", F.lit(0)).cast("int").alias("in_exact_topk"),
+    )

@@ -517,3 +517,97 @@ def hybrid_rrf_indexed_topk(
         )
     )
     return _rrf_fuse(t_ranks, v_ranks, k, k_rrf)
+
+
+def int8_maxabs_expr(vec: str) -> str:
+    """Per-vector max |x| (the int8 quantization scale denominator)."""
+    return (
+        f"aggregate(transform({vec}, x -> abs(CAST(x AS DOUBLE))), "
+        f"CAST(0 AS DOUBLE), (a, x) -> greatest(a, x))"
+    )
+
+
+def int8_qvec_expr(vec: str, n_dims: int = N_DIMS) -> str:
+    """Symmetric int8 quantization: q_j = round(x_j * 127 / max|x|), in
+    [-127, 127] (zero vector -> all zeros). ROUND on DOUBLE rounds half
+    away from zero on both engines — same convention the e9 dot relies
+    on. DuckDB twin transcribes with list_transform/list_max."""
+    ma = int8_maxabs_expr(vec)
+    return (
+        f"transform(sequence(1, {n_dims}), i -> CAST(CASE WHEN {ma} = 0 THEN 0 "
+        f"ELSE ROUND(CAST(element_at({vec}, i) AS DOUBLE) * 127 / {ma}) END AS INT))"
+    )
+
+
+def int8_dot_expr(a: str, b: str) -> str:
+    """Integer dot product of two quantized vectors — pure BIGINT
+    arithmetic, bit-identical across engines by construction."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS BIGINT) * CAST(y AS BIGINT)), "
+        f"CAST(0 AS BIGINT), (acc, t) -> acc + t)"
+    )
+
+
+def int8_quantize(df: DataFrame, n_dims: int = N_DIMS) -> DataFrame:
+    """Quantize a float embedding column to int8: ``(vec_id, qvec,
+    scale_e9)`` where ``x_j ~ qvec_j * (scale_e9/1e9) / 127``. This is
+    the BUILD step — run once and persist (a LakeTable column, exactly
+    like the ANN index's bucket column); queries take the stored form.
+    At 100 TB the point is memory/IO: int8 is 4x smaller than float32
+    (a production layout additionally packs the array to a 64-byte
+    binary — the arithmetic below is layout-independent), so the
+    first-stage scan streams 4x more vectors per second off the same
+    hardware."""
+    return df.select(
+        "vec_id",
+        F.expr(int8_qvec_expr("embedding", n_dims)).alias("qvec"),
+        F.expr(f"CAST(ROUND({int8_maxabs_expr('embedding')} * 1e9) AS BIGINT)").alias(
+            "scale_e9"
+        ),
+    )
+
+
+def int8_topk_rerank(
+    quantized: DataFrame,
+    full: DataFrame,
+    query_df: DataFrame,
+    k: int = 50,
+    rerank: int = 200,
+    n_dims: int = N_DIMS,
+) -> DataFrame:
+    """Two-stage ANN: coarse top-``rerank`` by INTEGER dot over the
+    pre-quantized corpus (``int8_quantize`` output — NOT rebuilt per
+    query), then exact e9-scaled re-rank of just those candidates from
+    the full-precision table. Output ``(vec_id, dot_e9)``, k rows.
+
+    Plan shape: the 1-row query is quantized inline and broadcast; stage
+    1 is a single scan of the (4x smaller) quantized column + TakeOrdered
+    — no shuffle; stage 2 broadcasts the ``rerank`` candidate ids as a
+    semi-join onto the full table (bucket-pruned via ``LakeTable.lookup``
+    when the corpus lives in a lake table), so full-precision vectors are
+    read for candidates only. Both stages break ties by vec_id —
+    deterministic end to end, which is what lets a DuckDB oracle
+    hash-match an ANN query."""
+    _require_one_query_row(query_df, "int8_topk_rerank")
+    q = F.broadcast(
+        query_df.select(
+            F.expr(int8_qvec_expr("embedding", n_dims)).alias("q_qvec"),
+            F.col("embedding").alias("q_full"),
+        )
+    )
+    cand = (
+        quantized.crossJoin(q)
+        .select("vec_id", F.expr(int8_dot_expr("qvec", "q_qvec")).alias("qdot"))
+        .orderBy(F.col("qdot").desc(), F.col("vec_id"))
+        .limit(rerank)
+    )
+    return (
+        full.join(F.broadcast(cand.select("vec_id")), "vec_id", "left_semi")
+        .crossJoin(q)
+        .select(
+            "vec_id",
+            F.expr(dot_e9_expr("embedding", "q_full", n_dims)).alias("dot_e9"),
+        )
+        .orderBy(F.col("dot_e9").desc(), F.col("vec_id"))
+        .limit(k)
+    )
