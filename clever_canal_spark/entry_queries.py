@@ -4116,3 +4116,47 @@ def q_emb_int8_topk_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dot_e9",
         F.coalesce("_in", F.lit(0)).cast("int").alias("in_exact_topk"),
     )
+
+
+@register(
+    "doc_dup_spans",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE text IS NOT NULL
+    ),
+    ge AS (
+      SELECT doc_id, u.pos AS pos, u.gh AS gh FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(t) - 6, 1)),
+                 i -> {'pos': i,
+                       'gh': md5(array_to_string(list_slice(t, i, i + 7), ' '))}))
+                 AS u
+        FROM toks
+      )
+    ),
+    dup AS (
+      SELECT gh FROM ge GROUP BY gh HAVING count(DISTINCT doc_id) >= 2
+    ),
+    hits AS (SELECT ge.doc_id, ge.pos FROM ge JOIN dup USING (gh)),
+    isl AS (
+      SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+      FROM hits
+    )
+    SELECT doc_id, min(pos)::BIGINT AS span_start,
+           (max(pos) + 7)::BIGINT AS span_end,
+           count(*)::BIGINT AS n_grams
+    FROM isl GROUP BY doc_id, g
+    """,
+)
+def q_doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-passage spans (``operators/dedup.py dup_spans``,
+    n=8 word-grams, >= 2 distinct docs): the maximal runs of positions
+    whose 8-grams recur across the corpus — what an ExactSubstr-style
+    dedup pass would cut before training. Hash-keyed shuffles only (the
+    gram text never rides an exchange); span assembly is per-doc
+    gaps-and-islands over already-filtered hit positions."""
+    from .operators.dedup import dup_spans
+
+    return dup_spans(_documents(spark, sf_dir), n=8, min_docs=2)

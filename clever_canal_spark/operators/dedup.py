@@ -484,3 +484,71 @@ def lsh_verified_pairs(
         .filter(F.lit(tau_den) * F.col("inter") >= F.lit(tau_num) * F.col("un"))
         .select("doc_a", "doc_b", "inter", "un")
     )
+
+
+def dup_spans(
+    df: DataFrame,
+    n: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact duplicate-passage detection (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better" — the ExactSubstr family,
+    word-gram formulation): for every document, the MAXIMAL spans of
+    consecutive word positions whose n-grams also appear in >= min_docs
+    distinct documents — the pieces an exact-substring dedup pass cuts.
+    Returns (id, span_start, span_end, n_grams), positions 1-based
+    inclusive in word coordinates.
+
+    The 100-TB shape, stage by stage:
+    - gram rows carry ``(id, pos, md5(gram))`` — the 128-bit hash, never
+      the gram text, rides the shuffles (fixed 32 bytes vs unbounded
+      text; the reference suffix-array approach needs the corpus
+      resident, this needs two hash-keyed exchanges);
+    - duplicate grams = one groupBy(gh) count-distinct-docs (map-side
+      partial), then a SEMI join back — positions of non-duplicate
+      grams never reach stage 3;
+    - span assembly is gaps-and-islands per document (pos − row_number
+      over the doc's own HIT positions — a window bounded by one doc's
+      duplicate count, never corpus-wide).
+
+    Cross-engine: md5 + integer positions only, so the DuckDB oracle
+    transcribes the identical algebra.
+    """
+    from pyspark.sql.window import Window
+
+    from .text import word_ngrams_expr
+
+    grams = (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.posexplode(F.expr(word_ngrams_expr(text_col, n))).alias("_p0", "_g"),
+        )
+        .select(id_col, (F.col("_p0") + 1).cast("bigint").alias("pos"),
+                F.md5("_g").alias("gh"))
+    )
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("gh")
+    )
+    hits = grams.join(dup, "gh", "left_semi")
+    isl = hits.select(
+        id_col,
+        "pos",
+        (F.col("pos") - F.row_number().over(
+            Window.partitionBy(id_col).orderBy("pos")
+        )).alias("_isl"),
+    )
+    return (
+        isl.groupBy(id_col, "_isl")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(n - 1)).alias("span_end"),
+            F.count("*").alias("n_grams"),
+        )
+        .drop("_isl")
+    )

@@ -728,3 +728,50 @@ def test_canonical_url_hand_cases(spark):
     out2 = {r["url"]: r["c"] for r in
             df2.select("url", canonical_url(F.col("url")).alias("c")).collect()}
     assert all(k == v for k, v in out2.items())
+
+
+def test_dup_spans_hand_case(spark):
+    """Two docs share an exact 10-word passage: each gets ONE maximal
+    span covering exactly it; a doc repeating its own phrase (one doc)
+    is NOT flagged; a unique doc emits nothing."""
+    from clever_canal_spark.operators.dedup import dup_spans
+
+    shared = "the quick brown fox jumps over the lazy dog tonight"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {shared} gamma delta"),
+            (2, f"{shared} epsilon zeta eta theta iota"),
+            (3, "totally unrelated words that appear nowhere else at all"),
+            (4, "self self self self self self self self self self self"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: (r["span_start"], r["span_end"], r["n_grams"])
+           for r in dup_spans(docs, n=4, min_docs=2).collect()}
+    # doc 1: shared passage = words 3..12 -> 4-gram starts 3..9 (7 grams)
+    assert out[1] == (3, 12, 7)
+    # doc 2: words 1..10 -> starts 1..7
+    assert out[2] == (1, 10, 7)
+    assert 3 not in out
+    assert 4 not in out  # intra-doc repetition alone never flags
+
+
+def test_dup_spans_splits_non_adjacent_runs(spark):
+    """Two shared phrases separated by unique words yield two spans."""
+    from clever_canal_spark.operators.dedup import dup_spans
+
+    a = "one two three four"
+    b = "five six seven eight"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{a} xxqz yyqz {b}"),
+            (2, f"{a} aaqz bbqz ccqz {b}"),
+        ],
+        "doc_id bigint, text string",
+    )
+    spans = sorted(
+        (r["span_start"], r["span_end"])
+        for r in dup_spans(docs, n=4, min_docs=2).collect()
+        if r["doc_id"] == 1
+    )
+    assert spans == [(1, 4), (7, 10)]
