@@ -4160,3 +4160,94 @@ def q_doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import dup_spans
 
     return dup_spans(_documents(spark, sf_dir), n=8, min_docs=2)
+
+
+_DUP_SPANS_CTE = r"""
+    toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE text IS NOT NULL
+    ),
+    ge AS (
+      SELECT doc_id, u.pos AS pos, u.gh AS gh FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(t) - 6, 1)),
+                 i -> {'pos': i,
+                       'gh': md5(array_to_string(list_slice(t, i, i + 7), ' '))}))
+                 AS u
+        FROM toks
+      )
+    ),
+    dup AS (
+      SELECT gh FROM ge GROUP BY gh HAVING count(DISTINCT doc_id) >= 2
+    ),
+    hits AS (SELECT ge.doc_id, ge.pos FROM ge JOIN dup USING (gh)),
+    isl AS (
+      SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+      FROM hits
+    ),
+    spans AS (
+      SELECT doc_id, min(pos)::BIGINT AS span_start,
+             (max(pos) + 7)::BIGINT AS span_end
+      FROM isl GROUP BY doc_id, g
+    )
+"""
+
+
+@register(
+    "doc_dup_span_cut",
+    f"""
+    WITH {_DUP_SPANS_CTE},
+    sp AS (
+      SELECT doc_id,
+             list({{'span_start': span_start, 'span_end': span_end}}) AS ss
+      FROM spans GROUP BY 1
+    ),
+    docs2 AS (
+      SELECT d.doc_id, string_split(d.text, ' ') AS t, ss
+      FROM documents d JOIN sp USING (doc_id)
+    )
+    SELECT doc_id, clean_text, n_before,
+           (CASE WHEN clean_text = '' THEN 0
+                 ELSE len(string_split(clean_text, ' ')) END)::BIGINT AS n_after
+    FROM (
+      SELECT doc_id,
+             -- array_to_string([]) is NULL in DuckDB but concat_ws of an
+             -- empty array is '' in Spark: coalesce for parity on docs
+             -- whose every word sits inside a span
+             coalesce(array_to_string(list_transform(
+               list_filter(range(1, len(t) + 1),
+                 i -> len(list_filter(ss, s ->
+                        i >= s.span_start AND i <= s.span_end)) = 0),
+               i -> t[i]), ' '), '') AS clean_text,
+             len(t)::BIGINT AS n_before
+      FROM docs2
+    )
+    """,
+)
+def q_doc_dup_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actionable half of duplicate-passage detection
+    (``operators/dedup.py cut_spans``): remove every word inside a
+    detected span and re-join the survivors — the ExactSubstr CUT step.
+    Only docs that had spans are returned (pass-through docs are
+    untouched by construction, pytest-pinned). Plan: spans collapse to
+    one tiny array row per doc, LEFT-joined onto the corpus; the cut is
+    a per-row higher-order filter over the doc's own tokens — no window,
+    no corpus explode. n_before/n_after make the removed volume
+    auditable."""
+    from .operators.dedup import cut_spans, dup_spans
+
+    docs = _documents(spark, sf_dir)
+    spans = dup_spans(docs, n=8, min_docs=2)
+    out = cut_spans(docs, spans).join(
+        spans.select("doc_id").distinct(), "doc_id", "left_semi"
+    )
+    return out.select(
+        "doc_id",
+        "clean_text",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_before"),
+        F.when(F.col("clean_text") == "", F.lit(0))
+        .otherwise(F.size(F.split(F.col("clean_text"), " ")))
+        .cast("long")
+        .alias("n_after"),
+    )

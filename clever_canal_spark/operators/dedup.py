@@ -552,3 +552,40 @@ def dup_spans(
         )
         .drop("_isl")
     )
+
+
+def cut_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Remove :func:`dup_spans` passages from the text: every word whose
+    1-based position falls inside one of the doc's spans is dropped, the
+    survivors re-joined with single spaces. Docs with no spans pass
+    through untouched. Returns all original columns plus ``out_col``.
+
+    Plan: spans collapse to ONE array row per doc (tiny — spans, not
+    text), LEFT-join onto the docs (hash join on the id; no window, no
+    explode of the corpus), and the cut is a per-row higher-order
+    filter over the doc's own tokens — O(L x spans_of_this_doc), purely
+    JVM-side."""
+    sp = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    toks = f"split({text_col}, ' ')"
+    cut = (
+        f"concat_ws(' ', filter({toks}, (t, i) -> "
+        f"NOT exists(_spans, s -> i + 1 BETWEEN s.span_start AND s.span_end)))"
+    )
+    return (
+        df.join(sp, id_col, "left")
+        .withColumn(
+            out_col,
+            F.when(F.col("_spans").isNull(), F.col(text_col)).otherwise(
+                F.expr(cut)
+            ),
+        )
+        .drop("_spans")
+    )

@@ -775,3 +775,21 @@ def test_dup_spans_splits_non_adjacent_runs(spark):
         if r["doc_id"] == 1
     )
     assert spans == [(1, 4), (7, 10)]
+
+
+def test_cut_spans_hand_case(spark):
+    """Span words drop, survivors re-join; no-span docs pass through
+    UNCHANGED (same object, not re-tokenized); a fully-covered doc cuts
+    to the empty string."""
+    from clever_canal_spark.operators.dedup import cut_spans
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "keep me intact"), (3, "x y z")],
+        "doc_id bigint, text string",
+    )
+    spans = spark.createDataFrame(
+        [(1, 2, 4), (1, 6, 6), (3, 1, 3)],
+        "doc_id bigint, span_start bigint, span_end bigint",
+    )
+    out = {r["doc_id"]: r["clean_text"] for r in cut_spans(docs, spans).collect()}
+    assert out == {1: "a e", 2: "keep me intact", 3: ""}
