@@ -66,6 +66,9 @@ def main() -> None:
                         "default keeps 100%% of every lang)")
     p.add_argument("--seq-budget", type=int, default=2048,
                    help="tokens per packed training sequence")
+    p.add_argument("--span-ngram", type=int, default=8,
+                   help="word-gram size for cross-doc duplicate-passage "
+                        "cutting (ExactSubstr family); 0 disables the stage")
     p.add_argument("--skip-quality", action="store_true")
     p.add_argument("--skip-boilerplate", action="store_true")
     p.add_argument("--demo", action="store_true", help="tiny self-contained demo")
@@ -98,12 +101,19 @@ def main() -> None:
             ApplyConfig(filters=EventFilterConfig()),
         ).run_available()
         # adversarial rows so every stage provably fires in the demo:
-        # an exact-dup pair, a PII doc, a control-char doc, a too-short doc
+        # an exact-dup pair, a shared-passage pair (distinct docs, one
+        # copied paragraph), a PII doc, a control-char doc, a too-short doc
         dup = ("the quick brown fox jumps over the lazy dog and then runs down "
                "to the river bank before the sun sets on the far hills")
+        passage = ("every copy of this exact paragraph should be cut from all "
+                   "but nothing else in the document")
         crafted = [
             ("https://demo/dup-a", dup),
             ("https://demo/dup-b", dup),
+            ("https://demo/span-a", f"first page intro words {passage} and a "
+                                    "unique closing sentence about rivers"),
+            ("https://demo/span-b", f"second page different start {passage} "
+                                    "then its own ending about mountains"),
             ("https://demo/pii", "write to alice@example.com from 10.1.2.3 "
                                  "or dial 555-123-9876 about the order we "
                                  "placed for the warehouse and the invoice"),
@@ -205,6 +215,25 @@ def main() -> None:
     # not data size, dominated the tail of this job before this line
     corpus = corpus.localCheckpoint()
     print(f"[curate] in-corpus exact dedup: {corpus.count()} docs kept")
+
+    # cross-doc duplicate-passage cut (ExactSubstr family): whole-doc
+    # dups are already gone, so what remains is COPIED PASSAGES inside
+    # otherwise-distinct docs — detect maximal shared n-gram spans and
+    # cut them (operators/dedup.py dup_spans/cut_spans)
+    if args.span_ngram > 0:
+        from clever_canal_spark.operators.dedup import cut_spans, dup_spans
+
+        spans = dup_spans(corpus, n=args.span_ngram, min_docs=2)
+        n_spans = spans.count()
+        corpus = (
+            cut_spans(corpus, spans)
+            .drop("text")
+            .withColumnRenamed("clean_text", "text")
+            .filter(F.col("text") != "")
+            .localCheckpoint()
+        )
+        print(f"[curate] passage dedup (n={args.span_ngram}): cut {n_spans} "
+              f"spans; {corpus.count()} docs remain non-empty")
 
     rates = {}
     for part in filter(None, args.mix.split(",")):
