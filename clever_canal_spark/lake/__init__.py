@@ -10,10 +10,13 @@ from .sketch_view import (  # noqa: E402
     cms_view_config,
     cms_view_estimate,
     create_cms_view,
+    create_hist_view,
     create_hll_view,
     hll_view_config,
     hll_view_estimates,
+    hist_view_quantiles,
     sync_cms_view,
+    sync_hist_view,
     sync_hll_view,
 )
 
@@ -23,5 +26,6 @@ __all__ = [
     "create_rollup", "sync_rollup", "hot_groups", "rollup_cursor",
     "create_hll_view", "sync_hll_view", "hll_view_estimates", "hll_view_config",
     "create_cms_view", "sync_cms_view", "cms_view_estimate", "cms_view_config",
+    "create_hist_view", "sync_hist_view", "hist_view_quantiles",
     "Consumer", "Batch", "snapshot_diff",
 ]

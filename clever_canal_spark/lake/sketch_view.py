@@ -46,6 +46,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 from ..operators.sketch import (
     cms_add,
     cms_estimate,
+    hist_add,
+    hist_quantiles,
     hll_card_from_regs_expr,
     hll_merge_regs_expr,
     hll_regs_dense,
@@ -322,6 +324,114 @@ def cms_view_estimate(
         w=int(cfg["w"]),
         out_col=out_col,
     )
+
+
+def create_hist_view(
+    spark: SparkSession,
+    path: str,
+    group_col: str,
+    group_type: str = "string",
+    n_buckets: int = 4,
+    start_after: int = 0,
+) -> LakeTable:
+    """An empty changelog-synced log2-histogram view: per-group quantile
+    state — (group, bin, n) rows, <= 64 bins per group — completing the
+    maintained-view family (rollup = exact additive counts, HLL =
+    distinct, CMS = frequency, this = QUANTILES). The use is per-group
+    percentile gauges over a changelog-derived value (payload size,
+    apply lag, doc length): ``hist_view_quantiles`` answers p50/p99 per
+    group from the view alone, within the one-doubling bracket, and the
+    state merges across shards/epochs by per-bin sum without revisiting
+    raw values.
+
+    Contract: ADDITIVE like the rollup and the CMS view — **the source
+    must be MOR-fed** (COW re-emits would double-count), values are
+    counted per CHANGELOG ROW as it flies by (history stance: deletes
+    don't retract the distribution — each marker's value was observed;
+    a TRUNCATE doesn't reset it), and exactly-once comes from the
+    consumed-version epoch registry exactly as in ``sync_rollup``."""
+    schema = T.StructType(
+        [
+            T.StructField(group_col, T.DataType.fromDDL(group_type), nullable=False),
+            T.StructField("bin", T.IntegerType(), nullable=False),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+    view = LakeTable.create(
+        spark, path, schema, merge_key=[group_col, "bin"], n_buckets=n_buckets
+    )
+    view._fs.write_text_exclusive(
+        _cfg_path(view), json.dumps({"kind": "hist"})
+    )
+    if start_after > 0:
+        view.commit_epoch_marker(int(start_after))
+    return view
+
+
+def sync_hist_view(
+    view: LakeTable,
+    table: LakeTable,
+    value_expr,
+    group_expr=None,
+    to_version: int | None = None,
+) -> int:
+    """Advance the histogram view to ``table``'s head (or ``to_version``):
+    bin ONLY the new changelog rows' values, add onto the touched
+    (group, bin) counts (bucket-pruned read-modify-write), merge back.
+    Returns lake versions consumed. Null values (e.g. a payload
+    expression on a delete marker, which carries no before-image) are
+    skipped; null groups likewise — like the rollup, ``group_expr``
+    should derive from merge-key columns when delete markers matter."""
+    head = table.current_version() if to_version is None else int(to_version)
+    synced = rollup_cursor(view)
+    if head <= synced:
+        return 0
+    vsnap = view.snapshot()
+    gcol = vsnap.merge_key[0]
+    gexpr = group_expr if group_expr is not None else F.col(gcol)
+
+    rows = (
+        table.scan_changes(synced, head)
+        .select(gexpr.alias(gcol), value_expr.alias("__v"))
+        .filter(F.col("__v").isNotNull() & F.col(gcol).isNotNull())
+    )
+    delta = (
+        hist_add(rows, [gcol], "__v")
+        .withColumnRenamed("n", "_d_n")
+        .localCheckpoint(eager=False)
+    )
+    touched = {
+        int(r["__b"])
+        for r in delta.select(view._bucket_col(vsnap).alias("__b")).distinct().collect()
+    }
+    if not touched:
+        view.commit_epoch_marker(head)
+        _free_checkpoint(delta)
+        return head - synced
+    cur = (
+        view._reconciled(vsnap, buckets=touched)
+        .select(gcol, "bin", "n")
+        .join(delta.select(gcol, "bin"), on=[gcol, "bin"], how="left_semi")
+        if (vsnap.files or vsnap.delta_files)
+        else view.spark.createDataFrame([], view.schema())
+    )
+    src = delta.join(cur, on=[gcol, "bin"], how="left").select(
+        gcol,
+        "bin",
+        (F.coalesce("n", F.lit(0)) + F.col("_d_n")).alias("n"),
+        F.lit("U").alias("op"),
+        F.lit(int(head)).cast("long").alias("lsn"),
+    )
+    view.merge(src, epoch_id=head, op_col="op", mode="mor", lsn_col="lsn")
+    _free_checkpoint(delta)
+    return head - synced
+
+
+def hist_view_quantiles(view: LakeTable, qs_permille: list[int]) -> DataFrame:
+    """Per-group quantile brackets from the stored bins — a scan of the
+    view only (O(groups x 64) rows), never the source table."""
+    gcol = view.snapshot().merge_key[0]
+    return hist_quantiles(view.scan().select(gcol, "bin", "n"), [gcol], qs_permille)
 
 
 def hll_view_estimates(view: LakeTable, out_col: str = "hll_distinct") -> DataFrame:
