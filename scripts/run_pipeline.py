@@ -86,6 +86,11 @@ def main() -> None:
                         "net per-domain url-insert frequency in d*w fixed rows, "
                         "turnstile I=+1/D=-1) in sync with the lake changelog — "
                         "additive, so it requires --merge-mode mor like the rollup")
+    p.add_argument("--hist-view-dir", default="",
+                   help="maintain a per-domain log2-histogram view "
+                        "(lake/sketch_view.py: page-size quantile state, <=64 "
+                        "bins/group) in sync with the lake changelog — additive, "
+                        "requires --merge-mode mor like the rollup")
     p.add_argument("--engine", choices=["follower", "structured"], default="follower",
                    help="native follower (full pushdown) or Structured Streaming foreachBatch")
     p.add_argument("--continuous", action="store_true",
@@ -115,11 +120,12 @@ def main() -> None:
         args.rollup_dir = args.rollup_dir or f"{work}/rollup"
         args.hll_view_dir = args.hll_view_dir or f"{work}/hllview"
         args.cms_view_dir = args.cms_view_dir or f"{work}/cmsview"
+        args.hist_view_dir = args.hist_view_dir or f"{work}/histview"
         args.consumer = args.consumer or "demo-client"
 
     if not (args.source_dir and args.table_dir and args.checkpoint):
         p.error("--source-dir, --table-dir and --checkpoint are required (or --demo)")
-    if (args.rollup_dir or args.cms_view_dir) and args.merge_mode != "mor":
+    if (args.rollup_dir or args.cms_view_dir or args.hist_view_dir) and args.merge_mode != "mor":
         # a COW merge re-emits every surviving co-bucketed row into
         # scan_changes; additive counting would inflate cold keys
         # (lake/rollup.py module docstring) — refuse, don't corrupt
@@ -175,6 +181,16 @@ def main() -> None:
             # for the demo's ~300 urls; production sizes w ~ 2N/eps
             cview = create_cms_view(spark, args.cms_view_dir, d=4, w=1024,
                                     n_buckets=4)
+
+    histview = None
+    if args.hist_view_dir:
+        from clever_canal_spark.lake import create_hist_view
+
+        if os.path.exists(os.path.join(args.hist_view_dir, "_log")):
+            histview = LakeTable(spark, args.hist_view_dir)
+        else:
+            histview = create_hist_view(spark, args.hist_view_dir, "domain",
+                                        n_buckets=4)
 
     cfg = ApplyConfig(
         filters=EventFilterConfig(
@@ -244,6 +260,21 @@ def main() -> None:
                 )
             )
             print("cms view: maintained per micro-batch")
+        if args.continuous and args.hist_view_dir:
+            from pyspark.sql import functions as F
+
+            from clever_canal_spark.lake import sync_hist_view
+
+            sync_hooks.append(
+                lambda t, _v=histview: sync_hist_view(
+                    _v, t,
+                    value_expr=F.length("text"),
+                    group_expr=F.regexp_extract(
+                        F.col("url"), r"^[a-z]+://([^/]+)", 1
+                    ),
+                )
+            )
+            print("hist view: maintained per micro-batch")
         pipe = CdcPipeline(
             spark, args.source_dir, args.checkpoint, table, cfg,
             metrics_table=metrics, max_files_per_trigger=args.max_files_per_epoch,
@@ -391,6 +422,37 @@ def main() -> None:
             cview.truncate_rows(head)
             cview.commit_epoch_marker(head)
             print(f"cms view: cursor fell below snapshot retention — view "
+                  f"RESET; counts restart at version {head}")
+
+    if args.hist_view_dir and args.continuous and args.engine == "follower":
+        print("hist view: NOT maintained by the follower in --continuous "
+              "mode; run a separate periodic invocation (same dirs, no "
+              "--continuous) to sync it")
+    if args.hist_view_dir and not args.continuous:
+        from pyspark.sql import functions as F
+
+        from clever_canal_spark.lake import (
+            SnapshotExpired, hist_view_quantiles, sync_hist_view,
+        )
+
+        try:
+            n = sync_hist_view(
+                histview, table,
+                value_expr=F.length("text"),
+                group_expr=F.regexp_extract(F.col("url"), r"^[a-z]+://([^/]+)", 1),
+            )
+            print(f"hist view: consumed {n} lake versions")
+            for r in (hist_view_quantiles(histview, [500, 990])
+                      .orderBy("domain", "q_permille").limit(4).collect()):
+                print(f"hist view: domain={r['domain']} p{r['q_permille'] // 10}"
+                      f" page size in [{r['est_lo']}, {r['est_hi']}] chars")
+        except SnapshotExpired:
+            # additive state can't absorb a gap — same stance as the
+            # rollup/CMS: reset loudly, count from NOW
+            head = table.current_version()
+            histview.truncate_rows(head)
+            histview.commit_epoch_marker(head)
+            print(f"hist view: cursor fell below snapshot retention — view "
                   f"RESET; counts restart at version {head}")
 
     if args.consumer and args.continuous:
