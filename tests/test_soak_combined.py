@@ -48,10 +48,30 @@ def test_soak_everything_at_once(spark, tmp_table_dir):
         max_files_per_epoch=3, max_bytes_per_epoch=total_bytes // 4,
     )
 
-    from clever_canal_spark.lake import create_rollup, sync_rollup
+    from clever_canal_spark.lake import (
+        create_cms_view,
+        create_hist_view,
+        create_hll_view,
+        create_rollup,
+        sync_cms_view,
+        sync_hist_view,
+        sync_hll_view,
+        sync_rollup,
+    )
 
     view = create_rollup(spark, os.path.join(tmp_table_dir, "rollup"),
                          "url", n_buckets=4)
+    domain = F.regexp_extract(F.col("url"), r"^[a-z]+://([^/]+)", 1)
+    hll = create_hll_view(spark, os.path.join(tmp_table_dir, "hll"),
+                          "domain", b=4, n_buckets=4)
+    cms = create_cms_view(spark, os.path.join(tmp_table_dir, "cms"), d=3, w=64)
+    hist = create_hist_view(spark, os.path.join(tmp_table_dir, "hist"), "domain")
+
+    def sync_sketches():
+        sync_hll_view(hll, table, item_expr=F.col("url"), group_expr=domain)
+        sync_cms_view(cms, table, item_expr=domain)
+        sync_hist_view(hist, table, value_expr=F.length("text"),
+                       group_expr=domain)
 
     # first follower "crashes" after draining only shard1's early files:
     # simulate by consuming with shard2 files hidden, then restoring
@@ -61,6 +81,7 @@ def test_soak_everything_at_once(spark, tmp_table_dir):
     r1 = mk().run_available()
     assert r1 and all(r.applied for r in r1)
     sync_rollup(view, table)  # mid-run sync (pre-crash state)
+    sync_sketches()
     os.rmdir(s2)
     os.rename(hidden, s2)
 
@@ -70,6 +91,7 @@ def test_soak_everything_at_once(spark, tmp_table_dir):
     # and a third pass is a no-op
     assert mk().run_available() == []
     sync_rollup(view, table)
+    sync_sketches()
 
     # rollup invariant: incremental (two syncs straddling the crash, with
     # compactions interleaved) == one-shot rebuild over the full changelog
@@ -81,6 +103,20 @@ def test_soak_everything_at_once(spark, tmp_table_dir):
         for r in v.scan().collect()
     }
     assert as_map(view) == as_map(fresh)
+
+    # sketch-view invariants: two syncs straddling the crash (with
+    # compactions interleaved) == one-shot rebuild over the full changelog
+    hll2 = create_hll_view(spark, os.path.join(tmp_table_dir, "hll2"),
+                           "domain", b=4, n_buckets=4)
+    cms2 = create_cms_view(spark, os.path.join(tmp_table_dir, "cms2"), d=3, w=64)
+    hist2 = create_hist_view(spark, os.path.join(tmp_table_dir, "hist2"), "domain")
+    sync_hll_view(hll2, table, item_expr=F.col("url"), group_expr=domain)
+    sync_cms_view(cms2, table, item_expr=domain)
+    sync_hist_view(hist2, table, value_expr=F.length("text"), group_expr=domain)
+    rows = lambda v, cols: sorted(map(tuple, v.scan().select(*cols).collect()))
+    assert rows(hll, ["domain", "regs"]) == rows(hll2, ["domain", "regs"])
+    assert rows(cms, ["depth", "slot", "cnt"]) == rows(cms2, ["depth", "slot", "cnt"])
+    assert rows(hist, ["domain", "bin", "n"]) == rows(hist2, ["domain", "bin", "n"])
 
     # final state == ordered reference apply (text byte-identical)
     want = {}
