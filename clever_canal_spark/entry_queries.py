@@ -4251,3 +4251,45 @@ def q_doc_dup_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_after"),
     )
+
+
+@register(
+    "cdc_flat_message_roundtrip",
+    f"""
+    SELECT event_id AS es,
+           'cc' AS schema_name, 'pages' AS table_name,
+           {_OP_EXPR} AS op,
+           'url' AS pk0,
+           {_FM_URL} AS url,
+           {_FM_QUOTED} AS note
+    FROM events WHERE event_id < 1000
+    """,
+)
+def q_cdc_flat_message_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FlatMessage round trip — the Spark side ENCODES each change row to
+    the canonical wire JSON and DECODES it back
+    (``sources/flat_message.py decode_flat_message``, the MQ-consumer
+    path); the oracle computes the expected fields DIRECTLY from the
+    source table, so any loss in the escape chain or the from_json parse
+    (embedded quotes are in the fixture) hash-fails. Both directions are
+    JVM expressions — a Kafka topic of FlatMessage bytes feeds
+    apply_epoch with no Python in the path."""
+    from .sources.flat_message import decode_flat_message
+
+    ev = _events(spark, sf_dir).filter(F.col("event_id") < 1000)
+    msg = encode_flat_message_expr(
+        "'cc'", "'pages'", _OP_EXPR, "event_id",
+        pk_names=["url"],
+        data_cols=[("url", _FM_URL), ("note", _FM_QUOTED)],
+        dialect="spark",
+    )
+    decoded = decode_flat_message(ev.select(F.expr(msg).alias("value")), "value")
+    return decoded.select(
+        "es",
+        "schema_name",
+        "table_name",
+        "op",
+        F.element_at("pk_names", 1).alias("pk0"),
+        F.col("data")["url"].alias("url"),
+        F.col("data")["note"].alias("note"),
+    )

@@ -1,4 +1,5 @@
 from .feed import first_position, latest_position, read_feed, read_feed_stream, write_feed_slices
+from .flat_message import decode_flat_message, encode_flat_message_expr
 
 __all__ = [
     "read_feed",
@@ -6,4 +7,6 @@ __all__ = [
     "write_feed_slices",
     "first_position",
     "latest_position",
+    "decode_flat_message",
+    "encode_flat_message_expr",
 ]

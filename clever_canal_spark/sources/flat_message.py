@@ -197,3 +197,37 @@ def encode_flat_message_expr(
         parts += [lit(f'{sep}"{k}":"'), esc(v), lit('"')]
     parts.append(lit("}]}"))
     return " || ".join(parts)
+
+
+FLAT_MESSAGE_SPARK_SCHEMA = (
+    "database string, table string, type string, es bigint, "
+    "pkNames array<string>, isDdl boolean, data array<map<string,string>>"
+)
+
+
+def decode_flat_message(df, json_col: str = "value"):
+    """DECODE twin of :func:`encode_flat_message_expr` — the MQ-consumer
+    ingestion path (a client of the reference's RocketMQ/Kafka sinks
+    parses exactly this document, FlatMessage.java:10-35): one output row
+    per entry of the ``data`` array, with Canal's INSERT/UPDATE/DELETE
+    spellings mapped back to I/U/D and values as the string map the
+    stringly-typed feed carries (downstream, `decode_row_images` applies
+    the per-type promotion ladder exactly as for any flat feed).
+
+    JVM-side ``from_json`` with an explicit schema — never a Python JSON
+    loop — so a Kafka topic of FlatMessage bytes feeds `apply_epoch` at
+    full codegen speed: round trip decode(encode(x)) == x is oracle- and
+    pytest-pinned."""
+    from pyspark.sql import functions as F
+
+    parsed = df.select(F.from_json(F.col(json_col), FLAT_MESSAGE_SPARK_SCHEMA).alias("m"))
+    return parsed.select(
+        F.col("m.database").alias("schema_name"),
+        F.col("m.table").alias("table_name"),
+        F.expr(
+            "CASE m.type WHEN 'INSERT' THEN 'I' WHEN 'DELETE' THEN 'D' ELSE 'U' END"
+        ).alias("op"),
+        F.col("m.es").alias("es"),
+        F.col("m.pkNames").alias("pk_names"),
+        F.explode("m.data").alias("data"),
+    )

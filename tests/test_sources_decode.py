@@ -248,3 +248,35 @@ def test_decode_row_images(spark):
     assert rows[(1, 1)]["after_id"] == 7 and rows[(1, 1)]["before_n"] == 6
     assert rows[(2, 0)]["op"] == "I" and rows[(2, 0)]["before_id"] is None
     assert rows[(2, 0)]["after_id"] == 9
+
+
+def test_flat_message_roundtrip_adversarial(spark):
+    """decode(encode(x)) == x through the wire JSON, including values
+    with embedded quotes and backslashes (the escape chain both ways)."""
+    from clever_canal_spark.sources.flat_message import (
+        decode_flat_message,
+        encode_flat_message_expr,
+    )
+
+    rows = [
+        (1, "I", 'plain', "k1"),
+        (2, "U", 'with "quotes" inside', "k2"),
+        (3, "D", 'back\\slash and "both\\"', "k3"),
+        (4, "U", '', "k4"),
+    ]
+    df = spark.createDataFrame(rows, "es bigint, op string, payload string, key string")
+    msg = encode_flat_message_expr(
+        "'db1'", "'t1'", "op", "es",
+        pk_names=["key"],
+        data_cols=[("key", "key"), ("payload", "payload")],
+        dialect="spark",
+    )
+    decoded = decode_flat_message(df.select(F.expr(msg).alias("value")), "value")
+    got = {
+        r["es"]: (r["op"], r["data"]["payload"], r["data"]["key"],
+                  r["schema_name"], r["table_name"], list(r["pk_names"]))
+        for r in decoded.collect()
+    }
+    want = {es: (op, payload, key, "db1", "t1", ["key"])
+            for es, op, payload, key in rows}
+    assert got == want
