@@ -160,3 +160,63 @@ def render_hotkey_metrics(
             v = r[col]
             out.append(f"{namespace}_{suffix}{lab} {0 if v is None else v}")
     return "\n".join(out) + "\n"
+
+
+def render_sketch_metrics(
+    hll_view=None,
+    hist_view=None,
+    qs_permille: tuple[int, ...] = (500, 990),
+    namespace: str = "ccs",
+    labels: dict[str, str] | None = None,
+) -> str:
+    """Per-group gauges from the maintained sketch views — the
+    cardinality and quantile rows of the same scrape body
+    :func:`render_hotkey_metrics` serves for traffic counts.
+
+    Emits, for each group: ``<ns>_hll_distinct`` (ever-seen distinct
+    estimate from the HLL view) and ``<ns>_hist_q{q}_hi`` (the upper
+    quantile bracket from the histogram view — the conservative p99 a
+    dashboard alerts on). Cost shape: both views are O(#groups) /
+    O(#groups x 64) rows — full scans of the VIEWS, never the source;
+    consumed-version gauges ride the snapshot registries (zero jobs)."""
+    from ..lake.rollup import rollup_cursor
+    from ..lake.sketch_view import hist_view_quantiles, hll_view_estimates
+
+    labels = labels or {}
+    out: list[str] = []
+    if hll_view is not None:
+        gcol = hll_view.snapshot().merge_key[0]
+        lname = gcol if _LABEL_NAME_OK.match(gcol) else "key"
+        if lname in labels:
+            raise ValueError(f"static label {lname!r} collides with the group label")
+        out.append(f"# HELP {namespace}_hll_consumed_version "
+                   "source lake version the HLL view has consumed")
+        out.append(f"# TYPE {namespace}_hll_consumed_version gauge")
+        out.append(f"{namespace}_hll_consumed_version{_fmt_labels(labels)} "
+                   f"{rollup_cursor(hll_view)}")
+        out.append(f"# HELP {namespace}_hll_distinct "
+                   "ever-seen distinct items per group (HLL estimate)")
+        out.append(f"# TYPE {namespace}_hll_distinct gauge")
+        for r in sorted(hll_view_estimates(hll_view).collect(), key=lambda r: str(r[gcol])):
+            lab = _fmt_labels({**labels, lname: r[gcol]})
+            out.append(f"{namespace}_hll_distinct{lab} {r['hll_distinct']}")
+    if hist_view is not None:
+        gcol = hist_view.snapshot().merge_key[0]
+        lname = gcol if _LABEL_NAME_OK.match(gcol) else "key"
+        if lname in labels:
+            raise ValueError(f"static label {lname!r} collides with the group label")
+        out.append(f"# HELP {namespace}_hist_consumed_version "
+                   "source lake version the histogram view has consumed")
+        out.append(f"# TYPE {namespace}_hist_consumed_version gauge")
+        out.append(f"{namespace}_hist_consumed_version{_fmt_labels(labels)} "
+                   f"{rollup_cursor(hist_view)}")
+        qrows = hist_view_quantiles(hist_view, list(qs_permille)).collect()
+        for q in qs_permille:
+            out.append(f"# HELP {namespace}_hist_q{q}_hi "
+                       f"upper bracket of the {q}-permille quantile per group")
+            out.append(f"# TYPE {namespace}_hist_q{q}_hi gauge")
+            for r in sorted((r for r in qrows if r["q_permille"] == q),
+                            key=lambda r: str(r[gcol])):
+                lab = _fmt_labels({**labels, lname: r[gcol]})
+                out.append(f"{namespace}_hist_q{q}_hi{lab} {r['est_hi']}")
+    return "\n".join(out) + "\n"

@@ -180,3 +180,49 @@ def test_hotkey_static_label_collision_rejected(spark, tmp_table_dir):
                          n_buckets=2)
     with _pytest.raises(ValueError, match="collides"):
         render_hotkey_metrics(view, labels={"url": "static"})
+
+
+def test_render_sketch_metrics(spark, tmp_table_dir):
+    """HLL + histogram view gauges in one scrape body: consumed-version
+    gauges, per-group estimates, quantile upper brackets; deterministic
+    ordering; static-label collision rejected."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F, types as T
+
+    from clever_canal_spark.lake import (
+        LakeTable, create_hist_view, create_hll_view,
+        sync_hist_view, sync_hll_view,
+    )
+    from clever_canal_spark.streaming import render_sketch_metrics
+
+    schema = T.StructType([
+        T.StructField("url", T.StringType(), nullable=False),
+        T.StructField("text", T.StringType()),
+    ])
+    t = LakeTable.create(spark, os.path.join(tmp_table_dir, "src"), schema,
+                         merge_key=["url"], n_buckets=4)
+    rows = [(f"d{i % 2}/p{i}", "x" * (i + 1), "I", i + 1) for i in range(20)]
+    t.merge(spark.createDataFrame(rows, "url string, text string, op string, lsn bigint"),
+            epoch_id=0, op_col="op", mode="mor", lsn_col="lsn")
+    domain = F.split(F.col("url"), "/").getItem(0)
+    hll = create_hll_view(spark, os.path.join(tmp_table_dir, "h"), "domain", b=4)
+    hist = create_hist_view(spark, os.path.join(tmp_table_dir, "g"), "domain")
+    sync_hll_view(hll, t, item_expr=F.col("url"), group_expr=domain)
+    sync_hist_view(hist, t, value_expr=F.length("text"), group_expr=domain)
+
+    body = render_sketch_metrics(hll_view=hll, hist_view=hist,
+                                 labels={"destination": "pages"})
+    assert 'ccs_hll_distinct{destination="pages",domain="d0"}' in body
+    assert 'ccs_hist_q990_hi{destination="pages",domain="d1"}' in body
+    assert f"ccs_hll_consumed_version{{destination=\"pages\"}} {t.current_version()}" in body
+    # byte-identical on re-render (fresh objects)
+    body2 = render_sketch_metrics(
+        hll_view=LakeTable(spark, os.path.join(tmp_table_dir, "h")),
+        hist_view=LakeTable(spark, os.path.join(tmp_table_dir, "g")),
+        labels={"destination": "pages"},
+    )
+    assert body2 == body
+    with pytest.raises(ValueError):
+        render_sketch_metrics(hll_view=hll, labels={"domain": "x"})
