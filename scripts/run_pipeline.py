@@ -455,6 +455,17 @@ def main() -> None:
             print(f"hist view: cursor fell below snapshot retention — view "
                   f"RESET; counts restart at version {head}")
 
+    if (args.hll_view_dir or args.hist_view_dir) and not args.continuous:
+        # one scrape body for the sketch gauges, next to the rollup's
+        # hot-key rows above — what an HTTP /metrics endpoint would serve
+        from clever_canal_spark.streaming import render_sketch_metrics
+
+        print(render_sketch_metrics(
+            hll_view=hview if args.hll_view_dir else None,
+            hist_view=histview if args.hist_view_dir else None,
+            labels={"destination": "pages"},
+        ), end="")
+
     if args.consumer and args.continuous:
         print("consumer: not drained in --continuous mode; run a separate "
               "periodic invocation (same dirs, no --continuous) to consume")
