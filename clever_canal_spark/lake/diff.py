@@ -40,8 +40,15 @@ def snapshot_diff(
     # old-name-vs-new-name as the same field, a column added inside the
     # span reads as null on the old side, a dropped column leaves the diff
     # (current-schema semantics, the Iceberg changelog-view rule).
-    old_snap = table.snapshot(from_version)
-    new_snap = table.snapshot(to_version)
+    # explicit versions go through the retention-aware read: a span
+    # endpoint already expired by expire_snapshots raises SnapshotExpired
+    # with the rebuild instruction (same contract as scan_changes), not a
+    # bare FileNotFoundError on the log path
+    old_snap = table._snapshot_retained(from_version)
+    new_snap = (
+        table.snapshot() if to_version is None
+        else table._snapshot_retained(to_version)
+    )
     key = new_snap.merge_key
     old = table.scan(version=from_version)
     new = table.scan(version=to_version)

@@ -43,6 +43,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
+from ..ckpt import free_checkpoint as _free_checkpoint
 from .table import LakeTable
 
 _AGG_COLS = ("n_changes", "n_upserts", "n_deletes", "last_lsn")
@@ -162,16 +163,6 @@ def sync_rollup(
     view.merge(src, epoch_id=head, op_col="op", mode="mor", lsn_col="lsn")
     _free_checkpoint(delta)
     return head - synced
-
-
-def _free_checkpoint(cp_df) -> None:
-    """Best-effort unpersist of a localCheckpoint's materialized RDD (no
-    public DataFrame API; same pattern as operators/dedup.py) — a
-    periodic-sync loop must not accumulate storage blocks until GC."""
-    try:
-        cp_df._jdf.queryExecution().analyzed().rdd().unpersist(False)
-    except Exception:
-        pass
 
 
 def rollup_cursor(view: LakeTable) -> int:

@@ -198,18 +198,30 @@ def create_cms_view(
 
     Semantics and contract (all inherited from the sketch's LINEARITY):
 
-    - The view counts CHANGELOG MARKERS: I -> +1, D -> -1, U -> 0.
-      Deletes SUBTRACT — this is the turnstile property the monotone HLL
-      registers cannot provide. A key-derived ``item_expr`` therefore
-      tracks live-key frequency exactly (collisions aside); like the
-      rollup's ``group_expr``, ``item_expr`` MUST derive from the source
-      MERGE-KEY columns — the changelog carries no before-images, so a
-      payload-derived item cannot be decremented on U/D.
-    - **The source table must be MOR-fed** (same caveat as the rollup):
-      COW rewrites re-emit surviving rows and additive state would
-      double-count them.
-    - TRUNCATE does not reset it (history stance shared with the rollup
-      and HLL view); exact current-state counts come from ``scan()``.
+    - The view counts NET KEY TRANSITIONS, decided from TABLE STATE at
+      the sync range's two endpoints: a key live at the new endpoint but
+      not the old adds +1, the reverse adds -1, unchanged liveness adds
+      0. Deletes SUBTRACT — the turnstile property the monotone HLL
+      registers cannot provide — and a key-derived ``item_expr`` tracks
+      live-key frequency exactly (collisions aside) **whatever the
+      change stream looks like**: an insert superseded by a delete
+      inside one pre-deduped epoch (whose lone changelog marker is the
+      'D'), mislabeled ops from a REPLACE-style upstream, and COW
+      re-emits of surviving co-bucketed rows all net to their true
+      liveness change, because liveness is read from the table, never
+      inferred from op markers. ``item_expr`` MUST derive from the
+      source MERGE-KEY columns (it is evaluated on the key set — the
+      changelog carries no before-images, so a payload-derived item
+      could not be decremented anyway).
+    - Either merge mode feeds it CORRECTLY; COW merely costs more (the
+      re-emitted keys enlarge the endpoint existence probes before
+      netting to zero). The additive rollup/hist views remain MOR-only.
+    - TRUNCATE is metadata-only and emits no changelog rows, so
+      truncate-erased keys keep their counts (history stance shared
+      with the rollup and HLL view — and a sketch cannot subtract keys
+      it is never shown); rebuild the view after ``truncate_rows`` if
+      live-exactness matters. Exact current-state counts always come
+      from ``scan()``.
 
     Exactly-once: identical to ``sync_rollup`` — the merge commits under
     the consumed lake version in the view's own epoch registry, so crash
@@ -245,12 +257,27 @@ def sync_cms_view(
     to_version: int | None = None,
 ) -> int:
     """Advance the CMS view to ``table``'s head (or ``to_version``):
-    sketch ONLY the new changelog rows (I=+1, D=-1, U skipped), add onto
+    compute each changed key's NET liveness transition (+1 appeared,
+    -1 disappeared, 0 unchanged) from the table's state at the range's
+    two endpoint versions, sketch the non-zero transitions, add onto
     the current counts of just the touched slots (bucket-pruned
     read-modify-write), merge back. Returns lake versions consumed
     (0 = already current). Cursor = the view's own max committed epoch,
     exactly like the rollup — a fresh-process reopen resumes with no
-    sidecar state. Per sync the work is O(changes) + O(touched slots)."""
+    sidecar state.
+
+    Why state-diff instead of trusting the I/D markers: ``apply_epoch``
+    pre-dedups each epoch to one LWW winner per key, so an insert
+    superseded in the same micro-batch never emits its 'I' marker —
+    marker arithmetic would subtract a key that was never added. The
+    endpoint reads are version-pinned ``scan_for_keys_df`` probes
+    restricted to the CHANGED keys' buckets (column-pruned to the key
+    columns), so per sync the work stays O(changes) + O(touched
+    buckets) — the corpus is never rescanned, and both endpoint
+    snapshots are already within retention by ``scan_changes``'s own
+    contract. Crash replay re-reads the same pinned versions, so a
+    replayed sync recomputes the identical delta and no-ops into the
+    registered epoch."""
     cfg = cms_view_config(view)
     d, w = int(cfg["d"]), int(cfg["w"])
     head = table.current_version() if to_version is None else int(to_version)
@@ -258,24 +285,44 @@ def sync_cms_view(
     if head <= synced:
         return 0
     vsnap = view.snapshot()
+    tkey = list(table.snapshot().merge_key)
 
-    rows = (
+    keys = (
         table.scan_changes(synced, head)
-        .select(item_expr.alias("__item"), F.col("__op").alias("__op"))
-        .filter(F.col("__item").isNotNull() & (F.col("__op") != "U"))
+        .select(*tkey)
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    # liveness at the two pinned endpoints, restricted to the changed
+    # keys (bucket-pruned; synced=0 predates the first version — the
+    # before-side is empty by definition)
+    in_old = (
+        table.scan_for_keys_df(keys, version=synced)
+        .select(*tkey, F.lit(True).alias("__in_old"))
+        if synced > 0
+        else keys.limit(0).select(*tkey, F.lit(True).alias("__in_old"))
+    )
+    in_new = table.scan_for_keys_df(keys, version=head).select(
+        *tkey, F.lit(True).alias("__in_new")
+    )
+    trans = (
+        keys.join(in_old, on=tkey, how="left")
+        .join(in_new, on=tkey, how="left")
+        .select(
+            item_expr.alias("__item"),
+            F.when(
+                F.col("__in_old").isNull() & F.col("__in_new").isNotNull(), F.lit(1)
+            )
+            .when(
+                F.col("__in_old").isNotNull() & F.col("__in_new").isNull(), F.lit(-1)
+            )
+            .otherwise(F.lit(0))
+            .alias("__w"),
+        )
+        .filter((F.col("__w") != 0) & F.col("__item").isNotNull())
     )
     delta = (
-        cms_add(
-            rows,
-            [],
-            "__item",
-            d,
-            w,
-            weight_sql=(
-                "CASE WHEN __op = 'D' THEN CAST(-1 AS BIGINT) "
-                "ELSE CAST(1 AS BIGINT) END"
-            ),
-        )
+        cms_add(trans, [], "__item", d, w, weight_sql="CAST(__w AS BIGINT)")
         .filter(F.col("cnt") != 0)  # net-zero slots leave state untouched
         .withColumnRenamed("cnt", "_d_cnt")
         .localCheckpoint(eager=False)
@@ -287,6 +334,7 @@ def sync_cms_view(
     if not touched:
         view.commit_epoch_marker(head)
         _free_checkpoint(delta)
+        _free_checkpoint(keys)
         return head - synced
     cur = (
         view._reconciled(vsnap, buckets=touched)
@@ -305,6 +353,7 @@ def sync_cms_view(
     )
     view.merge(src, epoch_id=head, op_col="op", mode="mor", lsn_col="lsn")
     _free_checkpoint(delta)
+    _free_checkpoint(keys)
     return head - synced
 
 

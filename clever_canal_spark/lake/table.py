@@ -523,15 +523,20 @@ class LakeTable:
             out = out.join(F.broadcast(probe), on=list(snap.bucket_key), how="left_semi")
         return out.select(*out_cols)
 
-    def scan_for_keys_df(self, probe: DataFrame) -> DataFrame:
+    def scan_for_keys_df(self, probe: DataFrame, version: int | None = None) -> DataFrame:
         """:meth:`scan_for_keys` with a DataFrame probe — the delta-sized
         variant. Only the probe's DISTINCT BUCKET IDS are collected
         (≤ ``n_buckets`` values, regardless of probe size), never the key
         values themselves, so a multi-million-key change batch prunes the
         read without a driver-side key list. Rows are then restricted to
         the probe keys with a broadcast left-semi join (broadcast is the
-        distinct probe keys — epoch-delta-sized by contract)."""
-        snap = self.snapshot()
+        distinct probe keys — epoch-delta-sized by contract).
+
+        ``version`` pins the read to a historical snapshot (retention-
+        checked: an expired version raises :class:`SnapshotExpired`) —
+        the endpoint read a state-diffing changelog consumer needs
+        (``lake/sketch_view.py sync_cms_view``)."""
+        snap = self.snapshot() if version is None else self._snapshot_retained(version)
         out_cols = [f["name"] for f in snap.current_fields()]
         keys = probe.select(*snap.bucket_key).distinct()
         buckets = {

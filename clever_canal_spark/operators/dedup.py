@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..ckpt import free_checkpoint as _free_checkpoint
 from .text import shingle_hashes_expr
 
 # affine minhash family: h_j(x) = (A_j * x + B_j) mod P. The default k=6 /
@@ -144,14 +145,6 @@ def neardup_clusters(
     return out
 
 
-def _free_checkpoint(cp_df) -> None:
-    """Best-effort unpersist of a localCheckpoint's materialized RDD
-    (no public DataFrame API); on failure the ContextCleaner frees the
-    blocks once the JVM GCs the dereferenced Dataset."""
-    try:
-        cp_df._jdf.queryExecution().analyzed().rdd().unpersist(False)
-    except Exception:
-        pass
 
 
 def min_label_components(

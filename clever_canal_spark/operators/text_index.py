@@ -46,6 +46,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
+from ..ckpt import free_checkpoint as _free_checkpoint
 from ..lake import LakeTable
 from ._cursor import read_lake_cursor as _read_lake_cursor, write_lake_cursor as _write_lake_cursor
 from .text import TOKEN_RE, bm25_contrib_sql
@@ -284,7 +285,7 @@ def apply_text_index_changes(
     doc. Merge order is postings FIRST, fwd LAST — the delta derives
     from the OLD fwd state, so a crash between the two merges recomputes
     it identically on replay (the committed postings epoch no-ops)."""
-    w = (
+    w0 = (
         changes.groupBy("doc_id")
         .agg(F.max_by(F.struct(text_col, "op", "lsn"), F.col("lsn")).alias("__w"))
         .select("doc_id", f"__w.{text_col}", "__w.op", "__w.lsn")
@@ -293,17 +294,20 @@ def apply_text_index_changes(
         # the collect AND again for every downstream use
         .localCheckpoint()
     )
-    old = index.fwd.scan_for_keys_df(w.select("doc_id")).select(
+    old = index.fwd.scan_for_keys_df(w0.select("doc_id")).select(
         "doc_id", F.col("toks").alias("old_toks")
-    )
-    w = w.join(old, "doc_id", "left").withColumn(
-        "old_toks", F.coalesce("old_toks", F.array().cast("array<string>"))
     )
     # second materialization: both merges below derive from this join, and
     # without it each would re-read the fwd buckets; it also pins the
     # PRE-merge fwd state for the fwd merge's own source, independent of
     # evaluation order
-    w = w.localCheckpoint()
+    w = (
+        w0.join(old, "doc_id", "left")
+        .withColumn(
+            "old_toks", F.coalesce("old_toks", F.array().cast("array<string>"))
+        )
+        .localCheckpoint()
+    )
     live = w.filter(F.col("op") != "D")
     dead = w.filter(F.col("op") == "D")
 
@@ -340,6 +344,10 @@ def apply_text_index_changes(
         )
     )
     index.fwd.merge(fwd_src, epoch_id=epoch_id, op_col="op", mode="mor", lsn_col="lsn")
+    # release both checkpoints' storage blocks — a per-micro-batch sync
+    # must not accumulate them until GC (ckpt.py)
+    _free_checkpoint(w0)
+    _free_checkpoint(w)
 
 
 def sync_text_index_from_lake(

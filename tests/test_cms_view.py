@@ -158,3 +158,70 @@ def test_start_after_skips_history(spark, tmp_table_dir):
             epoch_id=1, op_col="op", mode="mor", lsn_col="lsn")
     sync_cms_view(view, t, item_expr=_domain())
     assert _est(spark, view, ["a", "b"]) == {"a": 0, "b": 1}
+
+
+def test_collapsed_markers_net_correctly(spark, tmp_table_dir):
+    """The pre-dedup collapse shapes that broke marker arithmetic
+    (r3 review): an epoch's LWW flatten keeps only the last op per key,
+    so an insert superseded in the same micro-batch arrives as a lone
+    'D' (or 'U') marker. State-based netting must count the TRUE
+    liveness change, not the marker."""
+    t = _mk_src(spark, tmp_table_dir, "src")
+    view = create_cms_view(spark, os.path.join(tmp_table_dir, "v"), d=3, w=2048)
+
+    # collapsed I+D: a never-live key whose only marker is 'D' -> net 0
+    # (marker arithmetic would drive the slots to -1)
+    t.merge(_changes(spark, [("a/p1", "x", "I", 1), ("a/ghost", None, "D", 2)]),
+            epoch_id=0, op_col="op", mode="mor", lsn_col="lsn")
+    sync_cms_view(view, t, item_expr=_domain())
+    assert _est(spark, view, ["a"]) == {"a": 1}
+
+    # collapsed I+U: a new key whose only marker is 'U' -> net +1
+    # (marker arithmetic would add 0, then the later legitimate delete
+    # would net the key's lifetime to -1)
+    t.merge(_changes(spark, [("a/p2", "y", "U", 3)]),
+            epoch_id=1, op_col="op", mode="mor", lsn_col="lsn")
+    sync_cms_view(view, t, item_expr=_domain())
+    assert _est(spark, view, ["a"]) == {"a": 2}
+
+    t.merge(_changes(spark, [("a/p2", None, "D", 4)]),
+            epoch_id=2, op_col="op", mode="mor", lsn_col="lsn")
+    sync_cms_view(view, t, item_expr=_domain())
+    assert _est(spark, view, ["a"]) == {"a": 1}
+
+    # delete + same-range reinsert across epochs consumed in ONE sync:
+    # key live at both endpoints -> net 0 whatever happened in between
+    t.merge(_changes(spark, [("a/p1", None, "D", 5)]),
+            epoch_id=3, op_col="op", mode="mor", lsn_col="lsn")
+    t.merge(_changes(spark, [("a/p1", "x2", "I", 6)]),
+            epoch_id=4, op_col="op", mode="mor", lsn_col="lsn")
+    assert sync_cms_view(view, t, item_expr=_domain()) == 2
+    assert _est(spark, view, ["a"]) == {"a": 1}
+
+
+def test_cow_source_does_not_double_count(spark, tmp_table_dir):
+    """COW merges rewrite surviving co-bucketed rows and scan_changes
+    re-emits them; state-based netting sees before==after for the
+    re-emitted keys and nets 0 — the CMS view is exact under EITHER
+    merge mode (unlike the additive rollup/hist views)."""
+    t = LakeTable.create(
+        spark, os.path.join(tmp_table_dir, "src"), SCHEMA, merge_key=["url"],
+        n_buckets=1,  # one bucket: every COW commit rewrites every row
+    )
+    view = create_cms_view(spark, os.path.join(tmp_table_dir, "v"), d=3, w=2048)
+    t.merge(_changes(spark, [(f"a/p{i}", "x", "I", i + 1) for i in range(4)]),
+            epoch_id=0, op_col="op", mode="cow", lsn_col="lsn")
+    sync_cms_view(view, t, item_expr=_domain())
+    assert _est(spark, view, ["a"]) == {"a": 4}
+
+    # hot-key update rewrites the whole bucket; cold keys re-emit
+    t.merge(_changes(spark, [("a/p0", "x2", "U", 10)]),
+            epoch_id=1, op_col="op", mode="cow", lsn_col="lsn")
+    sync_cms_view(view, t, item_expr=_domain())
+    assert _est(spark, view, ["a"]) == {"a": 4}
+
+    # and a COW delete subtracts exactly once despite the rewrite
+    t.merge(_changes(spark, [("a/p1", None, "D", 11)]),
+            epoch_id=2, op_col="op", mode="cow", lsn_col="lsn")
+    sync_cms_view(view, t, item_expr=_domain())
+    assert _est(spark, view, ["a"]) == {"a": 3}

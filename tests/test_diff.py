@@ -104,3 +104,25 @@ def test_snapshot_diff_across_schema_evolution(spark, tmp_path):
            for r in out.collect()}
     # k1 unchanged (text==body via field id, quality null both sides) -> absent
     assert got == {"k2": (None, "c", None, "A")}
+
+
+def test_snapshot_diff_expired_endpoint_raises(spark, tmp_path):
+    """An expired from_version surfaces as SnapshotExpired (with rebuild
+    guidance), the same contract scan_changes gives — not a bare
+    FileNotFoundError on the log path."""
+    import pytest
+
+    from clever_canal_spark.lake import SnapshotExpired
+
+    table = LakeTable.create(
+        spark, str(tmp_path / "texp"), PAGE_SCHEMA, merge_key=["url", "warc_ts"],
+        n_buckets=2,
+    )
+    cfg = ApplyConfig(transform=False, merge_mode="mor")
+    apply_epoch(spark, _batch(spark, [("k1", "a", "I", 1)]), 0, table, cfg)
+    v1 = table.current_version()
+    apply_epoch(spark, _batch(spark, [("k1", "a2", "U", 2)]), 1, table, cfg)
+    apply_epoch(spark, _batch(spark, [("k1", "a3", "U", 3)]), 2, table, cfg)
+    table.expire_snapshots(keep_last=1)
+    with pytest.raises(SnapshotExpired):
+        snapshot_diff(table, from_version=v1)
