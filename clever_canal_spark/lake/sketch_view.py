@@ -423,6 +423,7 @@ def sync_hist_view(
     value_expr,
     group_expr=None,
     to_version: int | None = None,
+    on_negative: str = "error",
 ) -> int:
     """Advance the histogram view to ``table``'s head (or ``to_version``):
     bin ONLY the new changelog rows' values, add onto the touched
@@ -430,7 +431,23 @@ def sync_hist_view(
     Returns lake versions consumed. Null values (e.g. a payload
     expression on a delete marker, which carries no before-image) are
     skipped; null groups likewise — like the rollup, ``group_expr``
-    should derive from merge-key columns when delete markers matter."""
+    should derive from merge-key columns when delete markers matter.
+
+    ``on_negative`` decides what a NEGATIVE value does — ``hist_add``
+    raises on negatives by design, and inside a streaming sync hook
+    that raise is a poison pill: the micro-batch dies, the restart
+    replays the same epoch, and the pipeline can never advance. A
+    value that can go negative in production (a clock-skewed lag, a
+    corrupt size) should pick an explicit policy:
+
+    - ``"error"`` (default): keep hist_add's raise — right for values
+      that are negative only if the pipeline itself is broken.
+    - ``"clamp"``: negatives count into bin 0 (the ``<= 0`` bin) — the
+      distribution keeps every observation, slightly left-biased.
+    - ``"skip"``: negatives are dropped like nulls — the distribution
+      is over valid observations only."""
+    if on_negative not in ("error", "clamp", "skip"):
+        raise ValueError(f"on_negative must be error|clamp|skip, got {on_negative!r}")
     head = table.current_version() if to_version is None else int(to_version)
     synced = rollup_cursor(view)
     if head <= synced:
@@ -444,6 +461,10 @@ def sync_hist_view(
         .select(gexpr.alias(gcol), value_expr.alias("__v"))
         .filter(F.col("__v").isNotNull() & F.col(gcol).isNotNull())
     )
+    if on_negative == "clamp":
+        rows = rows.withColumn("__v", F.greatest(F.col("__v"), F.lit(0)))
+    elif on_negative == "skip":
+        rows = rows.filter(F.col("__v") >= 0)
     delta = (
         hist_add(rows, [gcol], "__v")
         .withColumnRenamed("n", "_d_n")

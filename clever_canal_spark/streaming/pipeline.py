@@ -61,14 +61,32 @@ class CdcPipeline:
     # healed by the next batch's sync-to-head. Hooks run in list order,
     # AFTER the rollup sync.
     sync_hooks: tuple = ()
+    # sync_hooks under COW are refused by default: a COW merge rewrites
+    # every surviving co-bucketed row and scan_changes re-emits them, so
+    # any ADDITIVE consumer plugged in as a hook (sync_rollup,
+    # sync_hist_view) double-counts cold keys on every hot-bucket commit
+    # — the same hazard the rollup_view guard catches, but the generic
+    # hook mechanism cannot see which family a callable belongs to. Set
+    # True ONLY when every hook is idempotent-by-LWW (the dedup/ANN/text
+    # index syncs) or state-diff-based (sync_cms_view) — those tolerate
+    # re-emits correctly, just at extra probe cost.
+    allow_cow_sync_hooks: bool = False
 
     def __post_init__(self):
-        if self.rollup_view is not None and self.cfg.merge_mode != "mor":
-            raise ValueError(
-                "rollup_view requires merge_mode='mor' (COW commits re-emit "
-                "surviving co-bucketed rows in scan_changes, inflating the "
-                "rollup's additive counts)"
-            )
+        if self.cfg.merge_mode != "mor":
+            if self.rollup_view is not None:
+                raise ValueError(
+                    "rollup_view requires merge_mode='mor' (COW commits re-emit "
+                    "surviving co-bucketed rows in scan_changes, inflating the "
+                    "rollup's additive counts)"
+                )
+            if self.sync_hooks and not self.allow_cow_sync_hooks:
+                raise ValueError(
+                    "sync_hooks under merge_mode='cow' double-count in any "
+                    "additive consumer (rollup/hist views) — use 'mor', or "
+                    "pass allow_cow_sync_hooks=True if every hook is "
+                    "LWW-idempotent or state-diff-based (index syncs, CMS view)"
+                )
 
     def start(self, available_now: bool = True, processing_time: str | None = None):
         """Start the streaming query. ``available_now=True`` drains what is

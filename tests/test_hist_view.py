@@ -93,3 +93,38 @@ def test_exactly_once_reopen_and_replay(spark, tmp_table_dir):
     assert sync_hist_view(view2, t, value_expr=F.length("text"),
                           group_expr=_domain(),
                           to_version=t.current_version()) == 0
+
+
+def test_on_negative_policies(spark, tmp_table_dir):
+    """A negative value inside a sync is a poison pill under the default
+    (hist_add raises, and a streaming hook would replay the same epoch
+    forever) — 'clamp' counts it into bin 0, 'skip' drops it; both let
+    the cursor advance."""
+    import pytest
+
+    t = _mk_src(spark, tmp_table_dir)
+    # value = length(text), negative encoded via a signed marker column:
+    # use the text itself as an int value
+    val = F.col("text").cast("long")
+
+    t.merge(_changes(spark, [("a/p1", "4", "I", 1), ("a/p2", "-7", "I", 2)]),
+            epoch_id=0, op_col="op", mode="mor", lsn_col="lsn")
+
+    v_err = create_hist_view(spark, os.path.join(tmp_table_dir, "verr"), "domain")
+    with pytest.raises(Exception, match="negative"):
+        sync_hist_view(v_err, t, value_expr=val, group_expr=_domain())
+
+    v_clamp = create_hist_view(spark, os.path.join(tmp_table_dir, "vclamp"), "domain")
+    assert sync_hist_view(v_clamp, t, value_expr=val, group_expr=_domain(),
+                          on_negative="clamp") >= 1
+    st = sorted(map(tuple, v_clamp.scan().select("domain", "bin", "n").collect()))
+    assert st == [("a", 0, 1), ("a", 3, 1)]  # -7 -> bin 0; 4 -> bin 3
+
+    v_skip = create_hist_view(spark, os.path.join(tmp_table_dir, "vskip"), "domain")
+    assert sync_hist_view(v_skip, t, value_expr=val, group_expr=_domain(),
+                          on_negative="skip") >= 1
+    st = sorted(map(tuple, v_skip.scan().select("domain", "bin", "n").collect()))
+    assert st == [("a", 3, 1)]
+
+    with pytest.raises(ValueError, match="on_negative"):
+        sync_hist_view(v_skip, t, value_expr=val, on_negative="bogus")

@@ -271,3 +271,32 @@ def test_pipeline_maintains_rollup_per_microbatch(spark, tmp_table_dir):
     assert sum(state2.values()) > sum(state1.values())
     assert rollup_cursor(view) == table.current_version()
     feed.unpersist(); feed2.unpersist()
+
+
+def test_cow_sync_hooks_guard(spark, tmp_table_dir):
+    """The COW guard covers the generic sync_hooks mechanism, not just
+    the rollup_view field: an additive consumer plugged in as a hook
+    would double-count COW re-emits. The explicit opt-out exists for
+    LWW-idempotent / state-diff hooks."""
+    import os
+
+    import pytest
+
+    from clever_canal_spark.model import PAGE_SCHEMA
+    from clever_canal_spark.plans.apply import ApplyConfig
+    from clever_canal_spark.streaming.pipeline import CdcPipeline
+
+    table = LakeTable.create(
+        spark, os.path.join(tmp_table_dir, "sink"), PAGE_SCHEMA,
+        merge_key=["url", "warc_ts"], n_buckets=2,
+    )
+    hook = lambda t: None  # noqa: E731
+    with pytest.raises(ValueError, match="sync_hooks under merge_mode='cow'"):
+        CdcPipeline(spark, "/tmp/nope", "/tmp/nope-ck", table,
+                    ApplyConfig(merge_mode="cow"), sync_hooks=(hook,))
+    # opt-out constructs; mor constructs
+    CdcPipeline(spark, "/tmp/nope", "/tmp/nope-ck", table,
+                ApplyConfig(merge_mode="cow"), sync_hooks=(hook,),
+                allow_cow_sync_hooks=True)
+    CdcPipeline(spark, "/tmp/nope", "/tmp/nope-ck", table,
+                ApplyConfig(merge_mode="mor"), sync_hooks=(hook,))
