@@ -168,9 +168,15 @@ def sync_rollup(
 def rollup_cursor(view: LakeTable) -> int:
     """The highest lake version this view has consumed — read from the
     view's own committed-epoch registry (epoch id == consumed version),
-    so the cursor commits ATOMICALLY with the merge itself."""
-    epochs = view.snapshot().committed_epochs
-    return max((int(e) for e in epochs), default=0)
+    so the cursor commits ATOMICALLY with the merge itself. Entries
+    older than the registry's retention depth collapse into the
+    snapshot's epoch watermark (``lake/table.py _EPOCH_RETENTION``), so
+    the cursor read stays O(retention) however long the view runs."""
+    snap = view.snapshot()
+    return max(
+        (int(e) for e in snap.committed_epochs),
+        default=max(snap.epoch_watermark, 0),
+    )
 
 
 def hot_groups(view: LakeTable, min_changes: int) -> DataFrame:

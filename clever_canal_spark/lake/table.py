@@ -80,6 +80,49 @@ class CommitConflict(RuntimeError):
     """Another writer committed the target snapshot version first."""
 
 
+# committed-epoch registry depth: the most recent N DISTINCT epoch ids
+# (counting an epoch's DDL segments "e:i" with their parent e) kept
+# verbatim; older entries collapse into the epoch_watermark. This bounds
+# per-commit snapshot metadata at O(N) however long the table lives —
+# the contract a per-micro-batch sync loop needs — while keeping an
+# idempotent-replay window far deeper than any crash can reach (replays
+# only ever target the in-flight epoch; Spark streaming epoch ids and
+# the views' consumed-lake-version ids are both monotone).
+_EPOCH_RETENTION = 512
+
+
+def _epoch_prefix(key) -> int | None:
+    """The numeric epoch id of a registry key ('7' and '7:0' -> 7);
+    None for non-numeric keys (never pruned)."""
+    try:
+        return int(str(key).split(":", 1)[0])
+    except ValueError:
+        return None
+
+
+def _prune_epoch_registry(
+    epochs: dict, watermark: int, wm_lsn_max
+) -> "tuple[dict, int, int | None]":
+    """Collapse all but the newest ``_EPOCH_RETENTION`` distinct numeric
+    epoch ids into the watermark (every id <= watermark is committed);
+    fold the pruned entries' lsn_max into the preserved frontier."""
+    prefixes = sorted({p for k in epochs if (p := _epoch_prefix(k)) is not None})
+    if len(prefixes) <= _EPOCH_RETENTION:
+        return epochs, watermark, wm_lsn_max
+    cut = prefixes[-_EPOCH_RETENTION]  # keep ids >= cut
+    kept, pruned_lsns = {}, []
+    for k, lin in epochs.items():
+        p = _epoch_prefix(k)
+        if p is None or p >= cut:
+            kept[k] = lin
+        elif isinstance(lin, dict) and lin.get("lsn_max") is not None:
+            pruned_lsns.append(lin["lsn_max"])
+    new_wm = max(watermark, prefixes[-_EPOCH_RETENTION - 1])
+    if wm_lsn_max is not None:
+        pruned_lsns.append(wm_lsn_max)
+    return kept, new_wm, (max(pruned_lsns) if pruned_lsns else None)
+
+
 class SnapshotExpired(RuntimeError):
     """An incremental read (``scan_changes`` / ``truncates_between``)
     reached a snapshot that ``expire_snapshots`` already deleted — the
@@ -127,6 +170,18 @@ class _Snapshot:
     committed_epochs: dict[str, dict] = field(default_factory=dict)
     operation: str = "commit"
     committed_at_ms: int = 0
+    # committed-epoch registry compaction (bounded snapshot metadata):
+    # every epoch whose NUMERIC PREFIX (the int before any ':' segment
+    # suffix) is <= epoch_watermark was committed and has been PRUNED
+    # from committed_epochs — the registry carries only the most recent
+    # _EPOCH_RETENTION distinct epochs, so a continuous sync loop
+    # (rollup/sketch views commit one entry per consumed lake version)
+    # cannot grow every subsequent snapshot's JSON without bound.
+    # -1 = nothing pruned yet (0 is a real epoch id).
+    # epoch_watermark_lsn_max preserves the applied-LSN frontier of the
+    # pruned entries for FeedFollower.lag().
+    epoch_watermark: int = -1
+    epoch_watermark_lsn_max: int | None = None
     # merge-on-read deltas (Iceberg-v2-style): winner rows w/ __lsn/__op,
     # reconciled against base files at scan time, folded in by compact()
     delta_files: list[dict] = field(default_factory=list)
@@ -249,6 +304,14 @@ class LakeTable:
             committed_at_ms=int(time.time() * 1000),
         )
         d.update(overrides)
+        if len(d["committed_epochs"]) > _EPOCH_RETENTION:
+            d["committed_epochs"], d["epoch_watermark"], d["epoch_watermark_lsn_max"] = (
+                _prune_epoch_registry(
+                    d["committed_epochs"],
+                    d["epoch_watermark"],
+                    d["epoch_watermark_lsn_max"],
+                )
+            )
         return _Snapshot(**d)
 
     # -- schema ------------------------------------------------------------
@@ -801,7 +864,7 @@ class LakeTable:
         import pyarrow.parquet as pq
 
         snap = self.snapshot()
-        if epoch_id is not None and str(epoch_id) in snap.committed_epochs:
+        if epoch_id is not None and self._committed_in(snap, epoch_id):
             return None
         fields = snap.current_fields()
         arrow_schema = pa.schema(
@@ -861,7 +924,7 @@ class LakeTable:
         with no data — the empty-transaction passthrough analog,
         EntryEventSink.java:109-148)."""
         snap = self.snapshot()
-        if str(epoch_id) in snap.committed_epochs:
+        if self._committed_in(snap, epoch_id):
             return None
         epochs = dict(snap.committed_epochs)
         epochs[str(epoch_id)] = lineage or {}
@@ -873,8 +936,15 @@ class LakeTable:
 
     # -- exactly-once epoch registry --------------------------------------
 
+    @staticmethod
+    def _committed_in(snap: _Snapshot, epoch_id) -> bool:
+        if str(epoch_id) in snap.committed_epochs:
+            return True
+        p = _epoch_prefix(epoch_id)
+        return p is not None and p <= snap.epoch_watermark
+
     def is_epoch_committed(self, epoch_id: int) -> bool:
-        return str(epoch_id) in self.snapshot().committed_epochs
+        return self._committed_in(self.snapshot(), epoch_id)
 
     def committed_epochs(self) -> dict[str, dict]:
         return dict(self.snapshot().committed_epochs)

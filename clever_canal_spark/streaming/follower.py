@@ -227,11 +227,16 @@ class FeedFollower:
         pending = [p for p in all_files if p not in consumed]
         pending_hints = footer_hints(pending) if pending else BatchHints(n_events=0)
         head_hints = footer_hints(all_files) if all_files else BatchHints(n_events=0)
+        snap = self.table.snapshot()
         applied = [
             lin.get("lsn_max")
-            for lin in self.table.committed_epochs().values()
+            for lin in snap.committed_epochs.values()
             if isinstance(lin, dict) and lin.get("lsn_max") is not None
         ]
+        # epochs pruned into the registry watermark keep their frontier
+        # in one preserved scalar (lake/table.py _prune_epoch_registry)
+        if snap.epoch_watermark_lsn_max is not None:
+            applied.append(snap.epoch_watermark_lsn_max)
         return {
             "feed_head_lsn": head_hints.lsn_max,
             "applied_lsn_max": max(applied) if applied else None,

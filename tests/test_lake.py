@@ -358,3 +358,65 @@ def test_compact_clusters_rows_by_key(spark, tmp_table_dir):
         assert keys == sorted(keys), f["path"]
         checked_rows += len(keys)
     assert checked_rows >= 20  # the fixture actually exercised multi-row files
+
+
+def test_epoch_registry_pruning(spark, tmp_table_dir, monkeypatch):
+    """The committed-epoch registry is bounded: beyond the retention
+    depth the oldest distinct epoch ids collapse into the snapshot's
+    watermark — per-commit metadata stays O(retention) however long a
+    sync loop runs — while idempotence (is_epoch_committed) and the
+    lag frontier (lsn_max) survive the pruning."""
+    import os
+
+    from clever_canal_spark.lake import table as table_mod
+
+    monkeypatch.setattr(table_mod, "_EPOCH_RETENTION", 8)
+    t = LakeTable.create(
+        spark, os.path.join(tmp_table_dir, "treg"),
+        T.StructType([T.StructField("k", T.StringType(), False)]),
+        merge_key=["k"], n_buckets=2,
+    )
+    for e in range(20):
+        assert t.commit_epoch_marker(e, {"lsn_max": 100 + e}) is not None
+
+    snap = t.snapshot()
+    # registry bounded at the retention depth; watermark took the rest
+    assert len(snap.committed_epochs) == 8
+    assert sorted(int(k) for k in snap.committed_epochs) == list(range(12, 20))
+    assert snap.epoch_watermark == 11
+    assert snap.epoch_watermark_lsn_max == 111  # frontier of the pruned span
+
+    # idempotence must hold for EVERY epoch ever committed, pruned or not
+    for e in range(20):
+        assert t.is_epoch_committed(e), e
+        assert t.commit_epoch_marker(e) is None  # replay no-ops
+    # an id above the watermark that never committed is NOT committed
+    assert not t.is_epoch_committed(25)
+    # segment keys share their parent epoch's prefix
+    assert t.is_epoch_committed("5:0")
+
+    # fresh-object reopen reads the same state (watermark persisted)
+    t2 = LakeTable(spark, t.path)
+    assert t2.snapshot().epoch_watermark == 11
+    assert t2.is_epoch_committed(0)
+
+
+def test_rollup_cursor_survives_registry_pruning(spark, tmp_table_dir, monkeypatch):
+    """A view whose entire registry pruned into the watermark still
+    reports the right cursor (max consumed version)."""
+    import os
+
+    from clever_canal_spark.lake import rollup as rollup_mod
+    from clever_canal_spark.lake import table as table_mod
+    from clever_canal_spark.lake.rollup import rollup_cursor
+
+    monkeypatch.setattr(table_mod, "_EPOCH_RETENTION", 4)
+    v = LakeTable.create(
+        spark, os.path.join(tmp_table_dir, "vreg"),
+        T.StructType([T.StructField("g", T.StringType(), False)]),
+        merge_key=["g"], n_buckets=2,
+    )
+    for ver in range(3, 15):
+        v.commit_epoch_marker(ver)
+    assert rollup_cursor(v) == 14
+    assert len(v.snapshot().committed_epochs) == 4
