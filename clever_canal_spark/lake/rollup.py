@@ -43,7 +43,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
-from ..ckpt import free_checkpoint as _free_checkpoint
 from .table import LakeTable
 
 _AGG_COLS = ("n_changes", "n_upserts", "n_deletes", "last_lsn")
@@ -100,69 +99,49 @@ def sync_rollup(
 
     ``group_expr`` must derive from the source table's MERGE-KEY columns
     (default: the view's key column by name): delete markers carry only
-    the key — a payload-derived group would roll deletes up under null."""
-    head = table.current_version() if to_version is None else int(to_version)
-    synced = rollup_cursor(view)
-    if head <= synced:
-        return 0
-    vsnap = view.snapshot()
-    gcol = vsnap.merge_key[0]
-    gexpr = group_expr if group_expr is not None else F.col(gcol)
+    the key — a payload-derived group would roll deletes up under null.
 
-    delta = (
-        table.scan_changes(synced, head)
-        .select(gexpr.alias(gcol), F.col("__op").alias("__op"), F.col("__lsn").alias("__lsn"))
-        .groupBy(gcol)
-        .agg(
-            F.count("*").alias("d_changes"),
-            F.sum((F.col("__op") != "D").cast("long")).alias("d_upserts"),
-            F.sum((F.col("__op") == "D").cast("long")).alias("d_deletes"),
-            F.max("__lsn").alias("d_last_lsn"),
-        )
-        # one materialization serves the touched-bucket collect, the
-        # semi-join build and the merge source
-        .localCheckpoint(eager=False)
-    )
-    # current rollup rows for the touched groups only: prune to the
-    # buckets the delta's groups hash into (a tiny distinct over the
-    # delta agg — never a driver-side list of group VALUES), then
-    # semi-join the group key distributed-side
-    touched = {
-        int(r["__b"])
-        for r in delta.select(view._bucket_col(vsnap).alias("__b")).distinct().collect()
-    }
-    if not touched:
-        # versions in range carried no change rows (epoch markers,
-        # compactions) — advance the cursor with a metadata-only commit
-        view.commit_epoch_marker(head)
-        _free_checkpoint(delta)
-        return head - synced
-    cur = (
-        view._reconciled(vsnap, buckets=touched)
-        .select(gcol, *_AGG_COLS)
-        .join(delta.select(gcol), on=gcol, how="left_semi")
-        if (vsnap.files or vsnap.delta_files)
-        else view.spark.createDataFrame([], view.schema())
-    )
-    src = (
-        delta.join(cur, on=gcol, how="left")
-        .select(
-            gcol,
+    Protocol (cursor, checkpoint lifecycle, bucket-pruned
+    read-modify-write, consumed-version merge ordinal, exactly-once):
+    shared with the sketch views — ``lake/_viewsync.py``."""
+    from ._viewsync import sync_view
+
+    def build_delta(synced, head, vsnap):
+        gcol = vsnap.merge_key[0]
+        gexpr = group_expr if group_expr is not None else F.col(gcol)
+        # one aggregate over the changelog slice; the touched buckets
+        # fall out of the delta's groups (never a driver-side value list)
+        return (
+            table.scan_changes(synced, head)
+            .select(
+                gexpr.alias(gcol),
+                F.col("__op").alias("__op"),
+                F.col("__lsn").alias("__lsn"),
+            )
+            .groupBy(gcol)
+            .agg(
+                F.count("*").alias("d_changes"),
+                F.sum((F.col("__op") != "D").cast("long")).alias("d_upserts"),
+                F.sum((F.col("__op") == "D").cast("long")).alias("d_deletes"),
+                F.max("__lsn").alias("d_last_lsn"),
+            )
+        ), []
+
+    return sync_view(
+        view,
+        table,
+        to_version,
+        build_delta,
+        cur_select=[(c, c) for c in _AGG_COLS],
+        merge_payload=lambda: [
             (F.coalesce("n_changes", F.lit(0)) + F.col("d_changes")).alias("n_changes"),
             (F.coalesce("n_upserts", F.lit(0)) + F.col("d_upserts")).alias("n_upserts"),
             (F.coalesce("n_deletes", F.lit(0)) + F.col("d_deletes")).alias("n_deletes"),
-            F.greatest(F.coalesce("last_lsn", F.lit(0)), F.col("d_last_lsn")).alias("last_lsn"),
-            F.lit("U").alias("op"),
-            # merge-LWW ordinal = the consumed lake VERSION, not the feed
-            # lsn: an out-of-order shard can put a LOWER feed lsn in a
-            # LATER epoch, and the updated row (higher n_changes) must
-            # still win the reconcile against its predecessor
-            F.lit(int(head)).cast("long").alias("lsn"),
-        )
+            F.greatest(
+                F.coalesce("last_lsn", F.lit(0)), F.col("d_last_lsn")
+            ).alias("last_lsn"),
+        ],
     )
-    view.merge(src, epoch_id=head, op_col="op", mode="mor", lsn_col="lsn")
-    _free_checkpoint(delta)
-    return head - synced
 
 
 def rollup_cursor(view: LakeTable) -> int:

@@ -52,7 +52,6 @@ from ..operators.sketch import (
     hll_merge_regs_expr,
     hll_regs_dense,
 )
-from .rollup import _free_checkpoint, rollup_cursor
 from .table import LakeTable
 
 _CFG_NAME = "sketch.json"
@@ -126,56 +125,36 @@ def sync_hll_view(
     rollup it should derive from the source MERGE-KEY columns so delete
     markers group correctly — though here a payload-derived group merely
     skips D rows (null group filtered with null item) rather than
-    corrupting counts."""
+    corrupting counts.
+
+    Protocol shared with the rollup/CMS/histogram views
+    (``lake/_viewsync.py``); the merge ordinal is safe here even
+    against COW re-emits because the register merge is monotone."""
+    from ._viewsync import sync_view
+
     b = int(hll_view_config(view)["b"])
     m = 1 << b
-    head = table.current_version() if to_version is None else int(to_version)
-    synced = rollup_cursor(view)
-    if head <= synced:
-        return 0
-    vsnap = view.snapshot()
-    gcol = vsnap.merge_key[0]
-    gexpr = group_expr if group_expr is not None else F.col(gcol)
 
-    items = (
-        table.scan_changes(synced, head)
-        .select(gexpr.alias(gcol), item_expr.alias("__item"))
-        .filter(F.col("__item").isNotNull() & F.col(gcol).isNotNull())
-    )
-    delta = hll_regs_dense(items, [gcol], "__item", b, regs_col="_d_regs")
-    delta = delta.localCheckpoint(eager=False)
+    def build_delta(synced, head, vsnap):
+        gcol = vsnap.merge_key[0]
+        gexpr = group_expr if group_expr is not None else F.col(gcol)
+        items = (
+            table.scan_changes(synced, head)
+            .select(gexpr.alias(gcol), item_expr.alias("__item"))
+            .filter(F.col("__item").isNotNull() & F.col(gcol).isNotNull())
+        )
+        return hll_regs_dense(items, [gcol], "__item", b, regs_col="_d_regs"), []
 
-    touched = {
-        int(r["__b"])
-        for r in delta.select(view._bucket_col(vsnap).alias("__b")).distinct().collect()
-    }
-    if not touched:
-        # the range carried no items (epoch markers, compactions, pure
-        # deletes of payload-derived items) — metadata-only cursor advance
-        view.commit_epoch_marker(head)
-        _free_checkpoint(delta)
-        return head - synced
-
-    cur = (
-        view._reconciled(vsnap, buckets=touched)
-        .select(gcol, F.col("regs").alias("_old_regs"))
-        .join(delta.select(gcol), on=gcol, how="left_semi")
-        if (vsnap.files or vsnap.delta_files)
-        else view.spark.createDataFrame(
-            [], f"{gcol} string, _old_regs array<int>"
-        ).select(F.col(gcol).cast(vsnap.spark_schema()[gcol].dataType), "_old_regs")
+    return sync_view(
+        view,
+        table,
+        to_version,
+        build_delta,
+        cur_select=[("regs", "_old_regs")],
+        merge_payload=lambda: [
+            F.expr(hll_merge_regs_expr("_old_regs", "_d_regs", m)).alias("regs")
+        ],
     )
-    src = delta.join(cur, on=gcol, how="left").select(
-        gcol,
-        F.expr(hll_merge_regs_expr("_old_regs", "_d_regs", m)).alias("regs"),
-        F.lit("U").alias("op"),
-        # merge-LWW ordinal = consumed lake version (see rollup); safe
-        # here even against re-emits because the merge is monotone
-        F.lit(int(head)).cast("long").alias("lsn"),
-    )
-    view.merge(src, epoch_id=head, op_col="op", mode="mor", lsn_col="lsn")
-    _free_checkpoint(delta)
-    return head - synced
 
 
 def create_cms_view(
@@ -277,84 +256,68 @@ def sync_cms_view(
     snapshots are already within retention by ``scan_changes``'s own
     contract. Crash replay re-reads the same pinned versions, so a
     replayed sync recomputes the identical delta and no-ops into the
-    registered epoch."""
+    registered epoch. Protocol shared with the other maintained views
+    (``lake/_viewsync.py``)."""
+    from ._viewsync import sync_view
+
     cfg = cms_view_config(view)
     d, w = int(cfg["d"]), int(cfg["w"])
-    head = table.current_version() if to_version is None else int(to_version)
-    synced = rollup_cursor(view)
-    if head <= synced:
-        return 0
-    vsnap = view.snapshot()
     tkey = list(table.snapshot().merge_key)
 
-    keys = (
-        table.scan_changes(synced, head)
-        .select(*tkey)
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    # liveness at the two pinned endpoints, restricted to the changed
-    # keys (bucket-pruned; synced=0 predates the first version — the
-    # before-side is empty by definition)
-    in_old = (
-        table.scan_for_keys_df(keys, version=synced)
-        .select(*tkey, F.lit(True).alias("__in_old"))
-        if synced > 0
-        else keys.limit(0).select(*tkey, F.lit(True).alias("__in_old"))
-    )
-    in_new = table.scan_for_keys_df(keys, version=head).select(
-        *tkey, F.lit(True).alias("__in_new")
-    )
-    trans = (
-        keys.join(in_old, on=tkey, how="left")
-        .join(in_new, on=tkey, how="left")
-        .select(
-            item_expr.alias("__item"),
-            F.when(
-                F.col("__in_old").isNull() & F.col("__in_new").isNotNull(), F.lit(1)
-            )
-            .when(
-                F.col("__in_old").isNotNull() & F.col("__in_new").isNull(), F.lit(-1)
-            )
-            .otherwise(F.lit(0))
-            .alias("__w"),
+    def build_delta(synced, head, vsnap):
+        keys = (
+            table.scan_changes(synced, head)
+            .select(*tkey)
+            .distinct()
+            .localCheckpoint(eager=False)
         )
-        .filter((F.col("__w") != 0) & F.col("__item").isNotNull())
+        # liveness at the two pinned endpoints, restricted to the changed
+        # keys (bucket-pruned; synced=0 predates the first version — the
+        # before-side is empty by definition)
+        in_old = (
+            table.scan_for_keys_df(keys, version=synced)
+            .select(*tkey, F.lit(True).alias("__in_old"))
+            if synced > 0
+            else keys.limit(0).select(*tkey, F.lit(True).alias("__in_old"))
+        )
+        in_new = table.scan_for_keys_df(keys, version=head).select(
+            *tkey, F.lit(True).alias("__in_new")
+        )
+        trans = (
+            keys.join(in_old, on=tkey, how="left")
+            .join(in_new, on=tkey, how="left")
+            .select(
+                item_expr.alias("__item"),
+                F.when(
+                    F.col("__in_old").isNull() & F.col("__in_new").isNotNull(),
+                    F.lit(1),
+                )
+                .when(
+                    F.col("__in_old").isNotNull() & F.col("__in_new").isNull(),
+                    F.lit(-1),
+                )
+                .otherwise(F.lit(0))
+                .alias("__w"),
+            )
+            .filter((F.col("__w") != 0) & F.col("__item").isNotNull())
+        )
+        delta = (
+            cms_add(trans, [], "__item", d, w, weight_sql="CAST(__w AS BIGINT)")
+            .filter(F.col("cnt") != 0)  # net-zero slots leave state untouched
+            .withColumnRenamed("cnt", "_d_cnt")
+        )
+        return delta, [keys]
+
+    return sync_view(
+        view,
+        table,
+        to_version,
+        build_delta,
+        cur_select=[("cnt", "cnt")],
+        merge_payload=lambda: [
+            (F.coalesce("cnt", F.lit(0)) + F.col("_d_cnt")).alias("cnt")
+        ],
     )
-    delta = (
-        cms_add(trans, [], "__item", d, w, weight_sql="CAST(__w AS BIGINT)")
-        .filter(F.col("cnt") != 0)  # net-zero slots leave state untouched
-        .withColumnRenamed("cnt", "_d_cnt")
-        .localCheckpoint(eager=False)
-    )
-    touched = {
-        int(r["__b"])
-        for r in delta.select(view._bucket_col(vsnap).alias("__b")).distinct().collect()
-    }
-    if not touched:
-        view.commit_epoch_marker(head)
-        _free_checkpoint(delta)
-        _free_checkpoint(keys)
-        return head - synced
-    cur = (
-        view._reconciled(vsnap, buckets=touched)
-        .select("depth", "slot", "cnt")
-        .join(delta.select("depth", "slot"), on=["depth", "slot"], how="left_semi")
-        if (vsnap.files or vsnap.delta_files)
-        else view.spark.createDataFrame([], view.schema())
-    )
-    src = delta.join(cur, on=["depth", "slot"], how="left").select(
-        "depth",
-        "slot",
-        (F.coalesce("cnt", F.lit(0)) + F.col("_d_cnt")).alias("cnt"),
-        F.lit("U").alias("op"),
-        # merge-LWW ordinal = consumed lake version (see rollup)
-        F.lit(int(head)).cast("long").alias("lsn"),
-    )
-    view.merge(src, epoch_id=head, op_col="op", mode="mor", lsn_col="lsn")
-    _free_checkpoint(delta)
-    _free_checkpoint(keys)
-    return head - synced
 
 
 def cms_view_estimate(
@@ -448,53 +411,32 @@ def sync_hist_view(
       is over valid observations only."""
     if on_negative not in ("error", "clamp", "skip"):
         raise ValueError(f"on_negative must be error|clamp|skip, got {on_negative!r}")
-    head = table.current_version() if to_version is None else int(to_version)
-    synced = rollup_cursor(view)
-    if head <= synced:
-        return 0
-    vsnap = view.snapshot()
-    gcol = vsnap.merge_key[0]
-    gexpr = group_expr if group_expr is not None else F.col(gcol)
+    from ._viewsync import sync_view
 
-    rows = (
-        table.scan_changes(synced, head)
-        .select(gexpr.alias(gcol), value_expr.alias("__v"))
-        .filter(F.col("__v").isNotNull() & F.col(gcol).isNotNull())
+    def build_delta(synced, head, vsnap):
+        gcol = vsnap.merge_key[0]
+        gexpr = group_expr if group_expr is not None else F.col(gcol)
+        rows = (
+            table.scan_changes(synced, head)
+            .select(gexpr.alias(gcol), value_expr.alias("__v"))
+            .filter(F.col("__v").isNotNull() & F.col(gcol).isNotNull())
+        )
+        if on_negative == "clamp":
+            rows = rows.withColumn("__v", F.greatest(F.col("__v"), F.lit(0)))
+        elif on_negative == "skip":
+            rows = rows.filter(F.col("__v") >= 0)
+        return hist_add(rows, [gcol], "__v").withColumnRenamed("n", "_d_n"), []
+
+    return sync_view(
+        view,
+        table,
+        to_version,
+        build_delta,
+        cur_select=[("n", "n")],
+        merge_payload=lambda: [
+            (F.coalesce("n", F.lit(0)) + F.col("_d_n")).alias("n")
+        ],
     )
-    if on_negative == "clamp":
-        rows = rows.withColumn("__v", F.greatest(F.col("__v"), F.lit(0)))
-    elif on_negative == "skip":
-        rows = rows.filter(F.col("__v") >= 0)
-    delta = (
-        hist_add(rows, [gcol], "__v")
-        .withColumnRenamed("n", "_d_n")
-        .localCheckpoint(eager=False)
-    )
-    touched = {
-        int(r["__b"])
-        for r in delta.select(view._bucket_col(vsnap).alias("__b")).distinct().collect()
-    }
-    if not touched:
-        view.commit_epoch_marker(head)
-        _free_checkpoint(delta)
-        return head - synced
-    cur = (
-        view._reconciled(vsnap, buckets=touched)
-        .select(gcol, "bin", "n")
-        .join(delta.select(gcol, "bin"), on=[gcol, "bin"], how="left_semi")
-        if (vsnap.files or vsnap.delta_files)
-        else view.spark.createDataFrame([], view.schema())
-    )
-    src = delta.join(cur, on=[gcol, "bin"], how="left").select(
-        gcol,
-        "bin",
-        (F.coalesce("n", F.lit(0)) + F.col("_d_n")).alias("n"),
-        F.lit("U").alias("op"),
-        F.lit(int(head)).cast("long").alias("lsn"),
-    )
-    view.merge(src, epoch_id=head, op_col="op", mode="mor", lsn_col="lsn")
-    _free_checkpoint(delta)
-    return head - synced
 
 
 def hist_view_quantiles(view: LakeTable, qs_permille: list[int]) -> DataFrame:
