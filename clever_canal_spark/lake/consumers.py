@@ -84,7 +84,10 @@ class Consumer:
     """
 
     def __init__(self, table: LakeTable, client_id: str, start_after: int | None = None):
-        if "/" in client_id or client_id.startswith("."):
+        # '' would resolve the cursor dir to the _consumers root itself:
+        # every ''-client shares one cursor, list_all can't see it, and
+        # unsubscribe() would rmtree EVERY consumer's durable cursor
+        if not client_id or "/" in client_id or client_id.startswith("."):
             raise ValueError(f"client_id must be a plain name, got {client_id!r}")
         self.table = table
         self.client_id = client_id

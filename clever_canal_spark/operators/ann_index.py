@@ -269,8 +269,18 @@ def ann_indexed_topk(
     probe_rows = [
         (r["query_id"], r["qvec"], r["qbucket"] ^ m) for r in qrows for m in masks
     ]
+    # probe schema inherits the caller's query_id type (string request
+    # ids are as legitimate as bigints — the contract is only the
+    # column NAMES)
     probes = query_df.sparkSession.createDataFrame(
-        probe_rows, "query_id bigint, qvec array<float>, probe bigint"
+        probe_rows,
+        T.StructType(
+            [
+                T.StructField("query_id", query_df.schema["query_id"].dataType),
+                T.StructField("qvec", T.ArrayType(T.FloatType())),
+                T.StructField("probe", T.LongType()),
+            ]
+        ),
     )
     probe_vals = sorted({p[2] for p in probe_rows})
     cand = index.vectors.scan_for_keys(probe_vals)
@@ -435,7 +445,14 @@ def ivf_indexed_topk(
         .collect()
     ]
     probes = query_df.sparkSession.createDataFrame(
-        probe_rows, "query_id bigint, qvec array<float>, cent_id bigint"
+        probe_rows,
+        T.StructType(
+            [
+                T.StructField("query_id", query_df.schema["query_id"].dataType),
+                T.StructField("qvec", T.ArrayType(T.FloatType())),
+                T.StructField("cent_id", T.LongType()),
+            ]
+        ),
     )
     cent_ids = sorted({p[2] for p in probe_rows})
     cand = index.vectors.scan_for_keys(cent_ids)

@@ -68,6 +68,11 @@ def hll_add(
            = (33 - b) - length(bin(w))  [w=0 -> 33-b].
     The ``length(conv(w,10,2))`` formulation is integer-exact (no
     floating log2) and matches DuckDB's ``length(bin(w))``.
+
+    NULL items are filtered here (a null hashes to a null bucket row
+    that crashes ``hll_regs_dense``'s map build and silently shorts
+    ``hll_card``'s missing-bucket term) — "distinct non-null items",
+    the same stance as ``bloom_bits``.
     """
     m = 1 << b
     h = u32_expr(item_col)
@@ -77,7 +82,8 @@ def hll_add(
         f"ELSE {33 - b} - length(conv({w}, 10, 2)) END"
     )
     return (
-        df.select(
+        df.filter(F.expr(item_col).isNotNull())
+        .select(
             *group_cols,
             F.expr(f"{h} % {m}").alias("bucket"),
             F.expr(rho).cast("int").alias("rho"),
@@ -227,7 +233,10 @@ def cms_add(
         ]
     )
     return (
-        df.select(
+        # null items are skipped (same stance as hll_add/bloom_bits):
+        # they would land in a meaningless NULL slot row
+        df.filter(F.expr(item_col).isNotNull())
+        .select(
             *group_cols, F.expr(weight_sql).alias("_wt"), F.explode(pairs).alias("p")
         )
         .select(*group_cols, F.col("p.depth").alias("depth"), F.col("p.slot").alias("slot"), "_wt")
@@ -305,9 +314,13 @@ def hist_add(df: DataFrame, group_cols: list[str], value_sql: str) -> DataFrame:
     metrics stack — a p99 that merges across shards and epochs without
     ever revisiting raw values. Negative values raise (one sentinel bin
     would silently poison cum counts); callers shift or clamp first.
+    NULL values are skipped (a NULL bin row would sort ahead of bin 0
+    and pollute ``hist_quantiles``'s cumulative window) — the stance
+    every sketch builder here shares.
     """
     return (
-        df.select(*group_cols, F.expr(hist_bin_expr(value_sql)).cast("int").alias("bin"))
+        df.filter(F.expr(value_sql).isNotNull())
+        .select(*group_cols, F.expr(hist_bin_expr(value_sql)).cast("int").alias("bin"))
         .groupBy(*group_cols, "bin")
         .agg(F.count("*").alias("n"))
     )

@@ -82,7 +82,13 @@ def decode_value_expr(value_expr: str, mysql_type: str) -> str:
     if base in ("double", "real"):
         return f"CAST({v} AS DOUBLE)"
     if base in ("decimal", "numeric"):
-        inner = mt[mt.find("(") :] if "(" in mt else "(38,9)"
+        # only the balanced (p,s) group: 'decimal(10,2) unsigned' must not
+        # leak the UNSIGNED/ZEROFILL suffix into the CAST (parse error)
+        inner = (
+            mt[mt.find("(") : mt.find(")") + 1]
+            if "(" in mt and ")" in mt
+            else "(38,9)"
+        )
         return f"CAST({v} AS DECIMAL{inner})"
     if base in ("datetime", "timestamp"):
         return f"CAST({v} AS TIMESTAMP)"
@@ -111,14 +117,26 @@ def decode_row_images(
     ``data``; ``before_<name>`` decode ``old`` (null-filled for inserts,
     matching FlatMessage's sparse ``old`` maps). All decodes are JVM casts.
     """
-    exploded = df.select(
+    # align data[i] with old[i] by ZIPPING inside each message row — no
+    # (id, row_idx) join: FlatMessage ids are per-destination batch ids
+    # that reset on server restart, so id is NOT unique in a frame and a
+    # join would cross-match before-images across colliding messages
+    # (and cost a shuffle). arrays_zip pads the shorter side with null
+    # (old is null/sparse for inserts); coalesce keeps a null/empty data
+    # array producing one null row-image, as posexplode_outer did.
+    empty = F.array().cast("array<map<string,string>>")
+    base = df.select(
         "id", "database", "table", "type", "es",
-        F.posexplode_outer(F.col(data_col)).alias("row_idx", "__after"),
+        F.coalesce(F.col(data_col), empty).alias("__d"),
+        F.coalesce(F.col(old_col), empty).alias("__o"),
     )
-    olds = df.select(
-        "id", F.posexplode_outer(F.col(old_col)).alias("row_idx", "__before")
+    joined = base.select(
+        "id", "database", "table", "type", "es",
+        F.posexplode_outer(F.arrays_zip("__d", "__o")).alias("row_idx", "__z"),
+    ).select(
+        "id", "database", "table", "type", "es", "row_idx",
+        F.col("__z.__d").alias("__after"), F.col("__z.__o").alias("__before"),
     )
-    joined = exploded.join(olds, on=["id", "row_idx"], how="left")
     cols = [
         F.expr(decode_value_expr(f"element_at(__after, '{name}')", mt)).alias(f"after_{name}")
         for name, mt in columns
@@ -194,14 +212,21 @@ def encode_flat_message_expr(
     ]
     for i, (k, v) in enumerate(data_cols):
         sep = "," if i else ""
-        parts += [lit(f'{sep}"{k}":"'), esc(v), lit('"')]
+        # NULL values encode as JSON null — a bare NULL would propagate
+        # through the whole || chain and silently void the entire message
+        quoted = f"({lit(chr(34))} || {esc(v)} || {lit(chr(34))})"
+        parts += [
+            lit(f'{sep}"{k}":'),
+            f"(CASE WHEN {v} IS NULL THEN 'null' ELSE {quoted} END)",
+        ]
     parts.append(lit("}]}"))
     return " || ".join(parts)
 
 
 FLAT_MESSAGE_SPARK_SCHEMA = (
     "database string, table string, type string, es bigint, "
-    "pkNames array<string>, isDdl boolean, data array<map<string,string>>"
+    "pkNames array<string>, isDdl boolean, sql string, "
+    "data array<map<string,string>>, old array<map<string,string>>"
 )
 
 
@@ -214,6 +239,14 @@ def decode_flat_message(df, json_col: str = "value"):
     stringly-typed feed carries (downstream, `decode_row_images` applies
     the per-type promotion ladder exactly as for any flat feed).
 
+    Real Canal messages carry more than this repo's encoder emits, and
+    the decoder must not lose it: ``old`` (the UPDATE before-image maps,
+    aligned to ``data`` by position — zipped row-wise, never joined) and
+    DDL / empty-data messages (``data`` null, ``sql`` set), which emit
+    ONE row with a null ``data`` map so a consumer driving schema
+    evolution still sees them (filter ``is_ddl`` / null data when only
+    row images matter).
+
     JVM-side ``from_json`` with an explicit schema — never a Python JSON
     loop — so a Kafka topic of FlatMessage bytes feeds `apply_epoch` at
     full codegen speed: round trip decode(encode(x)) == x is oracle- and
@@ -221,7 +254,8 @@ def decode_flat_message(df, json_col: str = "value"):
     from pyspark.sql import functions as F
 
     parsed = df.select(F.from_json(F.col(json_col), FLAT_MESSAGE_SPARK_SCHEMA).alias("m"))
-    return parsed.select(
+    empty = F.array().cast("array<map<string,string>>")
+    base = parsed.select(
         F.col("m.database").alias("schema_name"),
         F.col("m.table").alias("table_name"),
         F.expr(
@@ -229,5 +263,17 @@ def decode_flat_message(df, json_col: str = "value"):
         ).alias("op"),
         F.col("m.es").alias("es"),
         F.col("m.pkNames").alias("pk_names"),
-        F.explode("m.data").alias("data"),
+        F.col("m.isDdl").alias("is_ddl"),
+        F.col("m.sql").alias("sql"),
+        F.coalesce(F.col("m.data"), empty).alias("__d"),
+        F.coalesce(F.col("m.old"), empty).alias("__o"),
+    )
+    return base.select(
+        "schema_name", "table_name", "op", "es", "pk_names", "is_ddl", "sql",
+        F.posexplode_outer(F.arrays_zip("__d", "__o")).alias("row_idx", "__z"),
+    ).select(
+        "schema_name", "table_name", "op", "es", "pk_names", "is_ddl", "sql",
+        "row_idx",
+        F.col("__z.__d").alias("data"),
+        F.col("__z.__o").alias("old_data"),
     )

@@ -47,6 +47,33 @@ def _fmt_labels(labels: dict[str, str]) -> str:
     return "{" + body + "}"
 
 
+def _emit(out: list, namespace: str, name: str, help_: str, typ: str, samples) -> None:
+    """One metric family in exposition order: HELP, TYPE, then one sample
+    line per (labels, value) pair. None values render 0 — every renderer
+    shares this rule (a literal 'None' is not a valid exposition float).
+    The single copy of the format keeps the three renderers from
+    drifting."""
+    out.append(f"# HELP {namespace}_{name} {help_}")
+    out.append(f"# TYPE {namespace}_{name} {typ}")
+    for labels, value in samples:
+        out.append(
+            f"{namespace}_{name}{_fmt_labels(labels)} {0 if value is None else value}"
+        )
+
+
+def _group_label(view, labels: dict) -> "tuple[str, str]":
+    """(group column, exposition label name) for a per-group view, with
+    the static-label collision check every per-group renderer needs."""
+    gcol = view.snapshot().merge_key[0]
+    lname = gcol if _LABEL_NAME_OK.match(gcol) else "key"
+    if lname in labels:
+        raise ValueError(
+            f"static label {lname!r} collides with the per-group label "
+            "(the view's group column) — rename the static label"
+        )
+    return gcol, lname
+
+
 def render_metrics(
     metrics_table,
     lag: dict | None = None,
@@ -66,13 +93,10 @@ def render_metrics(
         aggs.append(F.max_by(F.col(c), F.col("epoch_id")).alias(f"__last_{c}"))
     row = m.agg(*aggs).collect()[0].asDict()
 
-    lab = _fmt_labels(labels)
     out: list[str] = []
 
     def emit(name: str, help_: str, typ: str, value) -> None:
-        out.append(f"# HELP {namespace}_{name} {help_}")
-        out.append(f"# TYPE {namespace}_{name} {typ}")
-        out.append(f"{namespace}_{name}{lab} {0 if value is None else value}")
+        _emit(out, namespace, name, help_, typ, [(labels, value)])
 
     for suffix, col, help_ in _COUNTERS:
         emit(suffix, help_, "counter", row[col])
@@ -131,13 +155,7 @@ def render_hotkey_metrics(
     from ..lake.rollup import rollup_cursor
 
     labels = labels or {}
-    group_col = view.snapshot().merge_key[0]
-    label_name = group_col if _LABEL_NAME_OK.match(group_col) else "key"
-    if label_name in labels:
-        raise ValueError(
-            f"static label {label_name!r} collides with the per-group label "
-            "(the view's group column) — rename the static label"
-        )
+    group_col, label_name = _group_label(view, labels)
     rows = (
         view.scan()
         .select(group_col, *[c for _, c, _ in _HOTKEY_GAUGES])
@@ -147,18 +165,12 @@ def render_hotkey_metrics(
     )
 
     out: list[str] = []
-    out.append(f"# HELP {namespace}_rollup_consumed_version "
-               "source lake version this rollup has consumed")
-    out.append(f"# TYPE {namespace}_rollup_consumed_version gauge")
-    out.append(f"{namespace}_rollup_consumed_version{_fmt_labels(labels)} "
-               f"{rollup_cursor(view)}")
+    _emit(out, namespace, "rollup_consumed_version",
+          "source lake version this rollup has consumed", "gauge",
+          [(labels, rollup_cursor(view))])
     for suffix, col, help_ in _HOTKEY_GAUGES:
-        out.append(f"# HELP {namespace}_{suffix} {help_}")
-        out.append(f"# TYPE {namespace}_{suffix} gauge")
-        for r in rows:
-            lab = _fmt_labels({**labels, label_name: r[group_col]})
-            v = r[col]
-            out.append(f"{namespace}_{suffix}{lab} {0 if v is None else v}")
+        _emit(out, namespace, suffix, help_, "gauge",
+              [({**labels, label_name: r[group_col]}, r[col]) for r in rows])
     return "\n".join(out) + "\n"
 
 
@@ -185,38 +197,26 @@ def render_sketch_metrics(
     labels = labels or {}
     out: list[str] = []
     if hll_view is not None:
-        gcol = hll_view.snapshot().merge_key[0]
-        lname = gcol if _LABEL_NAME_OK.match(gcol) else "key"
-        if lname in labels:
-            raise ValueError(f"static label {lname!r} collides with the group label")
-        out.append(f"# HELP {namespace}_hll_consumed_version "
-                   "source lake version the HLL view has consumed")
-        out.append(f"# TYPE {namespace}_hll_consumed_version gauge")
-        out.append(f"{namespace}_hll_consumed_version{_fmt_labels(labels)} "
-                   f"{rollup_cursor(hll_view)}")
-        out.append(f"# HELP {namespace}_hll_distinct "
-                   "ever-seen distinct items per group (HLL estimate)")
-        out.append(f"# TYPE {namespace}_hll_distinct gauge")
-        for r in sorted(hll_view_estimates(hll_view).collect(), key=lambda r: str(r[gcol])):
-            lab = _fmt_labels({**labels, lname: r[gcol]})
-            out.append(f"{namespace}_hll_distinct{lab} {r['hll_distinct']}")
+        gcol, lname = _group_label(hll_view, labels)
+        _emit(out, namespace, "hll_consumed_version",
+              "source lake version the HLL view has consumed", "gauge",
+              [(labels, rollup_cursor(hll_view))])
+        _emit(out, namespace, "hll_distinct",
+              "ever-seen distinct items per group (HLL estimate)", "gauge",
+              [({**labels, lname: r[gcol]}, r["hll_distinct"])
+               for r in sorted(hll_view_estimates(hll_view).collect(),
+                               key=lambda r: str(r[gcol]))])
     if hist_view is not None:
-        gcol = hist_view.snapshot().merge_key[0]
-        lname = gcol if _LABEL_NAME_OK.match(gcol) else "key"
-        if lname in labels:
-            raise ValueError(f"static label {lname!r} collides with the group label")
-        out.append(f"# HELP {namespace}_hist_consumed_version "
-                   "source lake version the histogram view has consumed")
-        out.append(f"# TYPE {namespace}_hist_consumed_version gauge")
-        out.append(f"{namespace}_hist_consumed_version{_fmt_labels(labels)} "
-                   f"{rollup_cursor(hist_view)}")
+        gcol, lname = _group_label(hist_view, labels)
+        _emit(out, namespace, "hist_consumed_version",
+              "source lake version the histogram view has consumed", "gauge",
+              [(labels, rollup_cursor(hist_view))])
         qrows = hist_view_quantiles(hist_view, list(qs_permille)).collect()
         for q in qs_permille:
-            out.append(f"# HELP {namespace}_hist_q{q}_hi "
-                       f"upper bracket of the {q}-permille quantile per group")
-            out.append(f"# TYPE {namespace}_hist_q{q}_hi gauge")
-            for r in sorted((r for r in qrows if r["q_permille"] == q),
-                            key=lambda r: str(r[gcol])):
-                lab = _fmt_labels({**labels, lname: r[gcol]})
-                out.append(f"{namespace}_hist_q{q}_hi{lab} {r['est_hi']}")
+            _emit(out, namespace, f"hist_q{q}_hi",
+                  f"upper bracket of the {q}-permille quantile per group",
+                  "gauge",
+                  [({**labels, lname: r[gcol]}, r["est_hi"])
+                   for r in sorted((r for r in qrows if r["q_permille"] == q),
+                                   key=lambda r: str(r[gcol]))])
     return "\n".join(out) + "\n"

@@ -336,3 +336,32 @@ def test_sync_ann_from_lake_mirrors_truncate(spark, tmp_table_dir):
         build_ann_index_from_lake(
             table=t3, path=tmp_table_dir + "/ivfempty", family="ivf", centroid_mod=4
         )
+
+
+def test_string_query_ids(spark, tmp_path):
+    """The probe schema inherits the caller's query_id type — request
+    UUID strings are as valid as bigints."""
+    import pyspark.sql.functions as F
+
+    from clever_canal_spark.operators.ann_index import (
+        ann_indexed_topk, build_lsh_index,
+    )
+
+    corpus = spark.range(40).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(0, 7), j -> CAST(sin(id * 7 + j) AS FLOAT))"
+        ).alias("embedding"),
+    )
+    idx = build_lsh_index(
+        spark, corpus, str(tmp_path / "sidx"), n_planes=3, n_dims=8, n_buckets=2
+    )
+    q = spark.createDataFrame(
+        [("req-a",), ("req-b",)], "query_id string"
+    ).withColumn(
+        "embedding",
+        F.expr("transform(sequence(0, 7), j -> CAST(cos(j) AS FLOAT))"),
+    )
+    out = ann_indexed_topk(idx, q, k=3, radius=1)
+    got = {r["query_id"] for r in out.collect()}
+    assert got == {"req-a", "req-b"}

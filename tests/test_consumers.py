@@ -205,3 +205,24 @@ def test_downstream_mirror_via_consumer_protocol(spark, tmp_table_dir):
     src_rows = {(r["url"], r["text"]) for r in src_t.scan().collect()}
     mir_rows = {(r["url"], r["text"]) for r in mirror.scan().collect()}
     assert mir_rows == src_rows == {("a", "v2"), ("c", "v1")}
+
+
+def test_empty_client_id_rejected(spark, tmp_table_dir):
+    """'' would resolve the cursor dir to the _consumers root: shared
+    cursors, invisible to list_all, and unsubscribe() rmtree'ing every
+    other client's durable state."""
+    import os
+
+    import pytest
+    from pyspark.sql import types as T
+
+    from clever_canal_spark.lake import LakeTable
+    from clever_canal_spark.lake.consumers import Consumer
+
+    t = LakeTable.create(
+        spark, os.path.join(tmp_table_dir, "tcid"),
+        T.StructType([T.StructField("k", T.StringType(), False)]),
+        merge_key=["k"], n_buckets=1,
+    )
+    with pytest.raises(ValueError, match="plain name"):
+        Consumer(t, "")

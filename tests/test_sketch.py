@@ -88,3 +88,29 @@ def test_numerator_matches_alpha_table():
     assert hll_numerator(5) == int(0.697 * 32 * 32 * (1 << 28))
     with pytest.raises(Exception):
         hll_numerator("x")
+
+
+def test_null_items_skipped_everywhere(spark):
+    """NULL items/values are filtered inside every sketch builder: a
+    null used to produce a NULL bucket row that crashed hll_regs_dense's
+    map build and silently shorted hll_card's missing-bucket term."""
+    from clever_canal_spark.operators.sketch import (
+        cms_add, hist_add, hll_add, hll_card, hll_regs_dense,
+    )
+
+    df = spark.createDataFrame(
+        [(str(i),) for i in range(23)] + [(None,)], "item string"
+    )
+    clean = df.filter(F.col("item").isNotNull())
+    # estimate identical with and without the null present
+    [w] = hll_card(hll_add(df, [], "item", b=5), [], b=5).collect()
+    [wo] = hll_card(hll_add(clean, [], "item", b=5), [], b=5).collect()
+    assert w["hll_distinct"] == wo["hll_distinct"]
+    # dense registers no longer crash on the NULL map key
+    assert hll_regs_dense(df, [], "item", b=5).count() == 1
+    # CMS: no NULL slot rows
+    slots = cms_add(df, [], "item", d=2, w=64).select("slot")
+    assert slots.filter(F.col("slot").isNull()).count() == 0
+    # histogram: a NULL value adds no bin row
+    vals = spark.createDataFrame([(4,), (None,)], "v int")
+    assert hist_add(vals, [], "v").count() == 1

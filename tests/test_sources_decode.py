@@ -280,3 +280,82 @@ def test_flat_message_roundtrip_adversarial(spark):
     want = {es: (op, payload, key, "db1", "t1", ["key"])
             for es, op, payload, key in rows}
     assert got == want
+
+
+def test_decode_row_images_duplicate_ids(spark):
+    """FlatMessage ids are per-destination batch ids that reset on
+    server restart — NOT unique in a frame. Row-image alignment must be
+    positional WITHIN each message (zip), never an (id, row_idx) join
+    that would cross-match before-images between colliding messages."""
+    msgs = [
+        {
+            "id": 1, "database": "cc", "table": "t", "pkNames": ["id"],
+            "isDdl": False, "type": "UPDATE", "es": 1000, "ts": 0, "sql": None,
+            "sqlType": {"id": 4}, "mysqlType": {"id": "int"},
+            "data": [{"id": "10"}], "old": [{"id": "11"}],
+        },
+        {  # same id=1: post-restart collision
+            "id": 1, "database": "cc", "table": "t", "pkNames": ["id"],
+            "isDdl": False, "type": "UPDATE", "es": 2000, "ts": 0, "sql": None,
+            "sqlType": {"id": 4}, "mysqlType": {"id": "int"},
+            "data": [{"id": "20"}], "old": [{"id": "21"}],
+        },
+    ]
+    df = spark.createDataFrame(msgs, FLAT_MESSAGE_SCHEMA)
+    out = decode_row_images(df, [("id", "int")])
+    rows = {(r["es"], r["row_idx"]): (r["after_id"], r["before_id"])
+            for r in out.collect()}
+    # exactly one output row per message; before-images never cross
+    assert rows == {(1000, 0): (10, 11), (2000, 0): (20, 21)}
+
+
+def test_decode_value_decimal_unsigned(spark):
+    """'decimal(10,2) unsigned' must CAST with only the balanced (p,s)
+    group — leaking the UNSIGNED suffix is a plan-time ParseException."""
+    from clever_canal_spark.sources.flat_message import decode_value_expr
+
+    df = spark.createDataFrame([("12.34",)], "v string")
+    expr = decode_value_expr("v", "decimal(10,2) unsigned")
+    [r] = df.select(F.expr(expr).alias("d")).collect()
+    assert str(r["d"]) == "12.34"
+
+
+def test_flat_message_null_value_and_ddl(spark):
+    """A NULL column value must encode as JSON null (a bare NULL would
+    void the ENTIRE message through the || chain), and the decoder must
+    surface old maps plus DDL / empty-data messages instead of dropping
+    them."""
+    from clever_canal_spark.sources.flat_message import (
+        decode_flat_message,
+        encode_flat_message_expr,
+    )
+
+    rows = [(1, "U", None, "k1"), (2, "I", "v2", "k2")]
+    df = spark.createDataFrame(rows, "es bigint, op string, payload string, key string")
+    msg = encode_flat_message_expr(
+        "'db1'", "'t1'", "op", "es",
+        pk_names=["key"],
+        data_cols=[("key", "key"), ("payload", "payload")],
+        dialect="spark",
+    )
+    encoded = df.select(F.expr(msg).alias("value"))
+    # the null-payload message survives encoding
+    assert encoded.filter(F.col("value").isNull()).count() == 0
+    decoded = decode_flat_message(encoded, "value")
+    got = {r["es"]: r["data"]["payload"] for r in decoded.collect()}
+    assert got == {1: None, 2: "v2"}
+
+    # hand-built real-Canal shapes: UPDATE with old, DDL with data=null
+    wire = [
+        ('{"database":"db1","table":"t1","type":"UPDATE","es":5,'
+         '"pkNames":["k"],"isDdl":false,"data":[{"k":"a","v":"new"}],'
+         '"old":[{"v":"prev"}]}',),
+        ('{"database":"db1","table":"t1","type":"QUERY","es":6,'
+         '"pkNames":[],"isDdl":true,"sql":"ALTER TABLE t1 ADD COLUMN c int",'
+         '"data":null,"old":null}',),
+    ]
+    wdf = spark.createDataFrame(wire, "value string")
+    out = {r["es"]: r for r in decode_flat_message(wdf, "value").collect()}
+    assert out[5]["old_data"]["v"] == "prev" and out[5]["data"]["v"] == "new"
+    assert out[6]["is_ddl"] and out[6]["data"] is None
+    assert "ADD COLUMN" in out[6]["sql"]
