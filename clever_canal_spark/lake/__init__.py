@@ -1,12 +1,21 @@
 from .consumers import Batch, Consumer
 from .diff import snapshot_diff
 from .fs import ArrowFS, LocalFS, MemFS, MetadataFS
-from .rollup import create_rollup, hot_groups, rollup_cursor, sync_rollup
+from .rollup import (
+    bootstrap_rollup,
+    create_rollup,
+    hot_groups,
+    rollup_cursor,
+    sync_rollup,
+)
 from .table import CommitConflict, LakeTable, MergeResult, SnapshotExpired
 
 # after .table: sketch_view pulls in operators/, whose ann_index imports
 # LakeTable back out of this (then partially-initialized) package
 from .sketch_view import (  # noqa: E402
+    bootstrap_cms_view,
+    bootstrap_hist_view,
+    bootstrap_hll_view,
     cms_view_config,
     cms_view_estimate,
     create_cms_view,
@@ -24,8 +33,10 @@ __all__ = [
     "LakeTable", "MergeResult", "CommitConflict", "SnapshotExpired",
     "MetadataFS", "LocalFS", "ArrowFS", "MemFS",
     "create_rollup", "sync_rollup", "hot_groups", "rollup_cursor",
+    "bootstrap_rollup",
     "create_hll_view", "sync_hll_view", "hll_view_estimates", "hll_view_config",
     "create_cms_view", "sync_cms_view", "cms_view_estimate", "cms_view_config",
     "create_hist_view", "sync_hist_view", "hist_view_quantiles",
+    "bootstrap_hll_view", "bootstrap_cms_view", "bootstrap_hist_view",
     "Consumer", "Batch", "snapshot_diff",
 ]

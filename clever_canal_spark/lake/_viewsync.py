@@ -37,6 +37,77 @@ from .rollup import rollup_cursor
 from .table import LakeTable
 
 
+def live_state_hidden(table: LakeTable, version: int) -> DataFrame:
+    """The table's live rows at a pinned version WITH the hidden ``__lsn``
+    column — ``scan()`` minus the final payload-only projection. The seed
+    side of a view bootstrap needs the LSN (e.g. the rollup's
+    ``last_lsn``), which the public scan hides."""
+    snap = table.snapshot(version)
+    cols = [f["name"] for f in snap.current_fields()]
+    if snap.delta_files:
+        df = table._reconciled(snap)
+    else:
+        df = table._read_files(snap, snap.files, hidden=True).filter(
+            F.col("__op") != F.lit("D")
+        )
+    return df.select(*cols, "__lsn")
+
+
+def bootstrap_view(view: LakeTable, table: LakeTable, build_seed) -> int:
+    """Seed an EMPTY maintained view from the source table's CURRENT
+    state — the snapshot-then-tail path for putting a view on a
+    long-lived table whose early changelog is past retention: a
+    full-history first sync would raise
+    :class:`~clever_canal_spark.lake.table.SnapshotExpired`, and
+    ``create_*(start_after=current_version())`` would skip the existing
+    rows entirely. This is the view-side analog of the engine's
+    bootstrap (initial snapshot load, then tail) and of the reference's
+    TableMeta snapshot+replay (DatabaseTableMeta.java:229-281).
+
+    ``build_seed(version) -> DataFrame``: the view's initial rows
+    (exact view schema: merge-key + payload columns) computed from the
+    source state pinned at ``version`` — ONE full source scan, the only
+    corpus-sized read the view ever does.
+
+    Returns the lake version the seed captured; 0 = nothing done (the
+    view has already consumed something — idempotent reopen). A source
+    with no live rows (empty or all-deleted) stamps a metadata-only
+    cursor marker at the current version, so the tail starts there
+    either way. Crash-safe: the seed merges under
+    ``epoch_id=version`` in the view's own registry atomically with the
+    data, so a replayed bootstrap either sees a non-zero cursor and
+    no-ops here, or re-merges into a registered epoch and no-ops inside
+    ``merge``. Subsequent ``sync_*`` calls tail from ``version``.
+    """
+    head = table.current_version()
+    synced = rollup_cursor(view)
+    if synced > 0 or head <= 0:
+        return 0
+    vsnap = view.snapshot()
+    if vsnap.files or vsnap.delta_files:
+        raise ValueError(
+            "bootstrap_view requires an empty view — it seeds initial state"
+        )
+    key = list(vsnap.merge_key)
+    cols = [f["name"] for f in vsnap.current_fields()]
+    seed = build_seed(head).select(*cols).localCheckpoint(eager=False)
+    try:
+        if not seed.take(1):
+            # live state contributed nothing (all-deleted table, or the
+            # seed expression nulled out) — metadata-only cursor stamp
+            view.commit_epoch_marker(head)
+            return head
+        src = seed.select(
+            *cols,
+            F.lit("U").alias("op"),
+            F.lit(int(head)).cast("long").alias("lsn"),
+        )
+        view.merge(src, epoch_id=head, op_col="op", mode="mor", lsn_col="lsn")
+        return head
+    finally:
+        _free_checkpoint(seed)
+
+
 def sync_view(
     view: LakeTable,
     table: LakeTable,

@@ -144,6 +144,45 @@ def sync_rollup(
     )
 
 
+def bootstrap_rollup(view: LakeTable, table: LakeTable, group_expr=None) -> int:
+    """Seed an empty rollup from the source's LIVE state (snapshot-then-
+    tail): each live row counts as one upsert — ``n_changes=n_upserts=1``
+    per row, ``n_deletes=0``, ``last_lsn`` from the row's hidden LSN —
+    and the cursor stamps at the scanned version so ``sync_rollup``
+    tails incrementally from there.
+
+    Use when the table's early changelog is past retention (a
+    full-history first sync raises SnapshotExpired) but the view should
+    still reflect the rows that exist NOW, not just future traffic
+    (``start_after`` gives the latter). Semantics caveat, stated rather
+    than hidden: traffic that happened BEFORE the bootstrap version is
+    unknowable from state alone — superseded versions and deleted keys
+    left no trace — so seeded counts are a floor; from the bootstrap
+    on, the additive contract is exact. Returns the seeded version
+    (0 = view already has a cursor; a source with no live
+    rows stamps a cursor marker at the current version)."""
+    from ._viewsync import bootstrap_view, live_state_hidden
+
+    gcol = view.snapshot().merge_key[0]
+    gexpr = group_expr if group_expr is not None else F.col(gcol)
+
+    def build_seed(version):
+        return (
+            live_state_hidden(table, version)
+            .select(gexpr.alias(gcol), F.col("__lsn"))
+            .filter(F.col(gcol).isNotNull())
+            .groupBy(gcol)
+            .agg(
+                F.count("*").alias("n_changes"),
+                F.count("*").alias("n_upserts"),
+                F.lit(0).cast("long").alias("n_deletes"),
+                F.max("__lsn").alias("last_lsn"),
+            )
+        )
+
+    return bootstrap_view(view, table, build_seed)
+
+
 def rollup_cursor(view: LakeTable) -> int:
     """The highest lake version this view has consumed — read from the
     view's own committed-epoch registry (epoch id == consumed version),

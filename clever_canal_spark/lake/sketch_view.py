@@ -157,6 +157,35 @@ def sync_hll_view(
     )
 
 
+def bootstrap_hll_view(
+    view: LakeTable, table: LakeTable, item_expr, group_expr=None
+) -> int:
+    """Seed an empty HLL view from the source's LIVE state: register
+    every live row's item at the pinned current version, stamp the
+    cursor there, tail incrementally after (the snapshot-then-tail path
+    for tables whose early changelog is past retention). The estimate's
+    meaning becomes "distinct(live at bootstrap ∪ seen since)" — a
+    floor on true ever-seen, since items whose every row was deleted
+    before the bootstrap left no trace. Returns the seeded version
+    (0 = view already has a cursor; a source with no live
+    rows stamps a cursor marker at the current version)."""
+    from ._viewsync import bootstrap_view
+
+    b = int(hll_view_config(view)["b"])
+    gcol = view.snapshot().merge_key[0]
+    gexpr = group_expr if group_expr is not None else F.col(gcol)
+
+    def build_seed(version):
+        items = (
+            table.scan(version=version)
+            .select(gexpr.alias(gcol), item_expr.alias("__item"))
+            .filter(F.col("__item").isNotNull() & F.col(gcol).isNotNull())
+        )
+        return hll_regs_dense(items, [gcol], "__item", b, regs_col="regs")
+
+    return bootstrap_view(view, table, build_seed)
+
+
 def create_cms_view(
     spark: SparkSession,
     path: str,
@@ -320,6 +349,36 @@ def sync_cms_view(
     )
 
 
+def bootstrap_cms_view(view: LakeTable, table: LakeTable, item_expr) -> int:
+    """Seed an empty CMS view from the source's LIVE state: +1 per live
+    key at the pinned current version. Because the CMS view tracks NET
+    KEY LIVENESS (state-diffed, see ``sync_cms_view``), this seed is
+    REPLAY-EQUIVALENT, not an approximation: the net of any change
+    history is exactly the liveness at its endpoint, so bootstrap+tail
+    lands the identical sketch a full-history sync would have — the one
+    member of the view family whose snapshot-then-tail path loses
+    nothing. ``item_expr`` must derive from the source merge-key columns
+    (the sync's decrement contract). Returns the seeded version (0 =
+    view already has a cursor; a source with no live
+    rows stamps a cursor marker at the current version)."""
+    from ._viewsync import bootstrap_view
+
+    cfg = cms_view_config(view)
+    d, w = int(cfg["d"]), int(cfg["w"])
+    tkey = list(table.snapshot().merge_key)
+
+    def build_seed(version):
+        live = (
+            table.scan(version=version)
+            .select(*tkey)
+            .select(item_expr.alias("__item"))
+            .filter(F.col("__item").isNotNull())
+        )
+        return cms_add(live, [], "__item", d, w).filter(F.col("cnt") != 0)
+
+    return bootstrap_view(view, table, build_seed)
+
+
 def cms_view_estimate(
     view: LakeTable, probes: DataFrame, item_col: str, out_col: str = "cms_count"
 ) -> DataFrame:
@@ -437,6 +496,44 @@ def sync_hist_view(
             (F.coalesce("n", F.lit(0)) + F.col("_d_n")).alias("n")
         ],
     )
+
+
+def bootstrap_hist_view(
+    view: LakeTable,
+    table: LakeTable,
+    value_expr,
+    group_expr=None,
+    on_negative: str = "error",
+) -> int:
+    """Seed an empty histogram view from the source's LIVE state: bin
+    every live row's value at the pinned current version, stamp the
+    cursor, tail after. The distribution's meaning becomes "live values
+    at bootstrap + changelog observations since" — observations whose
+    rows were superseded or deleted before the bootstrap left no trace
+    (same floor caveat as the rollup seed). ``on_negative`` as in
+    ``sync_hist_view``. Returns the seeded version (0 = view already
+    has a cursor; a source with no live
+    rows stamps a cursor marker at the current version)."""
+    if on_negative not in ("error", "clamp", "skip"):
+        raise ValueError(f"on_negative must be error|clamp|skip, got {on_negative!r}")
+    from ._viewsync import bootstrap_view
+
+    gcol = view.snapshot().merge_key[0]
+    gexpr = group_expr if group_expr is not None else F.col(gcol)
+
+    def build_seed(version):
+        rows = (
+            table.scan(version=version)
+            .select(gexpr.alias(gcol), value_expr.alias("__v"))
+            .filter(F.col("__v").isNotNull() & F.col(gcol).isNotNull())
+        )
+        if on_negative == "clamp":
+            rows = rows.withColumn("__v", F.greatest(F.col("__v"), F.lit(0)))
+        elif on_negative == "skip":
+            rows = rows.filter(F.col("__v") >= 0)
+        return hist_add(rows, [gcol], "__v")
+
+    return bootstrap_view(view, table, build_seed)
 
 
 def hist_view_quantiles(view: LakeTable, qs_permille: list[int]) -> DataFrame:
