@@ -4118,6 +4118,54 @@ def q_emb_int8_topk_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _knn_join_oracle() -> str:
+    from .operators.similarity import probe_masks
+
+    masks = ", ".join(str(m) for m in probe_masks(_MP_PLANES, 1))
+    return f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             {_duck_lsh_bucket('embedding', _MP_PLANES)} AS bucket
+      FROM embeddings
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, embedding AS qvec,
+             unnest(list_transform([{masks}], m -> xor(bucket, m))) AS probe
+      FROM b
+    ),
+    cand AS (
+      SELECT p.query_id, r.vec_id,
+             {_duck_dot_e9('r.embedding', 'p.qvec')} AS dot_e9
+      FROM b r JOIN probes p ON r.bucket = p.probe
+      WHERE p.query_id <> r.vec_id
+    )
+    SELECT query_id, vec_id, dot_e9, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT cand.*, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY dot_e9 DESC, vec_id) AS rank
+      FROM cand
+    ) WHERE rank <= 5
+    """
+
+
+@register("emb_knn_join", _knn_join_oracle())
+def q_emb_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus x corpus approximate kNN JOIN (``operators/similarity.py
+    knn_join``): top-5 nearest OTHER vectors for EVERY corpus row — the
+    training-pair-mining / cross-corpus-linking shape where the query
+    side is itself corpus-sized, so the broadcast-the-queries ANN ops
+    don't apply. Multi-probe LSH blocking on both sides, one integer
+    equi-join, per-query row_number top-k; the oracle replays the same
+    deterministic probe semantics, so this is a full value match (the
+    approximation is in WHICH candidates exist, and both engines agree
+    on it bit-for-bit)."""
+    from .operators.similarity import knn_join
+
+    emb = _embeddings(spark, sf_dir)
+    return knn_join(
+        emb, emb, k=5, n_planes=_MP_PLANES, radius=1, exclude_self=True
+    )
+
+
 @register(
     "doc_dup_spans",
     r"""

@@ -611,3 +611,89 @@ def int8_topk_rerank(
         .orderBy(F.col("dot_e9").desc(), F.col("vec_id"))
         .limit(k)
     )
+
+
+def knn_join(
+    left: DataFrame,
+    right: DataFrame,
+    k: int = 10,
+    n_planes: int | None = None,
+    radius: int = 1,
+    exclude_self: bool = False,
+    n_dims: int = N_DIMS,
+    max_bucket_rows: int = 10_000,
+) -> DataFrame:
+    """Approximate k-nearest-neighbor JOIN: for EVERY row of ``left``,
+    the top-k ``right`` rows by cosine — the corpus x corpus shape
+    (training-pair mining, hard-negative sampling, cross-corpus near-dup
+    linking, retrieval eval) that the query-batch ANN ops cannot serve:
+    they broadcast the query side (``ann_multiprobe_topk``,
+    ``ann_indexed_topk``), which caps it at driver-memory scale. Here
+    BOTH sides are corpus-sized.
+
+    Scale shape — never a cross join:
+
+    - each side gets the deterministic hyperplane bucket
+      (``lsh_bucket_expr``), computed in one projection;
+    - the left expands by the multi-probe XOR masks (sum C(n_planes, r),
+      r <= radius — a bounded constant, broadcast-free ``explode``), so
+      a neighbor just across one hyperplane is still found;
+    - candidates come from ONE integer equi-join (shuffle hash join on
+      the bucket key); AQE's skew-join split handles hot buckets;
+    - per-left top-k is one ``row_number`` window partitioned by the
+      left id — bounded by that row's own candidate count, never a
+      global sort. Ties break by (dot desc, vec_id), so results are
+      deterministic and a DuckDB oracle can hash-match them.
+
+    Recall follows multi-probe LSH: with the defaults a true neighbor is
+    missed only when it differs in >= radius+1 hyperplane signs.
+    ``n_planes=None`` derives the plane count from the RIGHT corpus size
+    (``derive_n_planes``, expected bucket <= max_bucket_rows/4): more
+    planes = smaller buckets = cheaper join but lower recall per probe —
+    compensate with ``radius`` when the space is weakly clustered.
+    Left rows expand by the probe count, so the left shuffle carries
+    (probes x rows) skinny (id, qvec, bucket) rows — for radius 1 with 8
+    planes that is 9x, still linear, never quadratic.
+
+    ``exclude_self=True`` drops same-vec_id matches (the self-join form:
+    nearest OTHER neighbors within one corpus).
+
+    Output: (query_id, vec_id, dot_e9, rank) — rank 1..k per query_id.
+    """
+    if n_planes is None:
+        n_planes = derive_n_planes(right.count(), max_bucket_rows)
+    masks = probe_masks(n_planes, radius)
+    bexpr = lsh_bucket_expr("embedding", n_planes, n_dims)
+    r = right.select(
+        F.col("vec_id"),
+        F.col("embedding").alias("rvec"),
+        F.expr(bexpr).alias("bucket"),
+    )
+    probes = (
+        left.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qvec"),
+            F.expr(bexpr).alias("qbucket"),
+        )
+        .withColumn("__m", F.explode(F.array(*[F.lit(m) for m in masks])))
+        .select(
+            "query_id",
+            "qvec",
+            F.expr("CAST(qbucket AS INT) ^ CAST(__m AS INT)").alias("bucket"),
+        )
+    )
+    cand = probes.join(r, on="bucket").select(
+        "query_id",
+        "vec_id",
+        F.expr(dot_e9_expr("rvec", "qvec", n_dims)).alias("dot_e9"),
+    )
+    if exclude_self:
+        cand = cand.filter(F.col("query_id") != F.col("vec_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot_e9").desc(), F.col("vec_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "dot_e9", "rank")
+    )
