@@ -622,6 +622,8 @@ def knn_join(
     exclude_self: bool = False,
     n_dims: int = N_DIMS,
     max_bucket_rows: int = 10_000,
+    left_bucket_col: str | None = None,
+    right_bucket_col: str | None = None,
 ) -> DataFrame:
     """Approximate k-nearest-neighbor JOIN: for EVERY row of ``left``,
     the top-k ``right`` rows by cosine — the corpus x corpus shape
@@ -658,22 +660,38 @@ def knn_join(
     ``exclude_self=True`` drops same-vec_id matches (the self-join form:
     nearest OTHER neighbors within one corpus).
 
+    ``left_bucket_col`` / ``right_bucket_col``: a PRECOMPUTED bucket
+    column on that side (the persisted-index pattern — e.g. an LSH
+    LakeTable built by ``ann_index.build_lsh_index``), skipping the
+    bucket projection here. The stored buckets must come from the same
+    ``(n_planes, n_dims)`` hyperplane family, and ``n_planes`` must then
+    be passed explicitly (it sizes the probe-mask set).
+
     Output: (query_id, vec_id, dot_e9, rank) — rank 1..k per query_id.
     """
     if n_planes is None:
+        if left_bucket_col or right_bucket_col:
+            raise ValueError(
+                "precomputed bucket columns need an explicit n_planes "
+                "(the probe masks must match the stored hyperplane count)"
+            )
         n_planes = derive_n_planes(right.count(), max_bucket_rows)
     masks = probe_masks(n_planes, radius)
     bexpr = lsh_bucket_expr("embedding", n_planes, n_dims)
+    rbucket = (
+        F.col(right_bucket_col) if right_bucket_col else F.expr(bexpr)
+    )
+    lbucket = F.col(left_bucket_col) if left_bucket_col else F.expr(bexpr)
     r = right.select(
         F.col("vec_id"),
         F.col("embedding").alias("rvec"),
-        F.expr(bexpr).alias("bucket"),
+        rbucket.alias("bucket"),
     )
     probes = (
         left.select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("qvec"),
-            F.expr(bexpr).alias("qbucket"),
+            lbucket.alias("qbucket"),
         )
         .withColumn("__m", F.explode(F.array(*[F.lit(m) for m in masks])))
         .select(

@@ -79,3 +79,29 @@ def test_plan_has_no_cross_join(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_precomputed_bucket_columns_match_default_path(spark):
+    """A stored LSH bucket column (the persisted-index pattern) must give
+    the identical result to on-the-fly bucketing — and omitting n_planes
+    with a stored column is a contract error."""
+    import pytest
+    from clever_canal_spark.operators.similarity import lsh_bucket_expr
+
+    emb = _emb(spark, n=35)
+    pre = emb.withColumn("bkt", F.expr(lsh_bucket_expr("embedding", 4)))
+    want = sorted(
+        map(tuple, knn_join(emb, emb, k=3, n_planes=4, radius=1).collect())
+    )
+    got = sorted(
+        map(
+            tuple,
+            knn_join(
+                pre, pre, k=3, n_planes=4, radius=1,
+                left_bucket_col="bkt", right_bucket_col="bkt",
+            ).collect(),
+        )
+    )
+    assert got == want
+    with pytest.raises(ValueError):
+        knn_join(pre, pre, k=3, right_bucket_col="bkt")
