@@ -9,6 +9,14 @@ from .rollup import (
     sync_rollup,
 )
 from .table import CommitConflict, LakeTable, MergeResult, SnapshotExpired
+from .wap import (
+    PublishConflict,
+    branch_table,
+    drop_branch,
+    fork_branch,
+    list_branches,
+    publish_branch,
+)
 
 # after .table: sketch_view pulls in operators/, whose ann_index imports
 # LakeTable back out of this (then partially-initialized) package
@@ -39,4 +47,6 @@ __all__ = [
     "create_hist_view", "sync_hist_view", "hist_view_quantiles",
     "bootstrap_hll_view", "bootstrap_cms_view", "bootstrap_hist_view",
     "Consumer", "Batch", "snapshot_diff",
+    "PublishConflict", "fork_branch", "branch_table", "list_branches",
+    "publish_branch", "drop_branch",
 ]

@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -46,6 +47,9 @@ from .fs import LocalFS, MetadataFS
 
 _LOG_DIR = "_log"
 _DATA_DIR = "data"
+_REFS_DIR = "refs"  # under _LOG_DIR: named refs (tags) — _log/refs/{name}.json
+_BRANCH_DIR = "_branches"  # WAP branches live INSIDE the table dir (lake/wap.py)
+_REF_NAME = re.compile(r"[A-Za-z0-9][A-Za-z0-9._-]{0,63}")
 
 # Allowed type widenings (ref: unsigned promotion ladder,
 # LogEventConvert.java:694-725 — tiny→smallint→int→bigint→decimal).
@@ -501,14 +505,21 @@ class LakeTable:
             return winners
         return winners.filter(F.col("__op") != "D")
 
-    def scan(self, version: int | None = None) -> DataFrame:
+    def scan(self, version: int | None = None, ref: str | None = None) -> DataFrame:
         """Current (or time-travel) table state as a DataFrame.
+
+        ``ref`` time-travels by tag name (``scan(ref="pre-migration")``),
+        mutually exclusive with ``version``.
 
         Always filters tombstone rows (``__op = 'D'``): COW merges and
         compaction retain delete winners in data files so out-of-order
         (multi-shard) replay stays LWW-correct; the live view hides them.
         Files written without hidden cols read as ``__op = 'U'`` and the
         filter folds away."""
+        if ref is not None:
+            if version is not None:
+                raise ValueError("pass version or ref, not both")
+            version = self.resolve_ref(ref)
         snap = self.snapshot(version)
         cols = [f["name"] for f in snap.current_fields()]
         if snap.delta_files:
@@ -1133,6 +1144,117 @@ class LakeTable:
             for sv, fields in sorted(snap.schemas.items(), key=lambda kv: int(kv[0]))
         ]
 
+    # -- named refs (tags) -------------------------------------------------
+    # Iceberg tag analog: an immutable named pointer to a snapshot version.
+    # A tag pins ITS snapshot against expire_snapshots (time travel by name
+    # survives retention); the changelog BETWEEN a tag and the retained
+    # window is not pinned — scan_changes across an expired gap still
+    # raises SnapshotExpired, exactly Iceberg's tag semantics.
+
+    def _refs_path(self) -> str:
+        return os.path.join(self._log_path, _REFS_DIR)
+
+    @staticmethod
+    def _check_ref_name(name: str) -> str:
+        if not _REF_NAME.fullmatch(name or ""):
+            raise ValueError(
+                f"ref name {name!r} must match {_REF_NAME.pattern} (fs-safe)"
+            )
+        return name
+
+    def create_tag(self, name: str, version: int | None = None) -> int:
+        """Create an immutable named ref at ``version`` (default: current).
+        Raises ``ValueError`` if the tag exists or the version isn't a
+        retained snapshot. Returns the pinned version."""
+        self._check_ref_name(name)
+        v = version if version is not None else self.current_version()
+        self.snapshot(v)  # must be retained — raises if expired/absent
+        self._fs.makedirs(self._refs_path())
+        ref = {"name": name, "version": v, "kind": "tag",
+               "created_at_ms": int(time.time() * 1000)}
+        try:
+            self._fs.write_text_exclusive(
+                os.path.join(self._refs_path(), f"{name}.json"), json.dumps(ref)
+            )
+        except FileExistsError:
+            raise ValueError(f"tag {name!r} already exists (tags are immutable)")
+        return v
+
+    def drop_tag(self, name: str) -> None:
+        self._check_ref_name(name)
+        try:
+            self._fs.remove(os.path.join(self._refs_path(), f"{name}.json"))
+        except FileNotFoundError:
+            raise ValueError(f"tag {name!r} does not exist")
+
+    def list_refs(self) -> dict[str, dict]:
+        try:
+            names = self._fs.listdir(self._refs_path())
+        except FileNotFoundError:
+            return {}
+        out = {}
+        for n in names:
+            if n.endswith(".json"):
+                ref = json.loads(self._fs.read_text(os.path.join(self._refs_path(), n)))
+                out[ref["name"]] = ref
+        return out
+
+    def resolve_ref(self, name: str) -> int:
+        self._check_ref_name(name)
+        try:
+            ref = json.loads(
+                self._fs.read_text(os.path.join(self._refs_path(), f"{name}.json"))
+            )
+        except FileNotFoundError:
+            raise ValueError(f"ref {name!r} does not exist")
+        return int(ref["version"])
+
+    # -- shallow clone -----------------------------------------------------
+
+    def clone_to(self, dest_path: str, version: int | None = None,
+                 fs: "MetadataFS | None" = None) -> "LakeTable":
+        """Zero-copy shallow clone (Delta ``SHALLOW CLONE`` / Iceberg
+        snapshot-ref-table analog): a new table whose first snapshot
+        references this table's data files by ABSOLUTE path — no data is
+        copied. Writes to the clone land in the clone's own ``data/`` dir;
+        neither side's :meth:`vacuum` can touch the other's files (vacuum
+        sweeps only the table's own data dir).
+
+        CAVEAT (same as Delta's): the source must not :meth:`vacuum` away
+        files the clone still references — retain the cloned version on the
+        source (e.g. :meth:`create_tag` it) for the clone's lifetime.
+
+        Local paths only: object-store tables get cloning from the Iceberg
+        catalog mapping instead (see module docstring)."""
+        if "://" in self.path:
+            raise NotImplementedError(
+                "clone_to supports local paths; object-store tables clone "
+                "via the Iceberg catalog mapping (module docstring)"
+            )
+        snap = self.snapshot(version)
+
+        def _abs(entries: list[dict]) -> list[dict]:
+            return [
+                {**f, "path": f["path"] if f["path"].startswith("/")
+                 else os.path.join(self.path, f["path"])}
+                for f in entries
+            ]
+
+        t = LakeTable(self.spark, dest_path, fs=fs)
+        if t.exists():
+            raise ValueError(f"clone destination {dest_path} already exists")
+        t._fs.makedirs(t._log_path)
+        t._fs.makedirs(t._data_path)
+        d = dict(snap.__dict__)
+        d.update(
+            version=1, parent=None,
+            files=_abs(snap.files), delta_files=_abs(snap.delta_files),
+            operation=f"clone:{self.path}@v{snap.version}",
+            committed_at_ms=int(time.time() * 1000),
+        )
+        t._write_snapshot(_Snapshot(**d))
+        return t
+
     # -- retention / garbage collection ------------------------------------
 
     def expire_snapshots(self, keep_last: int = 10) -> list[int]:
@@ -1141,7 +1263,8 @@ class LakeTable:
         ``scan_changes`` reach back only as far as the oldest retained
         snapshot afterwards. Data files are NOT touched here — run
         :meth:`vacuum` to drop files no retained snapshot references.
-        Returns the expired version numbers."""
+        Versions pinned by a named ref (:meth:`create_tag`) are kept
+        regardless of age. Returns the expired version numbers."""
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         versions = sorted(
@@ -1149,7 +1272,8 @@ class LakeTable:
             for n in self._fs.listdir(self._log_path)
             if n.startswith("v") and n.endswith(".json")
         )
-        expired = versions[:-keep_last]
+        pinned = {int(r["version"]) for r in self.list_refs().values()}
+        expired = [v for v in versions[:-keep_last] if v not in pinned]
         for v in expired:
             self._fs.remove(os.path.join(self._log_path, f"v{v:08d}.json"))
         return expired
@@ -1194,7 +1318,44 @@ class LakeTable:
                         removed_stages += 1
                 except OSError:
                     continue
-        return {"removed_files": removed_files, "removed_stage_dirs": removed_stages}
+        # SEALED (published) WAP branches: publish_branch commits branch
+        # data files into main's manifest under _branches/{name}/data/ and
+        # removes the branch log (lake/wap.py). Once compaction rewrites
+        # those rows into main's own data dir the entries drop out of every
+        # retained snapshot — sweep them here exactly like main's data dir,
+        # and drop a sealed branch dir entirely once it holds no data.
+        # ACTIVE branches (log present) are their own tables: never touched.
+        branches_root = os.path.join(self.path, _BRANCH_DIR)
+        removed_branches = 0
+        if self._fs.isdir(branches_root):
+            for bn in self._fs.listdir(branches_root):
+                bdir = os.path.join(branches_root, bn)
+                if not self._fs.isdir(bdir) or self._fs.isdir(os.path.join(bdir, _LOG_DIR)):
+                    continue
+                bdata = os.path.join(bdir, _DATA_DIR)
+                live = 0
+                for fn in (self._fs.listdir(bdata) if self._fs.isdir(bdata) else []):
+                    rel = os.path.join(_BRANCH_DIR, bn, _DATA_DIR, fn)
+                    if rel in referenced:
+                        live += 1
+                        continue
+                    try:
+                        if now - self._fs.mtime(os.path.join(bdata, fn)) < orphan_ttl_s:
+                            live += 1
+                            continue
+                        self._fs.remove(os.path.join(bdata, fn))
+                        removed_files.append(rel)
+                    except OSError:
+                        live += 1
+                if not live:
+                    try:
+                        if now - self._fs.mtime(bdir) >= orphan_ttl_s:
+                            self._fs.rmtree(bdir)
+                            removed_branches += 1
+                    except OSError:
+                        pass
+        return {"removed_files": removed_files, "removed_stage_dirs": removed_stages,
+                "removed_sealed_branches": removed_branches}
 
     def compact(
         self,
