@@ -1014,6 +1014,85 @@ def q_cdc_consumer_delivery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_wap_publish",
+    f"""
+    SELECT 'u' || CAST(user_id AS VARCHAR) AS url,
+           CAST({{CENTS}} AS VARCHAR) AS text
+    FROM (
+      SELECT user_id, value, {_OP_EXPR} AS op,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1 AND op <> 'D'
+    """.replace("{CENTS}", _CENTS),
+)
+def q_cdc_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish (lake/wap.py — the Iceberg WAP / Canal
+    get-then-ack pattern at commit granularity): epoch 0 applies straight
+    to main; epoch 1 is staged via the real apply path onto a forked
+    branch, audited (null-key check on the branch scan), then
+    published — one metadata-only snapshot on main. The published final
+    state must equal the plain-SQL LWW apply of BOTH epochs, i.e.
+    audit-then-publish is invisible to the result."""
+    import shutil
+    import tempfile
+
+    from .lake import LakeTable, fork_branch, publish_branch
+    from .model import PAGE_SCHEMA
+    from .plans import ApplyConfig, apply_epoch
+    from .plans.apply import BatchHints
+
+    feed = _events_as_feed(spark, sf_dir)
+    n = feed.agg(F.max("lsn")).collect()[0][0] + 1
+    tmp = tempfile.mkdtemp(prefix="ccs-wap-")
+    shutil.rmtree(tmp, ignore_errors=True)
+    table = LakeTable.create(
+        spark, tmp, PAGE_SCHEMA, merge_key=["url", "warc_ts"], n_buckets=8
+    )
+    cfg = ApplyConfig(transform=False, merge_mode="mor")
+    hints = BatchHints(ddl_possible=False)
+    apply_epoch(spark, feed.filter(F.col("lsn") < n // 2), 0, table, cfg, hints=hints)
+    branch = fork_branch(table, "stage-epoch-1")
+    apply_epoch(
+        spark, feed.filter(F.col("lsn") >= n // 2), 1, branch, cfg, hints=hints
+    )
+    # audit on the staged state; main is untouched until publish
+    if branch.scan().filter(F.col("url").isNull()).limit(1).count():
+        raise AssertionError("WAP audit failed: null merge keys staged")
+    publish_branch(table, "stage-epoch-1")
+    return table.scan().select("url", "text")
+
+
+@register(
+    "cdc_time_travel_tag",
+    f"""
+    WITH bounds AS (SELECT max(event_id) + 1 AS n FROM events)
+    SELECT 'u' || CAST(user_id AS VARCHAR) AS url,
+           CAST({{CENTS}} AS VARCHAR) AS text
+    FROM (
+      SELECT user_id, value, {_OP_EXPR} AS op,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      FROM events, bounds
+      WHERE event_id < 2 * (n // 4 + 1)
+    ) WHERE rn = 1 AND op <> 'D'
+    """.replace("{CENTS}", _CENTS),
+)
+def q_cdc_time_travel_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel by NAMED REF (lake/table.py create_tag / scan(ref=) —
+    the Iceberg tag analog): tag the snapshot recorded after epoch 1 of
+    the shared 4-epoch replay, then read the table AS OF the tag. Must
+    equal the SQL LWW state over epochs 0-1 only — later epochs are
+    invisible through the tag. Tags also pin their snapshot against
+    expire_snapshots (retention pinning pytest-asserted in
+    tests/test_wap.py)."""
+    import uuid
+
+    table, versions = _replay_events_table(spark, sf_dir)
+    name = f"post-epoch-1-{uuid.uuid4().hex[:8]}"
+    table.create_tag(name, versions[1])
+    return table.scan(ref=name).select("url", "text")
+
+
+@register(
     "cdc_windowed_metrics",
     f"""
     SELECT CAST(epoch_us(time_bucket(INTERVAL '1 day', ts)) AS BIGINT) AS window_start_us,
