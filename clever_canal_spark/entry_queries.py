@@ -2485,6 +2485,71 @@ def q_doc_dedup_index_neardup_probe(spark: SparkSession, sf_dir: str) -> DataFra
     return probe_neardup(_dedup_index_for(spark, sf_dir), _didx_batch(spark, sf_dir))
 
 
+@register(
+    "doc_dedup_admission",
+    """
+    WITH corpus AS (
+      SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id < 400
+    ),
+    batch AS (
+      SELECT doc_id + 10000 AS doc_id, text FROM documents
+      WHERE doc_id < 400 AND doc_id % 50 = 0
+      UNION ALL
+      SELECT doc_id, text FROM documents WHERE doc_id >= 400
+      UNION ALL
+      SELECT doc_id + 20000, text FROM documents
+      WHERE doc_id >= 400 AND doc_id % 30 = 0
+    ),
+    b AS (SELECT doc_id, md5(text) AS fp FROM batch),
+    cross_dup AS (
+      SELECT DISTINCT b.doc_id FROM b JOIN corpus c ON b.fp = c.fp
+    ),
+    keeper AS (SELECT fp, min(doc_id) AS k FROM b GROUP BY fp),
+    within_dup AS (
+      SELECT b.doc_id FROM b JOIN keeper USING (fp) WHERE b.doc_id <> keeper.k
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id FROM b
+    WHERE doc_id NOT IN (SELECT doc_id FROM cross_dup)
+      AND doc_id NOT IN (SELECT doc_id FROM within_dup)
+    """,
+)
+def q_doc_dedup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Admission gate (plans/admission.py): an incoming feed epoch — new
+    docs, deliberate re-crawls of every 50th corpus doc, and within-batch
+    copies of every 30th new doc — probed against the persisted dedup
+    index BEFORE the merge. Admitted = not matching an indexed
+    fingerprint (batch ids are disjoint from corpus ids, so every corpus
+    fp match is a cross-doc duplicate) and the smallest doc_id within
+    each batch fingerprint group. Oracle reconstructs both rules in SQL
+    over md5 fingerprints."""
+    from .plans.admission import dedup_admission
+
+    docs = _documents(spark, sf_dir)
+    recrawl = docs.filter((F.col("doc_id") < 400) & (F.col("doc_id") % 50 == 0)).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    )
+    fresh = docs.filter(F.col("doc_id") >= 400).select("doc_id", "text")
+    copies = fresh.filter(F.col("doc_id") % 30 == 0).select(
+        (F.col("doc_id") + 20000).alias("doc_id"), "text"
+    )
+    incoming = fresh.unionByName(recrawl).unionByName(copies)
+    batch = incoming.select(
+        F.lit("I").alias("op"),
+        F.col("doc_id").alias("lsn"),
+        F.struct(
+            F.col("doc_id").cast("string").alias("url"),
+            F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+            F.col("text").alias("text"),
+        ).alias("after"),
+    )
+    res = dedup_admission(
+        batch,
+        _dedup_index_for(spark, sf_dir),
+        doc_id_expr=F.col("after.url").cast("long"),
+    )
+    return res.batch.select(F.col("after.url").cast("long").alias("doc_id"))
+
+
 _DIDX_NEW_TEXT = "a completely fresh crawl of document zero replacing the old body"
 _DIDX_INS_TEXT = "a brand new document arriving as id nine thousand"
 

@@ -31,13 +31,25 @@ def shingle_hashes_expr(text_col: str) -> str:
     ``substring`` which is O(n²) on long documents. The single-element
     ``array(...)`` + ``transform`` wrapper binds the codes array to a
     lambda variable so it is evaluated once per row. Values are identical
-    to the straightforward per-position form the DuckDB oracle uses."""
+    to the straightforward per-position form the DuckDB oracle uses.
+
+    Texts shorter than one shingle (length < 3, incl. empty) yield an
+    EMPTY array — matching DuckDB's ``generate_series(1, 0)`` (empty). A
+    bare ``sequence(1, greatest(len-2, 0))`` guard is a trap: Spark's
+    ``sequence(1, 0)`` defaults to step -1 and yields ``[1, 0]``, whose
+    i+2 lookup then crashes ``element_at`` on the 2-char codes array.
+    NULL text stays NULL."""
     codes = f"transform(split({text_col}, ''), c -> ascii(c))"
-    return (
+    shingles = (
         f"element_at(transform(array({codes}), cs -> "
-        f"transform(sequence(1, greatest(length({text_col}) - 2, 0)), i -> "
+        f"transform(sequence(1, length({text_col}) - 2), i -> "
         f"CAST(element_at(cs, i)*961 + element_at(cs, i+1)*31 "
         f"+ element_at(cs, i+2) AS BIGINT))), 1)"
+    )
+    return (
+        f"CASE WHEN length({text_col}) >= 3 THEN {shingles} "
+        f"WHEN {text_col} IS NULL THEN NULL "
+        f"ELSE CAST(array() AS array<bigint>) END"
     )
 
 

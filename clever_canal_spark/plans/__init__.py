@@ -1,5 +1,10 @@
+from .admission import AdmissionResult, dedup_admission
 from .apply import ApplyConfig, ApplyResult, BatchHints, apply_epoch, bootstrap_epoch
 from .route import Route, route_epoch
 from .ddl import apply_ddl_idempotent
 
-__all__ = ["ApplyConfig", "ApplyResult", "BatchHints", "apply_epoch", "apply_ddl_idempotent", "bootstrap_epoch", "Route", "route_epoch"]
+__all__ = [
+    "ApplyConfig", "ApplyResult", "BatchHints", "apply_epoch",
+    "apply_ddl_idempotent", "bootstrap_epoch", "Route", "route_epoch",
+    "AdmissionResult", "dedup_admission",
+]

@@ -71,6 +71,14 @@ class CdcPipeline:
     # index syncs) or state-diff-based (sync_cms_view) — those tolerate
     # re-emits correctly, just at extra probe cost.
     allow_cow_sync_hooks: bool = False
+    # pre-apply batch transform: callable(batch_df) -> batch_df, invoked
+    # BEFORE apply_epoch — the admission-gate seam
+    # (plans/admission.dedup_admission curried over its index; pair it
+    # with the index's sync_from_lake in sync_hooks so epoch N+1's gate
+    # sees what epoch N admitted). Must be deterministic for the same
+    # input batch: a replayed micro-batch re-gates identically, keeping
+    # apply_epoch's idempotence intact.
+    admission: object = None
 
     def __post_init__(self):
         if self.cfg.merge_mode != "mor":
@@ -100,6 +108,8 @@ class CdcPipeline:
         )
 
         def _apply(batch_df, epoch_id: int):
+            if self.admission is not None:
+                batch_df = self.admission(batch_df)
             apply_epoch(
                 batch_df.sparkSession,
                 batch_df,

@@ -63,6 +63,10 @@ def main() -> None:
     p.add_argument("--max-files-per-epoch", type=int, default=64)
     p.add_argument("--table-whitelist", default="")
     p.add_argument("--table-blacklist", default="")
+    p.add_argument("--admission", action="store_true",
+                   help="gate each micro-batch against the dedup index "
+                        "(drops duplicate-content events pre-merge; "
+                        "structured engine, requires --dedup-index-dir)")
     p.add_argument("--dedup-index-dir", default="",
                    help="maintain a persisted dedup index (md5 fps + MinHash-LSH bands) "
                         "in sync with the lake table: bootstrap from the current state "
@@ -275,10 +279,29 @@ def main() -> None:
                 )
             )
             print("hist view: maintained per micro-batch")
+        admission = None
+        if args.admission:
+            # gate each micro-batch against the dedup index BEFORE apply;
+            # the paired sync hook (added above when --continuous) makes
+            # epoch N's admissions visible to epoch N+1's gate
+            from clever_canal_spark.operators.dedup_index import (
+                open_or_build_dedup_index,
+            )
+            from clever_canal_spark.plans import dedup_admission
+
+            if not args.dedup_index_dir:
+                raise SystemExit("--admission requires --dedup-index-dir")
+            gidx = open_or_build_dedup_index(table, args.dedup_index_dir)
+
+            def admission(batch, _i=gidx):
+                res = dedup_admission(batch, _i)
+                return res.batch
+
+            print("admission gate: duplicate-content events dropped pre-merge")
         pipe = CdcPipeline(
             spark, args.source_dir, args.checkpoint, table, cfg,
             metrics_table=metrics, max_files_per_trigger=args.max_files_per_epoch,
-            rollup_view=view, sync_hooks=tuple(sync_hooks),
+            rollup_view=view, sync_hooks=tuple(sync_hooks), admission=admission,
         )
         if args.continuous:
             q = pipe.start(available_now=False, processing_time="10 seconds")

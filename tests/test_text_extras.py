@@ -793,3 +793,35 @@ def test_cut_spans_hand_case(spark):
     )
     out = {r["doc_id"]: r["clean_text"] for r in cut_spans(docs, spans).collect()}
     assert out == {1: "a e", 2: "keep me intact", 3: ""}
+
+
+def test_shingle_short_and_null_texts(spark, tmp_table_dir):
+    """Texts shorter than one 3-char shingle must yield an EMPTY shingle
+    array (DuckDB generate_series(1,0) semantics), not crash: Spark's
+    sequence(1,0) is DESCENDING [1,0], so the old greatest()-based guard
+    fed element_at an out-of-range index for any len<3 doc."""
+    from pyspark.sql import functions as F
+
+    from clever_canal_spark.operators.dedup import minhash_signature
+    from clever_canal_spark.operators.dedup_index import (
+        build_dedup_index, probe_exact,
+    )
+    from clever_canal_spark.operators.text import shingle_hashes_expr
+
+    df = spark.createDataFrame(
+        [(0, ""), (1, "a"), (2, "ab"), (3, "abc"), (4, None), (5, "abcdef")],
+        "doc_id long, text string",
+    )
+    sh = {r["doc_id"]: r["sh"] for r in
+          df.select("doc_id", F.expr(shingle_hashes_expr("text")).alias("sh")).collect()}
+    assert sh[0] == [] and sh[1] == [] and sh[2] == []
+    assert sh[4] is None
+    assert len(sh[3]) == 1 and len(sh[5]) == 4
+    # short docs flow through the whole MinHash family: null signature,
+    # no bands, no candidates — never an executor crash
+    assert minhash_signature(df).count() == 6
+    idx = build_dedup_index(
+        spark, df.filter(F.col("text").isNotNull()), tmp_table_dir + "/short-didx"
+    )
+    dup = probe_exact(idx, spark.createDataFrame([(9, "ab")], "doc_id long, text string"))
+    assert dup.count() == 1  # exact dedup still works on short texts (md5 path)
