@@ -119,6 +119,7 @@ def probe_exact(
     batch: DataFrame,
     text_col: str = "text",
     broadcast_batch: bool = True,
+    fp_col: str | None = None,
 ) -> DataFrame:
     """Which batch docs already exist verbatim in the corpus? Returns one
     row per DUPLICATE batch doc: (new_doc_id, dup_of_doc_id = smallest
@@ -130,9 +131,15 @@ def probe_exact(
     own index — pass ``False``: the join then shuffles on the fp key
     (both sides hash-partition; AQE still broadcasts at runtime if one
     side turns out small) instead of forcing a corpus-sized driver
-    broadcast."""
+    broadcast.
+
+    ``fp_col`` names a PRE-COMPUTED md5 fingerprint column to probe with
+    instead of hashing ``text_col`` here — the payload-free path for
+    callers that already reduced events to fingerprints (the admission
+    gate's winner agg)."""
     bfp = batch.select(
-        F.col("doc_id").alias("new_doc_id"), F.md5(F.col(text_col)).alias("fp")
+        F.col("doc_id").alias("new_doc_id"),
+        (F.col(fp_col) if fp_col else F.md5(F.col(text_col))).alias("fp"),
     )
     if broadcast_batch:
         bfp = F.broadcast(bfp)

@@ -91,22 +91,24 @@ def dedup_admission(
     # one probe row per document: the LWW-winning image within the epoch
     # (the state the merge would settle to) decides for ALL the doc's
     # events — an epoch-intermediate non-duplicate version doesn't save a
-    # doc whose final text is a duplicate
+    # doc whose final text is a duplicate. Hash BEFORE the winner agg:
+    # only (doc_id, fp, lsn) rides the shuffle, never page payloads
     probe = (
         batch.filter(gated)
-        .groupBy(did.alias("doc_id"))
-        .agg(F.max_by(text, F.col("lsn")).alias(text_col))
+        .select(did.alias("doc_id"), F.md5(text).alias("fp"), F.col("lsn"))
+        .groupBy("doc_id")
+        .agg(F.max_by("fp", F.col("lsn")).alias("fp"))
     )
     # vs the corpus: fp match on a DIFFERENT indexed doc
     cross = (
-        probe_exact(index, probe, text_col=text_col)
+        probe_exact(index, probe, fp_col="fp")
         .filter(F.col("dup_of_doc_id") != F.col("new_doc_id"))
         .select(F.col("new_doc_id").alias("doc_id"), "dup_of_doc_id")
     )
     if within_batch:
         # among docs new to this batch: one winner per fingerprint (min
         # doc_id); only (doc_id, fp) pairs ride this shuffle
-        fps = probe.select("doc_id", F.md5(F.col(text_col)).alias("fp"))
+        fps = probe.select("doc_id", "fp")
         keeper = fps.groupBy("fp").agg(F.min("doc_id").alias("dup_of_doc_id"))
         within = (
             fps.join(keeper, "fp")

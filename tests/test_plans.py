@@ -103,3 +103,41 @@ def test_jaccard_hot_shingle_filter_is_broadcast_anti(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     plan = _plan(ngram_jaccard_pairs(docs, max_df=100))
     assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+
+
+def test_admission_gate_plan_payload_free(spark, tmp_table_dir):
+    """The admission gate's shuffles carry fingerprints, never payloads:
+    every join is broadcast (no SortMergeJoin / cartesian on the epoch
+    path), and the winner agg hashes BEFORE the shuffle so page text
+    never rides an Exchange."""
+    from pyspark.sql import functions as F
+
+    from clever_canal_spark.operators.dedup_index import build_dedup_index
+    from clever_canal_spark.plans import dedup_admission
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("body of document number "), F.col("id")).alias("text"),
+    )
+    idx = build_dedup_index(spark, docs, tmp_table_dir + "/didx")
+    batch = spark.range(1000, 1100).select(
+        F.lit("I").alias("op"),
+        F.col("id").alias("lsn"),
+        F.struct(
+            F.col("id").cast("string").alias("url"),
+            F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+            F.concat(F.lit("body of document number "), F.col("id") % 150).alias("text"),
+        ).alias("after"),
+    )
+    out = dedup_admission(batch, idx).batch
+    plan = _plan(out)
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    # the pre-agg projection reduces events to (doc_id, fp, lsn): the md5
+    # feeds partial_max_by BELOW the exchange, so no payload text column
+    # appears in any shuffle input
+    assert "max_by" in plan and "md5" in plan
+    lines = plan.splitlines()
+    agg_inputs = [l for l in lines if "partial_max_by" in l]
+    assert agg_inputs, "winner agg missing from plan"
+    assert all("after#" not in l or "md5" in l for l in agg_inputs)
