@@ -56,12 +56,28 @@ def _branch_path(main: LakeTable, name: str) -> str:
     return os.path.join(main.path, _BRANCH_DIR, name)
 
 
+def _pin_tag(name: str) -> str:
+    return f"wap-{name}"
+
+
 def fork_branch(main: LakeTable, name: str) -> LakeTable:
     """Create branch ``name`` at main's current version and return it as a
-    LakeTable. Zero-copy (see :meth:`~.table.LakeTable.clone_to`)."""
+    LakeTable. Zero-copy (see :meth:`~.table.LakeTable.clone_to`).
+
+    The fork version is pinned with an internal ``wap-{name}`` tag: the
+    branch references main's data files by absolute path, and without the
+    pin a main-side ``expire_snapshots`` + ``compact`` + ``vacuum`` cycle
+    could delete files only the branch still reads. The pin keeps the
+    forked snapshot retained (its files stay in vacuum's referenced set)
+    and is released by :func:`publish_branch` / :func:`drop_branch`."""
     bpath = _branch_path(main, name)
     parent = main.current_version()
-    bt = main.clone_to(bpath, fs=main._fs)
+    main.create_tag(_pin_tag(name), parent)
+    try:
+        bt = main.clone_to(bpath, fs=main._fs)
+    except BaseException:
+        main.drop_tag(_pin_tag(name))
+        raise
     bt._fs.write_text_exclusive(
         os.path.join(bt._log_path, _META),
         json.dumps({
@@ -95,6 +111,13 @@ def list_branches(main: LakeTable) -> dict[str, dict]:
     return out
 
 
+def _drop_pin(main: LakeTable, name: str) -> None:
+    try:
+        main.drop_tag(_pin_tag(name))
+    except ValueError:
+        pass  # pin already released (or pre-pin branch) — fine
+
+
 def drop_branch(main: LakeTable, name: str) -> None:
     """Discard an UNPUBLISHED branch (the WAP rollback). A sealed branch's
     leftover data dir belongs to main — vacuum retires it, not this."""
@@ -102,6 +125,7 @@ def drop_branch(main: LakeTable, name: str) -> None:
     if not main._fs.isdir(os.path.join(bpath, _LOG_DIR)):
         raise ValueError(f"branch {name!r} is not an active branch")
     main._fs.rmtree(bpath)
+    _drop_pin(main, name)
 
 
 def _entry_paths(entries: list[dict]) -> set[str]:
@@ -212,4 +236,5 @@ def publish_branch(
         version = child.version
     if seal:
         main._fs.rmtree(bt._log_path)
+        _drop_pin(main, name)
     return version

@@ -227,3 +227,32 @@ def test_sealed_branch_data_swept_after_compaction(spark, tmp_table_dir):
     assert res["removed_sealed_branches"] == 1
     assert not os.path.isdir(bdir)
     assert state(t) == {("a", "v1"), ("b", "v1")}
+
+
+def test_fork_pins_parent_against_gc(spark, tmp_table_dir):
+    """A branch reads main's files by absolute path — the fork's wap-{name}
+    pin tag must keep them alive through a main-side expire + compact +
+    vacuum cycle, and be released on publish/drop."""
+    t = make_table(spark, tmp_table_dir)
+    t.merge(src(spark, [("a", "v1"), ("b", "v1")]), epoch_id=0, mode="mor", lsn_col="lsn")
+    b = fork_branch(t, "wap")
+    assert t.resolve_ref("wap-wap") == t.current_version()
+    # main moves on aggressively: more epochs, compaction, retention, GC
+    for e in range(1, 4):
+        t.merge(src(spark, [("a", f"v{e+1}")], lsn0=10 * e), epoch_id=e,
+                mode="mor", lsn_col="lsn")
+    t.compact()
+    t.expire_snapshots(keep_last=1)
+    t.vacuum(orphan_ttl_s=0)
+    # the branch still reads its fork-time state
+    assert state(b) == {("a", "v1"), ("b", "v1")}
+    drop_branch(t, "wap")
+    with pytest.raises(ValueError):
+        t.resolve_ref("wap-wap")  # pin released with the branch
+    # and a publish releases it too
+    b2 = fork_branch(t, "wap2")
+    b2.merge(src(spark, [("c", "v1")], lsn0=99), epoch_id=9,
+             mode="mor", lsn_col="lsn", compact_every=0)
+    publish_branch(t, "wap2")
+    with pytest.raises(ValueError):
+        t.resolve_ref("wap-wap2")
