@@ -1093,6 +1093,76 @@ def q_cdc_time_travel_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_consistent_cut",
+    f"""
+    WITH bounds AS (SELECT max(event_id) + 1 AS n FROM events)
+    SELECT CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS shard,
+           'u' || CAST(user_id AS VARCHAR) AS url,
+           CAST({{CENTS}} AS VARCHAR) AS text
+    FROM (
+      SELECT user_id, value, {_OP_EXPR} AS op,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      FROM events, bounds
+      WHERE event_id < 3 * (n // 4 + 1)
+    ) WHERE rn = 1 AND op <> 'D'
+    """.replace("{CENTS}", _CENTS),
+)
+def q_cdc_consistent_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table consistency cut (lake/consistency.py): the feed routes
+    by user parity into two destinations; the even shard applies all four
+    epochs, the odd shard lags at epoch 2 — `latest_consistent_epoch`
+    finds the group frontier (2) and `consistent_scans` reads BOTH tables
+    at that cut, so the even shard's epoch-3 rows are invisible even
+    though its head already has them. Oracle = LWW winners of epochs 0-2
+    per shard. Epoch ids are the shared logical clock (Canal's
+    ack-at-txn-boundary framing); the cut is registry metadata only —
+    zero Spark jobs before the final scans."""
+    import shutil
+    import tempfile
+
+    from .lake import LakeTable, consistent_scans, latest_consistent_epoch
+    from .model import PAGE_SCHEMA
+    from .plans import ApplyConfig, apply_epoch
+    from .plans.apply import BatchHints
+
+    feed = _events_as_feed(spark, sf_dir)
+    n = feed.agg(F.max("lsn")).collect()[0][0] + 1
+    epoch_size = n // 4 + 1
+    # route on the key from EITHER image: delete events carry only
+    # `before` (after is null) — routing on after.url alone would drop
+    # every delete from both shards
+    key_url = F.coalesce(F.col("after.url"), F.col("before.url"))
+    parity = F.substring(key_url, 2, 20).cast("long") % 2
+    shards = {
+        "even": feed.filter(parity == 0),
+        "odd": feed.filter(parity == 1),
+    }
+    cfg = ApplyConfig(transform=False, merge_mode="mor")
+    hints = BatchHints(ddl_possible=False)
+    tables = {}
+    for name, sfeed in shards.items():
+        tmp = tempfile.mkdtemp(prefix=f"ccs-cut-{name}-")
+        shutil.rmtree(tmp, ignore_errors=True)
+        t = LakeTable.create(
+            spark, tmp, PAGE_SCHEMA, merge_key=["url", "warc_ts"], n_buckets=8
+        )
+        last = 4 if name == "even" else 3  # the odd shard lags one epoch
+        for e in range(last):
+            batch = sfeed.filter(
+                (F.col("lsn") >= e * epoch_size) & (F.col("lsn") < (e + 1) * epoch_size)
+            )
+            apply_epoch(spark, batch, e, t, cfg, hints=hints)
+        tables[name] = t
+    assert latest_consistent_epoch(tables) == 2
+    scans = consistent_scans(tables)
+    out = None
+    for name, df in scans.items():
+        part = df.select(F.lit(name).alias("shard"), "url", "text")
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+@register(
     "cdc_windowed_metrics",
     f"""
     SELECT CAST(epoch_us(time_bucket(INTERVAL '1 day', ts)) AS BIGINT) AS window_start_us,

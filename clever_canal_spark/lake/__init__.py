@@ -8,6 +8,12 @@ from .rollup import (
     rollup_cursor,
     sync_rollup,
 )
+from .consistency import (
+    consistent_scans,
+    consistent_versions,
+    latest_consistent_epoch,
+    version_at_epoch,
+)
 from .table import CommitConflict, LakeTable, MergeResult, SnapshotExpired
 from .wap import (
     PublishConflict,
@@ -49,4 +55,6 @@ __all__ = [
     "Consumer", "Batch", "snapshot_diff",
     "PublishConflict", "fork_branch", "branch_table", "list_branches",
     "publish_branch", "drop_branch",
+    "version_at_epoch", "latest_consistent_epoch", "consistent_versions",
+    "consistent_scans",
 ]
