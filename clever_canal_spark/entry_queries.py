@@ -1093,6 +1093,80 @@ def q_cdc_time_travel_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_flashback_revert",
+    f"""
+    WITH bounds AS (SELECT max(event_id) + 1 AS n FROM events),
+    ev AS (
+      SELECT user_id, value, event_id, {_OP_EXPR} AS op,
+             event_id // (n // 4 + 1) AS epoch
+      FROM events, bounds
+    ),
+    flags AS (
+      SELECT user_id,
+             max(CASE WHEN epoch = 2 THEN 1 ELSE 0 END) AS t2,
+             max(CASE WHEN epoch = 3 THEN 1 ELSE 0 END) AS t3
+      FROM ev GROUP BY user_id
+    ),
+    w_all AS (
+      SELECT user_id, value, op FROM (
+        SELECT user_id, value, op,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        FROM ev) WHERE rn = 1
+    ),
+    w_pre AS (
+      SELECT user_id, value, op FROM (
+        SELECT user_id, value, op,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        FROM ev WHERE epoch <= 1) WHERE rn = 1
+    )
+    SELECT 'u' || CAST(f.user_id AS VARCHAR) AS url,
+           CAST(CAST(ROUND(
+             (CASE WHEN f.t2 = 1 AND f.t3 = 0 THEN p.value ELSE a.value END) * 100
+           ) AS BIGINT) AS VARCHAR) AS text
+    FROM flags f
+    LEFT JOIN w_all a USING (user_id)
+    LEFT JOIN w_pre p USING (user_id)
+    WHERE CASE WHEN f.t2 = 1 AND f.t3 = 0
+               THEN p.op IS NOT NULL AND p.op <> 'D'
+               ELSE a.op <> 'D' END
+    """,
+)
+def q_cdc_flashback_revert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch flashback (plans/flashback.py): replay all four epochs, then
+    selectively undo epoch 2 — keys it touched that NO later epoch
+    rewrote revert to their pre-epoch-2 state (first appearances
+    tombstoned), keys epoch 3 overwrote keep the newer value. The revert
+    is compensation events through the ordinary exactly-once merge, so
+    the oracle is pure SQL over the feed: per user, the final winner
+    unless (touched-in-2 AND untouched-in-3), in which case the epochs
+    0-1 winner (or absent)."""
+    import shutil
+    import tempfile
+
+    from .lake import LakeTable
+    from .model import PAGE_SCHEMA
+    from .plans import ApplyConfig, apply_epoch, revert_epoch
+    from .plans.apply import BatchHints
+
+    feed = _events_as_feed(spark, sf_dir)
+    n = feed.agg(F.max("lsn")).collect()[0][0] + 1
+    epoch_size = n // 4 + 1
+    tmp = tempfile.mkdtemp(prefix="ccs-flashback-")
+    shutil.rmtree(tmp, ignore_errors=True)
+    table = LakeTable.create(
+        spark, tmp, PAGE_SCHEMA, merge_key=["url", "warc_ts"], n_buckets=8
+    )
+    cfg = ApplyConfig(transform=False, merge_mode="mor")
+    for e in range(4):
+        batch = feed.filter(
+            (F.col("lsn") >= e * epoch_size) & (F.col("lsn") < (e + 1) * epoch_size)
+        )
+        apply_epoch(spark, batch, e, table, cfg, hints=BatchHints(ddl_possible=False))
+    revert_epoch(table, 2, revert_epoch_id=1000)
+    return table.scan().select("url", "text")
+
+
+@register(
     "cdc_consistent_cut",
     f"""
     WITH bounds AS (SELECT max(event_id) + 1 AS n FROM events)

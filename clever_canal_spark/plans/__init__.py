@@ -1,5 +1,6 @@
 from .admission import AdmissionResult, dedup_admission
 from .apply import ApplyConfig, ApplyResult, BatchHints, apply_epoch, bootstrap_epoch
+from .flashback import FlashbackPlan, plan_flashback, revert_epoch
 from .route import Route, route_epoch
 from .ddl import apply_ddl_idempotent
 
@@ -7,4 +8,5 @@ __all__ = [
     "ApplyConfig", "ApplyResult", "BatchHints", "apply_epoch",
     "apply_ddl_idempotent", "bootstrap_epoch", "Route", "route_epoch",
     "AdmissionResult", "dedup_admission",
+    "FlashbackPlan", "plan_flashback", "revert_epoch",
 ]
