@@ -1523,6 +1523,85 @@ def q_cdc_typed_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# dead-letter decode fixture: every 37th event's int column and every
+# 41st event's timestamp column arrive malformed on the wire
+_DLQ_RAW = {
+    "i": ("CASE WHEN event_id % 37 = 0 THEN 'x' || CAST(event_id AS STRING) "
+          "ELSE CAST((event_id * 977) % 4294967296 - 2147483648 AS STRING) END",
+          "int(10) unsigned"),
+    "ts": ("CASE WHEN event_id % 41 = 0 THEN 'not-a-time' "
+           "ELSE '2024-01-01 00:00:00' END", "datetime"),
+    "vc": ("event_type", "varchar(32)"),
+}
+
+
+def _dlq_selects() -> tuple[str, str]:
+    from .sources.flat_message import decode_value_expr, malformed_value_expr
+
+    dec = ", ".join(
+        f"{decode_value_expr(raw, mt)} AS {name}_dec"
+        for name, (raw, mt) in _DLQ_RAW.items()
+    )
+    terms = [
+        malformed_value_expr(raw, mt) for _, (raw, mt) in _DLQ_RAW.items()
+    ]
+    flag = " OR ".join(t for t in terms if t != "false")
+    return dec, flag
+
+
+@register(
+    "cdc_typed_decode_dlq",
+    f"""
+    WITH dec AS (
+      SELECT event_id, {_dlq_selects()[0]}, ({_dlq_selects()[1]}) AS dlq
+      FROM events
+    )
+    SELECT CAST(event_id % 10 AS INT) AS g,
+           CAST(sum(CASE WHEN dlq THEN 1 ELSE 0 END) AS BIGINT) AS n_dlq,
+           CAST(sum(CASE WHEN NOT dlq THEN i_dec ELSE 0 END) AS BIGINT) AS sum_clean_i,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM dec GROUP BY g
+    """,
+)
+def q_cdc_typed_decode_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter decode channel (sources/flat_message.py
+    malformed_value_expr): malformed wire values no longer poison the
+    batch — Spark 4's ANSI CAST would throw on the first one; the decoder
+    now TRY_CASTs and this flag marks exactly the rows where a present
+    value was nulled, so the pipeline quarantines them instead of merging
+    holes. Shared-expr oracle (decoder and flag are the same generated
+    SQL on both engines); the adversarial truth table is hand-pinned in
+    tests/test_sources_decode.py, where a shared bug CANNOT hide."""
+    dec_sql, flag_sql = _dlq_selects()
+    ev = _events(spark, sf_dir)
+    dec = ev.selectExpr("event_id", *[s.strip() for s in _split_top_level(dec_sql)],
+                        f"({flag_sql}) AS dlq")
+    return dec.groupBy((F.col("event_id") % 10).cast("int").alias("g")).agg(
+        F.sum(F.when(F.col("dlq"), 1).otherwise(0)).cast("bigint").alias("n_dlq"),
+        F.sum(F.when(~F.col("dlq"), F.col("i_dec")).otherwise(0)).cast("bigint").alias("sum_clean_i"),
+        F.count("*").cast("bigint").alias("n_rows"),
+    )
+
+
+def _split_top_level(select_list: str) -> list[str]:
+    """Split a generated SELECT list on top-level commas (the decode
+    exprs contain nested commas inside CASE/CAST parens)."""
+    out, depth, cur = [], 0, []
+    for ch in select_list:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur))
+    return out
+
+
 # --------------------------------------------------------------------------
 # Near-dup cluster resolution + multi-probe ANN — round-2 additions
 # --------------------------------------------------------------------------

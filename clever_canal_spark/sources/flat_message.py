@@ -11,7 +11,7 @@ and the type promoted one level — tinyint→smallint(int), smallint→int,
 mediumint→int, int→bigint, bigint→decimal(20,0) — and TEXT-vs-BLOB splits
 by charset (LogEventConvert.java:758-775: text→string, blob→binary).
 
-Spark-first: every decode is a JVM ``CAST`` / ``CASE`` expression over
+Spark-first: every decode is a JVM ``TRY_CAST`` / ``CASE`` expression over
 ``element_at(data, 'col')`` — codegen'd, no Python. The expression strings
 are dialect-neutral (valid Spark SQL and DuckDB SQL) so the driver's
 DuckDB oracle replays the exact same ladder.
@@ -59,7 +59,11 @@ def decode_value_expr(value_expr: str, mysql_type: str) -> str:
 
     ``mysql_type`` is the declared MySQL column type, e.g. ``'int(10)
     unsigned'``, ``'varchar(255)'``, ``'datetime'``. The produced SQL is
-    valid in both Spark and DuckDB (CAST/CASE only)."""
+    valid in both Spark and DuckDB (TRY_CAST/CASE only). TRY_CAST, not
+    CAST: Spark 4 defaults to ANSI mode, where one malformed wire value
+    would throw and kill the whole batch — a poison pill. TRY_CAST nulls
+    it instead, and :func:`malformed_value_expr` flags exactly those rows
+    so the caller can dead-letter them."""
     mt = mysql_type.strip().lower()
     # base type = first token before any (length) or UNSIGNED/ZEROFILL
     base = mt.split("(")[0].split()[0]
@@ -68,19 +72,19 @@ def decode_value_expr(value_expr: str, mysql_type: str) -> str:
     if base in ("tinyint", "smallint", "mediumint", "int", "integer", "bigint"):
         if not unsigned:
             target = "BIGINT" if base == "bigint" else "INT"
-            return f"CAST({v} AS {target})"
+            return f"TRY_CAST({v} AS {target})"
         off = _UNSIGNED_OFFSET[base]
         if base == "bigint":
             # promoted past bigint: decimal(20,0) holds [0, 2^64)
-            c = f"CAST({v} AS DECIMAL(20,0))"
+            c = f"TRY_CAST({v} AS DECIMAL(20,0))"
             return f"(CASE WHEN {c} < 0 THEN {c} + {off} ELSE {c} END)"
         target = "BIGINT" if base in ("int", "integer") else "INT"
-        c = f"CAST({v} AS {target})"
+        c = f"TRY_CAST({v} AS {target})"
         return f"(CASE WHEN {c} < 0 THEN {c} + {off} ELSE {c} END)"
     if base in ("float",):
-        return f"CAST({v} AS FLOAT)"
+        return f"TRY_CAST({v} AS FLOAT)"
     if base in ("double", "real"):
-        return f"CAST({v} AS DOUBLE)"
+        return f"TRY_CAST({v} AS DOUBLE)"
     if base in ("decimal", "numeric"):
         # only the balanced (p,s) group: 'decimal(10,2) unsigned' must not
         # leak the UNSIGNED/ZEROFILL suffix into the CAST (parse error)
@@ -89,13 +93,13 @@ def decode_value_expr(value_expr: str, mysql_type: str) -> str:
             if "(" in mt and ")" in mt
             else "(38,9)"
         )
-        return f"CAST({v} AS DECIMAL{inner})"
+        return f"TRY_CAST({v} AS DECIMAL{inner})"
     if base in ("datetime", "timestamp"):
-        return f"CAST({v} AS TIMESTAMP)"
+        return f"TRY_CAST({v} AS TIMESTAMP)"
     if base == "date":
-        return f"CAST({v} AS DATE)"
+        return f"TRY_CAST({v} AS DATE)"
     if base in ("bit", "boolean", "bool"):
-        return f"(CAST({v} AS INT) != 0)"
+        return f"(TRY_CAST({v} AS INT) != 0)"
     if base in ("blob", "binary", "varbinary", "longblob", "mediumblob", "tinyblob"):
         # BLOB: the wire string preserves bytes via latin-1 (the reference's
         # ISO-8859-1 trick, LogEventConvert.java:767-771); TEXT stays string
@@ -103,11 +107,52 @@ def decode_value_expr(value_expr: str, mysql_type: str) -> str:
     return v  # char/varchar/text/enum/set/json → string as-is
 
 
+def malformed_value_expr(value_expr: str, mysql_type: str) -> str:
+    """Boolean SQL: the raw wire string is present but would NOT survive
+    the typed decode — i.e. :func:`decode_value_expr`'s CAST yields null
+    for a non-null input (the decoder's TRY_CAST nulls silently; the flag
+    makes the loss explicit so callers can dead-letter the row instead of
+    ingesting a hole). TRY_CAST spells identically in Spark and DuckDB,
+    so the expression is shared-dialect like the decoder itself. String,
+    enum/set/json, and BLOB (latin-1 byte-preserving encode) decodes can
+    never lose a value → constant ``false``."""
+    mt = mysql_type.strip().lower()
+    base = mt.split("(")[0].split()[0]
+    v = value_expr
+    if base in ("tinyint", "smallint", "mediumint", "int", "integer", "bigint"):
+        unsigned = "unsigned" in mt
+        if base == "bigint" and unsigned:
+            target = "DECIMAL(20,0)"
+        elif base == "bigint" or (unsigned and base in ("int", "integer")):
+            target = "BIGINT"
+        else:
+            target = "INT"
+        return f"({v} IS NOT NULL AND TRY_CAST({v} AS {target}) IS NULL)"
+    if base in ("float", "double", "real"):
+        t = "FLOAT" if base == "float" else "DOUBLE"
+        return f"({v} IS NOT NULL AND TRY_CAST({v} AS {t}) IS NULL)"
+    if base in ("decimal", "numeric"):
+        inner = (
+            mt[mt.find("(") : mt.find(")") + 1]
+            if "(" in mt and ")" in mt
+            else "(38,9)"
+        )
+        return f"({v} IS NOT NULL AND TRY_CAST({v} AS DECIMAL{inner}) IS NULL)"
+    if base in ("datetime", "timestamp"):
+        return f"({v} IS NOT NULL AND TRY_CAST({v} AS TIMESTAMP) IS NULL)"
+    if base == "date":
+        return f"({v} IS NOT NULL AND TRY_CAST({v} AS DATE) IS NULL)"
+    if base in ("bit", "boolean", "bool"):
+        return f"({v} IS NOT NULL AND TRY_CAST({v} AS INT) IS NULL)"
+    return "false"
+
+
 def decode_row_images(
     df: DataFrame,
     columns: list[tuple[str, str]],
     data_col: str = "data",
     old_col: str = "old",
+    malformed_col: str | None = None,
 ) -> DataFrame:
     """FlatMessage rows → one row per row-image with typed columns.
 
@@ -116,6 +161,15 @@ def decode_row_images(
     the first message's ``mysqlType`` map). ``after_<name>`` columns decode
     ``data``; ``before_<name>`` decode ``old`` (null-filled for inserts,
     matching FlatMessage's sparse ``old`` maps). All decodes are JVM casts.
+
+    ``malformed_col`` names an optional boolean flag column: true when ANY
+    image value present on the wire would be silently nulled by its typed
+    decode (its TRY_CAST comes back NULL) — the dead-letter routing signal.
+    Route flagged rows to a quarantine table instead of merging a hole:
+    ``good = out.filter(~F.col(flag)); dlq = out.filter(F.col(flag))``.
+    The reference surfaces these as parse exceptions that stall the batch
+    (LogEventConvert parse errors); here the batch keeps flowing and the
+    poison rows carry their evidence with them.
     """
     # align data[i] with old[i] by ZIPPING inside each message row — no
     # (id, row_idx) join: FlatMessage ids are per-destination batch ids
@@ -144,6 +198,15 @@ def decode_row_images(
         F.expr(decode_value_expr(f"element_at(__before, '{name}')", mt)).alias(f"before_{name}")
         for name, mt in columns
     ]
+    if malformed_col is not None:
+        terms = [
+            malformed_value_expr(f"element_at({side}, '{name}')", mt)
+            for name, mt in columns
+            for side in ("__after", "__before")
+        ]
+        terms = [t for t in terms if t != "false"]
+        flag = " OR ".join(terms) if terms else "false"
+        cols.append(F.expr(flag).alias(malformed_col))
     return joined.select(
         "id", "database", "table",
         F.expr("CASE type WHEN 'INSERT' THEN 'I' WHEN 'DELETE' THEN 'D' ELSE 'U' END").alias("op"),

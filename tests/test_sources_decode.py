@@ -359,3 +359,66 @@ def test_flat_message_null_value_and_ddl(spark):
     assert out[5]["old_data"]["v"] == "prev" and out[5]["data"]["v"] == "new"
     assert out[6]["is_ddl"] and out[6]["data"] is None
     assert "ADD COLUMN" in out[6]["sql"]
+
+
+def test_malformed_flag_hand_written(spark):
+    """Dead-letter flag: hand-written expectations (NOT the shared-expr
+    oracle — a shared decoder bug would pass a shared-oracle check by
+    construction, so the truth table is pinned by hand here)."""
+    from pyspark.sql import functions as F
+
+    from clever_canal_spark.sources.flat_message import malformed_value_expr
+
+    cases = [
+        # (raw, mysql_type, expect_malformed)
+        ("'12'", "int(10) unsigned", False),
+        ("'-1'", "int(10) unsigned", False),   # promotion ladder handles it
+        ("'x12'", "int(10) unsigned", True),
+        ("'1e3'", "int", True),                # not an integer literal
+        ("NULL", "int", False),                # absent ≠ malformed
+        ("'2024-01-01 00:00:00'", "datetime", False),
+        ("'not-a-date'", "datetime", True),
+        ("'3.25'", "decimal(10,2)", False),
+        ("'abc'", "decimal(10,2)", True),
+        ("'whatever'", "varchar(32)", False),  # strings never lose
+        ("'bytes'", "blob", False),            # latin-1 encode never loses
+        ("'nope'", "double", True),
+        ("'t'", "bit", True),
+        ("'1'", "bit", False),
+    ]
+    exprs = [
+        F.expr(malformed_value_expr(raw, mt)).alias(f"c{i}")
+        for i, (raw, mt, _) in enumerate(cases)
+    ]
+    row = spark.range(1).select(*exprs).collect()[0]
+    got = [bool(row[f"c{i}"]) for i in range(len(cases))]
+    want = [e for _, _, e in cases]
+    assert got == want, list(zip([c[:2] for c in cases], got, want))
+
+
+def test_decode_row_images_malformed_col(spark):
+    """The flag rides the decoded frame; clean rows decode as before."""
+    msgs = [
+        {
+            "id": 1, "database": "cc", "table": "t", "pkNames": ["id"],
+            "isDdl": False, "type": "INSERT", "es": 1000, "ts": 2000, "sql": None,
+            "sqlType": {"id": 4, "n": 4}, "mysqlType": {"id": "int", "n": "int"},
+            "data": [{"id": "1", "n": "5"}, {"id": "2", "n": "BAD"}],
+            "old": None,
+        },
+        {
+            "id": 2, "database": "cc", "table": "t", "pkNames": ["id"],
+            "isDdl": False, "type": "UPDATE", "es": 3000, "ts": 4000, "sql": None,
+            "sqlType": {"id": 4, "n": 4}, "mysqlType": {"id": "int", "n": "int"},
+            "data": [{"id": "3", "n": "7"}],
+            "old": [{"n": "oops"}],   # malformed BEFORE image flags too
+        },
+    ]
+    df = spark.createDataFrame(msgs, FLAT_MESSAGE_SCHEMA)
+    out = decode_row_images(df, [("id", "int"), ("n", "int")], malformed_col="__dlq")
+    rows = {(r["id"], r["row_idx"]): r for r in out.collect()}
+    assert rows[(1, 0)]["__dlq"] is False and rows[(1, 0)]["after_n"] == 5
+    assert rows[(1, 1)]["__dlq"] is True and rows[(1, 1)]["after_n"] is None
+    assert rows[(2, 0)]["__dlq"] is True  # poisoned old map
+    good = out.filter(~out["__dlq"])
+    assert good.count() == 1
