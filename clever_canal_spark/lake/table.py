@@ -1144,6 +1144,35 @@ class LakeTable:
             for sv, fields in sorted(snap.schemas.items(), key=lambda kv: int(kv[0]))
         ]
 
+    def history(self) -> list[dict]:
+        """Operation log over the retained snapshot chain, newest first —
+        the Delta ``DESCRIBE HISTORY`` / Iceberg ``snapshots``
+        metadata-table analog. Driver-side JSON walk, zero Spark jobs."""
+        versions = sorted(
+            (int(n[1:9]) for n in self._fs.listdir(self._log_path)
+             if n.startswith("v") and n.endswith(".json")),
+            reverse=True,
+        )
+        out = []
+        for v in versions:
+            s = self.snapshot(v)
+            out.append(
+                {
+                    "version": v,
+                    "parent": s.parent,
+                    "operation": s.operation,
+                    "committed_at_ms": s.committed_at_ms,
+                    "n_files": len(s.files),
+                    "n_delta_files": len(s.delta_files),
+                    "rows": sum(f.get("rows") or 0 for f in s.files + s.delta_files),
+                    "schema_version": s.schema_version,
+                    "n_committed_epochs": len(s.committed_epochs),
+                    "epoch_watermark": s.epoch_watermark,
+                    "truncate_lsn": s.truncate_lsn,
+                }
+            )
+        return out
+
     # -- named refs (tags) -------------------------------------------------
     # Iceberg tag analog: an immutable named pointer to a snapshot version.
     # A tag pins ITS snapshot against expire_snapshots (time travel by name

@@ -256,3 +256,22 @@ def test_fork_pins_parent_against_gc(spark, tmp_table_dir):
     publish_branch(t, "wap2")
     with pytest.raises(ValueError):
         t.resolve_ref("wap-wap2")
+
+
+def test_history_operation_log(spark, tmp_table_dir):
+    """DESCRIBE HISTORY analog: the retained chain, newest first, with
+    the operations that produced it — publish and tags included."""
+    t = make_table(spark, tmp_table_dir)
+    t.merge(src(spark, [("a", "v1")]), epoch_id=0, mode="mor", lsn_col="lsn")
+    b = fork_branch(t, "h")
+    b.merge(src(spark, [("b", "v1")], lsn0=10), epoch_id=1,
+            mode="mor", lsn_col="lsn", compact_every=0)
+    publish_branch(t, "h")
+    h = t.history()
+    assert [e["version"] for e in h] == [3, 2, 1]
+    assert h[0]["operation"].startswith("publish:h@")
+    assert h[1]["operation"] == "merge-mor:epoch=0"
+    assert h[2]["operation"] == "create"
+    assert h[0]["n_committed_epochs"] == 2 and h[0]["rows"] >= 2
+    t.expire_snapshots(keep_last=1)
+    assert [e["version"] for e in t.history()] == [3]
