@@ -135,3 +135,54 @@ def test_stream_admission_units_exclusive(spark, tmp_table_dir):
 
     with pytest.raises(ValueError, match="mutually"):
         read_feed_stream(spark, tmp_table_dir, 2, 1024)
+
+
+def test_stream_admission_gate_hook(spark, tmp_table_dir):
+    """CdcPipeline(admission=...) gates each micro-batch pre-apply, and
+    the paired sync hook makes wave-1 admissions gate wave 2's
+    duplicates. Checkpoint replay re-gates deterministically."""
+    from clever_canal_spark.operators.dedup_index import (
+        build_dedup_index, open_dedup_index, sync_from_lake,
+    )
+    from clever_canal_spark.plans import dedup_admission
+
+    src_dir = os.path.join(tmp_table_dir, "feed")
+    ckpt = os.path.join(tmp_table_dir, "ckpt")
+    didx_dir = os.path.join(tmp_table_dir, "didx")
+
+    cfgf = FeedConfig(n_events=600, n_urls=40, seed=5)
+    feed = generate_feed(spark, cfgf).cache()
+    write_feed_slices(feed, src_dir, n_slices=3, n_events=cfgf.n_events)
+
+    table = LakeTable.create(spark, os.path.join(tmp_table_dir, "pages"),
+                             PAGE_SCHEMA, merge_key=["url", "warc_ts"], n_buckets=4)
+    # seed the index with one known page text so its duplicate is gated
+    seeded = feed.filter(F.col("after").isNotNull()).limit(1).select(
+        F.lit(999999).cast("long").alias("doc_id"), F.col("after.text").alias("text")
+    )
+    build_dedup_index(spark, seeded, didx_dir)
+
+    gate = lambda b: dedup_admission(b, open_dedup_index(spark, didx_dir)).batch
+    pipe = CdcPipeline(
+        spark, src_dir, ckpt, table, ApplyConfig(merge_mode="mor"),
+        max_files_per_trigger=1,
+        admission=gate,
+        sync_hooks=(lambda t: sync_from_lake(open_dedup_index(spark, didx_dir), t),),
+    )
+    pipe.run_until_drained()
+    assert table.scan().count() > 0
+    # drain again from the same checkpoint: nothing new, state unchanged
+    v = table.current_version()
+    pipe.run_until_drained()
+    assert table.current_version() == v
+    # epoch-over-epoch visibility: the index now contains the lake's
+    # docs; re-sending ANY ingested page's text under a new url gates it
+    one = table.scan().limit(1).collect()[0]
+    probe = spark.createDataFrame(
+        [("I", 10**9, "brand-new-url", str(one["warc_ts"]), one["text"])],
+        "op string, lsn long, url string, warc_ts string, text string",
+    ).select("op", "lsn", F.struct(
+        "url", F.to_timestamp("warc_ts").alias("warc_ts"), "text").alias("after"))
+    res = dedup_admission(probe, open_dedup_index(spark, didx_dir))
+    assert res.batch.count() == 0
+    feed.unpersist()
