@@ -4708,3 +4708,74 @@ def q_cdc_flat_message_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("data")["url"].alias("url"),
         F.col("data")["note"].alias("note"),
     )
+
+
+def _clone_replay(spark: SparkSession, sf_dir: str):
+    """Zero-copy clone of the memoized engine replay — bulk-DML queries
+    mutate their target, so each call operates on its own shallow clone
+    (lake/table.py clone_to) instead of the shared replay table."""
+    import tempfile
+    import uuid
+
+    table, _ = _replay_events_table(spark, sf_dir)
+    dest = os.path.join(tempfile.gettempdir(), f"ccs-dml-{uuid.uuid4().hex[:12]}")
+    return table.clone_to(dest)
+
+
+@register(
+    "cdc_delete_where",
+    f"""
+    SELECT 'u' || CAST(user_id AS VARCHAR) AS url,
+           CAST({_CENTS} AS VARCHAR) AS text
+    FROM (
+      SELECT user_id, value, {_OP_EXPR} AS op,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1 AND op <> 'D' AND {_CENTS} % 10 <> 3
+    """,
+)
+def q_cdc_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bulk DELETE WHERE (plans/dml.py delete_where): the Iceberg
+    ``DELETE FROM`` analog executed as 'D' change events through the
+    exactly-once merge — the predicate-matching live rows vanish, the
+    changelog carries ordinary delete markers, and maintained views stay
+    consistent. Runs on a zero-copy clone of the engine replay; oracle =
+    the SQL LWW winners minus the predicate matches."""
+    from .plans import delete_where
+
+    clone = _clone_replay(spark, sf_dir)
+    delete_where(clone, "CAST(text AS BIGINT) % 10 = 3", epoch_id="dml-del")
+    return clone.scan().select("url", "text")
+
+
+@register(
+    "cdc_update_where",
+    f"""
+    SELECT 'u' || CAST(user_id AS VARCHAR) AS url,
+           CASE WHEN {_CENTS} % 7 = 0
+                THEN CAST({_CENTS} + 5 AS VARCHAR)
+                ELSE CAST({_CENTS} AS VARCHAR) END AS text,
+           CASE WHEN {_CENTS} % 7 = 0 THEN 'flagged' END AS lang
+    FROM (
+      SELECT user_id, value, {_OP_EXPR} AS op,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def q_cdc_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bulk UPDATE WHERE (plans/dml.py update_where): matching live rows
+    re-emitted as 'U' change events with the set-expressions applied
+    (computed FROM the current image — text+5 proves it's read-modify-
+    write, not a constant overwrite); non-matching rows untouched. Oracle
+    = the SQL LWW winners with the same CASE applied."""
+    from .plans import update_where
+
+    clone = _clone_replay(spark, sf_dir)
+    update_where(
+        clone,
+        "CAST(text AS BIGINT) % 7 = 0",
+        {"text": "CAST(CAST(text AS BIGINT) + 5 AS STRING)", "lang": "'flagged'"},
+        epoch_id="dml-upd",
+    )
+    return clone.scan().select("url", "text", "lang")

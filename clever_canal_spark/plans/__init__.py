@@ -1,5 +1,6 @@
 from .admission import AdmissionResult, dedup_admission
 from .apply import ApplyConfig, ApplyResult, BatchHints, apply_epoch, bootstrap_epoch
+from .dml import DmlResult, delete_where, update_where
 from .flashback import FlashbackPlan, plan_flashback, revert_epoch
 from .route import Route, route_epoch
 from .ddl import apply_ddl_idempotent
@@ -8,5 +9,6 @@ __all__ = [
     "ApplyConfig", "ApplyResult", "BatchHints", "apply_epoch",
     "apply_ddl_idempotent", "bootstrap_epoch", "Route", "route_epoch",
     "AdmissionResult", "dedup_admission",
+    "DmlResult", "delete_where", "update_where",
     "FlashbackPlan", "plan_flashback", "revert_epoch",
 ]
