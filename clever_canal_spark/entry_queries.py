@@ -4779,3 +4779,42 @@ def q_cdc_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
         epoch_id="dml-upd",
     )
     return clone.scan().select("url", "text", "lang")
+
+
+@register(
+    "cdc_rebucket_replay",
+    f"""
+    SELECT 'u' || CAST(user_id AS VARCHAR) AS url,
+           CAST({_CENTS} AS VARCHAR) AS text
+    FROM (
+      SELECT user_id, value, {_OP_EXPR} AS op,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def q_cdc_rebucket_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition evolution (lake/table.py rebucket): the replayed table's
+    bucket count is quadrupled METADATA-ONLY (old files stamped with their
+    write-time spec; spec-aware pruning keeps every bucket-pruned read
+    exact), a post-rebucket epoch lands under the new spec, and
+    migrate_bucket_spec folds the old layout away — the logical table must
+    never change, so the oracle is the same LWW SQL as the flagship. The
+    post-rebucket epoch re-upserts every live row at frontier LSN (values
+    unchanged), exercising mixed-spec LWW reconciliation for every key."""
+    clone = _clone_replay(spark, sf_dir)
+    live = clone.scan()
+    snap = clone.snapshot()
+    clone.rebucket(snap.n_buckets * 4)
+    # re-upsert the live state at a fresh LSN: these delta rows land under
+    # the NEW spec and must win (equal values) against old-spec base rows
+    from .plans.flashback import _frontier_lsn
+
+    lsn = (_frontier_lsn(clone) or 0) + 1
+    src = live.select(
+        "*", F.lit("U").alias("__rb_op"), F.lit(lsn).cast("long").alias("__rb_lsn")
+    )
+    clone.merge(src, epoch_id="rebucket-wave", op_col="__rb_op",
+                lsn_col="__rb_lsn", mode="mor")
+    clone.migrate_bucket_spec()
+    return clone.scan().select("url", "text")

@@ -80,6 +80,64 @@ def _key_range_pred(values: list):
     return pred
 
 
+def _bucket_pick(files: list[dict], buckets: set[int] | None, cur_nb: int) -> list[dict]:
+    """Filter manifest entries to those that can hold rows of the given
+    CURRENT-spec bucket ids, honoring each file's own bucket spec.
+
+    Lazy partition evolution (the Iceberg bucket-transform spec-change
+    analog): after :meth:`LakeTable.rebucket`, old files carry ``nb`` =
+    the bucket count they were written under. ``bucket = pmod(hash, nb)``
+    nests across multiple/divisor counts — ``h mod a == (h mod ka) mod a``
+    — so pruning stays EXACT across a spec change:
+
+    - file coarser (cur_nb % nb == 0): the file holds rows of current
+      buckets ≡ file.bucket (mod nb) — keep iff any probe bucket matches.
+    - file finer (nb % cur_nb == 0): all its rows land in current bucket
+      file.bucket mod cur_nb.
+    - incompatible chain (only reachable via repeated rebuckets through
+      non-nesting counts): never prune — incomplete, never wrong.
+    """
+    if buckets is None:
+        return files
+    residues: dict[int, set[int]] = {}
+    out = []
+    for f in files:
+        nb = f.get("nb") or cur_nb
+        if nb == cur_nb:
+            if f["bucket"] in buckets:
+                out.append(f)
+        elif cur_nb % nb == 0:
+            r = residues.get(nb)
+            if r is None:
+                r = residues[nb] = {b % nb for b in buckets}
+            if f["bucket"] in r:
+                out.append(f)
+        elif nb % cur_nb == 0:
+            if f["bucket"] % cur_nb in buckets:
+                out.append(f)
+        else:
+            out.append(f)
+    return out
+
+
+def _buckets_of(files: list[dict], cur_nb: int) -> set[int]:
+    """The set of CURRENT-spec bucket ids the given manifest entries can
+    contain rows of (inverse of :func:`_bucket_pick` — used to expand a
+    mixed-spec delta set into the buckets compaction must reconcile)."""
+    buckets: set[int] = set()
+    for f in files:
+        nb = f.get("nb") or cur_nb
+        if nb == cur_nb:
+            buckets.add(f["bucket"])
+        elif cur_nb % nb == 0:
+            buckets.update(f["bucket"] + j * nb for j in range(cur_nb // nb))
+        elif nb % cur_nb == 0:
+            buckets.add(f["bucket"] % cur_nb)
+        else:
+            return set(range(cur_nb))
+    return buckets
+
+
 class CommitConflict(RuntimeError):
     """Another writer committed the target snapshot version first."""
 
@@ -480,7 +538,7 @@ class LakeTable:
         per-key LWW winner is unaffected by dropping files without that
         key (all of a key's rows share one bucket and one file set)."""
         def pick(files):
-            out = files if buckets is None else [f for f in files if f["bucket"] in buckets]
+            out = _bucket_pick(files, buckets, snap.n_buckets)
             return out if file_pred is None else [f for f in out if file_pred(f)]
 
         base_files = pick(snap.files)
@@ -1024,8 +1082,13 @@ class LakeTable:
         try:
             touched = {r["__bucket"] for r in src.select("__bucket").distinct().collect()}
             _mlog("source-cache+buckets")
-            keep_files = [f for f in snap.files if f["bucket"] not in touched]
-            keep_deltas = [f for f in snap.delta_files if f["bucket"] not in touched]
+            # spec-aware: an old-bucket-spec file overlapping a touched
+            # bucket is read AND rewritten under the current spec here —
+            # COW merges progressively migrate pre-rebucket files
+            rw = {f["path"] for f in _bucket_pick(snap.files, touched, snap.n_buckets)}
+            rw_d = {f["path"] for f in _bucket_pick(snap.delta_files, touched, snap.n_buckets)}
+            keep_files = [f for f in snap.files if f["path"] not in rw]
+            keep_deltas = [f for f in snap.delta_files if f["path"] not in rw_d]
 
             # reconciled view of the touched buckets (folds any MOR deltas),
             # tombstones retained so a late lower-LSN upsert can't resurrect
@@ -1049,7 +1112,7 @@ class LakeTable:
                 matched = target.join(src_keys, on=key, how="left_semi")
                 src_rows = src.select(
                     *cols,
-                    F.col(lsn_col).alias("__lsn"),
+                    F.col(lsn_col).cast("long").alias("__lsn"),
                     F.when(F.col(op_col) == "D", F.lit("D")).otherwise(F.lit("U")).alias("__op"),
                 )
                 contested = matched.select(*cols, *hidden).unionByName(src_rows)
@@ -1097,7 +1160,10 @@ class LakeTable:
         snap = self.snapshot()
         cols = [f["name"] for f in snap.current_fields()]
         delta = source.select(
-            *cols, F.col(lsn_col).alias("__lsn"), F.col(op_col).alias("__op")
+            # cast pins the parquet physical type to INT64: an IntegerType
+            # lsn (e.g. a small literal) must not write INT32 files that a
+            # later mixed-footer read chokes on (PARQUET_COLUMN_DATA_TYPE_MISMATCH)
+            *cols, F.col(lsn_col).cast("long").alias("__lsn"), F.col(op_col).alias("__op")
         )
         import os as _os, time as _time
         if _os.environ.get("CCS_EXPLAIN") == "1":
@@ -1415,8 +1481,9 @@ class LakeTable:
         snap = self.snapshot()
         if not snap.delta_files:
             return None
-        delta_buckets = {f["bucket"] for f in snap.delta_files}
-        keep_files = [f for f in snap.files if f["bucket"] not in delta_buckets]
+        delta_buckets = _buckets_of(snap.delta_files, snap.n_buckets)
+        rewritten = {f["path"] for f in _bucket_pick(snap.files, delta_buckets, snap.n_buckets)}
+        keep_files = [f for f in snap.files if f["path"] not in rewritten]
         winners = self._reconciled(snap, buckets=delta_buckets, keep_deletes=True)
         if purge_tombstones_below is not None:
             winners = winners.filter(
@@ -1434,6 +1501,90 @@ class LakeTable:
         )
         child = self._child(
             snap, files=keep_files + new_files, delta_files=[], operation="compact"
+        )
+        self._write_snapshot(child)
+        return child.version
+
+    def rebucket(self, n_buckets: int) -> int:
+        """Change the table's bucket count — **metadata-only, zero Spark
+        jobs** (the Iceberg partition-spec-evolution analog for the bucket
+        transform). A table created with 16 buckets is mis-sized once it
+        holds 100 TB; rewriting everything up front is exactly what a big
+        table cannot afford, so existing files keep their layout and are
+        stamped with the spec they were written under (``nb``); every
+        bucket-pruned read resolves each file against its OWN spec
+        (:func:`_bucket_pick` — exact when the counts nest, conservative
+        otherwise), new writes land under the new spec, and old files
+        migrate incrementally as COW merges / compactions rewrite them
+        (or eagerly via :meth:`migrate_bucket_spec`).
+
+        The new count must be a multiple or divisor of the current one —
+        ``pmod(hash, n)`` nests only across nesting moduli; anything else
+        would make every pre-change file unprunable forever."""
+        snap = self.snapshot()
+        old = snap.n_buckets
+        if n_buckets < 1:
+            raise ValueError("n_buckets must be >= 1")
+        if n_buckets == old:
+            raise ValueError(f"table already has {old} buckets")
+        if not (n_buckets % old == 0 or old % n_buckets == 0):
+            raise ValueError(
+                f"new bucket count {n_buckets} must be a multiple or divisor "
+                f"of the current {old} (hash buckets nest only across "
+                "nesting moduli; non-nesting counts would defeat pruning "
+                "for every existing file)"
+            )
+
+        def stamp(entries: list[dict]) -> list[dict]:
+            # files lacking `nb` were written under the snapshot's current
+            # spec; record it before the spec changes
+            return [{**f, "nb": f.get("nb") or old} for f in entries]
+
+        child = self._child(
+            snap,
+            files=stamp(snap.files),
+            delta_files=stamp(snap.delta_files),
+            n_buckets=n_buckets,
+            operation=f"rebucket:{old}->{n_buckets}",
+        )
+        self._write_snapshot(child)
+        return child.version
+
+    def migrate_bucket_spec(self) -> int | None:
+        """Eagerly rewrite any data files still on an old bucket spec under
+        the current one. Reads are correct without this (spec-aware pruning
+        handles mixed manifests); migration just restores maximal pruning
+        and uniform write-task sizing. Commits as a compaction (a rewrite
+        of already-delivered rows), so ``scan_changes`` emits nothing for
+        it. Returns the new version, or None when nothing is stale."""
+        snap = self.snapshot()
+        stale = [
+            f for f in snap.files + snap.delta_files
+            if (f.get("nb") or snap.n_buckets) != snap.n_buckets
+        ]
+        if not stale:
+            return None
+        buckets = _buckets_of(stale, snap.n_buckets)
+        rw = {f["path"] for f in _bucket_pick(snap.files, buckets, snap.n_buckets)}
+        rw_d = {f["path"] for f in _bucket_pick(snap.delta_files, buckets, snap.n_buckets)}
+        keep = [f for f in snap.files if f["path"] not in rw]
+        keep_d = [f for f in snap.delta_files if f["path"] not in rw_d]
+        # reconcile the covered buckets (folds their deltas too) and rewrite
+        # under the current spec, tombstones retained — same contract as
+        # compact(); clustering keeps the row-group pruning property
+        winners = self._reconciled(snap, buckets=buckets, keep_deletes=True)
+        key = list(snap.bucket_key)
+        key += [k for k in snap.merge_key if k not in key]
+        new_files = self._write_data_files(
+            snap,
+            winners.select(*[f["name"] for f in snap.current_fields()], "__lsn", "__op"),
+            sort_cols=key + ["__lsn"],
+        )
+        child = self._child(
+            snap,
+            files=keep + new_files,
+            delta_files=keep_d,
+            operation="compact:rebucket-migrate",
         )
         self._write_snapshot(child)
         return child.version

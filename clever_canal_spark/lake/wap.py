@@ -170,6 +170,11 @@ def publish_branch(
         )
     if tip.truncate_lsn != base.truncate_lsn:
         raise PublishConflict(f"branch {name!r} truncated; not publishable")
+    if tip.n_buckets != base.n_buckets:
+        raise PublishConflict(
+            f"branch {name!r} rebucketed; publish supports data-only "
+            "branches — rebucket main and re-fork"
+        )
     if tip.epoch_watermark != base.epoch_watermark:
         raise PublishConflict(
             f"branch {name!r} pruned its epoch registry; not reconcilable"
@@ -214,6 +219,11 @@ def publish_branch(
             raise PublishConflict("main changed schema since the fork")
         if cur.truncate_lsn != base.truncate_lsn:
             raise PublishConflict("main truncated since the fork")
+        if cur.n_buckets != base.n_buckets:
+            # branch entries were written under the fork-time spec and
+            # carry no `nb` stamp — re-parenting them under main's new
+            # spec would mislabel their buckets
+            raise PublishConflict("main rebucketed since the fork; re-fork")
         dup = [k for k in new_epochs if LakeTable._committed_in(cur, k)]
         if dup:
             raise PublishConflict(

@@ -136,7 +136,7 @@ def revert_epoch(
     # to the exact merge keys being reverted
     restored = pre.join(F.broadcast(revert_keys), on=key, how="left_semi")
     back = restored.select(
-        *cols, F.lit("U").alias("op"), F.lit(plan.revert_lsn).alias("lsn")
+        *cols, F.lit("U").alias("op"), F.lit(plan.revert_lsn).cast("long").alias("lsn")
     )
     gone = revert_keys.join(restored.select(*key), on=key, how="left_anti")
     erase = gone.select(
@@ -147,7 +147,7 @@ def revert_epoch(
             for c in cols
         ],
         F.lit("D").alias("op"),
-        F.lit(plan.revert_lsn).alias("lsn"),
+        F.lit(plan.revert_lsn).cast("long").alias("lsn"),
     )
     comp = back.unionByName(erase)
     return table.merge(
