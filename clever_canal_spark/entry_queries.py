@@ -4818,3 +4818,54 @@ def q_cdc_rebucket_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lsn_col="__rb_lsn", mode="mor")
     clone.migrate_bucket_spec()
     return clone.scan().select("url", "text")
+
+
+@register(
+    "emb_semdedup_keepers",
+    f"""
+    WITH RECURSIVE cents AS (
+      SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings
+      WHERE vec_id % 16 = 0
+    ),
+    assigned AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT e.vec_id, c.cent_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_duck_dot_e9('e.embedding', 'c.cvec')} DESC, c.cent_id) AS rn
+        FROM embeddings e CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    tagged AS (
+      SELECT e.vec_id, e.embedding, a.cent_id
+      FROM embeddings e JOIN assigned a USING (vec_id)
+    ),
+    pairs AS (
+      SELECT a.vec_id AS pa, c.vec_id AS pb
+      FROM tagged a JOIN tagged c ON a.cent_id = c.cent_id AND a.vec_id < c.vec_id
+      WHERE {_duck_dot_e9('a.embedding', 'c.embedding')} >= {_NEARDUP_TAU_E9}
+    ),
+    bi AS (SELECT pa AS a, pb AS b FROM pairs UNION SELECT pb AS a, pa AS b FROM pairs),
+    reach AS (
+      SELECT vec_id AS vec, vec_id AS node FROM embeddings
+      UNION
+      SELECT r.vec, bi.b FROM reach r JOIN bi ON bi.a = r.node
+    )
+    SELECT t.vec_id, t.cent_id, m.cluster_id, (m.cluster_id = t.vec_id) AS keep
+    FROM tagged t
+    JOIN (SELECT vec AS vec_id, min(node) AS cluster_id FROM reach GROUP BY vec) m
+      USING (vec_id)
+    """,
+)
+def q_emb_semdedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/similarity.semdedup_keepers, Abbas et al.
+    2023): k-means-cell blocking (deterministic IVF centroids) → exact
+    within-cell cosine pairs at tau → per-group keeper = min vec_id.
+    Oracle replays the identical assignment (argmax dot, tie to lowest
+    centroid), pair set, and a recursive transitive closure — an
+    independent engine for every stage including the component
+    resolution."""
+    from .operators.similarity import semdedup_keepers
+
+    return semdedup_keepers(
+        _embeddings(spark, sf_dir), centroid_mod=16, tau_e9=_NEARDUP_TAU_E9
+    )

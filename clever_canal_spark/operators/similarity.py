@@ -715,3 +715,79 @@ def knn_join(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "dot_e9", "rank")
     )
+
+
+def semdedup_keepers(
+    df: DataFrame,
+    centroid_mod: int = 32,
+    tau_e9: int = 300_000_000,
+    n_dims: int = N_DIMS,
+    max_cell_rows: int = 10_000,
+    on_oversized: str = "raise",
+    max_iter: int = 20,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    k-means-cell blocking — duplicates are only sought WITHIN a cell
+    (accepting cross-cell misses, the paper's trade), pairs at cosine ≥
+    tau form duplicate groups, and one representative per group survives.
+    Returns (vec_id, cent_id, cluster_id, keep) — keeper = the group's
+    min vec_id (deterministic; the paper's low-centroid-similarity pick
+    is a policy swap on the same grouping).
+
+    Scale shape: centroids are a fixed 1/centroid_mod fraction of the
+    corpus, so the EXPECTED cell size is ~centroid_mod however big the
+    corpus — the within-cell pair join is O(n·centroid_mod), never n².
+    A dense region can still overflow a cell: cells above
+    ``max_cell_rows`` raise by default (``on_oversized='keep'`` accepts
+    the documented O(size²) inside them). Assignment is the same
+    broadcast argmax as :func:`ivf_assign` (payload never rides the
+    shuffle until the single tag join); components resolve via the
+    shared observation-resolved min-label loop."""
+    if on_oversized not in ("raise", "keep"):
+        raise ValueError("on_oversized must be 'raise' or 'keep'")
+    from .dedup import _free_checkpoint, min_label_components
+
+    assigned = ivf_assign(df, centroid_mod, n_dims)
+    # one materialization: the self-join below would otherwise recompute
+    # the O(n·centroids) assignment once per branch. The returned plan
+    # also reads it, so it is NOT freed here — the ContextCleaner GCs the
+    # blocks once the caller drops the result (one-shot-operator pattern,
+    # same as cosine_neardup_pairs' blocking checkpoint).
+    tagged = df.join(assigned, on="vec_id").localCheckpoint()
+    if on_oversized == "raise":
+        big = (
+            tagged.groupBy("cent_id").count()
+            .filter(F.col("count") > max_cell_rows).limit(10).collect()
+        )
+        if big:
+            sizes = {r["cent_id"]: r["count"] for r in big}
+            raise ValueError(
+                f"cell(s) exceed max_cell_rows={max_cell_rows} (dense "
+                f"region or duplicate blow-up — exact-dedup first, raise "
+                f"centroid_mod, or pass on_oversized='keep'): {sizes}"
+            )
+    a, c = tagged.alias("a"), tagged.alias("c")
+    pairs = (
+        a.join(c, (F.col("a.cent_id") == F.col("c.cent_id"))
+               & (F.col("a.vec_id") < F.col("c.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("pa"),
+            F.col("c.vec_id").alias("pb"),
+            F.expr(dot_e9_expr("a.embedding", "c.embedding", n_dims)).alias("dot_e9"),
+        )
+        .filter(F.col("dot_e9") >= tau_e9)
+    )
+    edges = pairs.select(F.col("pa").alias("a"), F.col("pb").alias("b")).localCheckpoint()
+    try:
+        ids = df.select(F.col("vec_id").alias("doc_id"))
+        comps = min_label_components(ids, edges, max_iter=max_iter)
+    finally:
+        _free_checkpoint(edges)
+    return (
+        tagged.select("vec_id", "cent_id")
+        .join(comps.withColumnRenamed("doc_id", "vec_id"), on="vec_id")
+        .select(
+            "vec_id", "cent_id", "cluster_id",
+            (F.col("cluster_id") == F.col("vec_id")).alias("keep"),
+        )
+    )

@@ -1,0 +1,60 @@
+"""SemDeDup (operators/similarity.semdedup_keepers): k-means-cell
+blocked semantic dedup — hand-built cells, keepers, and the documented
+cross-cell-miss trade."""
+
+import pytest
+
+from clever_canal_spark.operators.similarity import semdedup_keepers
+
+# 4-dim unit-ish vectors; centroid_mod=2 → even vec_ids are centroids
+VECS = [
+    (0, [1.0, 0.0, 0.0, 0.0]),     # centroid A
+    (1, [0.999, 0.045, 0.0, 0.0]), # dup of 0 (cos ≈ .999)
+    (2, [0.0, 1.0, 0.0, 0.0]),     # centroid B
+    (3, [0.045, 0.999, 0.0, 0.0]), # dup of 2
+    (5, [0.74, 0.67, 0.0, 0.0]),   # near 7, lands in cell A
+    (7, [0.67, 0.74, 0.0, 0.0]),   # near 5, lands in cell B
+]
+
+
+def vec_df(spark, rows=VECS):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def run(spark, **kw):
+    out = semdedup_keepers(
+        vec_df(spark), centroid_mod=2, tau_e9=900_000_000, n_dims=4, **kw
+    )
+    return {r["vec_id"]: (r["cent_id"], r["cluster_id"], r["keep"]) for r in out.collect()}
+
+
+def test_cells_groups_and_keepers(spark):
+    got = run(spark)
+    # assignment: argmax dot, tie to lowest centroid
+    assert got[0][0] == 0 and got[1][0] == 0 and got[5][0] == 0
+    assert got[2][0] == 2 and got[3][0] == 2 and got[7][0] == 2
+    # dup groups resolve to min-id keepers
+    assert got[1] == (0, 0, False) and got[0][2] is True
+    assert got[3] == (2, 2, False) and got[2][2] is True
+
+
+def test_cross_cell_pairs_are_missed_by_design(spark):
+    """cos(5,7) ≈ .991 ≥ tau, but they sit in different cells — SemDeDup
+    keeps both (the paper's accepted trade for never comparing across
+    cells)."""
+    got = run(spark)
+    assert got[5][2] is True and got[7][2] is True
+    assert got[5][1] == 5 and got[7][1] == 7
+
+
+def test_oversized_cell_guard(spark):
+    with pytest.raises(ValueError, match="max_cell_rows"):
+        semdedup_keepers(
+            vec_df(spark), centroid_mod=2, tau_e9=900_000_000,
+            n_dims=4, max_cell_rows=2,
+        )
+    out = semdedup_keepers(
+        vec_df(spark), centroid_mod=2, tau_e9=900_000_000,
+        n_dims=4, max_cell_rows=2, on_oversized="keep",
+    )
+    assert out.count() == len(VECS)
