@@ -4869,3 +4869,47 @@ def q_emb_semdedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup_keepers(
         _embeddings(spark, sf_dir), centroid_mod=16, tau_e9=_NEARDUP_TAU_E9
     )
+
+
+@register(
+    "doc_quality_classifier",
+    r"""
+    WITH w AS (
+      SELECT CAST(i AS INTEGER) AS feature_id,
+             CAST(('0x' || substr(md5('ccsq' || CAST(i AS VARCHAR)), 1, 8))::BIGINT
+                  % 2000001 - 1000000 AS BIGINT) AS weight_e6
+      FROM generate_series(0, 4095) t(i)
+    ),
+    feat AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(tok), 1, 8))::BIGINT % 4096 AS INTEGER) AS feature_id
+      FROM (
+        SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok FROM documents
+      )
+    ),
+    scored AS (
+      SELECT f.doc_id, SUM(w.weight_e6) AS sum_w, COUNT(*) AS n_tokens
+      FROM feat f JOIN w USING (feature_id) GROUP BY f.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(s.n_tokens, 0) AS n_tokens,
+           CAST(COALESCE(s.sum_w, 0) AS BIGINT) AS score_e6,
+           CAST(CASE WHEN COALESCE(s.n_tokens, 0) > 0
+                     THEN COALESCE(s.sum_w, 0) // s.n_tokens
+                     ELSE COALESCE(s.sum_w, 0) END AS BIGINT) AS avg_e6
+    FROM documents d LEFT JOIN scored s USING (doc_id)
+    """,
+)
+def q_doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style linear quality classifier
+    (operators/text.linear_quality_score): hashing-trick token features
+    (md5-u32 mod 4096) scored against a broadcast weight table; avg_e6 =
+    the mean-pooled linear layer, the thresholdable quality signal of
+    CCNet/GPT-3/DCLM-style model-based filtering. Weights here are the
+    deterministic demo export (hashed_weights) so the oracle recomputes
+    the identical model; integer-exact BIGINT e6 end to end (DIV == `//`
+    toward-zero division, pinned by test)."""
+    from .operators.text import hashed_weights, linear_quality_score
+
+    docs = _documents(spark, sf_dir)
+    return linear_quality_score(docs, hashed_weights(spark))

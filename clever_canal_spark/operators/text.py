@@ -993,3 +993,85 @@ def canonical_url(col: Column) -> Column:
         F.when(q == "", F.lit("")).otherwise(F.concat(F.lit("?"), q)),
     )
     return F.when(scheme == "", s).otherwise(canon)
+
+
+def hashed_weights(spark, n_features: int = 4096, seed: str = "ccsq") -> DataFrame:
+    """Deterministic demo weight table for :func:`linear_quality_score`
+    (feature_id → weight_e6 in [-1e6, 1e6]). A real deployment loads the
+    weights a trained fastText/logistic model exported — this synthesizes
+    a reproducible stand-in from md5 so fixtures and oracles agree
+    bit-for-bit on every engine."""
+    return spark.range(n_features).select(
+        F.col("id").cast("int").alias("feature_id"),
+        (
+            F.expr(
+                f"CAST(conv(substring(md5(concat('{seed}', CAST(id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+            )
+            % F.lit(2_000_001)
+            - F.lit(1_000_000)
+        ).cast("long").alias("weight_e6"),
+    )
+
+
+def linear_quality_score(
+    df: DataFrame,
+    weights: DataFrame,
+    n_features: int = 4096,
+    bias_e6: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """fastText-style linear quality classifier scoring (the model-based
+    quality filter of CCNet/GPT-3/DCLM pipelines): each token hashes into
+    ``n_features`` buckets (the hashing trick, md5-u32 mod D), the score
+    is the SUM of the bucket weights plus a bias, and ``avg_e6`` (score /
+    n_tokens — fastText's mean-pooled linear layer) is the thresholdable
+    quality signal. All arithmetic BIGINT e6 — bit-identical cross-engine.
+
+    ``weights``: (feature_id int, weight_e6 long) — the exported model
+    (``hashed_weights`` is the deterministic demo stand-in).
+
+    Plan shape: tokens explode to (doc_id, feature_id) and broadcast-join
+    the vocab-bounded weight table (D rows); the groupBy(doc_id) sum
+    partial-aggregates map-side, so the shuffle carries ~one row per doc
+    per partition — never the token stream. Docs with no tokens score
+    bias with n_tokens=0 (avg = bias).
+    """
+    toks = F.expr(rf"regexp_extract_all({text_col}, '\\S+', 0)")
+    feat = df.select(
+        F.col(id_col),
+        F.explode_outer(toks).alias("__tok"),
+    ).select(
+        id_col,
+        F.when(
+            F.col("__tok").isNotNull(),
+            (
+                F.expr(
+                    "CAST(conv(substring(md5(__tok), 1, 8), 16, 10) AS BIGINT)"
+                ) % F.lit(n_features)
+            ).cast("int"),
+        ).alias("feature_id"),
+    )
+    scored = (
+        feat.join(F.broadcast(weights), on="feature_id", how="left")
+        .groupBy(id_col)
+        .agg(
+            F.coalesce(F.sum("weight_e6"), F.lit(0)).cast("long").alias("sum_w_e6"),
+            F.count("feature_id").cast("long").alias("n_tokens"),
+        )
+    )
+    out = scored.select(
+        id_col,
+        "n_tokens",
+        (F.col("sum_w_e6") + F.lit(bias_e6)).cast("long").alias("score_e6"),
+    )
+    # DIV (truncate toward zero) == DuckDB `//` — verified on negatives;
+    # plain `/`+cast would round differently between the engines
+    return out.select(
+        id_col,
+        "n_tokens",
+        "score_e6",
+        F.expr(
+            "CASE WHEN n_tokens > 0 THEN score_e6 DIV n_tokens ELSE score_e6 END"
+        ).cast("long").alias("avg_e6"),
+    )

@@ -825,3 +825,67 @@ def test_shingle_short_and_null_texts(spark, tmp_table_dir):
     )
     dup = probe_exact(idx, spark.createDataFrame([(9, "ab")], "doc_id long, text string"))
     assert dup.count() == 1  # exact dedup still works on short texts (md5 path)
+
+
+# ---------------------------------------------------------------------------
+# linear_quality_score (fastText-style hashing-trick classifier)
+# ---------------------------------------------------------------------------
+
+
+def test_linear_quality_score_hand_case(spark):
+    from clever_canal_spark.operators.text import linear_quality_score
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb aa"), (2, ""), (3, None)],
+        "doc_id long, text string",
+    )
+    # explicit 2-bucket model so the expectation is hand-computable
+    import hashlib
+
+    def bucket(tok, d=4096):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % d
+
+    w = spark.createDataFrame(
+        [(bucket("aa"), 10), (bucket("bb"), -7)],
+        "feature_id int, weight_e6 long",
+    )
+    got = {r["doc_id"]: r.asDict() for r in linear_quality_score(docs, w).collect()}
+    assert got[1]["n_tokens"] == 3
+    assert got[1]["score_e6"] == 10 + (-7) + 10
+    assert got[1]["avg_e6"] == 13 // 3
+    # empty and null docs: zero tokens, bias-only score
+    for d in (2, 3):
+        assert got[d] == {"doc_id": d, "n_tokens": 0, "score_e6": 0, "avg_e6": 0}
+
+
+def test_linear_quality_score_negative_division_truncates_toward_zero(spark):
+    from clever_canal_spark.operators.text import linear_quality_score
+
+    docs = spark.createDataFrame([(1, "xx yy")], "doc_id long, text string")
+    import hashlib
+
+    def bucket(tok, d=4096):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % d
+
+    w = spark.createDataFrame(
+        [(bucket("xx"), -10), (bucket("yy"), 3)], "feature_id int, weight_e6 long"
+    )
+    got = linear_quality_score(docs, w).collect()[0]
+    # sum -7 over 2 tokens: toward-zero gives -3 (floor would give -4) —
+    # DIV == DuckDB's `//`, pinned so the oracle contract can't drift
+    assert got["score_e6"] == -7 and got["avg_e6"] == -3
+
+
+def test_linear_quality_score_unknown_tokens_score_zero(spark):
+    from clever_canal_spark.operators.text import (
+        hashed_weights,
+        linear_quality_score,
+    )
+
+    docs = spark.createDataFrame([(1, "q w e")], "doc_id long, text string")
+    # left join: tokens hashing to absent feature ids contribute 0 but
+    # still count toward n_tokens (fastText's OOV-bucket behavior at D
+    # buckets means absent ids only happen with a partial weight export)
+    w = hashed_weights(spark, n_features=4096).filter("feature_id < 0")  # empty
+    got = linear_quality_score(docs, w).collect()[0]
+    assert got["n_tokens"] == 3 and got["score_e6"] == 0
