@@ -4913,3 +4913,61 @@ def q_doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _documents(spark, sf_dir)
     return linear_quality_score(docs, hashed_weights(spark))
+
+
+def _duck_kmeans_sql(n_iters: int = 2, mod: int = 16, n_dims: int = 64) -> str:
+    """Unrolled Lloyd's-iteration twin of similarity.kmeans_centroids —
+    every stage integer-exact (e9 sums, toward-zero division), so the
+    trained centroids match bit-for-bit."""
+    parts = [
+        f"c0 AS (SELECT vec_id AS cent_id, "
+        f"list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec "
+        f"FROM embeddings WHERE vec_id % {mod} = 0)"
+    ]
+    for t in range(1, n_iters + 1):
+        prev = f"c{t-1}"
+        parts.append(
+            f"a{t} AS (SELECT vec_id, cent_id FROM ("
+            f"SELECT e.vec_id, c.cent_id, ROW_NUMBER() OVER ("
+            f"PARTITION BY e.vec_id ORDER BY "
+            f"{_duck_dot_e9('e.embedding', 'c.cvec')} DESC, c.cent_id) AS rn "
+            f"FROM embeddings e CROSS JOIN {prev} c) WHERE rn = 1)"
+        )
+        parts.append(
+            f"s{t} AS (SELECT a.cent_id, i.i AS dim, "
+            f"SUM(CAST(ROUND(CAST(e.embedding[i.i + 1] AS DOUBLE) * 1e9) AS BIGINT)) AS s_e9, "
+            f"COUNT(*) AS n "
+            f"FROM embeddings e JOIN a{t} a USING (vec_id) "
+            f"CROSS JOIN generate_series(0, {n_dims - 1}) i(i) "
+            f"GROUP BY a.cent_id, i.i)"
+        )
+        parts.append(
+            f"m{t} AS (SELECT cent_id, "
+            f"list(CAST(s_e9 // n AS DOUBLE) / 1e9 ORDER BY dim) AS cvec "
+            f"FROM s{t} GROUP BY cent_id)"
+        )
+        parts.append(
+            f"c{t} AS (SELECT p.cent_id, COALESCE(m.cvec, p.cvec) AS cvec "
+            f"FROM {prev} p LEFT JOIN m{t} m USING (cent_id))"
+        )
+    return (
+        "WITH " + ",\n".join(parts) + f"\n"
+        f"SELECT c.cent_id, i.i AS dim, "
+        f"CAST(ROUND(c.cvec[i.i + 1] * 1e9) AS BIGINT) AS mean_e9 "
+        f"FROM c{n_iters} c CROSS JOIN generate_series(0, {n_dims - 1}) i(i)"
+    )
+
+
+@register("emb_kmeans_centroids", _duck_kmeans_sql(n_iters=2, mod=16))
+def q_emb_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed spherical k-means training
+    (operators/similarity.kmeans_centroids): 2 Lloyd's iterations from
+    the deterministic IVF seeds — broadcast argmax assignment (payload
+    off the shuffle), per-dimension e9 sums with map-side partial agg,
+    empty clusters keep their previous centroid. Integer-exact, so the
+    oracle replays the TRAINING loop itself (unrolled), not just a final
+    readout — upgrading the IVF family from sampled seeds to trained
+    centroids without losing cross-engine verifiability."""
+    from .operators.similarity import kmeans_centroids
+
+    return kmeans_centroids(_embeddings(spark, sf_dir), centroid_mod=16, n_iters=2)

@@ -791,3 +791,94 @@ def semdedup_keepers(
             (F.col("cluster_id") == F.col("vec_id")).alias("keep"),
         )
     )
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    centroid_mod: int = 32,
+    n_iters: int = 2,
+    n_dims: int = N_DIMS,
+) -> DataFrame:
+    """Spherical k-means (Lloyd's) refinement of the deterministic IVF
+    seeds — the trained-centroid upgrade for :func:`ivf_assign` /
+    ``ann_index.build_ivf_index`` (on unit vectors argmax-cosine ==
+    argmin-euclidean, so the assignment step reuses the exact scaled-dot
+    machinery). Returns (cent_id, dim, mean_e9): each refined centroid as
+    per-dimension BIGINT e9 means — integer-exact, so a SQL twin
+    reproduces training bit-for-bit. ``centroid_arrays`` rebuilds the
+    array form for probing.
+
+    Per iteration: one broadcast argmax assignment (payload never
+    shuffles; (vec_id, cent_id) pairs only), then per-dimension sums via
+    posexplode — n·d narrow rows that partial-aggregate map-side to
+    ≤ centroids·d rows per partition. Empty clusters keep their previous
+    centroid (deterministic). Centroids re-broadcast each round from a
+    localCheckpoint so the loop's plan stays flat."""
+    from ..ckpt import free_checkpoint
+
+    cents = ivf_centroids(df, centroid_mod).select(
+        "cent_id", F.expr("transform(cvec, x -> CAST(x AS DOUBLE))").alias("cvec")
+    )
+    prev = None
+    for _ in range(n_iters):
+        c = F.broadcast(cents)
+        assigned = (
+            df.crossJoin(c)
+            .select(
+                "vec_id", "cent_id",
+                F.expr(dot_e9_expr("embedding", "cvec", n_dims)).alias("d"),
+            )
+            .groupBy("vec_id")
+            .agg(F.max_by("cent_id", F.struct(F.col("d"), -F.col("cent_id"))).alias("cent_id"))
+        )
+        sums = (
+            df.join(assigned, on="vec_id")
+            .select("cent_id", F.posexplode("embedding").alias("dim", "v"))
+            .groupBy("cent_id", "dim")
+            .agg(
+                F.sum(F.expr("CAST(ROUND(CAST(v AS DOUBLE) * 1e9) AS BIGINT)")).alias("s_e9"),
+                F.count("*").alias("n"),
+            )
+        )
+        new = (
+            sums.select("cent_id", "dim", F.expr("s_e9 DIV n").alias("m_e9"))
+            .groupBy("cent_id")
+            .agg(F.map_from_arrays(F.collect_list("dim"), F.collect_list("m_e9")).alias("mm"))
+            .select(
+                "cent_id",
+                F.expr(
+                    f"transform(sequence(0, {n_dims - 1}),"
+                    " i -> CAST(element_at(mm, i) AS DOUBLE) / 1e9)"
+                ).alias("new_cvec"),
+            )
+        )
+        cents = (
+            cents.join(new, on="cent_id", how="left")
+            .select("cent_id", F.coalesce("new_cvec", "cvec").alias("cvec"))
+            .localCheckpoint()
+        )
+        if prev is not None:
+            free_checkpoint(prev)
+        prev = cents
+    return cents.select(
+        "cent_id", F.posexplode("cvec").alias("dim", "m")
+    ).select(
+        "cent_id", "dim",
+        F.expr("CAST(ROUND(m * 1e9) AS BIGINT)").alias("mean_e9"),
+    )
+
+
+def centroid_arrays(centroids_long: DataFrame, n_dims: int = N_DIMS) -> DataFrame:
+    """(cent_id, dim, mean_e9) → (cent_id, cvec array<double>) for use as
+    the centroid side of :func:`ivf_assign`-style probes."""
+    return (
+        centroids_long.groupBy("cent_id")
+        .agg(F.map_from_arrays(F.collect_list("dim"), F.collect_list("mean_e9")).alias("mm"))
+        .select(
+            "cent_id",
+            F.expr(
+                f"transform(sequence(0, {n_dims - 1}),"
+                " i -> CAST(element_at(mm, i) AS DOUBLE) / 1e9)"
+            ).alias("cvec"),
+        )
+    )
