@@ -4971,3 +4971,62 @@ def q_emb_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import kmeans_centroids
 
     return kmeans_centroids(_embeddings(spark, sf_dir), centroid_mod=16, n_iters=2)
+
+
+def _duck_bpe_sql(n_merges: int = 12, source: str = "documents") -> str:
+    """Unrolled BPE-training twin of operators/text.learn_bpe_merges: the
+    same word-frequency vocab, argmax pair pick (count desc, pair
+    lexicographic), and greedy leftmost non-overlapping fold application
+    (list_reduce with the pair captured from the 1-row winner CTE).
+    Vocab CTEs are MATERIALIZED — each is referenced twice and the
+    12-deep chain would otherwise inline exponentially."""
+    parts = [
+        "v0 AS MATERIALIZED ("
+        "SELECT CAST(COUNT(*) AS BIGINT) AS freq, "
+        "list_transform(generate_series(1, len(word)), i -> word[i:i]) AS syms "
+        "FROM (SELECT unnest(regexp_extract_all(text, '\\S+')) AS word "
+        f"FROM {source}) GROUP BY word)"
+    ]
+    for t in range(1, n_merges + 1):
+        prev = f"v{t-1}"
+        parts.append(
+            f"p{t} AS (SELECT pr[1] AS l, pr[2] AS r, SUM(freq) AS cnt FROM ("
+            f"SELECT freq, unnest(CASE WHEN len(syms) >= 2 THEN "
+            f"list_transform(generate_series(1, len(syms) - 1),"
+            f" i -> [syms[i], syms[i + 1]]) "
+            f"ELSE CAST([] AS VARCHAR[][]) END) AS pr FROM {prev}) "
+            f"GROUP BY pr[1], pr[2])"
+        )
+        parts.append(
+            f"w{t} AS MATERIALIZED (SELECT l, r, cnt FROM p{t} "
+            f"ORDER BY cnt DESC, l, r LIMIT 1)"
+        )
+        parts.append(
+            f"v{t} AS MATERIALIZED (SELECT v.freq, "
+            f"list_reduce([[v.syms[1]]] || list_transform(v.syms[2:], x -> [x]), "
+            f"(acc, x) -> CASE WHEN acc[-1] = w.l AND x[1] = w.r "
+            f"THEN acc[:-2] || [w.l || w.r] ELSE acc || x END) AS syms "
+            f"FROM {prev} v CROSS JOIN w{t} w)"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT {t} AS step, l AS lft, r AS rgt, cnt AS freq FROM w{t}"
+        for t in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + union
+
+
+@register("doc_bpe_learn", _duck_bpe_sql(n_merges=12))
+def q_doc_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (operators/text.
+    learn_bpe_merges, Sennrich et al. 2016): the corpus is aggregated
+    ONCE into a vocabulary (shuffle key = the word — vocab-bounded at any
+    corpus size); each merge round then runs on the vocab table only
+    (pair explode → weighted count → deterministic argmax → greedy
+    leftmost fold application, all JVM exprs with the pair broadcast,
+    never interpolated). The oracle replays the full 12-round training
+    loop in SQL. Pure-Python reference twin equivalence is
+    pytest-asserted on adversarial fixtures (single-char words,
+    early-stop)."""
+    from .operators.text import bpe_merges_df
+
+    return bpe_merges_df(_documents(spark, sf_dir), n_merges=12)

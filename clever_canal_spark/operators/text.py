@@ -1075,3 +1075,101 @@ def linear_quality_score(
             "CASE WHEN n_tokens > 0 THEN score_e6 DIV n_tokens ELSE score_e6 END"
         ).cast("long").alias("avg_e6"),
     )
+
+
+def learn_bpe_merges(
+    df: DataFrame,
+    n_merges: int = 16,
+    text_col: str = "text",
+) -> list[tuple[int, str, str, int]]:
+    """Distributed BPE merge-rule training (Sennrich et al. 2016): learn
+    the top-``n_merges`` byte-pair merges from the corpus. Returns
+    [(step, left, right, freq), ...] in training order.
+
+    Scale shape: the corpus is touched ONCE — a word-frequency aggregate
+    (shuffle key = the word, vocabulary-bounded however large the
+    corpus). Every Lloyd-style training round then runs on the VOCAB
+    table only: adjacent-pair explode → weighted count → 1-row argmax
+    (count desc, pair lexicographic — deterministic), then the merge is
+    applied to each word's symbol array with a greedy leftmost
+    non-overlapping fold (``aggregate``, the classic BPE application
+    order) — all JVM higher-order expressions, the merge pair captured
+    from a broadcast 1-row frame (never interpolated into SQL text).
+    Per-round localCheckpoint keeps the plan flat; rounds stop early
+    when no adjacent pair remains."""
+    toks = F.expr(rf"regexp_extract_all({text_col}, '\\S+', 0)")
+    vocab = (
+        df.select(F.explode(toks).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("freq"))
+        .select(
+            "freq",
+            F.expr(
+                "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+            ).alias("syms"),
+        )
+        .localCheckpoint()
+    )
+    from ..ckpt import free_checkpoint
+
+    spark = df.sparkSession
+    merges: list[tuple[int, str, str, int]] = []
+    try:
+        for step in range(1, n_merges + 1):
+            pairs = (
+                vocab.select(
+                    "freq",
+                    # size guard: sequence(1, 0) steps BACKWARD ([1, 0]) and
+                    # element_at crashes — the shingle_hashes_expr trap
+                    F.explode(
+                        F.expr(
+                            "CASE WHEN size(syms) >= 2 THEN"
+                            " transform(sequence(1, size(syms) - 1),"
+                            " i -> struct(element_at(syms, i) AS l,"
+                            " element_at(syms, i + 1) AS r))"
+                            " ELSE array() END"
+                        )
+                    ).alias("p"),
+                )
+                .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+                .agg(F.sum("freq").alias("cnt"))
+                .orderBy(F.col("cnt").desc(), "l", "r")
+                .limit(1)
+                .collect()
+            )
+            if not pairs:
+                break
+            l, r, cnt = pairs[0]["l"], pairs[0]["r"], pairs[0]["cnt"]
+            merges.append((step, l, r, int(cnt)))
+            m = F.broadcast(
+                spark.createDataFrame([(l, r, l + r)], "__ml string, __mr string, __mj string")
+            )
+            new_vocab = (
+                vocab.crossJoin(m)
+                .select(
+                    "freq",
+                    F.expr(
+                        "aggregate(slice(syms, 2, greatest(size(syms) - 1, 0)),"
+                        " slice(syms, 1, 1),"
+                        " (acc, x) -> IF(element_at(acc, -1) = __ml AND x = __mr,"
+                        " concat(slice(acc, 1, size(acc) - 1), array(__mj)),"
+                        " concat(acc, array(x))))"
+                    ).alias("syms"),
+                )
+                .localCheckpoint()
+            )
+            free_checkpoint(vocab)
+            vocab = new_vocab
+    finally:
+        free_checkpoint(vocab)
+    return merges
+
+
+def bpe_merges_df(df: DataFrame, n_merges: int = 16, text_col: str = "text") -> DataFrame:
+    """:func:`learn_bpe_merges` as a DataFrame (step, lft, rgt, freq) —
+    lft/rgt because LEFT/RIGHT are reserved in ANSI SQL engines."""
+    rows = learn_bpe_merges(df, n_merges, text_col)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        rows or [], "step int, lft string, rgt string, freq long"
+    )

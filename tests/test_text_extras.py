@@ -889,3 +889,81 @@ def test_linear_quality_score_unknown_tokens_score_zero(spark):
     w = hashed_weights(spark, n_features=4096).filter("feature_id < 0")  # empty
     got = linear_quality_score(docs, w).collect()[0]
     assert got["n_tokens"] == 3 and got["score_e6"] == 0
+
+
+# ---------------------------------------------------------------------------
+# learn_bpe_merges (distributed BPE trainer)
+# ---------------------------------------------------------------------------
+
+
+def _ref_bpe(texts, n_merges):
+    """Pure-Python reference twin: same tokenizer, same greedy-leftmost
+    fold application, same (count desc, pair lexicographic) tie-break."""
+    import collections
+    import re
+
+    vocab = collections.Counter()
+    for t in texts:
+        for w in re.findall(r"\S+", t or ""):
+            vocab[w] += 1
+    syms = {w: list(w) for w in vocab}
+    merges = []
+    for step in range(1, n_merges + 1):
+        cnt = collections.Counter()
+        for w, f in vocab.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                cnt[(s[i], s[i + 1])] += f
+        if not cnt:
+            break
+        (l, r), c = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((step, l, r, c))
+        for w in syms:
+            new = []
+            for x in syms[w]:
+                if new and new[-1] == l and x == r:
+                    new[-1] = l + r
+                else:
+                    new.append(x)
+            syms[w] = new
+    return merges
+
+
+def test_bpe_hand_case(spark):
+    from clever_canal_spark.operators.text import learn_bpe_merges
+
+    docs = spark.createDataFrame(
+        [(1, "low low low lower lowest"), (2, "new newer newest")],
+        "doc_id long, text string",
+    )
+    got = learn_bpe_merges(docs, n_merges=3)
+    # 'lo' appears in 5 words (freq 3+1+1); 'ne' in 3; first merge is the
+    # most frequent pair: ('l','o') count 5... 'ow' also 5 and 'e'+'w' 3;
+    # ties break lexicographically: ('l','o') < ('o','w')
+    assert got[0] == (1, "l", "o", 5)
+    assert got[1] == (2, "lo", "w", 5)
+    ref = _ref_bpe(["low low low lower lowest", "new newer newest"], 3)
+    assert got == ref
+
+
+def test_bpe_matches_reference_on_wider_corpus(spark):
+    from clever_canal_spark.operators.text import learn_bpe_merges
+
+    texts = [
+        f"doc {i} banana bandana ananas band{i % 3} the band played on"
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = learn_bpe_merges(docs, n_merges=10)
+    assert got == _ref_bpe(texts, 10)
+    assert len(got) == 10
+
+
+def test_bpe_stops_when_no_pairs_remain(spark):
+    from clever_canal_spark.operators.text import learn_bpe_merges
+
+    docs = spark.createDataFrame([(1, "a b c a b")], "doc_id long, text string")
+    got = learn_bpe_merges(docs, n_merges=5)
+    assert got == []  # single-char words: nothing adjacent to merge
