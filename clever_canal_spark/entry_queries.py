@@ -4973,16 +4973,17 @@ def q_emb_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_centroids(_embeddings(spark, sf_dir), centroid_mod=16, n_iters=2)
 
 
-def _duck_bpe_sql(n_merges: int = 12, source: str = "documents") -> str:
-    """Unrolled BPE-training twin of operators/text.learn_bpe_merges: the
+def _duck_bpe_ctes(n_merges: int = 12, source: str = "documents") -> str:
+    """Unrolled BPE-training CTE chain, twin of operators/text._bpe_train:
     same word-frequency vocab, argmax pair pick (count desc, pair
     lexicographic), and greedy leftmost non-overlapping fold application
     (list_reduce with the pair captured from the 1-row winner CTE).
     Vocab CTEs are MATERIALIZED — each is referenced twice and the
-    12-deep chain would otherwise inline exponentially."""
+    n-deep chain would otherwise inline exponentially. The final vocab
+    is ``v{n_merges}`` (word, freq, syms); winners are ``w1..wN``."""
     parts = [
         "v0 AS MATERIALIZED ("
-        "SELECT CAST(COUNT(*) AS BIGINT) AS freq, "
+        "SELECT word, CAST(COUNT(*) AS BIGINT) AS freq, "
         "list_transform(generate_series(1, len(word)), i -> word[i:i]) AS syms "
         "FROM (SELECT unnest(regexp_extract_all(text, '\\S+')) AS word "
         f"FROM {source}) GROUP BY word)"
@@ -5002,17 +5003,21 @@ def _duck_bpe_sql(n_merges: int = 12, source: str = "documents") -> str:
             f"ORDER BY cnt DESC, l, r LIMIT 1)"
         )
         parts.append(
-            f"v{t} AS MATERIALIZED (SELECT v.freq, "
+            f"v{t} AS MATERIALIZED (SELECT v.word, v.freq, "
             f"list_reduce([[v.syms[1]]] || list_transform(v.syms[2:], x -> [x]), "
             f"(acc, x) -> CASE WHEN acc[-1] = w.l AND x[1] = w.r "
             f"THEN acc[:-2] || [w.l || w.r] ELSE acc || x END) AS syms "
             f"FROM {prev} v CROSS JOIN w{t} w)"
         )
+    return "WITH " + ",\n".join(parts)
+
+
+def _duck_bpe_sql(n_merges: int = 12, source: str = "documents") -> str:
     union = " UNION ALL ".join(
         f"SELECT {t} AS step, l AS lft, r AS rgt, cnt AS freq FROM w{t}"
         for t in range(1, n_merges + 1)
     )
-    return "WITH " + ",\n".join(parts) + "\n" + union
+    return _duck_bpe_ctes(n_merges, source) + "\n" + union
 
 
 @register("doc_bpe_learn", _duck_bpe_sql(n_merges=12))
@@ -5030,3 +5035,33 @@ def q_doc_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text import bpe_merges_df
 
     return bpe_merges_df(_documents(spark, sf_dir), n_merges=12)
+
+
+@register(
+    "doc_bpe_token_counts",
+    _duck_bpe_ctes(n_merges=12)
+    + """
+    SELECT d.doc_id,
+           CAST(COALESCE(w.n_words, 0) AS BIGINT) AS n_words,
+           CAST(COALESCE(w.n_bpe, 0) AS BIGINT) AS n_bpe_tokens
+    FROM documents d LEFT JOIN (
+      SELECT doc_id, COUNT(*) AS n_words, SUM(len(v.syms)) AS n_bpe
+      FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS word
+            FROM documents) t
+      JOIN v12 v USING (word)
+      GROUP BY doc_id
+    ) w USING (doc_id)
+    """,
+)
+def q_doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION (operators/text.bpe_token_counts): exact
+    per-document token counts under the freshly-trained 12-merge BPE —
+    the application never re-folds per document; each corpus word's
+    final symbol count sits in the trained vocab, so docs explode to
+    words and broadcast-join the vocab-bounded length table. The oracle
+    replays training AND application (the shared unrolled CTE chain +
+    the same join). Upgrades bpe_token_stats' regex approximation to the
+    trained tokenizer's exact charge."""
+    from .operators.text import bpe_token_counts
+
+    return bpe_token_counts(_documents(spark, sf_dir), n_merges=12)

@@ -1077,6 +1077,81 @@ def linear_quality_score(
     )
 
 
+def _bpe_train(
+    df: DataFrame,
+    n_merges: int,
+    text_col: str,
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """Shared BPE training loop: returns (merges, vocab) where vocab =
+    (word, freq, syms) AFTER all merges — a live localCheckpoint the
+    caller may consume (the ContextCleaner frees it when dropped)."""
+    from ..ckpt import free_checkpoint
+
+    toks = F.expr(rf"regexp_extract_all({text_col}, '\\S+', 0)")
+    vocab = (
+        df.select(F.explode(toks).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("freq"))
+        .select(
+            "word",
+            "freq",
+            F.expr(
+                "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+            ).alias("syms"),
+        )
+        .localCheckpoint()
+    )
+    spark = df.sparkSession
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        pairs = (
+            vocab.select(
+                "freq",
+                # size guard: sequence(1, 0) steps BACKWARD ([1, 0]) and
+                # element_at crashes — the shingle_hashes_expr trap
+                F.explode(
+                    F.expr(
+                        "CASE WHEN size(syms) >= 2 THEN"
+                        " transform(sequence(1, size(syms) - 1),"
+                        " i -> struct(element_at(syms, i) AS l,"
+                        " element_at(syms, i + 1) AS r))"
+                        " ELSE array() END"
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not pairs:
+            break
+        l, r, cnt = pairs[0]["l"], pairs[0]["r"], pairs[0]["cnt"]
+        merges.append((step, l, r, int(cnt)))
+        m = F.broadcast(
+            spark.createDataFrame([(l, r, l + r)], "__ml string, __mr string, __mj string")
+        )
+        new_vocab = (
+            vocab.crossJoin(m)
+            .select(
+                "word",
+                "freq",
+                F.expr(
+                    "aggregate(slice(syms, 2, greatest(size(syms) - 1, 0)),"
+                    " slice(syms, 1, 1),"
+                    " (acc, x) -> IF(element_at(acc, -1) = __ml AND x = __mr,"
+                    " concat(slice(acc, 1, size(acc) - 1), array(__mj)),"
+                    " concat(acc, array(x))))"
+                ).alias("syms"),
+            )
+            .localCheckpoint()
+        )
+        free_checkpoint(vocab)
+        vocab = new_vocab
+    return merges, vocab
+
+
 def learn_bpe_merges(
     df: DataFrame,
     n_merges: int = 16,
@@ -1088,81 +1163,49 @@ def learn_bpe_merges(
 
     Scale shape: the corpus is touched ONCE — a word-frequency aggregate
     (shuffle key = the word, vocabulary-bounded however large the
-    corpus). Every Lloyd-style training round then runs on the VOCAB
-    table only: adjacent-pair explode → weighted count → 1-row argmax
-    (count desc, pair lexicographic — deterministic), then the merge is
-    applied to each word's symbol array with a greedy leftmost
-    non-overlapping fold (``aggregate``, the classic BPE application
-    order) — all JVM higher-order expressions, the merge pair captured
-    from a broadcast 1-row frame (never interpolated into SQL text).
-    Per-round localCheckpoint keeps the plan flat; rounds stop early
-    when no adjacent pair remains."""
-    toks = F.expr(rf"regexp_extract_all({text_col}, '\\S+', 0)")
-    vocab = (
-        df.select(F.explode(toks).alias("word"))
-        .groupBy("word")
-        .agg(F.count("*").cast("long").alias("freq"))
-        .select(
-            "freq",
-            F.expr(
-                "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
-            ).alias("syms"),
-        )
-        .localCheckpoint()
-    )
+    corpus). Every training round then runs on the VOCAB table only:
+    adjacent-pair explode → weighted count → 1-row argmax (count desc,
+    pair lexicographic — deterministic), then the merge is applied to
+    each word's symbol array with a greedy leftmost non-overlapping fold
+    (``aggregate``, the classic BPE application order) — all JVM
+    higher-order expressions, the merge pair captured from a broadcast
+    1-row frame (never interpolated into SQL text). Per-round
+    localCheckpoint keeps the plan flat; rounds stop early when no
+    adjacent pair remains."""
     from ..ckpt import free_checkpoint
 
-    spark = df.sparkSession
-    merges: list[tuple[int, str, str, int]] = []
-    try:
-        for step in range(1, n_merges + 1):
-            pairs = (
-                vocab.select(
-                    "freq",
-                    # size guard: sequence(1, 0) steps BACKWARD ([1, 0]) and
-                    # element_at crashes — the shingle_hashes_expr trap
-                    F.explode(
-                        F.expr(
-                            "CASE WHEN size(syms) >= 2 THEN"
-                            " transform(sequence(1, size(syms) - 1),"
-                            " i -> struct(element_at(syms, i) AS l,"
-                            " element_at(syms, i + 1) AS r))"
-                            " ELSE array() END"
-                        )
-                    ).alias("p"),
-                )
-                .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
-                .agg(F.sum("freq").alias("cnt"))
-                .orderBy(F.col("cnt").desc(), "l", "r")
-                .limit(1)
-                .collect()
-            )
-            if not pairs:
-                break
-            l, r, cnt = pairs[0]["l"], pairs[0]["r"], pairs[0]["cnt"]
-            merges.append((step, l, r, int(cnt)))
-            m = F.broadcast(
-                spark.createDataFrame([(l, r, l + r)], "__ml string, __mr string, __mj string")
-            )
-            new_vocab = (
-                vocab.crossJoin(m)
-                .select(
-                    "freq",
-                    F.expr(
-                        "aggregate(slice(syms, 2, greatest(size(syms) - 1, 0)),"
-                        " slice(syms, 1, 1),"
-                        " (acc, x) -> IF(element_at(acc, -1) = __ml AND x = __mr,"
-                        " concat(slice(acc, 1, size(acc) - 1), array(__mj)),"
-                        " concat(acc, array(x))))"
-                    ).alias("syms"),
-                )
-                .localCheckpoint()
-            )
-            free_checkpoint(vocab)
-            vocab = new_vocab
-    finally:
-        free_checkpoint(vocab)
+    merges, vocab = _bpe_train(df, n_merges, text_col)
+    free_checkpoint(vocab)
     return merges
+
+
+def bpe_token_counts(
+    df: DataFrame,
+    n_merges: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT per-document BPE token counts under freshly-trained merges —
+    the tokenizer-application half of :func:`learn_bpe_merges` (and the
+    exact upgrade of :func:`bpe_token_stats`'s regex approximation).
+
+    The application never re-folds per document: every corpus word's
+    final symbol count already sits in the trained vocab, so docs explode
+    to words and broadcast-join the vocab-bounded (word → n_word_toks)
+    table; the groupBy(doc) sum partial-aggregates map-side. Returns
+    (doc_id, n_words, n_bpe_tokens)."""
+    merges, vocab = _bpe_train(df, n_merges, text_col)
+    lens = vocab.select("word", F.size("syms").alias("__nwt"))
+    toks = F.expr(rf"regexp_extract_all({text_col}, '\\S+', 0)")
+    words = df.select(F.col(id_col), F.explode_outer(toks).alias("word"))
+    return (
+        words.join(F.broadcast(lens), on="word", how="left")
+        .groupBy(id_col)
+        .agg(
+            F.count("word").cast("long").alias("n_words"),
+            F.coalesce(F.sum("__nwt"), F.lit(0)).cast("long").alias("n_bpe_tokens"),
+        )
+    )
 
 
 def bpe_merges_df(df: DataFrame, n_merges: int = 16, text_col: str = "text") -> DataFrame:

@@ -967,3 +967,37 @@ def test_bpe_stops_when_no_pairs_remain(spark):
     docs = spark.createDataFrame([(1, "a b c a b")], "doc_id long, text string")
     got = learn_bpe_merges(docs, n_merges=5)
     assert got == []  # single-char words: nothing adjacent to merge
+
+
+def test_bpe_token_counts_match_reference_application(spark):
+    from clever_canal_spark.operators.text import bpe_token_counts
+
+    texts = ["low lower low a", "newest lowest low", ""]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+           for r in bpe_token_counts(docs, n_merges=4).collect()}
+
+    # reference: train with the twin, apply the fold per word
+    import collections
+    import re
+
+    merges = _ref_bpe(texts, 4)
+
+    def apply(word):
+        syms = list(word)
+        for _, l, r, _c in merges:
+            new = []
+            for x in syms:
+                if new and new[-1] == l and x == r:
+                    new[-1] = l + r
+                else:
+                    new.append(x)
+            syms = new
+        return len(syms)
+
+    for i, t in enumerate(texts):
+        words = re.findall(r"\S+", t)
+        assert got[i] == (len(words), sum(apply(w) for w in words)), i
+    assert got[2] == (0, 0)  # empty doc
