@@ -70,6 +70,14 @@ def main() -> None:
                    help="word-gram size for cross-doc duplicate-passage "
                         "cutting (ExactSubstr family); 0 disables the stage")
     p.add_argument("--skip-quality", action="store_true")
+    p.add_argument("--model-quality-threshold-e6", type=int, default=None,
+                   help="enable the model-based quality stage: drop docs whose "
+                        "linear-classifier mean score (avg_e6) is below this "
+                        "(operators/text.linear_quality_score)")
+    p.add_argument("--quality-weights-dir", default="",
+                   help="parquet dir of (feature_id int, weight_e6 long) — a "
+                        "trained fastText/logistic export; default uses the "
+                        "deterministic demo weights (hashed_weights)")
     p.add_argument("--skip-boilerplate", action="store_true")
     p.add_argument("--demo", action="store_true", help="tiny self-contained demo")
     args = p.parse_args()
@@ -179,6 +187,24 @@ def main() -> None:
         passed = gopher_quality(corpus, "text").filter(F.col("passes") == 1)
         corpus = corpus.join(passed.select("doc_id"), on="doc_id", how="left_semi")
         print(f"[curate] gopher quality: {corpus.count()} docs pass")
+
+    if args.model_quality_threshold_e6 is not None:
+        from clever_canal_spark.operators.text import (
+            hashed_weights,
+            linear_quality_score,
+        )
+
+        weights = (
+            spark.read.parquet(args.quality_weights_dir)
+            if args.quality_weights_dir
+            else hashed_weights(spark)
+        )
+        ok = linear_quality_score(corpus, weights).filter(
+            F.col("avg_e6") >= args.model_quality_threshold_e6
+        )
+        corpus = corpus.join(ok.select("doc_id"), on="doc_id", how="left_semi")
+        print(f"[curate] model quality (avg_e6 >= "
+              f"{args.model_quality_threshold_e6}): {corpus.count()} docs pass")
 
     scrubbed = pii_scrub(corpus, "text").withColumnRenamed("clean_text", "text")
     pii = scrubbed.agg(

@@ -42,3 +42,21 @@ def test_curation_demo_end_to_end():
         f"WHERE text LIKE 'the quick brown fox jumps over the lazy dog and then runs%'"
     ).fetchone()[0]
     assert n_pii == 1 and n_dup == 1
+
+
+def test_curation_demo_with_model_quality_stage():
+    """--model-quality-threshold-e6 wires the linear classifier in; with
+    the minimum threshold nothing drops (stage provably ran, pipeline
+    invariants unchanged)."""
+    env = {**os.environ, "PYTHONPATH": REPO, "CCS_DEMO_EVENTS": "600"}
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "run_curation.py"),
+         "--demo", "--model-quality-threshold-e6", "-1000001"],
+        env=env, capture_output=True, text=True, timeout=540, cwd=REPO,
+    )
+    out = r.stdout.replace("\r", "\n")
+    assert r.returncode == 0, out[-2000:] + r.stderr[-2000:]
+    m = re.search(r"model quality \(avg_e6 >= -1000001\): (\d+) docs pass", out)
+    assert m, out[-1500:]
+    qual = int(re.search(r"gopher quality: (\d+)", out).group(1))
+    assert int(m.group(1)) == qual  # floor threshold: nobody drops
