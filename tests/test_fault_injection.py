@@ -246,3 +246,70 @@ def test_fault_on_first_mutation_of_create(spark, tmp_table_dir):
         spark, d, SCHEMA, merge_key=["url", "warc_ts"], n_buckets=2
     )
     assert t.exists() and t.current_version() == 1
+
+
+def test_every_rebucket_migrate_crash_prefix_recovers(spark, tmp_table_dir):
+    """Partition evolution under the same all-prefixes sweep: rebucket is
+    one snapshot commit (crash → old spec, retry succeeds); a crashed
+    migrate_bucket_spec is invisible (pure rewrite, like compaction) and
+    a retry completes the migration."""
+    base_dir = os.path.join(tmp_table_dir, "base")
+    base = LakeTable.create(
+        spark, base_dir, SCHEMA, merge_key=["url", "warc_ts"], n_buckets=2
+    )
+    base.merge(_src(spark, E0), epoch_id=0, mode="mor", lsn_col="lsn")
+    base.merge(_src(spark, E1), epoch_id=1, mode="mor", lsn_col="lsn")
+
+    # -- rebucket: metadata-only, so the sweep is short but must still be
+    # all-or-nothing under every prefix
+    k = 1
+    while True:
+        d = os.path.join(tmp_table_dir, f"rb-k{k}")
+        base.clone_to(d)
+        ffs = FaultFS(LocalFS(), fail_at=k)
+        fired = False
+        try:
+            LakeTable(spark, d, fs=ffs).rebucket(4)
+        except InjectedFault:
+            fired = True
+        r = LakeTable(spark, d)
+        assert _state(r) == STATE1
+        if not fired:
+            assert r.snapshot().n_buckets == 4
+            break
+        assert r.snapshot().n_buckets == 2  # crash → fully old spec
+        r.rebucket(4)
+        assert r.snapshot().n_buckets == 4 and _state(r) == STATE1
+        k += 1
+        assert k < SWEEP_CAP
+
+    # -- migrate: pure rewrite, crash at any prefix leaves the table
+    # byte-identical and still fully readable under the mixed spec
+    mig_src = os.path.join(tmp_table_dir, "mig-src")
+    base.clone_to(mig_src)
+    mig = LakeTable(spark, mig_src)
+    mig.rebucket(4)
+    k, faults_seen = 1, 0
+    while True:
+        d = os.path.join(tmp_table_dir, f"mig-k{k}")
+        mig.clone_to(d)
+        ffs = FaultFS(LocalFS(), fail_at=k)
+        fired = False
+        try:
+            LakeTable(spark, d, fs=ffs).migrate_bucket_spec()
+        except InjectedFault:
+            fired = True
+        r = LakeTable(spark, d)
+        assert _state(r) == STATE1, f"migrate crash at k={k} changed the table"
+        if not fired:
+            snap = r.snapshot()
+            assert all((f.get("nb") or 4) == 4 for f in snap.files + snap.delta_files)
+            break
+        faults_seen += 1
+        r.vacuum(orphan_ttl_s=0.0)
+        assert _state(r) == STATE1
+        r.migrate_bucket_spec()
+        assert _state(r) == STATE1
+        k += 1
+        assert k < SWEEP_CAP
+    assert faults_seen >= 2
