@@ -5065,3 +5065,70 @@ def q_doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text import bpe_token_counts
 
     return bpe_token_counts(_documents(spark, sf_dir), n_merges=12)
+
+
+@register(
+    "cdc_scan_where_range",
+    f"""
+    WITH f AS (
+      SELECT 'u' || CAST(user_id AS VARCHAR) AS url,
+             date_trunc('day', ts) AS d,
+             CAST({_CENTS} AS VARCHAR) AS cents,
+             {_OP_EXPR} AS op, event_id
+      FROM events
+    ),
+    w AS (
+      SELECT url, d, cents, op,
+             ROW_NUMBER() OVER (PARTITION BY url, d ORDER BY event_id DESC) AS rn
+      FROM f
+    ),
+    cut AS (SELECT date_trunc('day', min(ts)) + INTERVAL 10 DAY AS c FROM events)
+    SELECT url, epoch_us(d) AS day_us, cents AS text
+    FROM w, cut WHERE rn = 1 AND op <> 'D' AND d >= c
+    """,
+)
+def q_cdc_scan_where_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-stats range scan (lake/table.py scan_where + stats_cols):
+    the events feed lands keyed by (url, day) in a table whose manifest
+    records each file's warc_ts [min, max] (epoch-micros-normalized from
+    the already-open footer); after compaction, a timestamp range scan
+    skips files whose recorded range misses the bound — the Iceberg
+    lower/upper-bound scan-planning analog generalized past the bucket
+    key. Oracle = LWW winners per (url, day) at day ≥ min+10d."""
+    import datetime as dt
+    import shutil
+    import tempfile
+
+    from .lake import LakeTable
+    from .model import PAGE_SCHEMA
+
+    _utc(spark)
+    ev = _events(spark, sf_dir)
+    feed = ev.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("url"),
+        F.date_trunc("day", F.col("ts")).alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.expr(_CENTS).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+        F.expr(_OP_EXPR).alias("op"),
+        F.col("event_id").alias("lsn"),
+    )
+    n = ev.agg(F.max("event_id")).collect()[0][0] + 1
+    t_min = ev.agg(F.min("ts")).collect()[0][0]
+    cut = t_min.replace(hour=0, minute=0, second=0, microsecond=0) + dt.timedelta(days=10)
+    tmp = tempfile.mkdtemp(prefix="ccs-sw-")
+    shutil.rmtree(tmp, ignore_errors=True)
+    table = LakeTable.create(
+        spark, tmp, PAGE_SCHEMA, merge_key=["url", "warc_ts"], n_buckets=8,
+        stats_cols=["warc_ts"],
+    )
+    step = n // 2 + 1
+    for e in range(2):
+        batch = feed.filter(
+            (F.col("lsn") >= e * step) & (F.col("lsn") < (e + 1) * step)
+        )
+        table.merge(batch, epoch_id=e, op_col="op", mode="mor", lsn_col="lsn")
+    table.compact()
+    return table.scan_where("warc_ts", lo=cut).select(
+        "url", F.unix_micros(F.col("warc_ts")).alias("day_us"), "text"
+    )

@@ -80,6 +80,39 @@ def _key_range_pred(values: list):
     return pred
 
 
+def _footer_col_range(md, idx: dict, col: str):
+    """[lo, hi] of ``col`` across a parquet file's row groups, from the
+    already-open footer — or None when any row group lacks stats or the
+    type isn't a JSON-representable totally-ordered scalar (pruning must
+    be incomplete, never wrong). Timestamps normalize to epoch micros."""
+    import datetime as _dt
+
+    ci = idx.get(col)
+    if ci is None:
+        return None
+    lo = hi = None
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(ci).statistics
+        mn = mx = None
+        if st is not None and st.has_min_max:
+            mn, mx = st.min, st.max
+            if isinstance(mn, bytes):
+                try:
+                    mn, mx = mn.decode(), mx.decode()
+                except UnicodeDecodeError:
+                    mn = mx = None
+            if isinstance(mn, _dt.datetime):
+                mn = int((mn if mn.tzinfo else mn.replace(tzinfo=_dt.timezone.utc)).timestamp() * 1_000_000)
+                mx = int((mx if mx.tzinfo else mx.replace(tzinfo=_dt.timezone.utc)).timestamp() * 1_000_000)
+            if not isinstance(mn, (str, int, float)) or isinstance(mn, bool):
+                mn = mx = None
+        if mn is None:
+            return None
+        lo = mn if lo is None else min(lo, mn)
+        hi = mx if hi is None else max(hi, mx)
+    return [lo, hi]
+
+
 def _bucket_pick(files: list[dict], buckets: set[int] | None, cur_nb: int) -> list[dict]:
     """Filter manifest entries to those that can hold rows of the given
     CURRENT-spec bucket ids, honoring each file's own bucket spec.
@@ -252,6 +285,11 @@ class _Snapshot:
     # shard cannot resurrect pre-truncate state (same rule that keeps
     # pre-snapshot events losing to a bootstrap seed).
     truncate_lsn: int = 0
+    # extra columns whose per-file [min, max] is recorded in the manifest
+    # (beyond the bucket key's key_min/key_max) — the Iceberg column-stats
+    # analog powering scan_where's file-level pruning. Timestamps store as
+    # epoch micros.
+    stats_cols: list = field(default_factory=list)
 
     def to_json(self) -> str:
         return json.dumps(self.__dict__, separators=(",", ":"))
@@ -303,10 +341,14 @@ class LakeTable:
         bucket_key: list[str] | None = None,
         n_buckets: int = 16,
         fs: "MetadataFS | None" = None,
+        stats_cols: list[str] | None = None,
     ) -> "LakeTable":
         """Create an empty table. ``bucket_key`` defaults to the first merge
         key column — bucketing on the key *prefix* colocates all versions of
-        an entity while keeping the bucket computable from either key form."""
+        an entity while keeping the bucket computable from either key form.
+        ``stats_cols``: extra columns whose per-file [min, max] goes in the
+        manifest (:meth:`scan_where` pruning); changeable later via
+        :meth:`set_stats_cols`."""
         t = LakeTable(spark, path, fs=fs)
         t._fs.makedirs(t._log_path)
         t._fs.makedirs(t._data_path)
@@ -325,6 +367,7 @@ class LakeTable:
             files=[],
             operation="create",
             committed_at_ms=int(time.time() * 1000),
+            stats_cols=list(stats_cols or []),
         )
         t._write_snapshot(snap)
         return t
@@ -588,6 +631,87 @@ class LakeTable:
             .select(*cols)
         )
 
+    def set_stats_cols(self, cols: list[str]) -> int:
+        """Change the manifest stats-column list — metadata-only; files
+        written BEFORE this carry no stats for the new columns (they are
+        always read: pruning incomplete, never wrong) and pick them up at
+        their next rewrite (compaction / COW / migrate)."""
+        snap = self.snapshot()
+        names = {f["name"] for f in snap.current_fields()}
+        unknown = sorted(set(cols) - names)
+        if unknown:
+            raise ValueError(f"unknown stats column(s) {unknown}")
+        child = self._child(
+            snap, stats_cols=list(cols), operation=f"set-stats-cols:{','.join(cols)}"
+        )
+        self._write_snapshot(child)
+        return child.version
+
+    @staticmethod
+    def _stats_bound(v):
+        """Normalize a scan_where bound the way the manifest stores stats
+        (timestamps → epoch micros)."""
+        import datetime as _dt
+
+        if isinstance(v, _dt.datetime):
+            tz = v if v.tzinfo else v.replace(tzinfo=_dt.timezone.utc)
+            return int(tz.timestamp() * 1_000_000)
+        return v
+
+    def scan_where(self, col: str, lo=None, hi=None) -> DataFrame:
+        """Range scan with FILE-LEVEL pruning on any stats column (the
+        Iceberg lower/upper-bound scan-planning analog, generalized past
+        the bucket key): manifest entries whose recorded [min, max] for
+        ``col`` misses [lo, hi] are never opened; the predicate is also
+        applied in-plan (and pushes into the parquet scan for row-group
+        skipping inside the files that ARE read).
+
+        Pruning applies only when the table has no MOR delta files: base
+        files hold ≤ 1 winner row per key, so dropping a file by VALUE
+        range cannot change any key's LWW outcome — with deltas pending, a
+        skipped file could hold the true (out-of-range) winner and a read
+        loser would wrongly surface, so the call falls back to an unpruned
+        reconciled scan (same results, no file skipping). Run compact()
+        first for pruned analytics. Timestamp bounds accept datetime."""
+        snap = self.snapshot()
+        names = {f["name"] for f in snap.current_fields()}
+        if col not in names:
+            raise ValueError(f"unknown column {col!r}")
+        cols = [f["name"] for f in snap.current_fields()]
+        pred = None
+        if lo is not None:
+            pred = F.col(col) >= F.lit(lo)
+        if hi is not None:
+            p2 = F.col(col) <= F.lit(hi)
+            pred = p2 if pred is None else (pred & p2)
+        if snap.delta_files:
+            out = self.scan()
+            return out.filter(pred) if pred is not None else out
+        b_lo, b_hi = self._stats_bound(lo), self._stats_bound(hi)
+
+        def keep(f: dict) -> bool:
+            st = (f.get("col_stats") or {}).get(col)
+            if st is None and col == snap.bucket_key[0] and f.get("key_min") is not None:
+                st = [f["key_min"], f["key_max"]]
+            if st is None:
+                return True  # no stats: always read
+            try:
+                if b_lo is not None and st[1] < b_lo:
+                    return False
+                if b_hi is not None and st[0] > b_hi:
+                    return False
+            except TypeError:
+                return True
+            return True
+
+        files = [f for f in snap.files if keep(f)]
+        out = (
+            self._read_files(snap, files, hidden=True)
+            .filter(F.col("__op") != F.lit("D"))
+            .select(*cols)
+        )
+        return out.filter(pred) if pred is not None else out
+
     def lookup(self, **key_vals) -> DataFrame:
         """Point read by bucket-key value(s): computes the key's bucket and
         reconciles ONLY that bucket's files — an O(table/n_buckets) read
@@ -842,30 +966,16 @@ class LakeTable:
                 # skip files WITHIN a bucket — a hot bucket accumulates
                 # many delta files between compactions, and a lookup only
                 # needs the ones whose [key_min, key_max] covers the probe
-                key_lo = key_hi = None
-                ki = idx.get(snap.bucket_key[0])
-                if ki is not None:
-                    for rg in range(md.num_row_groups):
-                        st = md.row_group(rg).column(ki).statistics
-                        mn = mx = None
-                        if st is not None and st.has_min_max:
-                            mn, mx = st.min, st.max
-                            if isinstance(mn, bytes):
-                                try:
-                                    mn, mx = mn.decode(), mx.decode()
-                                except UnicodeDecodeError:
-                                    mn = mx = None  # non-UTF8 binary key
-                            # only JSON-representable, totally-ordered
-                            # scalars go in the manifest — timestamp/
-                            # decimal/bool keys skip stats (prune-
-                            # incomplete, never crash the commit)
-                            if not isinstance(mn, (str, int, float)) or isinstance(mn, bool):
-                                mn = mx = None
-                        if mn is None:
-                            key_lo = key_hi = None
-                            break
-                        key_lo = mn if key_lo is None else min(key_lo, mn)
-                        key_hi = mx if key_hi is None else max(key_hi, mx)
+                kr = _footer_col_range(md, idx, snap.bucket_key[0])
+                key_lo, key_hi = (kr if kr is not None else (None, None))
+                # per-file [min, max] of the snapshot's extra stats columns
+                # (Iceberg column-stats analog) — same open footer, zero
+                # extra I/O; incomplete stats simply omit the column
+                col_stats = {}
+                for sc in snap.stats_cols:
+                    r = _footer_col_range(md, idx, sc)
+                    if r is not None:
+                        col_stats[sc] = r
                 entries.append(
                     {
                         "path": dest_rel,
@@ -878,6 +988,7 @@ class LakeTable:
                         "lsn_max": lsn_hi,
                         "key_min": key_lo,
                         "key_max": key_hi,
+                        **({"col_stats": col_stats} if col_stats else {}),
                     }
                 )
         self._fs.rmtree(tmp)
