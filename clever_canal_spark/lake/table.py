@@ -80,6 +80,32 @@ def _key_range_pred(values: list):
     return pred
 
 
+def _zbase_expr(col: str, dtype: str) -> str:
+    """Order-preserving BIGINT image of a column for z-value computation:
+    timestamps → epoch micros, strings → first-4-chars big-endian byte
+    code (ASCII-clamped), integers as-is."""
+    if dtype.startswith("timestamp"):
+        return f"unix_micros({col})"
+    if dtype == "string":
+        return (
+            "aggregate(transform(sequence(1, 4), i -> "
+            f"shiftleft(CAST(least(coalesce(ascii(substring({col}, i, 1)), 0), 255) AS BIGINT), (4 - i) * 8)), "
+            "CAST(0 AS BIGINT), (a, x) -> a + x)"
+        )
+    return f"CAST({col} AS BIGINT)"
+
+
+def _zvalue_expr(norm_exprs: list[str], bits: int = 16) -> str:
+    """Bit-interleave N 16-bit normalized values into one z-order key."""
+    ncols = len(norm_exprs)
+    terms = [
+        f"shiftleft(shiftright({e}, {b}) & 1, {b * ncols + j})"
+        for b in range(bits)
+        for j, e in enumerate(norm_exprs)
+    ]
+    return " + ".join(terms)
+
+
 def _footer_col_range(md, idx: dict, col: str):
     """[lo, hi] of ``col`` across a parquet file's row groups, from the
     already-open footer — or None when any row group lacks stats or the
@@ -925,6 +951,11 @@ class LakeTable:
             # skips row groups inside big compacted files, not just whole
             # files via the manifest's [key_min, key_max]
             staged = staged.sortWithinPartitions("__bucket", *sort_cols)
+        if "__zval" in staged.columns:
+            # the z-order sort key is layout-only — drop it AFTER the sort
+            # (a Project preserves intra-partition order) so it never
+            # lands in the data files
+            staged = staged.drop("__zval")
         (
             staged.write.partitionBy("__bucket")
             .mode("overwrite")
@@ -1567,6 +1598,7 @@ class LakeTable:
         self,
         purge_tombstones_below: int | None = None,
         cluster: bool = True,
+        zorder_cols: list[str] | None = None,
     ) -> int | None:
         """Fold MOR delta files into the base — **incrementally**: only
         buckets that actually have delta files are reconciled and rewritten;
@@ -1600,16 +1632,49 @@ class LakeTable:
             winners = winners.filter(
                 ~((F.col("__op") == "D") & (F.col("__lsn") < F.lit(purge_tombstones_below)))
             )
+        out_cols = [f["name"] for f in snap.current_fields()]
+        body = winners.select(*out_cols, "__lsn", "__op")
         sort_cols = None
-        if cluster:
-            key = list(snap.bucket_key)
-            key += [k for k in snap.merge_key if k not in key]
-            sort_cols = key + ["__lsn"]
-        new_files = self._write_data_files(
-            snap,
-            winners.select(*[f["name"] for f in snap.current_fields()], "__lsn", "__op"),
-            sort_cols=sort_cols,
-        )
+        if zorder_cols:
+            # Z-ORDER layout (Delta OPTIMIZE ZORDER / Iceberg z-ordered
+            # rewrite analog): each named column maps to an
+            # order-preserving BIGINT, normalizes to 16 bits against its
+            # GLOBAL range over the rewritten winners (one extra agg —
+            # compaction already pays a full rewrite), and the bits
+            # interleave into one sort key, so every parquet row group
+            # covers a narrow range of EVERY z-ordered column — pushed
+            # predicates on any of them skip row groups, and scan_where's
+            # manifest stats tighten for all of them at once.
+            fields = {f["name"]: f["type"] for f in snap.current_fields()}
+            unknown = sorted(set(zorder_cols) - set(fields))
+            if unknown:
+                raise ValueError(f"unknown zorder column(s) {unknown}")
+            from ..ckpt import free_checkpoint
+
+            body = body.localCheckpoint()  # ranges agg + write share one pass
+            bases = {c: _zbase_expr(c, fields[c]) for c in zorder_cols}
+            rng = body.agg(
+                *[F.expr(f"min({b})").alias(f"lo{i}") for i, b in enumerate(bases.values())],
+                *[F.expr(f"max({b})").alias(f"hi{i}") for i, b in enumerate(bases.values())],
+            ).collect()[0]
+            norms = []
+            for i, b in enumerate(bases.values()):
+                lo = rng[f"lo{i}"] if rng[f"lo{i}"] is not None else 0
+                hi = rng[f"hi{i}"] if rng[f"hi{i}"] is not None else 0
+                span = max(hi - lo, 1)
+                norms.append(
+                    f"(CAST((coalesce({b}, {lo}) - ({lo})) AS BIGINT) * 65535 DIV {span})"
+                )
+            body = body.withColumn("__zval", F.expr(_zvalue_expr(norms)))
+            sort_cols = ["__zval"]
+            new_files = self._write_data_files(snap, body, sort_cols=sort_cols)
+            free_checkpoint(body)
+        else:
+            if cluster:
+                key = list(snap.bucket_key)
+                key += [k for k in snap.merge_key if k not in key]
+                sort_cols = key + ["__lsn"]
+            new_files = self._write_data_files(snap, body, sort_cols=sort_cols)
         child = self._child(
             snap, files=keep_files + new_files, delta_files=[], operation="compact"
         )

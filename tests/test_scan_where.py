@@ -121,3 +121,60 @@ def test_scan_where_unknown_column_raises(spark, tmp_table_dir):
     t = make_table(spark, tmp_table_dir)
     with pytest.raises(ValueError, match="unknown column"):
         t.scan_where("nope", lo=1)
+
+
+def _pyz(vals, bits=16):
+    """Python twin of the z-value interleave for layout assertions."""
+    los = [min(v) for v in zip(*vals)]
+    his = [max(v) for v in zip(*vals)]
+    out = []
+    n = len(los)
+    for row in vals:
+        z = 0
+        for j, (v, lo, hi) in enumerate(zip(row, los, his)):
+            nv = (v - lo) * 65535 // max(hi - lo, 1)
+            for b in range(bits):
+                z += ((nv >> b) & 1) << (b * n + j)
+        out.append(z)
+    return out
+
+
+def test_compact_zorder_layout_sorts_by_interleaved_key(spark, tmp_table_dir):
+    import pyarrow.parquet as pq
+
+    t = LakeTable.create(spark, tmp_table_dir, SCHEMA,
+                         merge_key=["url", "warc_ts"], n_buckets=1)
+    # 2-D grid visited in shuffled order: day index and score independent
+    import random
+
+    rnd = random.Random(7)
+    cells = [(d, s) for d in range(16) for s in range(16)]
+    rnd.shuffle(cells)
+    rows = [
+        (f"u{d}-{s}", f"2024-01-{d + 1:02d} 00:00:00", s * 100)
+        for d, s in cells
+    ]
+    t.merge(src(spark, rows), epoch_id=0, mode="mor", lsn_col="lsn")
+    before = {(r["url"], r["score"]) for r in t.scan().collect()}
+    t.compact(zorder_cols=["score", "warc_ts"])
+    snap = t.snapshot()
+    assert not snap.delta_files and len(snap.files) == 1
+    # physical row order inside the file follows the interleaved key
+    import os
+
+    tbl = pq.read_table(os.path.join(tmp_table_dir, snap.files[0]["path"]))
+    scores = tbl.column("score").to_pylist()
+    ts_us = [int(v.timestamp() * 1e6) for v in tbl.column("warc_ts").to_pylist()]
+    zvals = _pyz(list(zip(scores, ts_us)))
+    assert zvals == sorted(zvals), "rows not in z-order"
+    # layout-only: the logical table is unchanged and __zval never lands
+    assert {(r["url"], r["score"]) for r in t.scan().collect()} == before
+    assert "__zval" not in tbl.column_names
+
+
+def test_compact_zorder_unknown_column_raises(spark, tmp_table_dir):
+    t = make_table(spark, tmp_table_dir)
+    t.merge(src(spark, [("a", "2024-01-01 00:00:00", 1)]), epoch_id=0,
+            mode="mor", lsn_col="lsn")
+    with pytest.raises(ValueError, match="zorder column"):
+        t.compact(zorder_cols=["nope"])
