@@ -142,3 +142,54 @@ def test_time_travel_across_rebucket(spark, tmp_table_dir):
             mode="mor", lsn_col="lsn")
     old = {(r["url"], r["text"]) for r in t.scan(version=v_pre).collect()}
     assert old == set(ROWS)
+
+
+def test_randomized_soak_rebucket_merge_compact(spark, tmp_table_dir):
+    """Seeded random interleaving of MOR/COW merges, nesting rebuckets,
+    compactions, and a spec migration — final state and point lookups
+    must match a dict-based reference apply (LWW by lsn, deletes erase)."""
+    import random
+
+    rnd = random.Random(42)
+    t = make_table(spark, tmp_table_dir, n_buckets=4)
+    ref: dict[str, tuple[int, str | None]] = {}  # url -> (lsn, text|None)
+    lsn = 0
+    nb = 4
+    urls = [f"u{i}" for i in range(30)]
+    for epoch in range(12):
+        batch = []
+        for _ in range(rnd.randint(3, 8)):
+            u = rnd.choice(urls)
+            delete = rnd.random() < 0.25
+            batch.append((u, None if delete else f"v{lsn}"))
+            prev = ref.get(u)
+            if prev is None or lsn > prev[0]:
+                ref[u] = (lsn, None if delete else f"v{lsn}")
+            lsn += 1
+        mode = rnd.choice(["mor", "mor", "cow"])
+        t.merge(src(spark, batch, lsn0=lsn - len(batch)), epoch_id=epoch,
+                mode=mode, lsn_col="lsn")
+        roll = rnd.random()
+        if roll < 0.25:
+            new_nb = nb * 2 if (nb == 2 or rnd.random() < 0.5) else nb // 2
+            t.rebucket(new_nb)
+            nb = new_nb
+        elif roll < 0.4:
+            t.compact()
+        elif roll < 0.5:
+            t.migrate_bucket_spec()
+    expected = {(u, v) for u, (_, v) in ref.items() if v is not None}
+    assert state(t) == expected
+    # bucket-pruned point reads agree with the reference for live, deleted,
+    # and never-seen keys
+    for u in ["u0", "u7", "u13", "u29", "nope"]:
+        got = {r["text"] for r in t.lookup(url=u).collect()}
+        want = ref.get(u)
+        if want is None or want[1] is None:
+            assert got == set(), u
+        else:
+            assert got == {want[1]}, u
+    # a final full migration + compaction changes nothing
+    t.migrate_bucket_spec()
+    t.compact()
+    assert state(t) == expected
