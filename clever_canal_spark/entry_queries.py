@@ -5132,3 +5132,46 @@ def q_cdc_scan_where_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.scan_where("warc_ts", lo=cut).select(
         "url", F.unix_micros(F.col("warc_ts")).alias("day_us"), "text"
     )
+
+
+@register(
+    "cdc_export_backfill",
+    f"""
+    WITH bounds AS (SELECT max(event_id) + 1 AS n FROM events),
+    ranked AS (
+      SELECT 'u' || CAST(user_id AS VARCHAR) AS url,
+             CASE WHEN {_OP_EXPR} = 'D' THEN ''
+                  ELSE CAST({_CENTS} AS VARCHAR) END AS text,
+             {_OP_EXPR} AS op, event_id AS lsn,
+             event_id // (n // 4 + 1) AS epoch,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, event_id // (n // 4 + 1)
+               ORDER BY event_id DESC) AS rn
+      FROM events, bounds
+    )
+    SELECT url, text, op, CAST(lsn AS BIGINT) AS lsn
+    FROM ranked WHERE rn = 1 AND epoch >= 1
+    """,
+)
+def q_cdc_export_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MQ-sink backfill (sources/flat_message.export_flat_messages): the
+    changelog from the post-epoch-0 snapshot re-serialized as canonical
+    FlatMessage wire bytes, then parsed back through the JVM decoder —
+    url/text/op/es must equal the independent SQL winners-per-epoch
+    reconstruction (text '' for deletes: the canonical encoder coalesces
+    null payloads). Proves the lake-to-MQ replay path end to end:
+    file-diff changelog read → one-JSON-per-row encode → from_json
+    decode, no Python anywhere."""
+    from .sources.flat_message import decode_flat_message, export_flat_messages
+
+    table, versions = _replay_events_table(spark, sf_dir)
+    wire = export_flat_messages(
+        table, versions[0], database="cc", table_name="pages"
+    )
+    dec = decode_flat_message(wire, "value")
+    return dec.select(
+        F.col("data")["url"].alias("url"),
+        F.col("data")["text"].alias("text"),
+        "op",
+        F.col("es").alias("lsn"),
+    )

@@ -340,3 +340,44 @@ def decode_flat_message(df, json_col: str = "value"):
         F.col("__z.__d").alias("data"),
         F.col("__z.__o").alias("old_data"),
     )
+
+
+def export_flat_messages(
+    table,
+    from_version: int,
+    to_version: int | None = None,
+    database: str = "db",
+    table_name: str = "t",
+    data_cols: list[tuple[str, str]] | None = None,
+):
+    """MQ-sink BACKFILL (the CanalMQProducer replay story): the lake's
+    incremental changelog between two snapshots re-serialized as
+    canonical FlatMessage wire documents — one JSON per change row,
+    ``es`` = the row's source LSN, delete markers as DELETE messages.
+    A downstream that lost its topic (or a brand-new consumer group)
+    re-materializes from the lake instead of the (long-gone) binlog.
+
+    ``data_cols`` defaults to every current string-typed column,
+    null-coalesced to '' (the canonical encoder emits strings; extend
+    with explicit exprs for typed columns). Returns one ``value`` string
+    column; O(changes) file-diff read, encode is pure JVM exprs."""
+    from pyspark.sql import functions as F
+
+    snap = table.snapshot()
+    if data_cols is None:
+        data_cols = [
+            (f["name"], f"coalesce(CAST({f['name']} AS STRING), '')")
+            for f in snap.current_fields()
+            if f["type"] == "string"
+        ]
+    msg = encode_flat_message_expr(
+        f"'{database}'",
+        f"'{table_name}'",
+        "__op",
+        "__lsn",
+        pk_names=list(snap.merge_key),
+        data_cols=data_cols,
+        dialect="spark",
+    )
+    ch = table.scan_changes(from_version, to_version)
+    return ch.select(F.expr(msg).alias("value"))

@@ -422,3 +422,54 @@ def test_decode_row_images_malformed_col(spark):
     assert rows[(2, 0)]["__dlq"] is True  # poisoned old map
     good = out.filter(~out["__dlq"])
     assert good.count() == 1
+
+
+def test_export_flat_messages_roundtrip_and_deletes(spark, tmp_table_dir):
+    """Backfill export: changelog → wire JSON → decode == the changelog
+    (delete markers as DELETE messages; es carries the source LSN)."""
+    from pyspark.sql import functions as F, types as T
+
+    from clever_canal_spark.lake import LakeTable
+    from clever_canal_spark.sources.flat_message import (
+        decode_flat_message,
+        export_flat_messages,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    t = LakeTable.create(spark, tmp_table_dir, schema,
+                         merge_key=["url", "warc_ts"], n_buckets=2)
+    rows = [("a", 'quote " in it', 1, "U"), ("b", "plain", 2, "U")]
+    src = spark.createDataFrame(
+        [(u, "2024-01-01 00:00:00", x, o, l) for u, x, l, o in rows],
+        "url string, warc_ts string, text string, op string, lsn long",
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+    t.merge(src, epoch_id=0, mode="mor", lsn_col="lsn")
+    v1 = t.current_version()
+    d = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:00", None, "D", 9)],
+        "url string, warc_ts string, text string, op string, lsn long",
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+    t.merge(d, epoch_id=1, mode="mor", lsn_col="lsn")
+
+    wire = export_flat_messages(t, 0, database="cc", table_name="pages")
+    docs = [r["value"] for r in wire.collect()]
+    import json
+
+    parsed = [json.loads(x) for x in docs]  # every document is valid JSON
+    assert {p["type"] for p in parsed} == {"UPDATE", "DELETE"}
+    assert all(p["database"] == "cc" and p["pkNames"] == ["url", "warc_ts"]
+               for p in parsed)
+    dec = decode_flat_message(wire, "value")
+    got = {(r["data"]["url"], r["op"], r["es"], r["data"]["text"])
+           for r in dec.collect()}
+    assert got == {("a", "U", 1, 'quote " in it'), ("b", "U", 2, "plain"),
+                   ("a", "D", 9, "")}
+    # range export: only the delete epoch
+    late = export_flat_messages(t, v1)
+    assert [json.loads(r["value"])["type"] for r in late.collect()] == ["DELETE"]
