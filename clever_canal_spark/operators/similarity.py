@@ -167,6 +167,17 @@ def ivf_centroids(df: DataFrame, centroid_mod: int = 32) -> DataFrame:
     )
 
 
+def _require_centroids(cents: DataFrame, fn: str) -> DataFrame:
+    """Empty seed set would silently empty every downstream join (the
+    assignment drops all rows) — refuse loudly instead."""
+    if cents.limit(1).count() == 0:
+        raise ValueError(
+            f"{fn}: no centroid seeds (vec_id % centroid_mod matched no "
+            "rows) — lower centroid_mod or renumber vec_ids"
+        )
+    return cents
+
+
 def ivf_assign(df: DataFrame, centroid_mod: int = 32, n_dims: int = N_DIMS) -> DataFrame:
     """(vec_id, cent_id): nearest centroid by exact scaled dot, ties to the
     lowest cent_id. Centroids broadcast; assignment is one map-side pass +
@@ -747,6 +758,7 @@ def semdedup_keepers(
         raise ValueError("on_oversized must be 'raise' or 'keep'")
     from .dedup import _free_checkpoint, min_label_components
 
+    _require_centroids(ivf_centroids(df, centroid_mod), "semdedup_keepers")
     assigned = ivf_assign(df, centroid_mod, n_dims)
     # one materialization: the self-join below would otherwise recompute
     # the O(n·centroids) assignment once per branch. The returned plan
@@ -816,7 +828,9 @@ def kmeans_centroids(
     localCheckpoint so the loop's plan stays flat."""
     from ..ckpt import free_checkpoint
 
-    cents = ivf_centroids(df, centroid_mod).select(
+    cents = _require_centroids(
+        ivf_centroids(df, centroid_mod), "kmeans_centroids"
+    ).select(
         "cent_id", F.expr("transform(cvec, x -> CAST(x AS DOUBLE))").alias("cvec")
     )
     prev = None

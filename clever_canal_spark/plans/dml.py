@@ -116,9 +116,15 @@ def update_where(
     if unknown:
         raise ValueError(f"update_where: unknown column(s) {unknown}")
     live, dml_lsn, cols = _source(table, predicate, lsn)
-    updated = live
-    for name, expr in set_exprs.items():
-        updated = updated.withColumn(name, _pred(expr))
+    # one projection, every set-expression evaluated against the PRE-image
+    # (SQL UPDATE semantics: SET a = b, b = a swaps — a sequential
+    # withColumn chain would instead feed a's new value into b)
+    updated = live.select(
+        *[
+            (_pred(set_exprs[c]).alias(c) if c in set_exprs else F.col(c))
+            for c in cols
+        ]
+    )
     src = updated.select(
         *cols,
         F.lit(dml_lsn).cast("long").alias("__dml_lsn"),

@@ -117,3 +117,16 @@ def test_maintained_view_absorbs_dml(spark, tmp_table_dir):
     }
     # seed: 1 upsert each; dml-1 deletes b,c; dml-2 re-upserts a
     assert got == {("a", 2, 0), ("b", 1, 1), ("c", 1, 1), ("d", 1, 0)}
+
+
+def test_update_where_swap_uses_pre_image(spark, tmp_table_dir):
+    """SET text = lang, lang = text must SWAP (SQL UPDATE semantics:
+    every expression sees the pre-image), not duplicate one side."""
+    t = seeded(spark, tmp_table_dir)
+    update_where(
+        t, "url = 'a'",
+        {"text": F.col("lang"), "lang": F.col("text")},
+        epoch_id="swap",
+    )
+    row = {r["url"]: (r["text"], r["lang"]) for r in t.scan().collect()}
+    assert row["a"] == ("en", "1")

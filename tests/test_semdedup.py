@@ -114,3 +114,18 @@ def test_centroid_arrays_roundtrip(spark):
     long_form = kmeans_centroids(df, centroid_mod=2, n_iters=1, n_dims=4)
     arrs = {r["cent_id"]: r["cvec"] for r in centroid_arrays(long_form, n_dims=4).collect()}
     assert set(arrs) == {0, 2} and all(len(v) == 4 for v in arrs.values())
+
+
+def test_empty_centroid_seed_raises(spark):
+    from clever_canal_spark.operators.similarity import (
+        kmeans_centroids,
+        semdedup_keepers,
+    )
+
+    # only odd vec_ids → no seed at any vec_id % 4 == 0
+    rows = [(2 * i + 1, [float(i), 1.0, 0.0, 0.0]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="no centroid seeds"):
+        semdedup_keepers(df, centroid_mod=4, n_dims=4)
+    with pytest.raises(ValueError, match="no centroid seeds"):
+        kmeans_centroids(df, centroid_mod=4, n_dims=4)
