@@ -5175,3 +5175,31 @@ def q_cdc_export_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "op",
         F.col("es").alias("lsn"),
     )
+
+
+@register(
+    "cdc_erase_rows",
+    f"""
+    SELECT 'u' || CAST(user_id AS VARCHAR) AS url,
+           CAST({_CENTS} AS VARCHAR) AS text
+    FROM (
+      SELECT user_id, value, {_OP_EXPR} AS op,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1 AND op <> 'D' AND {_CENTS} % 9 <> 4
+    """,
+)
+def q_cdc_erase_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physical erasure (lake/erase.py erase_rows — the right-to-be-
+    forgotten protocol): logical delete (consumers see D markers) → full
+    rewrite dropping every retained version AND tombstone of the matched
+    keys → retention collapse → vacuum. Runs on a zero-copy clone of the
+    engine replay; after it returns, the clone's disk bytes no longer
+    contain the matched rows (pytest-asserted with a grep over the data
+    files) and the live scan equals the SQL winners minus the predicate
+    matches."""
+    from .lake import erase_rows
+
+    clone = _clone_replay(spark, sf_dir)
+    erase_rows(clone, "CAST(text AS BIGINT) % 9 = 4", epoch_id="gdpr-1")
+    return clone.scan().select("url", "text")

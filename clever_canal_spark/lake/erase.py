@@ -1,0 +1,104 @@
+"""Physical row erasure — the GDPR right-to-be-forgotten operation.
+
+``delete_where`` (plans/dml.py) erases rows *logically*: downstream
+consumers see ordinary delete markers and the live scan stops returning
+them — but time travel, the changelog, retained data files, and the LWW
+tombstones themselves still carry the payload (and the KEY, which is
+often the PII: a url). :func:`erase_rows` finishes the job physically,
+the way Iceberg/Delta compliance guides do it (DELETE → rewrite data
+files → expire snapshots → remove orphan files):
+
+1. capture the matched keys from live state (materialized first — the
+   logical delete is about to change that state),
+2. ``delete_where`` — downstream consumers observe normal D markers
+   BEFORE the history disappears (ordering matters: a consumer that
+   tails the changelog later will find the erase epoch expired),
+3. one compaction-style rewrite of the whole table dropping EVERY
+   version of the matched keys — including their tombstones, which a
+   plain compact would retain (the tombstone carries the key),
+4. retention collapse (``expire_snapshots(keep_last=1)``) + ``vacuum(0)``
+   so no retained snapshot references the old files and the bytes leave
+   disk.
+
+Refuses when named refs pin older snapshots (the pinned version would
+keep the files alive — drop the tags first, explicitly). The rewrite
+commits as a compaction, so ``scan_changes`` never re-emits the
+surviving rows.
+
+Trade stated plainly: erasure collapses time travel to the single
+post-erase snapshot and drops the erased keys' tombstones — a lagging
+shard could re-insert an erased key afterwards (the usual LWW shield is
+gone WITH the tombstone; that is inherent to erasure, not a bug: keep
+the upstream feed filtered too).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..ckpt import free_checkpoint
+from .table import LakeTable
+
+
+@dataclass
+class EraseResult:
+    version: int
+    files_removed: int
+    delete_applied: bool
+
+
+def _pred(predicate: Column | str) -> Column:
+    return F.expr(predicate) if isinstance(predicate, str) else predicate
+
+
+def erase_rows(
+    table: LakeTable,
+    predicate: Column | str,
+    epoch_id,
+    keep_last: int = 1,
+) -> EraseResult:
+    """Physically erase every live row matching ``predicate`` (and all
+    retained history of those keys). See module docstring for the
+    protocol and the stated trades."""
+    refs = table.list_refs()
+    if refs:
+        raise ValueError(
+            f"named refs pin historical snapshots ({sorted(refs)}); "
+            "erasure cannot be complete while they exist — drop_tag first"
+        )
+    snap = table.snapshot()
+    key = list(snap.merge_key)
+    keys = table.scan().filter(_pred(predicate)).select(*key).distinct().localCheckpoint()
+    try:
+        from ..plans.dml import delete_where
+
+        res = delete_where(table, predicate, epoch_id=epoch_id)
+
+        # physical rewrite: every retained version of the matched keys —
+        # tombstones included — drops from every bucket in one commit
+        snap = table.snapshot()
+        cols = [f["name"] for f in snap.current_fields()]
+        body = (
+            table._reconciled(snap, keep_deletes=True)
+            .join(keys, on=key, how="left_anti")
+            .select(*cols, "__lsn", "__op")
+        )
+        sort_key = list(snap.bucket_key)
+        sort_key += [k for k in key if k not in sort_key]
+        new_files = table._write_data_files(snap, body, sort_cols=sort_key + ["__lsn"])
+        child = table._child(
+            snap, files=new_files, delta_files=[], operation="compact:erase"
+        )
+        table._write_snapshot(child)
+    finally:
+        free_checkpoint(keys)
+
+    table.expire_snapshots(keep_last=keep_last)
+    removed = table.vacuum(orphan_ttl_s=0.0)
+    return EraseResult(
+        version=table.current_version(),
+        files_removed=len(removed["removed_files"]),
+        delete_applied=res.applied,
+    )

@@ -647,7 +647,9 @@ class LakeTable:
             if version is not None:
                 raise ValueError("pass version or ref, not both")
             version = self.resolve_ref(ref)
-        snap = self.snapshot(version)
+        # expired time travel raises SnapshotExpired, not a bare
+        # FileNotFoundError — same contract as scan_changes
+        snap = self.snapshot() if version is None else self._snapshot_retained(version)
         cols = [f["name"] for f in snap.current_fields()]
         if snap.delta_files:
             return self._reconciled(snap).select(*cols)
