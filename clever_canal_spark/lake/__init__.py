@@ -15,6 +15,7 @@ from .consistency import (
     version_at_epoch,
 )
 from .erase import EraseResult, erase_rows
+from .fsck import check_table
 from .table import CommitConflict, LakeTable, MergeResult, SnapshotExpired
 from .wap import (
     PublishConflict,
@@ -53,7 +54,7 @@ __all__ = [
     "create_cms_view", "sync_cms_view", "cms_view_estimate", "cms_view_config",
     "create_hist_view", "sync_hist_view", "hist_view_quantiles",
     "bootstrap_hll_view", "bootstrap_cms_view", "bootstrap_hist_view",
-    "Consumer", "Batch", "snapshot_diff", "EraseResult", "erase_rows",
+    "Consumer", "Batch", "snapshot_diff", "EraseResult", "erase_rows", "check_table",
     "PublishConflict", "fork_branch", "branch_table", "list_branches",
     "publish_branch", "drop_branch",
     "version_at_epoch", "latest_consistent_epoch", "consistent_versions",
