@@ -75,6 +75,16 @@ def erase_rows(
         from ..plans.dml import delete_where
 
         res = delete_where(table, predicate, epoch_id=epoch_id)
+        if res.applied and keys.limit(1).count() == 0:
+            # first run, nothing matched: the (empty) delete epoch is
+            # committed for exactly-once, but there is no history to
+            # rewrite and no reason to collapse retention. A REPLAY
+            # (res.applied False) never takes this path — a prior attempt
+            # may have crashed mid-protocol, so the rewrite must run.
+            return EraseResult(
+                version=table.current_version(), files_removed=0,
+                delete_applied=True,
+            )
 
         # physical rewrite: every retained version of the matched keys —
         # tombstones included — drops from every bucket in one commit

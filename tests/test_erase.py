@@ -86,3 +86,15 @@ def test_erase_changelog_delete_visible_before_collapse(spark, tmp_table_dir):
     erase_rows(t, F.col("url") == SECRET_URL, epoch_id="erase-1")
     with pytest.raises(SnapshotExpired):
         t.scan_changes(v0).collect()
+
+
+def test_erase_no_match_is_cheap_noop(spark, tmp_table_dir):
+    t = seeded(spark, tmp_table_dir)
+    v0 = t.current_version()
+    res = erase_rows(t, "url = 'absent'", epoch_id="erase-none")
+    assert res.delete_applied and res.files_removed == 0
+    # no rewrite, no retention collapse: history intact
+    assert t.scan(version=v0).count() == 3
+    # replay of the same epoch falls through the full (idempotent) path
+    res2 = erase_rows(t, "url = 'absent'", epoch_id="erase-none")
+    assert not res2.delete_applied
