@@ -5203,3 +5203,30 @@ def q_cdc_erase_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     clone = _clone_replay(spark, sf_dir)
     erase_rows(clone, "CAST(text AS BIGINT) % 9 = 4", epoch_id="gdpr-1")
     return clone.scan().select("url", "text")
+
+
+@register(
+    "emb_outlier_scores",
+    f"""
+    WITH cents AS (
+      SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings
+      WHERE vec_id % 16 = 0
+    )
+    SELECT vec_id, cent_id, affinity_e9 FROM (
+      SELECT e.vec_id, c.cent_id,
+             {_duck_dot_e9('e.embedding', 'c.cvec')} AS affinity_e9,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY {_duck_dot_e9('e.embedding', 'c.cvec')} DESC, c.cent_id) AS rn
+      FROM embeddings e CROSS JOIN cents c
+    ) WHERE rn = 1
+    """,
+)
+def q_emb_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prototypicality / outlier scoring
+    (operators/similarity.centroid_affinity): exact scaled cosine of
+    every vector to its nearest IVF centroid — the rank-within-cluster
+    signal SemDeDup keeps representatives by, and the novelty score a
+    curation pipeline thresholds. Broadcast argmax, integer-exact."""
+    from .operators.similarity import centroid_affinity
+
+    return centroid_affinity(_embeddings(spark, sf_dir), centroid_mod=16)

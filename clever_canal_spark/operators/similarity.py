@@ -896,3 +896,37 @@ def centroid_arrays(centroids_long: DataFrame, n_dims: int = N_DIMS) -> DataFram
             ).alias("cvec"),
         )
     )
+
+
+def centroid_affinity(
+    df: DataFrame,
+    centroid_mod: int = 32,
+    n_dims: int = N_DIMS,
+) -> DataFrame:
+    """(vec_id, cent_id, affinity_e9): each vector's exact scaled cosine
+    to its NEAREST centroid — the prototypicality signal (low affinity =
+    outlier / novel content; SemDeDup ranks within-cluster keepers by
+    exactly this). One broadcast argmax pass, same shape as
+    :func:`ivf_assign`, payload never shuffles."""
+    cents = F.broadcast(
+        _require_centroids(ivf_centroids(df, centroid_mod), "centroid_affinity")
+    )
+    scored = df.crossJoin(cents).select(
+        "vec_id",
+        "cent_id",
+        F.expr(dot_e9_expr("embedding", "cvec", n_dims)).alias("dot_e9"),
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.struct(F.col("cent_id"), F.col("dot_e9")),
+                F.struct(F.col("dot_e9"), -F.col("cent_id")),
+            ).alias("__w")
+        )
+        .select(
+            "vec_id",
+            F.col("__w.cent_id").alias("cent_id"),
+            F.col("__w.dot_e9").alias("affinity_e9"),
+        )
+    )
