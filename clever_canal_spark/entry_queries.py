@@ -5230,3 +5230,55 @@ def q_emb_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import centroid_affinity
 
     return centroid_affinity(_embeddings(spark, sf_dir), centroid_mod=16)
+
+
+def _duck_hash_embed(text_col: str, n_dims: int = 64) -> str:
+    """DuckDB twin of operators/text.hash_embed_expr (same md5 buckets,
+    signs, counts, and IEEE sqrt/divide normalization)."""
+    u32 = "('0x' || substr(md5(t), 1, 8))::BIGINT"
+    pairs = (
+        f"list_transform(regexp_extract_all(coalesce({text_col}, ''), '\\S+'), t -> "
+        f"struct_pack(d := {u32} % {n_dims}, "
+        f"s := CASE WHEN ({u32} // 256) % 2 = 0 THEN 1 ELSE -1 END))"
+    )
+    counts = (
+        f"list_transform(generate_series(0, {n_dims - 1}), i -> "
+        f"list_sum(list_transform(list_filter({pairs}, p -> p.d = i), p -> p.s)))"
+    )
+    # list_sum of an empty list is NULL in DuckDB — coalesce to 0
+    counts = f"list_transform({counts}, x -> CAST(coalesce(x, 0) AS BIGINT))"
+    return (
+        f"CASE WHEN list_sum(list_transform({counts}, x -> x * x)) = 0 "
+        f"THEN list_transform({counts}, x -> CAST(0.0 AS DOUBLE)) "
+        f"ELSE list_transform({counts}, x -> CAST(x AS DOUBLE) / "
+        f"sqrt(CAST(list_sum(list_transform({counts}, y -> y * y)) AS DOUBLE))) END"
+    )
+
+
+@register(
+    "doc_hash_embed_topk",
+    f"""
+    WITH emb AS (
+      SELECT doc_id AS vec_id, {_duck_hash_embed('text')} AS embedding
+      FROM documents
+    ),
+    q AS (SELECT embedding AS qvec FROM emb WHERE vec_id = 7)
+    SELECT vec_id, {_duck_dot_e9('e.embedding', 'q.qvec')} AS dot_e9
+    FROM emb e CROSS JOIN q
+    ORDER BY dot_e9 DESC, vec_id LIMIT 25
+    """,
+)
+def q_doc_hash_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text → vector → search, end to end from raw text
+    (operators/text.hash_embed): deterministic feature-hashing embedder
+    (hashing-trick buckets, ±1 signs, IEEE-exact L2 normalization — the
+    seam a real sentence encoder drops into), then the existing
+    brute-force cosine top-k against doc 7's embedding. The oracle
+    replays the embedder AND the search — the whole pipeline from text
+    bytes to neighbor list is cross-engine exact."""
+    from .operators.similarity import brute_force_topk
+    from .operators.text import hash_embed
+
+    emb = hash_embed(_documents(spark, sf_dir))
+    q = emb.filter(F.col("vec_id") == 7).select("embedding")
+    return brute_force_topk(emb, q, k=25)

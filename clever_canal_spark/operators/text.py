@@ -1216,3 +1216,52 @@ def bpe_merges_df(df: DataFrame, n_merges: int = 16, text_col: str = "text") -> 
     return spark.createDataFrame(
         rows or [], "step int, lft string, rgt string, freq long"
     )
+
+
+def hash_embed_expr(text_col: str, n_dims: int = 64) -> str:
+    """Deterministic feature-hashing text embedder (the hashing-trick /
+    SimHash-projection family): each token lands in bucket
+    u32(md5(tok)) % n_dims with sign from the next hash bit, counts
+    accumulate per dimension, and the vector L2-normalizes. Pure SQL on
+    both engines — a REAL model (sentence transformer) drops into the
+    same (text → array<double>) seam; this gives the pipeline a
+    self-contained, cross-engine-exact default so the similarity stack
+    runs end-to-end from raw text.
+
+    IEEE determinism: integer counts → sqrt → divide are correctly-
+    rounded operations, so Spark and DuckDB produce bit-identical
+    doubles (the e9-rounded dot products downstream then match exactly).
+    Empty/null text → the zero vector (callers filter or accept dot=0).
+    """
+    toks = rf"regexp_extract_all(coalesce({text_col}, ''), '\\S+', 0)"
+    # per-token (dim, sign): dim = u32 % n_dims, sign from bit 2^8
+    pairs = (
+        f"transform({toks}, t -> named_struct("
+        f"'d', CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT) % {n_dims}, "
+        f"'s', CASE WHEN (CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT) DIV 256) % 2 = 0 "
+        f"THEN 1 ELSE -1 END))"
+    )
+    counts = (
+        f"transform(sequence(0, {n_dims - 1}), i -> "
+        f"aggregate(filter({pairs}, p -> p.d = i), CAST(0 AS BIGINT), (a, p) -> a + p.s))"
+    )
+    # bind counts once, normalize (zero vector stays zero)
+    return (
+        f"element_at(transform(array({counts}), cs -> "
+        f"CASE WHEN aggregate(cs, CAST(0 AS BIGINT), (a, x) -> a + x * x) = 0 "
+        f"THEN transform(cs, x -> CAST(0.0 AS DOUBLE)) "
+        f"ELSE transform(cs, x -> CAST(x AS DOUBLE) / "
+        f"sqrt(CAST(aggregate(cs, CAST(0 AS BIGINT), (a, y) -> a + y * y) AS DOUBLE))) END), 1)"
+    )
+
+
+def hash_embed(df: DataFrame, n_dims: int = 64, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, embedding): see :func:`hash_embed_expr`. O(tokens·n_dims)
+    per row (each dimension folds the row's own token-pair array) — a
+    stateless map, no shuffle, no UDF; fine as the self-contained default
+    and irrelevant once a real encoder occupies the seam."""
+    return df.select(
+        F.col(id_col).alias("vec_id"),
+        F.expr(hash_embed_expr(text_col, n_dims)).alias("embedding"),
+    )

@@ -1001,3 +1001,42 @@ def test_bpe_token_counts_match_reference_application(spark):
         words = re.findall(r"\S+", t)
         assert got[i] == (len(words), sum(apply(w) for w in words)), i
     assert got[2] == (0, 0)  # empty doc
+
+
+def test_hash_embed_normalized_and_deterministic(spark):
+    from clever_canal_spark.operators.text import hash_embed
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma alpha"), (2, ""), (3, None), (4, "alpha beta gamma alpha")],
+        "doc_id long, text string",
+    )
+    out = {r["vec_id"]: r["embedding"] for r in hash_embed(docs, n_dims=16).collect()}
+    import math
+
+    # unit L2 norm for non-empty text
+    assert abs(math.fsum(x * x for x in out[1]) - 1.0) < 1e-12
+    # empty and null docs: the zero vector, not NULL/NaN
+    assert out[2] == [0.0] * 16 and out[3] == [0.0] * 16
+    # identical text → identical vector (and repeated tokens accumulate:
+    # some |component| corresponds to count 2 before normalization)
+    assert out[1] == out[4]
+    nonzero = [abs(x) for x in out[1] if x != 0.0]
+    assert max(nonzero) / min(nonzero) > 1.5  # the doubled token dominates
+
+
+def test_hash_embed_feeds_similarity_stack(spark):
+    from clever_canal_spark.operators.similarity import brute_force_topk
+    from clever_canal_spark.operators.text import hash_embed
+
+    docs = spark.createDataFrame(
+        [(i, f"topic{'AB'[i % 2]} words shared tail {i}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    emb = hash_embed(docs, n_dims=64)
+    q = emb.filter("vec_id = 0").select("embedding")
+    top = brute_force_topk(emb, q, k=3).collect()
+    # self is the best match; per-element e9 rounding puts the self-dot
+    # within a hair of 1e9
+    assert top[0]["vec_id"] == 0
+    assert abs(top[0]["dot_e9"] - 1_000_000_000) <= 64
+    assert top[1]["dot_e9"] < top[0]["dot_e9"]
