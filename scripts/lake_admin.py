@@ -1,0 +1,121 @@
+"""spark-submit entry point for lake table administration — the
+operational surface next to run_pipeline (ingest) and run_curation
+(corpus): inspect and maintain a LakeTable without writing code.
+
+    zip -r ccs.zip clever_canal_spark
+    spark-submit --py-files ccs.zip scripts/lake_admin.py \
+        --table-dir /mnt/shared/lake/pages <command> [args]
+
+Commands:
+
+    fsck [--deep]              integrity check (lake/fsck.py); exit 1 on findings
+    history                    retained operation log (newest first)
+    compact [--zorder c1,c2]   fold MOR deltas; optional z-order layout
+    rebucket N                 metadata-only bucket-count change (nesting)
+    migrate-spec               eagerly rewrite old-bucket-spec files
+    set-stats-cols c1,c2       manifest column stats for scan_where pruning
+    expire --keep N            expire_snapshots(keep_last=N)
+    vacuum [--ttl SECONDS]     remove orphan files / stale stage dirs
+    delete-where 'PRED' --epoch ID    logical bulk delete (change events)
+    erase-where 'PRED' --epoch ID     PHYSICAL erasure (GDPR protocol)
+    tag NAME [--version V] | untag NAME | refs
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from clever_canal_spark.lake import LakeTable, check_table, erase_rows
+from clever_canal_spark.plans import delete_where
+from clever_canal_spark.session import build_session
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description="clever-canal-spark lake admin")
+    p.add_argument("--table-dir", required=True)
+    sub = p.add_subparsers(dest="cmd", required=True)
+    sub.add_parser("fsck").add_argument("--deep", action="store_true")
+    sub.add_parser("history")
+    c = sub.add_parser("compact")
+    c.add_argument("--zorder", default="")
+    rb = sub.add_parser("rebucket")
+    rb.add_argument("n", type=int)
+    sub.add_parser("migrate-spec")
+    sc = sub.add_parser("set-stats-cols")
+    sc.add_argument("cols")
+    ex = sub.add_parser("expire")
+    ex.add_argument("--keep", type=int, required=True)
+    va = sub.add_parser("vacuum")
+    va.add_argument("--ttl", type=float, default=3600.0)
+    dw = sub.add_parser("delete-where")
+    dw.add_argument("pred")
+    dw.add_argument("--epoch", required=True)
+    ew = sub.add_parser("erase-where")
+    ew.add_argument("pred")
+    ew.add_argument("--epoch", required=True)
+    tg = sub.add_parser("tag")
+    tg.add_argument("name")
+    tg.add_argument("--version", type=int, default=None)
+    ut = sub.add_parser("untag")
+    ut.add_argument("name")
+    sub.add_parser("refs")
+    args = p.parse_args()
+
+    spark = build_session(app_name="ccs-lake-admin")
+    t = LakeTable(spark, args.table_dir)
+    rc = 0
+    if args.cmd == "fsck":
+        findings = check_table(t, deep=args.deep)
+        for f in findings:
+            print(json.dumps(f))
+        print(f"[admin] fsck: {len(findings)} finding(s) "
+              f"({'deep' if args.deep else 'metadata'} pass)")
+        rc = 1 if findings else 0
+    elif args.cmd == "history":
+        for h in t.history():
+            print(json.dumps(h))
+    elif args.cmd == "compact":
+        z = [c for c in args.zorder.split(",") if c]
+        v = t.compact(zorder_cols=z or None)
+        print(f"[admin] compact -> v{v}" if v else "[admin] compact: no deltas")
+    elif args.cmd == "rebucket":
+        print(f"[admin] rebucket -> v{t.rebucket(args.n)}")
+    elif args.cmd == "migrate-spec":
+        v = t.migrate_bucket_spec()
+        print(f"[admin] migrate-spec -> v{v}" if v else "[admin] migrate-spec: nothing stale")
+    elif args.cmd == "set-stats-cols":
+        print(f"[admin] set-stats-cols -> v{t.set_stats_cols(args.cols.split(','))}")
+    elif args.cmd == "expire":
+        gone = t.expire_snapshots(keep_last=args.keep)
+        print(f"[admin] expired {len(gone)} snapshot(s)")
+    elif args.cmd == "vacuum":
+        r = t.vacuum(orphan_ttl_s=args.ttl)
+        print(f"[admin] vacuum: {len(r['removed_files'])} file(s), "
+              f"{r['removed_stage_dirs']} stage dir(s), "
+              f"{r['removed_sealed_branches']} sealed branch(es)")
+    elif args.cmd == "delete-where":
+        r = delete_where(t, args.pred, epoch_id=args.epoch)
+        print(f"[admin] delete-where applied={r.applied} v{r.version} lsn={r.lsn}")
+    elif args.cmd == "erase-where":
+        r = erase_rows(t, args.pred, epoch_id=args.epoch)
+        print(f"[admin] erase-where applied={r.delete_applied} v{r.version} "
+              f"files_removed={r.files_removed}")
+    elif args.cmd == "tag":
+        print(f"[admin] tag {args.name} -> v{t.create_tag(args.name, args.version)}")
+    elif args.cmd == "untag":
+        t.drop_tag(args.name)
+        print(f"[admin] untag {args.name}")
+    elif args.cmd == "refs":
+        for name, ref in t.list_refs().items():
+            print(json.dumps({"name": name, **ref}))
+    spark.stop()
+    sys.exit(rc)
+
+
+if __name__ == "__main__":
+    main()
