@@ -82,3 +82,75 @@ def winner_delta_stream(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- transformWithState form (Spark 4 StatefulProcessor API) --------------
+
+
+def winner_delta_stream_tws(
+    events: DataFrame, state_ttl_ms: int | None = None
+) -> DataFrame:
+    """:func:`winner_delta_stream` on the modern ``transformWithState``
+    API (Spark 4 StatefulProcessor): same winner-delta semantics, but the
+    per-key max-LSN lives in a named ValueState with an OPTIONAL TTL —
+    the knob the legacy ``applyInPandasWithState`` form documents as
+    missing. Leave ``state_ttl_ms`` None for CDC (winners must be
+    remembered indefinitely); set it for bounded-state analytics streams
+    where a key expiring means "treat the next event as first contact"
+    (re-emission after expiry is the accepted trade, stated here rather
+    than hidden).
+
+    State remains (key → lsn) only; payloads are emitted, never stored.
+
+    Environment requirements (checked here so the failure is a clear
+    ImportError, not a crashed driver worker): ``protobuf`` (the
+    transformWithState control channel is protobuf-framed) and the
+    RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass``). Containers
+    without protobuf use :func:`winner_delta_stream` — same semantics,
+    no TTL knob.
+    """
+    import google.protobuf  # noqa: F401 — hard dep of the tws worker
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class WinnerDelta(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._max = handle.getValueState(
+                "max_lsn", _STATE_SCHEMA, ttlDurationMs=state_ttl_ms
+            )
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            prev = self._max.get()[0] if self._max.exists() else -1
+            best = None
+            for pdf in rows:
+                if pdf.empty:
+                    continue
+                i = pdf["lsn"].idxmax()
+                row = pdf.loc[i]
+                if best is None or int(row["lsn"]) > int(best["lsn"]):
+                    best = row
+            if best is None or int(best["lsn"]) <= prev:
+                return
+            self._max.update((int(best["lsn"]),))
+            yield pd.DataFrame(
+                {
+                    "url": [key[0]],
+                    "warc_ts": [best["warc_ts"]],
+                    "lsn": [int(best["lsn"])],
+                    "op": [best["op"]],
+                    "text": [best["text"]],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("url", "warc_ts").transformWithStateInPandas(
+        WinnerDelta(),
+        outputStructType=WINNER_DELTA_SCHEMA,
+        outputMode="append",
+        timeMode="none",
+    )

@@ -74,3 +74,57 @@ def test_winner_delta_across_microbatches(spark, tmp_table_dir):
     # emitted: a@5 and b@4 from batch 1; b@9(D) and c@7 from batch 2.
     # NOT emitted: a@3 (lost in-batch), a@4 (stale vs state).
     assert rows == {("a", 5, "U"), ("b", 4, "U"), ("b", 9, "D"), ("c", 7, "U")}
+
+
+def test_winner_delta_tws_across_microbatches(spark, tmp_table_dir):
+    """The transformWithState (StatefulProcessor) twin must behave
+    identically to the legacy form on the same two-batch scenario.
+    Requires protobuf (the tws control channel) — skipped in containers
+    without it; runs on any real cluster."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    from clever_canal_spark.streaming.stateful import winner_delta_stream_tws
+
+    src_dir = os.path.join(tmp_table_dir, "tws-src")
+    out_dir = os.path.join(tmp_table_dir, "tws-out")
+    ckpt = os.path.join(tmp_table_dir, "tws-ckpt")
+    os.makedirs(src_dir, exist_ok=True)
+    # transformWithState requires the RocksDB state store provider
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
+    _write_batch(spark, src_dir, "b1",
+                 [("a", 3, "U", "a3"), ("a", 5, "U", "a5"), ("b", 4, "U", "b4")])
+
+    def drain():
+        q = (
+            winner_delta_stream_tws(
+                spark.readStream.schema(IN_SCHEMA)
+                .option("maxFilesPerTrigger", 1).parquet(src_dir)
+            )
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    try:
+        drain()
+        _write_batch(spark, src_dir, "b2",
+                     [("a", 4, "U", "a4-stale"), ("b", 9, "D", None), ("c", 7, "U", "c7")])
+        drain()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+    out = spark.read.schema(WINNER_DELTA_SCHEMA).parquet(out_dir)
+    rows = {(r["url"], r["lsn"], r["op"]) for r in out.collect()}
+    assert rows == {("a", 5, "U"), ("b", 4, "U"), ("b", 9, "D"), ("c", 7, "U")}
