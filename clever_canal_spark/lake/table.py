@@ -740,6 +740,58 @@ class LakeTable:
         )
         return out.filter(pred) if pred is not None else out
 
+    def scan_where_ranges(self, ranges: dict[str, tuple]) -> DataFrame:
+        """Multi-column :meth:`scan_where`: ``{col: (lo, hi)}`` (either
+        bound None for open) — a file is read only if EVERY column's
+        recorded [min, max] overlaps its bound, so a Z-ordered table
+        (``compact(zorder_cols=…)``) prunes on the conjunction. Same
+        delta-pending fallback rule as scan_where."""
+        snap = self.snapshot()
+        names = {f["name"] for f in snap.current_fields()}
+        unknown = sorted(set(ranges) - names)
+        if unknown:
+            raise ValueError(f"unknown column(s) {unknown}")
+        pred = None
+        for col, (lo, hi) in ranges.items():
+            if lo is not None:
+                p = F.col(col) >= F.lit(lo)
+                pred = p if pred is None else (pred & p)
+            if hi is not None:
+                p = F.col(col) <= F.lit(hi)
+                pred = p if pred is None else (pred & p)
+        if snap.delta_files:
+            out = self.scan()
+            return out.filter(pred) if pred is not None else out
+        bounds = {
+            c: (self._stats_bound(lo), self._stats_bound(hi))
+            for c, (lo, hi) in ranges.items()
+        }
+
+        def keep(f: dict) -> bool:
+            for col, (b_lo, b_hi) in bounds.items():
+                st = (f.get("col_stats") or {}).get(col)
+                if st is None and col == snap.bucket_key[0] and f.get("key_min") is not None:
+                    st = [f["key_min"], f["key_max"]]
+                if st is None:
+                    continue  # no stats for this column: cannot prune on it
+                try:
+                    if b_lo is not None and st[1] < b_lo:
+                        return False
+                    if b_hi is not None and st[0] > b_hi:
+                        return False
+                except TypeError:
+                    continue
+            return True
+
+        cols = [f["name"] for f in snap.current_fields()]
+        files = [f for f in snap.files if keep(f)]
+        out = (
+            self._read_files(snap, files, hidden=True)
+            .filter(F.col("__op") != F.lit("D"))
+            .select(*cols)
+        )
+        return out.filter(pred) if pred is not None else out
+
     def lookup(self, **key_vals) -> DataFrame:
         """Point read by bucket-key value(s): computes the key's bucket and
         reconciles ONLY that bucket's files — an O(table/n_buckets) read

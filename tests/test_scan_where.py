@@ -178,3 +178,29 @@ def test_compact_zorder_unknown_column_raises(spark, tmp_table_dir):
             mode="mor", lsn_col="lsn")
     with pytest.raises(ValueError, match="zorder column"):
         t.compact(zorder_cols=["nope"])
+
+
+def test_scan_where_ranges_conjunction_on_zordered_table(spark, tmp_table_dir):
+    t = LakeTable.create(spark, tmp_table_dir, SCHEMA,
+                         merge_key=["url", "warc_ts"], n_buckets=4,
+                         stats_cols=["score", "warc_ts"])
+    rows = [
+        (f"u{d}-{s}", f"2024-01-{d + 1:02d} 00:00:00", s * 10)
+        for d in range(8) for s in range(8)
+    ]
+    t.merge(src(spark, rows), epoch_id=0, mode="mor", lsn_col="lsn")
+    t.compact(zorder_cols=["score", "warc_ts"])
+    got = t.scan_where_ranges({
+        "score": (20, 30),
+        "warc_ts": (dt.datetime(2024, 1, 3), dt.datetime(2024, 1, 5)),
+    })
+    assert {r["url"] for r in got.collect()} == {
+        f"u{d}-{s}" for d in (2, 3, 4) for s in (2, 3)
+    }
+    with pytest.raises(ValueError, match="unknown column"):
+        t.scan_where_ranges({"nope": (1, 2)})
+    # delta-pending fallback stays correct
+    t.merge(src(spark, [("u0-0", "2024-01-01 00:00:00", 25)], lsn0=999),
+            epoch_id=1, mode="mor", lsn_col="lsn")
+    got2 = t.scan_where_ranges({"score": (20, 30)})
+    assert ("u0-0" in {r["url"] for r in got2.collect()})
