@@ -8,8 +8,10 @@ often the PII: a url). :func:`erase_rows` finishes the job physically,
 the way Iceberg/Delta compliance guides do it (DELETE → rewrite data
 files → expire snapshots → remove orphan files):
 
-1. capture the matched keys from live state (materialized first — the
-   logical delete is about to change that state),
+1. capture the matched keys from the reconciled state INCLUDING
+   tombstones (materialized first — the logical delete is about to
+   change that state; tombstones carry the pre-image, so a crash-replay
+   whose rows are already deleted still finds them),
 2. ``delete_where`` — downstream consumers observe normal D markers
    BEFORE the history disappears (ordering matters: a consumer that
    tails the changelog later will find the erase epoch expired),
@@ -70,7 +72,21 @@ def erase_rows(
         )
     snap = table.snapshot()
     key = list(snap.merge_key)
-    keys = table.scan().filter(_pred(predicate)).select(*key).distinct().localCheckpoint()
+    # capture keys from the reconciled state INCLUDING tombstones, not the
+    # live scan: (a) a crash-replay re-runs after delete_where already
+    # committed, so the matching rows are now tombstones and a live scan
+    # would find nothing — silently retaining the PII-bearing tombstones;
+    # (b) even on a first run, a key deleted earlier by normal CDC whose
+    # tombstone still matches the predicate carries the payload and must
+    # be purged too. Delete tombstones carry the full pre-image
+    # (plans/dml.py delete_where), so the predicate evaluates on them.
+    keys = (
+        table._reconciled(snap, keep_deletes=True)
+        .filter(_pred(predicate))
+        .select(*key)
+        .distinct()
+        .localCheckpoint()
+    )
     try:
         from ..plans.dml import delete_where
 

@@ -97,11 +97,27 @@ def _meta_findings(table: LakeTable, snap) -> list[dict]:
 
 def _deep_findings(table: LakeTable, snap) -> list[dict]:
     out: list[dict] = []
-    by_spec: dict[int, list[dict]] = {}
+    # group by (bucket spec, schema_version): files written under an older
+    # schema may carry the bucket-key columns under their PRE-RENAME names
+    # (rename is metadata-only, by field id) — one mixed read would either
+    # fail or hash nulls and report false corruption on a healthy table.
+    by_grp: dict[tuple[int, int], list[dict]] = {}
     for f in snap.files + snap.delta_files:
-        by_spec.setdefault(f.get("nb") or snap.n_buckets, []).append(f)
-    key0 = snap.bucket_key[0]
-    for nb, files in by_spec.items():
+        nb = f.get("nb") or snap.n_buckets
+        by_grp.setdefault((nb, f["schema_version"]), []).append(f)
+    cur_by_name = {f["name"]: f for f in snap.current_fields()}
+    for (nb, sv), files in by_grp.items():
+        old_by_id = {f["id"]: f for f in snap.schemas.get(str(sv), [])}
+        key_cols = []
+        for name in snap.bucket_key:
+            o = old_by_id.get(cur_by_name[name]["id"]) if name in cur_by_name else None
+            if o is None:
+                key_cols = None  # key column absent in this era — cannot check
+                break
+            key_cols.append(F.col(o["name"]).cast(cur_by_name[name]["type"]))
+        if key_cols is None:
+            continue
+        key0 = key_cols[0]
         claimed = {
             (f["path"] if f["path"].startswith("/") else os.path.join(table.path, f["path"])):
             f["bucket"]
@@ -112,8 +128,8 @@ def _deep_findings(table: LakeTable, snap) -> list[dict]:
             continue
         df = table.spark.read.parquet(*claimed.keys()).select(
             F.input_file_name().alias("__file"),
-            F.pmod(F.xxhash64(*[F.col(c) for c in snap.bucket_key]), F.lit(nb)).alias("__b"),
-            F.col(key0).alias("__k"),
+            F.pmod(F.xxhash64(*key_cols), F.lit(nb)).alias("__b"),
+            key0.alias("__k"),
         )
         agg = df.groupBy("__file", "__b").agg(
             F.count("*").alias("n"), F.min("__k").alias("lo"), F.max("__k").alias("hi")

@@ -96,14 +96,33 @@ def _zbase_expr(col: str, dtype: str) -> str:
 
 
 def _zvalue_expr(norm_exprs: list[str], bits: int = 16) -> str:
-    """Bit-interleave N 16-bit normalized values into one z-order key."""
+    """Bit-interleave N ``bits``-bit normalized values into one z-order key.
+
+    Interleaved positions must stay below bit 63: position 63 is the BIGINT
+    sign bit (rows with the largest z-value would sort FIRST), and Spark's
+    shiftleft wraps distances mod 64 (positions ≥64 would collide with low
+    bits). Callers size ``bits`` via :func:`_zorder_bits`; asserted here so
+    a future caller cannot silently produce a garbage layout."""
     ncols = len(norm_exprs)
+    if bits * ncols > 63:
+        raise ValueError(
+            f"z-value would need bit {bits * ncols - 1} (>62): "
+            f"{ncols} columns x {bits} bits — reduce bits per column"
+        )
     terms = [
         f"shiftleft(shiftright({e}, {b}) & 1, {b * ncols + j})"
         for b in range(bits)
         for j, e in enumerate(norm_exprs)
     ]
     return " + ".join(terms)
+
+
+def _zorder_bits(ncols: int) -> int:
+    """Bits per column so the interleaved key fits in 63 bits (sign bit
+    untouched): 16 for <=3 columns, 15 for 4, 12 for 5, ..."""
+    if ncols > 31:
+        raise ValueError(f"z-order over {ncols} columns is meaningless (max 31)")
+    return min(16, 63 // ncols)
 
 
 def _footer_col_range(md, idx: dict, col: str):
@@ -700,45 +719,12 @@ class LakeTable:
         skipped file could hold the true (out-of-range) winner and a read
         loser would wrongly surface, so the call falls back to an unpruned
         reconciled scan (same results, no file skipping). Run compact()
-        first for pruned analytics. Timestamp bounds accept datetime."""
-        snap = self.snapshot()
-        names = {f["name"] for f in snap.current_fields()}
-        if col not in names:
-            raise ValueError(f"unknown column {col!r}")
-        cols = [f["name"] for f in snap.current_fields()]
-        pred = None
-        if lo is not None:
-            pred = F.col(col) >= F.lit(lo)
-        if hi is not None:
-            p2 = F.col(col) <= F.lit(hi)
-            pred = p2 if pred is None else (pred & p2)
-        if snap.delta_files:
-            out = self.scan()
-            return out.filter(pred) if pred is not None else out
-        b_lo, b_hi = self._stats_bound(lo), self._stats_bound(hi)
+        first for pruned analytics. Timestamp bounds accept datetime.
 
-        def keep(f: dict) -> bool:
-            st = (f.get("col_stats") or {}).get(col)
-            if st is None and col == snap.bucket_key[0] and f.get("key_min") is not None:
-                st = [f["key_min"], f["key_max"]]
-            if st is None:
-                return True  # no stats: always read
-            try:
-                if b_lo is not None and st[1] < b_lo:
-                    return False
-                if b_hi is not None and st[0] > b_hi:
-                    return False
-            except TypeError:
-                return True
-            return True
-
-        files = [f for f in snap.files if keep(f)]
-        out = (
-            self._read_files(snap, files, hidden=True)
-            .filter(F.col("__op") != F.lit("D"))
-            .select(*cols)
-        )
-        return out.filter(pred) if pred is not None else out
+        One-column delegate of :meth:`scan_where_ranges` — one pruning
+        rule, not two copies that can drift.
+        """
+        return self.scan_where_ranges({col: (lo, hi)})
 
     def scan_where_ranges(self, ranges: dict[str, tuple]) -> DataFrame:
         """Multi-column :meth:`scan_where`: ``{col: (lo, hi)}`` (either
@@ -1711,15 +1697,25 @@ class LakeTable:
                 *[F.expr(f"min({b})").alias(f"lo{i}") for i, b in enumerate(bases.values())],
                 *[F.expr(f"max({b})").alias(f"hi{i}") for i, b in enumerate(bases.values())],
             ).collect()[0]
+            # normalize in DOUBLE, not BIGINT arithmetic: (x - lo) * 65535
+            # overflows long for wide ranges (a timestamp column spanning
+            # >~4.5 years, or hash-derived ids spanning >2^47), and under
+            # Spark 4's default ANSI mode the whole compaction would throw.
+            # span is computed driver-side in Python (arbitrary precision),
+            # and double's 52-bit mantissa is far more resolution than the
+            # <=16 layout bits we keep.
+            zbits = _zorder_bits(len(zorder_cols))
+            max_norm = (1 << zbits) - 1
             norms = []
             for i, b in enumerate(bases.values()):
                 lo = rng[f"lo{i}"] if rng[f"lo{i}"] is not None else 0
                 hi = rng[f"hi{i}"] if rng[f"hi{i}"] is not None else 0
-                span = max(hi - lo, 1)
+                scale = float(max_norm) / float(max(hi - lo, 1))
                 norms.append(
-                    f"(CAST((coalesce({b}, {lo}) - ({lo})) AS BIGINT) * 65535 DIV {span})"
+                    f"CAST(least(greatest((CAST(coalesce({b}, {lo}) AS DOUBLE)"
+                    f" - CAST({lo} AS DOUBLE)) * {scale!r}, 0D), {max_norm}D) AS BIGINT)"
                 )
-            body = body.withColumn("__zval", F.expr(_zvalue_expr(norms)))
+            body = body.withColumn("__zval", F.expr(_zvalue_expr(norms, bits=zbits)))
             sort_cols = ["__zval"]
             new_files = self._write_data_files(snap, body, sort_cols=sort_cols)
             free_checkpoint(body)

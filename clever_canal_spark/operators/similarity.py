@@ -178,12 +178,19 @@ def _require_centroids(cents: DataFrame, fn: str) -> DataFrame:
     return cents
 
 
-def ivf_assign(df: DataFrame, centroid_mod: int = 32, n_dims: int = N_DIMS) -> DataFrame:
+def ivf_assign(
+    df: DataFrame,
+    centroid_mod: int = 32,
+    n_dims: int = N_DIMS,
+    cents: DataFrame | None = None,
+) -> DataFrame:
     """(vec_id, cent_id): nearest centroid by exact scaled dot, ties to the
     lowest cent_id. Centroids broadcast; assignment is one map-side pass +
     a max_by agg — the index build is O(n_vectors x n_centroids) with no
-    payload shuffle (vec rows shuffle as (vec_id, cent_id) pairs only)."""
-    cents = F.broadcast(ivf_centroids(df, centroid_mod))
+    payload shuffle (vec rows shuffle as (vec_id, cent_id) pairs only).
+    Callers that already computed the centroid frame pass it via ``cents``
+    so the selection scan runs once, not once per consumer."""
+    cents = F.broadcast(cents if cents is not None else ivf_centroids(df, centroid_mod))
     scored = df.crossJoin(cents).select(
         "vec_id",
         "cent_id",
@@ -215,7 +222,7 @@ def ivf_topk(
         .limit(n_probes)
         .select("cent_id")
     )
-    assigned = ivf_assign(df, centroid_mod, n_dims)
+    assigned = ivf_assign(df, centroid_mod, n_dims, cents=cents)
     cand_ids = assigned.join(F.broadcast(probe_cents), on="cent_id").select("vec_id")
     cand = df.join(cand_ids, on="vec_id", how="left_semi")
     scored = cand.crossJoin(q).select(
@@ -758,8 +765,8 @@ def semdedup_keepers(
         raise ValueError("on_oversized must be 'raise' or 'keep'")
     from .dedup import _free_checkpoint, min_label_components
 
-    _require_centroids(ivf_centroids(df, centroid_mod), "semdedup_keepers")
-    assigned = ivf_assign(df, centroid_mod, n_dims)
+    cents = _require_centroids(ivf_centroids(df, centroid_mod), "semdedup_keepers")
+    assigned = ivf_assign(df, centroid_mod, n_dims, cents=cents)
     # one materialization: the self-join below would otherwise recompute
     # the O(n·centroids) assignment once per branch. The returned plan
     # also reads it, so it is NOT freed here — the ContextCleaner GCs the

@@ -118,10 +118,15 @@ def update_where(
     live, dml_lsn, cols = _source(table, predicate, lsn)
     # one projection, every set-expression evaluated against the PRE-image
     # (SQL UPDATE semantics: SET a = b, b = a swaps — a sequential
-    # withColumn chain would instead feed a's new value into b)
+    # withColumn chain would instead feed a's new value into b). Each set
+    # expression is cast to the column's DECLARED type: a narrower literal
+    # (SET views = 0 → IntegerType) would otherwise write a delta file
+    # whose physical parquet type differs from sibling files of the same
+    # schema_version, poisoning every later mixed-footer read.
+    types = {f["name"]: f["type"] for f in snap.current_fields()}
     updated = live.select(
         *[
-            (_pred(set_exprs[c]).alias(c) if c in set_exprs else F.col(c))
+            (_pred(set_exprs[c]).cast(types[c]).alias(c) if c in set_exprs else F.col(c))
             for c in cols
         ]
     )

@@ -148,9 +148,13 @@ def winner_delta_stream_tws(
         def close(self) -> None:
             pass
 
+    # Spark only allows TTL state under TimeMode.ProcessingTime —
+    # timeMode="none" with a TTL throws
+    # STATEFUL_PROCESSOR_INCORRECT_TIME_MODE_TO_ASSIGN_TTL at query start,
+    # so the mode follows the knob.
     return events.groupBy("url", "warc_ts").transformWithStateInPandas(
         WinnerDelta(),
         outputStructType=WINNER_DELTA_SCHEMA,
         outputMode="append",
-        timeMode="none",
+        timeMode="none" if state_ttl_ms is None else "processingTime",
     )

@@ -130,3 +130,37 @@ def test_update_where_swap_uses_pre_image(spark, tmp_table_dir):
     )
     row = {r["url"]: (r["text"], r["lang"]) for r in t.scan().collect()}
     assert row["a"] == ("en", "1")
+
+def test_update_where_casts_set_exprs_to_declared_types(spark, tmp_table_dir):
+    """SET views = 0 parses as IntegerType; without a cast to the column's
+    declared BIGINT the MOR delta file's physical parquet type would differ
+    from its siblings under the same schema_version and poison every later
+    mixed-footer read (PARQUET_COLUMN_DATA_TYPE_MISMATCH)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("views", T.LongType()),
+        ]
+    )
+    t = LakeTable.create(spark, tmp_table_dir, schema, merge_key=["url", "warc_ts"], n_buckets=2)
+    df = spark.createDataFrame(
+        [("a", TS, 7, "U", 0), ("b", TS, 9, "U", 1)],
+        "url string, warc_ts string, views long, op string, lsn long",
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+    t.merge(df, epoch_id=0, mode="mor", lsn_col="lsn")
+    res = update_where(t, "url = 'a'", {"views": "0"}, epoch_id="dml-t")
+    assert res.applied
+    # every parquet file on disk stores views as INT64
+    for fn in glob.glob(os.path.join(tmp_table_dir, "**", "*.parquet"), recursive=True):
+        sch = pq.read_schema(fn)
+        if "views" in sch.names:
+            assert str(sch.field("views").type) == "int64", fn
+    # and the mixed base+delta read works
+    got = {(r["url"], r["views"]) for r in t.scan().collect()}
+    assert got == {("a", 0), ("b", 9)}

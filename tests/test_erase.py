@@ -98,3 +98,21 @@ def test_erase_no_match_is_cheap_noop(spark, tmp_table_dir):
     # replay of the same epoch falls through the full (idempotent) path
     res2 = erase_rows(t, "url = 'absent'", epoch_id="erase-none")
     assert not res2.delete_applied
+
+def test_erase_replay_after_crash_purges_tombstones(spark, tmp_table_dir):
+    """Crash between the logical delete and the physical rewrite: the
+    replay's key capture must find the TOMBSTONES (the live scan is
+    already empty at that point) or the PII-bearing tombstone rows —
+    key AND full pre-image — survive the 'successful' erase forever."""
+    from clever_canal_spark.plans import delete_where
+
+    t = seeded(spark, tmp_table_dir)
+    # step 2 of the protocol committed, then the process died
+    assert delete_where(t, F.col("url") == SECRET_URL, epoch_id="erase-1").applied
+    assert _disk_has(tmp_table_dir, SECRET)  # tombstone carries the payload
+    res = erase_rows(t, F.col("url") == SECRET_URL, epoch_id="erase-1")
+    assert not res.delete_applied  # the delete epoch replayed as a no-op
+    assert not _disk_has(tmp_table_dir, SECRET)
+    assert not _disk_has(tmp_table_dir, SECRET_URL)
+    got = {(r["url"], r["text"]) for r in t.scan().collect()}
+    assert got == {("a", "v2"), ("b", "v1")}
