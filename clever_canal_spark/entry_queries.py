@@ -5332,3 +5332,77 @@ def q_doc_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=25,
         depth=100,
     )
+
+
+# schema-drift fixture: a FlatMessage-shaped image stream whose upstream
+# evolved WITHOUT a captured DDL — 'tags' appeared (every 7th image),
+# 'session_id' vanished entirely, 'views' declarations widened upstream
+# (every 11th message) and every 37th 'views' VALUE arrives malformed.
+_DRIFT_EXPECTED = {
+    "url": "varchar(255)",
+    "views": "int(10) unsigned",
+    "ts": "datetime",
+    "session_id": "bigint(20)",
+}
+_DRIFT_DATA = """
+map_filter(map(
+  'url', concat('https://ex.org/', CAST(event_id AS STRING)),
+  'views', CASE WHEN event_id % 37 = 0 THEN concat('x', CAST(event_id AS STRING))
+                ELSE CAST(event_id % 1000 AS STRING) END,
+  'ts', CASE WHEN event_id % 5 = 0 THEN NULL ELSE '2024-01-01 00:00:00' END,
+  'tags', CASE WHEN event_id % 7 = 0 THEN 'a,b' ELSE NULL END
+), (k, v) -> v IS NOT NULL)
+"""
+_DRIFT_WIRE = """
+map('url', 'varchar(255)',
+    'views', CASE WHEN event_id % 11 = 0 THEN 'bigint(20) unsigned'
+                  ELSE 'int(10) unsigned' END,
+    'ts', 'datetime')
+"""
+
+
+@register(
+    "cdc_schema_drift",
+    """
+    WITH e AS (SELECT event_id FROM events WHERE event_id < 2000)
+    SELECT * FROM (
+      SELECT 'tags' AS column_name, 'unknown_column' AS finding,
+             CAST(sum(CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_rows,
+             CAST(NULL AS VARCHAR) AS wire_type
+      FROM e
+      UNION ALL
+      SELECT 'session_id', 'missing_column', CAST(0 AS BIGINT), CAST(NULL AS VARCHAR)
+      UNION ALL
+      SELECT 'views', 'type_violation',
+             CAST(sum(CASE WHEN event_id % 37 = 0 THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(NULL AS VARCHAR)
+      FROM e
+      UNION ALL
+      SELECT 'views', 'type_changed',
+             CAST(sum(CASE WHEN event_id % 11 = 0 THEN 1 ELSE 0 END) AS BIGINT),
+             'bigint(20) unsigned'
+      FROM e
+    )
+    """,
+)
+def q_cdc_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift report (sources/flat_message.detect_schema_drift):
+    the feed's observed image shape vs the lake's declared schema, for
+    upstream changes that arrive WITHOUT a DDL event (the reference
+    evolves only on captured DDL — SimpleDdlParser feeds TableMeta; a
+    consumer of its MQ sinks sees un-captured drift first as row images
+    and mysqlType maps that stopped matching). Four finding kinds in one
+    fixture: un-captured ADD COLUMN ('tags'), un-captured DROP
+    ('session_id'), value-level type violations (the DLQ flag aggregated
+    per column), and upstream re-declaration ('views' widened). Oracle
+    derives every count INDEPENDENTLY from the base predicates — not the
+    shared classifier exprs — so a shared bug cannot hide."""
+    from .sources.flat_message import detect_schema_drift
+
+    ev = _events(spark, sf_dir).filter(F.col("event_id") < 2000)
+    images = ev.selectExpr(
+        f"{_DRIFT_DATA} AS data", f"{_DRIFT_WIRE} AS mysql_types"
+    )
+    return detect_schema_drift(
+        images, _DRIFT_EXPECTED, data_col="data", wire_types_col="mysql_types"
+    )

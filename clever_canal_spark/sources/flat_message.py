@@ -381,3 +381,121 @@ def export_flat_messages(
     )
     ch = table.scan_changes(from_version, to_version)
     return ch.select(F.expr(msg).alias("value"))
+
+
+def detect_schema_drift(
+    df,
+    expected: dict[str, str],
+    data_col: str = "data",
+    wire_types_col: str | None = None,
+):
+    """Schema-drift report over a stringly-typed image stream: the feed's
+    OBSERVED shape vs the lake's DECLARED shape, for drift that arrives
+    WITHOUT a DDL event (the reference only evolves on captured DDL —
+    FlatMessage consumers routinely see upstream changes first as row
+    images / mysqlType maps that quietly stopped matching).
+
+    ``expected`` maps column → declared MySQL type (the lake's view of
+    the source table). Emits one row per finding, ``(column_name, finding,
+    n_rows, wire_type)``:
+
+    - ``unknown_column`` — a map key no declared column explains;
+      n_rows = images carrying it (the signal an un-captured ADD COLUMN
+      happened upstream).
+    - ``missing_column`` — a declared column present in ZERO images.
+      Partial images are normal (sparse updates), total absence is the
+      un-captured DROP COLUMN signal; n_rows = 0 by construction.
+    - ``type_violation`` — a present value the declared type's decode
+      would silently null (:func:`malformed_value_expr` — the DLQ flag,
+      aggregated per column); n_rows = lossy images.
+    - ``type_changed`` — only with ``wire_types_col``: the message's own
+      declared ``mysqlType`` disagrees with ``expected`` (normalized
+      case/whitespace); n_rows = images, wire_type = max() of the
+      offending declarations (deterministic pick).
+
+    Scale shape: ONE vocabulary-bounded shuffle (explode of map KEYS
+    only — values never move) partial-aggregated per column name, plus
+    ONE 1-row conditional-sum aggregate for the per-declared-column
+    checks, unpivoted driver-free via stack(). The expected-column frame
+    is a schema-sized literal. No UDFs, no corpus-keyed shuffle."""
+    from pyspark.sql import functions as F
+
+    if not expected:
+        raise ValueError("detect_schema_drift needs at least one expected column")
+    spark = df.sparkSession
+    cols = sorted(expected)
+    exp_df = spark.createDataFrame([(c,) for c in cols], "column_name string")
+
+    # presence per observed key: the only shuffle, keyed by column NAME
+    presence = (
+        df.select(F.explode(F.map_keys(F.col(data_col))).alias("column_name"))
+        .groupBy("column_name")
+        .agg(F.count("*").alias("n_rows"))
+    )
+    unknown = (
+        presence.join(F.broadcast(exp_df), on="column_name", how="left_anti")
+        .select(
+            "column_name",
+            F.lit("unknown_column").alias("finding"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.lit(None).cast("string").alias("wire_type"),
+        )
+    )
+    # anti joins build their RIGHT side: broadcast presence (vocabulary-
+    # bounded — one row per distinct observed column name), never the
+    # stream; a left-side broadcast hint is unsupported and ignored.
+    missing = (
+        exp_df
+        .join(F.broadcast(presence), on="column_name", how="left_anti")
+        .select(
+            "column_name",
+            F.lit("missing_column").alias("finding"),
+            F.lit(0).cast("long").alias("n_rows"),
+            F.lit(None).cast("string").alias("wire_type"),
+        )
+    )
+
+    # per-declared-column checks: ONE 1-row aggregate, stack()-unpivoted
+    aggs = []
+    for i, c in enumerate(cols):
+        v = f"element_at({data_col}, '{c}')"
+        aggs.append(
+            F.expr(
+                f"sum(CASE WHEN {malformed_value_expr(v, expected[c])} THEN 1 ELSE 0 END)"
+            ).cast("long").alias(f"viol{i}")
+        )
+        if wire_types_col is not None:
+            norm = f"lower(trim(element_at({wire_types_col}, '{c}')))"
+            bad = f"({norm} IS NOT NULL AND {norm} <> '{expected[c].strip().lower()}')"
+            aggs.append(
+                F.expr(f"sum(CASE WHEN {bad} THEN 1 ELSE 0 END)").cast("long").alias(f"chg{i}")
+            )
+            aggs.append(
+                F.expr(f"max(CASE WHEN {bad} THEN {norm} END)").alias(f"wt{i}")
+            )
+    one = df.agg(*aggs)
+    viol_stack = ", ".join(f"'{c}', viol{i}" for i, c in enumerate(cols))
+    viol = one.selectExpr(
+        f"stack({len(cols)}, {viol_stack}) AS (column_name, n_rows)"
+    ).where(F.col("n_rows") > 0).select(
+        "column_name",
+        F.lit("type_violation").alias("finding"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.lit(None).cast("string").alias("wire_type"),
+    )
+    parts = [unknown, missing, viol]
+    if wire_types_col is not None:
+        chg_stack = ", ".join(f"'{c}', chg{i}, wt{i}" for i, c in enumerate(cols))
+        chg = one.selectExpr(
+            f"stack({len(cols)}, {chg_stack}) AS (column_name, n_rows, wire_type)"
+        ).where(F.col("n_rows") > 0).select(
+            "column_name",
+            F.lit("type_changed").alias("finding"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            "wire_type",
+        )
+        parts.append(chg)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -473,3 +473,55 @@ def test_export_flat_messages_roundtrip_and_deletes(spark, tmp_table_dir):
     # range export: only the delete epoch
     late = export_flat_messages(t, v1)
     assert [json.loads(r["value"])["type"] for r in late.collect()] == ["DELETE"]
+
+
+def test_detect_schema_drift_hand_findings(spark):
+    """All four finding kinds on a 6-image hand fixture, counts pinned."""
+    from clever_canal_spark.sources.flat_message import detect_schema_drift
+
+    rows = [
+        ({"url": "a", "views": "1"}, {"views": "int(10) unsigned"}),
+        ({"url": "b", "views": "x9"}, {"views": "int(10) unsigned"}),   # violation
+        ({"url": "c", "views": "2", "tags": "t"}, {"views": "int(10) unsigned"}),  # unknown
+        ({"url": "d", "views": "3", "tags": "u"}, {"views": "Bigint(20) UNSIGNED "}),  # unknown + changed (case/space-normalized)
+        ({"url": "e"}, {"views": "int(10) unsigned"}),                  # partial image: NOT a finding
+        ({"url": "f", "views": "zz"}, {"views": "bigint(20) unsigned"}),  # violation + changed
+    ]
+    df = spark.createDataFrame(
+        rows, "data map<string,string>, mysql_types map<string,string>"
+    )
+    expected = {
+        "url": "varchar(255)",
+        "views": "int(10) unsigned",
+        "gone": "datetime",
+    }
+    got = {
+        (r["column_name"], r["finding"]): (r["n_rows"], r["wire_type"])
+        for r in detect_schema_drift(
+            df, expected, wire_types_col="mysql_types"
+        ).collect()
+    }
+    assert got == {
+        ("tags", "unknown_column"): (2, None),
+        ("gone", "missing_column"): (0, None),
+        ("views", "type_violation"): (2, None),
+        ("views", "type_changed"): (2, "bigint(20) unsigned"),
+    }
+
+
+def test_detect_schema_drift_no_wire_types_and_clean(spark):
+    """Without wire_types_col the type_changed branch is absent; a feed
+    matching the declared shape produces ZERO findings; empty expected
+    raises."""
+    import pytest
+
+    from clever_canal_spark.sources.flat_message import detect_schema_drift
+
+    df = spark.createDataFrame(
+        [({"url": "a", "views": "1"},), ({"url": "b", "views": "2"},)],
+        "data map<string,string>",
+    )
+    expected = {"url": "varchar(255)", "views": "int(10) unsigned"}
+    assert detect_schema_drift(df, expected).count() == 0
+    with pytest.raises(ValueError):
+        detect_schema_drift(df, {})
