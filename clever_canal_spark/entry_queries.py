@@ -5284,54 +5284,6 @@ def q_doc_hash_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, q, k=25)
 
 
-@register(
-    "doc_hybrid_rrf_topk",
-    f"""
-    WITH tr AS (
-      SELECT doc_id,
-             row_number() OVER (ORDER BY score_e6 DESC, doc_id) AS text_rank
-      FROM ({_bm25_oracle(_BM25_TERMS, 100)})
-    ),
-    q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
-    vleg AS (
-      SELECT vec_id, {_duck_dot_e9('embedding', 'qvec')} AS dot_e9
-      FROM embeddings, q
-      ORDER BY dot_e9 DESC, vec_id LIMIT 100
-    ),
-    vr AS (
-      SELECT vec_id,
-             row_number() OVER (ORDER BY dot_e9 DESC, vec_id) AS vec_rank
-      FROM vleg
-    )
-    SELECT coalesce(tr.doc_id, vr.vec_id) AS doc_id,
-           tr.text_rank AS text_rank,
-           vr.vec_rank AS vec_rank,
-           coalesce(1000000 // (60 + tr.text_rank), 0)
-             + coalesce(1000000 // (60 + vr.vec_rank), 0) AS rrf_e6
-    FROM tr FULL OUTER JOIN vr ON tr.doc_id = vr.vec_id
-    ORDER BY rrf_e6 DESC, doc_id LIMIT 25
-    """,
-)
-def q_doc_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hybrid lexical+semantic retrieval (operators/text.hybrid_rrf_topk):
-    Reciprocal Rank Fusion of the BM25 top-100 (same 4-term query as
-    doc_bm25_topk) and the cosine top-100 vs the vec_id=0 query (same as
-    emb_cosine_topk), depth 100 → fused top-25. doc_id joins vec_id 1:1
-    in the fixture. Integer-exact: rank fusion is 10^6 DIV (60+rank) per
-    leg (Spark DIV == DuckDB //); docs missing a leg contribute 0 through
-    the full-outer fusion — both null-rank shapes appear in the result.
-    Oracle re-derives both legs independently and replays the fusion."""
-    from .operators.text import hybrid_rrf_topk
-
-    emb = _embeddings(spark, sf_dir)
-    return hybrid_rrf_topk(
-        _documents(spark, sf_dir),
-        emb,
-        list(_BM25_TERMS),
-        emb.filter(F.col("vec_id") == 0),
-        k=25,
-        depth=100,
-    )
 
 
 # schema-drift fixture: a FlatMessage-shaped image stream whose upstream

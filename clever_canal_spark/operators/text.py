@@ -1265,80 +1265,3 @@ def hash_embed(df: DataFrame, n_dims: int = 64, text_col: str = "text",
         F.col(id_col).alias("vec_id"),
         F.expr(hash_embed_expr(text_col, n_dims)).alias("embedding"),
     )
-
-
-def hybrid_rrf_topk(
-    docs: DataFrame,
-    emb: DataFrame,
-    terms: list[str],
-    query_df: DataFrame,
-    k: int = 25,
-    depth: int = 100,
-    rrf_k: int = 60,
-    w_text: int = 1,
-    w_vec: int = 1,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    n_dims: int | None = None,
-) -> DataFrame:
-    """Hybrid retrieval: Reciprocal Rank Fusion of the BM25 keyword leg
-    and the cosine vector leg — the standard way a corpus-exploration
-    user combines lexical and semantic search without score calibration
-    (ranks fuse; raw BM25 and cosine scores are incommensurable).
-
-    Per document: ``rrf_e6 = w_text·(10⁶ DIV (rrf_k + text_rank)) +
-    w_vec·(10⁶ DIV (rrf_k + vec_rank))`` — a leg the document missed
-    contributes 0 (full-outer fusion). Integer division keeps the score
-    exact across engines (Spark ``DIV`` == DuckDB ``//`` on positives),
-    so the DuckDB oracle hash-matches bit-for-bit; rrf_k=60 is the
-    Cormack/Clarke/Büttcher default. Ties break by doc_id.
-
-    Scale shape: each leg is an independent TakeOrdered(depth) over its
-    own corpus scan (bm25_topk: projection + 1-row stats reduce;
-    brute_force_topk: broadcast 1-row query) — no corpus-wide shuffle.
-    The single-partition rank windows and the full-outer fusion join
-    run on ≤``depth`` rows per leg by construction, so the post-leg
-    stage is O(depth), not O(corpus); ``depth`` bounds both the fusion
-    cost and how deep a document can sit in one leg and still be
-    rescued by the other. The reference engine has no retrieval
-    surface (webtext-analytics addition, same family as bm25_topk)."""
-    if k < 1 or depth < 1:
-        raise ValueError("k and depth must be >= 1")
-    if rrf_k < 0 or w_text < 0 or w_vec < 0:
-        raise ValueError("rrf_k and leg weights must be non-negative")
-    from .similarity import N_DIMS, brute_force_topk
-
-    text_leg = bm25_topk(docs, terms, k=depth, id_col=id_col, text_col=text_col)
-    vec_leg = brute_force_topk(
-        emb, query_df, k=depth, n_dims=n_dims if n_dims is not None else N_DIMS
-    )
-    tr = text_leg.select(
-        F.col(id_col).alias("__tid"),
-        F.row_number()
-        .over(Window.orderBy(F.col("score_e6").desc(), F.col(id_col)))
-        .cast("long")
-        .alias("text_rank"),
-    )
-    vr = vec_leg.select(
-        F.col("vec_id").alias("__vid"),
-        F.row_number()
-        .over(Window.orderBy(F.col("dot_e9").desc(), F.col("vec_id")))
-        .cast("long")
-        .alias("vec_rank"),
-    )
-    fused = tr.join(vr, tr["__tid"] == vr["__vid"], "full_outer").select(
-        F.coalesce(F.col("__tid"), F.col("__vid")).alias(id_col),
-        "text_rank",
-        "vec_rank",
-        (
-            F.coalesce(
-                F.lit(w_text) * F.expr(f"CAST(1000000 AS BIGINT) DIV ({rrf_k} + text_rank)"),
-                F.lit(0).cast("long"),
-            )
-            + F.coalesce(
-                F.lit(w_vec) * F.expr(f"CAST(1000000 AS BIGINT) DIV ({rrf_k} + vec_rank)"),
-                F.lit(0).cast("long"),
-            )
-        ).alias("rrf_e6"),
-    )
-    return fused.orderBy(F.col("rrf_e6").desc(), F.col(id_col)).limit(k)

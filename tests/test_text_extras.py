@@ -1040,59 +1040,3 @@ def test_hash_embed_feeds_similarity_stack(spark):
     assert top[0]["vec_id"] == 0
     assert abs(top[0]["dot_e9"] - 1_000_000_000) <= 64
     assert top[1]["dot_e9"] < top[0]["dot_e9"]
-
-
-def test_hybrid_rrf_topk_hand_fusion(spark):
-    """Hand-computed RRF fusion with all three membership shapes: both
-    legs (doc 2), text-only (doc 1 — no embedding row), vec-only (doc 3
-    — no query term). 10^6 DIV (60+rank) pins the integer arithmetic;
-    the tie between doc 1 and doc 3 (16393 each) breaks by doc_id."""
-    from clever_canal_spark.operators.text import hybrid_rrf_topk
-
-    docs = _docs(
-        spark,
-        [
-            (1, "spark spark pipelines", "en"),
-            (2, "one spark sentence here", "en"),
-            (3, "nothing lexical matches", "en"),
-        ],
-    )
-    emb = spark.createDataFrame(
-        [(2, [0.6, 0.8, 0.0, 0.0]), (3, [1.0, 0.0, 0.0, 0.0])],
-        "vec_id bigint, embedding array<float>",
-    )
-    q = spark.createDataFrame([(0, [1.0, 0.0, 0.0, 0.0])], "vec_id bigint, embedding array<float>")
-    got = [
-        (r["doc_id"], r["text_rank"], r["vec_rank"], r["rrf_e6"])
-        for r in hybrid_rrf_topk(docs, emb, ["spark"], q, k=10, depth=5, n_dims=4).collect()
-    ]
-    # text leg: doc1 tf=2 rank 1, doc2 tf=1 rank 2. vec leg: doc3 dot 1.0
-    # rank 1, doc2 dot 0.6 rank 2. 10^6//61 = 16393, 10^6//62 = 16129.
-    assert got == [
-        (2, 2, 2, 16129 + 16129),
-        (1, 1, None, 16393),
-        (3, None, 1, 16393),
-    ]
-
-
-def test_hybrid_rrf_weights_and_validation(spark):
-    """w_vec=0 reduces the ordering to the BM25 leg (vec-only docs score
-    0 but still appear through the outer join); bad knobs raise."""
-    import pytest
-
-    from clever_canal_spark.operators.text import hybrid_rrf_topk
-
-    docs = _docs(spark, [(1, "spark spark a", "en"), (2, "spark b", "en")])
-    emb = spark.createDataFrame(
-        [(2, [1.0, 0.0, 0.0, 0.0])], "vec_id bigint, embedding array<float>"
-    )
-    q = spark.createDataFrame([(0, [1.0, 0.0, 0.0, 0.0])], "vec_id bigint, embedding array<float>")
-    got = [
-        (r["doc_id"], r["rrf_e6"])
-        for r in hybrid_rrf_topk(docs, emb, ["spark"], q, k=5, depth=5, w_vec=0, n_dims=4).collect()
-    ]
-    assert got == [(1, 16393), (2, 16129)]
-    with pytest.raises(ValueError):
-        hybrid_rrf_topk(docs, emb, ["spark"], q, k=0)
-    with pytest.raises(ValueError):
-        hybrid_rrf_topk(docs, emb, ["spark"], q, w_text=-1)
