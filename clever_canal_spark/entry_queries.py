@@ -5358,3 +5358,110 @@ def q_cdc_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return detect_schema_drift(
         images, _DRIFT_EXPECTED, data_col="data", wire_types_col="mysql_types"
     )
+
+
+_JV_LEFT_SEL = [
+    "CAST(event_id % 500 AS BIGINT) AS oid",
+    "'c' || CAST(user_id % 40 AS STRING) AS cust",
+    f"{_CENTS} AS amt",
+]
+_JV_RIGHT_SEL = [
+    "'c' || CAST(user_id % 40 AS STRING) AS cust",
+    "CASE WHEN value >= 0 THEN 'gold' ELSE 'iron' END AS tier",
+    "'r' || CAST(user_id % 5 AS STRING) AS region",
+]
+
+
+@register(
+    "cdc_join_view",
+    f"""
+    WITH lw AS (
+      SELECT oid, cust, amt FROM (
+        SELECT CAST(event_id % 500 AS BIGINT) AS oid,
+               'c' || CAST(user_id % 40 AS VARCHAR) AS cust,
+               {_CENTS} AS amt, {_OP_EXPR} AS op,
+               ROW_NUMBER() OVER (PARTITION BY event_id % 500
+                                  ORDER BY event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1 AND op <> 'D'
+    ),
+    rw AS (
+      SELECT cust, tier, region FROM (
+        SELECT 'c' || CAST(user_id % 40 AS VARCHAR) AS cust,
+               CASE WHEN value >= 0 THEN 'gold' ELSE 'iron' END AS tier,
+               'r' || CAST(user_id % 5 AS VARCHAR) AS region,
+               {_OP_EXPR} AS op,
+               ROW_NUMBER() OVER (PARTITION BY user_id % 40
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_id % 3 = 0
+      ) WHERE rn = 1 AND op <> 'D'
+    )
+    SELECT l.oid AS oid, l.cust AS cust, l.amt AS amt,
+           r.tier AS tier, r.region AS region
+    FROM lw l JOIN rw r ON l.cust = r.cust
+    """,
+)
+def q_cdc_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained JOIN view (lake/join_view.py): an orders
+    fact table enriched by a customers dimension, BOTH CDC-fed from the
+    events feed (left keyed by oid=event_id%500 — heavy LWW churn; right
+    keyed by cust — every third event re-declares its customer's tier).
+    Three interleaved syncs (left-only wave, right-only wave, dual wave)
+    exercise the left-delta, right-delta-probe, and combined paths; the
+    recompute-based delta makes each sync idempotent per affected key.
+    Oracle = plain-SQL LWW winner per side, inner-joined — the from-
+    scratch recompute the maintained state must equal. The reference
+    ships one MQ topic per table and leaves this join to the client."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from .lake import LakeTable
+    from .lake.join_view import create_join_view, sync_join_view
+
+    ev = _events(spark, sf_dir)
+    n = ev.agg(F.max("event_id")).collect()[0][0] + 1
+    half = n // 2
+
+    lfeed = ev.selectExpr(
+        *_JV_LEFT_SEL, f"{_OP_EXPR} AS op", "event_id AS lsn", "event_id"
+    )
+    rfeed = ev.filter(F.col("event_id") % 3 == 0).selectExpr(
+        *_JV_RIGHT_SEL, f"{_OP_EXPR} AS op", "event_id AS lsn", "event_id"
+    )
+    lschema = T.StructType(
+        [
+            T.StructField("oid", T.LongType()),
+            T.StructField("cust", T.StringType()),
+            T.StructField("amt", T.LongType()),
+        ]
+    )
+    rschema = T.StructType(
+        [
+            T.StructField("cust", T.StringType()),
+            T.StructField("tier", T.StringType()),
+            T.StructField("region", T.StringType()),
+        ]
+    )
+    dirs = [tempfile.mkdtemp(prefix=f"ccs-jv-{i}-") for i in range(3)]
+    for d in dirs:
+        shutil.rmtree(d, ignore_errors=True)
+    left = LakeTable.create(spark, dirs[0], lschema, merge_key=["oid"], n_buckets=8)
+    right = LakeTable.create(spark, dirs[1], rschema, merge_key=["cust"], n_buckets=4)
+    view = create_join_view(spark, dirs[2], left, right, on=["cust"])
+
+    def wave(table, feed, lo, hi, epoch):
+        batch = feed.filter((F.col("event_id") >= lo) & (F.col("event_id") < hi)).drop(
+            "event_id"
+        )
+        table.merge(batch, epoch_id=epoch, op_col="op", mode="mor", lsn_col="lsn")
+
+    wave(left, lfeed, 0, half, 0)
+    sync_join_view(view, left, right)          # left-delta path only
+    wave(right, rfeed, 0, half, 0)
+    sync_join_view(view, left, right)          # right-delta probe only
+    wave(left, lfeed, half, n, 1)
+    wave(right, rfeed, half, n, 1)
+    sync_join_view(view, left, right)          # combined path
+    return view.scan().select("oid", "cust", "amt", "tier", "region")

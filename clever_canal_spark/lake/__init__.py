@@ -15,6 +15,13 @@ from .consistency import (
     version_at_epoch,
 )
 from .erase import EraseResult, erase_rows
+from .join_view import (
+    bootstrap_join_view,
+    create_join_view,
+    join_view_config,
+    join_view_cursor,
+    sync_join_view,
+)
 from .fsck import check_table
 from .table import CommitConflict, LakeTable, MergeResult, SnapshotExpired
 from .wap import (
@@ -54,6 +61,8 @@ __all__ = [
     "create_cms_view", "sync_cms_view", "cms_view_estimate", "cms_view_config",
     "create_hist_view", "sync_hist_view", "hist_view_quantiles",
     "bootstrap_hll_view", "bootstrap_cms_view", "bootstrap_hist_view",
+    "create_join_view", "sync_join_view", "bootstrap_join_view",
+    "join_view_cursor", "join_view_config",
     "Consumer", "Batch", "snapshot_diff", "EraseResult", "erase_rows", "check_table",
     "PublishConflict", "fork_branch", "branch_table", "list_branches",
     "publish_branch", "drop_branch",

@@ -1,0 +1,208 @@
+"""Incrementally-maintained JOIN view (lake/join_view.py): a fact table
+enriched by a dimension table, both CDC-fed — recompute-based delta,
+two-source atomic cursor, inner/left modes, bootstrap."""
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from clever_canal_spark.lake import LakeTable
+from clever_canal_spark.lake.join_view import (
+    bootstrap_join_view,
+    create_join_view,
+    join_view_cursor,
+    sync_join_view,
+)
+
+ORDERS = T.StructType(
+    [
+        T.StructField("oid", T.LongType()),
+        T.StructField("cust", T.StringType()),
+        T.StructField("amt", T.LongType()),
+    ]
+)
+CUSTOMERS = T.StructType(
+    [
+        T.StructField("cust", T.StringType()),
+        T.StructField("tier", T.StringType()),
+        T.StructField("region", T.StringType()),
+    ]
+)
+
+
+@pytest.fixture()
+def dirs():
+    ds = [tempfile.mkdtemp(prefix=f"ccs-jv-{i}-") for i in range(3)]
+    yield ds
+    for d in ds:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def mk_sources(spark, dirs):
+    left = LakeTable.create(spark, dirs[0], ORDERS, merge_key=["oid"], n_buckets=2)
+    right = LakeTable.create(spark, dirs[1], CUSTOMERS, merge_key=["cust"], n_buckets=2)
+    return left, right
+
+
+def orders_batch(spark, rows, lsn0):
+    """rows: (oid, cust, amt, op)"""
+    return spark.createDataFrame(
+        [(o, c, a, op, lsn0 + i) for i, (o, c, a, op) in enumerate(rows)],
+        "oid long, cust string, amt long, op string, lsn long",
+    )
+
+
+def cust_batch(spark, rows, lsn0):
+    """rows: (cust, tier, region, op)"""
+    return spark.createDataFrame(
+        [(c, t, g, op, lsn0 + i) for i, (c, t, g, op) in enumerate(rows)],
+        "cust string, tier string, region string, op string, lsn long",
+    )
+
+
+def recompute(left, right, how):
+    return {
+        (r["oid"], r["cust"], r["amt"], r["tier"], r["region"])
+        for r in left.scan()
+        .join(right.scan(), on="cust", how=how)
+        .select("oid", "cust", "amt", "tier", "region")
+        .collect()
+    }
+
+
+def view_state(view):
+    return {
+        (r["oid"], r["cust"], r["amt"], r["tier"], r["region"])
+        for r in view.scan().collect()
+    }
+
+
+def test_inner_join_view_tracks_both_changelogs(spark, dirs):
+    """Left inserts/updates/deletes AND right updates/deletes all land;
+    after every sync the view equals a from-scratch recompute."""
+    left, right = mk_sources(spark, dirs)
+    view = create_join_view(spark, dirs[2], left, right, on=["cust"])
+    left.merge(
+        orders_batch(spark, [(1, "a", 10, "I"), (2, "b", 20, "I"), (3, "zz", 30, "I")], 0),
+        epoch_id=0, mode="mor", lsn_col="lsn",
+    )
+    right.merge(
+        cust_batch(spark, [("a", "gold", "eu", "I"), ("b", "iron", "us", "I")], 0),
+        epoch_id=0, mode="mor", lsn_col="lsn",
+    )
+    consumed = sync_join_view(view, left, right)
+    assert consumed[0] > 0 and consumed[1] > 0
+    # order 3 has no customer: absent under inner
+    assert view_state(view) == recompute(left, right, "inner")
+    assert (1, "a", 10, "gold", "eu") in view_state(view)
+
+    # right UPDATE refreshes every joined order; right DELETE drops its
+    # orders; left delete + insert in the same wave
+    right.merge(
+        cust_batch(spark, [("a", "silver", "eu", "U"), ("b", None, None, "D")], 10),
+        epoch_id=1, mode="mor", lsn_col="lsn",
+    )
+    left.merge(
+        orders_batch(spark, [(2, "b", 21, "U"), (1, None, None, "D"), (4, "a", 40, "I")], 10),
+        epoch_id=1, mode="mor", lsn_col="lsn",
+    )
+    sync_join_view(view, left, right)
+    got = view_state(view)
+    assert got == recompute(left, right, "inner")
+    assert got == {(4, "a", 40, "silver", "eu")}  # b gone, 1 deleted, 3 unmatched
+    assert join_view_cursor(view) == (left.current_version(), right.current_version())
+
+
+def test_left_join_view_null_payload_then_filled(spark, dirs):
+    """how='left': unmatched orders survive with null enrichment and get
+    filled when the dimension row arrives later (right-delta path must
+    touch them)."""
+    left, right = mk_sources(spark, dirs)
+    view = create_join_view(spark, dirs[2], left, right, on=["cust"], how="left")
+    left.merge(orders_batch(spark, [(1, "a", 10, "I")], 0), epoch_id=0, mode="mor", lsn_col="lsn")
+    sync_join_view(view, left, right)
+    assert view_state(view) == {(1, "a", 10, None, None)}
+    right.merge(
+        cust_batch(spark, [("a", "gold", "eu", "I")], 0), epoch_id=0, mode="mor", lsn_col="lsn"
+    )
+    sync_join_view(view, left, right)
+    assert view_state(view) == {(1, "a", 10, "gold", "eu")}
+    # dimension delete reverts to null payload, not a view delete
+    right.merge(
+        cust_batch(spark, [("a", None, None, "D")], 10), epoch_id=1, mode="mor", lsn_col="lsn"
+    )
+    sync_join_view(view, left, right)
+    assert view_state(view) == {(1, "a", 10, None, None)}
+
+
+def test_sync_idempotent_and_fresh_process_resume(spark, dirs):
+    """A second sync at the same heads is a no-op; a fresh LakeTable
+    object (new process analog) reads the cursor from the registry and
+    replaying pinned target versions no-ops inside merge."""
+    left, right = mk_sources(spark, dirs)
+    view = create_join_view(spark, dirs[2], left, right, on=["cust"])
+    left.merge(orders_batch(spark, [(1, "a", 10, "I")], 0), epoch_id=0, mode="mor", lsn_col="lsn")
+    right.merge(cust_batch(spark, [("a", "gold", "eu", "I")], 0), epoch_id=0, mode="mor", lsn_col="lsn")
+    lv, rv = left.current_version(), right.current_version()
+    assert sync_join_view(view, left, right) != (0, 0)
+    v_after = view.current_version()
+    assert sync_join_view(view, left, right) == (0, 0)
+    assert view.current_version() == v_after
+
+    view2 = LakeTable(spark, dirs[2])
+    assert join_view_cursor(view2) == (lv, rv)
+    # pinned replay of the consumed range: the epoch is registered -> no-op
+    assert sync_join_view(view2, left, right, to_left=lv, to_right=rv) == (0, 0)
+    assert view2.current_version() == v_after
+    assert view_state(view2) == {(1, "a", 10, "gold", "eu")}
+
+
+def test_create_validation(spark, dirs):
+    left, right = mk_sources(spark, dirs)
+    with pytest.raises(ValueError, match="merge key"):
+        create_join_view(spark, dirs[2], left, right, on=["oid"])
+    with pytest.raises(ValueError, match="how"):
+        create_join_view(spark, dirs[2], left, right, on=["cust"], how="full")
+    # payload collision: give right a column named like a left one
+    coll = T.StructType(
+        [T.StructField("cust", T.StringType()), T.StructField("amt", T.LongType())]
+    )
+    d = tempfile.mkdtemp(prefix="ccs-jv-coll-")
+    try:
+        r2 = LakeTable.create(spark, d, coll, merge_key=["cust"], n_buckets=2)
+        with pytest.raises(ValueError, match="collides"):
+            create_join_view(spark, dirs[2], left, r2, on=["cust"])
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_bootstrap_after_retention_then_tail(spark, dirs):
+    """Aged left source (early snapshots expired): first sync raises
+    SnapshotExpired; bootstrap seeds from both heads, the cursor lands
+    there atomically, and a later wave tails incrementally."""
+    from clever_canal_spark.lake.table import SnapshotExpired
+
+    left, right = mk_sources(spark, dirs)
+    for e in range(3):
+        left.merge(
+            orders_batch(spark, [(e + 1, "a", 10 * (e + 1), "I")], 10 * e),
+            epoch_id=e, mode="mor", lsn_col="lsn",
+        )
+    right.merge(cust_batch(spark, [("a", "gold", "eu", "I")], 0), epoch_id=0, mode="mor", lsn_col="lsn")
+    left.compact()
+    left.expire_snapshots(keep_last=1)
+    view = create_join_view(spark, dirs[2], left, right, on=["cust"])
+    with pytest.raises(SnapshotExpired):
+        sync_join_view(view, left, right)
+    lv, rv = bootstrap_join_view(view, left, right)
+    assert (lv, rv) == (left.current_version(), right.current_version())
+    assert view_state(view) == recompute(left, right, "inner")
+    # idempotent reopen
+    assert bootstrap_join_view(LakeTable(spark, dirs[2]), left, right) == (0, 0)
+    # tail a post-bootstrap wave
+    left.merge(orders_batch(spark, [(9, "a", 90, "I")], 100), epoch_id=9, mode="mor", lsn_col="lsn")
+    sync_join_view(view, left, right)
+    assert (9, "a", 90, "gold", "eu") in view_state(view)
