@@ -5465,3 +5465,38 @@ def q_cdc_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     wave(right, rfeed, half, n, 1)
     sync_join_view(view, left, right)          # combined path
     return view.scan().select("oid", "cust", "amt", "tier", "region")
+
+
+@register(
+    "emb_ann_recall",
+    f"""
+    WITH approx AS ({_multiprobe_oracle()}),
+    q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+    exact AS (
+      SELECT vec_id FROM (
+        SELECT vec_id, {_duck_dot_e9('embedding', 'qvec')} AS dot_e9
+        FROM embeddings, q
+        ORDER BY dot_e9 DESC, vec_id LIMIT 50
+      )
+    )
+    SELECT CAST(h.n AS BIGINT) AS n_hits,
+           CAST(50 AS BIGINT) AS k_exact,
+           1000000 * h.n // 50 AS recall_e6
+    FROM (SELECT count(*) AS n FROM approx a JOIN exact e USING (vec_id)) h
+    """,
+)
+def q_emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN recall evaluation (operators/similarity.topk_recall): the
+    multiprobe result (4 planes, radius 2 — same knobs as
+    emb_ann_multiprobe_topk) graded against brute-force top-50, as a
+    first-class integer-exact operator rather than a number quoted in
+    COVERAGE. The oracle recomputes BOTH legs independently and replays
+    the intersection arithmetic, so leg drift and metric drift both
+    hash-fail."""
+    from .operators.similarity import topk_recall
+
+    emb = _embeddings(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") == 0)
+    approx = ann_multiprobe_topk(emb, q, k=50, n_planes=_MP_PLANES, radius=_MP_RADIUS)
+    exact = brute_force_topk(emb, q, k=50)
+    return topk_recall(approx, exact)

@@ -937,3 +937,47 @@ def centroid_affinity(
             F.col("__w.dot_e9").alias("affinity_e9"),
         )
     )
+
+
+def topk_recall(
+    approx: DataFrame,
+    exact: DataFrame,
+    id_col: str = "vec_id",
+    query_cols: list[str] | None = None,
+) -> DataFrame:
+    """Recall of an approximate top-k result against the exact one — the
+    honesty metric every ANN knob (planes, radius, probes, rerank depth)
+    should be tuned against, as a first-class operator instead of a
+    number quoted in docs. Returns one row per query (``query_cols``
+    from batched probes) or one global row: ``(n_hits, k_exact,
+    recall_e6)`` with ``recall_e6 = 10⁶·n_hits DIV k_exact`` —
+    integer-exact, so a DuckDB oracle hash-matches.
+
+    Queries the approximate leg missed ENTIRELY still appear (exact leg
+    drives the output; n_hits 0) — a silent empty result is the worst
+    ANN failure mode and must not vanish from its own evaluation.
+    Both inputs are top-k frames (≤ queries×k rows); the hit semi-join
+    and the per-query counts are bounded by them, never by the corpus."""
+    qcols = list(query_cols or [])
+    on = qcols + [id_col]
+    hits = (
+        approx.select(*on)
+        .join(exact.select(*on), on=on, how="left_semi")
+        .groupBy(*qcols)
+        .agg(F.count("*").alias("n_hits"))
+    )
+    totals = exact.groupBy(*qcols).agg(F.count("*").alias("k_exact"))
+    joined = (
+        totals.join(hits, on=qcols, how="left") if qcols
+        else totals.crossJoin(hits.select(F.col("n_hits").alias("__nh")))
+        .withColumn("n_hits", F.coalesce(F.col("__nh"), F.lit(0)))
+        .drop("__nh")
+    )
+    if qcols:
+        joined = joined.withColumn("n_hits", F.coalesce(F.col("n_hits"), F.lit(0)))
+    return joined.select(
+        *qcols,
+        F.col("n_hits").cast("long").alias("n_hits"),
+        F.col("k_exact").cast("long").alias("k_exact"),
+        F.expr("CAST(1000000 AS BIGINT) * n_hits DIV k_exact").alias("recall_e6"),
+    )

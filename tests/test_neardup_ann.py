@@ -358,3 +358,36 @@ def test_hybrid_indexed_equals_corpus_path_at_full_radius(spark, tmp_table_dir):
                hybrid_rrf_indexed_topk(tidx, aidx, ["spark"], q, k=8,
                                        depth=6, radius=3).collect()]
     assert corpus == indexed and len(corpus) > 0
+
+
+def test_topk_recall_hand_counts(spark):
+    """Per-query recall with one perfect, one partial, and one ENTIRELY
+    missed query — the missed query must still emit an n_hits=0 row
+    (exact leg drives the output); arithmetic is 10^6*hits DIV k."""
+    from clever_canal_spark.operators.similarity import topk_recall
+
+    exact = spark.createDataFrame(
+        [(q, v) for q, vs in [(1, [10, 11]), (2, [20, 21]), (3, [30, 31])] for v in vs],
+        "query_id int, vec_id long",
+    )
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (2, 99)],  # q3 missed entirely
+        "query_id int, vec_id long",
+    )
+    got = {
+        r["query_id"]: (r["n_hits"], r["k_exact"], r["recall_e6"])
+        for r in topk_recall(approx, exact, query_cols=["query_id"]).collect()
+    }
+    assert got == {1: (2, 2, 1000000), 2: (1, 2, 500000), 3: (0, 2, 0)}
+
+
+def test_topk_recall_global_row(spark):
+    """No query_cols: one global row; empty approx still yields it."""
+    from clever_canal_spark.operators.similarity import topk_recall
+
+    exact = spark.createDataFrame([(10,), (11,), (12,), (13,)], "vec_id long")
+    approx = spark.createDataFrame([(11,), (99,)], "vec_id long")
+    [r] = topk_recall(approx, exact).collect()
+    assert (r["n_hits"], r["k_exact"], r["recall_e6"]) == (1, 4, 250000)
+    [r0] = topk_recall(approx.limit(0), exact).collect()
+    assert (r0["n_hits"], r0["recall_e6"]) == (0, 0)
