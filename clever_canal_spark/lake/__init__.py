@@ -14,6 +14,7 @@ from .consistency import (
     latest_consistent_epoch,
     version_at_epoch,
 )
+from .advisor import maintenance_report
 from .erase import EraseResult, erase_rows
 from .join_view import (
     bootstrap_join_view,
@@ -61,6 +62,7 @@ __all__ = [
     "create_cms_view", "sync_cms_view", "cms_view_estimate", "cms_view_config",
     "create_hist_view", "sync_hist_view", "hist_view_quantiles",
     "bootstrap_hll_view", "bootstrap_cms_view", "bootstrap_hist_view",
+    "maintenance_report",
     "create_join_view", "sync_join_view", "bootstrap_join_view",
     "join_view_cursor", "join_view_config",
     "Consumer", "Batch", "snapshot_diff", "EraseResult", "erase_rows", "check_table",

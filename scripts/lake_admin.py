@@ -9,6 +9,7 @@ operational surface next to run_pipeline (ingest) and run_curation
 Commands:
 
     fsck [--deep]              integrity check (lake/fsck.py); exit 1 on findings
+    advise                     maintenance advisor (lake/advisor.py); zero jobs
     history                    retained operation log (newest first)
     compact [--zorder c1,c2]   fold MOR deltas; optional z-order layout
     rebucket N                 metadata-only bucket-count change (nesting)
@@ -40,6 +41,8 @@ def main() -> None:
     p.add_argument("--table-dir", required=True)
     sub = p.add_subparsers(dest="cmd", required=True)
     sub.add_parser("fsck").add_argument("--deep", action="store_true")
+    ad = sub.add_parser("advise")
+    ad.add_argument("--keep-target", type=int, default=32)
     sub.add_parser("history")
     c = sub.add_parser("compact")
     c.add_argument("--zorder", default="")
@@ -76,6 +79,15 @@ def main() -> None:
         print(f"[admin] fsck: {len(findings)} finding(s) "
               f"({'deep' if args.deep else 'metadata'} pass)")
         rc = 1 if findings else 0
+    elif args.cmd == "advise":
+        from clever_canal_spark.lake.advisor import maintenance_report
+
+        findings = maintenance_report(t, keep_target=args.keep_target)
+        for f in findings:
+            print(json.dumps(f))
+        n_adv = sum(1 for f in findings if f["severity"] == "advise")
+        print(f"[admin] advise: {n_adv} action(s) due, "
+              f"{len(findings) - n_adv} info")
     elif args.cmd == "history":
         for h in t.history():
             print(json.dumps(h))

@@ -68,3 +68,83 @@ def test_admin_maintenance_chain(admin_table, spark):
     assert t.snapshot().n_buckets == 4
     r = _admin(admin_table, "vacuum", "--ttl", "0")
     assert r.returncode == 0 and "vacuum:" in r.stdout
+
+
+def test_maintenance_advisor_findings_then_clean(spark, tmp_table_dir):
+    """Every advisory signal fires on a deliberately messy table, and the
+    corresponding maintenance actions clear them all (zero Spark jobs in
+    the report itself — it only reads the manifest log and listings)."""
+    import os
+
+    from pyspark.sql import functions as F, types as T
+
+    from clever_canal_spark.lake import LakeTable
+    from clever_canal_spark.lake.advisor import maintenance_report
+
+    schema = T.StructType(
+        [T.StructField("url", T.StringType()), T.StructField("n", T.LongType())]
+    )
+    t = LakeTable.create(spark, tmp_table_dir, schema, merge_key=["url"], n_buckets=2)
+    for e in range(4):
+        df = spark.createDataFrame(
+            [(f"u{i}", e * 100 + i, "U", e * 100 + i) for i in range(30)],
+            "url string, n long, op string, lsn long",
+        )
+        t.merge(df, epoch_id=e, mode="mor", lsn_col="lsn")
+    t.rebucket(4)              # stale-spec files until migrated
+    t.create_tag("pin")
+    # orphan: a data file no snapshot references
+    orphan = os.path.join(tmp_table_dir, "data", "zz-orphan.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"PAR1junkPAR1")
+
+    rep = maintenance_report(t, keep_target=3)
+    actions = {(f["action"], f["severity"]) for f in rep}
+    assert ("compact", "advise") in actions          # pending deltas
+    assert ("migrate_bucket_spec", "advise") in actions
+    assert ("expire_snapshots", "advise") in actions
+    assert ("vacuum", "advise") in actions
+    assert ("set_stats_cols", "info") in actions
+    assert ("tags", "info") in actions
+
+    # run the advised maintenance; advise findings must clear
+    t.drop_tag("pin")
+    t.compact()
+    t.migrate_bucket_spec()
+    t.expire_snapshots(keep_last=2)
+    t.vacuum(orphan_ttl_s=0)
+    t.set_stats_cols(["n"])
+    rep2 = maintenance_report(t, keep_target=3)
+    assert not [f for f in rep2 if f["severity"] == "advise"], rep2
+
+
+def test_advisor_small_files_and_empty_table(spark, tmp_table_dir):
+    """A bucket holding one big and several tiny base files triggers the
+    small-file compaction signal; a fresh empty table reports nothing."""
+    from pyspark.sql import types as T
+
+    from clever_canal_spark.lake import LakeTable
+    from clever_canal_spark.lake.advisor import maintenance_report
+
+    schema = T.StructType(
+        [T.StructField("url", T.StringType()), T.StructField("n", T.LongType())]
+    )
+    t = LakeTable.create(spark, tmp_table_dir, schema, merge_key=["url"], n_buckets=1)
+    assert maintenance_report(t) == []
+    big = [(f"u{i}", i, "I", i) for i in range(200)]
+    t.merge(
+        spark.createDataFrame(big, "url string, n long, op string, lsn long"),
+        epoch_id=0, mode="cow", lsn_col="lsn",
+    )
+    for e in range(1, 4):  # tiny COW epochs leave small per-epoch files?
+        t.merge(
+            spark.createDataFrame(
+                [(f"v{e}", e, "I", 1000 + e)], "url string, n long, op string, lsn long"
+            ),
+            epoch_id=e, mode="mor", lsn_col="lsn",
+        )
+    t.compact()  # fold deltas: bases now one big + small files from compact
+    rep = maintenance_report(t)
+    # after compact everything folded into one base per bucket: the
+    # small-file signal must NOT fire on a healthy layout
+    assert not [f for f in rep if f["action"] == "compact"], rep
