@@ -206,3 +206,54 @@ def test_bootstrap_after_retention_then_tail(spark, dirs):
     left.merge(orders_batch(spark, [(9, "a", 90, "I")], 100), epoch_id=9, mode="mor", lsn_col="lsn")
     sync_join_view(view, left, right)
     assert (9, "a", 90, "gold", "eu") in view_state(view)
+
+
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_join_view_randomized_soak(spark, dirs, how):
+    """Seeded random interleaving of left/right upserts and deletes across
+    6 waves with syncs randomly skipped (multi-wave ranges): after every
+    sync the maintained state must equal the from-scratch recompute."""
+    import random
+
+    rng = random.Random(20260819 if how == "inner" else 20260820)
+    left, right = mk_sources(spark, dirs)
+    view = create_join_view(spark, dirs[2], left, right, on=["cust"], how=how)
+    custs = [f"c{i}" for i in range(6)]
+    lsn = 0
+    live_oids: set[int] = set()
+    live_custs: set[str] = set()
+    for wave in range(6):
+        lrows = []
+        for _ in range(rng.randint(1, 8)):
+            oid = rng.randint(1, 25)
+            if live_oids and rng.random() < 0.25:
+                oid = rng.choice(sorted(live_oids))
+                lrows.append((oid, None, None, "D"))
+                live_oids.discard(oid)
+            else:
+                lrows.append((oid, rng.choice(custs), rng.randint(1, 99), "U"))
+                live_oids.add(oid)
+        left.merge(orders_batch(spark, lrows, lsn), epoch_id=wave, mode="mor", lsn_col="lsn")
+        lsn += len(lrows)
+        if rng.random() < 0.8:
+            rrows = []
+            for _ in range(rng.randint(1, 4)):
+                c = rng.choice(custs)
+                if c in live_custs and rng.random() < 0.3:
+                    rrows.append((c, None, None, "D"))
+                    live_custs.discard(c)
+                else:
+                    rrows.append((c, rng.choice(["gold", "iron"]), f"r{rng.randint(0, 3)}", "U"))
+                    live_custs.add(c)
+            # intra-batch LWW: keep the LAST op per cust only
+            seen: dict[str, tuple] = {}
+            for r in rrows:
+                seen[r[0]] = r
+            right.merge(
+                cust_batch(spark, list(seen.values()), lsn),
+                epoch_id=wave, mode="mor", lsn_col="lsn",
+            )
+            lsn += len(seen)
+        if rng.random() < 0.7 or wave == 5:
+            sync_join_view(view, left, right)
+            assert view_state(view) == recompute(left, right, how), f"wave {wave}"
