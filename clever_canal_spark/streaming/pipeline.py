@@ -55,7 +55,9 @@ class CdcPipeline:
     # table after every micro-batch's apply — the hook the persisted
     # indexes plug into (dedup_index.sync_from_lake, text_index.
     # sync_text_index_from_lake, ann_index.sync_ann_from_lake, each
-    # curried over its index). Same crash contract as rollup_view: every
+    # curried over its index; lake.join_view.sync_join_view curried over
+    # (view, dimension) — its recompute-based apply is idempotent, so it
+    # is hook-safe). Same crash contract as rollup_view: every
     # sync keys its own exactly-once on the consumed lake version, so a
     # replayed micro-batch syncs 0 and a crash between apply and hook is
     # healed by the next batch's sync-to-head. Hooks run in list order,

@@ -257,3 +257,79 @@ def test_join_view_randomized_soak(spark, dirs, how):
         if rng.random() < 0.7 or wave == 5:
             sync_join_view(view, left, right)
             assert view_state(view) == recompute(left, right, how), f"wave {wave}"
+
+
+def test_join_view_as_pipeline_sync_hook(spark, tmp_table_dir):
+    """The join view rides CdcPipeline's sync_hooks: pages (the piped
+    sink) enriched by a lang-keyed dimension, synced after every
+    micro-batch; re-draining the same checkpoint must not corrupt the
+    view (recompute-idempotent apply), and a dimension update between
+    drains refreshes the joined rows."""
+    from clever_canal_spark.gen import FeedConfig, generate_feed
+    from clever_canal_spark.model import PAGE_SCHEMA
+    from clever_canal_spark.plans import ApplyConfig
+    from clever_canal_spark.sources import write_feed_slices
+    from clever_canal_spark.streaming import CdcPipeline
+
+    src = os.path.join(tmp_table_dir, "feed")
+    ckpt = os.path.join(tmp_table_dir, "ckpt")
+    cfgf = FeedConfig(n_events=600, n_urls=40, seed=11)
+    feed = generate_feed(spark, cfgf)
+    write_feed_slices(feed, src, n_slices=3, n_events=cfgf.n_events)
+
+    pages = LakeTable.create(
+        spark, os.path.join(tmp_table_dir, "pages"), PAGE_SCHEMA,
+        merge_key=["url", "warc_ts"], n_buckets=4,
+    )
+    langs = LakeTable.create(
+        spark, os.path.join(tmp_table_dir, "langs"),
+        T.StructType(
+            [T.StructField("lang", T.StringType()), T.StructField("family", T.StringType())]
+        ),
+        merge_key=["lang"], n_buckets=2,
+    )
+    langs.merge(
+        spark.createDataFrame(
+            [("en", "germanic", "I", 0), ("de", "germanic", "I", 1), ("fr", "romance", "I", 2)],
+            "lang string, family string, op string, lsn long",
+        ),
+        epoch_id=0, mode="mor", lsn_col="lsn",
+    )
+    view = create_join_view(
+        spark, os.path.join(tmp_table_dir, "view"), pages, langs,
+        on=["lang"], how="left",
+    )
+    pipe = CdcPipeline(
+        spark, src, ckpt, pages, ApplyConfig(merge_mode="mor"),
+        sync_hooks=(lambda t: sync_join_view(view, t, langs),),
+    )
+    pipe.run_until_drained()
+
+    def recomp():
+        return {
+            (r["url"], str(r["warc_ts"]), r["family"])
+            for r in pages.scan()
+            .join(langs.scan(), on="lang", how="left")
+            .select("url", "warc_ts", "family")
+            .collect()
+        }
+
+    got = {
+        (r["url"], str(r["warc_ts"]), r["family"]) for r in view.scan().collect()
+    }
+    assert got == recomp() and got
+    # idle re-drain: nothing double-applied
+    v = view.current_version()
+    pipe.run_until_drained()
+    assert view.current_version() == v
+    # dimension change between drains: next drain's hook refreshes it
+    langs.merge(
+        spark.createDataFrame(
+            [("en", "west-germanic", "U", 10)], "lang string, family string, op string, lsn long"
+        ),
+        epoch_id=1, mode="mor", lsn_col="lsn",
+    )
+    sync_join_view(view, pages, langs)
+    got2 = {(r["url"], str(r["warc_ts"]), r["family"]) for r in view.scan().collect()}
+    assert got2 == recomp()
+    assert any(f == "west-germanic" for _, _, f in got2)
