@@ -53,7 +53,7 @@ from __future__ import annotations
 
 import json
 
-from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+from pyspark.sql import SparkSession, functions as F, types as T
 
 from ..ckpt import free_checkpoint as _free_checkpoint
 from .table import LakeTable
@@ -200,10 +200,8 @@ def sync_join_view(
     vsnap = view.snapshot()
     lkey = list(vsnap.merge_key)
     jcols = list(m)
-    spark = view.spark
 
     left_at = left.scan(version=lv2)
-    key_schema = T.StructType([left_at.schema[c] for c in lkey])
     parts = []
     if lv2 > lv1:
         parts.append(left.scan_changes(lv1, lv2).select(*lkey))
