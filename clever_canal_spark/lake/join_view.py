@@ -174,6 +174,7 @@ def sync_join_view(
     right: LakeTable,
     to_left: int | None = None,
     to_right: int | None = None,
+    broadcast_key_limit: int = 5_000_000,
 ) -> tuple[int, int]:
     """Advance the view to both sources' heads (or pinned versions);
     returns (left, right) versions consumed — (0, 0) = already current.
@@ -182,7 +183,13 @@ def sync_join_view(
     whether the sources are MOR- or COW-fed (COW re-emits only inflate
     the affected set). A source whose early changelog is past retention
     raises SnapshotExpired on the first sync — seed with
-    :func:`bootstrap_join_view` instead."""
+    :func:`bootstrap_join_view` instead.
+
+    ``broadcast_key_limit``: the right-delta probe broadcasts the changed
+    right keys only while their count (one O(changes) count job) stays at
+    or under this; above it the probe falls back to a shuffle semi-join —
+    the same no-OOM-cliff guard the apply path's winner join uses
+    (plans/apply.py broadcast_winner_limit)."""
     cfg = join_view_config(view)
     m: dict[str, str] = cfg["on"]
     how: str = cfg["how"]
@@ -203,18 +210,26 @@ def sync_join_view(
 
     left_at = left.scan(version=lv2)
     parts = []
+    aux: list = []
     if lv2 > lv1:
         parts.append(left.scan_changes(lv1, lv2).select(*lkey))
     if rv2 > rv1:
         # changed right keys, renamed to the left join-column names; the
-        # per-sync right delta is O(changes) — broadcast for the probe
+        # per-sync right delta is O(changes) — broadcast for the probe,
+        # guarded by an exact count so a bootstrap-scale right range
+        # cannot OOM the driver (falls back to a shuffle semi-join)
         rkeys = (
             right.scan_changes(rv1, rv2)
             .select(*[F.col(m[lc]).alias(lc) for lc in jcols])
             .distinct()
+            .localCheckpoint(eager=False)
+        )
+        aux.append(rkeys)
+        probe = (
+            F.broadcast(rkeys) if rkeys.count() <= broadcast_key_limit else rkeys
         )
         parts.append(
-            left_at.join(F.broadcast(rkeys), on=jcols, how="left_semi").select(*lkey)
+            left_at.join(probe, on=jcols, how="left_semi").select(*lkey)
         )
     affected = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
     affected = affected.distinct().localCheckpoint(eager=False)
@@ -252,6 +267,8 @@ def sync_join_view(
         return (lv2 - lv1, rv2 - rv1)
     finally:
         _free_checkpoint(affected)
+        for a in aux:
+            _free_checkpoint(a)
 
 
 def bootstrap_join_view(

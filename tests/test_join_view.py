@@ -333,3 +333,72 @@ def test_join_view_as_pipeline_sync_hook(spark, tmp_table_dir):
     got2 = {(r["url"], str(r["warc_ts"]), r["family"]) for r in view.scan().collect()}
     assert got2 == recomp()
     assert any(f == "west-germanic" for _, _, f in got2)
+
+
+def test_right_delta_probe_shuffle_fallback(spark, dirs):
+    """broadcast_key_limit=0 forces the right-delta probe onto the
+    shuffle semi-join path — results must be identical to the broadcast
+    path (the no-OOM-cliff guard, same shape as the apply path's
+    winner-join fallback)."""
+    left, right = mk_sources(spark, dirs)
+    view = create_join_view(spark, dirs[2], left, right, on=["cust"])
+    left.merge(
+        orders_batch(spark, [(1, "a", 10, "I"), (2, "b", 20, "I")], 0),
+        epoch_id=0, mode="mor", lsn_col="lsn",
+    )
+    right.merge(
+        cust_batch(spark, [("a", "gold", "eu", "I"), ("b", "iron", "us", "I")], 0),
+        epoch_id=0, mode="mor", lsn_col="lsn",
+    )
+    sync_join_view(view, left, right, broadcast_key_limit=0)
+    right.merge(
+        cust_batch(spark, [("a", "silver", "eu", "U")], 10),
+        epoch_id=1, mode="mor", lsn_col="lsn",
+    )
+    sync_join_view(view, left, right, broadcast_key_limit=0)
+    assert view_state(view) == recompute(left, right, "inner")
+    assert (1, "a", 10, "silver", "eu") in view_state(view)
+
+
+def test_join_views_compose(spark, dirs):
+    """A join view is itself a MOR-fed LakeTable, so it can be the LEFT
+    source of ANOTHER join view — two-hop enrichment (orders ⋈ customers
+    ⋈ regions) maintained incrementally end-to-end."""
+    import tempfile as _tf
+
+    left, right = mk_sources(spark, dirs)
+    regions = LakeTable.create(
+        spark, _tf.mkdtemp(prefix="ccs-jv-reg-"),
+        T.StructType(
+            [T.StructField("region", T.StringType()), T.StructField("zone", T.StringType())]
+        ),
+        merge_key=["region"], n_buckets=2,
+    )
+    v1 = create_join_view(spark, dirs[2], left, right, on=["cust"])
+    v2 = create_join_view(
+        spark, _tf.mkdtemp(prefix="ccs-jv-v2-"), v1, regions, on=["region"], how="left"
+    )
+    left.merge(orders_batch(spark, [(1, "a", 10, "I")], 0), epoch_id=0, mode="mor", lsn_col="lsn")
+    right.merge(cust_batch(spark, [("a", "gold", "eu", "I")], 0), epoch_id=0, mode="mor", lsn_col="lsn")
+    regions.merge(
+        spark.createDataFrame([("eu", "emea", "I", 0)], "region string, zone string, op string, lsn long"),
+        epoch_id=0, mode="mor", lsn_col="lsn",
+    )
+    sync_join_view(v1, left, right)
+    sync_join_view(v2, v1, regions)
+    got = {
+        (r["oid"], r["cust"], r["tier"], r["region"], r["zone"])
+        for r in v2.scan().collect()
+    }
+    assert got == {(1, "a", "gold", "eu", "emea")}
+    # upstream dimension change ripples through both hops
+    right.merge(
+        cust_batch(spark, [("a", "iron", "us", "U")], 10), epoch_id=1, mode="mor", lsn_col="lsn"
+    )
+    sync_join_view(v1, left, right)
+    sync_join_view(v2, v1, regions)
+    got2 = {
+        (r["oid"], r["cust"], r["tier"], r["region"], r["zone"])
+        for r in v2.scan().collect()
+    }
+    assert got2 == {(1, "a", "iron", "us", None)}  # us region absent -> left-null
