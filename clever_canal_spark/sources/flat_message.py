@@ -499,3 +499,80 @@ def detect_schema_drift(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def evolve_from_drift(
+    table,
+    df,
+    data_col: str = "data",
+    infer_types: bool = True,
+) -> list[dict]:
+    """Opt-in schema auto-evolution from OBSERVED drift — the Delta
+    ``mergeSchema`` / Snowflake schema-evolution analog for the DDL-less
+    channel: every ``unknown_column`` a batch of stringly-typed images
+    carries is added to the lake schema, so the next
+    ``decode_row_images`` pass can materialize it instead of dropping it
+    on the floor. The DDL-event path (``plans.apply_ddl_idempotent``)
+    remains the authoritative evolution channel; this is the fallback
+    for upstreams whose DDL is not captured.
+
+    Type inference (``infer_types``): ONE 1-row aggregate over the batch
+    counts, per unknown column, the non-null values that fail TRY_CAST
+    to BIGINT / DOUBLE / TIMESTAMP; the narrowest type with ZERO failures
+    wins (bigint → double → timestamp → string), all-null columns fall
+    back to string. Deterministic for a given batch, all JVM expressions.
+    ``infer_types=False`` adds everything as string (the reference's own
+    wire representation).
+
+    Idempotent: a column that already exists (replayed batch, concurrent
+    evolve) is skipped, so crash-replay cannot double-add. Returns the
+    actions taken: ``[{column, type, n_rows}, ...]`` sorted by column
+    name (deterministic apply order)."""
+    from pyspark.sql import functions as F
+
+    snap = table.snapshot()
+    known = {f["name"] for f in snap.current_fields()}
+    present = (
+        df.select(F.explode(F.map_keys(F.col(data_col))).alias("column_name"))
+        .groupBy("column_name")
+        .agg(F.count("*").alias("n_rows"))
+        .collect()
+    )
+    unknown = sorted(
+        (r["column_name"], int(r["n_rows"]))
+        for r in present
+        if r["column_name"] not in known
+    )
+    if not unknown:
+        return []
+    types: dict[str, str] = {c: "string" for c, _ in unknown}
+    if infer_types:
+        aggs = []
+        for i, (c, _) in enumerate(unknown):
+            v = f"element_at({data_col}, '{c}')"
+            aggs.append(F.expr(f"count({v})").alias(f"nn{i}"))
+            for t, sql_t in (("b", "BIGINT"), ("d", "DOUBLE"), ("t", "TIMESTAMP")):
+                aggs.append(
+                    F.expr(
+                        f"sum(CASE WHEN {v} IS NOT NULL AND "
+                        f"TRY_CAST({v} AS {sql_t}) IS NULL THEN 1 ELSE 0 END)"
+                    ).alias(f"{t}{i}")
+                )
+        row = df.agg(*aggs).collect()[0]
+        for i, (c, _) in enumerate(unknown):
+            if row[f"nn{i}"] == 0:
+                types[c] = "string"  # all-null: no evidence, widest wins
+            elif row[f"b{i}"] == 0:
+                types[c] = "bigint"
+            elif row[f"d{i}"] == 0:
+                types[c] = "double"
+            elif row[f"t{i}"] == 0:
+                types[c] = "timestamp"
+    actions = []
+    for c, n in unknown:
+        cur = {f["name"] for f in table.snapshot().current_fields()}
+        if c in cur:
+            continue  # concurrent/replayed evolve already added it
+        table.add_column(c, types[c])
+        actions.append({"column": c, "type": types[c], "n_rows": n})
+    return actions

@@ -525,3 +525,53 @@ def test_detect_schema_drift_no_wire_types_and_clean(spark):
     assert detect_schema_drift(df, expected).count() == 0
     with pytest.raises(ValueError):
         detect_schema_drift(df, {})
+
+
+def test_evolve_from_drift_infers_and_adds(spark, tmp_table_dir):
+    """Unknown image columns are added to the lake schema with inferred
+    types (narrowest zero-failure cast wins: bigint -> double ->
+    timestamp -> string; all-null falls back to string); replay no-ops."""
+    from pyspark.sql import types as T
+
+    from clever_canal_spark.lake import LakeTable
+    from clever_canal_spark.sources.flat_message import evolve_from_drift
+
+    t = LakeTable.create(
+        spark, tmp_table_dir,
+        T.StructType([T.StructField("url", T.StringType())]),
+        merge_key=["url"], n_buckets=1,
+    )
+    rows = [
+        ({"url": "a", "hits": "5", "score": "1.5", "seen_at": "2024-01-01 00:00:00", "note": "x"},),
+        ({"url": "b", "hits": "7", "score": "2", "seen_at": "2024-01-02 03:04:05", "ghost": None},),
+    ]
+    df = spark.createDataFrame(rows, "data map<string,string>")
+    actions = evolve_from_drift(t, df)
+    assert [(a["column"], a["type"]) for a in actions] == [
+        ("ghost", "string"), ("hits", "bigint"), ("note", "string"),
+        ("score", "double"), ("seen_at", "timestamp"),
+    ]
+    fields = {f["name"]: f["type"] for f in t.snapshot().current_fields()}
+    assert fields["hits"] == "bigint" and fields["seen_at"] == "timestamp"
+    # replay: everything now known -> no actions, schema unchanged
+    v = t.current_version()
+    assert evolve_from_drift(t, df) == []
+    assert t.current_version() == v
+
+
+def test_evolve_from_drift_string_mode(spark, tmp_table_dir):
+    """infer_types=False adds every unknown as string (the wire's own
+    representation), and a numeric-looking value does not get promoted."""
+    from pyspark.sql import types as T
+
+    from clever_canal_spark.lake import LakeTable
+    from clever_canal_spark.sources.flat_message import evolve_from_drift
+
+    t = LakeTable.create(
+        spark, tmp_table_dir,
+        T.StructType([T.StructField("url", T.StringType())]),
+        merge_key=["url"], n_buckets=1,
+    )
+    df = spark.createDataFrame([({"url": "a", "hits": "5"},)], "data map<string,string>")
+    actions = evolve_from_drift(t, df, infer_types=False)
+    assert [(a["column"], a["type"]) for a in actions] == [("hits", "string")]
