@@ -5500,3 +5500,58 @@ def q_emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = ann_multiprobe_topk(emb, q, k=50, n_planes=_MP_PLANES, radius=_MP_RADIUS)
     exact = brute_force_topk(emb, q, k=50)
     return topk_recall(approx, exact)
+
+
+@register(
+    "cdc_drift_evolve",
+    """
+    SELECT 'u' || CAST(event_id AS VARCHAR) AS url,
+           CASE WHEN event_id % 4 = 0
+                THEN CAST(event_id % 97 AS BIGINT) END AS hits
+    FROM events WHERE event_id < 2000
+    """,
+)
+def q_cdc_drift_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift-driven schema evolution END-TO-END
+    (sources/flat_message.evolve_from_drift): a stringly image stream
+    carries an un-captured 'hits' column on every 4th image; the lake
+    (created url-only) auto-evolves — type INFERRED as bigint from one
+    1-row TRY_CAST-failure aggregate — then the batch decodes and merges
+    into the evolved schema and the scan returns the typed column
+    (null where the image lacked it). Oracle derives the final typed
+    state directly from the base predicates — independent of both the
+    inference and the decode exprs."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from .lake import LakeTable
+    from .sources.flat_message import evolve_from_drift
+
+    ev = _events(spark, sf_dir).filter(F.col("event_id") < 2000)
+    images = ev.selectExpr(
+        """map_filter(map(
+             'url', 'u' || CAST(event_id AS STRING),
+             'hits', CASE WHEN event_id % 4 = 0
+                          THEN CAST(event_id % 97 AS STRING) END
+           ), (k, v) -> v IS NOT NULL) AS data""",
+        "event_id",
+    )
+    tmp = tempfile.mkdtemp(prefix="ccs-drift-ev-")
+    shutil.rmtree(tmp, ignore_errors=True)
+    table = LakeTable.create(
+        spark, tmp,
+        T.StructType([T.StructField("url", T.StringType())]),
+        merge_key=["url"], n_buckets=4,
+    )
+    actions = evolve_from_drift(table, images)
+    assert [(a["column"], a["type"]) for a in actions] == [("hits", "bigint")]
+    typed = images.selectExpr(
+        "element_at(data, 'url') AS url",
+        "TRY_CAST(element_at(data, 'hits') AS BIGINT) AS hits",
+        "'U' AS op",
+        "event_id AS lsn",
+    )
+    table.merge(typed, epoch_id=0, op_col="op", mode="mor", lsn_col="lsn")
+    return table.scan().select("url", "hits")
