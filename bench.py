@@ -67,6 +67,10 @@ QUERY_NAMES = [
     # column (includes the one-time quantize here), exact re-rank of
     # candidates only — the memory-bandwidth-bound retrieval shape
     "emb_int8_topk_rerank",
+    # two-source incrementally-maintained join view (session 10): three
+    # interleaved syncs incl. the right-delta probe — the recompute-based
+    # materialized-join maintenance cost
+    "cdc_join_view",
 ]
 
 
