@@ -211,9 +211,26 @@ def sync_join_view(
     left_at = left.scan(version=lv2)
     parts = []
     aux: list = []
-    if lv2 > lv1:
-        parts.append(left.scan_changes(lv1, lv2).select(*lkey))
-    if rv2 > rv1:
+    # TRUNCATE mirroring: a source truncate is metadata-only upstream (no
+    # D markers in the changelog — truncates_between docstring), so mirror
+    # it as metadata here. LEFT truncate: every view row derives from a
+    # now-gone left row — empty the view (idempotent by its watermark;
+    # enc-1 never gates the upcoming merge, whose lsn is enc) and tail
+    # left changes from the truncate version only. RIGHT truncate: every
+    # row's enrichment is stale — affected = ALL live left keys (the
+    # recompute-from-scratch fallback; deliberate, a dimension truncate is
+    # rare and corpus-sized by nature).
+    l_truncs = left.truncates_between(lv1, lv2) if lv2 > lv1 else []
+    r_truncs = right.truncates_between(rv1, rv2) if rv2 > rv1 else []
+    lv_from = lv1
+    if l_truncs:
+        view.truncate_rows(enc - 1)
+        lv_from = l_truncs[-1]["version"]
+    if r_truncs:
+        parts.append(left_at.select(*lkey))
+    if lv2 > lv_from:
+        parts.append(left.scan_changes(lv_from, lv2).select(*lkey))
+    if rv2 > rv1 and not r_truncs:
         # changed right keys, renamed to the left join-column names; the
         # per-sync right delta is O(changes) — broadcast for the probe,
         # guarded by an exact count so a bootstrap-scale right range
@@ -231,7 +248,14 @@ def sync_join_view(
         parts.append(
             left_at.join(probe, on=jcols, how="left_semi").select(*lkey)
         )
-    affected = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+    if not parts:
+        # the whole range was a left truncate with nothing after it —
+        # the view is already emptied; advance the cursor metadata-only
+        view.commit_epoch_marker(enc)
+        return (lv2 - lv1, rv2 - rv1)
+    affected = parts[0]
+    for p in parts[1:]:
+        affected = affected.unionByName(p)
     affected = affected.distinct().localCheckpoint(eager=False)
     try:
         if not affected.take(1):

@@ -402,3 +402,65 @@ def test_join_views_compose(spark, dirs):
         for r in v2.scan().collect()
     }
     assert got2 == {(1, "a", "iron", "us", None)}  # us region absent -> left-null
+
+
+def test_left_truncate_mirrors_into_view(spark, dirs):
+    """A left-source TRUNCATE is metadata-only upstream (no D markers),
+    so the sync must mirror it: the view empties, then tails only
+    post-truncate changes; a truncate with nothing after it advances the
+    cursor against an empty view."""
+    left, right = mk_sources(spark, dirs)
+    view = create_join_view(spark, dirs[2], left, right, on=["cust"])
+    right.merge(cust_batch(spark, [("a", "gold", "eu", "I")], 0), epoch_id=0, mode="mor", lsn_col="lsn")
+    left.merge(
+        orders_batch(spark, [(1, "a", 10, "I"), (2, "a", 20, "I")], 0),
+        epoch_id=0, mode="mor", lsn_col="lsn",
+    )
+    sync_join_view(view, left, right)
+    assert len(view_state(view)) == 2
+    # truncate, nothing after: view empties, cursor advances
+    left.truncate_rows(100)
+    sync_join_view(view, left, right)
+    assert view_state(view) == set()
+    assert join_view_cursor(view) == (left.current_version(), right.current_version())
+    # post-truncate insert tails normally; pre-truncate rows stay gone
+    left.merge(orders_batch(spark, [(3, "a", 30, "I")], 200), epoch_id=1, mode="mor", lsn_col="lsn")
+    sync_join_view(view, left, right)
+    assert view_state(view) == recompute(left, right, "inner") == {(3, "a", 30, "gold", "eu")}
+
+
+def test_left_truncate_and_reinsert_one_sync(spark, dirs):
+    """Truncate AND later inserts inside ONE sync range: the mirror
+    empties first, then the post-truncate changes land."""
+    left, right = mk_sources(spark, dirs)
+    view = create_join_view(spark, dirs[2], left, right, on=["cust"])
+    right.merge(cust_batch(spark, [("a", "gold", "eu", "I")], 0), epoch_id=0, mode="mor", lsn_col="lsn")
+    left.merge(orders_batch(spark, [(1, "a", 10, "I")], 0), epoch_id=0, mode="mor", lsn_col="lsn")
+    sync_join_view(view, left, right)
+    left.truncate_rows(100)
+    left.merge(orders_batch(spark, [(2, "a", 20, "I")], 200), epoch_id=1, mode="mor", lsn_col="lsn")
+    sync_join_view(view, left, right)
+    assert view_state(view) == recompute(left, right, "inner") == {(2, "a", 20, "gold", "eu")}
+
+
+def test_right_truncate_full_refresh(spark, dirs):
+    """A dimension TRUNCATE stales every row's enrichment: the sync falls
+    back to a full refresh — inner drops unmatched orders, left nulls
+    them; a new dimension row after the truncate re-enriches."""
+    left, right = mk_sources(spark, dirs)
+    view = create_join_view(spark, dirs[2], left, right, on=["cust"], how="left")
+    right.merge(
+        cust_batch(spark, [("a", "gold", "eu", "I"), ("b", "iron", "us", "I")], 0),
+        epoch_id=0, mode="mor", lsn_col="lsn",
+    )
+    left.merge(
+        orders_batch(spark, [(1, "a", 10, "I"), (2, "b", 20, "I")], 0),
+        epoch_id=0, mode="mor", lsn_col="lsn",
+    )
+    sync_join_view(view, left, right)
+    right.truncate_rows(100)
+    right.merge(cust_batch(spark, [("a", "silver", "eu", "I")], 200), epoch_id=1, mode="mor", lsn_col="lsn")
+    sync_join_view(view, left, right)
+    got = view_state(view)
+    assert got == recompute(left, right, "left")
+    assert got == {(1, "a", 10, "silver", "eu"), (2, "b", 20, None, None)}
