@@ -208,6 +208,26 @@ def sync_join_view(
     lkey = list(vsnap.merge_key)
     jcols = list(m)
 
+    # schema-divergence guard: the view's columns were fixed at create;
+    # a source rename/drop since then would otherwise surface as an
+    # opaque UNRESOLVED_COLUMN deep in the sync plan. Source ADDs are
+    # fine (the select below projects them away).
+    vcols_all = {f["name"] for f in vsnap.current_fields()}
+    lnames = {f["name"] for f in left.snapshot(lv2).current_fields()}
+    rnames = {f["name"] for f in right.snapshot(rv2).current_fields()}
+    missing_l = sorted((vcols_all - set(payload)) - lnames)
+    missing_r = sorted(
+        [c for c in payload if c not in rnames]
+        + [m[lc] for lc in jcols if m[lc] not in rnames]
+    )
+    if missing_l or missing_r:
+        raise ValueError(
+            f"source schema diverged from the view's: left is missing "
+            f"{missing_l}, right is missing {missing_r} — a source column "
+            "the view carries was renamed or dropped; recreate the view "
+            "(or re-add the column) before syncing"
+        )
+
     left_at = left.scan(version=lv2)
     parts = []
     aux: list = []

@@ -464,3 +464,37 @@ def test_right_truncate_full_refresh(spark, dirs):
     got = view_state(view)
     assert got == recompute(left, right, "left")
     assert got == {(1, "a", 10, "silver", "eu"), (2, "b", 20, None, None)}
+
+
+def test_source_schema_divergence_raises_clearly(spark, dirs):
+    """A source rename/drop of a view-carried column fails the sync with
+    a clear recreate-the-view error instead of an UNRESOLVED_COLUMN deep
+    in the plan; a source ADD is harmless (projected away)."""
+    left, right = mk_sources(spark, dirs)
+    view = create_join_view(spark, dirs[2], left, right, on=["cust"])
+    left.merge(orders_batch(spark, [(1, "a", 10, "I")], 0), epoch_id=0, mode="mor", lsn_col="lsn")
+    right.merge(cust_batch(spark, [("a", "gold", "eu", "I")], 0), epoch_id=0, mode="mor", lsn_col="lsn")
+    sync_join_view(view, left, right)
+    # ADD on either side: fine
+    left.add_column("note", "string")
+    right.add_column("flag", "string")
+    left.merge(
+        spark.createDataFrame(
+            [(2, "a", 20, "x", "U", 50)],
+            "oid long, cust string, amt long, note string, op string, lsn long",
+        ),
+        epoch_id=1, mode="mor", lsn_col="lsn",
+    )
+    sync_join_view(view, left, right)
+    assert (2, "a", 20, "gold", "eu") in view_state(view)
+    # RENAME of a carried column: clear error
+    right.rename_column("tier", "grade")
+    right.merge(
+        spark.createDataFrame(
+            [("a", "iron", "us", None, "U", 60)],
+            "cust string, grade string, region string, flag string, op string, lsn long",
+        ),
+        epoch_id=2, mode="mor", lsn_col="lsn",
+    )
+    with pytest.raises(ValueError, match="recreate the view"):
+        sync_join_view(view, left, right)
