@@ -21,6 +21,7 @@ from .join_view import (
     create_join_view,
     join_view_config,
     join_view_cursor,
+    join_view_lag,
     sync_join_view,
 )
 from .fsck import check_table
@@ -64,7 +65,7 @@ __all__ = [
     "bootstrap_hll_view", "bootstrap_cms_view", "bootstrap_hist_view",
     "maintenance_report",
     "create_join_view", "sync_join_view", "bootstrap_join_view",
-    "join_view_cursor", "join_view_config",
+    "join_view_cursor", "join_view_config", "join_view_lag",
     "Consumer", "Batch", "snapshot_diff", "EraseResult", "erase_rows", "check_table",
     "PublishConflict", "fork_branch", "branch_table", "list_branches",
     "publish_branch", "drop_branch",

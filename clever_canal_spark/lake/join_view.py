@@ -356,3 +356,14 @@ def bootstrap_join_view(
         return (lv2, rv2)
     finally:
         _free_checkpoint(seed)
+
+
+def join_view_lag(view: LakeTable, left: LakeTable, right: LakeTable) -> dict:
+    """Zero-job staleness gauge: how many lake versions each source is
+    ahead of the view's cursor (``{"left": n, "right": n}``) — the
+    number a scheduler alerts on, read from three manifest logs only."""
+    lv, rv = join_view_cursor(view)
+    return {
+        "left": max(left.current_version() - lv, 0),
+        "right": max(right.current_version() - rv, 0),
+    }

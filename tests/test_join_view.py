@@ -498,3 +498,31 @@ def test_source_schema_divergence_raises_clearly(spark, dirs):
     )
     with pytest.raises(ValueError, match="recreate the view"):
         sync_join_view(view, left, right)
+
+
+def test_lag_gauge_and_bucket_bounded_write(spark, dirs):
+    """join_view_lag reads three manifests, no jobs; and a sync touching
+    ONE key writes delta files in exactly that key's bucket — the
+    manifest-level proof of the O(affected) write claim."""
+    from clever_canal_spark.lake.join_view import join_view_lag
+
+    left, right = mk_sources(spark, dirs)
+    view = create_join_view(spark, dirs[2], left, right, on=["cust"], n_buckets=8)
+    right.merge(cust_batch(spark, [("a", "gold", "eu", "I")], 0), epoch_id=0, mode="mor", lsn_col="lsn")
+    left.merge(
+        orders_batch(spark, [(i, "a", 10 * i, "I") for i in range(1, 9)], 0),
+        epoch_id=0, mode="mor", lsn_col="lsn",
+    )
+    assert join_view_lag(view, left, right) == {
+        "left": left.current_version(), "right": right.current_version()
+    }
+    sync_join_view(view, left, right)
+    assert join_view_lag(view, left, right) == {"left": 0, "right": 0}
+
+    # one-key update -> delta files confined to that key's bucket
+    before = {f["path"] for f in view.snapshot().delta_files}
+    left.merge(orders_batch(spark, [(3, "a", 999, "U")], 50), epoch_id=1, mode="mor", lsn_col="lsn")
+    sync_join_view(view, left, right)
+    new = [f for f in view.snapshot().delta_files if f["path"] not in before]
+    assert new and len({f["bucket"] for f in new}) == 1
+    assert (3, "a", 999, "gold", "eu") in view_state(view)
