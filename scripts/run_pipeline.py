@@ -95,6 +95,14 @@ def main() -> None:
                         "(lake/sketch_view.py: page-size quantile state, <=64 "
                         "bins/group) in sync with the lake changelog — additive, "
                         "requires --merge-mode mor like the rollup")
+    p.add_argument("--join-view-dir", default="",
+                   help="maintain an incrementally-synced JOIN view "
+                        "(lake/join_view.py): pages enriched by the lang "
+                        "dimension at --join-dim-dir; recompute-idempotent, "
+                        "works under either merge mode")
+    p.add_argument("--join-dim-dir", default="",
+                   help="lang-keyed dimension table for --join-view-dir "
+                        "(created+seeded by --demo)")
     p.add_argument("--engine", choices=["follower", "structured"], default="follower",
                    help="native follower (full pushdown) or Structured Streaming foreachBatch")
     p.add_argument("--continuous", action="store_true",
@@ -125,6 +133,8 @@ def main() -> None:
         args.hll_view_dir = args.hll_view_dir or f"{work}/hllview"
         args.cms_view_dir = args.cms_view_dir or f"{work}/cmsview"
         args.hist_view_dir = args.hist_view_dir or f"{work}/histview"
+        args.join_view_dir = args.join_view_dir or f"{work}/joinview"
+        args.join_dim_dir = args.join_dim_dir or f"{work}/langdim"
         args.consumer = args.consumer or "demo-client"
 
     if not (args.source_dir and args.table_dir and args.checkpoint):
@@ -195,6 +205,36 @@ def main() -> None:
         else:
             histview = create_hist_view(spark, args.hist_view_dir, "domain",
                                         n_buckets=4)
+
+    jview = jdim = None
+    if args.join_view_dir:
+        from pyspark.sql import types as T
+
+        from clever_canal_spark.lake import create_join_view
+
+        if not args.join_dim_dir:
+            raise SystemExit("--join-view-dir requires --join-dim-dir")
+        jdim = LakeTable(spark, args.join_dim_dir)
+        if not jdim.exists():
+            jdim = LakeTable.create(
+                spark, args.join_dim_dir,
+                T.StructType([T.StructField("lang", T.StringType()),
+                              T.StructField("family", T.StringType())]),
+                merge_key=["lang"], n_buckets=2,
+            )
+            seed = spark.createDataFrame(
+                [("en", "germanic", "I", 0), ("de", "germanic", "I", 1),
+                 ("fr", "romance", "I", 2)],
+                "lang string, family string, op string, lsn long",
+            )
+            jdim.merge(seed, epoch_id=0, op_col="op", mode="mor", lsn_col="lsn")
+            print(f"join dim: created + seeded 3 langs at {args.join_dim_dir}")
+        if os.path.exists(os.path.join(args.join_view_dir, "_log")):
+            jview = LakeTable(spark, args.join_view_dir)
+        else:
+            jview = create_join_view(spark, args.join_view_dir, table, jdim,
+                                     on=["lang"], how="left",
+                                     n_buckets=args.n_buckets)
 
     cfg = ApplyConfig(
         filters=EventFilterConfig(
@@ -383,6 +423,37 @@ def main() -> None:
             print(f"rollup view: cursor fell below the source table's "
                   f"snapshot retention — view RESET; counts restart at "
                   f"version {head}")
+
+    if args.join_view_dir:
+        # recompute-idempotent: safe post-drain under BOTH engines and
+        # either merge mode (COW re-emits only inflate the affected set)
+        from clever_canal_spark.lake import SnapshotExpired
+        from clever_canal_spark.lake.join_view import (
+            bootstrap_join_view, join_view_cursor, join_view_lag,
+            sync_join_view,
+        )
+
+        try:
+            if join_view_cursor(jview) == (0, 0) and not (
+                jview.snapshot().files or jview.snapshot().delta_files
+            ):
+                try:
+                    nl, nr = sync_join_view(jview, table, jdim)
+                except SnapshotExpired:
+                    nl, nr = bootstrap_join_view(jview, table, jdim)
+                    print(f"join view: source history past retention — "
+                          f"bootstrapped from heads ({nl}, {nr})")
+                else:
+                    print(f"join view: consumed ({nl}, {nr}) source versions")
+            else:
+                nl, nr = sync_join_view(jview, table, jdim)
+                print(f"join view: consumed ({nl}, {nr}) source versions")
+            n_enriched = jview.scan().where("family IS NOT NULL").count()
+            print(f"join view: {jview.scan().count()} rows, "
+                  f"{n_enriched} enriched; lag {join_view_lag(jview, table, jdim)}")
+        except SnapshotExpired:
+            print("join view: cursor fell below source retention — recreate "
+                  "the view dir and rerun to bootstrap from current state")
 
     if args.hll_view_dir and args.continuous and args.engine == "follower":
         print("hll view: NOT maintained by the follower in --continuous "
