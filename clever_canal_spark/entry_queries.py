@@ -5555,3 +5555,63 @@ def q_cdc_drift_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     table.merge(typed, epoch_id=0, op_col="op", mode="mor", lsn_col="lsn")
     return table.scan().select("url", "hits")
+
+
+@register(
+    "doc_lsh_pair_recall",
+    f"""
+    WITH approx AS (
+      SELECT p.doc_a, p.doc_b FROM ({ORACLES["doc_lsh_verified_pairs"]}) p
+      JOIN documents da ON da.doc_id = p.doc_a
+      JOIN documents db ON db.doc_id = p.doc_b AND db.source = da.source
+      WHERE p.doc_a < 500 AND p.doc_b < 500
+    ),
+    exact AS (
+      SELECT doc_a, doc_b FROM ({ORACLES["doc_ngram_jaccard_pairs"]})
+    ),
+    h AS (
+      SELECT count(*) AS n FROM approx a
+      JOIN exact e ON a.doc_a = e.doc_a AND a.doc_b = e.doc_b
+    )
+    SELECT CAST((SELECT count(*) FROM approx) AS BIGINT) AS n_approx,
+           CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact,
+           CAST(h.n AS BIGINT) AS n_hits,
+           CASE WHEN (SELECT count(*) FROM exact) = 0 THEN CAST(0 AS BIGINT)
+                ELSE 1000000 * h.n // (SELECT count(*) FROM exact) END AS recall_e6
+    FROM h
+    """,
+)
+def q_doc_lsh_pair_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-pipeline recall (operators/dedup.pair_recall): the
+    MinHash-LSH-then-verify pair set graded against the exact
+    shingle-Jaccard pair set on the same doc_id<500 window — banding
+    loses any true pair whose signatures never collide in a band, and
+    this makes that loss a measured, integer-exact operator output
+    (the dedup twin of emb_ann_recall). Both legs grade on the SAME
+    truth universe (same-source pairs — the exact leg blocks within
+    source groups), so precision is structurally 1 (verified pairs
+    passed the same exact test) and the shortfall is pure banding loss;
+    the oracle composes the
+    two legs' already-oracled derivations and replays the intersection
+    arithmetic. Banding on the window vs banding the corpus then
+    filtering both endpoints <500 yield the same pair set (bucket joins
+    are pair-local), so the two engines' windows agree."""
+    from .operators.dedup import pair_recall
+
+    docs = _documents(spark, sf_dir).filter(F.col("doc_id") < 500)
+    # the exact leg blocks within source groups, so grade the pipeline on
+    # the same truth universe: same-source verified pairs only
+    sa = docs.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
+    sb = docs.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
+    approx = (
+        lsh_verified_pairs(docs)
+        .select("doc_a", "doc_b")
+        .join(F.broadcast(sa), on="doc_a")
+        .join(F.broadcast(sb), on="doc_b")
+        .where(F.col("sa") == F.col("sb"))
+        .select("doc_a", "doc_b")
+    )
+    exact = ngram_jaccard_pairs(docs, tau_num=3, tau_den=5, max_df=10_000).select(
+        "doc_a", "doc_b"
+    )
+    return pair_recall(approx, exact)

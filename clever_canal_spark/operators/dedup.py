@@ -582,3 +582,40 @@ def cut_spans(
         )
         .drop("_spans")
     )
+
+
+def pair_recall(
+    approx: DataFrame,
+    exact: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """Pair-level recall of a blocked near-dup pipeline against the exact
+    pair set — the dedup-family twin of ``similarity.topk_recall``: LSH
+    banding is recall-oriented BY DESIGN (a true pair whose signatures
+    never collide in any band is silently lost), so the loss rate should
+    be a measured operator output, not a number quoted in docs. One row:
+    ``(n_approx, n_exact, n_hits, recall_e6)`` with ``recall_e6 =
+    10⁶·n_hits DIV n_exact`` (0 when the exact set is empty) —
+    integer-exact, oracle-hashable. Precision is structurally 1 for a
+    verified pipeline (every emitted pair passed the same exact test);
+    recall is the number banding actually risks.
+
+    Both inputs are pair frames (already blocked/verified — tiny relative
+    to the corpus); the intersection semi-join is bounded by them."""
+    on = [a_col, b_col]
+    hits = approx.select(*on).join(exact.select(*on), on=on, how="left_semi")
+    counts = (
+        approx.select(F.count("*").alias("n_approx"))
+        .crossJoin(exact.select(F.count("*").alias("n_exact")))
+        .crossJoin(hits.select(F.count("*").alias("n_hits")))
+    )
+    return counts.select(
+        F.col("n_approx").cast("long").alias("n_approx"),
+        F.col("n_exact").cast("long").alias("n_exact"),
+        F.col("n_hits").cast("long").alias("n_hits"),
+        F.expr(
+            "CASE WHEN n_exact = 0 THEN CAST(0 AS BIGINT) "
+            "ELSE CAST(1000000 AS BIGINT) * n_hits DIV n_exact END"
+        ).alias("recall_e6"),
+    )

@@ -391,3 +391,22 @@ def test_topk_recall_global_row(spark):
     assert (r["n_hits"], r["k_exact"], r["recall_e6"]) == (1, 4, 250000)
     [r0] = topk_recall(approx.limit(0), exact).collect()
     assert (r0["n_hits"], r0["recall_e6"]) == (0, 0)
+
+
+def test_pair_recall_hand_counts(spark):
+    """Hand-pinned pair recall: 2 of 3 exact pairs found, one spurious
+    approx pair ignored by recall; empty exact set -> recall 0 row."""
+    from clever_canal_spark.operators.dedup import pair_recall
+
+    exact = spark.createDataFrame(
+        [(1, 2), (3, 4), (5, 6)], "doc_a long, doc_b long"
+    )
+    approx = spark.createDataFrame(
+        [(1, 2), (5, 6), (7, 8)], "doc_a long, doc_b long"
+    )
+    [r] = pair_recall(approx, exact).collect()
+    assert (r["n_approx"], r["n_exact"], r["n_hits"], r["recall_e6"]) == (
+        3, 3, 2, 666666,
+    )
+    [r0] = pair_recall(approx, exact.limit(0)).collect()
+    assert (r0["n_exact"], r0["recall_e6"]) == (0, 0)
