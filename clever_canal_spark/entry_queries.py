@@ -5615,3 +5615,36 @@ def q_doc_lsh_pair_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_a", "doc_b"
     )
     return pair_recall(approx, exact)
+
+
+@register(
+    "emb_ivf_recall",
+    f"""
+    WITH approx AS ({_ivf_oracle()}),
+    q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+    exact AS (
+      SELECT vec_id FROM (
+        SELECT vec_id, {_duck_dot_e9('embedding', 'qvec')} AS dot_e9
+        FROM embeddings, q
+        ORDER BY dot_e9 DESC, vec_id LIMIT 50
+      )
+    )
+    SELECT CAST(h.n AS BIGINT) AS n_hits,
+           CAST(50 AS BIGINT) AS k_exact,
+           1000000 * h.n // 50 AS recall_e6
+    FROM (SELECT count(*) AS n FROM approx a JOIN exact e USING (vec_id)) h
+    """,
+)
+def q_emb_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF recall (similarity.topk_recall over ivf_topk vs brute force,
+    same knobs as emb_ivf_topk: mod-32 centroids, 4 probes) — round 2
+    flagged IVF as the family's weak member; its loss rate is now a
+    hash-checked operator output like the multiprobe's (emb_ann_recall)
+    and the dedup pipeline's (doc_lsh_pair_recall)."""
+    from .operators.similarity import topk_recall
+
+    emb = _embeddings(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") == 0)
+    approx = ivf_topk(emb, q, k=50, centroid_mod=_IVF_MOD, n_probes=_IVF_PROBES)
+    exact = brute_force_topk(emb, q, k=50)
+    return topk_recall(approx, exact)
