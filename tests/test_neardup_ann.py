@@ -410,3 +410,25 @@ def test_pair_recall_hand_counts(spark):
     )
     [r0] = pair_recall(approx, exact.limit(0)).collect()
     assert (r0["n_exact"], r0["recall_e6"]) == (0, 0)
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="testdata absent")
+def test_ivf_recall_monotone_in_probes(spark):
+    """The recall knob behaves: probing more inverted lists can only add
+    candidates, so recall@50 is monotone in n_probes (and reaches 1.0
+    when every list is probed — IVF with all lists IS brute force)."""
+    from clever_canal_spark.operators.similarity import (
+        brute_force_topk, ivf_topk, topk_recall,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") == 0)
+    exact = brute_force_topk(emb, q, k=50)
+
+    def recall(n_probes):
+        approx = ivf_topk(emb, q, k=50, centroid_mod=32, n_probes=n_probes)
+        return topk_recall(approx, exact).collect()[0]["recall_e6"]
+
+    n_cents = emb.filter(F.col("vec_id") % 32 == 0).count()
+    r4, r8, rall = recall(4), recall(8), recall(n_cents)
+    assert r4 <= r8 <= rall == 1_000_000, (r4, r8, rall)
