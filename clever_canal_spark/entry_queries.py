@@ -866,7 +866,8 @@ def _events_as_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 _REPLAY_CACHE: dict[tuple, tuple[str, list[int]]] = {}
 
 
-def _replay_events_table(spark: SparkSession, sf_dir: str, n_epochs: int = 4):
+def _replay_events_table(spark: SparkSession, sf_dir: str, n_epochs: int = 4,
+                         bloom: int = 0):
     """Drive the real engine over the events feed in ``n_epochs`` LSN
     slices into a fresh MOR LakeTable; returns (table, versions) with the
     snapshot version recorded after each epoch (for changelog reads).
@@ -880,7 +881,7 @@ def _replay_events_table(spark: SparkSession, sf_dir: str, n_epochs: int = 4):
     from .plans import ApplyConfig, apply_epoch
     from .plans.apply import BatchHints
 
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), n_epochs)
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), n_epochs, bloom)
     hit = _REPLAY_CACHE.get(key)
     if hit is not None:
         path, versions = hit
@@ -890,7 +891,8 @@ def _replay_events_table(spark: SparkSession, sf_dir: str, n_epochs: int = 4):
     tmp = tempfile.mkdtemp(prefix="ccs-replay-")
     shutil.rmtree(tmp, ignore_errors=True)
     table = LakeTable.create(
-        spark, tmp, PAGE_SCHEMA, merge_key=["url", "warc_ts"], n_buckets=8
+        spark, tmp, PAGE_SCHEMA, merge_key=["url", "warc_ts"], n_buckets=8,
+        bloom_bits_per_key=bloom,
     )
     n = feed.agg(F.max("lsn")).collect()[0][0] + 1
     cfg = ApplyConfig(transform=False, salted=True, n_salts=8, merge_mode="mor")
@@ -1286,6 +1288,42 @@ def q_cdc_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     of a table scan."""
     table, _ = _replay_events_table(spark, sf_dir)
     return table.lookup(url="u7").select("url", "text")
+
+
+@register(
+    "cdc_point_lookup_bloom",
+    f"""
+    SELECT 'hit' AS probe, 'u' || CAST(user_id AS VARCHAR) AS url,
+           CAST({_CENTS} AS VARCHAR) AS text
+    FROM (
+      SELECT user_id, value, {_OP_EXPR} AS op,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      FROM events WHERE user_id = 7
+    ) WHERE rn = 1 AND op <> 'D'
+    UNION ALL
+    SELECT 'miss' AS probe, 'u1a' AS url, '0' AS text
+    """,
+)
+def q_cdc_point_lookup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned point read (per-file bloom filters on the bucket key,
+    the Iceberg Puffin / Delta bloom-index analog — ``LakeTable.create(...,
+    bloom_bits_per_key=12)``): MOR delta files hold keys in LSN order, so
+    their manifest [key_min, key_max] spans the whole keyspace and only the
+    bloom can skip them between compactions. The 'hit' row value-checks the
+    looked-up winner; the 'miss' row value-checks that probing an absent
+    in-range key ('u1a' sorts inside [u0, u999...] but is never generated)
+    opens ZERO data files — the oracle pins ``after_bloom`` to the literal
+    0, so the driver's hash compare verifies the pruning itself, not just
+    the row values."""
+    table, _ = _replay_events_table(spark, sf_dir, bloom=12)
+    hit = table.lookup(url="u7").select(
+        F.lit("hit").alias("probe"), "url", "text"
+    )
+    plan = table.lookup_plan(url="u1a")
+    miss = spark.createDataFrame(
+        [("miss", "u1a", str(plan["after_bloom"]))], "probe string, url string, text string"
+    )
+    return hit.unionByName(miss)
 
 
 # --------------------------------------------------------------------------

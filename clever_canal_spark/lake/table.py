@@ -48,6 +48,14 @@ from .fs import LocalFS, MetadataFS
 _LOG_DIR = "_log"
 _DATA_DIR = "data"
 _REFS_DIR = "refs"  # under _LOG_DIR: named refs (tags) — _log/refs/{name}.json
+# under _LOG_DIR: per-commit bloom-filter sidecars (the Iceberg Puffin
+# analog) — _log/blooms/{commit_id}.json maps data-file basename →
+# {"m", "k", "bits": base64 bitmap}. Sidecars stay OUT of the snapshot
+# JSON (which is rewritten whole every commit) and are immutable once
+# written, so readers cache them by path.
+_BLOOM_DIR = "blooms"
+_BLOOM_MIN_BITS = 1 << 10  # floor: tiny files still get a useful filter
+_BLOOM_MAX_BITS = 1 << 19  # cap: 64 KiB bitmap per file (sidecar growth)
 _BRANCH_DIR = "_branches"  # WAP branches live INSIDE the table dir (lake/wap.py)
 _REF_NAME = re.compile(r"[A-Za-z0-9][A-Za-z0-9._-]{0,63}")
 
@@ -335,6 +343,15 @@ class _Snapshot:
     # analog powering scan_where's file-level pruning. Timestamps store as
     # epoch micros.
     stats_cols: list = field(default_factory=list)
+    # >0 enables per-file bloom filters on the bucket key's first column
+    # (the Iceberg Puffin / Delta bloom-index analog). MOR delta files hold
+    # keys in LSN-arrival order, so their [key_min, key_max] spans nearly
+    # the whole keyspace and range pruning keeps every delta file; the
+    # bloom is what lets a point read skip the delta files that provably
+    # don't contain the probe key between compactions. Value = bits per
+    # key (~10 → ≈1% false-positive rate); bitmaps live in per-commit
+    # sidecar files under _log/blooms/, never in the snapshot JSON.
+    bloom_bits_per_key: int = 0
 
     def to_json(self) -> str:
         return json.dumps(self.__dict__, separators=(",", ":"))
@@ -374,6 +391,9 @@ class LakeTable:
         self._log_path = os.path.join(self.path, _LOG_DIR)
         self._data_path = os.path.join(self.path, _DATA_DIR)
         self._fs: MetadataFS = fs or LocalFS()
+        # bloom sidecars are immutable once written → cache decoded
+        # bitmaps per sidecar path for the life of this handle
+        self._bloom_sidecars: dict[str, dict] = {}
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -387,13 +407,17 @@ class LakeTable:
         n_buckets: int = 16,
         fs: "MetadataFS | None" = None,
         stats_cols: list[str] | None = None,
+        bloom_bits_per_key: int = 0,
     ) -> "LakeTable":
         """Create an empty table. ``bucket_key`` defaults to the first merge
         key column — bucketing on the key *prefix* colocates all versions of
         an entity while keeping the bucket computable from either key form.
         ``stats_cols``: extra columns whose per-file [min, max] goes in the
         manifest (:meth:`scan_where` pruning); changeable later via
-        :meth:`set_stats_cols`."""
+        :meth:`set_stats_cols`. ``bloom_bits_per_key`` > 0 records a per-file
+        bloom filter on the bucket key at every write (:meth:`lookup` /
+        :meth:`scan_for_keys` file skipping); changeable later via
+        :meth:`set_bloom`."""
         t = LakeTable(spark, path, fs=fs)
         t._fs.makedirs(t._log_path)
         t._fs.makedirs(t._data_path)
@@ -413,6 +437,7 @@ class LakeTable:
             operation="create",
             committed_at_ms=int(time.time() * 1000),
             stats_cols=list(stats_cols or []),
+            bloom_bits_per_key=int(bloom_bits_per_key),
         )
         t._write_snapshot(snap)
         return t
@@ -694,6 +719,23 @@ class LakeTable:
         self._write_snapshot(child)
         return child.version
 
+    def set_bloom(self, bits_per_key: int) -> int:
+        """Enable (>0) or disable (0) per-file bucket-key bloom filters —
+        metadata-only, same contract as :meth:`set_stats_cols`: files
+        written BEFORE this carry no bloom (they are always read: pruning
+        incomplete, never wrong) and pick one up at their next rewrite
+        (compaction / COW / migrate)."""
+        if bits_per_key < 0:
+            raise ValueError("bits_per_key must be >= 0")
+        snap = self.snapshot()
+        child = self._child(
+            snap,
+            bloom_bits_per_key=int(bits_per_key),
+            operation=f"set-bloom:{bits_per_key}",
+        )
+        self._write_snapshot(child)
+        return child.version
+
     @staticmethod
     def _stats_bound(v):
         """Normalize a scan_where bound the way the manifest stores stats
@@ -802,14 +844,60 @@ class LakeTable:
             [tuple(key_vals[c] for c in snap.bucket_key)],
             ", ".join(f"{c} {cols[c]}" for c in snap.bucket_key),
         )
-        bucket = probe.select(self._bucket_col(snap).alias("b")).collect()[0]["b"]
+        kc = snap.bucket_key[0]
+        r = probe.select(
+            self._bucket_col(snap).alias("b"),
+            F.xxhash64(kc).alias("h1"),
+            F.xxhash64(kc, F.lit(1)).alias("h2"),
+        ).collect()[0]
+        bucket = r["b"]
+        range_pred = _key_range_pred([key_vals[kc]])
+        bloom_pred = self._bloom_pred([(r["h1"], r["h2"])])
         out = self._reconciled(
             snap, buckets={int(bucket)},
-            file_pred=_key_range_pred([key_vals[snap.bucket_key[0]]]),
+            file_pred=lambda f: range_pred(f) and bloom_pred(f),
         )
         for c, v in key_vals.items():
             out = out.filter(F.col(c) == F.lit(v))
         return out.select(*[f["name"] for f in snap.current_fields()])
+
+    def lookup_plan(self, **key_vals) -> dict:
+        """Pruning explain for :meth:`lookup` — which manifest files the
+        point read would open and what skipped the rest. Metadata plus the
+        same 1-row probe Spark job only (no data files are read):
+        ``{"bucket", "files_in_bucket", "after_key_range", "after_bloom",
+        "paths"}`` where ``paths`` is the surviving (read) set. The gap
+        between ``files_in_bucket`` and ``after_bloom`` is the point-read
+        I/O the manifest stats save — on a hot bucket between compactions
+        that's nearly all delta files (their key ranges span the whole
+        keyspace; only the bloom can skip them)."""
+        snap = self.snapshot()
+        missing = [c for c in snap.bucket_key if c not in key_vals]
+        if missing:
+            raise ValueError(f"lookup needs all bucket key columns; missing {missing}")
+        cols = {f["name"]: f["type"] for f in snap.current_fields()}
+        probe = self.spark.createDataFrame(
+            [tuple(key_vals[c] for c in snap.bucket_key)],
+            ", ".join(f"{c} {cols[c]}" for c in snap.bucket_key),
+        )
+        kc = snap.bucket_key[0]
+        r = probe.select(
+            self._bucket_col(snap).alias("b"),
+            F.xxhash64(kc).alias("h1"),
+            F.xxhash64(kc, F.lit(1)).alias("h2"),
+        ).collect()[0]
+        cand = _bucket_pick(snap.files + snap.delta_files, {int(r["b"])}, snap.n_buckets)
+        range_pred = _key_range_pred([key_vals[kc]])
+        ranged = [f for f in cand if range_pred(f)]
+        bloom_pred = self._bloom_pred([(r["h1"], r["h2"])])
+        final = [f for f in ranged if bloom_pred(f)]
+        return {
+            "bucket": int(r["b"]),
+            "files_in_bucket": len(cand),
+            "after_key_range": len(ranged),
+            "after_bloom": len(final),
+            "paths": [f["path"] for f in final],
+        }
 
     def scan_for_keys(self, values: list) -> DataFrame:
         """Multi-point read: reconcile ONLY the buckets holding the given
@@ -831,13 +919,18 @@ class LakeTable:
         probe = self.spark.createDataFrame(
             vals, ", ".join(f"{c} {cols[c]}" for c in snap.bucket_key)
         )
-        buckets = {
-            int(r["__b"])
-            for r in probe.select(self._bucket_col(snap).alias("__b")).collect()
-        }
+        kc = snap.bucket_key[0]
+        probed = probe.select(
+            self._bucket_col(snap).alias("__b"),
+            F.xxhash64(kc).alias("__h1"),
+            F.xxhash64(kc, F.lit(1)).alias("__h2"),
+        ).collect()
+        buckets = {int(r["__b"]) for r in probed}
+        range_pred = _key_range_pred([v[0] for v in vals])
+        bloom_pred = self._bloom_pred([(r["__h1"], r["__h2"]) for r in probed])
         out = self._reconciled(
             snap, buckets=buckets,
-            file_pred=_key_range_pred([v[0] for v in vals]),
+            file_pred=lambda f: range_pred(f) and bloom_pred(f),
         )
         if len(snap.bucket_key) == 1:
             out = out.filter(F.col(snap.bucket_key[0]).isin([v[0] for v in vals]))
@@ -1063,9 +1156,140 @@ class LakeTable:
                     }
                 )
         self._fs.rmtree(tmp)
+        if snap.bloom_bits_per_key > 0 and entries:
+            self._attach_blooms(snap, entries, commit_id)
         if _tm:
             print(f"[write manifest({len(entries)}f): {time.monotonic() - _t0:.2f}s]", flush=True)
         return entries
+
+    def _attach_blooms(self, snap: _Snapshot, entries: list[dict], commit_id: str) -> None:
+        """Build one bloom filter per just-written data file over the bucket
+        key's first column and record it in a per-commit sidecar
+        (``_log/blooms/{commit_id}.json``); each manifest entry gets a
+        ``"bloom"`` ref. One extra column-pruned Spark job per commit:
+        hashing stays JVM-side (the same ``xxhash64`` family the probe job
+        uses), bit positions are Kirsch–Mitzenmacher double hashing
+        ``(h1 + i*h2) mod m``, deduped map-side (group sizes are bounded by
+        ``m``, never by file rows), and the bitmap itself is OR-ed together
+        in an Arrow batch — the driver only ever sees ``m/8`` bytes per file.
+
+        The sidecar lands BEFORE the snapshot commit that references it
+        (same ordering as the data files themselves): a crash in between
+        leaves an orphan sidecar for :meth:`vacuum`, never a dangling ref."""
+        import base64
+
+        import numpy as np
+        import pandas as pd
+
+        bpk = snap.bloom_bits_per_key
+        k = max(1, min(8, round(0.6931 * bpk)))
+        kc = snap.bucket_key[0]
+        sizes = [
+            (
+                os.path.basename(e["path"]),
+                int(min(max((e["rows"] or 1) * bpk, _BLOOM_MIN_BITS), _BLOOM_MAX_BITS)),
+            )
+            for e in entries
+        ]
+        mmap = self.spark.createDataFrame(sizes, "__f string, __m long")
+        src = self.spark.read.parquet(
+            *[os.path.join(self.path, e["path"]) for e in entries]
+        ).select(
+            F.element_at(F.split(F.input_file_name(), "/"), -1).alias("__f"),
+            F.col(kc).alias("__k"),
+        )
+        h1 = F.pmod(F.xxhash64("__k"), F.col("__m"))
+        # step must be non-zero and is kept < m so (h1 + i*step) never
+        # overflows a BIGINT (m ≤ 2^19, i ≤ 8 — ANSI-safe arithmetic)
+        h2 = F.pmod(F.xxhash64("__k", F.lit(1)), F.col("__m") - 1) + F.lit(1)
+        idx = F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(k - 1)),
+                lambda i: F.pmod(h1 + i * h2, F.col("__m")),
+            )
+        )
+        per = (
+            src.join(F.broadcast(mmap), "__f")
+            .select("__f", "__m", idx.alias("__i"))
+            .dropDuplicates(["__f", "__i"])
+        )
+
+        def _bitmap(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            m = int(pdf["__m"].iloc[0])
+            bits = np.zeros((m + 7) // 8, dtype=np.uint8)
+            i = pdf["__i"].to_numpy().astype(np.int64)
+            np.bitwise_or.at(bits, i >> 3, np.left_shift(1, (i & 7).astype(np.uint8)).astype(np.uint8))
+            return pd.DataFrame(
+                {"__f": [pdf["__f"].iloc[0]], "__m": [m], "bits": [bits.tobytes()]}
+            )
+
+        built = per.groupBy("__f").applyInPandas(
+            _bitmap, "__f string, __m long, bits binary"
+        ).collect()
+        side = {
+            r["__f"]: {
+                "m": int(r["__m"]),
+                "k": k,
+                "bits": base64.b64encode(bytes(r["bits"])).decode("ascii"),
+            }
+            for r in built
+        }
+        rel = os.path.join(_BLOOM_DIR, f"{commit_id}.json")
+        self._fs.makedirs(os.path.join(self._log_path, _BLOOM_DIR))
+        self._fs.write_bytes(
+            os.path.join(self._log_path, rel),
+            json.dumps(side, separators=(",", ":")).encode(),
+        )
+        for e in entries:
+            if os.path.basename(e["path"]) in side:
+                e["bloom"] = rel
+
+    def _bloom_sidecar(self, ref: str) -> dict:
+        """Load (and cache) a bloom sidecar: basename → (m, k, bitmap bytes).
+        A missing/corrupt sidecar disables pruning for its files — never
+        wrong, only incomplete."""
+        import base64
+
+        hit = self._bloom_sidecars.get(ref)
+        if hit is not None:
+            return hit
+        try:
+            raw = json.loads(self._fs.read_text(os.path.join(self._log_path, ref)))
+            side = {
+                f: (int(e["m"]), int(e["k"]), base64.b64decode(e["bits"]))
+                for f, e in raw.items()
+            }
+        except Exception:
+            side = {}
+        self._bloom_sidecars[ref] = side
+        return side
+
+    def _bloom_pred(self, hashes: list[tuple[int, int]]):
+        """Manifest-entry predicate: keep a file unless its bloom filter
+        proves NONE of the probe keys can be present. ``hashes`` carries the
+        probe keys' raw signed ``(xxhash64(key), xxhash64(key, 1))`` pairs —
+        computed by the same 1-row Spark job that computes the probe bucket,
+        so write-side and probe-side hashing are the identical JVM function.
+        Python ``%`` with a positive modulus equals Spark's ``pmod`` on the
+        signed values, so bit positions match bit-for-bit."""
+        def pred(f: dict) -> bool:
+            ref = f.get("bloom")
+            if not ref:
+                return True
+            ent = self._bloom_sidecar(ref).get(os.path.basename(f["path"]))
+            if not ent:
+                return True
+            m, k, bits = ent
+            for h1, h2 in hashes:
+                a = h1 % m
+                step = h2 % (m - 1) + 1
+                if all(
+                    bits[((a + i * step) % m) >> 3] >> (((a + i * step) % m) & 7) & 1
+                    for i in range(k)
+                ):
+                    return True
+            return False
+        return pred
 
     def lineage(self, version: int | None = None) -> list[dict]:
         """Per-partition lineage of a snapshot: one row per data file with
@@ -1568,10 +1792,14 @@ class LakeTable:
         reference collection over every retained version is exact."""
         now = time.time()
         referenced: set[str] = set()
+        referenced_blooms: set[str] = set()
         for name in self._fs.listdir(self._log_path):
             if name.startswith("v") and name.endswith(".json"):
                 snap = self.snapshot(int(name[1:9]))
                 referenced.update(f["path"] for f in snap.files + snap.delta_files)
+                referenced_blooms.update(
+                    f["bloom"] for f in snap.files + snap.delta_files if f.get("bloom")
+                )
         removed_files: list[str] = []
         for fn in self._fs.listdir(self._data_path):
             rel = os.path.join(_DATA_DIR, fn)
@@ -1585,6 +1813,22 @@ class LakeTable:
                 removed_files.append(rel)
             except OSError:
                 continue
+        # bloom sidecars referenced by no retained snapshot (expired
+        # versions, or a crash between sidecar write and snapshot commit)
+        removed_blooms = 0
+        bloom_dir = os.path.join(self._log_path, _BLOOM_DIR)
+        if self._fs.isdir(bloom_dir):
+            for fn in self._fs.listdir(bloom_dir):
+                rel = os.path.join(_BLOOM_DIR, fn)
+                if rel in referenced_blooms:
+                    continue
+                try:
+                    if now - self._fs.mtime(os.path.join(bloom_dir, fn)) < orphan_ttl_s:
+                        continue
+                    self._fs.remove(os.path.join(bloom_dir, fn))
+                    removed_blooms += 1
+                except OSError:
+                    continue
         removed_stages = 0
         for dn in self._fs.listdir(self.path):
             full = os.path.join(self.path, dn)
@@ -1632,7 +1876,8 @@ class LakeTable:
                     except OSError:
                         pass
         return {"removed_files": removed_files, "removed_stage_dirs": removed_stages,
-                "removed_sealed_branches": removed_branches}
+                "removed_sealed_branches": removed_branches,
+                "removed_bloom_sidecars": removed_blooms}
 
     def compact(
         self,
