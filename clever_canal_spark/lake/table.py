@@ -1435,6 +1435,7 @@ class LakeTable:
         mode: str = "cow",
         lsn_col: str | None = None,
         compact_every: int = 24,
+        commit_retries: int = 0,
     ) -> MergeResult:
         """MERGE INTO: upsert rows with ``op`` ∈ {I,U} (payload columns =
         table columns), delete rows with ``op`` = 'D'.
@@ -1457,6 +1458,18 @@ class LakeTable:
           the base (auto every ``compact_every`` delta commits). This is the
           sustained-ingest path: apply cost is O(batch), not O(table).
           Requires ``lsn_col``.
+
+        ``commit_retries`` (MOR only) enables the Iceberg optimistic-commit
+        loop for CONCURRENT committers on one table: delta entries are
+        additive and scans reconcile by LWW-on-``__lsn``, so on
+        ``CommitConflict`` the already-written files re-parent onto the new
+        head and the CAS retries — no Spark job re-runs. Re-parenting is
+        refused (conflict re-raised) only when it could change semantics:
+        a concurrent TRUNCATE whose watermark reaches into this delta's LSN
+        range (re-parenting would resurrect erased state), or a file entry
+        without recorded LSN stats (can't prove safety). A COW merge never
+        retries — its rewrite read the pre-conflict base, so the conflict
+        is real and the caller must re-run the merge.
         """
         if epoch_id is not None and self.is_epoch_committed(epoch_id):
             return MergeResult(applied=False, version=self.current_version())
@@ -1468,7 +1481,10 @@ class LakeTable:
                 # not resurrect pre-truncate state (emptiness wins the LWW)
                 source = source.filter(F.col(lsn_col) > t_lsn)
         if mode == "mor":
-            return self._merge_mor(source, epoch_id, lineage, op_col, lsn_col, compact_every)
+            return self._merge_mor(
+                source, epoch_id, lineage, op_col, lsn_col, compact_every,
+                commit_retries,
+            )
 
         snap = self.snapshot()
         cols = [f["name"] for f in snap.current_fields()]
@@ -1558,7 +1574,10 @@ class LakeTable:
         finally:
             src.unpersist()
 
-    def _merge_mor(self, source, epoch_id, lineage, op_col, lsn_col, compact_every) -> MergeResult:
+    def _merge_mor(
+        self, source, epoch_id, lineage, op_col, lsn_col, compact_every,
+        commit_retries: int = 0,
+    ) -> MergeResult:
         """Merge-on-read apply: append winners (incl. delete markers) as
         bucketed delta files — zero target reads, O(batch) cost."""
         if not lsn_col:
@@ -1580,16 +1599,42 @@ class LakeTable:
         if _tm:
             print(f"[mor delta-write: {_time.monotonic() - _t0:.2f}s]", flush=True)
             _t0 = _time.monotonic()
-        epochs = dict(snap.committed_epochs)
-        if epoch_id is not None:
-            epochs[str(epoch_id)] = (lineage() if callable(lineage) else lineage) or {}
-        child = self._child(
-            snap,
-            delta_files=snap.delta_files + new_files,
-            committed_epochs=epochs,
-            operation=f"merge-mor:epoch={epoch_id}",
-        )
-        self._write_snapshot(child)
+        lin = (lineage() if callable(lineage) else lineage) or {}
+        for attempt in range(commit_retries + 1):
+            epochs = dict(snap.committed_epochs)
+            if epoch_id is not None:
+                epochs[str(epoch_id)] = lin
+            child = self._child(
+                snap,
+                delta_files=snap.delta_files + new_files,
+                committed_epochs=epochs,
+                operation=f"merge-mor:epoch={epoch_id}",
+            )
+            try:
+                self._write_snapshot(child)
+                break
+            except CommitConflict:
+                if attempt >= commit_retries:
+                    raise
+                # Iceberg optimistic-commit loop: re-parent the ALREADY
+                # WRITTEN delta entries onto the new head (additive + LWW
+                # reconciliation make concurrent MOR commits commutative)
+                # and retry the CAS — the Spark write never re-runs.
+                head = self.snapshot()
+                if epoch_id is not None and self._committed_in(head, epoch_id):
+                    # another writer applied this very epoch; our files are
+                    # unreferenced orphans (vacuum sweeps them)
+                    return MergeResult(applied=False, version=head.version)
+                if head.truncate_lsn > snap.truncate_lsn and any(
+                    f.get("lsn_min") is None or f["lsn_min"] <= head.truncate_lsn
+                    for f in new_files
+                ):
+                    raise CommitConflict(
+                        "concurrent TRUNCATE watermark reaches into this "
+                        "delta's LSN range — re-parenting would resurrect "
+                        "erased state; re-run the merge"
+                    )
+                snap = head
         if _tm:
             print(f"[mor commit: {_time.monotonic() - _t0:.2f}s]", flush=True)
         result = MergeResult(
