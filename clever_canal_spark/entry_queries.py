@@ -5686,3 +5686,207 @@ def q_emb_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = ivf_topk(emb, q, k=50, centroid_mod=_IVF_MOD, n_probes=_IVF_PROBES)
     exact = brute_force_topk(emb, q, k=50)
     return topk_recall(approx, exact)
+
+
+# --------------------------------------------------------------------------
+# Web-graph operators (operators/graph.py): links, PageRank, mirrors
+# --------------------------------------------------------------------------
+
+# Deterministic hyperlink synthesis (the fixture carries no link column):
+# every page links to doc_id DIV 2 (halving tree -> small-id hubs) and to
+# doc_id % 97 (modular shortcut); self-links drop. doc 0 emits no edges,
+# so it is the graph's one dangling node — the dangling-mass path of
+# pagerank is exercised, not just reachable.
+_GRAPH_EDGES_SQL = (
+    "edges AS ("
+    " SELECT doc_id AS src, doc_id // 2 AS dst FROM documents"
+    " WHERE doc_id // 2 <> doc_id"
+    " UNION ALL"
+    " SELECT doc_id AS src, doc_id % 97 AS dst FROM documents"
+    " WHERE doc_id % 97 <> doc_id)"
+)
+
+# page-url + html twins of the same edge set, with extraction warts: a
+# relative href (dropped), spacing around '=', and a self-link at doc 0
+_GRAPH_SRC_URL = "'http://site' || CAST(doc_id % 5 AS STRING) || '.com/p/' || CAST(doc_id AS STRING)"
+_GRAPH_HTML = (
+    "'<p><a href=\"http://site' || CAST(doc_id % 5 AS STRING) || '.com/p/'"
+    " || CAST(doc_id // 2 AS STRING) ||"
+    " '\">a</a><a href=\"/relative/skip\">r</a><a href = \"https://hub.org/h/'"
+    " || CAST(doc_id % 97 AS STRING) || '\">h</a></p>'"
+)
+
+
+def _graph_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the only integer division is "doc_id // 2" (Spark spells it DIV);
+    # the urls' "://" never contains the "// 2" pattern
+    return _documents(spark, sf_dir).select(
+        F.expr(_GRAPH_SRC_URL).alias("url"),
+        F.expr(_GRAPH_HTML.replace("// 2", "DIV 2")).alias("html"),
+    )
+
+
+def _graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _documents(spark, sf_dir)
+    e1 = d.select(F.col("doc_id").alias("src"), F.expr("doc_id DIV 2").alias("dst"))
+    e2 = d.select(F.col("doc_id").alias("src"), F.expr("doc_id % 97").alias("dst"))
+    return e1.unionAll(e2).filter("src <> dst")
+
+
+@register(
+    "doc_link_graph",
+    f"""
+    WITH pages AS (SELECT {_GRAPH_SRC_URL} AS url, {_GRAPH_HTML} AS html
+                   FROM documents),
+    links AS (SELECT url AS src,
+                     unnest(regexp_extract_all(html, 'href\\s*=\\s*"([^"]*)"', 1)) AS dst
+              FROM pages)
+    SELECT src, dst FROM links
+    WHERE regexp_matches(dst, '^[A-Za-z][A-Za-z0-9+.-]*://') AND src <> dst
+    """,
+)
+def q_doc_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperlink-edge extraction (graph.extract_links): href harvesting
+    from page html — map-only 1->N explode of JVM regexes, relative
+    targets and self-links dropped. Inputs synthesized deterministically
+    from doc_id (fixture has no html column); canonicalize=False so the
+    oracle is an independent regex transcription (canonicalization has
+    its own oracle, doc_url_canonical)."""
+    from .operators.graph import extract_links
+
+    return extract_links(_graph_pages(spark, sf_dir), canonicalize=False)
+
+
+@register(
+    "doc_host_graph",
+    f"""
+    WITH pages AS (SELECT {_GRAPH_SRC_URL} AS url, {_GRAPH_HTML} AS html
+                   FROM documents),
+    links AS (SELECT url AS src,
+                     unnest(regexp_extract_all(html, 'href\\s*=\\s*"([^"]*)"', 1)) AS dst
+              FROM pages),
+    abs_links AS (SELECT src, dst FROM links
+                  WHERE regexp_matches(dst, '^[A-Za-z][A-Za-z0-9+.-]*://')
+                    AND src <> dst),
+    hosts AS (SELECT
+        lower(regexp_replace(regexp_extract(src, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1), ':[0-9]+$', '')) AS src_host,
+        lower(regexp_replace(regexp_extract(dst, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1), ':[0-9]+$', '')) AS dst_host
+      FROM abs_links)
+    SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links
+    FROM hosts
+    WHERE src_host <> '' AND dst_host <> '' AND src_host <> dst_host
+    GROUP BY src_host, dst_host
+    """,
+)
+def q_doc_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Site-level link graph (graph.host_graph over graph.extract_links):
+    URL edges collapse to (src_host, dst_host, n_links) with intra-host
+    navigation chrome dropped — host cardinality is corpus-bounded far
+    below page cardinality, so the groupBy's map-side combine does the
+    heavy lifting."""
+    from .operators.graph import extract_links, host_graph
+
+    return host_graph(extract_links(_graph_pages(spark, sf_dir), canonicalize=False))
+
+
+@register(
+    "doc_graph_degrees",
+    f"""
+    WITH {_GRAPH_EDGES_SQL},
+    t AS (SELECT src AS node, 1 AS o, 0 AS i FROM edges
+          UNION ALL SELECT dst, 0, 1 FROM edges)
+    SELECT node, CAST(SUM(o) AS BIGINT) AS out_deg, CAST(SUM(i) AS BIGINT) AS in_deg
+    FROM t GROUP BY node
+    """,
+)
+def q_doc_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In/out degree per node (graph.degree_stats) — the raw
+    hub/authority signal; one union + one map-side-combined groupBy."""
+    from .operators.graph import degree_stats
+
+    return degree_stats(_graph_edges(spark, sf_dir))
+
+
+def _duck_pagerank_sql(n_iters: int = 3, damping_e6: int = 850_000) -> str:
+    """Unrolled power-iteration twin of graph.pagerank — the oracle
+    replays the LOOP (rank mass e12, damping e6, toward-zero division),
+    so the trained ranks match bit-for-bit, the kmeans/BPE pattern."""
+    parts = [
+        _GRAPH_EDGES_SQL,
+        "nodes AS (SELECT DISTINCT node FROM ("
+        "SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges))",
+        "cnt AS (SELECT count(*) AS n FROM nodes)",
+        "deg AS (SELECT src, count(*) AS od FROM edges GROUP BY src)",
+        "r0 AS (SELECT node, 1000000000000 // c.n AS rank FROM nodes CROSS JOIN cnt c)",
+    ]
+    for t in range(1, n_iters + 1):
+        p = f"r{t-1}"
+        parts.append(
+            f"d{t} AS (SELECT COALESCE(SUM(r.rank), 0) AS dang FROM {p} r "
+            f"LEFT JOIN deg ON r.node = deg.src WHERE deg.src IS NULL)"
+        )
+        parts.append(
+            f"f{t} AS (SELECT e.dst AS node, SUM(r.rank // d.od) AS inflow "
+            f"FROM edges e JOIN {p} r ON e.src = r.node "
+            f"JOIN deg d ON e.src = d.src GROUP BY e.dst)"
+        )
+        parts.append(
+            f"r{t} AS (SELECT n.node, "
+            f"({1_000_000 - damping_e6} * (1000000000000 // c.n) "
+            f"+ {damping_e6} * (COALESCE(f.inflow, 0) + (dd.dang // c.n))) // 1000000 AS rank "
+            f"FROM nodes n CROSS JOIN cnt c CROSS JOIN d{t} dd "
+            f"LEFT JOIN f{t} f ON n.node = f.node)"
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT node, CAST(rank AS BIGINT) AS rank_e12 FROM r{n_iters}"
+    )
+
+
+@register("doc_pagerank", _duck_pagerank_sql(n_iters=3))
+def q_doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped PageRank (graph.pagerank, 3 iterations, d=0.85) over the
+    synthesized link graph — integer-exact power iteration (rank mass
+    e12, Spark DIV == DuckDB //): per round ONE edges-join-ranks shuffle
+    + ONE groupBy(dst), state O(nodes), dangling mass a 1-row scalar.
+    The small-id hubs and the dangling doc-0 node both shape the
+    result, so the oracle checks real graph dynamics, not a fixpoint."""
+    from .operators.graph import pagerank
+
+    return pagerank(_graph_edges(spark, sf_dir), n_iter=3, node_col="node")
+
+
+@register(
+    "doc_host_mirrors",
+    """
+    WITH hfp AS (SELECT DISTINCT source AS host, md5(substr(text, 1, 40)) AS fp
+                 FROM documents),
+    totals AS (SELECT host, CAST(count(*) AS BIGINT) AS n FROM hfp GROUP BY host),
+    rare AS (SELECT host, fp FROM hfp WHERE fp IN (
+               SELECT fp FROM hfp GROUP BY fp HAVING count(*) <= 64)),
+    pairs AS (SELECT a.host AS host_a, b.host AS host_b,
+                     CAST(count(*) AS BIGINT) AS shared
+              FROM rare a JOIN rare b ON a.fp = b.fp AND a.host < b.host
+              GROUP BY 1, 2 HAVING count(*) >= 1)
+    SELECT p.host_a, p.host_b, p.shared, ta.n AS n_a, tb.n AS n_b,
+           CAST(p.shared * 1000000 // (ta.n + tb.n - p.shared) AS BIGINT) AS jaccard_e6
+    FROM pairs p
+    JOIN totals ta ON p.host_a = ta.host
+    JOIN totals tb ON p.host_b = tb.host
+    """,
+)
+def q_doc_host_mirrors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirror-site detection (graph.host_mirrors): host pairs whose
+    content-fingerprint sets overlap, exact integer Jaccard — the
+    site-granularity dedup pass before per-document near-dup. Host =
+    the fixture's source column; fp = md5 of the 40-char text prefix
+    (full-text md5 has zero cross-source collisions in the fixture —
+    the prefix stands in for the shingle-normalized fingerprint a real
+    pipeline feeds this). Stop-fingerprints above max_df leave the
+    pair join (the ngram_jaccard discipline)."""
+    from .operators.graph import host_mirrors
+
+    d = _documents(spark, sf_dir).select(
+        "source", F.md5(F.expr("substr(text, 1, 40)")).alias("fp")
+    )
+    return host_mirrors(d, host_col="source", fp_col="fp", min_shared=1, max_df=64)
