@@ -5890,3 +5890,97 @@ def q_doc_host_mirrors(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", F.md5(F.expr("substr(text, 1, 40)")).alias("fp")
     )
     return host_mirrors(d, host_col="source", fp_col="fp", min_shared=1, max_df=64)
+
+
+_LINK_GRAPH_CACHE: dict[tuple, str] = {}
+
+# the wave-1 html rewrite for every 10th doc: ONE hub link replaces the
+# original three-href page (old edges must tombstone, the mod-7 == mod-97
+# coincidence at doc 0 stays — a kept edge, not a rewrite)
+_GRAPH_HTML_V2 = (
+    "'<a href=\"https://hub.org/h/' || CAST(doc_id % 7 AS STRING) || '\">u</a>'"
+)
+
+
+@register(
+    "cdc_link_graph_sync",
+    f"""
+    WITH final AS (
+      SELECT {_GRAPH_SRC_URL} AS url,
+             CASE WHEN doc_id % 10 = 0 THEN {_GRAPH_HTML_V2}
+                  ELSE {_GRAPH_HTML} END AS html
+      FROM documents WHERE doc_id < 200 AND doc_id <> 3
+      UNION ALL
+      SELECT 'http://site1.com/p/9001', '<a href="http://site0.com/p/0">z</a>'
+    ),
+    links AS (SELECT url AS src,
+                     unnest(regexp_extract_all(html, 'href\\s*=\\s*"([^"]*)"', 1)) AS dst
+              FROM final)
+    SELECT DISTINCT src, dst FROM links
+    WHERE regexp_matches(dst, '^[A-Za-z][A-Za-z0-9+.-]*://') AND src <> dst
+    """,
+)
+def q_cdc_link_graph_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog-maintained link graph (operators/graph_index.py) — the
+    A+B composition: a pages lake takes a CDC change wave (update every
+    10th page to a one-link rewrite, delete page 3, insert page 9001),
+    `sync_link_graph_from_lake` advances the edge table incrementally
+    (affected-url recompute, bucket-pruned reads, stale-edge
+    tombstones), and the oracle recomputes the edges DIRECTLY from the
+    final corpus state — parity proves incremental == rebuild through
+    the real lake machinery."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from .lake import LakeTable
+    from .operators.graph_index import (
+        build_link_graph, open_link_graph, sync_link_graph_from_lake,
+    )
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), "link-graph")
+    path = _LINK_GRAPH_CACHE.get(key)
+    if path is None:
+        pages_dir = tempfile.mkdtemp(prefix="ccs-lg-pages-")
+        graph_dir = tempfile.mkdtemp(prefix="ccs-lg-graph-")
+        pages = LakeTable.create(
+            spark, pages_dir,
+            T.StructType([
+                T.StructField("url", T.StringType()),
+                T.StructField("html", T.StringType()),
+            ]),
+            merge_key=["url"], n_buckets=8,
+        )
+        base = _documents(spark, sf_dir).filter(F.col("doc_id") < 200)
+        w0 = base.select(
+            F.expr(_GRAPH_SRC_URL).alias("url"),
+            F.expr(_GRAPH_HTML.replace("// 2", "DIV 2")).alias("html"),
+            F.lit("U").alias("op"),
+            (F.col("doc_id") + 1).cast("long").alias("lsn"),
+        )
+        pages.merge(w0, epoch_id=0, mode="mor", lsn_col="lsn")
+        lg = build_link_graph(pages, graph_dir, n_buckets=8)
+        upd = base.filter(F.col("doc_id") % 10 == 0).select(
+            F.expr(_GRAPH_SRC_URL).alias("url"),
+            F.expr(_GRAPH_HTML_V2).alias("html"),
+            F.lit("U").alias("op"),
+            (F.col("doc_id") + 10_000).cast("long").alias("lsn"),
+        )
+        dele = base.filter(F.col("doc_id") == 3).select(
+            F.expr(_GRAPH_SRC_URL).alias("url"),
+            F.lit(None).cast("string").alias("html"),
+            F.lit("D").alias("op"),
+            (F.col("doc_id") + 10_000).cast("long").alias("lsn"),
+        )
+        ins = spark.createDataFrame(
+            [("http://site1.com/p/9001",
+              '<a href="http://site0.com/p/0">z</a>', "U", 20_000)],
+            "url string, html string, op string, lsn long",
+        )
+        pages.merge(upd.unionByName(dele).unionByName(ins),
+                    epoch_id=1, mode="mor", lsn_col="lsn")
+        sync_link_graph_from_lake(lg, pages)
+        _LINK_GRAPH_CACHE[key] = graph_dir
+        path = graph_dir
+    lg = open_link_graph(spark, path)
+    return lg.edges.scan().select("src", "dst")
