@@ -5984,3 +5984,101 @@ def q_cdc_link_graph_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         path = graph_dir
     lg = open_link_graph(spark, path)
     return lg.edges.scan().select("src", "dst")
+
+
+_REPLICA_CACHE: dict[tuple, str] = {}
+
+
+@register(
+    "cdc_replica_sync",
+    """
+    WITH base AS (
+      SELECT 'http://site' || CAST(doc_id % 5 AS VARCHAR) || '.com/p/'
+               || CAST(doc_id AS VARCHAR) AS url,
+             doc_id, lang
+      FROM documents WHERE doc_id < 150
+    )
+    SELECT url,
+           CASE WHEN doc_id % 10 = 0 THEN CAST(doc_id * 2 AS BIGINT)
+                ELSE CAST(doc_id AS BIGINT) END AS rnk,
+           CASE WHEN doc_id % 10 = 0 THEN 'xx' ELSE lang END AS lang,
+           CASE WHEN doc_id % 10 = 0 THEN CAST(doc_id AS INT)
+                ELSE CAST(NULL AS INT) END AS score2
+    FROM base WHERE doc_id <> 7
+    UNION ALL
+    SELECT 'http://site1.com/p/9001', CAST(9001 AS BIGINT), 'fr', CAST(7 AS INT)
+    """,
+)
+def q_cdc_replica_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lake-to-lake replication (lake/replica.py) end-to-end: a source
+    lake takes wave 0, a replica bootstraps from it (tombstone-carrying
+    seed), then the source evolves its schema (rename rank->rnk, widen
+    int->bigint, add score2) and takes wave 1 (updates, a delete, an
+    out-of-order stale row that must LOSE, an insert); one
+    `sync_replica` ships the changelog + mirrors the schema. The oracle
+    recomputes the FINAL state directly from the wave rules — parity
+    proves replica == source through real changelog shipping.
+
+    Reference: the node->sink delivery loop
+    (CanalServerWithEmbedded.java:200-320 get/ack) + TableMeta
+    propagation (MemoryTableMeta.java:67-88)."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from .lake import LakeTable, create_replica, sync_replica
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), "replica")
+    path = _REPLICA_CACHE.get(key)
+    if path is None:
+        src_dir = tempfile.mkdtemp(prefix="ccs-rep-src-")
+        rep_dir = tempfile.mkdtemp(prefix="ccs-rep-dst-")
+        src = LakeTable.create(
+            spark, src_dir,
+            T.StructType([
+                T.StructField("url", T.StringType()),
+                T.StructField("rank", T.IntegerType()),
+                T.StructField("lang", T.StringType()),
+            ]),
+            merge_key=["url"], n_buckets=8,
+        )
+        base = _documents(spark, sf_dir).filter(F.col("doc_id") < 150)
+        url = F.expr(_GRAPH_SRC_URL)
+        w0 = base.select(
+            url.alias("url"),
+            F.col("doc_id").cast("int").alias("rank"),
+            F.col("lang"),
+            F.lit("U").alias("op"),
+            (F.col("doc_id") + 2).cast("long").alias("lsn"),
+        )
+        src.merge(w0, epoch_id=0, mode="mor", lsn_col="lsn")
+        create_replica(src, rep_dir)
+        src.rename_column("rank", "rnk")
+        src.widen_column("rnk", "bigint")
+        src.add_column("score2", "int")
+        upd = base.filter(F.col("doc_id") % 10 == 0).select(
+            url.alias("url"),
+            (F.col("doc_id") * 2).cast("long").alias("rnk"),
+            F.lit("xx").alias("lang"),
+            F.col("doc_id").cast("int").alias("score2"),
+            F.lit("U").alias("op"),
+            (F.col("doc_id") + 10_000).cast("long").alias("lsn"),
+        )
+        w1 = upd.unionByName(spark.createDataFrame(
+            [
+                # delete doc 7
+                ("http://site2.com/p/7", None, None, None, "D", 10_007),
+                # stale out-of-order update of doc 1 — lsn 1 < its seed
+                # lsn 3, must lose on BOTH sides
+                ("http://site1.com/p/1", 999, "zz", 1, "U", 1),
+                # brand-new page
+                ("http://site1.com/p/9001", 9001, "fr", 7, "U", 20_000),
+            ],
+            "url string, rnk long, lang string, score2 int, op string, lsn long",
+        ))
+        src.merge(w1, epoch_id=1, mode="mor", lsn_col="lsn")
+        rep = sync_replica(LakeTable(spark, rep_dir), src)
+        assert rep > 0
+        _REPLICA_CACHE[key] = rep_dir
+        path = rep_dir
+    return LakeTable(spark, path).scan().select("url", "rnk", "lang", "score2")

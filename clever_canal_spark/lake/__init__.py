@@ -25,6 +25,12 @@ from .join_view import (
     sync_join_view,
 )
 from .fsck import check_table
+from .replica import (
+    create_replica,
+    replica_cursor,
+    replica_lag,
+    sync_replica,
+)
 from .table import CommitConflict, LakeTable, MergeResult, SnapshotExpired
 from .wap import (
     PublishConflict,
@@ -71,4 +77,5 @@ __all__ = [
     "publish_branch", "drop_branch",
     "version_at_epoch", "latest_consistent_epoch", "consistent_versions",
     "consistent_scans",
+    "create_replica", "sync_replica", "replica_cursor", "replica_lag",
 ]
