@@ -6082,3 +6082,95 @@ def q_cdc_replica_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         _REPLICA_CACHE[key] = rep_dir
         path = rep_dir
     return LakeTable(spark, path).scan().select("url", "rnk", "lang", "score2")
+
+
+@register(
+    "cdc_replica_filtered",
+    """
+    WITH base AS (
+      SELECT doc_id, lang,
+             'http://site' || CAST(doc_id % 5 AS VARCHAR) || '.com/p/'
+               || CAST(doc_id AS VARCHAR) AS url
+      FROM documents WHERE doc_id < 120
+    ),
+    fin AS (
+      SELECT url,
+             CASE WHEN doc_id % 7 = 0 THEN CAST(doc_id + 500 AS INT)
+                  WHEN doc_id % 7 = 1 THEN CAST(doc_id + 600 AS INT)
+                  ELSE CAST(doc_id AS INT) END AS rank,
+             CASE WHEN doc_id % 7 = 0 THEN 'zz'
+                  WHEN doc_id % 7 = 1 THEN 'en'
+                  ELSE lang END AS lang
+      FROM base WHERE doc_id <> 4
+    )
+    SELECT url, rank, lang FROM fin WHERE lang = 'en'
+    """,
+)
+def q_cdc_replica_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered subscription replica (lake/replica.py row_filter): the
+    replica holds exactly `source WHERE lang='en'` through a change wave
+    that flips rows OUT of the predicate (mod-7 == 0 → ships as delete
+    markers), INTO it (mod-7 == 1), deletes doc 4, and fires a stale
+    out-of-order matching image (doc 2, lsn 1 — must lose). The oracle
+    recomputes the final filtered state directly from the wave rules.
+    Reference: sink-side subscription filters (AviaterRegexFilter +
+    field white/blacklists, SURVEY §2.3) applied at delivery."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from .lake import LakeTable, create_replica, sync_replica
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), "replica-flt")
+    path = _REPLICA_CACHE.get(key)
+    if path is None:
+        src_dir = tempfile.mkdtemp(prefix="ccs-repf-src-")
+        rep_dir = tempfile.mkdtemp(prefix="ccs-repf-dst-")
+        src = LakeTable.create(
+            spark, src_dir,
+            T.StructType([
+                T.StructField("url", T.StringType()),
+                T.StructField("rank", T.IntegerType()),
+                T.StructField("lang", T.StringType()),
+            ]),
+            merge_key=["url"], n_buckets=8,
+        )
+        base = _documents(spark, sf_dir).filter(F.col("doc_id") < 120)
+        url = F.expr(_GRAPH_SRC_URL)
+        w0 = base.select(
+            url.alias("url"),
+            F.col("doc_id").cast("int").alias("rank"),
+            F.col("lang"),
+            F.lit("U").alias("op"),
+            (F.col("doc_id") + 2).cast("long").alias("lsn"),
+        )
+        src.merge(w0, epoch_id=0, mode="mor", lsn_col="lsn")
+        create_replica(src, rep_dir, row_filter="lang = 'en'")
+        flip_out = base.filter(F.col("doc_id") % 7 == 0).select(
+            url.alias("url"),
+            (F.col("doc_id") + 500).cast("int").alias("rank"),
+            F.lit("zz").alias("lang"),
+            F.lit("U").alias("op"),
+            (F.col("doc_id") + 10_000).cast("long").alias("lsn"),
+        )
+        flip_in = base.filter(F.col("doc_id") % 7 == 1).select(
+            url.alias("url"),
+            (F.col("doc_id") + 600).cast("int").alias("rank"),
+            F.lit("en").alias("lang"),
+            F.lit("U").alias("op"),
+            (F.col("doc_id") + 10_000).cast("long").alias("lsn"),
+        )
+        extra = spark.createDataFrame(
+            [
+                ("http://site4.com/p/4", None, None, "D", 10_004),
+                # stale matching image below doc 2's seed lsn 4 — loses
+                ("http://site2.com/p/2", 777, "en", "U", 1),
+            ],
+            "url string, rank int, lang string, op string, lsn long",
+        )
+        src.merge(flip_out.unionByName(flip_in).unionByName(extra),
+                  epoch_id=1, mode="mor", lsn_col="lsn")
+        assert sync_replica(LakeTable(spark, rep_dir), src) > 0
+        _REPLICA_CACHE[key] = rep_dir
+        path = rep_dir
+    return LakeTable(spark, path).scan().select("url", "rank", "lang")

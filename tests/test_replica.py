@@ -225,3 +225,89 @@ def test_non_replica_path_raises(spark, dirs):
     src = mk_source(spark, dirs[0])
     with pytest.raises(ValueError, match="not a replica"):
         sync_replica(src, src)
+
+
+def test_filtered_replica_tracks_predicate_membership(spark, dirs):
+    src = mk_source(spark, dirs[0])
+    src.merge(
+        wave(spark, [("u1", 1, "en", "U", 1), ("u2", 2, "de", "U", 2),
+                     ("u3", 3, "en", "U", 3)]),
+        epoch_id=0, mode="mor", lsn_col="lsn",
+    )
+    rep = create_replica(src, dirs[1], row_filter="lang = 'en'")
+    assert sorted(r["url"] for r in rep.scan().collect()) == ["u1", "u3"]
+    # u1 leaves the predicate (U -> D on the replica), u2 enters it,
+    # u4 inserts outside it
+    src.merge(
+        wave(spark, [("u1", 1, "fr", "U", 10), ("u2", 2, "en", "U", 11),
+                     ("u4", 4, "de", "U", 12)]),
+        epoch_id=1, mode="mor", lsn_col="lsn",
+    )
+    sync_replica(rep, src)
+    assert sorted(r["url"] for r in rep.scan().collect()) == ["u2", "u3"]
+    # replica == filtered source, schema included
+    flt = src.scan().filter(F.col("lang") == "en")
+    assert rep.scan().exceptAll(flt).count() == 0
+    assert flt.exceptAll(rep.scan()).count() == 0
+
+
+def test_filtered_bootstrap_tombstones_nonmatching_winners(spark, dirs):
+    src = mk_source(spark, dirs[0])
+    # k's winner is non-matching at bootstrap time (lsn 10)
+    src.merge(wave(spark, [("k", 1, "de", "U", 10)]),
+              epoch_id=0, mode="mor", lsn_col="lsn")
+    rep = create_replica(src, dirs[1], row_filter="lang = 'en'")
+    assert rep.scan().count() == 0
+    # an out-of-order MATCHING image below the winner's lsn arrives later:
+    # the filtered view never showed k, and must not show it now
+    src.merge(wave(spark, [("k", 1, "en", "U", 5)]),
+              epoch_id=1, mode="mor", lsn_col="lsn")
+    sync_replica(rep, src)
+    assert src.scan().filter("lang = 'en'").count() == 0
+    assert rep.scan().count() == 0
+
+
+def test_projected_replica_fixed_subscription(spark, dirs):
+    src = mk_source(spark, dirs[0])
+    src.merge(wave(spark, [("u1", 1, "en", "U", 1)]),
+              epoch_id=0, mode="mor", lsn_col="lsn")
+    rep = create_replica(src, dirs[1], columns=["url", "rank"])
+    assert [f.name for f in rep.scan().schema.fields] == ["url", "rank"]
+    # a later source ADD stays out; a rename+widen of a subscribed column
+    # mirrors
+    src.add_column("extra", "int")
+    src.rename_column("rank", "rnk")
+    src.widen_column("rnk", "bigint")
+    src.merge(
+        spark.createDataFrame(
+            [("u2", 2, "de", 9, "U", 2)],
+            "url string, rnk long, lang string, extra int, op string, lsn long",
+        ),
+        epoch_id=1, mode="mor", lsn_col="lsn",
+    )
+    sync_replica(rep, src)
+    got = {f.name: f.dataType.simpleString() for f in rep.scan().schema.fields}
+    assert got == {"url": "string", "rnk": "bigint"}
+    assert rep.scan().exceptAll(src.scan().select("url", "rnk")).count() == 0
+    assert src.scan().select("url", "rnk").exceptAll(rep.scan()).count() == 0
+
+
+def test_projection_must_cover_keys(spark, dirs):
+    src = mk_source(spark, dirs[0])
+    with pytest.raises(ValueError, match="key column"):
+        create_replica(src, dirs[1], columns=["rank"])
+    with pytest.raises(ValueError, match="unknown column"):
+        create_replica(src, dirs[2], columns=["url", "nope"])
+
+
+def test_chained_replica_of_replica(spark, dirs):
+    src = mk_source(spark, dirs[0])
+    src.merge(wave(spark, [("u1", 1, "en", "U", 1), ("u2", 2, "de", "U", 2)]),
+              epoch_id=0, mode="mor", lsn_col="lsn")
+    mid = create_replica(src, dirs[1])
+    leaf = create_replica(mid, dirs[2])
+    src.merge(wave(spark, [("u3", 3, "fr", "U", 3), ("u1", None, None, "D", 4)]),
+              epoch_id=1, mode="mor", lsn_col="lsn")
+    sync_replica(mid, src)
+    sync_replica(leaf, mid)
+    assert_same_state(leaf, src)
