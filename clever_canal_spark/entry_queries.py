@@ -6174,3 +6174,63 @@ def q_cdc_replica_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         _REPLICA_CACHE[key] = rep_dir
         path = rep_dir
     return LakeTable(spark, path).scan().select("url", "rank", "lang")
+
+
+_ANCHOR_HTML = (
+    "'<a href=\"http://t.com/a/' || CAST(doc_id % 7 AS STRING) || '\">' "
+    "|| substr(text, 1, 12) || '</a><p>noise</p>"
+    "<a  href=\"http://t.com/b/' || CAST(doc_id % 5 AS STRING) || '\"><b>Go ' "
+    "|| substr(text, 13, 9) || '</b> now</a>"
+    "<a href=\"/rel\">rel</a><a href=\"http://t.com/c/0\"></a>'"
+)
+
+
+@register(
+    "doc_anchor_profile",
+    """
+    WITH pages AS (
+      SELECT 'http://site' || CAST(doc_id % 5 AS VARCHAR) || '.com/p/'
+               || CAST(doc_id AS VARCHAR) AS url,
+             '<a href="http://t.com/a/' || CAST(doc_id % 7 AS VARCHAR) || '">'
+               || substr(text, 1, 12) || '</a><p>noise</p><a  href="http://t.com/b/'
+               || CAST(doc_id % 5 AS VARCHAR) || '"><b>Go ' || substr(text, 13, 9)
+               || '</b> now</a><a href="/rel">rel</a><a href="http://t.com/c/0"></a>'
+               AS html
+      FROM documents WHERE doc_id < 250
+    ),
+    tags AS (
+      SELECT url AS src,
+             unnest(regexp_extract_all(html, '(?s)<a\\s[^>]*>.*?</a>', 0)) AS tag
+      FROM pages
+    ),
+    triples AS (
+      SELECT src,
+             regexp_extract(tag, 'href\\s*=\\s*"([^"]*)"', 1) AS dst,
+             substr(trim(regexp_replace(regexp_replace(
+                 regexp_extract(tag, '(?s)^<a[^>]*>(.*)</a>$', 1),
+                 '<[^>]*>', '', 'g'), '\\s+', ' ', 'g')), 1, 200) AS anchor
+      FROM tags
+    ),
+    flt AS (
+      SELECT DISTINCT src, dst, anchor FROM triples
+      WHERE regexp_matches(dst, '^[A-Za-z][A-Za-z0-9+.-]*://')
+        AND src <> dst AND length(anchor) > 0
+    )
+    SELECT dst, anchor, CAST(COUNT(*) AS BIGINT) AS n_refs
+    FROM flt GROUP BY dst, anchor
+    """,
+)
+def q_doc_anchor_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incoming-anchor profile (operators/graph.py anchor_text_profile):
+    what other pages CALL a document — nested-markup-stripped,
+    whitespace-collapsed inner text of every absolute-URL <a> tag,
+    distinct per source, counted per (dst, anchor). The fixture html
+    plants a nested <b> tag, a relative href (must drop), and an empty
+    anchor (must drop). All JVM regex — no Python in the path."""
+    from .operators.graph import anchor_text_profile
+
+    pages = _documents(spark, sf_dir).filter(F.col("doc_id") < 250).select(
+        F.expr(_GRAPH_SRC_URL).alias("url"),
+        F.expr(_ANCHOR_HTML).alias("html"),
+    )
+    return anchor_text_profile(pages)

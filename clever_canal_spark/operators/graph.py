@@ -244,3 +244,64 @@ def host_mirrors(
             ),
         )
     )
+
+
+def extract_anchor_texts(
+    df: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    max_anchor_chars: int = 200,
+) -> DataFrame:
+    """(src, dst, anchor) triples: the inner text of every absolute-URL
+    ``<a>`` tag, nested markup stripped, whitespace collapsed, truncated
+    to ``max_anchor_chars``.
+
+    Anchor text is the classic incoming-description training signal for
+    web corpora (what OTHER pages call this document); aggregated per
+    ``dst`` it doubles as a retrieval field. Map-only 1→N explode of JVM
+    regexes — no Python, no shuffle; downstream groupBys shuffle only the
+    (dst, anchor) pairs, never the html.
+
+    The reference stops at row delivery; this is webtext-payload
+    composition on top (same family as :func:`extract_links`)."""
+    html = f"CAST({html_col} AS STRING)"
+    a_tags = F.expr(
+        f"""regexp_extract_all({html}, '(?s)<a\\\\s[^>]*>.*?</a>', 0)"""
+    )
+    tagged = df.select(F.col(url_col).alias("src"), F.explode(a_tags).alias("tag"))
+    dst = F.regexp_extract("tag", 'href\\s*=\\s*"([^"]*)"', 1)
+    inner = F.regexp_extract("tag", "(?s)^<a[^>]*>(.*)</a>$", 1)
+    anchor = F.substring(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(inner, "<[^>]*>", ""), "\\s+", " "
+            )
+        ),
+        1, max_anchor_chars,
+    )
+    return (
+        tagged.select("src", dst.alias("dst"), anchor.alias("anchor"))
+        .filter(F.col("dst").rlike("^[A-Za-z][A-Za-z0-9+.-]*://"))
+        .filter(F.col("src") != F.col("dst"))
+    )
+
+
+def anchor_text_profile(
+    df: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    min_count: int = 1,
+) -> DataFrame:
+    """Incoming-anchor profile per target: (dst, anchor, n_refs) — how
+    many DISTINCT source pages describe ``dst`` with ``anchor``. Distinct
+    (src, dst, anchor) first so a page repeating the same link doesn't
+    inflate the profile; empty anchors (image links, spacer tags) drop."""
+    triples = extract_anchor_texts(df, url_col, html_col).filter(
+        F.length("anchor") > 0
+    )
+    return (
+        triples.distinct()
+        .groupBy("dst", "anchor")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_refs"))
+        .filter(F.col("n_refs") >= min_count)
+    )

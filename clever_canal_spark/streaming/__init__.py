@@ -1,6 +1,11 @@
 from .follower import FeedFollower, RoutedFeedFollower, footer_hints, throughput_view
 from .pipeline import CdcPipeline, run_available
-from .prometheus import render_hotkey_metrics, render_metrics, render_sketch_metrics
+from .prometheus import (
+    render_hotkey_metrics,
+    render_metrics,
+    render_replica_metrics,
+    render_sketch_metrics,
+)
 from .stateful import winner_delta_stream
 from .windows import (
     sessionized_counts,
@@ -21,6 +26,7 @@ __all__ = [
     "throughput_view",
     "windowed_event_counts",
     "render_sketch_metrics",
+    "render_replica_metrics",
     "windowed_distinct_registers",
     "windowed_value_histogram",
     "winner_delta_stream",

@@ -220,3 +220,37 @@ def render_sketch_metrics(
                    for r in sorted((r for r in qrows if r["q_permille"] == q),
                                    key=lambda r: str(r[gcol]))])
     return "\n".join(out) + "\n"
+
+
+def render_replica_metrics(
+    replicas: "dict[str, tuple]",
+    namespace: str = "ccs",
+    labels: dict[str, str] | None = None,
+) -> str:
+    """Replication-lag gauges for downstream replicas — the SinkCollector
+    analog for the lake-to-lake delivery path (lake/replica.py).
+
+    ``replicas`` maps a destination name to its ``(replica, source)``
+    LakeTable pair. Emits per destination: ``<ns>_replica_synced_version``
+    (last consumed source version), ``<ns>_replica_source_version`` (the
+    source head) and ``<ns>_replica_versions_behind``. All three read two
+    manifest pointers and one sidecar JSON — zero Spark jobs, safe to
+    scrape every few seconds."""
+    from ..lake.replica import replica_lag
+
+    labels = labels or {}
+    out: list[str] = []
+    rows = {
+        name: replica_lag(rep, src)
+        for name, (rep, src) in sorted(replicas.items())
+    }
+    for metric, help_ in (
+        ("replica_synced_version", "source version the replica has consumed"),
+        ("replica_source_version", "source table head version"),
+        ("replica_versions_behind", "source versions not yet shipped"),
+    ):
+        key = metric.removeprefix("replica_")
+        _emit(out, namespace, metric, help_, "gauge",
+              [({**labels, "destination": name}, lag[key])
+               for name, lag in rows.items()])
+    return "".join(out)

@@ -103,6 +103,14 @@ def main() -> None:
     p.add_argument("--join-dim-dir", default="",
                    help="lang-keyed dimension table for --join-view-dir "
                         "(created+seeded by --demo)")
+    p.add_argument("--replica-dir", default="",
+                   help="maintain a downstream replica lake "
+                        "(lake/replica.py): bootstrap on first run, "
+                        "changelog-ship afterwards; schema evolution and "
+                        "TRUNCATEs mirror; exactly-once per source version")
+    p.add_argument("--replica-filter", default="",
+                   help="optional SQL predicate for a filtered replica "
+                        "subscription (e.g. \"lang = 'en'\")")
     p.add_argument("--engine", choices=["follower", "structured"], default="follower",
                    help="native follower (full pushdown) or Structured Streaming foreachBatch")
     p.add_argument("--continuous", action="store_true",
@@ -136,6 +144,7 @@ def main() -> None:
         args.join_view_dir = args.join_view_dir or f"{work}/joinview"
         args.join_dim_dir = args.join_dim_dir or f"{work}/langdim"
         args.consumer = args.consumer or "demo-client"
+        args.replica_dir = args.replica_dir or f"{work}/replica"
 
     if not (args.source_dir and args.table_dir and args.checkpoint):
         p.error("--source-dir, --table-dir and --checkpoint are required (or --demo)")
@@ -319,6 +328,17 @@ def main() -> None:
                 )
             )
             print("hist view: maintained per micro-batch")
+        if args.continuous and args.replica_dir:
+            from clever_canal_spark.lake import create_replica, sync_replica
+
+            if not os.path.exists(os.path.join(args.replica_dir, "replica.json")):
+                rep_t = create_replica(table, args.replica_dir,
+                                       row_filter=args.replica_filter or None)
+                print("replica: bootstrapped; shipped per micro-batch")
+            else:
+                rep_t = LakeTable(spark, args.replica_dir)
+                print("replica: shipped per micro-batch")
+            sync_hooks.append(lambda t, _r=rep_t: sync_replica(_r, t))
         admission = None
         if args.admission:
             # gate each micro-batch against the dedup index BEFORE apply;
@@ -454,6 +474,30 @@ def main() -> None:
         except SnapshotExpired:
             print("join view: cursor fell below source retention — recreate "
                   "the view dir and rerun to bootstrap from current state")
+
+    if args.replica_dir:
+        # cursor-based and exactly-once per consumed source version: safe
+        # post-drain under both engines (a continuous structured run that
+        # shipped per micro-batch just syncs 0 here)
+        from clever_canal_spark.lake import (
+            SnapshotExpired, create_replica, replica_lag, sync_replica,
+        )
+
+        if not os.path.exists(os.path.join(args.replica_dir, "replica.json")):
+            rep = create_replica(table, args.replica_dir,
+                                 row_filter=args.replica_filter or None)
+            print(f"replica: bootstrapped at source version "
+                  f"{table.current_version()} ({rep.scan().count()} rows)")
+        else:
+            rep = LakeTable(spark, args.replica_dir)
+            try:
+                n = sync_replica(rep, table)
+                print(f"replica: consumed {n} source versions; "
+                      f"lag {replica_lag(rep, table)}")
+            except SnapshotExpired:
+                print("replica: cursor fell below source retention — "
+                      "recreate the replica dir to re-bootstrap from "
+                      "current state")
 
     if args.hll_view_dir and args.continuous and args.engine == "follower":
         print("hll view: NOT maintained by the follower in --continuous "

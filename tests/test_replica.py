@@ -311,3 +311,24 @@ def test_chained_replica_of_replica(spark, dirs):
     sync_replica(mid, src)
     sync_replica(leaf, mid)
     assert_same_state(leaf, src)
+
+
+def test_render_replica_metrics_zero_jobs(spark, dirs):
+    src = mk_source(spark, dirs[0])
+    src.merge(wave(spark, [("u1", 1, "en", "U", 1)]),
+              epoch_id=0, mode="mor", lsn_col="lsn")
+    rep = create_replica(src, dirs[1])
+    src.merge(wave(spark, [("u2", 2, "de", "U", 2)]),
+              epoch_id=1, mode="mor", lsn_col="lsn")
+
+    from clever_canal_spark.streaming import render_replica_metrics
+
+    before = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+    body = render_replica_metrics({"pages": (rep, src)})
+    after = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+    assert len(after) == len(before), "metrics rendering must launch no jobs"
+    assert 'ccs_replica_versions_behind{destination="pages"} 1' in body
+    assert "# TYPE ccs_replica_synced_version gauge" in body
+    sync_replica(rep, src)
+    body = render_replica_metrics({"pages": (rep, src)})
+    assert 'ccs_replica_versions_behind{destination="pages"} 0' in body
