@@ -6234,3 +6234,101 @@ def q_doc_anchor_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_ANCHOR_HTML).alias("html"),
     )
     return anchor_text_profile(pages)
+
+
+_PATCH_CACHE: dict[tuple, str] = {}
+
+
+@register(
+    "cdc_patch_apply",
+    """
+    WITH base AS (
+      SELECT doc_id, lang,
+             'http://site' || CAST(doc_id % 5 AS VARCHAR) || '.com/p/'
+               || CAST(doc_id AS VARCHAR) AS url
+      FROM documents WHERE doc_id < 100
+    )
+    SELECT url,
+           CASE WHEN doc_id = 10 THEN CAST(NULL AS INT)
+                WHEN doc_id % 3 = 0 THEN CAST(doc_id * 2 AS INT)
+                ELSE CAST(doc_id AS INT) END AS rank,
+           CASE WHEN doc_id % 5 = 0 THEN 'xx' ELSE lang END AS lang,
+           CASE WHEN doc_id IN (10, 20) THEN CAST(NULL AS VARCHAR)
+                ELSE 'n' || CAST(doc_id AS VARCHAR) END AS note
+    FROM base WHERE doc_id <> 6
+    """,
+)
+def q_cdc_patch_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimal-row-image apply (plans/patch.py): one patch epoch carries
+    per-column updates (rank for mod-3 keys, lang for mod-5 keys — mod-15
+    keys get BOTH patches and must keep both), a delete (doc 6), a
+    delete-then-patch (doc 10 — re-created with ONLY lang set), a stale
+    patch below the stored LSN (doc 11 — drops whole), and a masked NULL
+    (doc 20's note). The oracle recomputes the final state directly from
+    the patch rules. Reference: per-column updated flags on row images
+    (CanalEntry.Column.updated; LogEventConvert minimal after-images)."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from .lake import LakeTable
+    from .plans import apply_patch_epoch
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), "patch")
+    path = _PATCH_CACHE.get(key)
+    if path is None:
+        d = tempfile.mkdtemp(prefix="ccs-patch-q-")
+        t = LakeTable.create(
+            spark, d,
+            T.StructType([
+                T.StructField("url", T.StringType()),
+                T.StructField("rank", T.IntegerType()),
+                T.StructField("lang", T.StringType()),
+                T.StructField("note", T.StringType()),
+            ]),
+            merge_key=["url"], n_buckets=8,
+        )
+        base = _documents(spark, sf_dir).filter(F.col("doc_id") < 100)
+        url = F.expr(_GRAPH_SRC_URL)
+        w0 = base.select(
+            url.alias("url"),
+            F.col("doc_id").cast("int").alias("rank"),
+            F.col("lang"),
+            F.concat(F.lit("n"), F.col("doc_id").cast("string")).alias("note"),
+            F.lit("I").alias("op"),
+            (F.col("doc_id") + 2).cast("long").alias("lsn"),
+        )
+        t.merge(w0, epoch_id=0, mode="mor", lsn_col="lsn")
+        nul = F.lit(None)
+        rank_p = base.filter(F.col("doc_id") % 3 == 0).select(
+            url.alias("url"),
+            (F.col("doc_id") * 2).cast("int").alias("rank"),
+            nul.cast("string").alias("lang"), nul.cast("string").alias("note"),
+            F.lit("U").alias("op"),
+            (F.col("doc_id") + 2000).cast("long").alias("lsn"),
+            F.array(F.lit("rank")).alias("updated_cols"),
+        )
+        lang_p = base.filter(F.col("doc_id") % 5 == 0).select(
+            url.alias("url"),
+            nul.cast("int").alias("rank"),
+            F.lit("xx").alias("lang"), nul.cast("string").alias("note"),
+            F.lit("U").alias("op"),
+            (F.col("doc_id") + 3000).cast("long").alias("lsn"),
+            F.array(F.lit("lang")).alias("updated_cols"),
+        )
+        extra = spark.createDataFrame(
+            [
+                ("http://site1.com/p/6", None, None, None, "D", 4006, None),
+                ("http://site0.com/p/10", None, None, None, "D", 2510, None),
+                ("http://site1.com/p/11", 999, None, None, "U", 5, ["rank"]),
+                ("http://site0.com/p/20", None, None, None, "U", 6020, ["note"]),
+            ],
+            "url string, rank int, lang string, note string, op string, "
+            "lsn long, updated_cols array<string>",
+        )
+        apply_patch_epoch(
+            t, rank_p.unionByName(lang_p).unionByName(extra), epoch_id=1
+        )
+        _PATCH_CACHE[key] = d
+        path = d
+    return LakeTable(spark, path).scan().select("url", "rank", "lang", "note")

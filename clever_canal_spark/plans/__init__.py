@@ -4,6 +4,7 @@ from .dml import DmlResult, delete_where, update_where
 from .flashback import FlashbackPlan, plan_flashback, revert_epoch
 from .route import Route, route_epoch
 from .ddl import apply_ddl_idempotent
+from .patch import apply_patch_epoch
 
 __all__ = [
     "ApplyConfig", "ApplyResult", "BatchHints", "apply_epoch",
@@ -11,4 +12,5 @@ __all__ = [
     "AdmissionResult", "dedup_admission",
     "DmlResult", "delete_where", "update_where",
     "FlashbackPlan", "plan_flashback", "revert_epoch",
+    "apply_patch_epoch",
 ]
