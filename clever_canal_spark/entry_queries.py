@@ -6332,3 +6332,87 @@ def q_cdc_patch_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         _PATCH_CACHE[key] = d
         path = d
     return LakeTable(spark, path).scan().select("url", "rank", "lang", "note")
+
+
+_SECIDX_CACHE: dict[tuple, tuple] = {}
+
+
+@register(
+    "cdc_secondary_lookup",
+    """
+    WITH base AS (
+      SELECT doc_id, lang,
+             'http://site' || CAST(doc_id % 5 AS VARCHAR) || '.com/p/'
+               || CAST(doc_id AS VARCHAR) AS url
+      FROM documents WHERE doc_id < 130
+    ),
+    fin AS (
+      SELECT url,
+             CASE WHEN doc_id % 4 = 0 THEN 'sv' ELSE lang END AS lang,
+             CAST(doc_id AS INT) AS rank
+      FROM base WHERE doc_id <> 8
+    )
+    SELECT url, lang, rank FROM fin WHERE lang = 'sv'
+    """,
+)
+def q_cdc_secondary_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-maintained secondary index (operators/secondary_index.py):
+    a pages lake takes a wave that retags every mod-4 page to lang='sv'
+    and deletes page 8 (8 is mod-4 — its index entry must tombstone, not
+    linger), the index syncs state-diff-wise, and `probe_secondary('sv')`
+    serves the lookup from ONE index bucket + a bucket-pruned source
+    fetch. The oracle recomputes the final sv rows directly — parity
+    proves index-served == filtered-scan through the real maintenance
+    path."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from .lake import LakeTable
+    from .operators.secondary_index import (
+        build_secondary_index, open_secondary_index, probe_secondary,
+        sync_secondary_index,
+    )
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), "secidx")
+    paths = _SECIDX_CACHE.get(key)
+    if paths is None:
+        src_dir = tempfile.mkdtemp(prefix="ccs-sec-src-")
+        idx_dir = tempfile.mkdtemp(prefix="ccs-sec-idx-")
+        t = LakeTable.create(
+            spark, src_dir,
+            T.StructType([
+                T.StructField("url", T.StringType()),
+                T.StructField("lang", T.StringType()),
+                T.StructField("rank", T.IntegerType()),
+            ]),
+            merge_key=["url"], n_buckets=8,
+        )
+        base = _documents(spark, sf_dir).filter(F.col("doc_id") < 130)
+        url = F.expr(_GRAPH_SRC_URL)
+        w0 = base.select(
+            url.alias("url"), F.col("lang"),
+            F.col("doc_id").cast("int").alias("rank"),
+            F.lit("U").alias("op"),
+            (F.col("doc_id") + 2).cast("long").alias("lsn"),
+        )
+        t.merge(w0, epoch_id=0, mode="mor", lsn_col="lsn")
+        build_secondary_index(t, idx_dir, "lang", n_buckets=8)
+        retag = base.filter(F.col("doc_id") % 4 == 0).select(
+            url.alias("url"), F.lit("sv").alias("lang"),
+            F.col("doc_id").cast("int").alias("rank"),
+            F.lit("U").alias("op"),
+            (F.col("doc_id") + 10_000).cast("long").alias("lsn"),
+        )
+        dele = spark.createDataFrame(
+            [("http://site3.com/p/8", None, None, "D", 20_000)],
+            "url string, lang string, rank int, op string, lsn long",
+        )
+        t.merge(retag.unionByName(dele), epoch_id=1, mode="mor", lsn_col="lsn")
+        idx = open_secondary_index(spark, idx_dir)
+        assert sync_secondary_index(idx, t) > 0
+        _SECIDX_CACHE[key] = (src_dir, idx_dir)
+        paths = (src_dir, idx_dir)
+    t = LakeTable(spark, paths[0])
+    idx = open_secondary_index(spark, paths[1])
+    return probe_secondary(idx, t, "sv").select("url", "lang", "rank")
