@@ -174,3 +174,29 @@ def probe_secondary(
     return rows.filter(
         F.expr(idx.value_expr).cast("string") == F.lit(str(value))
     )
+
+
+def reseed_secondary_index(idx: SecondaryIndex, table: LakeTable) -> int:
+    """Recover an index whose cursor fell below the source's snapshot
+    retention (``sync_secondary_index`` raises :class:`SnapshotExpired`):
+    diff the index entries against the source's LIVE pairs at the pinned
+    head and repair in ONE idempotent epoch — adds for missing pairs,
+    tombstones for stale ones. Unlike the sketch views (whose history is
+    unknowable once expired), the secondary index is a pure function of
+    current state, so the reseed is EXACT, and it reads the index + the
+    live table once instead of rebuilding into a new directory. Returns
+    the new consumed version."""
+    head = table.current_version()
+    key = idx.src_key
+    want = _pairs(table, table.scan(version=head), idx.value_expr, key)
+    have = idx.entries.scan()
+    on = ["val", *key]
+    adds = want.join(have, on=on, how="left_anti").withColumn("op", F.lit("U"))
+    drops = have.join(want, on=on, how="left_anti").withColumn("op", F.lit("D"))
+    delta = adds.unionByName(drops).withColumn(
+        "lsn", F.lit(int(head)).cast("long")
+    )
+    res = idx.entries.merge(delta, epoch_id=head, mode="mor", lsn_col="lsn")
+    if not res.applied or res.rows_written == 0:
+        idx.entries.commit_epoch_marker(head)
+    return head

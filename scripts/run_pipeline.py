@@ -103,6 +103,10 @@ def main() -> None:
     p.add_argument("--join-dim-dir", default="",
                    help="lang-keyed dimension table for --join-view-dir "
                         "(created+seeded by --demo)")
+    p.add_argument("--secondary-index-dir", default="",
+                   help="maintain a secondary index on the lang column "
+                        "(operators/secondary_index.py): point lookups by "
+                        "value without table scans; state-diff synced")
     p.add_argument("--replica-dir", default="",
                    help="maintain a downstream replica lake "
                         "(lake/replica.py): bootstrap on first run, "
@@ -145,6 +149,7 @@ def main() -> None:
         args.join_dim_dir = args.join_dim_dir or f"{work}/langdim"
         args.consumer = args.consumer or "demo-client"
         args.replica_dir = args.replica_dir or f"{work}/replica"
+        args.secondary_index_dir = args.secondary_index_dir or f"{work}/secidx"
 
     if not (args.source_dir and args.table_dir and args.checkpoint):
         p.error("--source-dir, --table-dir and --checkpoint are required (or --demo)")
@@ -474,6 +479,29 @@ def main() -> None:
         except SnapshotExpired:
             print("join view: cursor fell below source retention — recreate "
                   "the view dir and rerun to bootstrap from current state")
+
+    if args.secondary_index_dir:
+        from clever_canal_spark.lake import SnapshotExpired
+        from clever_canal_spark.operators.secondary_index import (
+            build_secondary_index, open_secondary_index,
+            reseed_secondary_index, sync_secondary_index,
+        )
+
+        if not os.path.exists(
+            os.path.join(args.secondary_index_dir, "_log", "secindex.json")
+        ):
+            sidx = build_secondary_index(table, args.secondary_index_dir, "lang")
+            print(f"secondary index: bootstrapped on lang "
+                  f"({sidx.entries.scan().count()} entries)")
+        else:
+            sidx = open_secondary_index(spark, args.secondary_index_dir)
+            try:
+                n = sync_secondary_index(sidx, table)
+                print(f"secondary index: consumed {n} lake versions")
+            except SnapshotExpired:
+                v = reseed_secondary_index(sidx, table)
+                print(f"secondary index: cursor fell below retention — "
+                      f"reseeded exactly from live state at version {v}")
 
     if args.replica_dir:
         # cursor-based and exactly-once per consumed source version: safe

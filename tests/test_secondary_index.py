@@ -133,3 +133,32 @@ def test_truncate_mirrors_and_marker_only_sync(spark, dirs):
     assert sync_secondary_index(idx, t) > 0
     assert sync_secondary_index(idx, t) == 0
     assert entries(idx) == {("fr", "w1")}
+
+
+def test_reseed_after_retention_expiry(spark, dirs):
+    from clever_canal_spark.lake import SnapshotExpired
+    from clever_canal_spark.operators.secondary_index import (
+        reseed_secondary_index,
+    )
+
+    t = mk(spark, dirs[0])
+    t.merge(wave(spark, [(f"u{i}", "en", i, "U", i + 1) for i in range(6)]),
+            epoch_id=0, mode="mor", lsn_col="lsn")
+    idx = build_secondary_index(t, dirs[1], "lang", n_buckets=4)
+    # age the source past the index's cursor
+    t.merge(wave(spark, [("u0", "de", 0, "U", 100)]),
+            epoch_id=1, mode="mor", lsn_col="lsn")
+    t.merge(wave(spark, [("u1", None, None, "D", 101)]),
+            epoch_id=2, mode="mor", lsn_col="lsn")
+    t.expire_snapshots(keep_last=1)
+    with pytest.raises(SnapshotExpired):
+        sync_secondary_index(idx, t)
+    reseed_secondary_index(idx, t)
+    rebuilt = build_secondary_index(t, dirs[2], "lang", n_buckets=4)
+    assert entries(idx) == entries(rebuilt)
+    # cursor caught up: normal tailing resumes
+    assert sync_secondary_index(idx, t) == 0
+    t.merge(wave(spark, [("u9", "fr", 9, "U", 200)]),
+            epoch_id=3, mode="mor", lsn_col="lsn")
+    assert sync_secondary_index(idx, t) > 0
+    assert ("fr", "u9") in entries(idx)
