@@ -6416,3 +6416,99 @@ def q_cdc_secondary_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = LakeTable(spark, paths[0])
     idx = open_secondary_index(spark, paths[1])
     return probe_secondary(idx, t, "sv").select("url", "lang", "rank")
+
+
+_TVIEW_CACHE: dict[tuple, str] = {}
+
+
+@register(
+    "cdc_transform_view",
+    """
+    WITH base AS (
+      SELECT doc_id, text, lang,
+             'http://site' || CAST(doc_id % 5 AS VARCHAR) || '.com/p/'
+               || CAST(doc_id AS VARCHAR) AS url
+      FROM documents WHERE doc_id < 140
+    ),
+    fin AS (
+      SELECT url,
+             CASE WHEN doc_id % 7 = 0 THEN 'xx' ELSE lang END AS lang2,
+             CASE WHEN doc_id % 7 = 0 THEN text
+                  WHEN doc_id % 6 = 0 THEN 'doc ' || CAST(doc_id AS VARCHAR)
+                  ELSE text END AS text2
+      FROM base WHERE doc_id <> 12
+    )
+    SELECT url, CAST(length(text2) AS INT) AS n_chars,
+           upper(substr(text2, 1, 4)) AS head
+    FROM fin WHERE lang2 = 'en'
+    UNION ALL
+    SELECT 'http://site1.com/p/9001', CAST(14 AS INT), 'BRAN'
+    """,
+)
+def q_cdc_transform_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized transform view (lake/transform_view.py): a silver
+    table `SELECT url, length(text), upper(substr(text,1,4)) WHERE
+    lang='en'` maintained through a change wave — rewrites (mod-6),
+    full-row lang flips that EXIT the filter (mod-7; mod-42 keys take
+    both events and the later one wins wholesale — full-row LWW), a
+    delete (doc 12), and an insert. The oracle recomputes the final
+    derived state directly from the wave rules; parity proves
+    incremental state-diff maintenance == recompute."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from .lake import LakeTable, create_transform_view, sync_transform_view
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), "tview")
+    path = _TVIEW_CACHE.get(key)
+    if path is None:
+        src_dir = tempfile.mkdtemp(prefix="ccs-tv-src-")
+        view_dir = tempfile.mkdtemp(prefix="ccs-tv-view-")
+        src = LakeTable.create(
+            spark, src_dir,
+            T.StructType([
+                T.StructField("url", T.StringType()),
+                T.StructField("text", T.StringType()),
+                T.StructField("lang", T.StringType()),
+            ]),
+            merge_key=["url"], n_buckets=8,
+        )
+        base = _documents(spark, sf_dir).filter(F.col("doc_id") < 140)
+        url = F.expr(_GRAPH_SRC_URL)
+        w0 = base.select(
+            url.alias("url"), F.col("text"), F.col("lang"),
+            F.lit("U").alias("op"),
+            (F.col("doc_id") + 2).cast("long").alias("lsn"),
+        )
+        src.merge(w0, epoch_id=0, mode="mor", lsn_col="lsn")
+        create_transform_view(
+            src, view_dir,
+            exprs={"n_chars": "CAST(length(text) AS INT)",
+                   "head": "upper(substr(text, 1, 4))"},
+            row_filter="lang = 'en'",
+        )
+        rewrite = base.filter(F.col("doc_id") % 6 == 0).select(
+            url.alias("url"),
+            F.concat(F.lit("doc "), F.col("doc_id").cast("string")).alias("text"),
+            F.col("lang"),
+            F.lit("U").alias("op"),
+            (F.col("doc_id") + 10_000).cast("long").alias("lsn"),
+        )
+        flip = base.filter(F.col("doc_id") % 7 == 0).select(
+            url.alias("url"), F.col("text"), F.lit("xx").alias("lang"),
+            F.lit("U").alias("op"),
+            (F.col("doc_id") + 20_000).cast("long").alias("lsn"),
+        )
+        extra = spark.createDataFrame(
+            [("http://site2.com/p/12", None, None, "D", 30_012),
+             ("http://site1.com/p/9001", "brand new page", "en", "U", 40_000)],
+            "url string, text string, lang string, op string, lsn long",
+        )
+        src.merge(rewrite.unionByName(flip).unionByName(extra),
+                  epoch_id=1, mode="mor", lsn_col="lsn")
+        view = LakeTable(spark, view_dir)
+        assert sync_transform_view(view, src) > 0
+        _TVIEW_CACHE[key] = view_dir
+        path = view_dir
+    return LakeTable(spark, path).scan().select("url", "n_chars", "head")

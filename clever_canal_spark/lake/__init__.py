@@ -25,6 +25,14 @@ from .join_view import (
     sync_join_view,
 )
 from .fsck import check_table
+from .transform_view import (
+    create_transform_view,
+    open_transform_view,
+    reseed_transform_view,
+    sync_transform_view,
+    transform_view_config,
+    transform_view_cursor,
+)
 from .replica import (
     create_replica,
     replica_cursor,
@@ -78,4 +86,6 @@ __all__ = [
     "version_at_epoch", "latest_consistent_epoch", "consistent_versions",
     "consistent_scans",
     "create_replica", "sync_replica", "replica_cursor", "replica_lag",
+    "create_transform_view", "sync_transform_view", "reseed_transform_view",
+    "open_transform_view", "transform_view_config", "transform_view_cursor",
 ]

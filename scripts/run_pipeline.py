@@ -103,6 +103,11 @@ def main() -> None:
     p.add_argument("--join-dim-dir", default="",
                    help="lang-keyed dimension table for --join-view-dir "
                         "(created+seeded by --demo)")
+    p.add_argument("--transform-view-dir", default="",
+                   help="maintain a derived silver table "
+                        "(lake/transform_view.py): text stats per page "
+                        "where lang='en'; state-diff synced, exact reseed "
+                        "after retention expiry")
     p.add_argument("--secondary-index-dir", default="",
                    help="maintain a secondary index on the lang column "
                         "(operators/secondary_index.py): point lookups by "
@@ -150,6 +155,7 @@ def main() -> None:
         args.consumer = args.consumer or "demo-client"
         args.replica_dir = args.replica_dir or f"{work}/replica"
         args.secondary_index_dir = args.secondary_index_dir or f"{work}/secidx"
+        args.transform_view_dir = args.transform_view_dir or f"{work}/silver"
 
     if not (args.source_dir and args.table_dir and args.checkpoint):
         p.error("--source-dir, --table-dir and --checkpoint are required (or --demo)")
@@ -479,6 +485,33 @@ def main() -> None:
         except SnapshotExpired:
             print("join view: cursor fell below source retention — recreate "
                   "the view dir and rerun to bootstrap from current state")
+
+    if args.transform_view_dir:
+        from clever_canal_spark.lake import (
+            SnapshotExpired, create_transform_view, open_transform_view,
+            reseed_transform_view, sync_transform_view,
+        )
+
+        if not os.path.exists(
+            os.path.join(args.transform_view_dir, "_log", "transformview.json")
+        ):
+            tv = create_transform_view(
+                table, args.transform_view_dir,
+                exprs={"n_chars": "CAST(length(text) AS INT)",
+                       "head": "upper(substr(text, 1, 4))"},
+                row_filter="lang = 'en'",
+            )
+            print(f"transform view: bootstrapped "
+                  f"({tv.scan().count()} derived rows, lang='en')")
+        else:
+            tv = open_transform_view(spark, args.transform_view_dir)
+            try:
+                n = sync_transform_view(tv, table)
+                print(f"transform view: consumed {n} lake versions")
+            except SnapshotExpired:
+                v = reseed_transform_view(tv, table)
+                print(f"transform view: cursor fell below retention — "
+                      f"reseeded exactly from live state at version {v}")
 
     if args.secondary_index_dir:
         from clever_canal_spark.lake import SnapshotExpired
