@@ -25,6 +25,7 @@ from .join_view import (
     sync_join_view,
 )
 from .fsck import check_table
+from .provenance import row_provenance
 from .transform_view import (
     create_transform_view,
     open_transform_view,
@@ -88,4 +89,5 @@ __all__ = [
     "create_replica", "sync_replica", "replica_cursor", "replica_lag",
     "create_transform_view", "sync_transform_view", "reseed_transform_view",
     "open_transform_view", "transform_view_config", "transform_view_cursor",
+    "row_provenance",
 ]
