@@ -20,6 +20,7 @@ Commands:
     delete-where 'PRED' --epoch ID    logical bulk delete (change events)
     erase-where 'PRED' --epoch ID     PHYSICAL erasure (GDPR protocol)
     tag NAME [--version V] | untag NAME | refs
+    whence url=VALUE [k=v ...]     row-level provenance (lake/provenance.py)
 """
 
 from __future__ import annotations
@@ -67,6 +68,9 @@ def main() -> None:
     ut = sub.add_parser("untag")
     ut.add_argument("name")
     sub.add_parser("refs")
+    wh = sub.add_parser("whence")
+    wh.add_argument("keys", nargs="+",
+                    help="key column assignments, e.g. url=http://a.com/1")
     args = p.parse_args()
 
     spark = build_session(app_name="ccs-lake-admin")
@@ -125,6 +129,11 @@ def main() -> None:
     elif args.cmd == "refs":
         for name, ref in t.list_refs().items():
             print(json.dumps({"name": name, **ref}))
+    elif args.cmd == "whence":
+        from clever_canal_spark.lake import row_provenance
+
+        kv = dict(a.split("=", 1) for a in args.keys)
+        print(json.dumps(row_provenance(t, **kv), indent=1))
     spark.stop()
     sys.exit(rc)
 
