@@ -71,6 +71,18 @@ QUERY_NAMES = [
     # interleaved syncs incl. the right-delta probe — the recompute-based
     # materialized-join maintenance cost
     "cdc_join_view",
+    # lake-to-lake replication (session 13): bootstrap + one schema-
+    # mirroring changelog-shipping sync — the downstream-delivery cost
+    "cdc_replica_sync",
+    # materialized transform view: bootstrap + one state-diff sync with
+    # head-pinned re-derivation of the changed keys (bronze→silver)
+    "cdc_transform_view",
+    # secondary index: bootstrap + state-diff sync + the index-served
+    # point lookup itself (one index bucket + pruned source fetch)
+    "cdc_secondary_lookup",
+    # minimal-row-image fold: per-column patch aggregation against
+    # bucket-pruned stored winners, then the ordinary MOR merge
+    "cdc_patch_apply",
 ]
 
 

@@ -45,9 +45,11 @@ Correctness contract:
   ``row_filter`` still evaluates against the FULL source row before
   projection.
 - **Source mode.** Exact change shipping wants a MOR source (delta files
-  hold exactly the applied winners). A COW source also converges — its
+  hold exactly the applied winners). A COW source converges too — its
   commits re-emit unchanged co-bucketed rows, which the replica's LWW
-  merge folds to the same state — it just ships more bytes.
+  merge folds to the same state — PROVIDED it merges with ``lsn_col``:
+  a COW merge without an LSN deletes by anti-join, leaving no tombstone
+  for ``scan_changes`` to ship, and the replica would keep the row.
 
 Reference parity: the store→consumer delivery loop is
 ``CanalServerWithEmbedded.java:200-320`` (get/ack cursoring); TableMeta

@@ -38,6 +38,11 @@ Contracts:
   retention expiry is EXACT: :func:`reseed_transform_view` diffs the
   view against the derived live state in one epoch at the head version.
 
+Source-mode requirement (shared by every changelog consumer): MOR, or
+COW **with** ``lsn_col``. A COW merge WITHOUT an LSN column deletes by
+anti-join — no tombstone lands in any file, so ``scan_changes`` never
+names the deleted key and downstream state silently keeps it.
+
 Per-row Python transforms (the Arrow-UDF html→text path) stay on the
 ingest side (``plans/apply.py`` transforms) where their cost is paid
 once per event; this view is for JVM-expressible derivations over an

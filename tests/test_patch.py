@@ -132,3 +132,107 @@ def test_changelog_carries_full_images(spark, table):
     # downstream consumers see the folded FULL row, not the patch
     assert len(ch) == 1
     assert (ch[0]["rank"], ch[0]["lang"], ch[0]["note"]) == (11, "en", "n1")
+
+
+# --------------------------------------------------------------------------
+# Property: random patch sequences, randomly split into epochs, must equal
+# a pure-Python reference fold (per-column last-set-after-last-delete).
+# --------------------------------------------------------------------------
+from hypothesis import given, settings, strategies as st
+
+
+@pytest.fixture(scope="session")
+def spark_global(spark):
+    return spark
+
+
+PCOLS = ["rank", "lang", "note"]
+
+
+def _ref_fold(events):
+    """events: [(key, lsn, op, mask_or_None, {col: val})] — the patch
+    semantics in plain Python."""
+    by_key = {}
+    for key, lsn, op, mask, vals in events:
+        by_key.setdefault(key, []).append((lsn, op, mask, vals))
+    out = {}
+    for key, evs in by_key.items():
+        evs.sort()
+        dlsn = max((l for l, op, _, _ in evs if op == "D"), default=-1)
+        last_op = max(evs)[1]
+        if last_op == "D":
+            continue
+        row = {}
+        for c in PCOLS:
+            sets = [
+                (l, vals.get(c))
+                for l, op, mask, vals in evs
+                if op != "D" and (mask is None or c in mask)
+            ]
+            setl, v = max(sets, default=(-1, None))
+            row[c] = v if setl > dlsn else None
+        out[key] = row
+    return out
+
+
+events_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", "c"]),                    # key
+        st.sampled_from(["I", "U", "D"]),                    # op
+        st.one_of(st.none(),                                 # mask (U only)
+                  st.sets(st.sampled_from(PCOLS), min_size=1).map(sorted)),
+        st.integers(min_value=0, max_value=9),               # value seed
+    ),
+    min_size=1, max_size=10,
+).map(lambda evs: [
+    # unique, shuffled-ish lsns: position-derived but interleaved
+    (key, (i * 7) % (len(evs) * 7) + 1, op,
+     None if op != "U" else mask, {
+         "rank": seed, "lang": f"l{seed}", "note": f"n{seed}"
+     })
+    for i, (key, op, mask, seed) in enumerate(evs)
+])
+
+
+@settings(max_examples=10, deadline=None)
+@given(events_strategy, st.integers(min_value=0, max_value=70))
+def test_patch_fold_matches_reference_model(spark_global, events, split_at):
+    spark = spark_global
+    d = tempfile.mkdtemp(prefix="ccs-patch-prop-")
+    try:
+        t = LakeTable.create(spark, d, SCHEMA, merge_key=["url"], n_buckets=2)
+        # split by lsn threshold: respects per-key order across epochs
+        # (the documented cross-epoch contract)
+        parts = [
+            [e for e in events if e[1] <= split_at],
+            [e for e in events if e[1] > split_at],
+        ]
+        eid = 0
+        for part in parts:
+            if not part:
+                continue
+            def val(op, mask, vals, c):
+                # full image (I, or U with null mask) and masked sets carry
+                # the payload; everything else ships NULL
+                if op == "D":
+                    return None
+                return vals[c] if (mask is None or c in mask) else None
+
+            rows = [
+                (key, val(op, mask, vals, "rank"), val(op, mask, vals, "lang"),
+                 val(op, mask, vals, "note"),
+                 op, lsn, None if op != "U" else mask)
+                for key, lsn, op, mask, vals in part
+            ]
+            apply_patch_epoch(t, spark.createDataFrame(rows, ROW), epoch_id=eid)
+            eid += 1
+        want = _ref_fold(events)
+        got = {
+            r["url"]: {c: r[c] for c in PCOLS}
+            for r in t.scan().collect()
+        }
+        # the reference treats I as a full-mask set of the SAME payload the
+        # Spark side shipped, so plain equality holds
+        assert got == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

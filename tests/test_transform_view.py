@@ -169,3 +169,21 @@ def test_exact_reseed_after_expiry(spark, dirs):
     sync_transform_view(view, src)
     assert view.scan().filter("url = 'u0'").collect()[0]["n_chars"] == 13
     assert_view_exact(view, src)
+
+
+def test_cow_source_also_works(spark, dirs):
+    # state-diff maintenance reads pinned states, never raw markers, so a
+    # COW-with-LSN source (which re-emits co-bucketed rows into
+    # scan_changes) must converge identically. COW WITHOUT lsn_col is NOT
+    # changelog-consumable: its anti-join delete leaves no tombstone, so
+    # scan_changes never names the deleted key (docstring-documented).
+    src = mk(spark, dirs[0])
+    src.merge(wave(spark, [(f"u{i}", f"t{i}", "en", "U", i + 1) for i in range(8)]),
+              epoch_id=0, mode="cow", lsn_col="lsn")
+    view = create_transform_view(src, dirs[1], EXPRS)
+    src.merge(wave(spark, [("u2", "changed body", "en", "U", 100),
+                           ("u4", None, None, "D", 101)]),
+              epoch_id=1, mode="cow", lsn_col="lsn")
+    sync_transform_view(view, src)
+    assert_view_exact(view, src)
+    assert view.scan().filter("url = 'u4'").count() == 0
