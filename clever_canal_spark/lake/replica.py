@@ -281,18 +281,26 @@ def _mirror_schema(
     return idmap
 
 
-def sync_replica(replica: LakeTable, source: LakeTable) -> int:
-    """Advance the replica to the source's head: mirror schema changes
-    (metadata-only), mirror TRUNCATEs, ship the changelog slice with one
-    idempotent MOR merge keyed by the consumed source version. Returns
-    source versions consumed (0 = already current)."""
+def sync_replica(
+    replica: LakeTable, source: LakeTable, to_version: int | None = None
+) -> int:
+    """Advance the replica to the source's head (or ``to_version``):
+    mirror schema changes (metadata-only), mirror TRUNCATEs, ship the
+    changelog slice with one idempotent MOR merge keyed by the consumed
+    source version. Returns source versions consumed (0 = already
+    current).
+
+    ``to_version`` bounds one catch-up step — a replica that lagged far
+    behind ships history in operator-chosen chunks (the MEM_SIZE batch
+    admission analog at the lake layer) by calling this in a loop; each
+    step is exactly-once on its own consumed version."""
     side = _read_sidecar(replica.path)
     synced, idmap = int(side["version"]), side["idmap"]
     row_filter, subset = side["row_filter"], side["subset"]
-    head = source.current_version()
+    head = source.current_version() if to_version is None else int(to_version)
     if head <= synced:
         return 0
-    head_snap = source.snapshot(head)
+    head_snap = source.snapshot(head)  # raises if expired/absent
     idmap = _mirror_schema(
         replica, idmap, head_snap.current_fields(), subscribe_new=not subset
     )

@@ -165,13 +165,17 @@ def transform_view_cursor(path_or_view) -> int:
     return int(transform_view_config(path_or_view)["version"])
 
 
-def sync_transform_view(view: LakeTable, source: LakeTable) -> int:
-    """Advance the view to the source head in one idempotent MOR epoch.
-    Work: O(changes + changed keys' live rows + touched view buckets).
+def sync_transform_view(
+    view: LakeTable, source: LakeTable, to_version: int | None = None
+) -> int:
+    """Advance the view to the source head (or ``to_version`` — bounded
+    catch-up: a lagged view consumes history in operator-chosen chunks,
+    each step exactly-once) in one idempotent MOR epoch. Work:
+    O(changes + changed keys' live rows + touched view buckets).
     Returns source versions consumed (0 = already current)."""
     cfg = _read_cfg(view.path)
     synced = int(cfg["version"])
-    head = source.current_version()
+    head = source.current_version() if to_version is None else int(to_version)
     if head <= synced:
         return 0
     key = list(source.snapshot(head).merge_key)

@@ -332,3 +332,18 @@ def test_render_replica_metrics_zero_jobs(spark, dirs):
     sync_replica(rep, src)
     body = render_replica_metrics({"pages": (rep, src)})
     assert 'ccs_replica_versions_behind{destination="pages"} 0' in body
+
+
+def test_bounded_catchup_in_chunks(spark, dirs):
+    src = mk_source(spark, dirs[0])
+    src.merge(wave(spark, [("u1", 1, "en", "U", 1)]),
+              epoch_id=0, mode="mor", lsn_col="lsn")
+    rep = create_replica(src, dirs[1])
+    for i in range(1, 4):  # three more source epochs
+        src.merge(wave(spark, [(f"w{i}", i, "de", "U", 100 + i)]),
+                  epoch_id=i, mode="mor", lsn_col="lsn")
+    mid = replica_cursor(rep.path) + 2
+    assert sync_replica(rep, src, to_version=mid) == 2
+    assert replica_cursor(rep.path) == mid
+    assert sync_replica(rep, src) > 0  # finish the catch-up
+    assert_same_state(rep, src)

@@ -187,3 +187,18 @@ def test_cow_source_also_works(spark, dirs):
     sync_transform_view(view, src)
     assert_view_exact(view, src)
     assert view.scan().filter("url = 'u4'").count() == 0
+
+
+def test_bounded_catchup_in_chunks(spark, dirs):
+    src = mk(spark, dirs[0])
+    src.merge(wave(spark, [("u1", "t1", "en", "U", 1)]),
+              epoch_id=0, mode="mor", lsn_col="lsn")
+    view = create_transform_view(src, dirs[1], EXPRS)
+    for i in range(1, 4):
+        src.merge(wave(spark, [(f"w{i}", f"tw{i}", "en", "U", 100 + i)]),
+                  epoch_id=i, mode="mor", lsn_col="lsn")
+    mid = transform_view_cursor(view) + 2
+    assert sync_transform_view(view, src, to_version=mid) == 2
+    assert transform_view_cursor(view) == mid
+    assert sync_transform_view(view, src) > 0
+    assert_view_exact(view, src)
