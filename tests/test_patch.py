@@ -236,3 +236,25 @@ def test_patch_fold_matches_reference_model(spark_global, events, split_at):
         assert got == want
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_fold_reads_only_probe_buckets(spark):
+    # the stored-winners read under the fold must be bucket-pruned: a
+    # 1-key patch on a multi-bucket table opens a strict subset of files
+    from clever_canal_spark.plans.patch import _winners_for_keys
+
+    d = tempfile.mkdtemp(prefix="ccs-patch-prune-")
+    try:
+        t = LakeTable.create(spark, d, SCHEMA, merge_key=["url"], n_buckets=8)
+        t.merge(
+            spark.createDataFrame(
+                [(f"u{i}", i, "en", f"n{i}", "I", i + 1) for i in range(64)],
+                "url string, rank int, lang string, note string, op string, lsn long",
+            ),
+            epoch_id=0, mode="mor", lsn_col="lsn",
+        )
+        probe = spark.createDataFrame([("u3",)], "url string")
+        pruned = _winners_for_keys(t, t.snapshot(), probe)
+        assert 0 < len(pruned.inputFiles()) < len(t.scan().inputFiles())
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
