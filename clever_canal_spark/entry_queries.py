@@ -2936,6 +2936,135 @@ def q_doc_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_lm_perplexity",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+    ),
+    big AS (
+      SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i) r
+    ),
+    inst AS (
+      SELECT doc_id, w1, w2, count(*) AS in_doc FROM big GROUP BY 1, 2, 3
+    ),
+    uni AS (
+      SELECT tok, count(*) AS c1
+      FROM (SELECT unnest(t) AS tok FROM toks WHERE doc_id % 5 = 0)
+      GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n_train FROM uni),
+    bigc AS (
+      SELECT w1, w2, count(*) AS c2 FROM big WHERE doc_id % 5 = 0 GROUP BY 1, 2
+    ),
+    lp AS (
+      SELECT i.doc_id, i.in_doc,
+        CASE WHEN bc.c2 IS NOT NULL THEN
+          CAST(ROUND(LN(CAST(bc.c2 AS DOUBLE) / CAST(h.c1 AS DOUBLE)) * 1e9) AS BIGINT)
+        WHEN tl.c1 IS NOT NULL THEN
+          CAST(ROUND(LN(0.4 * (CAST(tl.c1 AS DOUBLE) / CAST(tot.n_train AS DOUBLE))) * 1e9) AS BIGINT)
+        ELSE CAST(ROUND(LN(0.4 / (CAST(tot.n_train AS DOUBLE) + 1.0)) * 1e9) AS BIGINT) END AS lp_e9,
+        CASE WHEN bc.c2 IS NULL THEN i.in_doc ELSE 0 END AS bk
+      FROM inst i
+      LEFT JOIN bigc bc ON i.w1 = bc.w1 AND i.w2 = bc.w2
+      LEFT JOIN uni h ON i.w1 = h.tok
+      LEFT JOIN uni tl ON i.w2 = tl.tok
+      CROSS JOIN tot
+    ),
+    sc AS (
+      SELECT doc_id,
+             CAST(sum(in_doc) AS BIGINT) AS n_bigrams,
+             CAST(sum(bk) AS BIGINT) AS n_backoff,
+             CAST((-sum(in_doc * lp_e9)) // sum(in_doc) AS BIGINT) AS avg_nll_e9
+      FROM lp GROUP BY doc_id
+    ),
+    q AS (SELECT *, avg_nll_e9 // 10000000 AS qbin FROM sc),
+    hist AS (SELECT qbin, count(*) AS n FROM q GROUP BY 1),
+    cumh AS (
+      SELECT qbin, sum(n) OVER (ORDER BY qbin) AS cum, sum(n) OVER () AS total
+      FROM hist
+    ),
+    th AS (
+      SELECT min(CASE WHEN cum >= (total + 2) // 3 THEN qbin END) AS t1,
+             min(CASE WHEN cum >= (2 * total + 2) // 3 THEN qbin END) AS t2
+      FROM cumh
+    )
+    SELECT q.doc_id, q.n_bigrams, q.n_backoff, q.avg_nll_e9,
+           CASE WHEN q.qbin <= th.t1 THEN 'head'
+                WHEN q.qbin <= th.t2 THEN 'middle' ELSE 'tail' END AS bucket
+    FROM q CROSS JOIN th
+    """,
+)
+def q_doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring (operators/text.py
+    lm_bigram_scores + ccnet_buckets): a bigram stupid-backoff LM
+    trained on the deterministic ``doc_id % 5 == 0`` reference split
+    (CCNet's Wikipedia-LM stand-in) scores every document's bigrams;
+    avg negative log-likelihood is pinned to BIGINT nano-nats
+    per-instance BEFORE summation (exact integer reduction in any
+    order), and head/middle/tail terciles come from a mergeable
+    centi-nat histogram — broadcast threshold compare, never a
+    corpus-wide sort. The backoff branch is live (the LM sees a strict
+    subset), counted per doc as ``n_backoff``. Reference parity: the
+    quality-gate slot of clever-canal's handler chain
+    (CanalEventDownStreamHandler); the LM itself is Wenzek et al. 2020
+    / Brants et al. 2007 public algebra."""
+    from .operators.text import ccnet_buckets, lm_bigram_scores
+
+    return ccnet_buckets(lm_bigram_scores(_documents(spark, sf_dir)))
+
+
+@register(
+    "doc_dsir_weights",
+    r"""
+    WITH inst AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('dsir:' || tok), 1, 8))::BIGINT % 1024 AS b,
+             count(*) AS in_doc
+      FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok
+            FROM documents)
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT CAST(sum(CASE WHEN doc_id % 5 = 0 THEN in_doc ELSE 0 END) AS BIGINT) AS n_t,
+             CAST(sum(CASE WHEN doc_id % 5 = 0 THEN 0 ELSE in_doc END) AS BIGINT) AS n_r
+      FROM inst
+    ),
+    bkt AS (
+      SELECT b,
+             CAST(sum(CASE WHEN doc_id % 5 = 0 THEN in_doc ELSE 0 END) AS BIGINT) AS c_t,
+             CAST(sum(CASE WHEN doc_id % 5 = 0 THEN 0 ELSE in_doc END) AS BIGINT) AS c_r
+      FROM inst GROUP BY 1
+    ),
+    delta AS (
+      SELECT b,
+        CAST(ROUND((LN((CAST(c_t AS DOUBLE) + 1.0) / (CAST(n_t AS DOUBLE) + 1024.0))
+                  - LN((CAST(c_r AS DOUBLE) + 1.0) / (CAST(n_r AS DOUBLE) + 1024.0)))
+             * 1e9) AS BIGINT) AS d_e9
+      FROM bkt CROSS JOIN tot
+    )
+    SELECT i.doc_id,
+           CAST(sum(i.in_doc) AS BIGINT) AS n_tokens,
+           CAST(sum(i.in_doc * d.d_e9) AS BIGINT) AS lw_sum_e9
+    FROM inst i JOIN delta d USING (b)
+    GROUP BY 1
+    """,
+)
+def q_doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR hashed importance weights (operators/text.py dsir_weights;
+    Xie et al. 2023): per doc, the integer-exact log importance ratio of
+    hashed-unigram features between the deterministic target split
+    (doc_id % 5 == 0) and the raw remainder, add-1 smoothed over 1024
+    buckets. Per-bucket log-ratios pin to BIGINT nano-nats before any
+    per-doc summation; the bucket table is capped at 1024 rows whatever
+    the corpus size and joins back broadcast — explode → partial agg →
+    broadcast join → re-agg, no corpus-wide sort, no UDF."""
+    from .operators.text import dsir_weights
+
+    return dsir_weights(_documents(spark, sf_dir))
+
+
+@register(
     "doc_chunk_windows",
     r"""
     WITH t AS (

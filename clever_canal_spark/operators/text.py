@@ -1265,3 +1265,200 @@ def hash_embed(df: DataFrame, n_dims: int = 64, text_col: str = "text",
         F.col(id_col).alias("vec_id"),
         F.expr(hash_embed_expr(text_col, n_dims)).alias("embedding"),
     )
+
+
+def lm_bigram_scores(
+    df: DataFrame,
+    train_mod: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style n-gram LM quality scoring (Wenzek et al. 2020): train
+    a bigram stupid-backoff LM (Brants et al. 2007, alpha=0.4) on a
+    deterministic reference split (``doc_id % train_mod == 0`` — the
+    in-corpus stand-in for CCNet's Wikipedia LM), then score EVERY
+    document's bigrams against it. Per doc: ``n_bigrams``, ``n_backoff``
+    (bigram instances unseen in training — the backoff branch is live
+    because the LM is trained on a strict subset), and ``avg_nll_e9``,
+    the average negative log-likelihood per bigram in integer
+    nano-nats. High avg_nll = far from the reference distribution =
+    CCNet's "tail".
+
+    Determinism across engines: each per-instance log-prob is pinned to
+    BIGINT nano-nats (``ROUND(LN(ratio) * 1e9)``) before any summation,
+    so the per-doc reduction is exact integer addition in any order;
+    the only floats are single LN calls on identical IEEE ratios (the
+    bm25/idf precedent). ``avg_nll_e9 = (-sum) div n`` stays integer.
+
+    Scale shape (the token_rarity family, no UDF anywhere):
+    1. bigram instances partial-agg to (doc, w1, w2, count) — the
+       shuffle carries distinct-bigrams-per-doc, not token instances;
+    2. the LM tables (unigram + bigram counts over the train split) are
+       vocabulary-bounded groupBys; they join back on token keys
+       (shuffle joins — vocab² can exceed broadcast size at 100 TB);
+    3. re-agg by doc. Docs with < 2 tokens emit no bigrams and are
+       absent from the output (both engines agree by construction).
+    Documents never carry text past the explode."""
+    toks = F.expr(f"regexp_extract_all({text_col}, r'{TOKEN_RE}', 0)")
+    base = df.select(F.col(id_col), toks.alias("__t")).where(F.size("__t") >= 2)
+    big = base.select(
+        id_col,
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(__t) - 1), "
+                "i -> named_struct('w1', __t[i-1], 'w2', __t[i]))"
+            )
+        ).alias("bg"),
+    ).select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    inst = big.groupBy(id_col, "w1", "w2").agg(F.count("*").alias("in_doc"))
+    is_train = F.col(id_col) % F.lit(train_mod) == 0
+    uni = (
+        df.where(is_train)
+        .select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c1"))
+    )
+    tot = uni.agg(F.sum("c1").alias("n_train"))
+    bigc = big.where(is_train).groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    j = (
+        inst.join(bigc, ["w1", "w2"], "left")
+        .join(uni.select(F.col("tok").alias("w1"), F.col("c1").alias("c1h")), "w1", "left")
+        .join(uni.select(F.col("tok").alias("w2"), F.col("c1").alias("c1t")), "w2", "left")
+        .crossJoin(F.broadcast(tot))
+    )
+    # per-instance log-prob in nano-nats; parenthesization mirrors the
+    # DuckDB oracle text exactly so the doubles match bit-for-bit
+    lp = F.expr(
+        "CASE WHEN c2 IS NOT NULL THEN "
+        "CAST(ROUND(LN(CAST(c2 AS DOUBLE) / CAST(c1h AS DOUBLE)) * 1e9) AS BIGINT) "
+        "WHEN c1t IS NOT NULL THEN "
+        "CAST(ROUND(LN(0.4 * (CAST(c1t AS DOUBLE) / CAST(n_train AS DOUBLE))) * 1e9) AS BIGINT) "
+        "ELSE CAST(ROUND(LN(0.4 / (CAST(n_train AS DOUBLE) + 1.0)) * 1e9) AS BIGINT) END"
+    )
+    return (
+        j.groupBy(id_col)
+        .agg(
+            F.sum("in_doc").alias("n_bigrams"),
+            F.sum(
+                F.when(F.col("c2").isNull(), F.col("in_doc")).otherwise(F.lit(0))
+            ).cast("bigint").alias("n_backoff"),
+            F.sum(F.col("in_doc") * lp).alias("__sum_lp"),
+        )
+        .select(
+            id_col,
+            F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+            "n_backoff",
+            F.expr("(-__sum_lp) div n_bigrams").alias("avg_nll_e9"),
+        )
+    )
+
+
+def ccnet_buckets(
+    scores: DataFrame,
+    score_col: str = "avg_nll_e9",
+    bin_width: int = 10_000_000,
+) -> DataFrame:
+    """CCNet head/middle/tail bucketing over an integer score column,
+    WITHOUT a corpus-wide sort: scores fold into a centi-nat histogram
+    (``bin = score div bin_width`` — additive, mergeable, value-range
+    bounded at ~a few thousand bins), the tercile thresholds read off
+    the cumulative bin counts (type-1: smallest bin whose cum count
+    reaches ceil(total/3), ceil(2·total/3)), and each doc compares its
+    bin to the two broadcast thresholds. Ties share a bin share a
+    bucket — deterministic, no per-row rank. The no-partition window
+    runs over the HISTOGRAM (≤ thousands of rows), never raw docs —
+    the same stance as ``hist_quantiles``; at 10^10 docs the per-doc
+    side stays a map-only fold + broadcast compare."""
+    q = scores.withColumn("__qbin", F.expr(f"{score_col} div {bin_width}"))
+    hist = q.groupBy("__qbin").agg(F.count("*").alias("n"))
+    w = Window.orderBy("__qbin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = hist.select(
+        "__qbin",
+        F.sum("n").over(w).alias("cum"),
+        F.sum("n").over(Window.partitionBy()).alias("total"),
+    )
+    th = cum.agg(
+        F.min(F.when(F.expr("cum >= (total + 2) div 3"), F.col("__qbin"))).alias("__t1"),
+        F.min(F.when(F.expr("cum >= (2 * total + 2) div 3"), F.col("__qbin"))).alias("__t2"),
+    )
+    return (
+        q.crossJoin(F.broadcast(th))
+        .withColumn(
+            "bucket",
+            F.expr(
+                "CASE WHEN __qbin <= __t1 THEN 'head' "
+                "WHEN __qbin <= __t2 THEN 'middle' ELSE 'tail' END"
+            ),
+        )
+        .drop("__qbin", "__t1", "__t2")
+    )
+
+
+def dsir_weights(
+    df: DataFrame,
+    n_buckets: int = 1024,
+    train_mod: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR hashed importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): per document, the
+    log importance ratio Σ_tokens [ln p_target(bucket) − ln p_raw(bucket)]
+    over hashed unigram features with add-1 smoothing, where *target* is
+    the deterministic reference split (``doc_id % train_mod == 0`` — the
+    same Wikipedia-proxy split as :func:`lm_bigram_scores`) and *raw* is
+    everything else. High ``lw_sum_e9`` = looks like the target
+    distribution = keep/up-sample when building a training mix.
+
+    Determinism: the per-BUCKET log-ratio is pinned to BIGINT nano-nats
+    once (single LN calls on identical IEEE doubles — the bm25/idf
+    precedent), so every per-doc reduction is exact integer addition.
+    No division in the output (callers normalize by ``n_tokens``; integer
+    div of negatives differs between engines, so we don't).
+
+    Scale shape: the feature space is CAPPED at ``n_buckets`` (the whole
+    point of hashed DSIR) — the bucket stats table is ≤ n_buckets rows
+    whatever the corpus size, computed by one partial-agg groupBy and
+    joined back BROADCAST; per-doc work is explode → (doc, bucket)
+    partial agg → broadcast join → re-agg. Hash = the repo-wide seeded
+    md5-u32 convention (``sketch.u32_expr``), so the DuckDB twin is the
+    same md5 algebra."""
+    from .sketch import u32_expr
+
+    toks = F.expr(f"regexp_extract_all({text_col}, r'{TOKEN_RE}', 0)")
+    seeded = "concat('dsir:', tok)"
+    bucket = F.expr(f"({u32_expr(seeded)} % {n_buckets})")
+    inst = (
+        df.select(id_col, F.explode(toks).alias("tok"))
+        .select(id_col, bucket.alias("b"))
+        .groupBy(id_col, "b")
+        .agg(F.count("*").alias("in_doc"))
+    )
+    is_train = F.col(id_col) % F.lit(train_mod) == 0
+    t_case = F.when(is_train, F.col("in_doc")).otherwise(F.lit(0))
+    r_case = F.when(is_train, F.lit(0)).otherwise(F.col("in_doc"))
+    tot = inst.agg(
+        F.sum(t_case).cast("bigint").alias("n_t"),
+        F.sum(r_case).cast("bigint").alias("n_r"),
+    )
+    bkt = inst.groupBy("b").agg(
+        F.sum(t_case).cast("bigint").alias("c_t"),
+        F.sum(r_case).cast("bigint").alias("c_r"),
+    )
+    delta = bkt.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.expr(
+            "CAST(ROUND((LN((CAST(c_t AS DOUBLE) + 1.0) / "
+            f"(CAST(n_t AS DOUBLE) + {float(n_buckets)})) "
+            "- LN((CAST(c_r AS DOUBLE) + 1.0) / "
+            f"(CAST(n_r AS DOUBLE) + {float(n_buckets)}))) * 1e9) AS BIGINT)"
+        ).alias("d_e9"),
+    )
+    return (
+        inst.join(F.broadcast(delta), "b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("in_doc").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("in_doc") * F.col("d_e9")).cast("bigint").alias("lw_sum_e9"),
+        )
+    )
