@@ -2481,6 +2481,76 @@ def q_cdc_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "cdc_funnel_steps",
+    """
+    WITH ev AS (
+      SELECT user_id, ts, event_type FROM events
+      WHERE event_type IN ('signup', 'view', 'click', 'purchase')
+    ),
+    s1 AS (SELECT user_id, min(ts) AS t FROM ev
+           WHERE event_type = 'signup' GROUP BY 1),
+    s2 AS (SELECT e.user_id, min(e.ts) AS t FROM ev e JOIN s1 USING (user_id)
+           WHERE e.event_type = 'view' AND e.ts > s1.t GROUP BY 1),
+    s3 AS (SELECT e.user_id, min(e.ts) AS t FROM ev e JOIN s2 USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts > s2.t GROUP BY 1),
+    s4 AS (SELECT e.user_id, min(e.ts) AS t FROM ev e JOIN s3 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > s3.t GROUP BY 1)
+    SELECT 1 AS step_idx, 'signup' AS step,
+           (SELECT count(*) FROM s1) AS n_keys
+    UNION ALL SELECT 2, 'view', (SELECT count(*) FROM s2)
+    UNION ALL SELECT 3, 'click', (SELECT count(*) FROM s3)
+    UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM s4)
+    """,
+)
+def q_cdc_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis over the event feed
+    (operators/history.py funnel_counts): users completing
+    signup → view → click → purchase in timestamp order, strict-``>``
+    step advancement (tie-independent, so both engines agree by
+    construction). k−1 co-partitioned equi-joins whose build side is
+    the shrinking per-key reach table — never raw events."""
+    from .operators.history import funnel_counts
+
+    return funnel_counts(
+        _events(spark, sf_dir), ["signup", "view", "click", "purchase"]
+    )
+
+
+@register(
+    "cdc_retention_cohorts",
+    """
+    WITH anchor AS (
+      SELECT user_id,
+             min(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7)
+               AS cb
+      FROM events WHERE event_type = 'signup' GROUP BY 1
+    ),
+    act AS (
+      SELECT DISTINCT user_id,
+             datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS ab
+      FROM events
+    )
+    SELECT DATE '1970-01-01' + CAST(cb * 7 AS INT) AS cohort_start,
+           CAST(ab - cb AS INT) AS period_offset,
+           count(*) AS n_active
+    FROM act JOIN anchor USING (user_id)
+    WHERE ab >= cb
+    GROUP BY 1, 2
+    """,
+)
+def q_cdc_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention (operators/history.py retention_cohorts):
+    entities grouped by the 7-day period of their first signup, counted
+    as active per later period. Period binning is epoch-day integer
+    division (identical on both engines — no week-start convention);
+    anchor min-agg and (key, period) distinct share one hash
+    partitioning, output is cohorts × horizon (tiny at any scale)."""
+    from .operators.history import retention_cohorts
+
+    return retention_cohorts(_events(spark, sf_dir), "signup")
+
+
 _DIM_CACHE: dict[tuple, str] = {}
 
 

@@ -103,6 +103,126 @@ def sessionize(
     ).withColumnRenamed("__session_seq", "session_seq")
 
 
+def funnel_counts(
+    events: DataFrame,
+    steps: list[str],
+    key_cols: list[str] | None = None,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel analysis: how many entities completed each prefix
+    of ``steps`` in order. A key "reaches" step k at the EARLIEST event
+    of type ``steps[k]`` strictly after its step-(k−1) reach time
+    (strict ``>`` — a same-timestamp event cannot complete the next
+    step, which keeps the result independent of any within-timestamp
+    ordering, so both engines agree by construction). Returns one row
+    per step: ``step_idx`` (1-based), ``step``, ``n_keys``.
+
+    Plan shape: the feed is pruned to the step types once, then each
+    step is a per-key min aggregation joined to the previous step's
+    reach table — k−1 equi-joins all hash-partitioned on the SAME key,
+    so AQE coalesces them into co-located stages; every join's build
+    side is the per-key reach table (≤ distinct keys, shrinking
+    monotonically with depth), never raw events. Funnels are short
+    (k ≤ ~6), so the job count stays O(k) with no per-key array
+    materialization — the collect_list alternative would carry every
+    matching event of a hot key into one task; this shape's skew bound
+    is events-per-(key, step-type), strictly smaller.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    key_cols = key_cols or ["user_id"]
+    ev = events.filter(F.col(type_col).isin(steps)).select(
+        *key_cols, ts_col, type_col
+    )
+    reach = (
+        ev.filter(F.col(type_col) == steps[0])
+        .groupBy(*key_cols)
+        .agg(F.min(ts_col).alias("__t"))
+    )
+    counts = [reach.agg(F.count(F.lit(1)).alias("n_keys"))]
+    for step in steps[1:]:
+        nxt = ev.filter(F.col(type_col) == step).join(reach, on=key_cols)
+        reach = (
+            nxt.filter(F.col(ts_col) > F.col("__t"))
+            .groupBy(*key_cols)
+            .agg(F.min(ts_col).alias("__t"))
+        )
+        counts.append(reach.agg(F.count(F.lit(1)).alias("n_keys")))
+    out = counts[0].select(
+        F.lit(1).alias("step_idx"), F.lit(steps[0]).alias("step"), "n_keys"
+    )
+    for i, c in enumerate(counts[1:], start=2):
+        out = out.unionByName(
+            c.select(
+                F.lit(i).alias("step_idx"),
+                F.lit(steps[i - 1]).alias("step"),
+                "n_keys",
+            )
+        )
+    return out
+
+
+def retention_cohorts(
+    events: DataFrame,
+    anchor_type: str,
+    active_types: list[str] | None = None,
+    period_days: int = 7,
+    key_cols: list[str] | None = None,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Cohort retention: group entities by the period of their FIRST
+    ``anchor_type`` event, then count how many of each cohort were
+    active (any ``active_types`` event — default: any event) in each
+    later period. Returns (``cohort_start`` date, ``period_offset``,
+    ``n_active``) with offset 0 = the cohort's own period; activity
+    before the anchor is excluded (offset ≥ 0 only).
+
+    Period binning is integer-exact on both engines: day number since
+    1970-01-01 integer-divided by ``period_days`` (no date_trunc —
+    week-start conventions vary across engines/locales; epoch-day
+    arithmetic doesn't). ``cohort_start`` is the bin's first day.
+
+    Plan shape: one per-key min-aggregation for the anchor (hash
+    shuffle on the key), one distinct over (key, period) for activity
+    (same key partitioning — the join that pairs them is co-located),
+    then a bounded (cohort, offset) aggregate. Nothing is ever sorted
+    corpus-wide; output cardinality = cohorts × horizon, tiny at any
+    scale.
+    """
+    if period_days <= 0:
+        raise ValueError(f"period_days must be positive, got {period_days}")
+    key_cols = key_cols or ["user_id"]
+    bin_col = F.expr(
+        f"CAST(datediff(CAST({ts_col} AS DATE), DATE '1970-01-01') "
+        f"DIV {period_days} AS BIGINT)"
+    )
+    anchor = (
+        events.filter(F.col(type_col) == anchor_type)
+        .groupBy(*key_cols)
+        .agg(F.min(bin_col).alias("__cohort_bin"))
+    )
+    act = events
+    if active_types is not None:
+        act = act.filter(F.col(type_col).isin(active_types))
+    activity = act.select(*key_cols, bin_col.alias("__act_bin")).distinct()
+    return (
+        activity.join(anchor, on=key_cols)
+        .filter(F.col("__act_bin") >= F.col("__cohort_bin"))
+        .groupBy("__cohort_bin", (F.col("__act_bin") - F.col("__cohort_bin")).alias("period_offset"))
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .select(
+            F.date_add(
+                F.lit("1970-01-01").cast("date"),
+                (F.col("__cohort_bin") * period_days).cast("int"),
+            ).alias("cohort_start"),
+            F.col("period_offset").cast("int").alias("period_offset"),
+            "n_active",
+        )
+    )
+
+
 def asof_join(
     facts: DataFrame,
     dims: DataFrame,
