@@ -17,6 +17,8 @@ Stages (each prints its row count; all JVM-side except nothing):
                  so canonical copies stay and claimed twins drop)
               -> normalize (control chars / whitespace)
               -> Gopher quality filter (5-rule AND)
+              -> CCNet perplexity tercile drop (opt-in: --ppl-drop-bucket)
+              -> DSIR importance-weight keep (opt-in: --dsir-keep-pct)
               -> PII scrub (emails / IPv4 / phones)
               -> boilerplate line strip (df > max-df lines dropped)
               -> in-corpus exact dedup of the CURATED text (md5 group-by)
@@ -78,6 +80,17 @@ def main() -> None:
                    help="parquet dir of (feature_id int, weight_e6 long) — a "
                         "trained fastText/logistic export; default uses the "
                         "deterministic demo weights (hashed_weights)")
+    p.add_argument("--ppl-drop-bucket", default="",
+                   choices=["", "head", "middle", "tail"],
+                   help="enable the CCNet perplexity stage: score every doc "
+                        "against an in-corpus bigram reference LM and drop "
+                        "the named tercile (operators/text.lm_bigram_scores "
+                        "+ ccnet_buckets); unscored docs (<2 tokens) keep")
+    p.add_argument("--dsir-keep-pct", type=int, default=None,
+                   help="enable the DSIR stage: keep the top N%% of docs by "
+                        "per-token hashed importance weight vs the reference "
+                        "split (operators/text.dsir_weights); docs with no "
+                        "tokens drop")
     p.add_argument("--skip-boilerplate", action="store_true")
     p.add_argument("--demo", action="store_true", help="tiny self-contained demo")
     args = p.parse_args()
@@ -205,6 +218,65 @@ def main() -> None:
         corpus = corpus.join(ok.select("doc_id"), on="doc_id", how="left_semi")
         print(f"[curate] model quality (avg_e6 >= "
               f"{args.model_quality_threshold_e6}): {corpus.count()} docs pass")
+
+    if args.ppl_drop_bucket:
+        from clever_canal_spark.operators.text import (
+            ccnet_buckets,
+            lm_bigram_scores,
+        )
+
+        buckets = ccnet_buckets(lm_bigram_scores(corpus))
+        dropped = buckets.filter(
+            F.col("bucket") == args.ppl_drop_bucket
+        ).select("doc_id")
+        corpus = corpus.join(dropped, on="doc_id", how="left_anti")
+        # checkpoint: the LM score is a multi-shuffle lineage (bigram
+        # instances x 3 LM joins) — without this every later stage's
+        # count re-runs it
+        corpus = corpus.localCheckpoint()
+        print(f"[curate] ccnet perplexity (drop {args.ppl_drop_bucket}): "
+              f"{corpus.count()} docs keep")
+
+    if args.dsir_keep_pct is not None:
+        from pyspark.sql.window import Window
+
+        from clever_canal_spark.operators.text import dsir_weights
+
+        # per-token importance score, folded into a milli-nat histogram
+        # (the ccnet_buckets stance: the only corpus-wide window runs
+        # over the tiny histogram, never raw docs); keep bins from the
+        # top until >= keep-pct of scored docs are in
+        scored = dsir_weights(corpus).select(
+            "doc_id",
+            F.floor(
+                F.col("lw_sum_e9") / F.col("n_tokens") / F.lit(1e6)
+            ).cast("long").alias("__sbin"),
+        )
+        hist = scored.groupBy("__sbin").agg(F.count(F.lit(1)).alias("n"))
+        wd = Window.orderBy(F.col("__sbin").desc()).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        cum = hist.select(
+            "__sbin",
+            F.sum("n").over(wd).alias("cum"),
+            F.sum("n").over(Window.partitionBy()).alias("total"),
+        )
+        # cum grows as bins DESCEND, so every bin at or below the
+        # crossing satisfies the target — the threshold is the MAX
+        # (highest) satisfying bin, i.e. the first crossing from the top
+        th = cum.agg(
+            F.max(
+                F.when(
+                    F.expr(f"cum * 100 >= total * {args.dsir_keep_pct}"),
+                    F.col("__sbin"),
+                )
+            ).alias("t")
+        ).first().t
+        keep = scored.filter(F.col("__sbin") >= th).select("doc_id")
+        corpus = corpus.join(keep, on="doc_id", how="left_semi")
+        corpus = corpus.localCheckpoint()
+        print(f"[curate] dsir importance (top {args.dsir_keep_pct}%, "
+              f"bin >= {th}): {corpus.count()} docs keep")
 
     scrubbed = pii_scrub(corpus, "text").withColumnRenamed("clean_text", "text")
     pii = scrubbed.agg(

@@ -60,3 +60,30 @@ def test_curation_demo_with_model_quality_stage():
     assert m, out[-1500:]
     qual = int(re.search(r"gopher quality: (\d+)", out).group(1))
     assert int(m.group(1)) == qual  # floor threshold: nobody drops
+
+
+def test_curation_demo_with_ppl_and_dsir_stages():
+    """--ppl-drop-bucket tail + --dsir-keep-pct 60 wire the CCNet
+    perplexity tercile drop and the DSIR importance keep into the
+    pipeline; both stage lines must print with counts consistent with
+    their contracts (tail drop removes >=1 doc on a 3-bucket split;
+    DSIR keeps >= 60% of its input but not everything)."""
+    env = {**os.environ, "PYTHONPATH": REPO, "CCS_DEMO_EVENTS": "600"}
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "run_curation.py"),
+         "--demo", "--ppl-drop-bucket", "tail", "--dsir-keep-pct", "60"],
+        env=env, capture_output=True, text=True, timeout=540, cwd=REPO,
+    )
+    out = r.stdout.replace("\r", "\n")
+    assert r.returncode == 0, out[-2000:] + r.stderr[-2000:]
+    qual = int(re.search(r"gopher quality: (\d+)", out).group(1))
+    m = re.search(r"ccnet perplexity \(drop tail\): (\d+) docs keep", out)
+    assert m, out[-1500:]
+    ppl = int(m.group(1))
+    assert 0 < ppl < qual  # the tail tercile is non-empty and dropped
+    m = re.search(r"dsir importance \(top 60%, bin >= (-?\d+)\): (\d+) docs keep", out)
+    assert m, out[-1500:]
+    dsir = int(m.group(2))
+    # >= 60% of the scored docs keep (ties share a bin), but not all
+    assert ppl * 60 <= dsir * 100 <= 100 * ppl
+    assert dsir < ppl
