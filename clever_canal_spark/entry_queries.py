@@ -6617,6 +6617,98 @@ def q_cdc_secondary_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return probe_secondary(idx, t, "sv").select("url", "lang", "rank")
 
 
+_AGGVIEW_CACHE: dict[tuple, str] = {}
+
+
+@register(
+    "cdc_agg_view_sync",
+    """
+    WITH base AS (
+      SELECT doc_id, text, lang FROM documents WHERE doc_id < 140
+    ),
+    fin AS (
+      SELECT CASE WHEN doc_id % 7 = 0 THEN 'xx' ELSE lang END AS lang, text
+      FROM base WHERE doc_id % 10 <> 0
+      UNION ALL SELECT 'en', 'brand new page'
+      UNION ALL SELECT 'en', NULL
+    )
+    SELECT lang AS group_key,
+           count(*) AS n_rows,
+           count(length(text)) AS n_vals,
+           CAST(sum(length(text)) AS BIGINT) AS sum_val,
+           CAST(min(length(text)) AS INT) AS min_val,
+           CAST(max(length(text)) AS INT) AS max_val
+    FROM fin GROUP BY 1
+    """,
+)
+def q_cdc_agg_view_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact GROUP-BY aggregate view (lake/agg_view.py): per-lang
+    count/sum/min/max of text length maintained through a change wave
+    holding every retraction shape — deletes (mod-10, some of which
+    remove a group's stored extreme and force the affected-group
+    re-derivation; mod-70 keys take both a flip and a delete and the
+    higher-LSN delete wins), lang flips that MOVE keys between groups
+    (mod-7 → 'xx'), a plain insert, and a null-valued insert (counts a
+    row, not a value). The oracle aggregates the final state directly
+    from the wave rules; parity proves retract-fold-or-recompute
+    maintenance == a from-scratch GROUP BY."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from .lake import LakeTable, create_agg_view, sync_agg_view
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), "aggview")
+    path = _AGGVIEW_CACHE.get(key)
+    if path is None:
+        src_dir = tempfile.mkdtemp(prefix="ccs-av-src-")
+        view_dir = tempfile.mkdtemp(prefix="ccs-av-view-")
+        src = LakeTable.create(
+            spark, src_dir,
+            T.StructType([
+                T.StructField("url", T.StringType()),
+                T.StructField("text", T.StringType()),
+                T.StructField("lang", T.StringType()),
+            ]),
+            merge_key=["url"], n_buckets=8,
+        )
+        base = _documents(spark, sf_dir).filter(F.col("doc_id") < 140)
+        url = F.expr(_GRAPH_SRC_URL)
+        w0 = base.select(
+            url.alias("url"), F.col("text"), F.col("lang"),
+            F.lit("U").alias("op"),
+            (F.col("doc_id") + 2).cast("long").alias("lsn"),
+        )
+        src.merge(w0, epoch_id=0, mode="mor", lsn_col="lsn")
+        create_agg_view(src, view_dir, "lang", "CAST(length(text) AS INT)")
+        flip = base.filter(F.col("doc_id") % 7 == 0).select(
+            url.alias("url"), F.col("text"), F.lit("xx").alias("lang"),
+            F.lit("U").alias("op"),
+            (F.col("doc_id") + 20_000).cast("long").alias("lsn"),
+        )
+        dele = base.filter(F.col("doc_id") % 10 == 0).select(
+            url.alias("url"),
+            F.lit(None).cast("string").alias("text"),
+            F.lit(None).cast("string").alias("lang"),
+            F.lit("D").alias("op"),
+            (F.col("doc_id") + 30_000).cast("long").alias("lsn"),
+        )
+        extra = spark.createDataFrame(
+            [("http://site1.com/p/9001", "brand new page", "en", "U", 40_000),
+             ("http://site1.com/p/9002", None, "en", "U", 40_001)],
+            "url string, text string, lang string, op string, lsn long",
+        )
+        src.merge(flip.unionByName(dele).unionByName(extra),
+                  epoch_id=1, mode="mor", lsn_col="lsn")
+        view = LakeTable(spark, view_dir)
+        assert sync_agg_view(view, src) > 0
+        _AGGVIEW_CACHE[key] = view_dir
+        path = view_dir
+    return LakeTable(spark, path).scan().select(
+        "group_key", "n_rows", "n_vals", "sum_val", "min_val", "max_val"
+    )
+
+
 _TVIEW_CACHE: dict[tuple, str] = {}
 
 

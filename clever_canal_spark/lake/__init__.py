@@ -1,3 +1,11 @@
+from .agg_view import (
+    agg_view_config,
+    agg_view_cursor,
+    create_agg_view,
+    open_agg_view,
+    reseed_agg_view,
+    sync_agg_view,
+)
 from .consumers import Batch, Consumer
 from .diff import snapshot_diff
 from .fs import ArrowFS, LocalFS, MemFS, MetadataFS
@@ -74,6 +82,8 @@ __all__ = [
     "MetadataFS", "LocalFS", "ArrowFS", "MemFS",
     "create_rollup", "sync_rollup", "hot_groups", "rollup_cursor",
     "bootstrap_rollup",
+    "create_agg_view", "sync_agg_view", "reseed_agg_view", "open_agg_view",
+    "agg_view_cursor", "agg_view_config",
     "create_hll_view", "sync_hll_view", "hll_view_estimates", "hll_view_config",
     "create_cms_view", "sync_cms_view", "cms_view_estimate", "cms_view_config",
     "create_hist_view", "sync_hist_view", "hist_view_quantiles",

@@ -95,6 +95,11 @@ def main() -> None:
                         "(lake/sketch_view.py: page-size quantile state, <=64 "
                         "bins/group) in sync with the lake changelog — additive, "
                         "requires --merge-mode mor like the rollup")
+    p.add_argument("--agg-view-dir", default="",
+                   help="maintain an exact per-domain GROUP-BY aggregate view "
+                        "(lake/agg_view.py: count/sum/min/max of page text "
+                        "length with retraction-correct MIN/MAX) in sync with "
+                        "the lake changelog")
     p.add_argument("--join-view-dir", default="",
                    help="maintain an incrementally-synced JOIN view "
                         "(lake/join_view.py): pages enriched by the lang "
@@ -156,6 +161,7 @@ def main() -> None:
         args.replica_dir = args.replica_dir or f"{work}/replica"
         args.secondary_index_dir = args.secondary_index_dir or f"{work}/secidx"
         args.transform_view_dir = args.transform_view_dir or f"{work}/silver"
+        args.agg_view_dir = args.agg_view_dir or f"{work}/aggview"
 
     if not (args.source_dir and args.table_dir and args.checkpoint):
         p.error("--source-dir, --table-dir and --checkpoint are required (or --demo)")
@@ -512,6 +518,35 @@ def main() -> None:
                 v = reseed_transform_view(tv, table)
                 print(f"transform view: cursor fell below retention — "
                       f"reseeded exactly from live state at version {v}")
+
+    if args.agg_view_dir:
+        from clever_canal_spark.lake import (
+            SnapshotExpired, create_agg_view, open_agg_view,
+            reseed_agg_view, sync_agg_view,
+        )
+
+        if not os.path.exists(
+            os.path.join(args.agg_view_dir, "_log", "aggview.json")
+        ):
+            av = create_agg_view(
+                table, args.agg_view_dir,
+                "regexp_extract(url, '^[a-z]+://([^/]+)', 1)",
+                "CAST(length(text) AS INT)",
+            )
+            print(f"agg view: bootstrapped ({av.scan().count()} domain "
+                  f"groups: count/sum/min/max text length)")
+        else:
+            av = open_agg_view(spark, args.agg_view_dir)
+            try:
+                n = sync_agg_view(av, table)
+                print(f"agg view: consumed {n} lake versions")
+            except SnapshotExpired:
+                v = reseed_agg_view(av, table)
+                print(f"agg view: cursor fell below retention — reseeded "
+                      f"exactly from live state at version {v}")
+        for r in av.scan().orderBy("group_key").limit(1).collect():
+            print(f"agg view: domain={r['group_key']} rows={r['n_rows']} "
+                  f"text length min/max {r['min_val']}/{r['max_val']} chars")
 
     if args.secondary_index_dir:
         from clever_canal_spark.lake import SnapshotExpired
