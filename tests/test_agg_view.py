@@ -201,3 +201,58 @@ def test_additive_path_never_scans_source(spark, tmp_table_dir, monkeypatch):
     assert len(calls) == 1
     monkeypatch.undo()
     assert _state(view) == _expected(t)
+
+
+def test_agg_view_rides_cdc_pipeline_sync_hooks(spark, tmp_table_dir):
+    """Streaming composability: the agg view maintained per micro-batch
+    via CdcPipeline(sync_hooks=...); post-drain state must equal a
+    from-scratch GROUP BY of the lake, and an idle re-drain must not
+    move the view (exactly-once on consumed lake version)."""
+    import os as _os
+
+    from clever_canal_spark.filters import EventFilterConfig
+    from clever_canal_spark.gen import FeedConfig, generate_feed
+    from clever_canal_spark.lake.agg_view import create_agg_view, sync_agg_view
+    from clever_canal_spark.model import PAGE_SCHEMA
+    from clever_canal_spark.plans import ApplyConfig
+    from clever_canal_spark.sources import write_feed_slices
+    from clever_canal_spark.streaming import CdcPipeline
+
+    src = _os.path.join(tmp_table_dir, "feed")
+    ckpt = _os.path.join(tmp_table_dir, "ckpt")
+    cfgf = FeedConfig(n_events=600, n_urls=40, seed=7)
+    write_feed_slices(generate_feed(spark, cfgf), src, n_slices=3,
+                      n_events=cfgf.n_events)
+    pages = LakeTable.create(
+        spark, _os.path.join(tmp_table_dir, "pages"), PAGE_SCHEMA,
+        merge_key=["url", "warc_ts"], n_buckets=4,
+    )
+    view = create_agg_view(
+        pages, _os.path.join(tmp_table_dir, "aggv"),
+        "lang", "CAST(length(text) AS INT)",
+    )
+    pipe = CdcPipeline(
+        spark, src, ckpt, pages,
+        ApplyConfig(filters=EventFilterConfig(), merge_mode="mor"),
+        sync_hooks=(lambda t: sync_agg_view(view, t),),
+    )
+    pipe.run_until_drained()
+
+    def recomp():
+        return sorted(
+            map(tuple,
+                pages.scan().filter(F.col("lang").isNotNull())
+                .groupBy(F.col("lang").alias("group_key"))
+                .agg(F.count(F.lit(1)).alias("n_rows"),
+                     F.count(F.length("text")).alias("n_vals"),
+                     F.sum(F.length("text")).alias("sum_val"),
+                     F.min(F.length("text")).alias("min_val"),
+                     F.max(F.length("text")).alias("max_val"))
+                .collect())
+        )
+
+    got = _state(view)
+    assert got == recomp() and got
+    v = view.current_version()
+    pipe.run_until_drained()
+    assert view.current_version() == v
