@@ -83,6 +83,16 @@ QUERY_NAMES = [
     # minimal-row-image fold: per-column patch aggregation against
     # bucket-pruned stored winners, then the ordinary MOR merge
     "cdc_patch_apply",
+    # CCNet bigram-LM scoring (session 14): the LM-table-join shape —
+    # bigram partial-aggs, vocab-bounded LM tables joined back, integer
+    # nano-nat reduction, histogram terciles
+    "doc_lm_perplexity",
+    # DSIR hashed importance weights: capped 1024-row feature table,
+    # broadcast join back — the hashed-feature scoring shape
+    "doc_dsir_weights",
+    # exact GROUP-BY aggregate view: create-seed + one retract-fold sync
+    # over a change wave (includes an extreme-retraction re-derivation)
+    "cdc_agg_view_sync",
 ]
 
 
