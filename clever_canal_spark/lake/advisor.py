@@ -173,3 +173,51 @@ def maintenance_report(
             )
         )
     return sorted(out, key=lambda f: (f["action"], f["detail"]))
+
+
+# executable order: compact folds MOR deltas (so the expire that follows
+# can drop the pre-compaction snapshots), migrate rewrites stale-spec
+# files, expire releases old manifests' pins, vacuum sweeps what those
+# pins were holding. Info-severity findings (set_stats_cols needs a
+# human column choice; tags are a statement of fact) are never applied.
+_APPLY_ORDER = ("compact", "migrate_bucket_spec", "expire_snapshots", "vacuum")
+
+
+def apply_maintenance(
+    table: LakeTable,
+    findings: list[dict] | None = None,
+    keep_target: int = 32,
+    vacuum_ttl_s: float = 3600.0,
+) -> list[dict]:
+    """Execute the advise-severity findings in dependency order; returns
+    ``{action, result}`` rows for what actually ran. Safe by
+    construction: each action is the same crash-safe public API an
+    operator would call by hand (``compact`` / ``migrate_bucket_spec`` /
+    ``expire_snapshots(keep_target)`` / ``vacuum(ttl)``), tags keep
+    their pins (``expire_snapshots`` refuses to drop tagged versions),
+    and ``vacuum`` honors the in-flight TTL — pass a smaller
+    ``vacuum_ttl_s`` only when no writer can be live. Re-run
+    ``maintenance_report`` afterwards to see what cleared."""
+    if findings is None:
+        findings = maintenance_report(table, keep_target=keep_target)
+    due = {f["action"] for f in findings if f["severity"] == "advise"}
+    ran: list[dict] = []
+    for action in _APPLY_ORDER:
+        if action not in due:
+            continue
+        if action == "compact":
+            v = table.compact()
+            ran.append({"action": action,
+                        "result": f"v{v}" if v else "no deltas"})
+        elif action == "migrate_bucket_spec":
+            v = table.migrate_bucket_spec()
+            ran.append({"action": action,
+                        "result": f"v{v}" if v else "nothing stale"})
+        elif action == "expire_snapshots":
+            gone = table.expire_snapshots(keep_last=keep_target)
+            ran.append({"action": action, "result": f"expired {len(gone)}"})
+        elif action == "vacuum":
+            r = table.vacuum(orphan_ttl_s=vacuum_ttl_s)
+            ran.append({"action": action,
+                        "result": f"swept {len(r['removed_files'])} files"})
+    return ran

@@ -9,7 +9,8 @@ operational surface next to run_pipeline (ingest) and run_curation
 Commands:
 
     fsck [--deep]              integrity check (lake/fsck.py); exit 1 on findings
-    advise                     maintenance advisor (lake/advisor.py); zero jobs
+    advise                     maintenance advisor (lake/advisor.py); zero jobs;
+                               --apply executes the due actions in order
     history                    retained operation log (newest first)
     compact [--zorder c1,c2]   fold MOR deltas; optional z-order layout
     rebucket N                 metadata-only bucket-count change (nesting)
@@ -44,6 +45,11 @@ def main() -> None:
     sub.add_parser("fsck").add_argument("--deep", action="store_true")
     ad = sub.add_parser("advise")
     ad.add_argument("--keep-target", type=int, default=32)
+    ad.add_argument("--apply", action="store_true",
+                    help="execute the advise-severity actions in dependency "
+                         "order (compact -> migrate-spec -> expire -> vacuum); "
+                         "info findings are never applied")
+    ad.add_argument("--vacuum-ttl", type=float, default=3600.0)
     sub.add_parser("history")
     c = sub.add_parser("compact")
     c.add_argument("--zorder", default="")
@@ -92,6 +98,16 @@ def main() -> None:
         n_adv = sum(1 for f in findings if f["severity"] == "advise")
         print(f"[admin] advise: {n_adv} action(s) due, "
               f"{len(findings) - n_adv} info")
+        if args.apply and n_adv:
+            from clever_canal_spark.lake.advisor import apply_maintenance
+
+            for r in apply_maintenance(t, findings,
+                                       keep_target=args.keep_target,
+                                       vacuum_ttl_s=args.vacuum_ttl):
+                print(f"[admin] applied {r['action']}: {r['result']}")
+            left = maintenance_report(t, keep_target=args.keep_target)
+            n_left = sum(1 for f in left if f["severity"] == "advise")
+            print(f"[admin] advise after apply: {n_left} action(s) still due")
     elif args.cmd == "history":
         for h in t.history():
             print(json.dumps(h))

@@ -148,3 +148,46 @@ def test_advisor_small_files_and_empty_table(spark, tmp_table_dir):
     # after compact everything folded into one base per bucket: the
     # small-file signal must NOT fire on a healthy layout
     assert not [f for f in rep if f["action"] == "compact"], rep
+
+
+def test_apply_maintenance_clears_advise_findings(spark, tmp_table_dir):
+    """apply_maintenance executes the advise rows in dependency order
+    (compact -> migrate -> expire -> vacuum) through the same public
+    APIs, leaves info rows alone, and the post-apply report has no
+    advise findings. A tagged version keeps its pin (expire refuses)."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from clever_canal_spark.lake import LakeTable
+    from clever_canal_spark.lake.advisor import (
+        apply_maintenance,
+        maintenance_report,
+    )
+
+    schema = T.StructType(
+        [T.StructField("url", T.StringType()), T.StructField("n", T.LongType())]
+    )
+    t = LakeTable.create(spark, tmp_table_dir, schema, merge_key=["url"], n_buckets=2)
+    for e in range(4):
+        df = spark.createDataFrame(
+            [(f"u{i}", e * 100 + i, "U", e * 100 + i) for i in range(30)],
+            "url string, n long, op string, lsn long",
+        )
+        t.merge(df, epoch_id=e, mode="mor", lsn_col="lsn")
+    t.rebucket(4)
+    orphan = os.path.join(tmp_table_dir, "data", "zz-orphan.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"PAR1junkPAR1")
+
+    ran = apply_maintenance(t, keep_target=3, vacuum_ttl_s=0)
+    assert [r["action"] for r in ran] == [
+        "compact", "migrate_bucket_spec", "expire_snapshots", "vacuum"
+    ]
+    rep = maintenance_report(t, keep_target=3)
+    assert not [f for f in rep if f["severity"] == "advise"], rep
+    assert not os.path.exists(orphan)
+    # info finding (stats cols) survives untouched — never auto-applied
+    assert ("set_stats_cols", "info") in {(f["action"], f["severity"]) for f in rep}
+    # nothing due -> nothing runs
+    assert apply_maintenance(t, keep_target=3, vacuum_ttl_s=0) == []
