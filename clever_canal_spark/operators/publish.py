@@ -1,0 +1,150 @@
+"""Dataset publishing: deterministic sharding + integrity manifest —
+the last mile of the curation pipeline (scripts/run_curation.py).
+
+A training job consuming a published corpus needs three guarantees the
+bare ``write.parquet`` at the end of a pipeline does not give:
+
+1. **Deterministic membership**: which shard a document lands in is a
+   pure function of its id (``xxhash64(id) pmod n_shards`` — the
+   repo-wide deterministic-hash stance), NOT of the cluster's
+   partitioning, so a re-run of the same input publishes byte-wise the
+   same shard membership and data loaders can split work by shard id.
+2. **Integrity manifest**: per-shard row counts and an order-
+   independent content checksum (the SUM of each row's ``xxhash64``
+   over all published columns, folded in DECIMAL(38,0) so ANSI mode
+   never overflows — commutative, so any task order yields the same
+   value), plus the schema, written as ``_MANIFEST.json``
+   next to the data. Sum-of-hashes is the classic multiset checksum;
+   a dropped, duplicated, or bit-flipped row moves it.
+3. **Verification**: :func:`verify_dataset` recomputes counts and
+   checksums from the files and diffs them against the manifest —
+   what a training job runs before trusting a copy (object-store
+   transfer, mirror, retention repair).
+
+Scale shape: ONE hash shuffle on the shard id — the write tasks and the
+per-shard manifest aggregate ride the same exchange; checksums are
+per-row JVM expressions folded by partial aggregation. No driver-side
+row data ever; the manifest is O(n_shards).
+
+Reference anchor: the reference delivers event batches to sinks and
+leaves corpus layout to the consumer; published-shard manifests are the
+webtext-side analog of its batch-ack bookkeeping (delivery you can
+verify and resume).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+_MANIFEST = "_MANIFEST.json"
+
+
+def _row_hash(cols: list[str]):
+    # per-row content hash over every published column, null-stable:
+    # hash the value's string form with a type-tagged null sentinel so
+    # (null) and ('') differ. xxhash64 is Spark-deterministic.
+    parts = []
+    for c in cols:
+        parts.append(F.coalesce(F.col(c).cast("string"), F.lit("\x00null")))
+    return F.xxhash64(*parts)
+
+
+def publish_dataset(
+    df: DataFrame,
+    out_dir: str,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+) -> dict:
+    """Write ``df`` as ``n_shards`` deterministic shards under
+    ``out_dir`` (parquet, ``shard=<k>`` directories) and a
+    ``_MANIFEST.json`` carrying per-shard rows + checksum. Returns the
+    manifest dict. Columns are published in sorted name order so the
+    checksum column-set is unambiguous; ``id_col`` must be present and
+    non-null (null ids raise — membership would be undefined)."""
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    if id_col not in df.columns:
+        raise ValueError(f"id column {id_col!r} not in {df.columns}")
+    cols = sorted(df.columns)
+    n_null = df.filter(F.col(id_col).isNull()).limit(1).count()
+    if n_null:
+        raise ValueError(f"{id_col} contains nulls — shard membership undefined")
+    shard = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).cast("int")
+    out = df.select(*cols).withColumn("shard", shard)
+    # one exchange: each write task holds whole shards, so every
+    # shard=<k> dir is written by exactly one task (typically one file)
+    out = out.repartition(n_shards, "shard")
+    out.write.mode("overwrite").partitionBy("shard").parquet(out_dir)
+    # manifest from what was WRITTEN (read-back, not the input plan):
+    # the checksum certifies the files on disk, not the intent
+    written = df.sparkSession.read.parquet(out_dir)
+    per = (
+        written.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(_row_hash(cols).cast("decimal(38,0)")).alias("checksum"),
+        )
+        .collect()
+    )
+    shards = {
+        int(r["shard"]): {"rows": int(r["rows"]), "checksum": int(r["checksum"])}
+        for r in per
+    }
+    manifest = {
+        "format": "ccs-dataset-v1",
+        "n_shards": n_shards,
+        "id_col": id_col,
+        "columns": cols,
+        "total_rows": sum(s["rows"] for s in shards.values()),
+        "shards": {str(k): shards[k] for k in sorted(shards)},
+    }
+    tmp = os.path.join(out_dir, _MANIFEST + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, indent=1)
+    os.replace(tmp, os.path.join(out_dir, _MANIFEST))
+    return manifest
+
+
+def read_manifest(out_dir: str) -> dict:
+    with open(os.path.join(out_dir, _MANIFEST)) as fh:
+        return json.load(fh)
+
+
+def verify_dataset(spark: SparkSession, out_dir: str) -> dict:
+    """Recompute per-shard rows + checksums from the published files and
+    diff against the manifest. Returns ``{ok, total_rows, mismatches}``
+    where ``mismatches`` lists ``{shard, field, manifest, actual}`` rows
+    (a missing shard reports rows 0 / checksum None). One job, same
+    aggregate shape as publishing."""
+    m = read_manifest(out_dir)
+    cols = m["columns"]
+    df = spark.read.parquet(out_dir)
+    per = {
+        int(r["shard"]): (int(r["rows"]), int(r["checksum"]))
+        for r in df.groupBy("shard").agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(_row_hash(cols).cast("decimal(38,0)")).alias("checksum"),
+        ).collect()
+    }
+    total_actual = sum(v[0] for v in per.values())
+    mismatches = []
+    for k_str, want in m["shards"].items():
+        k = int(k_str)
+        rows, checksum = per.pop(k, (0, None))
+        if rows != want["rows"]:
+            mismatches.append({"shard": k, "field": "rows",
+                               "manifest": want["rows"], "actual": rows})
+        if checksum != want["checksum"]:
+            mismatches.append({"shard": k, "field": "checksum",
+                               "manifest": want["checksum"], "actual": checksum})
+    for k, (rows, checksum) in sorted(per.items()):
+        mismatches.append({"shard": k, "field": "unexpected",
+                           "manifest": None, "actual": rows})
+    return {
+        "ok": not mismatches,
+        "total_rows": total_actual,
+        "mismatches": mismatches,
+    }

@@ -92,6 +92,10 @@ def main() -> None:
                         "split (operators/text.dsir_weights); docs with no "
                         "tokens drop")
     p.add_argument("--skip-boilerplate", action="store_true")
+    p.add_argument("--publish-shards", type=int, default=0,
+                   help="publish the output as N deterministic shards with an "
+                        "integrity _MANIFEST.json (operators/publish.py) "
+                        "instead of a bare parquet write; verified post-write")
     p.add_argument("--demo", action="store_true", help="tiny self-contained demo")
     args = p.parse_args()
 
@@ -343,7 +347,20 @@ def main() -> None:
 
     packed = sequence_pack(corpus, budget=args.seq_budget, part_col="lang")
     out = corpus.join(packed.drop("lang"), on="doc_id")
-    out.write.mode("overwrite").parquet(args.out_dir)
+    if args.publish_shards > 0:
+        from clever_canal_spark.operators.publish import (
+            publish_dataset,
+            verify_dataset,
+        )
+
+        manifest = publish_dataset(out, args.out_dir,
+                                   n_shards=args.publish_shards)
+        check = verify_dataset(spark, args.out_dir)
+        print(f"[curate] published {manifest['total_rows']} docs in "
+              f"{manifest['n_shards']} shards -> {args.out_dir} "
+              f"(verify: {'OK' if check['ok'] else check['mismatches']})")
+    else:
+        out.write.mode("overwrite").parquet(args.out_dir)
     final = spark.read.parquet(args.out_dir)
     n_bins = final.select("lang", "bin_id").distinct().count()
     print(f"[curate] wrote {final.count()} docs in {n_bins} packed "
