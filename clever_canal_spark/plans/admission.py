@@ -67,6 +67,7 @@ def dedup_admission(
     gate_ops: tuple = ("I", "U"),
     mode: str = "drop",
     within_batch: bool = True,
+    near_min_bands: int | None = None,
 ) -> AdmissionResult:
     """Gate a feed-shaped epoch batch against the dedup index.
 
@@ -74,7 +75,21 @@ def dedup_admission(
     ``mode='tag'`` keeps every event and adds a ``__dup_of`` bigint
     column (null = admitted) so downstream policy decides. Returns
     :class:`AdmissionResult` with the gated batch and the rejected
-    (doc_id, dup_of_doc_id) pairs."""
+    (doc_id, dup_of_doc_id) pairs.
+
+    ``near_min_bands`` additionally gates NEAR-duplicates: a doc whose
+    winner text shares >= that many MinHash-LSH band buckets with an
+    indexed doc (``probe_neardup``) rejects, ``dup_of`` = the candidate
+    sharing the most bands (ties: smallest doc_id — deterministic).
+    This is the banding verdict, not a verified Jaccard — at the
+    admission door a false positive costs one dropped near-identical
+    page, the cheap side of the asymmetry; pipelines needing verified
+    pairs run the corpus-side ``ngram_jaccard_pairs`` instead. The
+    near probe carries winner TEXTS through its per-doc agg
+    (signatures need the text) — the same weight class as the LWW
+    winner shuffle the merge itself runs, still O(epoch). Near-dup
+    gating is vs the INDEX only; within-batch near-dups are admitted
+    (the corpus-side dedup catches them next sync)."""
     from ..operators.dedup_index import probe_exact
 
     if mode not in ("drop", "tag"):
@@ -105,6 +120,32 @@ def dedup_admission(
         .filter(F.col("dup_of_doc_id") != F.col("new_doc_id"))
         .select(F.col("new_doc_id").alias("doc_id"), "dup_of_doc_id")
     )
+    if near_min_bands is not None:
+        from ..operators.dedup_index import probe_neardup
+
+        winners = (
+            batch.filter(gated)
+            .select(did.alias("doc_id"), text.alias("__text"), F.col("lsn"))
+            .groupBy("doc_id")
+            .agg(F.max_by("__text", F.col("lsn")).alias("__text"))
+        )
+        near = (
+            probe_neardup(index, winners, text_col="__text")
+            .filter(
+                (F.col("n_shared_bands") >= near_min_bands)
+                & (F.col("cand_doc_id") != F.col("new_doc_id"))
+            )
+            .groupBy(F.col("new_doc_id").alias("doc_id"))
+            .agg(
+                F.max_by(
+                    "cand_doc_id",
+                    F.struct(F.col("n_shared_bands"), (-F.col("cand_doc_id")).alias("nid")),
+                ).alias("dup_of_doc_id")
+            )
+        )
+        cross = cross.unionByName(near).groupBy("doc_id").agg(
+            F.min("dup_of_doc_id").alias("dup_of_doc_id")
+        )
     if within_batch:
         # among docs new to this batch: one winner per fingerprint (min
         # doc_id); only (doc_id, fp) pairs ride this shuffle

@@ -63,6 +63,11 @@ def main() -> None:
     p.add_argument("--max-files-per-epoch", type=int, default=64)
     p.add_argument("--table-whitelist", default="")
     p.add_argument("--table-blacklist", default="")
+    p.add_argument("--admission-near-bands", type=int, default=None,
+                   help="also gate NEAR-duplicates at admission: reject docs "
+                        "sharing >= N MinHash-LSH band buckets with an "
+                        "indexed doc (banding verdict, unverified — the "
+                        "cheap-false-positive side of the door asymmetry)")
     p.add_argument("--admission", action="store_true",
                    help="gate each micro-batch against the dedup index "
                         "(drops duplicate-content events pre-merge; "
@@ -371,10 +376,14 @@ def main() -> None:
             gidx = open_or_build_dedup_index(table, args.dedup_index_dir)
 
             def admission(batch, _i=gidx):
-                res = dedup_admission(batch, _i)
+                res = dedup_admission(
+                    batch, _i, near_min_bands=args.admission_near_bands
+                )
                 return res.batch
 
-            print("admission gate: duplicate-content events dropped pre-merge")
+            nb = args.admission_near_bands
+            print("admission gate: duplicate-content events dropped pre-merge"
+                  + (f" (near-dup at >={nb} shared bands)" if nb else ""))
         pipe = CdcPipeline(
             spark, args.source_dir, args.checkpoint, table, cfg,
             metrics_table=metrics, max_files_per_trigger=args.max_files_per_epoch,

@@ -135,3 +135,49 @@ def test_epoch_over_epoch_with_sync(spark, tmp_table_dir, index):
     # epoch 2 re-sends the same content under a new url → now gated
     e2 = dedup_admission(feed(spark, [("n9", TS, "wave one text", "I", 9)]), index)
     assert urls(e2.batch) == []
+
+
+NEAR_BASE = ("the quick brown fox jumps over the lazy dog while the rain "
+             "falls gently on the quiet village roofs tonight")
+
+
+@pytest.fixture()
+def near_index(spark, tmp_table_dir):
+    docs = spark.createDataFrame(
+        [(100, NEAR_BASE), (200, "completely different content here")],
+        "doc_id long, text string",
+    )
+    return build_dedup_index(spark, docs, tmp_table_dir + "/ndidx")
+
+
+def test_near_dup_gated_only_when_enabled(spark, near_index):
+    # one char changed at the tail: distinct md5, ~identical shingles →
+    # shares bands with doc 100 (deterministic under the fixed MinHash
+    # family, pinned here)
+    near_text = NEAR_BASE[:-1] + "!"
+    batch = feed(spark, [("nd", TS, near_text, "I", 1)])
+    # default (exact-only): admitted — fingerprints differ
+    assert urls(dedup_admission(batch, near_index).batch) == ["nd"]
+    # near gate on: rejected, dup_of = the indexed near-twin
+    res = dedup_admission(batch, near_index, near_min_bands=1)
+    assert urls(res.batch) == []
+    assert [(r.dup_of_doc_id) for r in res.rejected.collect()] == [100]
+
+
+def test_near_gate_ignores_unrelated_text(spark, near_index):
+    batch = feed(spark, [("fresh", TS, "entirely novel words nowhere else", "I", 1)])
+    res = dedup_admission(batch, near_index, near_min_bands=1)
+    assert urls(res.batch) == ["fresh"]
+    assert res.rejected.count() == 0
+
+
+def test_near_and_exact_combined(spark, near_index):
+    near_text = NEAR_BASE[:-1] + "?"
+    batch = feed(spark, [
+        ("x1", TS, NEAR_BASE, "I", 1),       # exact dup of doc 100
+        ("x2", TS, near_text, "I", 2),       # near dup of doc 100
+        ("x3", TS, "unrelated page body entirely", "I", 3),
+    ])
+    res = dedup_admission(batch, near_index, near_min_bands=1)
+    assert urls(res.batch) == ["x3"]
+    assert res.rejected.count() == 2
