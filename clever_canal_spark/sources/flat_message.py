@@ -383,6 +383,64 @@ def export_flat_messages(
     return ch.select(F.expr(msg).alias("value"))
 
 
+def export_flat_messages_to_dir(
+    table,
+    out_dir: str,
+    database: str = "db",
+    table_name: str = "t",
+    data_cols: "list[tuple[str, str]] | None" = None,
+    to_version: int | None = None,
+) -> dict:
+    """Incremental MQ-sink connector: ship the lake changelog to a
+    directory of FlatMessage JSONL batches with a durable resume cursor
+    — the CanalMQProducer delivery loop (D7/D8) rebuilt as files a
+    downstream queue loader tails (CanalMQProducer.java send loop;
+    MQMessageUtils partitioning).
+
+    Layout: each call that finds new versions writes
+    ``{out_dir}/batch-{from+1:08d}-{head:08d}/part-*.txt`` (one
+    FlatMessage JSON per line, ``es`` = source LSN) and then atomically
+    replaces ``{out_dir}/_cursor.json``. Batch directory names are a
+    pure function of the consumed version range, and the content is a
+    deterministic re-serialization of the changelog slice (the same
+    line SET; part-file splits may differ) — so the crash window
+    (batch written, cursor not) re-exports the same messages over the
+    same directory: downstream sees at-least-once DIRECTORIES with
+    exactly-once CONTENT, and takes them in name order. Returns
+    ``{consumed, n_messages, path}`` (consumed=0 → nothing new).
+
+    A TRUNCATE inside the range ships nothing for the erased rows (the
+    changelog is metadata-only there) — mirror truncates out-of-band,
+    same contract as every changelog consumer. ``SnapshotExpired``
+    propagates: a connector that fell behind retention must re-seed its
+    downstream (the replica's bootstrap story), not silently skip."""
+    import json as _json
+    import os as _os
+
+    cur_path = _os.path.join(out_dir, "_cursor.json")
+    try:
+        with open(cur_path) as fh:
+            synced = int(_json.load(fh)["version"])
+    except FileNotFoundError:
+        synced = 0
+    head = table.current_version() if to_version is None else int(to_version)
+    if head <= synced:
+        return {"consumed": 0, "n_messages": 0, "path": None}
+    msgs = export_flat_messages(
+        table, synced, head, database=database, table_name=table_name,
+        data_cols=data_cols,
+    )
+    batch_dir = _os.path.join(out_dir, f"batch-{synced + 1:08d}-{head:08d}")
+    msgs.write.mode("overwrite").text(batch_dir)
+    n = table.spark.read.text(batch_dir).count()
+    _os.makedirs(out_dir, exist_ok=True)
+    tmp = cur_path + ".tmp"
+    with open(tmp, "w") as fh:
+        _json.dump({"version": head}, fh)
+    _os.replace(tmp, cur_path)
+    return {"consumed": head - synced, "n_messages": n, "path": batch_dir}
+
+
 def detect_schema_drift(
     df,
     expected: dict[str, str],
