@@ -6617,6 +6617,47 @@ def q_cdc_secondary_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return probe_secondary(idx, t, "sv").select("url", "lang", "rank")
 
 
+@register(
+    "cdc_interval_attribution",
+    """
+    SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+           CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS gap_us
+    FROM events c JOIN events p ON c.user_id = p.user_id
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+      AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+)
+def q_cdc_interval_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event attribution via the stream-stream interval join
+    (streaming/joins.py interval_join_stream, batch twin): every
+    (click, purchase) pair for the same user with the purchase in
+    [click, click + 30 min] — inclusive bounds, gap in integer micros.
+    On batch frames the watermarks fold away and this is a plain range
+    equi-join; the streaming form bounds BOTH sides' state by the
+    watermark against this exact condition shape."""
+    from .streaming.joins import interval_join_stream
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts"), F.col("event_id").alias("click_id")
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    out = interval_join_stream(
+        clicks, purch, ["user_id"], "c_ts", "p_ts",
+        lower="0 seconds", upper="30 minutes",
+    )
+    return out.select(
+        "user_id", "click_id", "purchase_id",
+        (
+            F.unix_micros(F.col("p_ts").cast("timestamp"))
+            - F.unix_micros(F.col("c_ts").cast("timestamp"))
+        ).alias("gap_us"),
+    )
+
+
 _AGGVIEW_CACHE: dict[tuple, str] = {}
 
 

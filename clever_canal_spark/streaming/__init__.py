@@ -7,6 +7,7 @@ from .prometheus import (
     render_sketch_metrics,
 )
 from .stateful import winner_delta_stream
+from .joins import interval_join_stream
 from .windows import (
     sessionized_counts,
     windowed_distinct_registers,
@@ -22,6 +23,7 @@ __all__ = [
     "render_metrics",
     "render_hotkey_metrics",
     "run_available",
+    "interval_join_stream",
     "sessionized_counts",
     "throughput_view",
     "windowed_event_counts",
