@@ -8,6 +8,7 @@ from .prometheus import (
 )
 from .stateful import winner_delta_stream
 from .joins import interval_join_stream
+from .lease import LeaderLease, run_with_lease
 from .windows import (
     sessionized_counts,
     windowed_distinct_registers,
@@ -23,6 +24,8 @@ __all__ = [
     "render_metrics",
     "render_hotkey_metrics",
     "run_available",
+    "LeaderLease",
+    "run_with_lease",
     "interval_join_stream",
     "sessionized_counts",
     "throughput_view",

@@ -63,6 +63,13 @@ def main() -> None:
     p.add_argument("--max-files-per-epoch", type=int, default=64)
     p.add_argument("--table-whitelist", default="")
     p.add_argument("--table-blacklist", default="")
+    p.add_argument("--lease-path", default="",
+                   help="running/standby HA: acquire this leader lease before "
+                        "applying (streaming/lease.py — the Canal "
+                        "ClientRunningMonitor analog); standbys exit 0 doing "
+                        "nothing until the leader's TTL lapses")
+    p.add_argument("--node-id", default="",
+                   help="this node's identity in the lease (default: host:pid)")
     p.add_argument("--admission-near-bands", type=int, default=None,
                    help="also gate NEAR-duplicates at admission: reject docs "
                         "sharing >= N MinHash-LSH band buckets with an "
@@ -282,7 +289,18 @@ def main() -> None:
             spark, args.source_dir, args.checkpoint, table, cfg,
             metrics_table=metrics, max_files_per_epoch=args.max_files_per_epoch,
         )
-        results = fol.run_available()
+        if args.lease_path:
+            import socket
+
+            from clever_canal_spark.streaming import LeaderLease, run_with_lease
+
+            owner = args.node_id or f"{socket.gethostname()}:{os.getpid()}"
+            lease = LeaderLease(args.lease_path, owner)
+            results = run_with_lease(fol, lease)
+            state = "leader" if lease.is_leader else "standby (no-op)"
+            print(f"lease {args.lease_path}: {owner} is {state}")
+        else:
+            results = fol.run_available()
         print(f"applied {len(results)} epochs; table version {table.current_version()}, "
               f"rows {table.scan().count()}")
     else:
