@@ -8,7 +8,7 @@ from .prometheus import (
 )
 from .stateful import winner_delta_stream
 from .joins import interval_join_stream
-from .lease import LeaderLease, run_with_lease
+from .lease import LeaderLease, LeadershipLost, run_with_lease
 from .windows import (
     sessionized_counts,
     windowed_distinct_registers,
@@ -25,6 +25,7 @@ __all__ = [
     "render_hotkey_metrics",
     "run_available",
     "LeaderLease",
+    "LeadershipLost",
     "run_with_lease",
     "interval_join_stream",
     "sessionized_counts",

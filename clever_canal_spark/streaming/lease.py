@@ -51,6 +51,11 @@ import threading
 import time
 
 
+class LeadershipLost(RuntimeError):
+    """Raised inside a streaming micro-batch when the lease's generation
+    moved — the fenced ex-leader must stop its query immediately."""
+
+
 class LeaderLease:
     """TTL'd leader lease in ``path`` (a file; its parent must exist).
 

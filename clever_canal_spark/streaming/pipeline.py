@@ -81,6 +81,13 @@ class CdcPipeline:
     # input batch: a replayed micro-batch re-gates identically, keeping
     # apply_epoch's idempotence intact.
     admission: object = None
+    # running/standby HA (streaming/lease.py, the ClientRunningMonitor
+    # analog): when set, start() returns None unless the lease is
+    # acquired (standby = start nothing), and every micro-batch renews
+    # the heartbeat FIRST — a fenced ex-leader raises LeadershipLost,
+    # failing the query before it applies anything further (the aborted
+    # batch replays idempotently under the new leader)
+    lease: object = None
 
     def __post_init__(self):
         if self.cfg.merge_mode != "mor":
@@ -102,6 +109,13 @@ class CdcPipeline:
         """Start the streaming query. ``available_now=True`` drains what is
         currently in the source then stops (deterministic for tests/bench);
         a production tail uses ``processing_time``."""
+        if self.lease is not None:
+            got = (
+                self.lease.renew() if self.lease.is_leader
+                else self.lease.try_acquire()
+            )
+            if not got:
+                return None  # standby: start nothing
         stream = read_feed_stream(
             self.spark,
             self.source_dir,
@@ -110,6 +124,12 @@ class CdcPipeline:
         )
 
         def _apply(batch_df, epoch_id: int):
+            if self.lease is not None and not self.lease.renew():
+                from .lease import LeadershipLost
+
+                raise LeadershipLost(
+                    f"lease {self.lease.path}: superseded — stopping"
+                )
             if self.admission is not None:
                 batch_df = self.admission(batch_df)
             apply_epoch(
@@ -138,6 +158,8 @@ class CdcPipeline:
 
     def run_until_drained(self) -> None:
         q = self.start(available_now=True)
+        if q is None:
+            return  # standby
         q.awaitTermination()
 
 

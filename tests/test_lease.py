@@ -125,3 +125,41 @@ def test_active_standby_follower_loop(spark, tmp_table_dir):
     assert lb.is_leader and not la.renew()             # epochs replay no-op
     assert table.scan().count() == rows1
     assert table.current_version() == v1               # nothing double-applied
+
+
+def test_cdc_pipeline_lease_standby_and_leader(spark, tmp_table_dir):
+    """Streaming-shell HA: a pipeline without the lease starts nothing
+    (standby); the leader drains; after the leader's TTL lapses the
+    standby's next run takes over and drains new slices."""
+    from clever_canal_spark.filters import EventFilterConfig
+    from clever_canal_spark.gen import FeedConfig, generate_feed
+    from clever_canal_spark.lake import LakeTable
+    from clever_canal_spark.model import PAGE_SCHEMA
+    from clever_canal_spark.plans import ApplyConfig
+    from clever_canal_spark.sources import write_feed_slices
+    from clever_canal_spark.streaming import CdcPipeline
+
+    clock = Clock()
+    feed = os.path.join(tmp_table_dir, "feed")
+    cfgf = FeedConfig(n_events=300, n_urls=30, seed=5)
+    write_feed_slices(generate_feed(spark, cfgf), feed, n_slices=2,
+                      n_events=cfgf.n_events)
+    table = LakeTable.create(
+        spark, os.path.join(tmp_table_dir, "pages"), PAGE_SCHEMA,
+        merge_key=["url", "warc_ts"], n_buckets=4,
+    )
+    la, lb = _pair(tmp_table_dir, clock)
+    cfg = ApplyConfig(filters=EventFilterConfig(), merge_mode="mor")
+    pa = CdcPipeline(spark, feed, os.path.join(tmp_table_dir, "ck-a"),
+                     table, cfg, lease=la)
+    pb = CdcPipeline(spark, feed, os.path.join(tmp_table_dir, "ck-b"),
+                     table, cfg, lease=lb)
+    pa.run_until_drained()
+    rows = table.scan().count()
+    assert rows > 0 and la.is_leader
+    pb.run_until_drained()                      # standby: no-op
+    assert table.scan().count() == rows and not lb.is_leader
+    clock.t += 31                               # leader goes silent
+    pb.run_until_drained()                      # takeover; same data no-ops
+    assert lb.is_leader
+    assert table.scan().count() == rows
