@@ -33,6 +33,7 @@ from .join_view import (
     sync_join_view,
 )
 from .fsck import check_table
+from .lineage import expr_lineage, rename_impact, view_lineage
 from .provenance import row_provenance
 from .transform_view import (
     create_transform_view,
@@ -100,4 +101,5 @@ __all__ = [
     "create_transform_view", "sync_transform_view", "reseed_transform_view",
     "open_transform_view", "transform_view_config", "transform_view_cursor",
     "row_provenance",
+    "expr_lineage", "view_lineage", "rename_impact",
 ]
