@@ -9,6 +9,7 @@ operational surface next to run_pipeline (ingest) and run_curation
 Commands:
 
     fsck [--deep]              integrity check (lake/fsck.py); exit 1 on findings
+    status                     one-stop zero-job health summary (JSON)
     advise                     maintenance advisor (lake/advisor.py); zero jobs;
                                --apply executes the due actions in order
     history                    retained operation log (newest first)
@@ -51,6 +52,8 @@ def main() -> None:
                          "info findings are never applied")
     ad.add_argument("--vacuum-ttl", type=float, default=3600.0)
     sub.add_parser("history")
+    st = sub.add_parser("status")
+    st.add_argument("--keep-target", type=int, default=32)
     c = sub.add_parser("compact")
     c.add_argument("--zorder", default="")
     rb = sub.add_parser("rebucket")
@@ -108,6 +111,48 @@ def main() -> None:
             left = maintenance_report(t, keep_target=args.keep_target)
             n_left = sum(1 for f in left if f["severity"] == "advise")
             print(f"[admin] advise after apply: {n_left} action(s) still due")
+    elif args.cmd == "status":
+        # one-stop zero-job health summary: manifest + sidecars only
+        import os as _os
+
+        from clever_canal_spark.lake.advisor import maintenance_report
+        from clever_canal_spark.lake.consumers import Consumer
+
+        snap = t.snapshot()
+        rows = sum(f.get("rows") or 0 for f in snap.files)
+        drows = sum(f.get("rows") or 0 for f in snap.delta_files)
+        doc = {
+            "version": snap.version,
+            "base_files": len(snap.files),
+            "delta_files": len(snap.delta_files),
+            "rows_in_bases": rows,
+            "rows_in_deltas": drows,
+            "n_buckets": snap.n_buckets,
+            "merge_key": list(snap.merge_key),
+            "stats_cols": list(snap.stats_cols or []),
+            "tags": {k: int(v["version"]) for k, v in t.list_refs().items()},
+            "committed_epochs": len(t.committed_epochs()),
+            "consumers": Consumer.list_all(t),
+            "advise_due": sum(
+                1 for f in maintenance_report(t, keep_target=args.keep_target)
+                if f["severity"] == "advise"
+            ),
+            "recent_operations": [
+                {"version": h["version"], "operation": h["operation"]}
+                for h in t.history()[:5]
+            ],
+        }
+        lease_path = _os.path.join(args.table_dir, "_running.json")
+        if _os.path.exists(lease_path):
+            import json as _json
+
+            with open(lease_path) as fh:
+                doc["lease"] = _json.load(fh)
+        print(json.dumps(doc, indent=1))
+        n_deltas = doc["delta_files"]
+        print(f"[admin] status: v{doc['version']}, ~{rows} base rows"
+              f" (+{drows} pending delta rows in {n_deltas} files),"
+              f" {doc['advise_due']} maintenance action(s) due")
     elif args.cmd == "history":
         for h in t.history():
             print(json.dumps(h))

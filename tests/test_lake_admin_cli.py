@@ -191,3 +191,45 @@ def test_apply_maintenance_clears_advise_findings(spark, tmp_table_dir):
     assert ("set_stats_cols", "info") in {(f["action"], f["severity"]) for f in rep}
     # nothing due -> nothing runs
     assert apply_maintenance(t, keep_target=3, vacuum_ttl_s=0) == []
+
+
+def test_status_command_zero_job_summary(spark, tmp_table_dir):
+    """`lake_admin status`: manifest-only health summary — version,
+    rows, deltas, epochs, consumers, advise count; parses as JSON."""
+    import json as _json
+    import subprocess
+    import sys
+
+    from pyspark.sql import types as T
+
+    from clever_canal_spark.lake import Consumer, LakeTable
+
+    schema = T.StructType(
+        [T.StructField("url", T.StringType()), T.StructField("n", T.LongType())]
+    )
+    t = LakeTable.create(spark, tmp_table_dir, schema, merge_key=["url"], n_buckets=2)
+    t.merge(
+        spark.createDataFrame(
+            [(f"u{i}", i, "I", i + 1) for i in range(20)],
+            "url string, n long, op string, lsn long",
+        ),
+        epoch_id=0, mode="mor", lsn_col="lsn",
+    )
+    t.create_tag("rel")
+    Consumer(t, "cli-client")
+    spark2 = None  # CLI runs its own session
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "lake_admin.py"),
+         "--table-dir", tmp_table_dir, "status"],
+        capture_output=True, text=True, cwd=REPO,
+        env={**os.environ, "PYTHONPATH": REPO}, timeout=300,
+    )
+    assert r.returncode == 0, r.stdout[-1500:] + r.stderr[-1500:]
+    body = r.stdout[r.stdout.index("{"):r.stdout.rindex("}") + 1]
+    doc = _json.loads(body)
+    assert doc["version"] >= 2 and doc["rows_in_deltas"] == 20
+    assert doc["tags"] == {"rel": doc["tags"]["rel"]}
+    assert "cli-client" in doc["consumers"]
+    assert doc["committed_epochs"] >= 1
+    assert doc["advise_due"] >= 1          # pending deltas -> compact due
+    assert "[admin] status:" in r.stdout
