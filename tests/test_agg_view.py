@@ -256,3 +256,65 @@ def test_agg_view_rides_cdc_pipeline_sync_hooks(spark, tmp_table_dir):
     v = view.current_version()
     pipe.run_until_drained()
     assert view.current_version() == v
+
+
+def test_multi_value_columns_match_rebuild(spark, tmp_table_dir):
+    """value_exprs={name: expr} form: per-name column quadruples, shared
+    n_rows; an extreme retraction on ONE column re-derives the group for
+    all; state equals a from-scratch rebuild after every wave."""
+    t = _mk_src(spark, tmp_table_dir)
+    _apply(t, spark, [
+        ("u1", "en", 10, "I", 1), ("u2", "en", 30, "I", 2),
+        ("u3", "en", 20, "I", 3), ("u4", "de", 7, "I", 4),
+    ], 1)
+    view = create_agg_view(
+        t, os.path.join(tmp_table_dir, "v"), "lang",
+        value_exprs={"size": "size", "double_size": "size * 2"},
+    )
+
+    def expected():
+        return sorted(map(tuple,
+            t.scan().filter(F.col("lang").isNotNull())
+            .groupBy(F.col("lang").alias("group_key"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count("size").alias("n_size"),
+                F.sum("size").alias("sum_size"),
+                F.min("size").alias("min_size"),
+                F.max("size").alias("max_size"),
+                F.count(F.expr("size * 2")).alias("n_double_size"),
+                F.sum(F.expr("size * 2")).alias("sum_double_size"),
+                F.min(F.expr("size * 2")).alias("min_double_size"),
+                F.max(F.expr("size * 2")).alias("max_double_size"),
+            ).collect()))
+
+    assert sorted(view.scan().columns) == sorted(
+        ["group_key", "n_rows",
+         "n_size", "sum_size", "min_size", "max_size",
+         "n_double_size", "sum_double_size", "min_double_size",
+         "max_double_size"])
+    assert _state(view) == expected()
+    waves = [
+        [("u3", None, None, "D", 10)],           # non-extreme: additive
+        [("u2", None, None, "D", 20)],           # extreme on BOTH: recompute
+        [("u5", "en", 1, "I", 30)],              # new min
+        [("u5", None, None, "D", 40)],           # min retraction: recompute
+    ]
+    for i, rows in enumerate(waves):
+        _apply(t, spark, rows, 100 + i)
+        assert sync_agg_view(view, t) >= 1
+        assert _state(view) == expected(), f"wave {i}"
+
+
+def test_create_arg_validation(spark, tmp_table_dir):
+    import pytest as _pytest
+
+    t = _mk_src(spark, tmp_table_dir)
+    with _pytest.raises(ValueError, match="exactly one"):
+        create_agg_view(t, os.path.join(tmp_table_dir, "x"), "lang")
+    with _pytest.raises(ValueError, match="exactly one"):
+        create_agg_view(t, os.path.join(tmp_table_dir, "x"), "lang",
+                        value_expr="size", value_exprs={"a": "size"})
+    with _pytest.raises(ValueError, match="identifiers"):
+        create_agg_view(t, os.path.join(tmp_table_dir, "x"), "lang",
+                        value_exprs={"bad name": "size"})
