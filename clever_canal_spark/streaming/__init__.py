@@ -10,6 +10,7 @@ from .stateful import winner_delta_stream
 from .joins import interval_join_stream
 from .lease import LeaderLease, LeadershipLost, run_with_lease
 from .windows import (
+    dedup_events_within_watermark,
     sessionized_counts,
     windowed_distinct_registers,
     windowed_event_counts,
@@ -30,6 +31,7 @@ __all__ = [
     "interval_join_stream",
     "sessionized_counts",
     "throughput_view",
+    "dedup_events_within_watermark",
     "windowed_event_counts",
     "render_sketch_metrics",
     "render_replica_metrics",

@@ -62,6 +62,37 @@ def sessionized_counts(
     )
 
 
+def dedup_events_within_watermark(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Effectively-once pre-filter for an AT-LEAST-ONCE upstream (an MQ
+    redelivering the feed, a flaky relay re-sending a slice): drop
+    re-deliveries of the same ``key_cols`` arriving within ``watermark``
+    of first sight, with BOUNDED state — the native
+    ``dropDuplicatesWithinWatermark``, which evicts a key's entry once
+    the watermark passes its event time (a plain streaming
+    ``dropDuplicates`` keeps every key forever — the unbounded-state
+    trap this wrapper exists to avoid).
+
+    Contract: duplicates inside the watermark window are suppressed;
+    a re-delivery arriving LATER than the watermark can re-emit. For
+    the engine's own apply path that residue is harmless — LWW by LSN
+    makes re-applied events no-ops (the same reasoning the module
+    docstring gives for not watermarking the apply path at all); this
+    operator exists to cut the wasted work upstream, not to carry
+    correctness. Batch inputs pass through a plain dropDuplicates
+    (the deterministic twin — no time bound needed when the input is
+    finite)."""
+    if not events.isStreaming:
+        return events.dropDuplicates(key_cols)
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
 def windowed_event_counts(
     events: DataFrame,
     window_duration: str = "1 minute",

@@ -137,3 +137,50 @@ def test_stream_left_outer_emits_null_after_watermark(spark, tmp_table_dir):
     rows = {r.click_id: r.purchase_id for r in out.collect()}
     assert rows[10] == 100
     assert 20 in rows and rows[20] is None  # no-conversion record, null-padded
+
+
+def test_dedup_within_watermark_stream(spark, tmp_table_dir):
+    """dropDuplicatesWithinWatermark wrapper: a redelivery of the same
+    key in a LATER micro-batch (within the watermark) is suppressed;
+    distinct keys pass; batch inputs take the plain-dropDuplicates twin."""
+    import time
+
+    from clever_canal_spark.streaming import dedup_events_within_watermark
+
+    src = os.path.join(tmp_table_dir, "src")
+    os.makedirs(src)
+
+    def _slice(df, name):
+        stage = os.path.join(tmp_table_dir, "stage", name)
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+        shutil.copy(os.path.join(stage, part), os.path.join(src, name + ".parquet"))
+
+    def _ev(rows):
+        return spark.createDataFrame(rows, "k long, ts timestamp, payload string")
+
+    stream = spark.readStream.schema("k long, ts timestamp, payload string") \
+        .option("maxFilesPerTrigger", "1").parquet(src)
+    out = dedup_events_within_watermark(stream, ["k"], "ts", "10 minutes")
+    name = f"ddw_{abs(hash(tmp_table_dir)) % 10**8}"
+    q = (
+        out.writeStream.format("memory").queryName(name).outputMode("append")
+        .option("checkpointLocation", os.path.join(tmp_table_dir, "ckpt"))
+        .start()
+    )
+    try:
+        _slice(_ev([(1, _m(0), "first"), (2, _m(1), "other")]), "a")
+        q.processAllAvailable()
+        time.sleep(1.1)
+        # redelivery of k=1 within the watermark + one genuinely new key
+        _slice(_ev([(1, _m(2), "dup"), (3, _m(2), "new")]), "b")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {r.k: r.payload for r in spark.sql(f"select * from {name}").collect()}
+    assert rows == {1: "first", 2: "other", 3: "new"}
+
+    # batch twin: finite input, plain dedup
+    batch = _ev([(1, _m(0), "x"), (1, _m(5), "y"), (2, _m(0), "z")])
+    got = dedup_events_within_watermark(batch, ["k"], "ts")
+    assert got.count() == 2
