@@ -1,6 +1,7 @@
 from .follower import FeedFollower, RoutedFeedFollower, footer_hints, throughput_view
 from .pipeline import CdcPipeline, run_available
 from .prometheus import (
+    render_consumer_metrics,
     render_hotkey_metrics,
     render_metrics,
     render_replica_metrics,
@@ -23,7 +24,7 @@ __all__ = [
     "RoutedFeedFollower",
     "footer_hints",
     "render_metrics",
-    "render_hotkey_metrics",
+    "render_consumer_metrics", "render_hotkey_metrics",
     "run_available",
     "LeaderLease",
     "LeadershipLost",

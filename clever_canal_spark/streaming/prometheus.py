@@ -222,6 +222,37 @@ def render_sketch_metrics(
     return "\n".join(out) + "\n"
 
 
+def render_consumer_metrics(
+    table,
+    namespace: str = "ccs",
+    labels: dict[str, str] | None = None,
+) -> str:
+    """Per-subscriber cursor-lag gauges (the MemoryMetaManager
+    listAllSubscribeInfo analog, lake/consumers.py): for every
+    subscribed client_id, ``<ns>_consumer_acked_version`` (durable acked
+    cursor) and ``<ns>_consumer_versions_behind`` (table head minus
+    cursor), plus one ``<ns>_consumer_table_version``. Reads the
+    consumer cursor directory and one manifest pointer — zero Spark
+    jobs, scrape-rate safe."""
+    from ..lake.consumers import Consumer
+
+    labels = labels or {}
+    head = table.current_version()
+    cursors = Consumer.list_all(table)
+    out: list[str] = []
+    _emit(out, namespace, "consumer_table_version",
+          "table head version consumers are chasing", "gauge",
+          [(labels, head)])
+    _emit(out, namespace, "consumer_acked_version",
+          "durable acked cursor per subscribed client", "gauge",
+          [({**labels, "client": c}, v) for c, v in sorted(cursors.items())])
+    _emit(out, namespace, "consumer_versions_behind",
+          "table versions not yet acked per client", "gauge",
+          [({**labels, "client": c}, head - v)
+           for c, v in sorted(cursors.items())])
+    return "\n".join(out) + "\n"
+
+
 def render_replica_metrics(
     replicas: "dict[str, tuple]",
     namespace: str = "ccs",

@@ -226,3 +226,42 @@ def test_render_sketch_metrics(spark, tmp_table_dir):
     assert body2 == body
     with pytest.raises(ValueError):
         render_sketch_metrics(hll_view=hll, labels={"domain": "x"})
+
+
+def test_consumer_metrics_render(spark, tmp_table_dir):
+    """Zero-job per-subscriber lag gauges: acked cursor + versions
+    behind per client; byte-stable across renders."""
+    from pyspark.sql import types as T
+
+    from clever_canal_spark.lake import Consumer, LakeTable
+    from clever_canal_spark.streaming import render_consumer_metrics
+
+    schema = T.StructType(
+        [T.StructField("url", T.StringType()), T.StructField("n", T.LongType())]
+    )
+    t = LakeTable.create(spark, tmp_table_dir, schema, merge_key=["url"], n_buckets=2)
+    t.merge(
+        spark.createDataFrame([("u1", 1, "I", 1)],
+                              "url string, n long, op string, lsn long"),
+        epoch_id=0, mode="mor", lsn_col="lsn",
+    )
+    a = Consumer(t, "dash", start_after=0)
+    b = Consumer(t, "etl", start_after=0)
+    batch = a.get_without_ack()
+    a.ack(batch.batch_id)
+    t.merge(
+        spark.createDataFrame([("u2", 2, "I", 2)],
+                              "url string, n long, op string, lsn long"),
+        epoch_id=1, mode="mor", lsn_col="lsn",
+    )
+    body = render_consumer_metrics(t)
+    head = t.current_version()
+    assert f'ccs_consumer_table_version {head}' in body
+    assert 'ccs_consumer_acked_version{client="dash"}' in body
+    assert 'ccs_consumer_versions_behind{client="etl"} ' in body
+    dash_behind = [l for l in body.splitlines()
+                   if l.startswith('ccs_consumer_versions_behind{client="dash"}')]
+    etl_behind = [l for l in body.splitlines()
+                  if l.startswith('ccs_consumer_versions_behind{client="etl"}')]
+    assert int(dash_behind[0].split()[-1]) < int(etl_behind[0].split()[-1])
+    assert render_consumer_metrics(t) == body
