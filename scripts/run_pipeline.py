@@ -63,6 +63,11 @@ def main() -> None:
     p.add_argument("--max-files-per-epoch", type=int, default=64)
     p.add_argument("--table-whitelist", default="")
     p.add_argument("--table-blacklist", default="")
+    p.add_argument("--mq-export-dir", default="",
+                   help="ship the lake changelog to this directory as "
+                        "FlatMessage JSONL batches with a durable resume "
+                        "cursor (sources/flat_message.py "
+                        "export_flat_messages_to_dir — the MQ-sink connector)")
     p.add_argument("--lease-path", default="",
                    help="running/standby HA: acquire this leader lease before "
                         "applying (streaming/lease.py — the Canal "
@@ -174,6 +179,7 @@ def main() -> None:
         args.secondary_index_dir = args.secondary_index_dir or f"{work}/secidx"
         args.transform_view_dir = args.transform_view_dir or f"{work}/silver"
         args.agg_view_dir = args.agg_view_dir or f"{work}/aggview"
+        args.mq_export_dir = args.mq_export_dir or f"{work}/mqexport"
 
     if not (args.source_dir and args.table_dir and args.checkpoint):
         p.error("--source-dir, --table-dir and --checkpoint are required (or --demo)")
@@ -545,6 +551,24 @@ def main() -> None:
                 v = reseed_transform_view(tv, table)
                 print(f"transform view: cursor fell below retention — "
                       f"reseeded exactly from live state at version {v}")
+
+    if args.mq_export_dir:
+        from clever_canal_spark.lake import SnapshotExpired
+        from clever_canal_spark.sources import export_flat_messages_to_dir
+
+        try:
+            r = export_flat_messages_to_dir(
+                table, args.mq_export_dir, database="cc", table_name="pages"
+            )
+            if r["consumed"]:
+                print(f"mq export: {r['n_messages']} messages "
+                      f"({r['consumed']} versions) -> {r['path']}")
+            else:
+                print("mq export: nothing new")
+        except SnapshotExpired:
+            print("mq export: cursor fell below snapshot retention — "
+                  "downstream must re-seed (replica bootstrap story); "
+                  "remove _cursor.json to restart from retained history")
 
     if args.agg_view_dir:
         from clever_canal_spark.lake import (
