@@ -6658,6 +6658,59 @@ def q_cdc_interval_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PUBLISH_CACHE: dict[tuple, str] = {}
+
+
+@register(
+    "doc_publish_manifest",
+    """
+    WITH pub AS (
+      SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                  % 8 AS INT) AS shard,
+             ('0x' || substr(md5(
+                CAST(doc_id AS VARCHAR) || chr(31) ||
+                COALESCE(lang, chr(30) || 'null') || chr(31) ||
+                COALESCE(text, chr(30) || 'null')
+             ), 1, 8))::BIGINT AS rh
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT shard, count(*) AS rows,
+           CAST(sum(rh) AS BIGINT) AS checksum
+    FROM pub GROUP BY 1
+    """,
+)
+def q_doc_publish_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset publishing (operators/publish.py): docs < 200 published
+    as 8 deterministic shards; the returned rows are the MANIFEST the
+    real publish wrote to disk (shard, rows, checksum). The oracle
+    recomputes shard membership (md5-u32 pmod 8 of the id) and the
+    multiset checksum (sum of md5-u32 over the sorted-name column
+    concat, unit-separator joined, null sentinel) INDEPENDENTLY in
+    DuckDB — parity proves the manifest is auditable by a foreign
+    engine, which is the point of choosing md5 over xxhash64 for the
+    integrity path. Columns published here: doc_id, lang, text (sorted
+    name order = doc_id, lang, text)."""
+    import tempfile
+
+    from .operators.publish import read_manifest, publish_dataset
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), "publish")
+    out_dir = _PUBLISH_CACHE.get(key)
+    if out_dir is None:
+        out_dir = tempfile.mkdtemp(prefix="ccs-publish-")
+        df = _documents(spark, sf_dir).filter(F.col("doc_id") < 200).select(
+            "doc_id", "lang", "text"
+        )
+        publish_dataset(df, out_dir, n_shards=8)
+        _PUBLISH_CACHE[key] = out_dir
+    m = read_manifest(out_dir)
+    rows = [
+        (int(k), int(v["rows"]), int(v["checksum"]))
+        for k, v in m["shards"].items()
+    ]
+    return spark.createDataFrame(rows, "shard int, rows bigint, checksum bigint")
+
+
 _AGGVIEW_CACHE: dict[tuple, str] = {}
 
 

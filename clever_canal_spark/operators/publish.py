@@ -5,15 +5,17 @@ A training job consuming a published corpus needs three guarantees the
 bare ``write.parquet`` at the end of a pipeline does not give:
 
 1. **Deterministic membership**: which shard a document lands in is a
-   pure function of its id (``xxhash64(id) pmod n_shards`` — the
-   repo-wide deterministic-hash stance), NOT of the cluster's
+   pure function of its id (md5-u32 ``pmod n_shards`` — the repo-wide
+   CROSS-ENGINE hash convention), NOT of the cluster's
    partitioning, so a re-run of the same input publishes byte-wise the
    same shard membership and data loaders can split work by shard id.
 2. **Integrity manifest**: per-shard row counts and an order-
-   independent content checksum (the SUM of each row's ``xxhash64``
-   over all published columns, folded in DECIMAL(38,0) so ANSI mode
-   never overflows — commutative, so any task order yields the same
-   value), plus the schema, written as ``_MANIFEST.json``
+   independent content checksum (the SUM of each row's md5-u32 over
+   all published columns, folded in DECIMAL(38,0) so ANSI mode never
+   overflows — commutative, so any task order yields the same value;
+   md5 on both sides means a DIFFERENT engine can recompute and audit
+   the manifest, driver-oracled in ``doc_publish_manifest``), plus the
+   schema, written as ``_MANIFEST.json``
    next to the data. Sum-of-hashes is the classic multiset checksum;
    a dropped, duplicated, or bit-flipped row moves it.
 3. **Verification**: :func:`verify_dataset` recomputes counts and
@@ -43,13 +45,18 @@ _MANIFEST = "_MANIFEST.json"
 
 
 def _row_hash(cols: list[str]):
-    # per-row content hash over every published column, null-stable:
-    # hash the value's string form with a type-tagged null sentinel so
-    # (null) and ('') differ. xxhash64 is Spark-deterministic.
-    parts = []
-    for c in cols:
-        parts.append(F.coalesce(F.col(c).cast("string"), F.lit("\x00null")))
-    return F.xxhash64(*parts)
+    # per-row content hash over every published column: md5-u32 of the
+    # unit-separator-joined string forms (null sentinel \x1enull so
+    # (null) and ('') differ) — the repo-wide CROSS-ENGINE hash
+    # convention, so ANY engine (the DuckDB oracle included) can
+    # re-verify a manifest: ('0x'||substr(md5(x),1,8))::BIGINT is the
+    # DuckDB twin. Columns join in sorted-name order (the manifest's
+    # ``columns`` field pins it).
+    joined = F.concat_ws(
+        "\x1f",
+        *[F.coalesce(F.col(c).cast("string"), F.lit("\x1enull")) for c in cols],
+    )
+    return F.conv(F.md5(joined).substr(1, 8), 16, 10).cast("bigint")
 
 
 def publish_dataset(
@@ -72,7 +79,11 @@ def publish_dataset(
     n_null = df.filter(F.col(id_col).isNull()).limit(1).count()
     if n_null:
         raise ValueError(f"{id_col} contains nulls — shard membership undefined")
-    shard = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).cast("int")
+    shard = F.pmod(
+        F.conv(F.md5(F.col(id_col).cast("string")).substr(1, 8), 16, 10)
+         .cast("bigint"),
+        F.lit(n_shards),
+    ).cast("int")
     out = df.select(*cols).withColumn("shard", shard)
     # one exchange: each write task holds whole shards, so every
     # shard=<k> dir is written by exactly one task (typically one file)
