@@ -93,6 +93,11 @@ QUERY_NAMES = [
     # exact GROUP-BY aggregate view: create-seed + one retract-fold sync
     # over a change wave (includes an extreme-retraction re-derivation)
     "cdc_agg_view_sync",
+    # stream-stream interval join, batch twin: range equi-join shape
+    "cdc_interval_attribution",
+    # dataset publishing: one shard-hash exchange + write + the
+    # manifest aggregate (cross-engine md5-u32 checksums)
+    "doc_publish_manifest",
 ]
 
 
