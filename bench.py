@@ -53,6 +53,10 @@ QUERY_NAMES = [
     # inline emb_ivf_topk, whose per-query assignment rebuild they replace
     "emb_ann_indexed_topk",
     "emb_ivf_indexed_topk",
+    # trained-quantizer IVF (session 15): two Lloyd's iterations + the
+    # probe — the full train-then-probe path timed as one query, showing
+    # training cost is a build-time affordance, not a serving tax
+    "emb_ivf_trained_topk",
     # changelog rollup: 4 incremental read-modify-write syncs over the
     # memoized flagship replay (the maintenance cost of a materialized
     # view, not a query cost)

@@ -96,6 +96,7 @@ class IvfIndex:
     centroid_mod: int
     n_dims: int
     path: str
+    train_iters: int = 0
 
     block_col = "cent_id"
 
@@ -141,12 +142,28 @@ def build_ivf_index(
     centroid_mod: int = 32,
     n_dims: int = N_DIMS,
     n_buckets: int = 16,
+    train_iters: int = 0,
 ) -> IvfIndex:
     """The one-time O(n·centroids) nearest-centroid assignment (broadcast
     cross + max_by — `similarity.ivf_assign`) runs HERE, never at query
     time. Assignment rows carry only (vec_id, cent_id) through the agg;
-    the payload joins back by vec_id for the index write."""
-    cents = ivf_centroids(df, centroid_mod)
+    the payload joins back by vec_id for the index write.
+
+    ``train_iters > 0`` refines the sampled seeds with that many Lloyd's
+    iterations (`similarity.kmeans_centroids`) before assignment — the
+    trained quantizer lifts pooled recall at equal probes (measured:
+    emb_ivf_trained_recall vs emb_ivf_batch_recall) and tightens list
+    balance, and training cost rides the one-time build, never a query."""
+    if train_iters > 0:
+        from .similarity import centroid_arrays, kmeans_centroids
+
+        cents = centroid_arrays(
+            kmeans_centroids(df, centroid_mod, train_iters, n_dims), n_dims
+        )
+        cvec_type = T.DoubleType()
+    else:
+        cents = ivf_centroids(df, centroid_mod)
+        cvec_type = T.FloatType()
     # write the (tiny) centroid table FIRST and check emptiness from its
     # manifest row counts — zero extra jobs over the corpus. A corpus with
     # no vec_id % centroid_mod == 0 rows would otherwise SILENTLY build an
@@ -157,7 +174,7 @@ def build_ivf_index(
         T.StructType(
             [
                 T.StructField("cent_id", T.LongType(), nullable=False),
-                T.StructField("cvec", T.ArrayType(T.FloatType()), nullable=False),
+                T.StructField("cvec", T.ArrayType(cvec_type), nullable=False),
             ]
         ),
         merge_key=["cent_id"],
@@ -177,16 +194,22 @@ def build_ivf_index(
         bucket_key=["cent_id"],
         n_buckets=n_buckets,
     )
-    assigned = ivf_assign(df, centroid_mod, n_dims)
+    assigned = ivf_assign(df, centroid_mod, n_dims, cents=cents)
     t.append(df.join(assigned, on="vec_id").select("vec_id", "embedding", "cent_id"))
     d = _create_directory(spark, path, "cent_id", n_buckets)
     d.append(t.scan().select("vec_id", "cent_id"))
-    meta = {"family": "ivf", "centroid_mod": centroid_mod, "n_dims": n_dims}
+    meta = {
+        "family": "ivf",
+        "centroid_mod": centroid_mod,
+        "n_dims": n_dims,
+        "train_iters": train_iters,
+    }
     with open(os.path.join(path, _SIDECAR), "w") as fh:
         json.dump(meta, fh)
     return IvfIndex(
         vectors=t, centroids=ct, directory=d,
         centroid_mod=centroid_mod, n_dims=n_dims, path=path,
+        train_iters=train_iters,
     )
 
 
@@ -225,6 +248,7 @@ def open_ann_index(spark: SparkSession, path: str) -> "LshIndex | IvfIndex":
             centroid_mod=meta["centroid_mod"],
             n_dims=meta["n_dims"],
             path=path,
+            train_iters=meta.get("train_iters", 0),
         )
     raise ValueError(f"unknown index family {meta['family']!r}")
 

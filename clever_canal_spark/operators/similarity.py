@@ -209,11 +209,14 @@ def ivf_topk(
     centroid_mod: int = 32,
     n_probes: int = 4,
     n_dims: int = N_DIMS,
+    cents: DataFrame | None = None,
 ) -> DataFrame:
     """IVF ANN: rank centroids against the query, take the top ``n_probes``
     lists, exact-rank their members. At scale the assignment is a persisted
-    index column; the probe set is a broadcast semi-join key."""
-    cents = ivf_centroids(df, centroid_mod)
+    index column; the probe set is a broadcast semi-join key. ``cents``
+    swaps in an externally-built coarse quantizer (cent_id, cvec) — e.g.
+    the Lloyd's-trained one from :func:`kmeans_centroids`."""
+    cents = cents if cents is not None else ivf_centroids(df, centroid_mod)
     q = F.broadcast(query_df.select(F.col("embedding").alias("qvec")))
     probe_cents = (
         cents.crossJoin(q)
@@ -229,6 +232,102 @@ def ivf_topk(
         "vec_id", F.expr(dot_e9_expr("embedding", "qvec", n_dims)).alias("dot_e9")
     )
     return scored.orderBy(F.col("dot_e9").desc(), F.col("vec_id")).limit(k)
+
+
+def ivf_topk_trained(
+    df: DataFrame,
+    query_df: DataFrame,
+    k: int = 50,
+    centroid_mod: int = 32,
+    n_iters: int = 2,
+    n_probes: int = 4,
+    n_dims: int = N_DIMS,
+) -> DataFrame:
+    """IVF with a Lloyd's-trained coarse quantizer: :func:`kmeans_centroids`
+    refines the deterministic seeds, then the standard probe/assign path
+    runs against the trained centroids. Better list balance → higher recall
+    at equal probes than the sampled-seed quantizer (measured:
+    emb_ivf_trained_recall vs emb_ivf_recall). Training is integer-exact,
+    so the whole path stays cross-engine verifiable."""
+    cents = centroid_arrays(
+        kmeans_centroids(df, centroid_mod, n_iters, n_dims), n_dims
+    )
+    return ivf_topk(df, query_df, k, centroid_mod, n_probes, n_dims, cents=cents)
+
+
+def ivf_mean_recall(
+    df: DataFrame,
+    query_df: DataFrame,
+    k: int = 50,
+    centroid_mod: int = 32,
+    n_probes: int = 4,
+    n_dims: int = N_DIMS,
+    cents: DataFrame | None = None,
+) -> DataFrame:
+    """Corpus-level IVF recall over a BATCH of queries (``query_df`` =
+    (query_id, embedding)): one assignment pass, per-query probe sets and
+    window-ranked top-k on both the approximate and exact legs, then ONE
+    summary row ``(n_hits, k_exact, recall_e6)`` pooled across queries —
+    the statistically meaningful version of the single-query recall
+    probes (a single query's recall swings ±10 points on quantizer
+    choice; the 20-query mean is stable). Eval harness, not a serving
+    path: the exact leg is O(n·queries) by construction.
+
+    ``cents`` swaps the quantizer under test (seeds vs Lloyd's-trained)
+    while every other knob stays fixed — the apples-to-apples comparison
+    emb_ivf_batch_recall / emb_ivf_trained_recall is built on."""
+    cents = cents if cents is not None else ivf_centroids(df, centroid_mod)
+    q = F.broadcast(
+        query_df.select("query_id", F.col("embedding").alias("qvec"))
+    )
+    assigned = ivf_assign(df, centroid_mod, n_dims, cents=cents)
+    w_p = Window.partitionBy("query_id").orderBy(
+        F.col("cdot").desc(), F.col("cent_id")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "query_id", "cent_id",
+            F.expr(dot_e9_expr("cvec", "qvec", n_dims)).alias("cdot"),
+        )
+        .withColumn("__rn", F.row_number().over(w_p))
+        .filter(F.col("__rn") <= n_probes)
+        .select("query_id", "cent_id")
+    )
+    w_k = Window.partitionBy("query_id").orderBy(
+        F.col("dot_e9").desc(), F.col("vec_id")
+    )
+    approx = (
+        df.join(assigned, on="vec_id")
+        .join(F.broadcast(probes), on="cent_id")
+        .join(q, on="query_id")
+        .select(
+            "query_id", "vec_id",
+            F.expr(dot_e9_expr("embedding", "qvec", n_dims)).alias("dot_e9"),
+        )
+        .withColumn("__rn", F.row_number().over(w_k))
+        .filter(F.col("__rn") <= k)
+        .select("query_id", "vec_id")
+    )
+    exact = (
+        df.crossJoin(q)
+        .select(
+            "query_id", "vec_id",
+            F.expr(dot_e9_expr("embedding", "qvec", n_dims)).alias("dot_e9"),
+        )
+        .withColumn("__rn", F.row_number().over(w_k))
+        .filter(F.col("__rn") <= k)
+        .select("query_id", "vec_id")
+    )
+    hits = approx.join(exact, on=["query_id", "vec_id"], how="left_semi")
+    return (
+        hits.agg(F.count("*").alias("n_hits"))
+        .crossJoin(exact.agg(F.count("*").alias("k_exact")))
+        .select(
+            "n_hits", "k_exact",
+            F.expr("1000000 * n_hits DIV k_exact").alias("recall_e6"),
+        )
+    )
 
 
 def derive_n_planes(n_rows: int, max_bucket_rows: int = 10_000) -> int:
