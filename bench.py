@@ -71,6 +71,9 @@ QUERY_NAMES = [
     # column (includes the one-time quantize here), exact re-rank of
     # candidates only — the memory-bandwidth-bound retrieval shape
     "emb_int8_topk_rerank",
+    # PQ ADC screen + exact rerank (session 15): the 256-bytes→8-codes
+    # memory-bound retrieval shape (includes codebook+encode here)
+    "emb_pq_topk_rerank",
     # two-source incrementally-maintained join view (session 10): three
     # interleaved syncs incl. the right-delta probe — the recompute-based
     # materialized-join maintenance cost

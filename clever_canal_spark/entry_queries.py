@@ -679,6 +679,14 @@ def _duck_dot_e9(a: str, b: str) -> str:
     )
 
 
+def _duck_dot_e9_d(a: str, b: str, d: int) -> str:
+    """Dims-parametric twin of _duck_dot_e9 — for PQ subvector slices."""
+    return (
+        f"CAST(list_sum(list_transform(generate_series(1, {d}), i -> "
+        f"CAST(ROUND(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) * 1e9) AS BIGINT))) AS BIGINT)"
+    )
+
+
 def _duck_lsh_bucket(vec: str, n_planes: int = N_PLANES) -> str:
     terms = []
     for p in range(n_planes):
@@ -5374,6 +5382,114 @@ def q_emb_ivf_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_mean_recall(
         emb, qs, k=50, centroid_mod=_IVF_MOD, n_probes=_IVF_PROBES, cents=cents
     )
+
+
+_PQ_M, _PQ_MOD, _PQ_RERANK = 8, 25, 100
+_PQ_D = 64 // _PQ_M
+
+
+def _pq_oracle() -> str:
+    """Codebook → codes → ADC screen → exact rerank, all integer-exact."""
+    d = _PQ_D
+    sub_a = f"list_slice(e.embedding, c.sub * {d} + 1, c.sub * {d} + {d})"
+    sub_q = f"list_slice(q.q_full, c.sub * {d} + 1, c.sub * {d} + {d})"
+    dist = (
+        f"({_duck_dot_e9_d('c.cw', 'c.cw', d)}) - 2 * "
+        f"({_duck_dot_e9_d(sub_a, 'c.cw', d)})"
+    )
+    return f"""
+    WITH cb AS (
+      SELECT s.sub, e.vec_id AS cent_id,
+             list_slice(e.embedding, s.sub * {d} + 1, s.sub * {d} + {d}) AS cw
+      FROM embeddings e, generate_series(0, {_PQ_M - 1}) s(sub)
+      WHERE e.vec_id % {_PQ_MOD} = 0
+    ),
+    codes AS (
+      SELECT vec_id, sub, cent_id FROM (
+        SELECT e.vec_id, c.sub, c.cent_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id, c.sub
+                 ORDER BY {dist} ASC, c.cent_id) AS rn
+        FROM embeddings e, cb c
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT embedding AS q_full FROM embeddings WHERE vec_id = 0),
+    qtab AS (
+      SELECT c.sub, c.cent_id, {_duck_dot_e9_d(sub_q, 'c.cw', d)} AS qdot
+      FROM cb c, q
+    ),
+    screen AS (
+      SELECT vec_id FROM (
+        SELECT co.vec_id, SUM(t.qdot) AS adc
+        FROM codes co JOIN qtab t ON t.sub = co.sub AND t.cent_id = co.cent_id
+        GROUP BY co.vec_id
+        ORDER BY adc DESC, co.vec_id LIMIT {_PQ_RERANK}
+      )
+    )
+    SELECT e.vec_id, {_duck_dot_e9('e.embedding', 'q_full')} AS dot_e9
+    FROM embeddings e JOIN screen s USING (vec_id) CROSS JOIN q
+    ORDER BY dot_e9 DESC, e.vec_id LIMIT 50
+    """
+
+
+@register("emb_pq_topk_rerank", _pq_oracle())
+def q_emb_pq_topk_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization retrieval (similarity.pq_codebook/pq_encode/
+    pq_adc_topk_rerank): 8 subspaces × mod-25 seed codewords, exact-L2
+    per-subspace encode, ADC screen over the CODES table (embeddings
+    untouched until rerank — the 256-bytes→8-codes memory-bound scale
+    path past int8), exact top-50 re-rank of 100 screened candidates.
+    The oracle replays codebook, encode, ADC, and rerank end-to-end."""
+    from .operators.similarity import pq_adc_topk_rerank, pq_codebook, pq_encode
+
+    emb = _embeddings(spark, sf_dir)
+    cb = pq_codebook(emb, m_subs=_PQ_M, codebook_mod=_PQ_MOD)
+    codes = pq_encode(emb, cb, m_subs=_PQ_M)
+    out = pq_adc_topk_rerank(
+        emb, codes, cb, emb.filter(F.col("vec_id") == 0),
+        k=50, rerank=_PQ_RERANK, m_subs=_PQ_M,
+    )
+    return out.select("vec_id", "dot_e9")
+
+
+@register(
+    "emb_pq_recall",
+    f"""
+    WITH approx AS ({_pq_oracle()}),
+    q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+    exact AS (
+      SELECT vec_id FROM (
+        SELECT vec_id, {_duck_dot_e9('embedding', 'qvec')} AS dot_e9
+        FROM embeddings, q
+        ORDER BY dot_e9 DESC, vec_id LIMIT 50
+      )
+    )
+    SELECT CAST(h.n AS BIGINT) AS n_hits,
+           CAST(50 AS BIGINT) AS k_exact,
+           1000000 * h.n // 50 AS recall_e6
+    FROM (SELECT count(*) AS n FROM approx a JOIN exact e USING (vec_id)) h
+    """,
+)
+def q_emb_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the PQ screen-then-rerank path against brute force —
+    the honesty metric for the compression knobs (m_subs, codebook_mod,
+    rerank depth), same family as emb_ann_recall / emb_ivf_recall."""
+    from .operators.similarity import (
+        pq_adc_topk_rerank,
+        pq_codebook,
+        pq_encode,
+        topk_recall,
+    )
+
+    emb = _embeddings(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") == 0)
+    cb = pq_codebook(emb, m_subs=_PQ_M, codebook_mod=_PQ_MOD)
+    codes = pq_encode(emb, cb, m_subs=_PQ_M)
+    approx = pq_adc_topk_rerank(
+        emb, codes, cb, q, k=50, rerank=_PQ_RERANK, m_subs=_PQ_M
+    )
+    exact = brute_force_topk(emb, q, k=50)
+    return topk_recall(approx, exact)
 
 
 def _duck_bpe_ctes(n_merges: int = 12, source: str = "documents") -> str:

@@ -730,6 +730,109 @@ def int8_topk_rerank(
     )
 
 
+# --- product quantization (PQ) --------------------------------------------
+#
+# The memory-bound scale path past int8: the screen stage reads M small
+# integers per vector (the code) instead of the embedding — at M=8 over
+# 64 float dims that is 256 bytes → 8 code entries per row riding the
+# scan, and the asymmetric-distance computation (ADC) is a broadcast
+# lookup-table join + one sum per vector. Codebooks are deterministic
+# corpus seeds (every ``codebook_mod``-th vector's subvector), same
+# family as ivf_centroids — quantizer quality is a knob, correctness
+# (and the DuckDB oracle) doesn't depend on it.
+
+PQ_M = 8  # subspaces; each spans n_dims // PQ_M contiguous dims
+
+
+def pq_codebook(
+    df: DataFrame, m_subs: int = PQ_M, codebook_mod: int = 25, n_dims: int = N_DIMS
+) -> DataFrame:
+    """(sub, cent_id, cw): per-subspace codeword table from deterministic
+    corpus seeds. Tiny (m_subs · n/codebook_mod rows) — always broadcast."""
+    d = n_dims // m_subs
+    seeds = df.filter(F.col("vec_id") % codebook_mod == 0)
+    subs = df.sparkSession.range(m_subs).select(F.col("id").cast("int").alias("sub"))
+    return seeds.crossJoin(F.broadcast(subs)).select(
+        "sub",
+        F.col("vec_id").alias("cent_id"),
+        F.expr(f"slice(embedding, sub * {d} + 1, {d})").alias("cw"),
+    )
+
+
+def pq_encode(
+    df: DataFrame, codebook: DataFrame, m_subs: int = PQ_M, n_dims: int = N_DIMS
+) -> DataFrame:
+    """(vec_id, sub, cent_id): nearest codeword per subspace by exact
+    scaled L2 (||c||² − 2·x·c, both e9 integers — the ||x||² term is
+    constant per (vec_id, sub) and drops out of the argmin). One-time
+    O(n · m_subs · K) build, broadcast codebook, min_by agg — the encode
+    twin of ivf_assign; codes are what the ADC screen scans instead of
+    embeddings."""
+    d = n_dims // m_subs
+    dist = (
+        f"({normsq_e9_expr('cw', d)}) - 2 * "
+        f"({dot_e9_expr(f'slice(embedding, sub * {d} + 1, {d})', 'cw', d)})"
+    )
+    return (
+        df.crossJoin(F.broadcast(codebook))
+        .select("vec_id", "sub", "cent_id", F.expr(dist).alias("__dist"))
+        .groupBy("vec_id", "sub")
+        .agg(
+            F.min_by("cent_id", F.struct(F.col("__dist"), F.col("cent_id"))).alias(
+                "cent_id"
+            )
+        )
+    )
+
+
+def pq_adc_topk_rerank(
+    df: DataFrame,
+    codes: DataFrame,
+    codebook: DataFrame,
+    query_df: DataFrame,
+    k: int = 50,
+    rerank: int = 100,
+    m_subs: int = PQ_M,
+    n_dims: int = N_DIMS,
+) -> DataFrame:
+    """Two-stage PQ retrieval: (1) ADC screen — per-query lookup table
+    T[sub, codeword] = subquery·codeword (m_subs·K rows, broadcast), then
+    approx dot(q, x) ≈ Σ_sub T[sub, code_x[sub]] as a broadcast join +
+    sum over the CODES table (embeddings never read); top-``rerank`` by
+    (adc DESC, vec_id). (2) exact e9 re-rank of just those candidates
+    from the full-precision table. Deterministic end to end — the DuckDB
+    oracle hash-matches the whole screen-then-rerank pipeline."""
+    _require_one_query_row(query_df, "pq_adc_topk_rerank")
+    d = n_dims // m_subs
+    q = F.broadcast(query_df.select(F.col("embedding").alias("q_full")))
+    qtab = F.broadcast(
+        codebook.crossJoin(q).select(
+            "sub",
+            "cent_id",
+            F.expr(
+                dot_e9_expr(f"slice(q_full, sub * {d} + 1, {d})", "cw", d)
+            ).alias("qdot"),
+        )
+    )
+    screened = (
+        codes.join(qtab, on=["sub", "cent_id"])
+        .groupBy("vec_id")
+        .agg(F.sum("qdot").alias("adc_e9"))
+        .orderBy(F.col("adc_e9").desc(), F.col("vec_id"))
+        .limit(rerank)
+    )
+    return (
+        df.join(F.broadcast(screened.select("vec_id")), "vec_id", "left_semi")
+        .crossJoin(q)
+        .select(
+            "vec_id",
+            F.expr(dot_e9_expr("embedding", "q_full", n_dims)).alias("dot_e9"),
+        )
+        .orderBy(F.col("dot_e9").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
 def knn_join(
     left: DataFrame,
     right: DataFrame,
