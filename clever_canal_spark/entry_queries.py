@@ -7179,3 +7179,57 @@ def q_cdc_transform_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         _TVIEW_CACHE[key] = view_dir
         path = view_dir
     return LakeTable(spark, path).scan().select("url", "n_chars", "head")
+
+
+# --------------------------------------------------------------------------
+# Feed-integrity audits (sources/feed.py): LSN continuity + duplicates
+# --------------------------------------------------------------------------
+
+
+@register(
+    "cdc_lsn_gap_audit",
+    """
+    WITH d AS (
+      SELECT DISTINCT event_id AS lsn FROM events WHERE event_id % 499 >= 3
+    ),
+    g AS (SELECT lsn, LAG(lsn) OVER (ORDER BY lsn) AS prev FROM d)
+    SELECT prev + 1 AS gap_start, lsn - 1 AS gap_end,
+           lsn - prev - 1 AS missing
+    FROM g WHERE lsn > prev + 1
+    """,
+)
+def q_cdc_lsn_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSN-continuity audit (sources/feed.lsn_continuity_audit): the
+    ops-side twin of Canal's position-continuity guarantee — a
+    file-shipped feed with a lost slice shows up as silent data loss
+    unless holes are detected. Fixture seeds 3-wide holes every 499
+    events; the operator's bucketed two-leg derivation (intra-bucket
+    parallel window + tiny inter-bucket frame, never a global sort)
+    must agree with the oracle's single global LAG — the independent
+    derivations are the point of the check."""
+    from .sources.feed import lsn_continuity_audit
+
+    ev = _events(spark, sf_dir).filter(F.col("event_id") % 499 >= 3)
+    return lsn_continuity_audit(ev, lsn_col="event_id", bucket=512)
+
+
+@register(
+    "cdc_lsn_dup_audit",
+    """
+    SELECT lsn, count(*) AS n_dups FROM (
+      SELECT event_id AS lsn FROM events
+      UNION ALL
+      SELECT event_id AS lsn FROM events WHERE event_id % 991 = 5
+    ) GROUP BY lsn HAVING count(*) > 1
+    """,
+)
+def q_cdc_lsn_dup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-LSN audit (sources/feed.duplicate_lsn_audit): a
+    re-shipped slice or producer retry lands the same offset twice;
+    LWW apply absorbs it, but the audit is how an operator learns the
+    upstream is misbehaving. Fixture re-ships every 991st event."""
+    from .sources.feed import duplicate_lsn_audit
+
+    ev = _events(spark, sf_dir)
+    dup = ev.filter(F.col("event_id") % 991 == 5)
+    return duplicate_lsn_audit(ev.unionByName(dup), lsn_col="event_id")

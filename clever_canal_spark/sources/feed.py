@@ -98,3 +98,65 @@ def first_position(df: DataFrame) -> dict | None:
 def latest_position(df: DataFrame) -> dict | None:
     r = df.agg(F.max("lsn").alias("lsn"), F.max("ts").alias("ts")).collect()[0]
     return None if r["lsn"] is None else {"lsn": r["lsn"], "ts": r["ts"]}
+
+
+def lsn_continuity_audit(
+    feed: DataFrame, lsn_col: str = "lsn", bucket: int = 100_000
+) -> DataFrame:
+    """Holes in a dense LSN stream, as (gap_start, gap_end, missing) rows
+    — the ops-side twin of Canal's position-continuity guarantee
+    (LogPosition/meta store ensure the server never skips an offset;
+    reference: CanalLogPositionManager semantics). A file-shipped feed
+    has no server enforcing that, so lost slices / truncated files show
+    up as silent data loss unless audited.
+
+    Scale shape: NO global window. LSNs dedup-shuffle once, then
+    intra-bucket gaps use a window partitioned by ``lsn DIV bucket``
+    (parallel, bounded partitions) and inter-bucket gaps compare each
+    bucket's max against the next PRESENT bucket's min over the tiny
+    per-bucket aggregate frame (≤ max_lsn/bucket rows — 10⁴ rows at
+    10¹⁰ events with the default bucket). Wholly-missing buckets fall
+    out of the inter-bucket leg (lag skips to the previous present
+    bucket), so arbitrarily large holes are one row, never enumerated."""
+    d = (
+        feed.select(F.col(lsn_col).cast("long").alias("lsn"))
+        .distinct()
+        .withColumn("b", F.expr(f"lsn DIV {bucket}"))
+    )
+    from pyspark.sql import Window
+
+    w_intra = Window.partitionBy("b").orderBy("lsn")
+    intra = (
+        d.withColumn("__prev", F.lag("lsn").over(w_intra))
+        .filter(F.col("__prev").isNotNull() & (F.col("lsn") > F.col("__prev") + 1))
+        .select(
+            (F.col("__prev") + 1).alias("gap_start"),
+            (F.col("lsn") - 1).alias("gap_end"),
+        )
+    )
+    mm = d.groupBy("b").agg(F.min("lsn").alias("__mn"), F.max("lsn").alias("__mx"))
+    w_inter = Window.orderBy("b")
+    inter = (
+        mm.withColumn("__pmx", F.lag("__mx").over(w_inter))
+        .filter(F.col("__pmx").isNotNull() & (F.col("__mn") > F.col("__pmx") + 1))
+        .select(
+            (F.col("__pmx") + 1).alias("gap_start"),
+            (F.col("__mn") - 1).alias("gap_end"),
+        )
+    )
+    return intra.unionByName(inter).select(
+        "gap_start",
+        "gap_end",
+        (F.col("gap_end") - F.col("gap_start") + 1).alias("missing"),
+    )
+
+
+def duplicate_lsn_audit(feed: DataFrame, lsn_col: str = "lsn") -> DataFrame:
+    """LSNs appearing more than once — the other feed-integrity failure
+    (a re-shipped slice or a producer retry without idempotence). One
+    hash agg; (lsn, n_dups)."""
+    return (
+        feed.groupBy(F.col(lsn_col).cast("long").alias("lsn"))
+        .agg(F.count("*").alias("n_dups"))
+        .filter(F.col("n_dups") > 1)
+    )
