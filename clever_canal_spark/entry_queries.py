@@ -1900,6 +1900,10 @@ def _ann_index_dir(spark: SparkSession, sf_dir: str, family: str) -> str:
     emb = _embeddings(spark, sf_dir)
     if family == "lsh":
         build_lsh_index(spark, emb, tmp, n_planes=_MP_PLANES)
+    elif family == "ivfpq":
+        build_ivf_index(
+            spark, emb, tmp, centroid_mod=_IVF_MOD, pq_subs=_PQ_M, pq_mod=_PQ_MOD
+        )
     else:
         build_ivf_index(spark, emb, tmp, centroid_mod=_IVF_MOD)
     _ANN_INDEX_CACHE[key] = tmp
@@ -7233,3 +7237,116 @@ def q_cdc_lsn_dup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     dup = ev.filter(F.col("event_id") % 991 == 5)
     return duplicate_lsn_audit(ev.unionByName(dup), lsn_col="event_id")
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ composed index (operators/ann_index.ivf_pq_indexed_topk)
+# --------------------------------------------------------------------------
+
+_IVFPQ_RERANK = 60
+
+
+def _ivfpq_indexed_oracle() -> str:
+    ids = ", ".join(str(i) for i in _ANN_QUERY_IDS)
+    d = _PQ_D
+    sub_a = f"list_slice(e.embedding, c.sub * {d} + 1, c.sub * {d} + {d})"
+    sub_q = f"list_slice(q.qvec, c.sub * {d} + 1, c.sub * {d} + {d})"
+    pq_dist = (
+        f"({_duck_dot_e9_d('c.cw', 'c.cw', d)}) - 2 * "
+        f"({_duck_dot_e9_d(sub_a, 'c.cw', d)})"
+    )
+    return f"""
+    WITH cents AS (
+      SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings
+      WHERE vec_id % {_IVF_MOD} = 0
+    ),
+    q AS (
+      SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+      WHERE vec_id IN ({ids})
+    ),
+    probe AS (
+      SELECT query_id, cent_id FROM (
+        SELECT q.query_id, c.cent_id, ROW_NUMBER() OVER (
+          PARTITION BY q.query_id
+          ORDER BY {_duck_dot_e9('c.cvec', 'q.qvec')} DESC, c.cent_id) AS rn
+        FROM cents c, q
+      ) WHERE rn <= {_IVF_PROBES}
+    ),
+    assign AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT e.vec_id, c.cent_id, ROW_NUMBER() OVER (
+          PARTITION BY e.vec_id
+          ORDER BY {_duck_dot_e9('e.embedding', 'c.cvec')} DESC, c.cent_id) AS rn
+        FROM embeddings e, cents c
+      ) WHERE rn = 1
+    ),
+    cb AS (
+      SELECT s.sub, e.vec_id AS cent_id,
+             list_slice(e.embedding, s.sub * {d} + 1, s.sub * {d} + {d}) AS cw
+      FROM embeddings e, generate_series(0, {_PQ_M - 1}) s(sub)
+      WHERE e.vec_id % {_PQ_MOD} = 0
+    ),
+    codes AS (
+      SELECT vec_id, sub, cent_id FROM (
+        SELECT e.vec_id, c.sub, c.cent_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id, c.sub
+                 ORDER BY {pq_dist} ASC, c.cent_id) AS rn
+        FROM embeddings e, cb c
+      ) WHERE rn = 1
+    ),
+    qtab AS (
+      SELECT q.query_id, c.sub, c.cent_id AS code_id,
+             {_duck_dot_e9_d(sub_q, 'c.cw', d)} AS qdot
+      FROM cb c, q
+    ),
+    cand AS (
+      SELECT p.query_id, a.vec_id
+      FROM assign a JOIN probe p ON p.cent_id = a.cent_id
+    ),
+    scr AS (
+      SELECT c.query_id, c.vec_id, SUM(t.qdot) AS adc
+      FROM cand c
+      JOIN codes co ON co.vec_id = c.vec_id
+      JOIN qtab t ON t.query_id = c.query_id AND t.sub = co.sub
+                 AND t.code_id = co.cent_id
+      GROUP BY c.query_id, c.vec_id
+    ),
+    keep AS (
+      SELECT query_id, vec_id FROM (
+        SELECT scr.*, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY adc DESC, vec_id) AS rn
+        FROM scr
+      ) WHERE rn <= {_IVFPQ_RERANK}
+    )
+    SELECT query_id, vec_id, dot_e9 FROM (
+      SELECT k.query_id, e.vec_id,
+             {_duck_dot_e9('e.embedding', 'q.qvec')} AS dot_e9,
+             ROW_NUMBER() OVER (
+               PARTITION BY k.query_id
+               ORDER BY {_duck_dot_e9('e.embedding', 'q.qvec')} DESC, e.vec_id
+             ) AS rn
+      FROM keep k
+      JOIN embeddings e ON e.vec_id = k.vec_id
+      JOIN q ON q.query_id = k.query_id
+    ) WHERE rn <= {_ANN_K}
+    """
+
+
+@register("emb_ivfpq_indexed_topk", _ivfpq_indexed_oracle())
+def q_emb_ivfpq_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ over a persisted index (ann_index.build_ivf_index(pq_subs=8)
+    + ivf_pq_indexed_topk): pruned-read of 4 probed inverted lists, ADC
+    screen over the stored pq_code arrays (embeddings untouched in the
+    screen), exact top-20 rerank of 60 screened candidates — the
+    FAISS-style composition of every stage this engine persists. The
+    oracle replays probe, assignment, codebook, encode, ADC, and rerank
+    end-to-end on the raw parquet."""
+    from .operators.ann_index import ivf_pq_indexed_topk, open_ann_index
+
+    idx = open_ann_index(spark, _ann_index_dir(spark, sf_dir, "ivfpq"))
+    out = ivf_pq_indexed_topk(
+        idx, _ann_query_batch(spark, sf_dir),
+        k=_ANN_K, n_probes=_IVF_PROBES, rerank=_IVFPQ_RERANK,
+    )
+    return out.select("query_id", "vec_id", "dot_e9")

@@ -97,6 +97,13 @@ class IvfIndex:
     n_dims: int
     path: str
     train_iters: int = 0
+    # IVF-PQ composition: when pq_subs > 0 the vectors table carries a
+    # ``pq_code`` array (codeword id per subspace) and ``pq_codebook``
+    # holds the (sub, cent_id, cw) codeword table — probes can then ADC-
+    # screen inside the probed lists before touching full embeddings.
+    pq_subs: int = 0
+    pq_mod: int = 0
+    pq_codebook: "LakeTable | None" = None
 
     block_col = "cent_id"
 
@@ -143,6 +150,8 @@ def build_ivf_index(
     n_dims: int = N_DIMS,
     n_buckets: int = 16,
     train_iters: int = 0,
+    pq_subs: int = 0,
+    pq_mod: int = 25,
 ) -> IvfIndex:
     """The one-time O(n·centroids) nearest-centroid assignment (broadcast
     cross + max_by — `similarity.ivf_assign`) runs HERE, never at query
@@ -153,7 +162,15 @@ def build_ivf_index(
     iterations (`similarity.kmeans_centroids`) before assignment — the
     trained quantizer lifts pooled recall at equal probes (measured:
     emb_ivf_trained_recall vs emb_ivf_batch_recall) and tightens list
-    balance, and training cost rides the one-time build, never a query."""
+    balance, and training cost rides the one-time build, never a query.
+
+    ``pq_subs > 0`` additionally PQ-encodes every vector at build time
+    (`similarity.pq_codebook`/`pq_encode`, ``pq_mod`` seed codewords per
+    subspace): the vectors table carries a ``pq_code`` array and the
+    codeword table persists alongside, so `ivf_pq_indexed_topk` can
+    ADC-screen inside the probed lists before reading any embedding —
+    the IVF-PQ composition (pruned read × compressed screen × exact
+    rerank)."""
     if train_iters > 0:
         from .similarity import centroid_arrays, kmeans_centroids
 
@@ -186,16 +203,51 @@ def build_ivf_index(
             f"no centroid candidates: no vec_id % {centroid_mod} == 0 in "
             f"the corpus — pick a smaller centroid_mod or remap vec_ids"
         )
+    vec_schema = _index_schema("cent_id")
+    if pq_subs > 0:
+        vec_schema = T.StructType(
+            list(vec_schema.fields)
+            + [T.StructField("pq_code", T.ArrayType(T.LongType()), nullable=False)]
+        )
     t = LakeTable.create(
         spark,
         os.path.join(path, "vectors"),
-        _index_schema("cent_id"),
+        vec_schema,
         merge_key=["vec_id"],
         bucket_key=["cent_id"],
         n_buckets=n_buckets,
     )
     assigned = ivf_assign(df, centroid_mod, n_dims, cents=cents)
-    t.append(df.join(assigned, on="vec_id").select("vec_id", "embedding", "cent_id"))
+    rows = df.join(assigned, on="vec_id").select("vec_id", "embedding", "cent_id")
+    pqt = None
+    if pq_subs > 0:
+        from .similarity import pq_codebook, pq_encode
+
+        cb = pq_codebook(df, pq_subs, pq_mod, n_dims)
+        pqt = LakeTable.create(
+            spark,
+            os.path.join(path, "pq_codebook"),
+            T.StructType(
+                [
+                    T.StructField("sub", T.IntegerType(), nullable=False),
+                    T.StructField("cent_id", T.LongType(), nullable=False),
+                    T.StructField("cw", T.ArrayType(T.FloatType()), nullable=False),
+                ]
+            ),
+            merge_key=["sub", "cent_id"],
+            n_buckets=1,
+        )
+        pqt.append(cb)
+        codes = (
+            pq_encode(df, cb, pq_subs, n_dims)
+            .groupBy("vec_id")
+            .agg(
+                F.expr("transform(array_sort(collect_list(struct(sub, cent_id))), "
+                       "s -> s.cent_id)").alias("pq_code")
+            )
+        )
+        rows = rows.join(codes, on="vec_id")
+    t.append(rows)
     d = _create_directory(spark, path, "cent_id", n_buckets)
     d.append(t.scan().select("vec_id", "cent_id"))
     meta = {
@@ -203,6 +255,8 @@ def build_ivf_index(
         "centroid_mod": centroid_mod,
         "n_dims": n_dims,
         "train_iters": train_iters,
+        "pq_subs": pq_subs,
+        "pq_mod": pq_mod if pq_subs > 0 else 0,
     }
     with open(os.path.join(path, _SIDECAR), "w") as fh:
         json.dump(meta, fh)
@@ -210,6 +264,7 @@ def build_ivf_index(
         vectors=t, centroids=ct, directory=d,
         centroid_mod=centroid_mod, n_dims=n_dims, path=path,
         train_iters=train_iters,
+        pq_subs=pq_subs, pq_mod=meta["pq_mod"], pq_codebook=pqt,
     )
 
 
@@ -241,6 +296,7 @@ def open_ann_index(spark: SparkSession, path: str) -> "LshIndex | IvfIndex":
             path=path,
         )
     if meta["family"] == "ivf":
+        pq_subs = meta.get("pq_subs", 0)
         return IvfIndex(
             vectors=LakeTable(spark, os.path.join(path, "vectors")),
             centroids=LakeTable(spark, os.path.join(path, "centroids")),
@@ -249,6 +305,13 @@ def open_ann_index(spark: SparkSession, path: str) -> "LshIndex | IvfIndex":
             n_dims=meta["n_dims"],
             path=path,
             train_iters=meta.get("train_iters", 0),
+            pq_subs=pq_subs,
+            pq_mod=meta.get("pq_mod", 0),
+            pq_codebook=(
+                LakeTable(spark, os.path.join(path, "pq_codebook"))
+                if pq_subs > 0
+                else None
+            ),
         )
     raise ValueError(f"unknown index family {meta['family']!r}")
 
@@ -380,6 +443,23 @@ def apply_index_changes(
                 )
             )
             upserts = live.join(assigned, on="vec_id")
+            if index.pq_subs > 0:
+                # re-encode moved/updated vectors against the STORED
+                # codebook — codes stay comparable with build-time ones
+                from .similarity import pq_encode
+
+                codes = (
+                    pq_encode(live, index.pq_codebook.scan(), index.pq_subs, index.n_dims)
+                    .groupBy("vec_id")
+                    .agg(
+                        F.expr(
+                            "transform(array_sort(collect_list(struct(sub, cent_id))), "
+                            "s -> s.cent_id)"
+                        ).alias("pq_code")
+                    )
+                )
+                upserts = upserts.join(codes, on="vec_id")
+        has_pq = isinstance(index, IvfIndex) and index.pq_subs > 0
         if n <= lookup_threshold:
             ids = [r["vec_id"] for r in w.select("vec_id").collect()]
             old = index.directory.scan_for_keys(ids)
@@ -407,11 +487,17 @@ def apply_index_changes(
                 F.col("__oldb").alias(bc),
                 F.lit("D").alias("op"),
                 (F.col("lsn") * 2).alias("__l2"),
+                *(
+                    [F.lit(None).cast(T.ArrayType(T.LongType())).alias("pq_code")]
+                    if has_pq
+                    else []
+                ),
             )
         )
         ups = upserts.select(
             "vec_id", "embedding", bc, F.lit("U").alias("op"),
             (F.col("lsn") * 2 + 1).alias("__l2"),
+            *(["pq_code"] if has_pq else []),
         )
         index.vectors.merge(
             tombs.unionByName(ups), epoch_id=epoch_id, op_col="op",
@@ -481,6 +567,92 @@ def ivf_indexed_topk(
     cent_ids = sorted({p[2] for p in probe_rows})
     cand = index.vectors.scan_for_keys(cent_ids)
     scored = cand.join(F.broadcast(probes), on="cent_id").select(
+        "query_id",
+        "vec_id",
+        F.expr(dot_e9_expr("embedding", "qvec", index.n_dims)).alias("dot_e9"),
+    )
+    return _topk_per_query(scored, k)
+
+
+def ivf_pq_indexed_topk(
+    index: IvfIndex,
+    query_df: DataFrame,
+    k: int = 50,
+    n_probes: int = 4,
+    rerank: int = 100,
+) -> DataFrame:
+    """IVF-PQ probe: the FAISS-style composition over a persisted index —
+    (1) rank the broadcast centroid table per query and pruned-read ONLY
+    the top-``n_probes`` inverted lists (file-level bucket pruning, as in
+    `ivf_indexed_topk`); (2) ADC-screen inside those lists using the
+    stored ``pq_code`` arrays against a per-query broadcast lookup table
+    (codes + a BIGINT sum — embeddings untouched); (3) exact e9 re-rank
+    of the top-``rerank`` screened candidates from the same pruned read.
+    At scale the screen is what makes wide probes affordable: the
+    full-precision column is read for ``rerank`` candidates per query,
+    not for every member of every probed list."""
+    if index.pq_subs <= 0 or index.pq_codebook is None:
+        raise ValueError(
+            "ivf_pq_indexed_topk: index was built without PQ codes — "
+            "rebuild with build_ivf_index(..., pq_subs=M)"
+        )
+    d = index.n_dims // index.pq_subs
+    cents = F.broadcast(index.centroids.scan())
+    q = query_df.select("query_id", F.col("embedding").alias("qvec"))
+    ranked = q.crossJoin(cents).select(
+        "query_id",
+        "qvec",
+        "cent_id",
+        F.expr(dot_e9_expr("cvec", "qvec", index.n_dims)).alias("cdot"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cdot").desc(), F.col("cent_id"))
+    probe_rows = [
+        (r["query_id"], r["qvec"], r["cent_id"])
+        for r in ranked.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_probes)
+        .select("query_id", "qvec", "cent_id")
+        .collect()
+    ]
+    probes = query_df.sparkSession.createDataFrame(
+        probe_rows,
+        T.StructType(
+            [
+                T.StructField("query_id", query_df.schema["query_id"].dataType),
+                T.StructField("qvec", T.ArrayType(T.FloatType())),
+                T.StructField("cent_id", T.LongType()),
+            ]
+        ),
+    )
+    cent_ids = sorted({p[2] for p in probe_rows})
+    cand = index.vectors.scan_for_keys(cent_ids)
+    cand_q = cand.join(F.broadcast(probes), on="cent_id")
+    qtab = F.broadcast(
+        q.crossJoin(F.broadcast(index.pq_codebook.scan())).select(
+            "query_id",
+            "sub",
+            F.col("cent_id").alias("code_id"),
+            F.expr(
+                dot_e9_expr(f"slice(qvec, sub * {d} + 1, {d})", "cw", d)
+            ).alias("qdot"),
+        )
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adc_e9").desc(), F.col("vec_id")
+    )
+    screened = (
+        cand_q.select(
+            "query_id", "vec_id", F.posexplode("pq_code").alias("sub", "code_id")
+        )
+        .join(qtab, on=["query_id", "sub", "code_id"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("qdot").alias("adc_e9"))
+        .withColumn("__rn", F.row_number().over(w_adc))
+        .filter(F.col("__rn") <= rerank)
+        .select("query_id", "vec_id")
+    )
+    scored = cand_q.join(
+        screened, on=["query_id", "vec_id"], how="left_semi"
+    ).select(
         "query_id",
         "vec_id",
         F.expr(dot_e9_expr("embedding", "qvec", index.n_dims)).alias("dot_e9"),

@@ -428,3 +428,55 @@ def test_trained_ivf_index_probe_parity_and_sidecar(spark, tmp_table_dir):
         ) == _rows(inline.select("vec_id", "dot_e9")), (
             f"query {qid}: trained persisted probe diverges from inline"
         )
+
+
+def test_ivfpq_full_rerank_equals_plain_ivf_probe(spark, tmp_table_dir):
+    """rerank larger than any probed-list total makes the ADC screen a
+    pass-through — IVF-PQ output must equal the plain IVF indexed probe
+    at the same knobs (pins the screen/rerank plumbing)."""
+    from clever_canal_spark.operators.ann_index import ivf_pq_indexed_topk
+
+    emb = _emb(spark)
+    pq = build_ivf_index(
+        spark, emb, tmp_table_dir + "/pq", centroid_mod=32, pq_subs=8, pq_mod=25
+    )
+    plain = build_ivf_index(spark, emb, tmp_table_dir + "/plain", centroid_mod=32)
+    queries = emb.filter(F.col("vec_id").isin([0, 1])).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = ivf_pq_indexed_topk(pq, queries, k=15, n_probes=4, rerank=10_000)
+    want = ivf_indexed_topk(plain, queries, k=15, n_probes=4)
+    assert _rows(got) == _rows(want)
+
+
+def test_ivfpq_maintenance_reencodes_and_requires_pq(spark, tmp_table_dir):
+    """Incremental changes on a PQ index must re-encode upserts against
+    the STORED codebook (a moved vector is findable at its new position
+    through the ADC screen), and probing a non-PQ index raises."""
+    import pytest as _pytest
+
+    from clever_canal_spark.operators.ann_index import (
+        apply_index_changes,
+        ivf_pq_indexed_topk,
+    )
+
+    emb = _emb(spark)
+    idx = build_ivf_index(
+        spark, emb, tmp_table_dir + "/pq", centroid_mod=32, pq_subs=8, pq_mod=25
+    )
+    v450 = emb.filter(F.col("vec_id") == 450).collect()[0]["embedding"]
+    ch = spark.createDataFrame(
+        [(1, v450, "U", 50), (2, None, "D", 51)],
+        "vec_id bigint, embedding array<float>, op string, lsn bigint",
+    )
+    apply_index_changes(idx, ch, epoch_id=1)
+    re = open_ann_index(spark, tmp_table_dir + "/pq")
+    q450 = emb.filter(F.col("vec_id") == 450).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ids = [r["vec_id"] for r in ivf_pq_indexed_topk(re, q450, k=5, n_probes=2, rerank=60).collect()]
+    assert 1 in ids, f"moved vector not re-encoded into its new list: {ids}"
+    assert 2 not in ids
+    plain = build_ivf_index(spark, emb, tmp_table_dir + "/plain2", centroid_mod=32)
+    with _pytest.raises(ValueError, match="without PQ codes"):
+        ivf_pq_indexed_topk(plain, q450)
