@@ -151,6 +151,10 @@ def main() -> None:
                         "the table's changelog through the getWithoutAck/ack "
                         "cursor protocol (lake/consumers.py) and print progress; "
                         "reopening the same name resumes from its acked cursor")
+    p.add_argument("--feed-audit", choices=["warn", "strict"], default=None,
+                   help="pre-ingest feed-integrity audit (sources/feed.py): "
+                        "LSN continuity holes + duplicate offsets; 'strict' "
+                        "aborts on any finding, 'warn' prints and continues")
     p.add_argument("--demo", action="store_true", help="run a tiny self-contained demo")
     args = p.parse_args()
 
@@ -190,6 +194,31 @@ def main() -> None:
         p.error("--rollup-dir/--cms-view-dir require --merge-mode mor (COW "
                 "commits re-emit unchanged co-bucketed rows into the "
                 "changelog, which would inflate additive counts)")
+
+    if args.feed_audit:
+        from pyspark.sql import functions as F
+
+        from clever_canal_spark.sources.feed import (
+            duplicate_lsn_audit,
+            lsn_continuity_audit,
+            read_feed,
+        )
+
+        feed = read_feed(spark, args.source_dir)
+        gaps = lsn_continuity_audit(feed).agg(
+            F.count("*").alias("n"), F.coalesce(F.sum("missing"), F.lit(0)).alias("m")
+        ).collect()[0]
+        n_dups = duplicate_lsn_audit(feed).count()
+        print(
+            f"[audit] lsn gaps: {gaps['n']} (missing {gaps['m']} events), "
+            f"duplicated lsns: {n_dups}"
+        )
+        if args.feed_audit == "strict" and (gaps["n"] or n_dups):
+            raise SystemExit(
+                "[audit] feed integrity check failed — refusing to ingest "
+                "(re-ship the missing/duplicated slices or rerun with "
+                "--feed-audit warn)"
+            )
 
     table = LakeTable(spark, args.table_dir)
     if not table.exists():
