@@ -7350,3 +7350,96 @@ def q_emb_ivfpq_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_ANN_K, n_probes=_IVF_PROBES, rerank=_IVFPQ_RERANK,
     )
     return out.select("query_id", "vec_id", "dot_e9")
+
+
+# --------------------------------------------------------------------------
+# Content-defined chunking (operators/dedup.py): shift-resistant passages
+# --------------------------------------------------------------------------
+
+
+def _duck_cdc_chunks_sql(where: str = "TRUE", w: int = 16, d: int = 64) -> str:
+    """Chunk-frame CTE chain: boundary discovery (31-base Horner mod
+    1e9+7, window hash ≡ 0 mod divisor), span assembly via zipped
+    unnest, md5 fingerprints — the DuckDB twin of
+    dedup.content_defined_chunks."""
+    horner = (
+        f"(list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(generate_series(i, i + {w} - 1), "
+        f"j -> CAST(ord(substr(text, CAST(j AS INT), 1)) AS BIGINT))), "
+        f"(acc, x) -> (acc * 31 + x) % 1000000007))"
+    )
+    cuts = (
+        f"list_transform(list_filter("
+        f"CASE WHEN length(text) >= {w} "
+        f"THEN generate_series(1, length(text) - {w} + 1) "
+        f"ELSE CAST([] AS BIGINT[]) END, "
+        f"i -> {horner} % {d} = 0), i -> i + {w} - 1)"
+    )
+    return f"""
+    c AS (SELECT doc_id, text, {cuts} AS cuts FROM documents WHERE {where}),
+    sp AS (
+      SELECT doc_id, text,
+             list_prepend(CAST(1 AS BIGINT), list_transform(cuts, e -> e + 1)) AS starts,
+             list_append(cuts, CAST(length(text) AS BIGINT)) AS ends
+      FROM c
+    ),
+    x AS (
+      SELECT doc_id, text,
+             unnest(generate_series(1, len(starts))) - 1 AS chunk_idx,
+             unnest(starts) AS s, unnest(ends) AS e
+      FROM sp
+    ),
+    chunks AS (
+      SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+             CAST(s AS INT) AS chunk_start,
+             CAST(e - s + 1 AS INT) AS chunk_len,
+             md5(substr(text, CAST(s AS INT), CAST(e - s + 1 AS INT))) AS chunk_hash
+      FROM x WHERE e >= s
+    )
+    """
+
+
+@register(
+    "doc_cdc_chunks",
+    f"""
+    WITH {_duck_cdc_chunks_sql("doc_id < 50")}
+    SELECT doc_id, chunk_idx, chunk_start, chunk_len, chunk_hash FROM chunks
+    """,
+)
+def q_doc_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (dedup.content_defined_chunks): rolling
+    31-base Horner hash picks chunk boundaries from the TEXT (mask hit ≡
+    end of chunk), so identical passages fingerprint identically even
+    when an upstream edit shifts every byte offset — the storage-dedup
+    trick (rsync/LBFS) applied to training text, complementing the
+    position-keyed exact-substring dup_spans. Map-only 1→N explode; the
+    oracle replays boundary discovery, span assembly, and md5
+    fingerprinting bit-for-bit."""
+    from .operators.dedup import content_defined_chunks
+
+    docs = _documents(spark, sf_dir).filter(F.col("doc_id") < 50)
+    return content_defined_chunks(docs)
+
+
+@register(
+    "doc_cdc_shared_chunks",
+    f"""
+    WITH {_duck_cdc_chunks_sql("TRUE")}
+    SELECT chunk_hash, chunk_len,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           count(*) AS n_hits
+    FROM chunks WHERE chunk_len >= 24
+    GROUP BY chunk_hash, chunk_len
+    HAVING count(DISTINCT doc_id) >= 2
+    """,
+)
+def q_doc_cdc_shared_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate passages via content-defined chunks
+    (dedup.shared_chunks): chunk hashes ≥ 24 chars appearing in ≥ 2
+    distinct documents — 67 shared passages on the sf0.01 fixture. The
+    shuffle carries (hash, len) pairs only; text never leaves the map
+    side."""
+    from .operators.dedup import content_defined_chunks, shared_chunks
+
+    docs = _documents(spark, sf_dir)
+    return shared_chunks(content_defined_chunks(docs))

@@ -619,3 +619,100 @@ def pair_recall(
             "ELSE CAST(1000000 AS BIGINT) * n_hits DIV n_exact END"
         ).alias("recall_e6"),
     )
+
+
+# --- content-defined chunking ---------------------------------------------
+#
+# Shift-resistant passage dedup: exact-substring detection (dup_spans)
+# finds shared token runs but keys them by POSITION-independent shingle
+# content over a fixed window; content-defined chunking instead lets the
+# TEXT pick its own chunk boundaries (a rolling hash hitting a mask), so
+# an edit near the start of a document shifts every byte offset but not
+# the downstream boundaries — identical passages re-align and fingerprint
+# identically. The storage-dedup trick (rsync/LBFS/restic) applied to
+# training text.
+
+CDC_WINDOW = 16
+CDC_DIVISOR = 64
+_CDC_MOD = 1_000_000_007
+_CDC_P = 31
+
+
+def _cdc_cut_ends_expr(
+    text: str, window: int = CDC_WINDOW, divisor: int = CDC_DIVISOR
+) -> str:
+    """Cut positions (1-based, inclusive chunk ends): every window start
+    i whose Horner rolling hash over the next ``window`` chars is ≡ 0
+    mod ``divisor`` ends a chunk at i+window-1. Pure integer arithmetic
+    (31-base Horner mod 1e9+7 — mod-reduced every step, never overflows
+    BIGINT), so a DuckDB twin reproduces boundaries bit-for-bit."""
+    horner = (
+        f"aggregate(transform(sequence(i, i + {window} - 1), "
+        f"j -> CAST(ascii(substring({text}, j, 1)) AS BIGINT)), "
+        f"CAST(0 AS BIGINT), (acc, x) -> (acc * {_CDC_P} + x) % {_CDC_MOD})"
+    )
+    positions = (
+        f"CASE WHEN length({text}) >= {window} "
+        f"THEN sequence(1, length({text}) - {window} + 1) "
+        f"ELSE CAST(array() AS array<int>) END"
+    )
+    return (
+        f"transform(filter({positions}, i -> ({horner}) % {divisor} = 0), "
+        f"i -> i + {window} - 1)"
+    )
+
+
+def content_defined_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = CDC_WINDOW,
+    divisor: int = CDC_DIVISOR,
+) -> DataFrame:
+    """(id, chunk_idx, chunk_start, chunk_len, chunk_hash) — the document
+    split at content-defined boundaries, each chunk fingerprinted by md5.
+    Map-only 1→N explode (no shuffle, no UDF): boundary discovery is one
+    higher-order expression per row; expected chunk size ≈ ``divisor``
+    chars. Empty trailing chunks (a cut landing exactly at end-of-text)
+    are dropped."""
+    cuts = _cdc_cut_ends_expr(text_col, window, divisor)
+    spans = (
+        f"filter(zip_with("
+        f"concat(array(1), transform(__cuts, e -> CAST(e + 1 AS INT))), "
+        f"concat(transform(__cuts, e -> CAST(e AS INT)), array(CAST(length({text_col}) AS INT))), "
+        f"(s, e) -> named_struct('s', s, 'e', e)), x -> x.e >= x.s)"
+    )
+    return (
+        df.select(F.col(id_col), F.col(text_col), F.expr(cuts).alias("__cuts"))
+        .select(F.col(id_col), F.col(text_col), F.posexplode(F.expr(spans)).alias("chunk_idx", "__sp"))
+        .select(
+            id_col,
+            "chunk_idx",
+            F.col("__sp.s").cast("int").alias("chunk_start"),
+            (F.col("__sp.e") - F.col("__sp.s") + 1).cast("int").alias("chunk_len"),
+            F.expr(
+                f"md5(substring({text_col}, __sp.s, __sp.e - __sp.s + 1))"
+            ).alias("chunk_hash"),
+        )
+    )
+
+
+def shared_chunks(
+    chunks: DataFrame,
+    id_col: str = "doc_id",
+    min_len: int = 24,
+) -> DataFrame:
+    """Cross-document duplicate passages: chunk hashes appearing in ≥ 2
+    DISTINCT documents, at least ``min_len`` chars long (mask-adjacent
+    micro-chunks carry no dedup signal). (chunk_hash, chunk_len, n_docs,
+    n_hits) — one hash agg over the chunk frame; the text itself never
+    rides the shuffle (hashes + lengths only)."""
+    return (
+        chunks.filter(F.col("chunk_len") >= min_len)
+        .groupBy("chunk_hash", "chunk_len")
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.count("*").alias("n_hits"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

@@ -1,0 +1,71 @@
+"""Content-defined chunking: exact coverage, shift resistance, edge
+shapes (short/empty docs)."""
+
+from pyspark.sql import functions as F
+
+from clever_canal_spark.operators.dedup import (
+    content_defined_chunks,
+    shared_chunks,
+)
+
+_PASSAGE = (
+    "the quick brown fox jumps over the lazy dog and keeps running "
+    "through the forest until nightfall while owls watch silently"
+) * 2
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_chunks_cover_text_exactly(spark):
+    """Chunks are contiguous, non-empty, and concatenate back to the
+    original text — start/end arithmetic pinned end to end."""
+    df = _docs(spark, [(1, _PASSAGE), (2, "short one"), (3, "x" * 16)])
+    out = content_defined_chunks(df).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    texts = {1: _PASSAGE, 2: "short one", 3: "x" * 16}
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r["chunk_idx"])
+        pos = 1
+        rebuilt = ""
+        for r in rows:
+            assert r["chunk_start"] == pos, (doc_id, r)
+            assert r["chunk_len"] >= 1
+            rebuilt += texts[doc_id][r["chunk_start"] - 1 : r["chunk_start"] - 1 + r["chunk_len"]]
+            pos += r["chunk_len"]
+        assert rebuilt == texts[doc_id], doc_id
+
+
+def test_short_doc_is_single_chunk(spark):
+    rows = content_defined_chunks(_docs(spark, [(1, "tiny")])).collect()
+    assert len(rows) == 1
+    assert (rows[0]["chunk_start"], rows[0]["chunk_len"]) == (1, 4)
+
+
+def test_empty_doc_has_no_chunks(spark):
+    assert content_defined_chunks(_docs(spark, [(1, "")])).count() == 0
+
+
+def test_shift_resistance(spark):
+    """A one-char prefix edit shifts every byte offset of doc 2 — the
+    content-picked boundaries must still re-align on the common passage
+    and produce shared fingerprints (the property position-keyed exact
+    matching cannot have)."""
+    a = "PREFIX_A " * 3 + _PASSAGE
+    b = "z" + a[8:]
+    sh = shared_chunks(content_defined_chunks(_docs(spark, [(1, a), (2, b)])))
+    rows = sh.collect()
+    assert rows, "no shared chunks found despite a common 250-char passage"
+    assert all(r["n_docs"] == 2 for r in rows)
+
+
+def test_min_len_filters_micro_chunks(spark):
+    df = _docs(spark, [(1, _PASSAGE), (2, _PASSAGE)])
+    ch = content_defined_chunks(df)
+    strict = shared_chunks(ch, min_len=10_000)
+    assert strict.count() == 0
+    loose = shared_chunks(ch, min_len=1)
+    assert loose.count() > 0
