@@ -7443,3 +7443,33 @@ def q_doc_cdc_shared_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _documents(spark, sf_dir)
     return shared_chunks(content_defined_chunks(docs))
+
+
+@register(
+    "doc_chunk_dup_pairs",
+    f"""
+    WITH {_duck_cdc_chunks_sql("TRUE")},
+    cd AS (
+      SELECT DISTINCT doc_id AS doc, chunk_hash FROM chunks WHERE chunk_len >= 24
+    ),
+    eligible AS (
+      SELECT chunk_hash FROM cd GROUP BY chunk_hash
+      HAVING count(*) >= 2 AND count(*) <= 100
+    )
+    SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_shared
+    FROM cd a
+    JOIN eligible e ON e.chunk_hash = a.chunk_hash
+    JOIN cd b ON b.chunk_hash = a.chunk_hash AND a.doc < b.doc
+    GROUP BY doc_a, doc_b
+    HAVING count(*) >= 2
+    """,
+)
+def q_doc_chunk_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shift-resistant near-dup candidate pairs (dedup.chunk_dup_pairs):
+    docs sharing ≥ 2 content-defined passages ≥ 24 chars. Bounded
+    expansion: hashes with > 100 docs are dropped as boilerplate (the
+    max_df guard), so pair count is O(Σ m² over small m), never corpus²."""
+    from .operators.dedup import chunk_dup_pairs, content_defined_chunks
+
+    docs = _documents(spark, sf_dir)
+    return chunk_dup_pairs(content_defined_chunks(docs))

@@ -716,3 +716,42 @@ def shared_chunks(
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+def chunk_dup_pairs(
+    chunks: DataFrame,
+    id_col: str = "doc_id",
+    min_len: int = 24,
+    min_shared: int = 2,
+    max_docs_per_chunk: int = 100,
+) -> DataFrame:
+    """(doc_a, doc_b, n_shared): document pairs sharing ≥ ``min_shared``
+    content-defined chunks of ≥ ``min_len`` chars — the pair-level view
+    of `shared_chunks`, i.e. shift-resistant near-dup candidates keyed
+    by passage content rather than shingle position.
+
+    Scale guards (same family as ngram_jaccard_pairs' max_df cap): only
+    hashes with 2..``max_docs_per_chunk`` distinct docs expand into
+    pairs (a boilerplate chunk shared by 10⁶ docs would otherwise emit
+    10¹² pairs — it carries no discriminating signal anyway), and the
+    expansion joins (hash → sorted doc list → m·(m−1)/2 pairs within the
+    cap) never carry text, only hashes and ids."""
+    c = chunks.filter(F.col("chunk_len") >= min_len).select(
+        F.col(id_col).alias("doc"), "chunk_hash"
+    ).distinct()
+    eligible = (
+        c.groupBy("chunk_hash")
+        .agg(F.count("*").alias("__n"))
+        .filter((F.col("__n") >= 2) & (F.col("__n") <= max_docs_per_chunk))
+        .select("chunk_hash")
+    )
+    cc = c.join(eligible, on="chunk_hash", how="left_semi")
+    a = cc.select("chunk_hash", F.col("doc").alias("doc_a"))
+    b = cc.select("chunk_hash", F.col("doc").alias("doc_b"))
+    return (
+        a.join(b, on="chunk_hash")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

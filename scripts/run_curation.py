@@ -91,6 +91,13 @@ def main() -> None:
                         "per-token hashed importance weight vs the reference "
                         "split (operators/text.dsir_weights); docs with no "
                         "tokens drop")
+    p.add_argument("--chunk-dup-min-shared", type=int, default=None,
+                   help="enable the shift-resistant passage-dedup stage: "
+                        "drop the higher-id doc of any pair sharing >= N "
+                        "content-defined chunks (dedup.chunk_dup_pairs); "
+                        "catches syndicated copies whose byte offsets "
+                        "differ (prefix/suffix edits) that exact dedup "
+                        "misses")
     p.add_argument("--skip-boilerplate", action="store_true")
     p.add_argument("--publish-shards", type=int, default=0,
                    help="publish the output as N deterministic shards with an "
@@ -139,6 +146,24 @@ def main() -> None:
                                     "unique closing sentence about rivers"),
             ("https://demo/span-b", f"second page different start {passage} "
                                     "then its own ending about mountains"),
+            # shifted near-dup pair: same syndicated body behind DIFFERENT
+            # prefixes, so every byte offset differs — exact md5 dedup
+            # cannot pair them; only the content-defined chunk stage can
+            # (body pre-checked to yield >= 3 shared chunks at the
+            # default window/divisor — chunk boundaries are content-
+            # sensitive, so an arbitrary string may produce none)
+            ("https://demo/shift-a", "alpha site header before the body " +
+             "".join("shared syndicated article text number "
+                     f"{k} that reads the same on every mirror of the wire "
+                     "service feed and fills the page with plenty of "
+                     "ordinary words about weather markets and sport "
+                     for k in range(3))),
+            ("https://demo/shift-b", "completely different beta prefix " +
+             "".join("shared syndicated article text number "
+                     f"{k} that reads the same on every mirror of the wire "
+                     "service feed and fills the page with plenty of "
+                     "ordinary words about weather markets and sport "
+                     for k in range(3))),
             ("https://demo/pii", "write to alice@example.com from 10.1.2.3 "
                                  "or dial 555-123-9876 about the order we "
                                  "placed for the warehouse and the invoice"),
@@ -322,6 +347,30 @@ def main() -> None:
     # dups are already gone, so what remains is COPIED PASSAGES inside
     # otherwise-distinct docs — detect maximal shared n-gram spans and
     # cut them (operators/dedup.py dup_spans/cut_spans)
+    # shift-resistant near-dup drop FIRST (whole docs): content-defined
+    # chunk fingerprints re-align on shared passages even when byte
+    # offsets differ, so syndicated copies with edited prefixes
+    # (invisible to the exact md5 dedup above) pair up here; keep the
+    # lowest doc_id of each pair. Runs BEFORE the span-cut stage — a
+    # wholesale copy should drop as a document, not survive as a
+    # passage-cut husk (and span-cut would erase the very passages this
+    # stage keys on).
+    if args.chunk_dup_min_shared:
+        from clever_canal_spark.operators.dedup import (
+            chunk_dup_pairs,
+            content_defined_chunks,
+        )
+
+        pairs = chunk_dup_pairs(
+            content_defined_chunks(corpus),
+            min_shared=args.chunk_dup_min_shared,
+        )
+        losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+        n_losers = losers.count()
+        corpus = corpus.join(losers, on="doc_id", how="left_anti").localCheckpoint()
+        print(f"[curate] chunk dedup (shared >= {args.chunk_dup_min_shared}): "
+              f"dropped {n_losers} shifted near-dups; {corpus.count()} docs kept")
+
     if args.span_ngram > 0:
         from clever_canal_spark.operators.dedup import cut_spans, dup_spans
 

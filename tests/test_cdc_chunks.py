@@ -69,3 +69,16 @@ def test_min_len_filters_micro_chunks(spark):
     assert strict.count() == 0
     loose = shared_chunks(ch, min_len=1)
     assert loose.count() > 0
+
+
+def test_chunk_dup_pairs_and_boilerplate_cap(spark):
+    """Three docs sharing the passage pair up (3 pairs); a chunk shared
+    by more docs than the cap expands to NOTHING (boilerplate guard)."""
+    from clever_canal_spark.operators.dedup import chunk_dup_pairs
+
+    rows = [(i, f"DOC{i} " * 2 + _PASSAGE * 3) for i in (1, 2, 3)]
+    ch = content_defined_chunks(_docs(spark, rows))
+    pairs = {(r["doc_a"], r["doc_b"]) for r in chunk_dup_pairs(ch).collect()}
+    assert pairs == {(1, 2), (1, 3), (2, 3)}
+    capped = chunk_dup_pairs(ch, max_docs_per_chunk=2)
+    assert capped.count() == 0, "cap must drop chunks shared too widely"
