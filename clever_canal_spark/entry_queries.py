@@ -1466,16 +1466,21 @@ _DDL_TEXT_CASE = (
     "WHEN 10 THEN 'ALTER TABLE cc.pages DROP INDEX idx_u' "
     # multi-clause ALTER (every clause counts in ddl_n_ops), DROP COLUMN,
     # backtick-quoted reserved-word column, CHANGE rename
-    "WHEN 11 THEN 'ALTER TABLE cc.pages ADD COLUMN a int, ADD COLUMN b bigint, DROP COLUMN lang' "
+    # ... first ADD carries a quoted-string DEFAULT with a modifier run
+    # (initial-default channel); the CURRENT_TIMESTAMP default is
+    # non-constant → empty ddl_default
+    "WHEN 11 THEN concat('ALTER TABLE cc.pages ADD COLUMN a varchar(8) NOT NULL DEFAULT ', chr(39), 'web page', chr(39), ', ADD COLUMN b bigint DEFAULT CURRENT_TIMESTAMP, DROP COLUMN lang') "
     "WHEN 12 THEN 'ALTER TABLE cc.pages DROP COLUMN stale' "
-    "WHEN 13 THEN 'ALTER TABLE cc.pages ADD `key` int' "
+    # numeric DEFAULT on a quoted reserved-word column
+    "WHEN 13 THEN concat('ALTER TABLE cc.pages ADD `key` int DEFAULT ', CAST(event_id % 2 AS STRING)) "
     "WHEN 14 THEN 'ALTER TABLE cc.pages CHANGE COLUMN lang language varchar(32)' "
     "ELSE 'INSERT INTO cc.pages VALUES (1)' END"
 )
 
 _DDL_OUT_COLS = [
     "stmt_class", "schema_name", "table_name",
-    "ddl_type", "ddl_column", "ddl_new_name", "ddl_new_type", "ddl_n_ops",
+    "ddl_type", "ddl_column", "ddl_new_name", "ddl_new_type", "ddl_default",
+    "ddl_n_ops",
 ]
 
 

@@ -71,6 +71,39 @@ _WIDEN_OK = {
 }
 
 
+def _validate_default(value, dtype: str):
+    """Coerce an initial-default literal to a JSON-storable Python value
+    of the column's type class, or raise — the add_column-time guard that
+    keeps a malformed DDL DEFAULT from becoming a read-time ANSI-cast
+    poison pill in every later scan."""
+    base = dtype.split("(")[0].strip().lower()
+    try:
+        if base in ("tinyint", "smallint", "int", "integer", "bigint", "long"):
+            return int(value)
+        if base in ("float", "double", "real"):
+            return float(value)
+        if base in ("decimal", "numeric"):
+            float(value)  # parseable; keep the string — no precision loss
+            return str(value)
+        if base == "boolean":
+            s = str(value).strip().lower()
+            if s in ("true", "1"):
+                return True
+            if s in ("false", "0"):
+                return False
+            raise ValueError(s)
+        if base in ("timestamp", "date", "timestamp_ntz"):
+            s = str(value).strip()
+            if not re.match(r"^\d{4}-\d{2}-\d{2}([ T]\d{2}:\d{2}:\d{2}(\.\d+)?)?$", s):
+                raise ValueError(s)
+            return s
+        return str(value)
+    except (TypeError, ValueError) as e:
+        raise ValueError(
+            f"illegal DEFAULT {value!r} for type {dtype}: {e}"
+        ) from None
+
+
 def _key_range_pred(values: list):
     """Manifest-entry predicate for point reads: keep a file iff its
     footer-recorded bucket-key range [key_min, key_max] covers ANY probe
@@ -505,8 +538,14 @@ class LakeTable:
         self._write_snapshot(child)
         return child.version
 
-    def add_column(self, name: str, dtype: str) -> int:
-        """ADD COLUMN — metadata-only; old files read the column as null.
+    def add_column(self, name: str, dtype: str, default=None) -> int:
+        """ADD COLUMN — metadata-only; old files read the column as null,
+        or as ``default`` when given (Iceberg v3 *initial-default*
+        semantics: rows written BEFORE the column existed read the
+        default; files written after carry real values — an explicit
+        null stays null). The default is validated driver-side at DDL
+        time, never lazily at read time, so a bad literal fails the DDL
+        apply instead of poisoning every later scan under ANSI casts.
 
         The new field id is allocated above every id EVER used (all schema
         versions, not just the current one) — after a DROP COLUMN, reusing
@@ -516,13 +555,18 @@ class LakeTable:
         next_id = 1 + max(
             f["id"] for fields in snap.schemas.values() for f in fields
         )
+        if default is not None:
+            default = _validate_default(default, dtype)
 
         def mutate(fields):
             if not name or not isinstance(name, str):
                 raise ValueError(f"invalid column name {name!r}")
             if any(f["name"] == name for f in fields):
                 raise ValueError(f"column {name} exists")
-            return fields + [{"id": next_id, "name": name, "type": dtype}]
+            field = {"id": next_id, "name": name, "type": dtype}
+            if default is not None:
+                field["initial_default"] = default
+            return fields + [field]
 
         return self._evolve(mutate, f"add_column:{name}")
 
@@ -612,7 +656,10 @@ class LakeTable:
             for f in cur:
                 o = old.get(f["id"])
                 if o is None:
-                    proj.append(F.lit(None).cast(f["type"]).alias(f["name"]))
+                    # field didn't exist when these files were written —
+                    # initial-default (Iceberg v3) or null
+                    dv = f.get("initial_default")
+                    proj.append(F.lit(dv).cast(f["type"]).alias(f["name"]))
                 else:
                     proj.append(F.col(o["name"]).cast(f["type"]).alias(f["name"]))
             if hidden:

@@ -62,7 +62,8 @@ def apply_ddl_idempotent(table: LakeTable, ddl_row: dict) -> bool:
             return False  # classified, but not a schema evolution we track
     else:
         ops = [{k: ddl_row.get(k) for k in
-                ("ddl_type", "ddl_column", "ddl_new_name", "ddl_new_type")}]
+                ("ddl_type", "ddl_column", "ddl_new_name", "ddl_new_type",
+                 "ddl_default")}]
     changed = False
     for op in ops:
         changed = _apply_one(table, op, ddl_row) or changed
@@ -92,7 +93,11 @@ def _apply_one(table: LakeTable, op: dict, ddl_row: dict) -> bool:
     if t == DDL_ADD_COLUMN:
         if op["ddl_column"] in names:
             return False
-        table.add_column(op["ddl_column"], op["ddl_new_type"] or "string")
+        table.add_column(
+            op["ddl_column"],
+            op["ddl_new_type"] or "string",
+            default=op.get("ddl_default"),
+        )
         return True
     if t == DDL_DROP_COLUMN:
         if op["ddl_column"] not in names:

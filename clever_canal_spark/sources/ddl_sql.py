@@ -64,7 +64,19 @@ DELETE_PAT = r"(?i)^DELETE\b"
 # name: a clause whose name token is one of the keywords below — and was
 # not backtick-quoted — is discarded. (`ADD \`key\` int` stays a column:
 # quoting is how MySQL spells a reserved-word column.)
-ADD_COL_PAT = r"(?i)\bADD\s+(COLUMN\s+)?`?(\w+)`?\s+(\w+(\([0-9, ]+\))?)"
+ADD_COL_PAT = (
+    r"(?i)\bADD\s+(COLUMN\s+)?`?(\w+)`?\s+(\w+(\([0-9, ]+\))?)"
+    r"((\s+NOT\s+NULL|\s+NULL|\s+UNSIGNED)*\s+DEFAULT\s+('[^']*'|[^\s,;]+))?"
+)
+
+# DEFAULT tokens that are NOT materializable constants (non-deterministic
+# server-side functions, or an explicit NULL = the no-default default) —
+# the initial-default channel ignores them rather than failing the DDL
+_DEFAULT_NON_CONSTANT = (
+    "NULL", "CURRENT_TIMESTAMP", "CURRENT_TIMESTAMP()", "NOW()",
+    "LOCALTIME", "LOCALTIMESTAMP", "CURRENT_DATE", "CURRENT_DATE()",
+    "UUID()",
+)
 DROP_COL_PAT = r"(?i)\bDROP\s+(COLUMN\s+)?`?(\w+)`?"
 RENAME_COL_PAT = r"(?i)\bRENAME\s+COLUMN\s+`?(\w+)`?\s+TO\s+`?(\w+)`?"
 MODIFY_PAT = r"(?i)\bMODIFY\s+(COLUMN\s+)?`?(\w+)`?\s+(\w+(\([0-9, ]+\))?)"
@@ -115,8 +127,12 @@ def _type_case_sql(type_expr: str) -> str:
 
 def _p(pat: str, dialect: str) -> str:
     """Pattern → SQL string literal for the dialect (Spark string literals
-    process backslash escapes; DuckDB's don't)."""
-    body = pat.replace("\\", "\\\\") if dialect == "spark" else pat
+    process backslash escapes; DuckDB's don't). Single quotes inside the
+    pattern (the DEFAULT-literal alternation) escape per dialect."""
+    if dialect == "spark":
+        body = pat.replace("\\", "\\\\").replace("'", "\\'")
+    else:
+        body = pat.replace("'", "''")
     return "'" + body + "'"
 
 
@@ -257,6 +273,17 @@ def ddl_classify_exprs(sql_col: str, dialect: str, default_schema: str = "") -> 
         f"{alen(adds)} + {alen(drops)} + {alen(rens)} + {alen(mods)} + {alen(chgs)} "
         "ELSE 0 END"
     )
+    # initial-default literal of the first ADD clause: quotes stripped,
+    # non-constant tokens (CURRENT_TIMESTAMP & co) and NULL land on ''
+    add_default_raw = first_grp(adds, ADD_COL_PAT, 7)
+    nc = ", ".join(f"'{t}'" for t in _DEFAULT_NON_CONSTANT)
+    ddl_default = (
+        f"CASE WHEN NOT {is_alter} OR {add_col} = '' THEN '' "
+        f"WHEN upper({add_default_raw}) IN ({nc}) THEN '' "
+        f"WHEN left({add_default_raw}, 1) = '''' "
+        f"THEN substr({add_default_raw}, 2, greatest(length({add_default_raw}) - 2, 0)) "
+        f"ELSE {add_default_raw} END"
+    )
     return {
         "stmt_class": stmt_class,
         "schema_name": schema_name,
@@ -265,6 +292,7 @@ def ddl_classify_exprs(sql_col: str, dialect: str, default_schema: str = "") -> 
         "ddl_column": ddl_column,
         "ddl_new_name": ddl_new_name,
         "ddl_new_type": _type_case_sql(raw_type),
+        "ddl_default": ddl_default,
         "ddl_n_ops": f"CAST({n_ops} AS BIGINT)",
     }
 
@@ -298,9 +326,17 @@ def _clause_ops(s: str) -> list[dict]:
     for mm in re.finditer(ADD_COL_PAT, s):
         if mm.group(2).upper() in ADD_EXCLUDE_KEYWORDS and "`" not in mm.group(0):
             continue
+        raw_default = mm.group(7)
+        if raw_default is None or raw_default.upper() in _DEFAULT_NON_CONSTANT:
+            default = None
+        elif raw_default.startswith("'"):
+            default = raw_default[1:-1]
+        else:
+            default = raw_default
         found.append((mm.start(), {
             "ddl_type": DDL_ADD_COLUMN, "ddl_column": mm.group(2),
             "ddl_new_name": None, "ddl_new_type": _engine_type(mm.group(3)),
+            "ddl_default": default,
             "_src": "add",
         }))
     for mm in re.finditer(DROP_COL_PAT, s):
@@ -348,7 +384,7 @@ def parse_ddl(sql: str, default_schema: str = "") -> dict:
     out = {
         "stmt_class": "QUERY", "schema_name": "", "table_name": "",
         "ddl_type": None, "ddl_column": None, "ddl_new_name": None,
-        "ddl_new_type": None, "ops": [],
+        "ddl_new_type": None, "ddl_default": None, "ops": [],
     }
     for cls, pat, grp in (
         ("ALTER", ALTER_PAT, 2), ("CINDEX", CINDEX_PAT, 2), ("DINDEX", DINDEX_PAT, 1),
@@ -379,5 +415,6 @@ def parse_ddl(sql: str, default_schema: str = "") -> dict:
             if first is not None:
                 out.update({k: first[k] for k in
                             ("ddl_type", "ddl_column", "ddl_new_name", "ddl_new_type")})
+                out["ddl_default"] = first.get("ddl_default")
                 break
     return out

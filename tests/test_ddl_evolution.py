@@ -251,3 +251,59 @@ def test_ddl_change_replay_recovers_lost_widen(spark, tmp_table_dir):
     f = {x["name"]: x["type"] for x in table.snapshot().current_fields()}
     assert "a" not in f and f["b"] == "bigint"
     assert apply_ddl_idempotent(table, row) is False  # full replay no-op
+
+
+def test_add_column_with_default_initial_default_semantics(spark, tmp_table_dir):
+    """ADD COLUMN ... DEFAULT x (Iceberg v3 initial-default analog): rows
+    written BEFORE the DDL read the default; rows written after read
+    their real values, and an explicit post-DDL null STAYS null (the
+    default never back-fills live writes). Replay no-ops; a malformed
+    literal fails at DDL time, not at scan time."""
+    import pytest as _pytest
+
+    table = LakeTable.create(
+        spark, tmp_table_dir, PAGE_SCHEMA, merge_key=["url", "warc_ts"], n_buckets=2
+    )
+    pre = spark.createDataFrame(
+        [("u1", "2024-01-01 00:00:00", "old row", "U", 10)],
+        "url string, warc_ts string, text string, op string, lsn bigint",
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts")) \
+     .withColumn("html", F.lit(None).cast("binary")) \
+     .withColumn("lang", F.lit("en"))
+    table.merge(pre, epoch_id=1, op_col="op", mode="mor", lsn_col="lsn")
+
+    changed = apply_ddl_idempotent(table, {
+        "ddl_sql": "ALTER TABLE cc.pages ADD COLUMN score int NOT NULL DEFAULT 7",
+    })
+    assert changed
+    # replay no-op
+    assert not apply_ddl_idempotent(table, {
+        "ddl_sql": "ALTER TABLE cc.pages ADD COLUMN score int NOT NULL DEFAULT 7",
+    })
+
+    post = spark.createDataFrame(
+        [("u2", "2024-01-02 00:00:00", "new row", "U", 20, 42),
+         ("u3", "2024-01-03 00:00:00", "null row", "U", 21, None)],
+        "url string, warc_ts string, text string, op string, lsn bigint, score int",
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts")) \
+     .withColumn("html", F.lit(None).cast("binary")) \
+     .withColumn("lang", F.lit("en"))
+    table.merge(post, epoch_id=2, op_col="op", mode="mor", lsn_col="lsn")
+
+    got = {r["url"]: r["score"] for r in table.scan().collect()}
+    assert got == {"u1": 7, "u2": 42, "u3": None}
+
+    # a fresh handle (no cached snapshot) reads the same defaults
+    got2 = {r["url"]: r["score"] for r in LakeTable(spark, tmp_table_dir).scan().collect()}
+    assert got2 == got
+
+    # string default via the SQL channel, with quotes
+    assert apply_ddl_idempotent(table, {
+        "ddl_sql": "ALTER TABLE cc.pages ADD COLUMN tag varchar(8) DEFAULT 'web'",
+    })
+    tags = {r["url"]: r["tag"] for r in table.scan().collect()}
+    assert tags == {"u1": "web", "u2": "web", "u3": "web"}
+
+    # malformed literal: rejected at DDL-apply time (never a scan poison)
+    with _pytest.raises(ValueError, match="illegal DEFAULT"):
+        table.add_column("bad", "int", default="not-a-number")

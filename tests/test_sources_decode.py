@@ -57,6 +57,15 @@ STATEMENTS = [
     "ALTER TABLE cc.pages ADD INDEX i (c), ADD COLUMN x int",
     "ALTER TABLE cc.pages CHANGE COLUMN lang language varchar(32)",
     "ALTER TABLE cc.pages CHANGE lang language text",
+    # DEFAULT literals (initial-default channel): numeric, quoted string,
+    # modifier run before DEFAULT, non-constant and NULL (both ignored),
+    # multi-clause with per-clause defaults
+    "ALTER TABLE cc.pages ADD COLUMN score int DEFAULT 5",
+    "ALTER TABLE cc.pages ADD COLUMN tag varchar(20) NOT NULL DEFAULT 'web page'",
+    "ALTER TABLE cc.pages ADD COLUMN r double UNSIGNED DEFAULT -1.5",
+    "ALTER TABLE cc.pages ADD COLUMN ts datetime DEFAULT CURRENT_TIMESTAMP",
+    "ALTER TABLE cc.pages ADD COLUMN n int DEFAULT NULL",
+    "ALTER TABLE cc.pages ADD COLUMN a int DEFAULT 1, ADD COLUMN b text DEFAULT 'x'",
 ]
 
 
@@ -79,6 +88,7 @@ def test_python_twin_matches_sql_classifier(spark):
         assert g["ddl_column"] == (p["ddl_column"] or ""), s
         assert g["ddl_new_name"] == (p["ddl_new_name"] or ""), s
         assert g["ddl_new_type"] == (p["ddl_new_type"] or ""), s
+        assert g["ddl_default"] == (p["ddl_default"] or ""), s
         assert g["ddl_n_ops"] == len(p["ops"]), s
 
 
@@ -98,7 +108,8 @@ def test_duckdb_dialect_matches_twin():
         p = parse_ddl(s, default_schema="cc")
         want = (p["stmt_class"], p["schema_name"], p["table_name"],
                 p["ddl_type"] or "", p["ddl_column"] or "",
-                p["ddl_new_name"] or "", p["ddl_new_type"] or "", len(p["ops"]))
+                p["ddl_new_name"] or "", p["ddl_new_type"] or "",
+                p["ddl_default"] or "", len(p["ops"]))
         assert tuple(row) == want, (s, row, want)
 
 
@@ -133,6 +144,20 @@ def test_adversarial_ddl_hand_written_expectations():
         "ALTER TABLE cc.pages DROP stale": ("DROP_COLUMN", "stale", None, 1),
         "ALTER TABLE cc.pages MODIFY rank bigint": ("WIDEN_TYPE", "rank", "bigint", 1),
     }
+    # DEFAULT literals, hand-written (independent of all three evaluators)
+    default_cases = {
+        "ALTER TABLE cc.pages ADD COLUMN score int DEFAULT 5": "5",
+        "ALTER TABLE cc.pages ADD COLUMN tag varchar(20) NOT NULL DEFAULT 'web page'": "web page",
+        "ALTER TABLE cc.pages ADD COLUMN r double DEFAULT -1.5": "-1.5",
+        "ALTER TABLE cc.pages ADD COLUMN ts datetime DEFAULT CURRENT_TIMESTAMP": None,
+        "ALTER TABLE cc.pages ADD COLUMN n int DEFAULT NULL": None,
+        "ALTER TABLE cc.pages ADD COLUMN plain bigint": None,
+    }
+    for s2, want_default in default_cases.items():
+        pd = parse_ddl(s2, default_schema="cc")
+        assert pd["ddl_type"] == "ADD_COLUMN", s2
+        assert pd["ddl_default"] == want_default, (s2, pd["ddl_default"])
+        assert pd["ops"][0]["ddl_default"] == want_default, s2
     for s, (typ, col, new_type, n_ops) in cases.items():
         p = parse_ddl(s, default_schema="cc")
         assert p["stmt_class"] == "ALTER", s
