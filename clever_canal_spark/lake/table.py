@@ -1483,6 +1483,7 @@ class LakeTable:
         lsn_col: str | None = None,
         compact_every: int = 24,
         commit_retries: int = 0,
+        fill_missing: bool = False,
     ) -> MergeResult:
         """MERGE INTO: upsert rows with ``op`` ∈ {I,U} (payload columns =
         table columns), delete rows with ``op`` = 'D'.
@@ -1520,6 +1521,27 @@ class LakeTable:
         """
         if epoch_id is not None and self.is_epoch_committed(epoch_id):
             return MergeResult(applied=False, version=self.current_version())
+        if fill_missing:
+            # lenient source schema for producers lagging an ADD COLUMN:
+            # absent NON-KEY columns fill with the column's write default
+            # (= its initial_default, Iceberg-v3 style) or null. Key and
+            # bucket columns must always be real — filling them would
+            # silently corrupt row identity and placement.
+            fsnap = self.snapshot()
+            src_cols = set(source.columns)
+            required = set(fsnap.merge_key) | set(fsnap.bucket_key)
+            missing_keys = sorted(required - src_cols)
+            if missing_keys:
+                raise ValueError(
+                    f"merge source lacks key/bucket columns {missing_keys} — "
+                    "fill_missing only covers payload columns"
+                )
+            for f in fsnap.current_fields():
+                if f["name"] not in src_cols:
+                    source = source.withColumn(
+                        f["name"],
+                        F.lit(f.get("initial_default")).cast(f["type"]),
+                    )
         if lsn_col is not None:
             t_lsn = self.snapshot().truncate_lsn
             if t_lsn:

@@ -307,3 +307,40 @@ def test_add_column_with_default_initial_default_semantics(spark, tmp_table_dir)
     # malformed literal: rejected at DDL-apply time (never a scan poison)
     with _pytest.raises(ValueError, match="illegal DEFAULT"):
         table.add_column("bad", "int", default="not-a-number")
+
+
+def test_merge_fill_missing_after_add_column(spark, tmp_table_dir):
+    """A producer that predates an ADD COLUMN keeps working with
+    merge(fill_missing=True): the absent payload column fills with the
+    column's write default (its initial_default) or null; absent KEY
+    columns always raise; without the flag the merge fails analysis."""
+    import pytest as _pytest
+    from pyspark.sql.utils import AnalysisException
+
+    table = LakeTable.create(
+        spark, tmp_table_dir, PAGE_SCHEMA, merge_key=["url", "warc_ts"], n_buckets=2
+    )
+    table.add_column("score", "int", default=7)
+    table.add_column("note", "string")  # no default -> null fill
+
+    old_producer = spark.createDataFrame(
+        [("u1", "2024-01-01 00:00:00", "body", "U", 10)],
+        "url string, warc_ts string, text string, op string, lsn bigint",
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts")) \
+     .withColumn("html", F.lit(None).cast("binary")) \
+     .withColumn("lang", F.lit("en"))
+
+    with _pytest.raises(AnalysisException):
+        table.merge(old_producer, epoch_id=1, op_col="op", mode="mor", lsn_col="lsn")
+    res = table.merge(
+        old_producer, epoch_id=1, op_col="op", mode="mor", lsn_col="lsn",
+        fill_missing=True,
+    )
+    assert res.applied
+    row = table.scan().collect()[0]
+    assert (row["score"], row["note"]) == (7, None)
+
+    missing_key = old_producer.drop("warc_ts")
+    with _pytest.raises(ValueError, match="key/bucket columns"):
+        table.merge(missing_key, epoch_id=2, op_col="op", mode="mor",
+                    lsn_col="lsn", fill_missing=True)
