@@ -82,3 +82,50 @@ def test_chunk_dup_pairs_and_boilerplate_cap(spark):
     assert pairs == {(1, 2), (1, 3), (2, 3)}
     capped = chunk_dup_pairs(ch, max_docs_per_chunk=2)
     assert capped.count() == 0, "cap must drop chunks shared too widely"
+
+
+def test_chunks_match_python_reference_model(spark):
+    """Deterministic pseudo-random corpus (incl. quotes, digits, unicode,
+    whitespace runs) checked against a pure-Python Horner/boundary/md5
+    reference — pins the Spark expression chain (ascii() codepoints,
+    1-based substring, span assembly) to the spec independently of the
+    DuckDB twin."""
+    import hashlib
+    import random
+
+    P, M, W, D = 31, 1_000_000_007, 16, 64
+    rng = random.Random(42)
+    alphabet = "abcdefgh XY.,'\"09\té世"
+    docs = [
+        (i, "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 120))))
+        for i in range(60)
+    ]
+
+    def ref_chunks(text):
+        cuts = []
+        for i in range(max(len(text) - W + 1, 0)):
+            acc = 0
+            for ch in text[i : i + W]:
+                acc = (acc * P + ord(ch)) % M
+            if acc % D == 0:
+                cuts.append(i + W - 1)  # 0-based inclusive end
+        starts = [0] + [e + 1 for e in cuts]
+        ends = cuts + [len(text) - 1]
+        out = []
+        for idx, (s, e) in enumerate(zip(starts, ends)):
+            if e < s:
+                continue
+            chunk = text[s : e + 1]
+            out.append((idx, s + 1, e - s + 1,
+                        hashlib.md5(chunk.encode("utf-8")).hexdigest()))
+        return out
+
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {}
+    for r in content_defined_chunks(df).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["chunk_start"], r["chunk_len"], r["chunk_hash"])
+        )
+    for doc_id, text in docs:
+        want = ref_chunks(text)
+        assert sorted(got.get(doc_id, [])) == sorted(want), (doc_id, text)
