@@ -7478,3 +7478,67 @@ def q_doc_chunk_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _documents(spark, sf_dir)
     return chunk_dup_pairs(content_defined_chunks(docs))
+
+
+# --------------------------------------------------------------------------
+# Train/val/test splits (operators/text.assign_splits): leakage-aware
+# --------------------------------------------------------------------------
+
+_SPLIT_CASE_DUCK = (
+    "CASE WHEN __h < 900000 THEN 'train' "
+    "WHEN __h < 950000 THEN 'val' ELSE 'test' END"
+)
+
+
+@register(
+    "doc_split_assign",
+    """
+    WITH h AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % 1000000 AS __h
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN __h < 900000 THEN 'train'
+                WHEN __h < 950000 THEN 'val' ELSE 'test' END AS split
+    FROM h
+    """,
+)
+def q_doc_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment
+    (text.assign_splits): salted md5-u32 of the doc id bucketed by
+    cumulative ppm weights — stable under repartition, re-dealable by
+    salt, integer-exact across engines. The full per-doc assignment
+    table is the hash-checked output (not just the counts)."""
+    from .operators.text import assign_splits
+
+    docs = _documents(spark, sf_dir).select("doc_id")
+    return assign_splits(docs).select("doc_id", "split")
+
+
+@register(
+    "doc_split_by_cluster",
+    f"""
+    WITH clusters AS ({_neardup_oracle()}),
+    h AS (
+      SELECT doc_id, cluster_id,
+             ('0x' || substr(md5('split' || CAST(cluster_id AS VARCHAR)), 1, 8))::BIGINT
+               % 1000000 AS __h
+      FROM clusters
+    )
+    SELECT doc_id, cluster_id, {_SPLIT_CASE_DUCK} AS split FROM h
+    """,
+)
+def q_doc_split_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe splits: hash the near-dup CLUSTER id, not the doc id,
+    so near-duplicate documents can never straddle train/test (the
+    contamination mode a row-wise split silently causes). Composes the
+    MinHash-LSH cluster resolution with assign_splits(group_col=…); the
+    oracle replays clustering (recursive closure) AND the split hash."""
+    from .operators.text import assign_splits
+
+    clusters = neardup_clusters(_documents(spark, sf_dir))
+    return assign_splits(clusters, group_col="cluster_id").select(
+        "doc_id", "cluster_id", "split"
+    )

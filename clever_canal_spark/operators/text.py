@@ -1462,3 +1462,47 @@ def dsir_weights(
             F.sum(F.col("in_doc") * F.col("d_e9")).cast("bigint").alias("lw_sum_e9"),
         )
     )
+
+
+def assign_splits(
+    df: DataFrame,
+    weights_ppm: "dict[str, int] | None" = None,
+    id_col: str = "doc_id",
+    group_col: str | None = None,
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: ``split`` column from a
+    salted md5-u32 hash of the split UNIT, bucketed by cumulative
+    parts-per-million weights (integer-exact; the mix_weights hex-u32
+    trick, so a DuckDB oracle reproduces every assignment bit-for-bit).
+
+    ``group_col`` is the leakage guard: hash the GROUP (near-dup
+    cluster_id, host, source…) instead of the row id, and every member of
+    a group lands in the SAME split — near-duplicates can never straddle
+    train/test (the contamination mode a row-wise split silently causes;
+    compose with dedup.neardup_clusters for cluster-safe splits).
+
+    Deterministic under repartition, stable across runs/engines, and a
+    different ``salt`` re-deals the whole assignment (fresh fold) without
+    touching the data. Map-only — no shuffle, no RNG state."""
+    weights_ppm = weights_ppm or {"train": 900_000, "val": 50_000, "test": 50_000}
+    total = sum(weights_ppm.values())
+    if total != 1_000_000:
+        raise ValueError(f"weights_ppm must sum to 1000000, got {total}")
+    if any(w < 0 for w in weights_ppm.values()):
+        raise ValueError("negative split weight")
+    unit = group_col or id_col
+    h = (
+        f"CAST(conv(substring(md5(concat('{salt}', CAST({unit} AS STRING))), "
+        f"1, 8), 16, 10) AS BIGINT) % 1000000"
+    )
+    cum = 0
+    branches = []
+    for name, w in weights_ppm.items():
+        cum += w
+        branches.append(f"WHEN __h < {cum} THEN '{name}'")
+    return (
+        df.withColumn("__h", F.expr(h))
+        .withColumn("split", F.expr("CASE " + " ".join(branches) + " END"))
+        .drop("__h")
+    )
