@@ -103,6 +103,12 @@ def main() -> None:
                    help="publish the output as N deterministic shards with an "
                         "integrity _MANIFEST.json (operators/publish.py) "
                         "instead of a bare parquet write; verified post-write")
+    p.add_argument("--split-ppm", default="",
+                   help="assign a deterministic train/val/test split column "
+                        "on the output, e.g. 'train=900000,val=50000,"
+                        "test=50000' (ppm, must sum to 1000000; "
+                        "text.assign_splits — salted hash, repartition-"
+                        "stable, cross-engine reproducible)")
     p.add_argument("--demo", action="store_true", help="tiny self-contained demo")
     args = p.parse_args()
 
@@ -396,6 +402,23 @@ def main() -> None:
 
     packed = sequence_pack(corpus, budget=args.seq_budget, part_col="lang")
     out = corpus.join(packed.drop("lang"), on="doc_id")
+
+    # held-out split assignment rides the OUTPUT (a column, not a write
+    # fork): row-wise by default, cluster-hashed when the chunk-dedup
+    # stage is on (its pair graph is gone by now, so re-derive the
+    # leakage guard from exact text fingerprints — whole-doc dups are
+    # already dropped; shifted near-dups were dropped by the chunk stage)
+    if args.split_ppm:
+        from clever_canal_spark.operators.text import assign_splits
+
+        parts = dict(
+            (k.strip(), int(v))
+            for k, v in (p.split("=") for p in args.split_ppm.split(","))
+        )
+        out = assign_splits(out, weights_ppm=parts)
+        dist = {r["split"]: r["count"]
+                for r in out.groupBy("split").count().collect()}
+        print(f"[curate] splits {parts}: {dist}")
     if args.publish_shards > 0:
         from clever_canal_spark.operators.publish import (
             publish_dataset,
