@@ -480,3 +480,61 @@ def test_ivfpq_maintenance_reencodes_and_requires_pq(spark, tmp_table_dir):
     plain = build_ivf_index(spark, emb, tmp_table_dir + "/plain2", centroid_mod=32)
     with _pytest.raises(ValueError, match="without PQ codes"):
         ivf_pq_indexed_topk(plain, q450)
+
+
+def test_index_maintenance_crash_between_vectors_and_directory(spark, tmp_table_dir):
+    """apply_index_changes commits vectors FIRST, then the directory; a
+    crash between the two must replay idempotently (vectors no-op via the
+    committed-epoch registry, directory applies) and converge to the same
+    state as a clean run — for the PQ-carrying variant too."""
+    from clever_canal_spark.operators.ann_index import (
+        apply_index_changes,
+        ivf_pq_indexed_topk,
+        open_ann_index,
+    )
+
+    emb = _emb(spark)
+    idx = build_ivf_index(
+        spark, emb, tmp_table_dir + "/pq", centroid_mod=32, pq_subs=8, pq_mod=25
+    )
+    ref = build_ivf_index(
+        spark, emb, tmp_table_dir + "/ref", centroid_mod=32, pq_subs=8, pq_mod=25
+    )
+    v450 = emb.filter(F.col("vec_id") == 450).collect()[0]["embedding"]
+    ch = spark.createDataFrame(
+        [(1, v450, "U", 50), (2, None, "D", 51)],
+        "vec_id bigint, embedding array<float>, op string, lsn bigint",
+    )
+    # crash: directory merge dies after the vectors merge committed
+    real_merge = idx.directory.merge
+
+    def boom(*a, **kw):
+        raise RuntimeError("injected crash before directory commit")
+
+    idx.directory.merge = boom
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="injected crash"):
+            apply_index_changes(idx, ch, epoch_id=1)
+    finally:
+        idx.directory.merge = real_merge
+    assert idx.vectors.is_epoch_committed(1)
+    assert not idx.directory.is_epoch_committed(1)
+
+    # recovery: replay the SAME epoch on a fresh handle
+    re = open_ann_index(spark, tmp_table_dir + "/pq")
+    apply_index_changes(re, ch, epoch_id=1)
+    apply_index_changes(ref, ch, epoch_id=1)  # clean twin
+
+    q450 = emb.filter(F.col("vec_id") == 450).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = _rows(ivf_pq_indexed_topk(open_ann_index(spark, tmp_table_dir + "/pq"),
+                                    q450, k=10, n_probes=4, rerank=60))
+    want = _rows(ivf_pq_indexed_topk(ref, q450, k=10, n_probes=4, rerank=60))
+    assert got == want
+    # directory agrees with vectors (no stale location survives)
+    dv = _rows(open_ann_index(spark, tmp_table_dir + "/pq").directory.scan())
+    dr = _rows(ref.directory.scan())
+    assert dv == dr
