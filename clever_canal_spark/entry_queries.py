@@ -7362,11 +7362,16 @@ def q_emb_ivfpq_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def _duck_cdc_chunks_sql(where: str = "TRUE", w: int = 16, d: int = 64) -> str:
+def _duck_cdc_chunks_sql(
+    where: str = "TRUE", w: int = 16, d: int = 64,
+    src: str = "documents", prefix: str = "",
+) -> str:
     """Chunk-frame CTE chain: boundary discovery (31-base Horner mod
     1e9+7, window hash ≡ 0 mod divisor), span assembly via zipped
     unnest, md5 fingerprints — the DuckDB twin of
-    dedup.content_defined_chunks."""
+    dedup.content_defined_chunks. ``src`` swaps the input relation;
+    ``prefix`` namespaces the CTE names so two chains compose in one
+    query (the chunk-probe oracle runs corpus + batch side by side)."""
     horner = (
         f"(list_reduce(list_prepend(CAST(0 AS BIGINT), "
         f"list_transform(generate_series(i, i + {w} - 1), "
@@ -7380,26 +7385,27 @@ def _duck_cdc_chunks_sql(where: str = "TRUE", w: int = 16, d: int = 64) -> str:
         f"ELSE CAST([] AS BIGINT[]) END, "
         f"i -> {horner} % {d} = 0), i -> i + {w} - 1)"
     )
+    P = prefix
     return f"""
-    c AS (SELECT doc_id, text, {cuts} AS cuts FROM documents WHERE {where}),
-    sp AS (
+    {P}c AS (SELECT doc_id, text, {cuts} AS cuts FROM {src} WHERE {where}),
+    {P}sp AS (
       SELECT doc_id, text,
              list_prepend(CAST(1 AS BIGINT), list_transform(cuts, e -> e + 1)) AS starts,
              list_append(cuts, CAST(length(text) AS BIGINT)) AS ends
-      FROM c
+      FROM {P}c
     ),
-    x AS (
+    {P}x AS (
       SELECT doc_id, text,
              unnest(generate_series(1, len(starts))) - 1 AS chunk_idx,
              unnest(starts) AS s, unnest(ends) AS e
-      FROM sp
+      FROM {P}sp
     ),
-    chunks AS (
+    {P}chunks AS (
       SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
              CAST(s AS INT) AS chunk_start,
              CAST(e - s + 1 AS INT) AS chunk_len,
              md5(substr(text, CAST(s AS INT), CAST(e - s + 1 AS INT))) AS chunk_hash
-      FROM x WHERE e >= s
+      FROM {P}x WHERE e >= s
     )
     """
 
@@ -7542,3 +7548,58 @@ def q_doc_split_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign_splits(clusters, group_col="cluster_id").select(
         "doc_id", "cluster_id", "split"
     )
+
+
+@register(
+    "doc_dedup_index_chunk_probe",
+    f"""
+    WITH batch_docs AS ({_DIDX_BATCH_SQL}),
+    {_duck_cdc_chunks_sql("doc_id < 400", prefix="i")},
+    {_duck_cdc_chunks_sql("TRUE", src="batch_docs", prefix="b")},
+    idist AS (SELECT DISTINCT doc_id, chunk_hash FROM ichunks WHERE chunk_len >= 24),
+    bdist AS (SELECT DISTINCT doc_id, chunk_hash FROM bchunks WHERE chunk_len >= 24),
+    hits AS (
+      SELECT b.doc_id AS new_doc_id, i.doc_id AS cand_doc_id, b.chunk_hash
+      FROM bdist b JOIN idist i USING (chunk_hash)
+    ),
+    eligible AS (
+      SELECT chunk_hash FROM hits GROUP BY chunk_hash
+      HAVING count(DISTINCT cand_doc_id) <= 100
+    )
+    SELECT new_doc_id, cand_doc_id, count(*) AS n_shared
+    FROM hits JOIN eligible USING (chunk_hash)
+    GROUP BY new_doc_id, cand_doc_id
+    HAVING count(*) >= 2
+    """,
+)
+def q_doc_dedup_index_chunk_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shift-resistant incremental dedup (dedup_index.probe_chunk_dups):
+    the delta batch's content-defined chunk hashes, broadcast against
+    the persisted chunks table — catches a copied passage behind a
+    different prefix, which moves every byte offset past both the exact
+    fingerprint and (often) the MinHash bands. Corpus text never read;
+    boilerplate hashes (>100 indexed docs) dropped before pair
+    expansion. The oracle recomputes BOTH sides' chunk frames from raw
+    text and replays the probe join."""
+    from .operators.dedup_index import probe_chunk_dups
+
+    return probe_chunk_dups(
+        _chunk_dedup_index_for(spark, sf_dir), _didx_batch(spark, sf_dir)
+    )
+
+
+def _chunk_dedup_index_for(spark: SparkSession, sf_dir: str) -> "object":
+    from .operators.dedup_index import build_dedup_index, open_dedup_index
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), "dedup-idx-ch")
+    path = _DEDUP_IDX_CACHE.get(key)
+    if path is None:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="ccs-didx-ch-")
+        build_dedup_index(
+            spark, _documents(spark, sf_dir).filter(F.col("doc_id") < 400), path,
+            with_chunks=True,
+        )
+        _DEDUP_IDX_CACHE[key] = path
+    return open_dedup_index(spark, path)

@@ -57,6 +57,14 @@ _BAND_SCHEMA = T.StructType(
     ]
 )
 
+_CHUNK_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), nullable=False),
+        T.StructField("chunk_hash", T.StringType(), nullable=False),
+        T.StructField("chunk_len", T.IntegerType()),
+    ]
+)
+
 
 @dataclass
 class DedupIndex:
@@ -65,6 +73,14 @@ class DedupIndex:
     n_bands: int
     rows_per_band: int
     path: str
+    # optional third signal (build_dedup_index(with_chunks=True)):
+    # content-defined chunk fingerprints — the SHIFT-RESISTANT probe.
+    # Exact fps catch byte-identical recrawls, MinHash bands catch
+    # whole-doc near-dups; chunk hashes catch a copied PASSAGE behind a
+    # different prefix (syndication), which moves every byte offset but
+    # not the content-picked chunk boundaries.
+    chunks: "LakeTable | None" = None
+    chunk_min_len: int = 24
 
 
 def _band_rows(df: DataFrame, text_col: str, n_bands: int, rows_per_band: int) -> DataFrame:
@@ -82,9 +98,12 @@ def build_dedup_index(
     n_bands: int = 3,
     rows_per_band: int = 2,
     n_buckets: int = 16,
+    with_chunks: bool = False,
+    chunk_min_len: int = 24,
 ) -> DedupIndex:
     """One pass over the corpus computes md5 fingerprints and MinHash band
-    keys; the corpus text itself is not stored."""
+    keys (plus, opt-in, content-defined chunk fingerprints for the
+    shift-resistant probe); the corpus text itself is not stored."""
     fps = LakeTable.create(
         spark, os.path.join(path, "fps"), _FP_SCHEMA,
         merge_key=["doc_id"], n_buckets=n_buckets,
@@ -95,22 +114,86 @@ def build_dedup_index(
         merge_key=["doc_id", "band"], n_buckets=n_buckets,
     )
     bands.append(_band_rows(df, text_col, n_bands, rows_per_band))
-    meta = {"n_bands": n_bands, "rows_per_band": rows_per_band}
+    chunks = None
+    if with_chunks:
+        chunks = LakeTable.create(
+            spark, os.path.join(path, "chunks"), _CHUNK_SCHEMA,
+            merge_key=["doc_id", "chunk_hash"], n_buckets=n_buckets,
+        )
+        chunks.append(_chunk_rows(df, text_col, chunk_min_len))
+    meta = {"n_bands": n_bands, "rows_per_band": rows_per_band,
+            "with_chunks": with_chunks, "chunk_min_len": chunk_min_len}
     with open(os.path.join(path, _SIDECAR), "w") as fh:
         json.dump(meta, fh)
     return DedupIndex(fps=fps, bands=bands, n_bands=n_bands,
-                      rows_per_band=rows_per_band, path=path)
+                      rows_per_band=rows_per_band, path=path,
+                      chunks=chunks, chunk_min_len=chunk_min_len)
 
 
 def open_dedup_index(spark: SparkSession, path: str) -> DedupIndex:
     with open(os.path.join(path, _SIDECAR)) as fh:
         meta = json.load(fh)
+    with_chunks = meta.get("with_chunks", False)
     return DedupIndex(
         fps=LakeTable(spark, os.path.join(path, "fps")),
         bands=LakeTable(spark, os.path.join(path, "bands")),
         n_bands=meta["n_bands"],
         rows_per_band=meta["rows_per_band"],
         path=path,
+        chunks=(LakeTable(spark, os.path.join(path, "chunks"))
+                if with_chunks else None),
+        chunk_min_len=meta.get("chunk_min_len", 24),
+    )
+
+
+def _chunk_rows(df: DataFrame, text_col: str, chunk_min_len: int) -> DataFrame:
+    from .dedup import content_defined_chunks
+
+    return (
+        content_defined_chunks(df, id_col="doc_id", text_col=text_col)
+        .filter(F.col("chunk_len") >= chunk_min_len)
+        .select("doc_id", "chunk_hash", "chunk_len")
+        .distinct()
+    )
+
+
+def probe_chunk_dups(
+    index: DedupIndex,
+    batch: DataFrame,
+    text_col: str = "text",
+    min_shared: int = 2,
+    max_docs_per_chunk: int = 100,
+) -> DataFrame:
+    """Shift-resistant near-dup candidates for a delta batch: the batch's
+    content-defined chunk hashes (computed from the batch only,
+    broadcast) against the persisted chunks table — (new_doc_id,
+    cand_doc_id, n_shared) pairs sharing >= ``min_shared`` chunks.
+    The corpus text is never read; hashes matched by more than
+    ``max_docs_per_chunk`` indexed docs are dropped as boilerplate
+    (the same cap as dedup.chunk_dup_pairs — no discriminating signal,
+    unbounded pair expansion)."""
+    if index.chunks is None:
+        raise ValueError(
+            "probe_chunk_dups: index was built without chunk fingerprints — "
+            "rebuild with build_dedup_index(with_chunks=True)"
+        )
+    b = _chunk_rows(batch, text_col, index.chunk_min_len).select(
+        F.col("doc_id").alias("new_doc_id"), "chunk_hash"
+    )
+    hits = index.chunks.scan().select(
+        F.col("doc_id").alias("cand_doc_id"), "chunk_hash"
+    ).join(F.broadcast(b), on="chunk_hash")
+    eligible = (
+        hits.groupBy("chunk_hash")
+        .agg(F.countDistinct("cand_doc_id").alias("__n"))
+        .filter(F.col("__n") <= max_docs_per_chunk)
+        .select("chunk_hash")
+    )
+    return (
+        hits.join(F.broadcast(eligible), on="chunk_hash", how="left_semi")
+        .groupBy("new_doc_id", "cand_doc_id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
     )
 
 
@@ -223,6 +306,36 @@ def apply_dedup_index_changes(
     )
     index.bands.merge(band_src, epoch_id=epoch_id, op_col="op", mode="mor", lsn_col="lsn")
 
+    if index.chunks is not None:
+        # chunk rows are VARIABLE-cardinality per doc (unlike the fixed
+        # band set), so an update must tombstone the rows its new text no
+        # longer produces: per-row the tombstone orders at 2·lsn and the
+        # upsert at 2·lsn+1 (the ann_index move discipline). Old rows come
+        # from a changed-doc semi-join against the compact chunks table —
+        # bounded by the index size, never the corpus.
+        new_rows = _chunk_rows(live, text_col, index.chunk_min_len)
+        changed = w.select("doc_id", "lsn")
+        old_rows = index.chunks.scan().join(
+            F.broadcast(changed.select("doc_id")), on="doc_id", how="left_semi"
+        )
+        stale = old_rows.join(
+            new_rows.select("doc_id", "chunk_hash"),
+            on=["doc_id", "chunk_hash"], how="left_anti",
+        )
+        tombs = stale.join(changed, on="doc_id").select(
+            "doc_id", "chunk_hash",
+            F.lit(None).cast("int").alias("chunk_len"),
+            F.lit("D").alias("op"), (F.col("lsn") * 2).alias("__l2"),
+        )
+        ups = new_rows.join(changed, on="doc_id").select(
+            "doc_id", "chunk_hash", "chunk_len",
+            F.lit("U").alias("op"), (F.col("lsn") * 2 + 1).alias("__l2"),
+        )
+        index.chunks.merge(
+            tombs.unionByName(ups), epoch_id=epoch_id, op_col="op",
+            mode="mor", lsn_col="__l2",
+        )
+
 
 _CURSOR = "lake_cursor.json"
 
@@ -276,6 +389,9 @@ def sync_from_lake(
         last = truncs[-1]
         index.fps.truncate_rows(last["lsn"])
         index.bands.truncate_rows(last["lsn"])
+        if index.chunks is not None:
+            # lsn domain differs (chunk rows order at 2*lsn)
+            index.chunks.truncate_rows(last["lsn"] * 2 + 1)
         synced_from = last["version"]
         if synced_from >= head:
             _write_lake_cursor(index.path, head)
@@ -304,6 +420,8 @@ def build_dedup_index_from_lake(
     n_bands: int = 3,
     rows_per_band: int = 2,
     n_buckets: int = 16,
+    with_chunks: bool = False,
+    chunk_min_len: int = 24,
 ) -> DedupIndex:
     """Bootstrap the index from a lake table's CURRENT state (one corpus
     scan — the only full read the index ever costs) and stamp the lake
@@ -315,6 +433,7 @@ def build_dedup_index_from_lake(
     idx = build_dedup_index(
         table.spark, corpus, path, text_col=text_col,
         n_bands=n_bands, rows_per_band=rows_per_band, n_buckets=n_buckets,
+        with_chunks=with_chunks, chunk_min_len=chunk_min_len,
     )
     _write_lake_cursor(path, head)
     return idx

@@ -288,3 +288,55 @@ def test_sync_from_lake_default_doc_id_is_stable(spark, tmp_table_dir):
     )
     sync_from_lake(idx, table)
     assert idx.fps.scan().count() == n0  # overwrite, not a second row
+
+
+def test_chunk_probe_finds_shifted_copy_and_maintains(spark, tmp_table_dir):
+    """The chunk signal (build_dedup_index(with_chunks=True)): a copied
+    passage behind a DIFFERENT prefix probes back to its indexed source
+    (invisible to the exact fp); rewriting the source tombstones its
+    stale chunk rows (variable-cardinality maintenance); replay no-ops;
+    probing a chunk-less index raises."""
+    import pytest as _pytest
+
+    from clever_canal_spark.operators.dedup_index import (
+        apply_dedup_index_changes,
+        build_dedup_index,
+        open_dedup_index,
+        probe_chunk_dups,
+    )
+
+    body = "".join(
+        f"shared syndicated article text number {k} that reads the same on "
+        "every mirror of the wire service feed and fills the page with "
+        "plenty of ordinary words about weather markets and sport "
+        for k in range(3)
+    )
+    corpus = spark.createDataFrame(
+        [(1, "alpha site header before the body " + body),
+         (2, "an unrelated page about cooking with garlic and lemon " * 5)],
+        "doc_id bigint, text string",
+    )
+    idx = build_dedup_index(spark, corpus, tmp_table_dir + "/ci", with_chunks=True)
+    re = open_dedup_index(spark, tmp_table_dir + "/ci")
+    assert re.chunks is not None and re.chunk_min_len == 24
+
+    batch = spark.createDataFrame(
+        [(100, "completely different beta prefix " + body),
+         (101, "novel content about sailing across the northern sea " * 5)],
+        "doc_id bigint, text string",
+    )
+    pairs = {(r["new_doc_id"], r["cand_doc_id"]): r["n_shared"]
+             for r in probe_chunk_dups(re, batch).collect()}
+    assert set(pairs) == {(100, 1)} and pairs[(100, 1)] >= 2
+
+    ch = spark.createDataFrame(
+        [(1, "totally new text " * 20, "U", 50)],
+        "doc_id bigint, text string, op string, lsn bigint",
+    )
+    apply_dedup_index_changes(re, ch, epoch_id=1)
+    assert probe_chunk_dups(open_dedup_index(spark, tmp_table_dir + "/ci"), batch).count() == 0
+    apply_dedup_index_changes(open_dedup_index(spark, tmp_table_dir + "/ci"), ch, epoch_id=1)
+
+    plain = build_dedup_index(spark, corpus, tmp_table_dir + "/plainci")
+    with _pytest.raises(ValueError, match="without chunk fingerprints"):
+        probe_chunk_dups(plain, batch)
