@@ -68,6 +68,7 @@ def dedup_admission(
     mode: str = "drop",
     within_batch: bool = True,
     near_min_bands: int | None = None,
+    chunk_min_shared: int | None = None,
 ) -> AdmissionResult:
     """Gate a feed-shaped epoch batch against the dedup index.
 
@@ -120,15 +121,17 @@ def dedup_admission(
         .filter(F.col("dup_of_doc_id") != F.col("new_doc_id"))
         .select(F.col("new_doc_id").alias("doc_id"), "dup_of_doc_id")
     )
-    if near_min_bands is not None:
-        from ..operators.dedup_index import probe_neardup
-
+    winners = None
+    if near_min_bands is not None or chunk_min_shared is not None:
         winners = (
             batch.filter(gated)
             .select(did.alias("doc_id"), text.alias("__text"), F.col("lsn"))
             .groupBy("doc_id")
             .agg(F.max_by("__text", F.col("lsn")).alias("__text"))
         )
+    if near_min_bands is not None:
+        from ..operators.dedup_index import probe_neardup
+
         near = (
             probe_neardup(index, winners, text_col="__text")
             .filter(
@@ -144,6 +147,31 @@ def dedup_admission(
             )
         )
         cross = cross.unionByName(near).groupBy("doc_id").agg(
+            F.min("dup_of_doc_id").alias("dup_of_doc_id")
+        )
+    if chunk_min_shared is not None:
+        # SHIFT-RESISTANT gate: content-defined chunk overlap with an
+        # indexed doc — catches a syndicated copy behind a new prefix,
+        # which defeats the exact fp and usually the MinHash bands
+        # (whole-doc signatures differ once the prefix does). Same
+        # verdict discipline as the near gate: most shared chunks wins,
+        # ties to the smallest indexed doc id.
+        from ..operators.dedup_index import probe_chunk_dups
+
+        chunk = (
+            probe_chunk_dups(
+                index, winners, text_col="__text", min_shared=chunk_min_shared
+            )
+            .filter(F.col("cand_doc_id") != F.col("new_doc_id"))
+            .groupBy(F.col("new_doc_id").alias("doc_id"))
+            .agg(
+                F.max_by(
+                    "cand_doc_id",
+                    F.struct(F.col("n_shared"), (-F.col("cand_doc_id")).alias("nid")),
+                ).alias("dup_of_doc_id")
+            )
+        )
+        cross = cross.unionByName(chunk).groupBy("doc_id").agg(
             F.min("dup_of_doc_id").alias("dup_of_doc_id")
         )
     if within_batch:

@@ -80,6 +80,11 @@ def main() -> None:
                         "sharing >= N MinHash-LSH band buckets with an "
                         "indexed doc (banding verdict, unverified — the "
                         "cheap-false-positive side of the door asymmetry)")
+    p.add_argument("--admission-chunk-shared", type=int, default=None,
+                   help="also gate SHIFTED copies at admission: reject docs "
+                        "sharing >= N content-defined chunks with an indexed "
+                        "doc (probe_chunk_dups; requires an index built with "
+                        "chunk fingerprints)")
     p.add_argument("--admission", action="store_true",
                    help="gate each micro-batch against the dedup index "
                         "(drops duplicate-content events pre-merge; "
@@ -426,17 +431,23 @@ def main() -> None:
 
             if not args.dedup_index_dir:
                 raise SystemExit("--admission requires --dedup-index-dir")
-            gidx = open_or_build_dedup_index(table, args.dedup_index_dir)
+            gidx = open_or_build_dedup_index(
+                table, args.dedup_index_dir,
+                with_chunks=args.admission_chunk_shared is not None,
+            )
 
             def admission(batch, _i=gidx):
                 res = dedup_admission(
-                    batch, _i, near_min_bands=args.admission_near_bands
+                    batch, _i, near_min_bands=args.admission_near_bands,
+                    chunk_min_shared=args.admission_chunk_shared,
                 )
                 return res.batch
 
             nb = args.admission_near_bands
+            cs = args.admission_chunk_shared
             print("admission gate: duplicate-content events dropped pre-merge"
-                  + (f" (near-dup at >={nb} shared bands)" if nb else ""))
+                  + (f" (near-dup at >={nb} shared bands)" if nb else "")
+                  + (f" (shifted copies at >={cs} shared chunks)" if cs else ""))
         pipe = CdcPipeline(
             spark, args.source_dir, args.checkpoint, table, cfg,
             metrics_table=metrics, max_files_per_trigger=args.max_files_per_epoch,

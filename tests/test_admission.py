@@ -181,3 +181,38 @@ def test_near_and_exact_combined(spark, near_index):
     res = dedup_admission(batch, near_index, near_min_bands=1)
     assert urls(res.batch) == ["x3"]
     assert res.rejected.count() == 2
+
+
+_SYNDICATED = "".join(
+    f"shared syndicated article text number {k} that reads the same on "
+    "every mirror of the wire service feed and fills the page with "
+    "plenty of ordinary words about weather markets and sport "
+    for k in range(3)
+)
+
+
+def test_chunk_gate_rejects_shifted_copy(spark, tmp_table_dir):
+    """A syndicated body behind a DIFFERENT prefix defeats the exact fp
+    (every byte differs) — the chunk gate catches it; unrelated pages
+    pass; a chunk-less index raises when the gate is requested."""
+    corpus = spark.createDataFrame(
+        [("a", TS, "alpha site header before the body " + _SYNDICATED)],
+        "url string, warc_ts string, text string",
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+    docs = corpus.select(F.xxhash64("url", "warc_ts").alias("doc_id"), "text")
+    idx = build_dedup_index(spark, docs, tmp_table_dir + "/cidx", with_chunks=True)
+
+    batch = feed(spark, [
+        ("mirror", TS, "completely different beta prefix " + _SYNDICATED, "I", 1),
+        ("fresh", TS, "novel content about sailing across the northern sea "
+                      * 5, "I", 2),
+    ])
+    # without the chunk gate the shifted copy slips through
+    assert urls(dedup_admission(batch, idx).batch) == ["fresh", "mirror"]
+    res = dedup_admission(batch, idx, chunk_min_shared=2)
+    assert urls(res.batch) == ["fresh"]
+    assert res.rejected.count() == 1
+
+    plain = build_dedup_index(spark, docs, tmp_table_dir + "/pidx")
+    with pytest.raises(ValueError, match="without chunk fingerprints"):
+        dedup_admission(batch, plain, chunk_min_shared=2).batch.count()
