@@ -57,6 +57,9 @@ QUERY_NAMES = [
     # probe — the full train-then-probe path timed as one query, showing
     # training cost is a build-time affordance, not a serving tax
     "emb_ivf_trained_topk",
+    # ...and the amortized serving twin: IVF-PQ probe over the memoized
+    # persisted index (pruned lists x ADC screen x exact rerank)
+    "emb_ivfpq_indexed_topk",
     # changelog rollup: 4 incremental read-modify-write syncs over the
     # memoized flagship replay (the maintenance cost of a materialized
     # view, not a query cost)
