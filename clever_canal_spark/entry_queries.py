@@ -7603,3 +7603,71 @@ def _chunk_dedup_index_for(spark: SparkSession, sf_dir: str) -> "object":
         )
         _DEDUP_IDX_CACHE[key] = path
     return open_dedup_index(spark, path)
+
+
+# --------------------------------------------------------------------------
+# Hard-negative mining (operators/similarity.hard_negative_mine)
+# --------------------------------------------------------------------------
+
+_HN_PAIRS_SQL = """
+      SELECT vec_id AS query_id, (vec_id * 7 + 3) % 500 AS pos_id
+      FROM embeddings WHERE vec_id < 10
+      UNION ALL SELECT CAST(0 AS BIGINT), CAST(123 AS BIGINT)
+"""
+
+
+@register(
+    "emb_hard_negatives",
+    f"""
+    WITH pairs AS ({_HN_PAIRS_SQL}),
+    q AS (
+      SELECT p.query_id, e.embedding AS qvec
+      FROM (SELECT DISTINCT query_id FROM pairs) p
+      JOIN embeddings e ON e.vec_id = p.query_id
+    ),
+    excl AS (
+      SELECT query_id, pos_id AS vec_id FROM pairs
+      UNION SELECT query_id, query_id FROM pairs
+    ),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             {_duck_dot_e9('e.embedding', 'q.qvec')} AS dot_e9
+      FROM embeddings e, q
+    ),
+    cand AS (
+      SELECT s.* FROM scored s
+      WHERE NOT EXISTS (
+        SELECT 1 FROM excl x
+        WHERE x.query_id = s.query_id AND x.vec_id = s.vec_id
+      )
+    )
+    SELECT query_id, vec_id AS neg_id, dot_e9, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT cand.*, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY dot_e9 DESC, vec_id) AS rank
+      FROM cand
+    ) WHERE rank <= 10
+    """,
+)
+def q_emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (similarity.hard_negative_mine): per labeled
+    (query, positive) pair, the top-10 most-similar corpus vectors that
+    are NOT the query or one of its positives — the contrastive-training
+    data-prep step (the informative negatives are the near-misses).
+    Queries 0..9 with synthetic positives, one query carrying TWO
+    positives (multi-positive exclusion exercised). Corpus-path exact
+    variant; the indexed overfetch twin is parity-tested in pytest."""
+    from .operators.similarity import hard_negative_mine
+
+    emb = _embeddings(spark, sf_dir)
+    pairs = (
+        emb.filter(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            ((F.col("vec_id") * 7 + 3) % 500).alias("pos_id"),
+        )
+        .unionByName(
+            spark.createDataFrame([(0, 123)], "query_id bigint, pos_id bigint")
+        )
+    )
+    return hard_negative_mine(emb, pairs, k=10)

@@ -1183,3 +1183,97 @@ def topk_recall(
         F.col("k_exact").cast("long").alias("k_exact"),
         F.expr("CAST(1000000 AS BIGINT) * n_hits DIV k_exact").alias("recall_e6"),
     )
+
+
+def hard_negative_mine(
+    df: DataFrame,
+    pairs: DataFrame,
+    k: int = 10,
+    n_dims: int = N_DIMS,
+) -> DataFrame:
+    """Hard-negative mining for embedding-model training: per query, the
+    top-``k`` most-similar corpus vectors EXCLUDING the query itself and
+    its labeled positives (``pairs`` = (query_id, pos_id)) — the
+    contrastive-training data-prep step (in-batch negatives are easy;
+    the informative ones are the near-misses this mines). Output
+    (query_id, neg_id, dot_e9, rank), rank 1 = hardest.
+
+    Corpus-path shape: queries broadcast (tiny), one scored pass over
+    the corpus, per-query window rank bounded by k + exclusions. The
+    exclusion anti-join is against the (tiny, broadcast) pairs frame —
+    never a corpus-sized side. For repeated mining rounds at 10⁹
+    vectors, screen through the persisted ANN index first
+    (`hard_negative_mine_indexed`) — this exact variant is the recall
+    oracle the approximate one is graded against."""
+    q = (
+        pairs.select("query_id").distinct()
+        .join(
+            df.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("qvec"),
+            ),
+            on="query_id",
+        )
+    )
+    scored = df.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "vec_id",
+        F.expr(dot_e9_expr("embedding", "qvec", n_dims)).alias("dot_e9"),
+    )
+    excl = (
+        pairs.select("query_id", F.col("pos_id").alias("vec_id"))
+        .unionByName(
+            pairs.select("query_id", F.col("query_id").alias("vec_id")).distinct()
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot_e9").desc(), F.col("vec_id")
+    )
+    return (
+        scored.join(F.broadcast(excl), on=["query_id", "vec_id"], how="left_anti")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("vec_id").alias("neg_id"), "dot_e9", "rank")
+    )
+
+
+def hard_negative_mine_indexed(
+    index,
+    df: DataFrame,
+    pairs: DataFrame,
+    k: int = 10,
+    n_probes: int = 4,
+) -> DataFrame:
+    """Index-served hard negatives: overfetch top-(k + max positives + 1)
+    per query through the persisted IVF index (pruned-list read), then
+    drop self/positives and re-rank — the serving-scale path; grade its
+    recall against `hard_negative_mine` (probes miss a list ⇒ missed
+    negative, the usual ANN trade)."""
+    from .ann_index import ivf_indexed_topk
+
+    max_pos = (
+        pairs.groupBy("query_id").count()
+        .agg(F.max("count").alias("m")).collect()[0]["m"]
+    ) or 0
+    q = pairs.select("query_id").distinct().join(
+        df.select(F.col("vec_id").alias("query_id"), "embedding"),
+        on="query_id",
+    )
+    over = ivf_indexed_topk(index, q, k=k + max_pos + 1, n_probes=n_probes)
+    excl = (
+        pairs.select("query_id", F.col("pos_id").alias("vec_id"))
+        .unionByName(
+            pairs.select("query_id", F.col("query_id").alias("vec_id")).distinct()
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot_e9").desc(), F.col("vec_id")
+    )
+    return (
+        over.join(F.broadcast(excl), on=["query_id", "vec_id"], how="left_anti")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("vec_id").alias("neg_id"), "dot_e9", "rank")
+    )

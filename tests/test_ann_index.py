@@ -538,3 +538,36 @@ def test_index_maintenance_crash_between_vectors_and_directory(spark, tmp_table_
     dv = _rows(open_ann_index(spark, tmp_table_dir + "/pq").directory.scan())
     dr = _rows(ref.directory.scan())
     assert dv == dr
+
+
+def test_hard_negatives_exclusion_and_indexed_parity(spark, tmp_table_dir):
+    """Mined negatives must never include the query or ANY of its
+    positives; the indexed overfetch twin must agree with the exact
+    corpus-path variant whenever the probes cover the candidates
+    (n_probes = all lists here — pure plumbing parity)."""
+    from clever_canal_spark.operators.similarity import (
+        hard_negative_mine,
+        hard_negative_mine_indexed,
+    )
+
+    emb = _emb(spark)
+    pairs = spark.createDataFrame(
+        [(0, 3), (0, 123), (7, 450)], "query_id bigint, pos_id bigint"
+    )
+    exact = hard_negative_mine(emb, pairs, k=10)
+    rows = exact.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 7}
+    for qid, rs in by_q.items():
+        assert len(rs) == 10
+        negs = {r["neg_id"] for r in rs}
+        assert qid not in negs
+        banned = {3, 123} if qid == 0 else {450}
+        assert not (negs & banned), (qid, negs & banned)
+        assert sorted(r["rank"] for r in rs) == list(range(1, 11))
+
+    idx = build_ivf_index(spark, emb, tmp_table_dir + "/hnidx", centroid_mod=32)
+    approx = hard_negative_mine_indexed(idx, emb, pairs, k=10, n_probes=16)
+    assert _rows(approx) == _rows(exact)
