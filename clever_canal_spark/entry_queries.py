@@ -7671,3 +7671,73 @@ def q_emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return hard_negative_mine(emb, pairs, k=10)
+
+
+@register(
+    "emb_ivfpq_recall",
+    f"""
+    WITH approx AS ({_ivfpq_indexed_oracle()}),
+    q AS (
+      SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+      WHERE vec_id IN ({', '.join(str(i) for i in _ANN_QUERY_IDS)})
+    ),
+    exact AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, e.vec_id, ROW_NUMBER() OVER (
+          PARTITION BY q.query_id
+          ORDER BY {_duck_dot_e9('e.embedding', 'q.qvec')} DESC, e.vec_id) AS rn
+        FROM embeddings e, q
+      ) WHERE rn <= {_ANN_K}
+    )
+    SELECT CAST(h.n AS BIGINT) AS n_hits,
+           CAST(t.n AS BIGINT) AS k_exact,
+           1000000 * h.n // t.n AS recall_e6
+    FROM (SELECT count(*) AS n
+          FROM approx a JOIN exact e USING (query_id, vec_id)) h,
+         (SELECT count(*) AS n FROM exact) t
+    """,
+)
+def q_emb_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pooled recall of the COMPOSED IVF-PQ path (4 probes, 60-deep ADC
+    rerank, 3 queries) against brute force — the compound honesty
+    metric: probe misses (query's true neighbor lives in an unprobed
+    list) stack with screen misses (ADC approximation ranks it below
+    the rerank cut), and neither single-stage recall number bounds the
+    product. Same family as emb_ann_recall / emb_ivf_recall /
+    emb_pq_recall."""
+    from .operators.ann_index import ivf_pq_indexed_topk, open_ann_index
+    from .operators.similarity import topk_recall
+
+    emb = _embeddings(spark, sf_dir)
+    idx = open_ann_index(spark, _ann_index_dir(spark, sf_dir, "ivfpq"))
+    approx = ivf_pq_indexed_topk(
+        idx, _ann_query_batch(spark, sf_dir),
+        k=_ANN_K, n_probes=_IVF_PROBES, rerank=_IVFPQ_RERANK,
+    ).select("query_id", "vec_id")
+    q = _ann_query_batch(spark, sf_dir).select(
+        "query_id", F.col("embedding").alias("qvec")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot_e9").desc(), F.col("vec_id")
+    )
+    from .operators.similarity import dot_e9_expr
+
+    exact = (
+        emb.crossJoin(F.broadcast(q))
+        .select(
+            "query_id", "vec_id",
+            F.expr(dot_e9_expr("embedding", "qvec")).alias("dot_e9"),
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= _ANN_K)
+        .select("query_id", "vec_id")
+    )
+    hits = approx.join(exact, on=["query_id", "vec_id"], how="left_semi")
+    return (
+        hits.agg(F.count("*").alias("n_hits"))
+        .crossJoin(exact.agg(F.count("*").alias("k_exact")))
+        .select(
+            "n_hits", "k_exact",
+            F.expr("1000000 * n_hits DIV k_exact").alias("recall_e6"),
+        )
+    )
