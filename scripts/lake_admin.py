@@ -41,7 +41,9 @@ from clever_canal_spark.session import build_session
 
 def main() -> None:
     p = argparse.ArgumentParser(description="clever-canal-spark lake admin")
-    p.add_argument("--table-dir", required=True)
+    p.add_argument("--table-dir",
+                   help="lake table root (required for every command "
+                        "except feed-audit)")
     sub = p.add_subparsers(dest="cmd", required=True)
     sub.add_parser("fsck").add_argument("--deep", action="store_true")
     ad = sub.add_parser("advise")
@@ -80,9 +82,50 @@ def main() -> None:
     wh = sub.add_parser("whence")
     wh.add_argument("keys", nargs="+",
                     help="key column assignments, e.g. url=http://a.com/1")
+    fa = sub.add_parser("feed-audit")
+    fa.add_argument("--feed-dir", required=True,
+                    help="feed directory (parquet change events)")
+    fa.add_argument("--lsn-col", default="lsn")
+    fa.add_argument("--bucket", type=int, default=100_000,
+                    help="gap-scan bucket width (lsn DIV bucket)")
+    fa.add_argument("--max-rows", type=int, default=50,
+                    help="print at most this many gap/dup rows")
     args = p.parse_args()
 
+    if args.cmd != "feed-audit" and not args.table_dir:
+        p.error("--table-dir is required for this command")
+
     spark = build_session(app_name="ccs-lake-admin")
+    if args.cmd == "feed-audit":
+        # feed-integrity pass (sources/feed.py): continuity holes +
+        # duplicate offsets, as JSON rows + a summary line; exit 1 on
+        # any finding (scriptable as a pre-ingest gate)
+        from pyspark.sql import functions as F
+
+        from clever_canal_spark.sources.feed import (
+            duplicate_lsn_audit,
+            lsn_continuity_audit,
+            read_feed,
+        )
+
+        feed = read_feed(spark, args.feed_dir)
+        gaps = lsn_continuity_audit(feed, lsn_col=args.lsn_col,
+                                    bucket=args.bucket)
+        dups = duplicate_lsn_audit(feed, lsn_col=args.lsn_col)
+        g_rows = gaps.orderBy("gap_start").limit(args.max_rows).collect()
+        d_rows = dups.orderBy("lsn").limit(args.max_rows).collect()
+        for r in g_rows:
+            print(json.dumps({"kind": "gap", **r.asDict()}))
+        for r in d_rows:
+            print(json.dumps({"kind": "dup_lsn", **r.asDict()}))
+        tot = gaps.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.sum("missing"), F.lit(0)).alias("m"),
+        ).collect()[0]
+        n_dup = dups.count()
+        print(f"[admin] feed-audit: {tot['n']} gap(s) "
+              f"({tot['m']} missing events), {n_dup} duplicated lsn(s)")
+        raise SystemExit(1 if (tot["n"] or n_dup) else 0)
     t = LakeTable(spark, args.table_dir)
     rc = 0
     if args.cmd == "fsck":
