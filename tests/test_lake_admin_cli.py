@@ -233,3 +233,40 @@ def test_status_command_zero_job_summary(spark, tmp_table_dir):
     assert doc["committed_epochs"] >= 1
     assert doc["advise_due"] >= 1          # pending deltas -> compact due
     assert "[admin] status:" in r.stdout
+
+
+def test_feed_audit_cli(spark, tmp_path):
+    """`lake_admin feed-audit` needs no --table-dir, prints JSON findings,
+    and exits 1 on any finding / 0 on a clean feed."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from clever_canal_spark.gen import FeedConfig, generate_feed
+    from clever_canal_spark.sources.feed import write_feed_slices
+
+    feed = generate_feed(spark, FeedConfig(n_events=1200))
+    clean = str(tmp_path / "clean")
+    holey = str(tmp_path / "holey")
+    write_feed_slices(feed, clean, n_slices=2, n_events=1200)
+    write_feed_slices(
+        feed.filter(~F.col("lsn").between(600, 604)), holey,
+        n_slices=2, n_events=1200,
+    )
+    env = {**os.environ, "PYTHONPATH": REPO}
+
+    def run(d):
+        return subprocess.run(
+            [sys.executable, os.path.join(REPO, "scripts", "lake_admin.py"),
+             "feed-audit", "--feed-dir", d],
+            env=env, capture_output=True, text=True, timeout=300, cwd=REPO,
+        )
+
+    ok = run(clean)
+    assert ok.returncode == 0, ok.stdout[-800:] + ok.stderr[-800:]
+    assert "0 gap(s)" in ok.stdout
+
+    bad = run(holey)
+    assert bad.returncode == 1
+    rows = [_json.loads(l) for l in bad.stdout.splitlines() if l.startswith("{")]
+    assert {"kind": "gap", "gap_start": 600, "gap_end": 604, "missing": 5} in rows
