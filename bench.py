@@ -609,7 +609,7 @@ def main() -> None:
         # the build API itself, not the query benchmark).
         from clever_canal_spark.entry_queries import _ann_index_dir
 
-        for family in ("lsh", "ivf"):
+        for family in ("lsh", "ivf", "ivfpq"):
             _ann_index_dir(spark, sf_dir, family)
         for name in QUERY_NAMES:
             t0 = time.monotonic()
