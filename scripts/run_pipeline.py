@@ -435,6 +435,15 @@ def main() -> None:
                 table, args.dedup_index_dir,
                 with_chunks=args.admission_chunk_shared is not None,
             )
+            if args.admission_chunk_shared is not None and gidx.chunks is None:
+                # opened an EXISTING index built without chunk
+                # fingerprints — fail at startup, not on the first batch
+                raise SystemExit(
+                    "--admission-chunk-shared needs a dedup index with "
+                    f"chunk fingerprints, but {args.dedup_index_dir} was "
+                    "built without them — rebuild it (remove the dir, or "
+                    "build_dedup_index(with_chunks=True))"
+                )
 
             def admission(batch, _i=gidx):
                 res = dedup_admission(
