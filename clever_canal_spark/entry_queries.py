@@ -7741,3 +7741,33 @@ def q_emb_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("1000000 * n_hits DIV k_exact").alias("recall_e6"),
         )
     )
+
+
+@register(
+    "doc_chunk_dup_fraction",
+    f"""
+    WITH {_duck_cdc_chunks_sql("TRUE")},
+    cq AS (SELECT doc_id, chunk_hash, chunk_len FROM chunks WHERE chunk_len >= 24),
+    shared AS (
+      SELECT chunk_hash, count(*) AS nd FROM (
+        SELECT DISTINCT doc_id, chunk_hash FROM cq
+      ) GROUP BY chunk_hash
+    )
+    SELECT doc_id,
+           CAST(sum(chunk_len) AS BIGINT) AS total_len,
+           CAST(sum(CASE WHEN nd >= 2 THEN chunk_len ELSE 0 END) AS BIGINT) AS dup_len,
+           1000000 * sum(CASE WHEN nd >= 2 THEN chunk_len ELSE 0 END)
+             // sum(chunk_len) AS dup_frac_e6
+    FROM cq JOIN shared USING (chunk_hash)
+    GROUP BY doc_id
+    """,
+)
+def q_doc_chunk_dup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplication pressure (dedup.chunk_dup_fraction): the
+    fraction of each doc's content-defined chunk mass that is shared
+    with at least one other document — shared_chunks' corpus view turned
+    into the per-doc score a curation threshold wants ("drop if > 60%
+    syndicated", keep partially-quoting originals)."""
+    from .operators.dedup import chunk_dup_fraction, content_defined_chunks
+
+    return chunk_dup_fraction(content_defined_chunks(_documents(spark, sf_dir)))

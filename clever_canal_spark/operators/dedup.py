@@ -755,3 +755,40 @@ def chunk_dup_pairs(
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def chunk_dup_fraction(
+    chunks: DataFrame,
+    id_col: str = "doc_id",
+    min_len: int = 24,
+) -> DataFrame:
+    """Per-document duplication pressure: what fraction of a doc's chunk
+    MASS (total chars in ≥ ``min_len`` chunks) lives in chunks whose
+    hash appears in ≥ 2 distinct documents — the per-doc score that
+    turns shared_chunks' corpus view into a curation threshold ("drop
+    docs that are > 60% syndicated boilerplate", keep partially-quoted
+    originals). (doc_id, total_len, dup_len, dup_frac_e6); docs with no
+    qualifying chunks are absent (no mass to judge).
+
+    Two hash aggs over the compact chunk frame (hash → distinct-doc
+    count, then per-doc sums) — text never rides either shuffle."""
+    c = chunks.filter(F.col("chunk_len") >= min_len)
+    shared = (
+        c.select(id_col, "chunk_hash").distinct()
+        .groupBy("chunk_hash")
+        .agg(F.count("*").alias("__nd"))
+    )
+    return (
+        c.join(shared, on="chunk_hash")
+        .groupBy(id_col)
+        .agg(
+            F.sum("chunk_len").cast("long").alias("total_len"),
+            F.sum(
+                F.when(F.col("__nd") >= 2, F.col("chunk_len")).otherwise(0)
+            ).cast("long").alias("dup_len"),
+        )
+        .select(
+            id_col, "total_len", "dup_len",
+            F.expr("1000000 * dup_len DIV total_len").alias("dup_frac_e6"),
+        )
+    )

@@ -129,3 +129,25 @@ def test_chunks_match_python_reference_model(spark):
     for doc_id, text in docs:
         want = ref_chunks(text)
         assert sorted(got.get(doc_id, [])) == sorted(want), (doc_id, text)
+
+
+def test_chunk_dup_fraction_hand_pinned(spark):
+    """Three docs: a fully-syndicated pair and a unique doc — the pair's
+    fraction must be high (only their distinct prefixes differ), the
+    unique doc's 0; min_len must gate micro-chunk mass out of BOTH
+    numerator and denominator."""
+    from clever_canal_spark.operators.dedup import chunk_dup_fraction
+
+    rows = [
+        (1, "alpha header " + _PASSAGE * 3),
+        (2, "beta headline " + _PASSAGE * 3),
+        (3, "wholly original content about deep sea currents " * 6),
+    ]
+    ch = content_defined_chunks(_docs(spark, rows))
+    out = {r["doc_id"]: r for r in chunk_dup_fraction(ch).collect()}
+    assert out[3]["dup_len"] == 0 and out[3]["dup_frac_e6"] == 0
+    for d in (1, 2):
+        assert out[d]["dup_frac_e6"] > 500_000, out[d]
+        assert 0 < out[d]["dup_len"] <= out[d]["total_len"]
+    # a doc whose every chunk is unique still reports its full mass
+    assert out[3]["total_len"] > 0
