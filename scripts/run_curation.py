@@ -103,6 +103,13 @@ def main() -> None:
                    help="publish the output as N deterministic shards with an "
                         "integrity _MANIFEST.json (operators/publish.py) "
                         "instead of a bare parquet write; verified post-write")
+    p.add_argument("--chunk-dup-max-frac-e6", type=int, default=None,
+                   help="drop docs whose duplicated-chunk mass fraction "
+                        "exceeds this (ppm of chunk chars shared with any "
+                        "other doc; dedup.chunk_dup_fraction) — the "
+                        "threshold form of chunk dedup: kills mostly-"
+                        "syndicated pages but keeps originals that merely "
+                        "QUOTE a shared passage")
     p.add_argument("--split-ppm", default="",
                    help="assign a deterministic train/val/test split column "
                         "on the output, e.g. 'train=900000,val=50000,"
@@ -376,6 +383,22 @@ def main() -> None:
         corpus = corpus.join(losers, on="doc_id", how="left_anti").localCheckpoint()
         print(f"[curate] chunk dedup (shared >= {args.chunk_dup_min_shared}): "
               f"dropped {n_losers} shifted near-dups; {corpus.count()} docs kept")
+
+    if args.chunk_dup_max_frac_e6 is not None:
+        from clever_canal_spark.operators.dedup import (
+            chunk_dup_fraction,
+            content_defined_chunks,
+        )
+
+        frac = chunk_dup_fraction(content_defined_chunks(corpus))
+        heavy = frac.filter(
+            F.col("dup_frac_e6") > args.chunk_dup_max_frac_e6
+        ).select("doc_id")
+        n_heavy = heavy.count()
+        corpus = corpus.join(heavy, on="doc_id", how="left_anti").localCheckpoint()
+        print(f"[curate] chunk dup-fraction (> {args.chunk_dup_max_frac_e6} "
+              f"ppm): dropped {n_heavy} mostly-duplicated docs; "
+              f"{corpus.count()} docs kept")
 
     if args.span_ngram > 0:
         from clever_canal_spark.operators.dedup import cut_spans, dup_spans
