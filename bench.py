@@ -538,6 +538,45 @@ def _emit(out_fh, payload: dict) -> None:
     out_fh.flush()
 
 
+def _emit_compact(out_fh, payload: dict) -> None:
+    """Write the FULL payload to a detail file; print a COMPACT final line.
+
+    Rounds 2 and 3 both recorded ``"parsed": null`` in BENCH_r{N}.json:
+    the driver keeps only the TAIL of stdout, and the full payload (29
+    query timings + replay + scaling attempt history) had grown past that
+    window, so the captured tail began mid-JSON and never parsed. The fix
+    the r3 verdict asked for: persist everything to ``BENCH_detail.json``
+    and keep the single stdout line small (≲1.5 KB) — headline metric,
+    per-query seconds, and the scaling efficiency the north rule grades.
+    """
+    detail_path = os.path.join(REPO, "BENCH_detail.json")
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump(payload, fh, indent=1)
+    except OSError:
+        detail_path = None
+    scaling = payload.get("scaling") or {}
+    compact = {
+        "metric": payload["metric"],
+        "value": payload["value"],
+        "unit": payload["unit"],
+        "sf": payload["sf"],
+        "queries": payload["queries"],
+        "events_per_sec": payload["events_per_sec"],
+        "sustained_events_per_sec": payload.get("sustained_events_per_sec"),
+        "speedup_vs_python": payload.get("speedup_vs_python"),
+        "scaling": {
+            k: scaling.get(k)
+            for k in ("pair", "efficiency", "speedup", "efficiency_peak")
+            if k in scaling
+        }
+        or None,
+        "efficiency": scaling.get("efficiency"),
+        "detail_file": detail_path,
+    }
+    _emit(out_fh, compact)
+
+
 def main() -> None:
     out_fh = _claim_stdout()
     if len(sys.argv) >= 2 and sys.argv[1] == "--replay-probe":
@@ -641,7 +680,7 @@ def main() -> None:
         ),
         "scaling": scaling,
     }
-    _emit(out_fh, out)
+    _emit_compact(out_fh, out)
 
 
 if __name__ == "__main__":
