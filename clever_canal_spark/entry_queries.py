@@ -1450,7 +1450,7 @@ from .sources.flat_message import decode_value_expr  # noqa: E402
 # backticks, schema-qualified and bare names, IF [NOT] EXISTS, index DDL,
 # DML fallthrough). Dialect-neutral SQL (CASE/concat/CAST only).
 _DDL_TEXT_CASE = (
-    "CASE CAST(event_id % 16 AS INT) "
+    "CASE CAST(event_id % 17 AS INT) "
     "WHEN 0 THEN concat('ALTER TABLE cc.pages ADD COLUMN q', CAST(event_id % 3 AS STRING), ' double') "
     "WHEN 1 THEN 'ALTER TABLE `cc`.`pages` RENAME COLUMN lang TO language' "
     "WHEN 2 THEN 'alter table pages MODIFY COLUMN rank bigint' "
@@ -1474,13 +1474,16 @@ _DDL_TEXT_CASE = (
     # numeric DEFAULT on a quoted reserved-word column
     "WHEN 13 THEN concat('ALTER TABLE cc.pages ADD `key` int DEFAULT ', CAST(event_id % 2 AS STRING)) "
     "WHEN 14 THEN 'ALTER TABLE cc.pages CHANGE COLUMN lang language varchar(32)' "
+    # MariaDB IF [NOT] EXISTS forms (r3 verdict Wrong #1): the optional
+    # clause must be consumed, not parsed as a column named IF
+    "WHEN 15 THEN 'alter table cc.pages ADD COLUMN IF NOT EXISTS z int, DROP COLUMN IF EXISTS w' "
     "ELSE 'INSERT INTO cc.pages VALUES (1)' END"
 )
 
 _DDL_OUT_COLS = [
     "stmt_class", "schema_name", "table_name",
     "ddl_type", "ddl_column", "ddl_new_name", "ddl_new_type", "ddl_default",
-    "ddl_n_ops",
+    "ddl_n_ops", "ddl_n_index_ops",
 ]
 
 

@@ -82,6 +82,11 @@ class EventFilterConfig:
     filter_ddl: bool = False          # filterQueryDdl
     filter_rows: bool = False         # filterRows (drop all row events)
     drop_heartbeats: bool = True      # HeartBeatEntryEventHandler.java:15-35
+    # drop index-only DDL (the C_INDEX/D_INDEX event classes,
+    # EntryProtocol.proto:26-59 / DruidDdlParser.java:49-70) while keeping
+    # schema-evolution DDL — routes on the classified stmt_class when the
+    # frame carries one, else on classifying ddl_sql inline
+    filter_index_ddl: bool = False
 
 
 def qualified_name(df_schema_col: Column, table_col: Column) -> Column:
@@ -110,6 +115,18 @@ def apply_event_filters(df: DataFrame, cfg: EventFilterConfig) -> DataFrame:
         pred = pred & (F.col("kind") != F.lit("DDL"))
     if cfg.filter_rows:
         pred = pred & (F.col("kind") != F.lit(KIND_ROW))
+    if cfg.filter_index_ddl:
+        if "stmt_class" in df.columns:
+            cls = F.col("stmt_class")
+        else:
+            # classify inline from the DDL SQL text (JVM regexp CASE, same
+            # generated classifier as the cdc_ddl_parse oracle)
+            from .sources.ddl_sql import ddl_classify_exprs
+
+            cls = F.expr(ddl_classify_exprs("ddl_sql", "spark")["stmt_class"])
+        pred = pred & ~(
+            (F.col("kind") == F.lit("DDL")) & cls.isin("CINDEX", "DINDEX")
+        )
     return df.filter(pred)
 
 

@@ -65,7 +65,10 @@ DELETE_PAT = r"(?i)^DELETE\b"
 # not backtick-quoted — is discarded. (`ADD \`key\` int` stays a column:
 # quoting is how MySQL spells a reserved-word column.)
 ADD_COL_PAT = (
-    r"(?i)\bADD\s+(COLUMN\s+)?`?(\w+)`?\s+(\w+(\([0-9, ]+\))?)"
+    # MariaDB's `ADD [COLUMN] IF NOT EXISTS` is consumed NON-capturing so
+    # group numbers hold (the r3-verdict bug: `IF` parsed as the column
+    # name and the real column never reached the lake schema)
+    r"(?i)\bADD\s+(COLUMN\s+)?(?:IF\s+NOT\s+EXISTS\s+)?`?(\w+)`?\s+(\w+(\([0-9, ]+\))?)"
     r"((\s+NOT\s+NULL|\s+NULL|\s+UNSIGNED)*\s+DEFAULT\s+('[^']*'|[^\s,;]+))?"
 )
 
@@ -77,10 +80,24 @@ _DEFAULT_NON_CONSTANT = (
     "LOCALTIME", "LOCALTIMESTAMP", "CURRENT_DATE", "CURRENT_DATE()",
     "UUID()",
 )
-DROP_COL_PAT = r"(?i)\bDROP\s+(COLUMN\s+)?`?(\w+)`?"
+DROP_COL_PAT = r"(?i)\bDROP\s+(COLUMN\s+)?(?:IF\s+EXISTS\s+)?`?(\w+)`?"
 RENAME_COL_PAT = r"(?i)\bRENAME\s+COLUMN\s+`?(\w+)`?\s+TO\s+`?(\w+)`?"
 MODIFY_PAT = r"(?i)\bMODIFY\s+(COLUMN\s+)?`?(\w+)`?\s+(\w+(\([0-9, ]+\))?)"
 CHANGE_PAT = r"(?i)\bCHANGE\s+(COLUMN\s+)?`?(\w+)`?\s+`?(\w+)`?\s+(\w+(\([0-9, ]+\))?)"
+
+# ALTER-embedded index DDL → the reference's C_INDEX / D_INDEX event
+# classes (DruidDdlParser.java:49-70: SQLAlterTableAddIndex → C_INDEX,
+# AddConstraint-with-SQLUnique → C_INDEX, DropIndex/DropKey/DropConstraint
+# → D_INDEX; DROP PRIMARY KEY / FOREIGN KEY / CHECK fall to plain ALTER).
+# A pure-index ALTER classifies as CINDEX/DINDEX so event-class consumers
+# can route on it; mixed statements stay ALTER (column evolution wins) with
+# the index clauses still counted in ddl_n_index_ops.
+ADD_INDEX_CLAUSE_PAT = (
+    r"(?i)\bADD\s+(?:(?:UNIQUE|FULLTEXT|SPATIAL|PRIMARY)\s+)?(?:INDEX|KEY)\b"
+    r"|\bADD\s+UNIQUE\b"
+    r"|\bADD\s+CONSTRAINT\s+(?:`?\w+`?\s+)?UNIQUE\b"
+)
+DROP_INDEX_CLAUSE_PAT = r"(?i)\bDROP\s+(?:INDEX|KEY|CONSTRAINT)\b"
 
 # name tokens that mean the ADD/DROP clause is index/constraint/partition
 # DDL, not a column op (SimpleDdlParser passes these through untyped)
@@ -158,20 +175,6 @@ def ddl_classify_exprs(sql_col: str, dialect: str, default_schema: str = "") -> 
     def m(pat: str) -> str:
         return f"({ex(pat, 0)} != '')"
 
-    stmt_class = (
-        "CASE "
-        f"WHEN {m(ALTER_PAT)} THEN 'ALTER' "
-        f"WHEN {m(CINDEX_PAT)} THEN 'CINDEX' "
-        f"WHEN {m(DINDEX_PAT)} THEN 'DINDEX' "
-        f"WHEN {m(CREATE_PAT)} THEN 'CREATE' "
-        f"WHEN {m(DROP_PAT)} THEN 'ERASE' "
-        f"WHEN {m(TRUNCATE_PAT)} THEN 'TRUNCATE' "
-        f"WHEN {m(RENAME_PAT)} THEN 'RENAME' "
-        f"WHEN {m(INSERT_PAT)} THEN 'INSERT' "
-        f"WHEN {m(UPDATE_PAT)} THEN 'UPDATE' "
-        f"WHEN {m(DELETE_PAT)} THEN 'DELETE' "
-        "ELSE 'QUERY' END"
-    )
     # raw table token per class (backticks stripped after)
     raw_ref = (
         "CASE "
@@ -221,6 +224,31 @@ def ddl_classify_exprs(sql_col: str, dialect: str, default_schema: str = "") -> 
     rens = clause_arr(RENAME_COL_PAT)
     mods = clause_arr(MODIFY_PAT)
     chgs = clause_arr(CHANGE_PAT)
+
+    # ALTER-embedded index clauses (C_INDEX/D_INDEX channel)
+    idx_adds = f"regexp_extract_all({c}, {_p(ADD_INDEX_CLAUSE_PAT, dialect)}, 0)"
+    idx_drops = f"regexp_extract_all({c}, {_p(DROP_INDEX_CLAUSE_PAT, dialect)}, 0)"
+    n_col_ops = (
+        f"({alen(adds)} + {alen(drops)} + {alen(rens)} + {alen(mods)} + {alen(chgs)})"
+    )
+    stmt_class = (
+        "CASE "
+        # pure-index ALTER → the event class the reference's Druid parser
+        # emits for that alter item (CINDEX wins when both kinds appear)
+        f"WHEN {is_alter} AND {n_col_ops} = 0 AND {alen(idx_adds)} > 0 THEN 'CINDEX' "
+        f"WHEN {is_alter} AND {n_col_ops} = 0 AND {alen(idx_drops)} > 0 THEN 'DINDEX' "
+        f"WHEN {is_alter} THEN 'ALTER' "
+        f"WHEN {m(CINDEX_PAT)} THEN 'CINDEX' "
+        f"WHEN {m(DINDEX_PAT)} THEN 'DINDEX' "
+        f"WHEN {m(CREATE_PAT)} THEN 'CREATE' "
+        f"WHEN {m(DROP_PAT)} THEN 'ERASE' "
+        f"WHEN {m(TRUNCATE_PAT)} THEN 'TRUNCATE' "
+        f"WHEN {m(RENAME_PAT)} THEN 'RENAME' "
+        f"WHEN {m(INSERT_PAT)} THEN 'INSERT' "
+        f"WHEN {m(UPDATE_PAT)} THEN 'UPDATE' "
+        f"WHEN {m(DELETE_PAT)} THEN 'DELETE' "
+        "ELSE 'QUERY' END"
+    )
 
     def first_grp(arr: str, pat: str, grp: int) -> str:
         return f"regexp_extract({afirst(arr)}, {_p(pat, dialect)}, {grp})"
@@ -294,6 +322,12 @@ def ddl_classify_exprs(sql_col: str, dialect: str, default_schema: str = "") -> 
         "ddl_new_type": _type_case_sql(raw_type),
         "ddl_default": ddl_default,
         "ddl_n_ops": f"CAST({n_ops} AS BIGINT)",
+        # index clauses counted separately: mixed ALTERs stay class ALTER
+        # but consumers routing on the C_INDEX/D_INDEX signal still see it
+        "ddl_n_index_ops": (
+            f"CAST(CASE WHEN {is_alter} THEN {alen(idx_adds)} + {alen(idx_drops)} "
+            "ELSE 0 END AS BIGINT)"
+        ),
     }
 
 
@@ -366,6 +400,15 @@ def _clause_ops(s: str) -> list[dict]:
     return [op for _, op in sorted(found, key=lambda t: t[0])]
 
 
+def _index_clause_ops(s: str) -> list[str]:
+    """ALTER-embedded index clauses in position order: 'CINDEX' per
+    ADD INDEX/KEY/UNIQUE/PRIMARY KEY/CONSTRAINT-UNIQUE clause, 'DINDEX'
+    per DROP INDEX/KEY/CONSTRAINT (DruidDdlParser.java:49-70)."""
+    found = [(mm.start(), "CINDEX") for mm in re.finditer(ADD_INDEX_CLAUSE_PAT, s)]
+    found += [(mm.start(), "DINDEX") for mm in re.finditer(DROP_INDEX_CLAUSE_PAT, s)]
+    return [k for _, k in sorted(found)]
+
+
 # flat-field precedence by source pattern — mirrors ddl_classify_exprs'
 # CASE order exactly (RENAME-pattern clauses outrank CHANGE-pattern ones
 # even though both produce DDL_RENAME_COLUMN ops)
@@ -384,7 +427,7 @@ def parse_ddl(sql: str, default_schema: str = "") -> dict:
     out = {
         "stmt_class": "QUERY", "schema_name": "", "table_name": "",
         "ddl_type": None, "ddl_column": None, "ddl_new_name": None,
-        "ddl_new_type": None, "ddl_default": None, "ops": [],
+        "ddl_new_type": None, "ddl_default": None, "ops": [], "index_ops": [],
     }
     for cls, pat, grp in (
         ("ALTER", ALTER_PAT, 2), ("CINDEX", CINDEX_PAT, 2), ("DINDEX", DINDEX_PAT, 1),
@@ -410,6 +453,14 @@ def parse_ddl(sql: str, default_schema: str = "") -> dict:
     if out["stmt_class"] == "ALTER":
         ops = _clause_ops(s)
         out["ops"] = [{k: v for k, v in o.items() if k != "_src"} for o in ops]
+        out["index_ops"] = _index_clause_ops(s)
+        if not ops and out["index_ops"]:
+            # pure-index ALTER reclassifies to the event class (CINDEX wins
+            # on a mixed add/drop statement — matches the vectorized CASE)
+            out["stmt_class"] = (
+                "CINDEX" if "CINDEX" in out["index_ops"] else "DINDEX"
+            )
+            return out
         for want in _FLAT_PRECEDENCE:
             first = next((o for o in ops if o["_src"] == want), None)
             if first is not None:

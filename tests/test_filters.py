@@ -125,3 +125,31 @@ def test_event_class_filters(spark):
     cfg = EventFilterConfig(filter_dml_insert=True, drop_heartbeats=True)
     got = {r["lsn"] for r in apply_event_filters(df, cfg).collect()}
     assert got == {2, 3}
+
+
+def test_index_ddl_event_class_routing(spark):
+    """CINDEX/DINDEX events (ALTER-embedded index DDL included) route
+    through filter_index_ddl; schema-evolution DDL and row events pass."""
+    from clever_canal_spark.model import KIND_ROW
+
+    rows = [
+        (1, "DDL", "ALTER TABLE s.t ADD COLUMN q double"),        # keep
+        (2, "DDL", "ALTER TABLE s.t ADD INDEX idx_u (url)"),      # drop (CINDEX)
+        (3, "DDL", "ALTER TABLE s.t DROP INDEX idx_u"),           # drop (DINDEX)
+        (4, "DDL", "CREATE UNIQUE INDEX i ON s.t (url)"),         # drop (CINDEX)
+        (5, "DDL", "DROP INDEX i ON s.t"),                        # drop (DINDEX)
+        (6, "DDL", "ALTER TABLE s.t DROP PRIMARY KEY"),           # keep (ALTER)
+        (7, KIND_ROW, None),                                      # keep
+    ]
+    df = spark.createDataFrame(
+        rows, "lsn long, kind string, ddl_sql string"
+    ).withColumn("schema_name", F.lit("s")).withColumn("table_name", F.lit("t"))
+    cfg = EventFilterConfig(filter_index_ddl=True, drop_heartbeats=False)
+    got = {r["lsn"] for r in apply_event_filters(df, cfg).collect()}
+    assert got == {1, 6, 7}
+    # pre-classified frames route on the existing stmt_class column
+    from clever_canal_spark.sources.ddl_sql import classify_ddl
+
+    pre = classify_ddl(df.filter(F.col("kind") == "DDL"), "ddl_sql", "s")
+    got2 = {r["lsn"] for r in apply_event_filters(pre, cfg).collect()}
+    assert got2 == {1, 6}

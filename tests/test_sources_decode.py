@@ -66,6 +66,19 @@ STATEMENTS = [
     "ALTER TABLE cc.pages ADD COLUMN ts datetime DEFAULT CURRENT_TIMESTAMP",
     "ALTER TABLE cc.pages ADD COLUMN n int DEFAULT NULL",
     "ALTER TABLE cc.pages ADD COLUMN a int DEFAULT 1, ADD COLUMN b text DEFAULT 'x'",
+    # MariaDB IF [NOT] EXISTS forms (the round-3 verdict's classifier edge:
+    # `IF` must never parse as a column name)
+    "alter table cc.pages add column IF NOT EXISTS z int",
+    "ALTER TABLE cc.pages ADD IF NOT EXISTS z2 bigint DEFAULT 9",
+    "ALTER TABLE cc.pages DROP COLUMN IF EXISTS w",
+    "ALTER TABLE cc.pages DROP IF EXISTS w2",
+    "ALTER TABLE cc.pages ADD COLUMN IF NOT EXISTS `key` int DEFAULT 3",
+    "ALTER TABLE cc.pages ADD COLUMN IF NOT EXISTS a int, DROP COLUMN IF EXISTS b",
+    # pure-index ALTERs reclassify to the CINDEX/DINDEX event class
+    "ALTER TABLE cc.pages ADD UNIQUE (url)",
+    "ALTER TABLE cc.pages ADD CONSTRAINT uq UNIQUE (url)",
+    "ALTER TABLE cc.pages DROP CONSTRAINT uq",
+    "ALTER TABLE t ADD INDEX i (c), DROP KEY k, ADD COLUMN x int",
 ]
 
 
@@ -90,6 +103,7 @@ def test_python_twin_matches_sql_classifier(spark):
         assert g["ddl_new_type"] == (p["ddl_new_type"] or ""), s
         assert g["ddl_default"] == (p["ddl_default"] or ""), s
         assert g["ddl_n_ops"] == len(p["ops"]), s
+        assert g["ddl_n_index_ops"] == len(p["index_ops"]), s
 
 
 def test_duckdb_dialect_matches_twin():
@@ -109,7 +123,7 @@ def test_duckdb_dialect_matches_twin():
         want = (p["stmt_class"], p["schema_name"], p["table_name"],
                 p["ddl_type"] or "", p["ddl_column"] or "",
                 p["ddl_new_name"] or "", p["ddl_new_type"] or "",
-                p["ddl_default"] or "", len(p["ops"]))
+                p["ddl_default"] or "", len(p["ops"]), len(p["index_ops"]))
         assert tuple(row) == want, (s, row, want)
 
 
@@ -121,28 +135,41 @@ def test_adversarial_ddl_hand_written_expectations():
     independent check. (This is how the round-2 ADD INDEX→ADD_COLUMN bug
     slipped through the all-green oracle.)"""
     cases = {
-        # index/constraint DDL: ALTER class, NO column op
-        "ALTER TABLE cc.pages ADD INDEX idx_u (url)": (None, None, None, 0),
-        "ALTER TABLE cc.pages ADD PRIMARY KEY (url)": (None, None, None, 0),
-        "ALTER TABLE cc.pages ADD CONSTRAINT ck CHECK (rank > 0)": (None, None, None, 0),
-        "ALTER TABLE cc.pages ADD UNIQUE KEY uq (url)": (None, None, None, 0),
-        "ALTER TABLE cc.pages ADD FULLTEXT INDEX ft (text)": (None, None, None, 0),
-        "ALTER TABLE cc.pages ADD SPATIAL INDEX sp (geom)": (None, None, None, 0),
-        "ALTER TABLE cc.pages ADD FOREIGN KEY (uid) REFERENCES u(id)": (None, None, None, 0),
-        "ALTER TABLE cc.pages ADD PARTITION (PARTITION p1 VALUES LESS THAN (10))": (None, None, None, 0),
-        "ALTER TABLE cc.pages DROP PRIMARY KEY": (None, None, None, 0),
-        "ALTER TABLE cc.pages DROP INDEX idx_u": (None, None, None, 0),
-        "ALTER TABLE cc.pages DROP FOREIGN KEY fk_x": (None, None, None, 0),
-        "ALTER TABLE cc.pages DROP KEY k_u": (None, None, None, 0),
+        # index/constraint DDL: NO column op; pure-index ALTERs reclassify
+        # to the C_INDEX/D_INDEX event class (DruidDdlParser.java:49-70);
+        # forms Druid routes to plain ALTER (primary/foreign/check/
+        # partition) stay ALTER
+        "ALTER TABLE cc.pages ADD INDEX idx_u (url)": ("CINDEX", None, None, None, 0),
+        "ALTER TABLE cc.pages ADD PRIMARY KEY (url)": ("CINDEX", None, None, None, 0),
+        "ALTER TABLE cc.pages ADD CONSTRAINT ck CHECK (rank > 0)": ("ALTER", None, None, None, 0),
+        "ALTER TABLE cc.pages ADD CONSTRAINT uq UNIQUE (url)": ("CINDEX", None, None, None, 0),
+        "ALTER TABLE cc.pages ADD UNIQUE (url)": ("CINDEX", None, None, None, 0),
+        "ALTER TABLE cc.pages ADD UNIQUE KEY uq (url)": ("CINDEX", None, None, None, 0),
+        "ALTER TABLE cc.pages ADD FULLTEXT INDEX ft (text)": ("CINDEX", None, None, None, 0),
+        "ALTER TABLE cc.pages ADD SPATIAL INDEX sp (geom)": ("CINDEX", None, None, None, 0),
+        "ALTER TABLE cc.pages ADD FOREIGN KEY (uid) REFERENCES u(id)": ("ALTER", None, None, None, 0),
+        "ALTER TABLE cc.pages ADD PARTITION (PARTITION p1 VALUES LESS THAN (10))": ("ALTER", None, None, None, 0),
+        "ALTER TABLE cc.pages DROP PRIMARY KEY": ("ALTER", None, None, None, 0),
+        "ALTER TABLE cc.pages DROP INDEX idx_u": ("DINDEX", None, None, None, 0),
+        "ALTER TABLE cc.pages DROP FOREIGN KEY fk_x": ("ALTER", None, None, None, 0),
+        "ALTER TABLE cc.pages DROP KEY k_u": ("DINDEX", None, None, None, 0),
+        "ALTER TABLE cc.pages DROP CONSTRAINT uq": ("DINDEX", None, None, None, 0),
         # quoted reserved words ARE columns
-        "ALTER TABLE cc.pages ADD `key` int": ("ADD_COLUMN", "key", "int", 1),
-        "ALTER TABLE cc.pages ADD `index` bigint": ("ADD_COLUMN", "index", "bigint", 1),
+        "ALTER TABLE cc.pages ADD `key` int": ("ALTER", "ADD_COLUMN", "key", "int", 1),
+        "ALTER TABLE cc.pages ADD `index` bigint": ("ALTER", "ADD_COLUMN", "index", "bigint", 1),
         # plain column ops
-        "ALTER TABLE cc.pages ADD COLUMN q double": ("ADD_COLUMN", "q", "double", 1),
-        "ALTER TABLE cc.pages ADD q2 float": ("ADD_COLUMN", "q2", "float", 1),
-        "ALTER TABLE cc.pages DROP COLUMN stale": ("DROP_COLUMN", "stale", None, 1),
-        "ALTER TABLE cc.pages DROP stale": ("DROP_COLUMN", "stale", None, 1),
-        "ALTER TABLE cc.pages MODIFY rank bigint": ("WIDEN_TYPE", "rank", "bigint", 1),
+        "ALTER TABLE cc.pages ADD COLUMN q double": ("ALTER", "ADD_COLUMN", "q", "double", 1),
+        "ALTER TABLE cc.pages ADD q2 float": ("ALTER", "ADD_COLUMN", "q2", "float", 1),
+        "ALTER TABLE cc.pages DROP COLUMN stale": ("ALTER", "DROP_COLUMN", "stale", None, 1),
+        "ALTER TABLE cc.pages DROP stale": ("ALTER", "DROP_COLUMN", "stale", None, 1),
+        "ALTER TABLE cc.pages MODIFY rank bigint": ("ALTER", "WIDEN_TYPE", "rank", "bigint", 1),
+        # MariaDB IF [NOT] EXISTS: the optional clause is consumed, the real
+        # column name (not `IF`) reaches the schema op (r3 verdict Wrong #1)
+        "alter table cc.pages add column IF NOT EXISTS z int": ("ALTER", "ADD_COLUMN", "z", "int", 1),
+        "ALTER TABLE cc.pages ADD IF NOT EXISTS z2 bigint": ("ALTER", "ADD_COLUMN", "z2", "bigint", 1),
+        "ALTER TABLE cc.pages ADD COLUMN IF NOT EXISTS `key` int": ("ALTER", "ADD_COLUMN", "key", "int", 1),
+        "ALTER TABLE cc.pages DROP COLUMN IF EXISTS w": ("ALTER", "DROP_COLUMN", "w", None, 1),
+        "ALTER TABLE cc.pages DROP IF EXISTS w2": ("ALTER", "DROP_COLUMN", "w2", None, 1),
     }
     # DEFAULT literals, hand-written (independent of all three evaluators)
     default_cases = {
@@ -158,13 +185,19 @@ def test_adversarial_ddl_hand_written_expectations():
         assert pd["ddl_type"] == "ADD_COLUMN", s2
         assert pd["ddl_default"] == want_default, (s2, pd["ddl_default"])
         assert pd["ops"][0]["ddl_default"] == want_default, s2
-    for s, (typ, col, new_type, n_ops) in cases.items():
+    for s, (cls, typ, col, new_type, n_ops) in cases.items():
         p = parse_ddl(s, default_schema="cc")
-        assert p["stmt_class"] == "ALTER", s
+        assert p["stmt_class"] == cls, (s, p)
         assert p["ddl_type"] == typ, (s, p)
         assert p["ddl_column"] == col, (s, p)
         assert p["ddl_new_type"] == new_type, (s, p)
         assert len(p["ops"]) == n_ops, (s, p)
+    # index-op channel: position-ordered event classes, mixed stays ALTER
+    assert parse_ddl("ALTER TABLE t ADD INDEX i (c)", "cc")["index_ops"] == ["CINDEX"]
+    pmix = parse_ddl("ALTER TABLE t ADD INDEX i (c), DROP KEY k, ADD COLUMN x int", "cc")
+    assert pmix["stmt_class"] == "ALTER"
+    assert pmix["index_ops"] == ["CINDEX", "DINDEX"]
+    assert [(o["ddl_type"], o["ddl_column"]) for o in pmix["ops"]] == [("ADD_COLUMN", "x")]
 
 
 def test_multi_clause_alter_ops_hand_written():
