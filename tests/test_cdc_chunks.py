@@ -151,3 +151,42 @@ def test_chunk_dup_fraction_hand_pinned(spark):
         assert 0 < out[d]["dup_len"] <= out[d]["total_len"]
     # a doc whose every chunk is unique still reports its full mass
     assert out[3]["total_len"] > 0
+
+
+def test_rolling_expr_matches_spec_expr_hypothesis(spark):
+    """The O(len) rolling-recurrence cut expression must be bit-identical
+    to the O(len·w) windowed spec expression (_cdc_cut_ends_expr — the
+    shared-dialect form the DuckDB oracles replay). Hypothesis corpus in
+    ONE Spark job: unicode, quotes, newlines, boundary lengths w−1/w/w+1."""
+    from hypothesis import given, settings, strategies as st
+
+    from clever_canal_spark.operators.dedup import (
+        _cdc_cut_ends_expr,
+        _cdc_cut_ends_rolling_expr,
+    )
+
+    collected = []
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(alphabet=st.characters(codec="utf-8"), max_size=90))
+    def _collect(t):
+        collected.append(t)
+
+    _collect()
+    texts = collected + ["", "x" * 15, "y" * 16, "z" * 17, _PASSAGE]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    chars = "transform(split(text, ''), ch -> CAST(ascii(ch) AS BIGINT))"
+    both = (
+        df.select("doc_id", "text", F.expr(chars).alias("__chars"))
+        .select(
+            "doc_id",
+            F.expr(_cdc_cut_ends_expr("text")).alias("spec"),
+            F.expr(_cdc_cut_ends_rolling_expr("__chars")).alias("rolling"),
+        )
+        .collect()
+    )
+    assert len(both) == len(texts)
+    for r in both:
+        assert r["spec"] == r["rolling"], (r["doc_id"], texts[r["doc_id"]])
