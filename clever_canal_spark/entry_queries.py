@@ -1657,6 +1657,119 @@ def _split_top_level(select_list: str) -> list[str]:
 
 
 # --------------------------------------------------------------------------
+# EL-style value filter (round-4, AviaterELFilter analog)
+# --------------------------------------------------------------------------
+
+_EL_TABLE = "CASE CAST(event_id % 3 AS INT) WHEN 0 THEN 'pages' WHEN 1 THEN 'other' ELSE 'misc' END"
+_EL_PRED = "table_name = 'pages' AND user_id % 7 != 0 AND event_type != 'click'"
+
+
+@register(
+    "cdc_event_el_filter",
+    f"""
+    WITH ev AS (
+      SELECT event_id AS lsn, 'ROW' AS kind, 'cc' AS schema_name,
+             {_EL_TABLE} AS table_name, user_id, event_type
+      FROM events
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept,
+           max(lsn) AS last_lsn
+    FROM ev WHERE {_EL_PRED} GROUP BY event_type
+    """,
+)
+def q_cdc_event_el_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EL-style value-predicate filter (AviaterELFilter.java:1-34 — the
+    config surface operators use to filter entries on field VALUES, not
+    just names): a validated boolean SQL expression in EventFilterConfig,
+    applied inside the same early pushable filter block as the table
+    filters (pre-UDF placement plan-asserted in tests/test_filters.py).
+    The oracle is an independent plain WHERE over the same predicate —
+    NULL-drop semantics match SQL's."""
+    from .filters import EventFilterConfig, apply_event_filters
+
+    ev = _events(spark, sf_dir)
+    frame = ev.select(
+        F.col("event_id").alias("lsn"),
+        F.lit("ROW").alias("kind"),
+        F.lit("cc").alias("schema_name"),
+        F.expr(_EL_TABLE).alias("table_name"),
+        "user_id", "event_type",
+    )
+    cfg = EventFilterConfig(el_filter=_EL_PRED, drop_heartbeats=False)
+    return apply_event_filters(frame, cfg).groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.max("lsn").alias("last_lsn"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Charset seam + YEAR/TIME decode (round-4)
+# --------------------------------------------------------------------------
+
+from .sources.flat_message import malformed_value_expr  # noqa: E402
+
+# wire fixtures: a latin1 TEXT column (bytes latin-1-escaped — chr(233) =
+# 'é' in both dialects), a YEAR with a malformed residue class, a TIME
+# with sign/fraction variation and a malformed class
+_CS_WIRE = (
+    "concat('caf', chr(233), '-', CAST(event_id % 10 AS STRING))",
+    "CASE WHEN event_id % 13 = 0 THEN 'bad' ELSE CAST(1990 + event_id % 40 AS STRING) END",
+    "CASE WHEN event_id % 17 = 0 THEN 'oops' ELSE concat("
+    "CASE WHEN event_id % 2 = 1 THEN '-' ELSE '' END, "
+    "CAST(event_id % 800 AS STRING), ':', "
+    "lpad(CAST(event_id % 60 AS STRING), 2, '0'), ':', "
+    "lpad(CAST(event_id % 59 AS STRING), 2, '0'), "
+    "CASE WHEN event_id % 3 = 0 THEN concat('.', CAST(event_id % 10 AS STRING)) ELSE '' END"
+    ") END",
+)
+
+
+def _charset_decode_sql(dialect: str) -> str:
+    w, y, t = _CS_WIRE
+    return (
+        f"{decode_value_expr('(' + w + ')', 'text character set latin1', dialect)} AS txt_dec, "
+        f"{decode_value_expr('(' + y + ')', 'year', dialect)} AS year_dec, "
+        f"{decode_value_expr('(' + t + ')', 'time', dialect)} AS time_dec, "
+        f"({malformed_value_expr('(' + y + ')', 'year')}"
+        f" OR {malformed_value_expr('(' + t + ')', 'time')}) AS dlq"
+    )
+
+
+@register(
+    "cdc_charset_decode",
+    f"""
+    WITH dec AS (SELECT event_id, {_charset_decode_sql("duckdb")} FROM events)
+    SELECT CAST(event_id % 8 AS INT) AS g,
+           min(txt_dec) AS min_txt, max(txt_dec) AS max_txt,
+           CAST(sum(year_dec) AS BIGINT) AS sum_year,
+           CAST(sum(time_dec) AS BIGINT) AS sum_time_micros,
+           CAST(sum(CASE WHEN dlq THEN 1 ELSE 0 END) AS BIGINT) AS n_dlq,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM dec GROUP BY g
+    """,
+)
+def q_cdc_charset_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column charset seam + YEAR/TIME typed decode (r3 verdict
+    Missing #3/#5; CharsetConversion.java:1-389, RowsLogBuffer.java:
+    191-211): a latin1 TEXT column decodes through the byte-recovering
+    ``decode(encode(v,'ISO-8859-1'), cs)`` (the DuckDB twin is the
+    latin1 roundtrip identity — values hash-match iff the roundtrip
+    preserves every byte); YEAR → INT and TIME → microseconds BIGINT run
+    the same shared-dialect expression in both engines, with malformed
+    values flagged to the DLQ, never thrown."""
+    ev = _events(spark, sf_dir)
+    dec = ev.selectExpr("event_id", *_split_top_level(_charset_decode_sql("spark")))
+    return dec.groupBy((F.col("event_id") % 8).cast("int").alias("g")).agg(
+        F.min("txt_dec").alias("min_txt"),
+        F.max("txt_dec").alias("max_txt"),
+        F.sum("year_dec").cast("bigint").alias("sum_year"),
+        F.sum("time_dec").cast("bigint").alias("sum_time_micros"),
+        F.sum(F.when(F.col("dlq"), 1).otherwise(0)).cast("bigint").alias("n_dlq"),
+        F.count("*").cast("bigint").alias("n_rows"),
+    )
+
+
+# --------------------------------------------------------------------------
 # MySQL JSON columns (round-4): typed access + partial-update diff apply
 # --------------------------------------------------------------------------
 

@@ -87,10 +87,38 @@ class EventFilterConfig:
     # schema-evolution DDL — routes on the classified stmt_class when the
     # frame carries one, else on classifying ddl_sql inline
     filter_index_ddl: bool = False
+    # EL-style value predicate (AviaterELFilter.java:1-34): a boolean SQL
+    # expression over event columns, e.g.
+    # "schema_name = 'cc' AND coalesce(after.lang, '') != 'xx'".
+    # Validated at apply time (must analyze against the frame AND be
+    # boolean-typed — a typo'd column or non-boolean expression raises,
+    # never silently drops everything); NULL evaluates to drop, matching
+    # Aviater's boolean contract. Joined into the same pushable predicate
+    # as the table filters, so it stays BEFORE every UDF in the plan.
+    el_filter: str = ""
 
 
 def qualified_name(df_schema_col: Column, table_col: Column) -> Column:
     return F.concat_ws(".", df_schema_col, table_col)
+
+
+def compile_el_predicate(df: DataFrame, el: str) -> Column:
+    """Validate + compile an EL-style value predicate
+    (AviaterELFilter.java:1-34: operators filter entries on field-value
+    expressions via config). Validation is analysis-only (no job): the
+    expression must resolve against the frame and type as BOOLEAN —
+    anything else raises ValueError naming the expression, instead of a
+    runtime surprise deep in a stream. NULL → drop (null-safe equality
+    with true), matching the reference's boolean filter contract."""
+    try:
+        dt = df.select(F.expr(el).alias("__el")).schema[0].dataType
+    except Exception as e:  # Parse/AnalysisException subclasses vary by path
+        raise ValueError(
+            f"el_filter does not analyze against the frame: {el!r}: {e}"
+        ) from e
+    if dt.typeName() != "boolean":
+        raise ValueError(f"el_filter must be boolean, got {dt.simpleString()}: {el!r}")
+    return F.expr(el).eqNullSafe(F.lit(True))
 
 
 def apply_event_filters(df: DataFrame, cfg: EventFilterConfig) -> DataFrame:
@@ -115,6 +143,8 @@ def apply_event_filters(df: DataFrame, cfg: EventFilterConfig) -> DataFrame:
         pred = pred & (F.col("kind") != F.lit("DDL"))
     if cfg.filter_rows:
         pred = pred & (F.col("kind") != F.lit(KIND_ROW))
+    if cfg.el_filter:
+        pred = pred & compile_el_predicate(df, cfg.el_filter)
     if cfg.filter_index_ddl:
         if "stmt_class" in df.columns:
             cls = F.col("stmt_class")

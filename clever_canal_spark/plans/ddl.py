@@ -20,6 +20,7 @@ from ..model import (
     DDL_ADD_COLUMN,
     DDL_DROP_COLUMN,
     DDL_RENAME_COLUMN,
+    DDL_RETYPE,
     DDL_TRUNCATE,
     DDL_WIDEN_TYPE,
 )
@@ -133,19 +134,21 @@ def _apply_one(table: LakeTable, op: dict, ddl_row: dict) -> bool:
                 table.widen_column(op["ddl_new_name"], nt)
                 widened = True
         return renamed or widened
-    if t == DDL_WIDEN_TYPE:
+    if t in (DDL_WIDEN_TYPE, DDL_RETYPE):
         cur = names.get(op["ddl_column"])
         if cur is None:
             raise ValueError(f"widen of unknown column {op['ddl_column']}")
         if cur["type"] == op["ddl_new_type"]:
             return False
-        if ddl_row.get("ddl_sql") and (
+        if (t == DDL_RETYPE or ddl_row.get("ddl_sql")) and (
             cur["type"], op["ddl_new_type"]
         ) not in _widen_ok():
-            # SQL channel (MODIFY/CHANGE from a real binlog): a non-widening
-            # retype is a no-op for the lake schema, same as the CHANGE
-            # branch — a valid upstream statement must never crash the
-            # apply loop. Direct structured WIDEN_TYPE keeps the hard error.
+            # RETYPE (the SQL-channel MODIFY tag — classifier cannot know
+            # widen-ness without the live schema) and SQL-text rows: a
+            # non-widening retype is a validated no-op for the lake schema
+            # — a valid upstream statement must never crash the apply
+            # loop; consumers alert on the refused RETYPE via the tag.
+            # Direct structured WIDEN_TYPE keeps the hard error.
             return False
         table.widen_column(op["ddl_column"], op["ddl_new_type"])
         return True

@@ -27,7 +27,12 @@ from __future__ import annotations
 
 import re
 
-from ..model import DDL_ADD_COLUMN, DDL_DROP_COLUMN, DDL_RENAME_COLUMN, DDL_WIDEN_TYPE
+from ..model import (
+    DDL_ADD_COLUMN,
+    DDL_DROP_COLUMN,
+    DDL_RENAME_COLUMN,
+    DDL_RETYPE,
+)
 
 # ---------------------------------------------------------------------------
 # Shared pattern source (written in DuckDB/RE2-compatible syntax with single
@@ -271,7 +276,7 @@ def ddl_classify_exprs(sql_col: str, dialect: str, default_schema: str = "") -> 
         f"WHEN {drop_col} != '' THEN '{DDL_DROP_COLUMN}' "
         f"WHEN {ren_old} != '' THEN '{DDL_RENAME_COLUMN}' "
         f"WHEN {chg_old} != '' THEN '{DDL_RENAME_COLUMN}' "
-        f"WHEN {mod_col} != '' THEN '{DDL_WIDEN_TYPE}' "
+        f"WHEN {mod_col} != '' THEN '{DDL_RETYPE}' "
         "ELSE '' END"
     )
     ddl_column = (
@@ -387,7 +392,7 @@ def _clause_ops(s: str) -> list[dict]:
         }))
     for mm in re.finditer(MODIFY_PAT, s):
         found.append((mm.start(), {
-            "ddl_type": DDL_WIDEN_TYPE, "ddl_column": mm.group(2),
+            "ddl_type": DDL_RETYPE, "ddl_column": mm.group(2),
             "ddl_new_name": None, "ddl_new_type": _engine_type(mm.group(3)),
             "_src": "mod",
         }))

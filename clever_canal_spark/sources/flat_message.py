@@ -19,6 +19,8 @@ DuckDB oracle replays the exact same ladder.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, functions as F, types as T
 
 # FlatMessage-shaped feed (FlatMessage.java:10-35): one row per message,
@@ -52,8 +54,107 @@ _UNSIGNED_OFFSET = {
     "bigint": 18446744073709551616,
 }
 
+# MySQL charset name → (Spark-native decode() charset | None, Python codec).
+# The reference maps 200+ MySQL charsets to Java charset names
+# (CharsetConversion.java:1-389); this covers the names that occur on
+# column definitions. Spark 4 restricts decode()/encode() to seven
+# charsets — anything outside that set routes through the Arrow codec UDF
+# (:func:`decode_charset_udf`). Wire contract: non-UTF-8 TEXT columns ship
+# their raw bytes latin-1-escaped in the string (the same ISO-8859-1
+# byte-preserving trick the BLOB path uses, LogEventConvert.java:767-771).
+_MYSQL_CHARSETS = {
+    "latin1": ("ISO-8859-1", "latin-1"),
+    "ascii": ("US-ASCII", "ascii"),
+    "utf8": ("UTF-8", "utf-8"),
+    "utf8mb3": ("UTF-8", "utf-8"),
+    "utf8mb4": ("UTF-8", "utf-8"),
+    "utf16": ("UTF-16", "utf-16"),
+    "utf16le": ("UTF-16LE", "utf-16-le"),
+    "ucs2": ("UTF-16BE", "utf-16-be"),
+    "utf32": ("UTF-32", "utf-32"),
+    "gbk": (None, "gbk"),
+    "gb2312": (None, "gb2312"),
+    "gb18030": (None, "gb18030"),
+    "big5": (None, "big5"),
+    "sjis": (None, "shift_jis"),
+    "cp932": (None, "cp932"),
+    "ujis": (None, "euc-jp"),
+    "euckr": (None, "euc-kr"),
+    "latin2": (None, "iso8859-2"),
+    "latin5": (None, "iso8859-9"),
+    "greek": (None, "iso8859-7"),
+    "hebrew": (None, "iso8859-8"),
+    "cp1250": (None, "cp1250"),
+    "cp1251": (None, "cp1251"),
+    "cp1256": (None, "cp1256"),
+    "cp1257": (None, "cp1257"),
+    "tis620": (None, "tis-620"),
+    "koi8r": (None, "koi8-r"),
+}
 
-def decode_value_expr(value_expr: str, mysql_type: str) -> str:
+# the default: feeds ship UTF-8 text as proper strings, no conversion
+_UTF8_FAMILY = ("utf8", "utf8mb3", "utf8mb4")
+
+_TEXT_BASES = (
+    "char", "varchar", "text", "tinytext", "mediumtext", "longtext",
+    "enum", "set",
+)
+
+_CHARSET_PAT = re.compile(r"(?:character\s+set|charset)[\s=]+(\w+)", re.IGNORECASE)
+
+
+def column_charset(mysql_type: str) -> str | None:
+    """The declared column charset (``TEXT CHARACTER SET latin1`` /
+    ``varchar(20) charset gbk``), lowercased; None when unspecified
+    (→ the documented UTF-8 default)."""
+    m = _CHARSET_PAT.search(mysql_type)
+    return m.group(1).lower() if m else None
+
+
+def decode_charset_udf(charset: str):
+    """Arrow-batched pandas UDF decoding latin-1-escaped wire bytes with a
+    Python codec — the route for charsets outside Spark's restricted
+    ``decode()`` set (gbk, big5, shift_jis, … — CharsetConversion.java's
+    long tail). Unmappable bytes replace, never throw (poison-pill rule)."""
+    import pandas as pd  # noqa: F401 — annotation target below
+    from pyspark.sql.functions import pandas_udf
+
+    codec = _MYSQL_CHARSETS.get(charset.lower(), (None, charset.lower()))[1]
+
+    def _dec(v):
+        return v.map(
+            lambda s: None
+            if s is None
+            else s.encode("latin-1", errors="replace").decode(codec, errors="replace")
+        )
+
+    _dec.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    return pandas_udf(_dec, "string")
+
+
+def _time_parts(v: str) -> tuple[str, str, str, str, str, str]:
+    """Shared-dialect sub-expressions for TIME decode: (sign, h, m, s,
+    frac_micros, seconds_field)."""
+    a = f"(CASE WHEN left({v}, 1) = '-' THEN substr({v}, 2) ELSE {v} END)"
+    sp = f"split_part({a}, ':', 3)"
+    h = f"TRY_CAST(split_part({a}, ':', 1) AS BIGINT)"
+    m = f"TRY_CAST(split_part({a}, ':', 2) AS BIGINT)"
+    s = f"TRY_CAST(split_part({sp}, '.', 1) AS BIGINT)"
+    frac = (
+        f"(CASE WHEN instr({sp}, '.') > 0 "
+        f"THEN TRY_CAST(rpad(split_part({sp}, '.', 2), 6, '0') AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END)"
+    )
+    sign = f"(CASE WHEN left({v}, 1) = '-' THEN -1 ELSE 1 END)"
+    return sign, h, m, s, frac, sp
+
+
+def _time_micros_expr(v: str) -> str:
+    sign, h, m, s, frac, _ = _time_parts(v)
+    return f"({sign} * ((({h} * 60 + {m}) * 60 + {s}) * 1000000 + {frac}))"
+
+
+def decode_value_expr(value_expr: str, mysql_type: str, dialect: str = "spark") -> str:
     """SQL expression decoding one stringly value to its engine type,
     applying the unsigned promotion ladder for raw signed inputs.
 
@@ -63,12 +164,48 @@ def decode_value_expr(value_expr: str, mysql_type: str) -> str:
     CAST: Spark 4 defaults to ANSI mode, where one malformed wire value
     would throw and kill the whole batch — a poison pill. TRY_CAST nulls
     it instead, and :func:`malformed_value_expr` flags exactly those rows
-    so the caller can dead-letter them."""
+    so the caller can dead-letter them.
+
+    ``dialect`` matters only for charset-bearing text types (``TEXT
+    CHARACTER SET latin1``): the Spark form is a real byte-recovering
+    ``decode(encode(v, 'ISO-8859-1'), cs)``, while the DuckDB oracle twin
+    is the roundtrip identity for single-byte identity charsets
+    (latin1/ascii — wire codepoints == bytes == decoded codepoints) and
+    unsupported otherwise. Charsets outside Spark's restricted decode()
+    set raise — route those through :func:`decode_charset_udf`. Columns
+    without a charset clause keep the UTF-8-default passthrough, emitted
+    identically for every dialect (back-compatible shared SQL)."""
     mt = mysql_type.strip().lower()
     # base type = first token before any (length) or UNSIGNED/ZEROFILL
     base = mt.split("(")[0].split()[0]
     unsigned = "unsigned" in mt
     v = value_expr
+    if base in _TEXT_BASES:
+        cs = column_charset(mt)
+        if cs and cs not in _UTF8_FAMILY:
+            jvm = _MYSQL_CHARSETS.get(cs, (None, None))[0]
+            if dialect == "duckdb":
+                if cs in ("latin1", "ascii"):
+                    return v  # byte↔codepoint identity roundtrip
+                raise ValueError(
+                    f"charset {cs!r} has no DuckDB-expressible decode twin"
+                )
+            if jvm is None:
+                raise ValueError(
+                    f"charset {cs!r} is outside Spark's native decode() set — "
+                    "use decode_charset_udf"
+                )
+            return f"decode(encode({v}, 'ISO-8859-1'), '{jvm}')"
+        return v
+    if base == "year":
+        # RowsLogBuffer.java:191-199 formats YEAR as the plain number;
+        # Spark has no YEAR type — INT is the faithful engine shape
+        return f"TRY_CAST({v} AS INT)"
+    if base == "time":
+        # 'HH:MM:SS[.ffffff]', hours up to 838, optionally negative
+        # (RowsLogBuffer.java:200-211); Spark has no TIME type —
+        # microseconds-since-midnight BIGINT is the faithful shape
+        return _time_micros_expr(v)
     if base in ("tinyint", "smallint", "mediumint", "int", "integer", "bigint"):
         if not unsigned:
             target = "BIGINT" if base == "bigint" else "INT"
@@ -144,6 +281,14 @@ def malformed_value_expr(value_expr: str, mysql_type: str) -> str:
         return f"({v} IS NOT NULL AND TRY_CAST({v} AS DATE) IS NULL)"
     if base in ("bit", "boolean", "bool"):
         return f"({v} IS NOT NULL AND TRY_CAST({v} AS INT) IS NULL)"
+    if base == "year":
+        return f"({v} IS NOT NULL AND TRY_CAST({v} AS INT) IS NULL)"
+    if base == "time":
+        _, h, m, s, _, _ = _time_parts(v)
+        return (
+            f"({v} IS NOT NULL AND "
+            f"({h} IS NULL OR {m} IS NULL OR {s} IS NULL))"
+        )
     return "false"
 
 
@@ -191,12 +336,18 @@ def decode_row_images(
         "id", "database", "table", "type", "es", "row_idx",
         F.col("__z.__d").alias("__after"), F.col("__z.__o").alias("__before"),
     )
+    def _dec(side: str, name: str, mt: str) -> F.Column:
+        raw = f"element_at({side}, '{name}')"
+        try:
+            return F.expr(decode_value_expr(raw, mt))
+        except ValueError:
+            # charset outside Spark's native decode() set → Arrow codec UDF
+            return decode_charset_udf(column_charset(mt))(F.expr(raw))
+
     cols = [
-        F.expr(decode_value_expr(f"element_at(__after, '{name}')", mt)).alias(f"after_{name}")
-        for name, mt in columns
+        _dec("__after", name, mt).alias(f"after_{name}") for name, mt in columns
     ] + [
-        F.expr(decode_value_expr(f"element_at(__before, '{name}')", mt)).alias(f"before_{name}")
-        for name, mt in columns
+        _dec("__before", name, mt).alias(f"before_{name}") for name, mt in columns
     ]
     if malformed_col is not None:
         terms = [

@@ -153,3 +153,62 @@ def test_index_ddl_event_class_routing(spark):
     pre = classify_ddl(df.filter(F.col("kind") == "DDL"), "ddl_sql", "s")
     got2 = {r["lsn"] for r in apply_event_filters(pre, cfg).collect()}
     assert got2 == {1, 6}
+
+
+def test_el_filter_value_predicate(spark):
+    """EL-style value filter (AviaterELFilter.java:1-34): boolean SQL
+    expression over event columns/payload fields; NULL → drop; validated
+    at apply time (typo'd column / non-boolean expression raise)."""
+    import pytest
+
+    from clever_canal_spark.model import KIND_ROW
+
+    df = spark.createDataFrame(
+        [
+            (1, KIND_ROW, "I", "cc", "pages", 10),
+            (2, KIND_ROW, "U", "cc", "pages", 99),
+            (3, KIND_ROW, "D", "cc", "other", 10),
+            (4, KIND_ROW, "I", "cc", "pages", None),  # NULL rank → drop
+        ],
+        "lsn long, kind string, op string, schema_name string, "
+        "table_name string, rank long",
+    )
+    cfg = EventFilterConfig(
+        el_filter="table_name = 'pages' AND rank < 50", drop_heartbeats=False
+    )
+    got = {r["lsn"] for r in apply_event_filters(df, cfg).collect()}
+    assert got == {1}
+
+    with pytest.raises(ValueError, match="does not analyze"):
+        apply_event_filters(df, EventFilterConfig(el_filter="no_such_col = 1"))
+    with pytest.raises(ValueError, match="must be boolean"):
+        apply_event_filters(df, EventFilterConfig(el_filter="rank + 1"))
+
+
+def test_el_filter_sits_before_udfs_in_plan(spark):
+    """The EL predicate joins the same early filter block as the table
+    filters — in the physical plan it must run BELOW (before) any Arrow
+    UDF stage, so excluded events never pay the Python transform."""
+    from clever_canal_spark.functions.transforms import enrich_udf
+
+    df = spark.createDataFrame(
+        [(1, "ROW", "cc", "t", b"<p>x</p>")],
+        "lsn long, kind string, schema_name string, table_name string, html binary",
+    )
+    cfg = EventFilterConfig(el_filter="lsn % 2 = 0", drop_heartbeats=False)
+    out = apply_event_filters(df, cfg).withColumn("enriched", enrich_udf(F.col("html")))
+    jvm = spark._jvm
+    plan = jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    udf_pos = plan.find("ArrowEvalPython")
+    if udf_pos == -1:
+        udf_pos = plan.find("BatchEvalPython")
+    filt_pos = plan.find("Filter")
+    assert udf_pos != -1 and filt_pos != -1
+    # formatted plans print leaves last: the Filter node must be listed
+    # AFTER the UDF node header only if it executes earlier — assert via
+    # the tree: the Filter's input is the scan, i.e. Filter appears in
+    # the UDF's subtree. Simplest robust check: the numbered tree lists
+    # children below parents, so Filter's id must be greater (deeper).
+    assert filt_pos > udf_pos

@@ -2,6 +2,7 @@
 FlatMessage stringly-typed decode (unsigned promotion ladder, row-image
 explode)."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from clever_canal_spark.lake import LakeTable
@@ -162,7 +163,7 @@ def test_adversarial_ddl_hand_written_expectations():
         "ALTER TABLE cc.pages ADD q2 float": ("ALTER", "ADD_COLUMN", "q2", "float", 1),
         "ALTER TABLE cc.pages DROP COLUMN stale": ("ALTER", "DROP_COLUMN", "stale", None, 1),
         "ALTER TABLE cc.pages DROP stale": ("ALTER", "DROP_COLUMN", "stale", None, 1),
-        "ALTER TABLE cc.pages MODIFY rank bigint": ("ALTER", "WIDEN_TYPE", "rank", "bigint", 1),
+        "ALTER TABLE cc.pages MODIFY rank bigint": ("ALTER", "RETYPE", "rank", "bigint", 1),
         # MariaDB IF [NOT] EXISTS: the optional clause is consumed, the real
         # column name (not `IF`) reaches the schema op (r3 verdict Wrong #1)
         "alter table cc.pages add column IF NOT EXISTS z int": ("ALTER", "ADD_COLUMN", "z", "int", 1),
@@ -215,7 +216,7 @@ def test_multi_clause_alter_ops_hand_written():
         ("ADD_COLUMN", "a", None, "int"),
         ("ADD_COLUMN", "b", None, "bigint"),
         ("DROP_COLUMN", "lang", None, None),
-        ("WIDEN_TYPE", "rank", None, "bigint"),
+        ("RETYPE", "rank", None, "bigint"),
         ("RENAME_COLUMN", "x", "y", None),
     ]
     # flat fields = first clause by class precedence (add first)
@@ -235,7 +236,7 @@ def test_parse_ddl_classification():
     p = parse_ddl("ALTER TABLE t RENAME COLUMN a TO b")
     assert (p["ddl_type"], p["ddl_column"], p["ddl_new_name"]) == ("RENAME_COLUMN", "a", "b")
     p = parse_ddl("ALTER TABLE t MODIFY c bigint")
-    assert (p["ddl_type"], p["ddl_new_type"]) == ("WIDEN_TYPE", "bigint")
+    assert (p["ddl_type"], p["ddl_new_type"]) == ("RETYPE", "bigint")
     assert parse_ddl("DROP TABLE t")["stmt_class"] == "ERASE"
     assert parse_ddl("SELECT 1")["stmt_class"] == "QUERY"
 
@@ -633,3 +634,95 @@ def test_evolve_from_drift_string_mode(spark, tmp_table_dir):
     df = spark.createDataFrame([({"url": "a", "hits": "5"},)], "data map<string,string>")
     actions = evolve_from_drift(t, df, infer_types=False)
     assert [(a["column"], a["type"]) for a in actions] == [("hits", "string")]
+
+
+def test_charset_decode_latin1_and_codec_paths(spark):
+    """Per-column charset seam (CharsetConversion.java:1-389 analog):
+    non-UTF-8 TEXT wire strings carry raw bytes latin-1-escaped; the
+    declared charset drives a byte-recovering decode. latin1 rides the
+    JVM decode(); gbk rides the Arrow codec UDF. Hand-written expected
+    strings (real GBK/latin1 byte sequences)."""
+    from clever_canal_spark.sources.flat_message import (
+        column_charset,
+        decode_charset_udf,
+        decode_value_expr,
+    )
+
+    assert column_charset("text character set latin1") == "latin1"
+    assert column_charset("varchar(20) CHARSET gbk") == "gbk"
+    assert column_charset("text") is None
+
+    # latin1: 'café' as latin1 bytes 63 61 66 E9, latin-1-escaped = itself
+    wire_latin1 = "café"
+    # gbk: '中文' = bytes D6 D0 CE C4, latin-1-escaped
+    wire_gbk = b"\xd6\xd0\xce\xc4".decode("latin-1")
+    df = spark.createDataFrame([(wire_latin1, wire_gbk)], "l string, g string")
+    expr = decode_value_expr("l", "text character set latin1")
+    got = df.select(
+        F.expr(expr).alias("l_dec"),
+        decode_charset_udf("gbk")(F.col("g")).alias("g_dec"),
+    ).collect()[0]
+    assert got["l_dec"] == "café"
+    assert got["g_dec"] == "中文"
+
+    # charset-less text stays passthrough (UTF-8 default, shared SQL)
+    assert decode_value_expr("v", "varchar(32)") == "v"
+    # codec-only charsets refuse the expression route
+    with pytest.raises(ValueError, match="decode_charset_udf"):
+        decode_value_expr("v", "text charset gbk")
+    # duckdb twin: identity for latin1, refusal otherwise
+    assert decode_value_expr("v", "text charset latin1", dialect="duckdb") == "v"
+    with pytest.raises(ValueError, match="DuckDB"):
+        decode_value_expr("v", "text charset gbk", dialect="duckdb")
+
+
+def test_year_time_decode_truth_table(spark):
+    """YEAR → INT, TIME → microseconds-since-midnight BIGINT
+    (RowsLogBuffer.java:191-211 formats these; Spark has no TIME type).
+    Hand-written expectations incl. negative, fractional, >24h, and
+    malformed values (flag set, decode NULL — never a poison pill)."""
+    from clever_canal_spark.sources.flat_message import (
+        decode_value_expr,
+        malformed_value_expr,
+    )
+
+    cases = [  # (wire, mysql_type, expected_decode, expected_malformed)
+        ("2023", "year", 2023, False),
+        ("junk", "year", None, True),
+        (None, "year", None, False),
+        ("00:00:00", "time", 0, False),
+        ("01:02:03", "time", 3723000000, False),
+        ("-01:02:03", "time", -3723000000, False),
+        ("838:59:59", "time", 3020399000000, False),
+        ("12:30:45.5", "time", 45045500000, False),
+        ("12:30:45.000001", "time", 45045000001, False),
+        ("nonsense", "time", None, True),
+        (None, "time", None, False),
+    ]
+    df = spark.createDataFrame(
+        [(i, w, t) for i, (w, t, _, _) in enumerate(cases)],
+        "i int, v string, mt string",
+    )
+    rows = {}
+    for i, (w, mt, want, want_flag) in enumerate(cases):
+        got = df.filter(F.col("i") == i).select(
+            F.expr(decode_value_expr("v", mt)).alias("dec"),
+            F.expr(malformed_value_expr("v", mt)).alias("flag"),
+        ).collect()[0]
+        assert got["dec"] == want, (w, mt, got["dec"], want)
+        assert bool(got["flag"]) == want_flag, (w, mt)
+    # the shared-dialect TIME expr replays identically in DuckDB
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE s(v VARCHAR)")
+    con.executemany(
+        "INSERT INTO s VALUES (?)", [(w,) for w, t, _, _ in cases if t == "time"]
+    )
+    want_times = [e for w, t, e, _ in cases if t == "time"]
+    got_times = [
+        r[0] for r in con.sql(
+            f"SELECT {decode_value_expr('v', 'time')} FROM s"
+        ).fetchall()
+    ]
+    assert got_times == want_times
