@@ -660,6 +660,18 @@ def main() -> None:
     # 3) single-thread anchor (smaller n, extrapolated rate)
     anchor_eps = _python_anchor(50_000)
 
+    # 4) serving-index scale curves (scripts/scale_probe.py artifact, run
+    # separately — inline-op wall grows ~linearly with corpus size while
+    # persisted-index probes stay near-flat); ride the detail payload
+    scale_probe = None
+    probe_path = os.path.join(REPO, "SCALE_PROBE.json")
+    if os.path.exists(probe_path):
+        try:
+            with open(probe_path) as fh:
+                scale_probe = json.load(fh)
+        except (OSError, ValueError):
+            scale_probe = None
+
     out = {
         "metric": "cdc_replay_wall_sec",
         "value": replay["wall_sec"],
@@ -679,6 +691,7 @@ def main() -> None:
             (replay["sustained_events_per_sec"] or replay["events_per_sec"]) / anchor_eps, 2
         ),
         "scaling": scaling,
+        "index_scale_probe": scale_probe,
     }
     _emit_compact(out_fh, out)
 
