@@ -192,6 +192,70 @@ def cdc_event_class_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mq_demo_cfg():
+    """Shared fixture config for the MQ-routing query: clicks get their
+    own topic and a two-column hash; view/error self-name their topics;
+    everything else falls to the static topic and the pk-hash rule."""
+    from .sources.mq_partition import MQRoutingConfig
+
+    return MQRoutingConfig(
+        topic="changes",
+        partitions_num=8,
+        partition_hash=(
+            ("cc\\.click", ("url", "cents")),
+            ("cc\\..*", ("$pk$",)),
+        ),
+        dynamic_topic=(
+            ("clicks", "cc\\.click"),
+            (None, "cc\\.(view|error)"),
+        ),
+    )
+
+
+_MQ_URL = "concat('u', CAST(user_id AS STRING))"
+
+
+def _mq_oracle_sql() -> str:
+    from .sources.mq_partition import mq_partition_expr, mq_topic_expr
+
+    cfg = _mq_demo_cfg()
+    kw = dict(schema_col="'cc'", table_col="event_type", dialect="duckdb")
+    topic = mq_topic_expr(cfg, **kw)
+    part = mq_partition_expr(
+        cfg, pk_cols=("url",), colmap={"url": _MQ_URL, "cents": _CENTS}, **kw
+    )
+    return f"""
+    SELECT event_id AS lsn, {topic} AS mq_topic, {part} AS mq_partition
+    FROM events
+    """
+
+
+@register("cdc_mq_partition_assign", _mq_oracle_sql())
+def cdc_mq_partition_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MQ sink routing (CanalMQConfig.java:1-14 — dynamicTopic +
+    partitionHash + partitionsNum): every event gets its destination
+    topic (first-match regex rules over schema.table, bare rules
+    self-name) and partition (first-match hash rule, ``$pk$`` expansion,
+    null-safe md5-u32 % N, unmatched → 0). Two map-only JVM expressions
+    riding the scan — per-key ordering into a partitioned queue costs no
+    shuffle. The oracle replays every assignment bit-for-bit via the
+    dialect-twin expressions; hand-written rows in
+    tests/test_mq_partition.py pin the semantics independently."""
+    from .sources.mq_partition import assign_mq_routing
+
+    ev = (
+        _events(spark, sf_dir)
+        .withColumn("schema_name", F.lit("cc"))
+        .withColumn("table_name", F.col("event_type"))
+    )
+    return assign_mq_routing(
+        ev,
+        _mq_demo_cfg(),
+        pk_cols=("url",),
+        colmap={"url": _MQ_URL, "cents": _CENTS},
+    ).select(F.col("event_id").alias("lsn"), "mq_topic", "mq_partition")
+
+
 @register(
     "cdc_positions",
     """

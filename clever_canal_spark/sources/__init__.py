@@ -5,8 +5,20 @@ from .flat_message import (
     export_flat_messages,
     export_flat_messages_to_dir,
 )
+from .mq_partition import (
+    MQRoutingConfig,
+    assign_mq_routing,
+    mq_partition_expr,
+    mq_topic_expr,
+    parse_mq_properties,
+)
 
 __all__ = [
+    "MQRoutingConfig",
+    "assign_mq_routing",
+    "mq_partition_expr",
+    "mq_topic_expr",
+    "parse_mq_properties",
     "read_feed",
     "read_feed_stream",
     "write_feed_slices",

@@ -500,6 +500,7 @@ def export_flat_messages(
     database: str = "db",
     table_name: str = "t",
     data_cols: list[tuple[str, str]] | None = None,
+    mq=None,
 ):
     """MQ-sink BACKFILL (the CanalMQProducer replay story): the lake's
     incremental changelog between two snapshots re-serialized as
@@ -511,7 +512,12 @@ def export_flat_messages(
     ``data_cols`` defaults to every current string-typed column,
     null-coalesced to '' (the canonical encoder emits strings; extend
     with explicit exprs for typed columns). Returns one ``value`` string
-    column; O(changes) file-diff read, encode is pure JVM exprs."""
+    column; O(changes) file-diff read, encode is pure JVM exprs.
+
+    ``mq`` (an MQRoutingConfig) adds ``mq_topic``/``mq_partition``
+    columns routed per CanalMQConfig semantics — ``$pk$`` expands to the
+    table's merge key — so the caller can ship a PARTITIONED queue
+    layout with per-key ordering preserved."""
     from pyspark.sql import functions as F
 
     snap = table.snapshot()
@@ -531,7 +537,19 @@ def export_flat_messages(
         dialect="spark",
     )
     ch = table.scan_changes(from_version, to_version)
-    return ch.select(F.expr(msg).alias("value"))
+    out = ch.select(F.expr(msg).alias("value"), *(ch.columns if mq else []))
+    if mq is None:
+        return out
+    from .mq_partition import assign_mq_routing
+
+    routed = assign_mq_routing(
+        out,
+        mq,
+        pk_cols=list(snap.merge_key),
+        schema_col=f"'{database}'",
+        table_col=f"'{table_name}'",
+    )
+    return routed.select("value", "mq_topic", "mq_partition")
 
 
 def export_flat_messages_to_dir(
@@ -541,6 +559,7 @@ def export_flat_messages_to_dir(
     table_name: str = "t",
     data_cols: "list[tuple[str, str]] | None" = None,
     to_version: int | None = None,
+    mq=None,
 ) -> dict:
     """Incremental MQ-sink connector: ship the lake changelog to a
     directory of FlatMessage JSONL batches with a durable resume cursor
@@ -579,10 +598,18 @@ def export_flat_messages_to_dir(
         return {"consumed": 0, "n_messages": 0, "path": None}
     msgs = export_flat_messages(
         table, synced, head, database=database, table_name=table_name,
-        data_cols=data_cols,
+        data_cols=data_cols, mq=mq,
     )
     batch_dir = _os.path.join(out_dir, f"batch-{synced + 1:08d}-{head:08d}")
-    msgs.write.mode("overwrite").text(batch_dir)
+    w = msgs.write.mode("overwrite")
+    if mq is not None:
+        # queue layout: batch-*/mq_topic=T/mq_partition=K/part-*.txt — a
+        # loader tails one (topic, partition) subtree per queue partition;
+        # per-key ordering holds because one key always hashes to one
+        # partition (assign_mq_routing) and directories arrive in name
+        # (= version-range) order
+        w = w.partitionBy("mq_topic", "mq_partition")
+    w.text(batch_dir)
     n = table.spark.read.text(batch_dir).count()
     _os.makedirs(out_dir, exist_ok=True)
     tmp = cur_path + ".tmp"

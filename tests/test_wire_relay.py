@@ -140,3 +140,72 @@ def test_incremental_export_connector(spark, dirs, tmp_table_dir):
     assert r3["path"] == r2["path"]
     after = sorted(r.value for r in spark.read.text(r3["path"]).collect())
     assert after == before
+
+
+def test_partitioned_export_queue_layout(spark, dirs, tmp_table_dir):
+    """mq= routing on the connector: batch dirs gain a
+    mq_topic=/mq_partition= queue layout, every key's messages stay in
+    one partition across batches, and the line SET equals the
+    unpartitioned export's."""
+    import json
+    import os
+
+    from clever_canal_spark.sources.flat_message import (
+        export_flat_messages,
+        export_flat_messages_to_dir,
+    )
+    from clever_canal_spark.sources.mq_partition import MQRoutingConfig
+
+    mq = MQRoutingConfig(
+        topic="pages", partitions_num=4,
+        partition_hash=(("cc\\.pages", ("$pk$",)),),
+    )
+    t = LakeTable.create(spark, dirs[0], SCHEMA, merge_key=["url"], n_buckets=4)
+    out = os.path.join(tmp_table_dir, "mqp")
+    t.merge(
+        spark.createDataFrame(
+            [(f"u{i}", i, "en", "I", i + 1) for i in range(16)],
+            "url string, rank int, lang string, op string, lsn long",
+        ),
+        epoch_id=0, mode="mor", lsn_col="lsn",
+    )
+    r1 = export_flat_messages_to_dir(
+        t, out, database="cc", table_name="pages", mq=mq)
+    assert r1["n_messages"] == 16
+    subdirs = sorted(os.listdir(r1["path"]))
+    assert any(d == "mq_topic=pages" for d in subdirs)
+    parts = sorted(os.listdir(os.path.join(r1["path"], "mq_topic=pages")))
+    assert all(p.startswith("mq_partition=") for p in parts)
+    assert 1 <= len(parts) <= 4
+
+    # key -> partition map from wave 1
+    back = spark.read.text(r1["path"])  # partition discovery adds cols
+    w1 = {
+        json.loads(r["value"])["data"][0]["url"]: r["mq_partition"]
+        for r in back.collect()
+    }
+    assert len(w1) == 16
+
+    # wave 2 touches two keys: same partitions as wave 1
+    t.merge(
+        spark.createDataFrame(
+            [("u3", 99, "de", "U", 100), ("u5", None, None, "D", 101)],
+            "url string, rank int, lang string, op string, lsn long",
+        ),
+        epoch_id=1, mode="mor", lsn_col="lsn",
+    )
+    r2 = export_flat_messages_to_dir(
+        t, out, database="cc", table_name="pages", mq=mq)
+    for r in spark.read.text(r2["path"]).collect():
+        url = json.loads(r["value"])["data"][0]["url"]
+        assert r["mq_partition"] == w1[url]
+
+    # content parity with the unpartitioned encode (same line SET)
+    flat = sorted(
+        r["value"]
+        for r in export_flat_messages(
+            t, 0, r1["consumed"], database="cc", table_name="pages"
+        ).collect()
+    )
+    got = sorted(r["value"] for r in spark.read.text(r1["path"]).collect())
+    assert got == flat
