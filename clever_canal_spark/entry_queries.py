@@ -4401,6 +4401,73 @@ def q_doc_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "url", canonical_url(F.col("url")).alias("canon_url"))
 
 
+# URL fixture with rotating failure classes for the pre-download filter
+# (first-match CASE keeps every class deterministic and disjoint)
+_FILTER_URL = (
+    "CASE WHEN doc_id % 13 = 0 THEN 'http://93.184.216.34/watch/' || CAST(doc_id AS STRING)"
+    " WHEN doc_id % 11 = 0 THEN 'https://best-casino' || CAST(doc_id % 5 AS STRING) || '.bet/play'"
+    " WHEN doc_id % 17 = 0 THEN 'https://ads.tracker.example/pixel/' || CAST(doc_id AS STRING)"
+    " WHEN doc_id % 19 = 0 THEN 'http://h' || CAST(doc_id AS STRING) || CAST(doc_id AS STRING)"
+    "      || CAST(doc_id AS STRING) || '.com/p'"
+    " WHEN doc_id % 23 = 0 THEN 'https://example.com/a/b/c/d/e/f/g/h/i/' || CAST(doc_id AS STRING)"
+    " WHEN doc_id % 29 = 0 THEN 'https://example.com/p?sid=' || repeat('x', 220)"
+    " ELSE 'https://example' || CAST(doc_id % 7 AS STRING) || '.com/path/' || CAST(doc_id AS STRING)"
+    " END"
+)
+
+
+@register(
+    "doc_url_filter",
+    f"""
+    WITH u AS (SELECT doc_id, {_FILTER_URL} AS url FROM documents),
+    p AS (
+      SELECT doc_id, url, trim(regexp_replace(url, '#.*$', '')) AS s FROM u
+    ),
+    x AS (
+      SELECT doc_id, url,
+             lower(regexp_replace(
+               regexp_extract(s, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?]+)([^?]*)(\\?.*)?$', 2),
+               ':[0-9]+$', '')) AS host,
+             regexp_extract(s, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?]+)([^?]*)(\\?.*)?$', 3) AS path,
+             regexp_replace(
+               regexp_extract(s, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?]+)([^?]*)(\\?.*)?$', 4),
+               '^\\?', '') AS query
+      FROM p
+    ),
+    fl AS (
+      SELECT doc_id, url,
+             regexp_full_match(host, '[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+') AS f_ip_host,
+             (host = 'tracker.example' OR host LIKE '%.tracker.example') AS f_blocked,
+             regexp_matches(lower(host || path), '(casino|porn|xxx|poker|viagra)') AS f_keyword,
+             length(regexp_replace(host, '[^0-9]', '', 'g')) * 100 > length(host) * 40 AS f_digit_host,
+             length(list_filter(string_split(path, '/'), q -> q <> '')) > 8 AS f_deep_path,
+             length(query) > 200 AS f_long_query
+      FROM x
+    )
+    SELECT doc_id, url, f_ip_host, f_blocked, f_keyword, f_digit_host,
+           f_deep_path, f_long_query,
+           NOT (f_ip_host OR f_blocked OR f_keyword OR f_digit_host
+                OR f_deep_path OR f_long_query) AS url_ok
+    FROM fl
+    """,
+)
+def q_doc_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-download URL curation gate (text.url_quality_signals): the
+    UT1-blocklist + URL-heuristics stage RefinedWeb/FineWeb run before
+    a page is ever fetched — IP hosts, blocked-domain suffix chains,
+    category keywords, digit-spam hosts, crawler-trap paths, tracking
+    queries. Map-only JVM exprs, no join/shuffle (list blocklist
+    inlines as a literal-array suffix probe). Oracle is an independent
+    SQL transcription — suffix chains re-expressed as
+    ``host = d OR host LIKE '%.d'``, so a probe bug can't hide in
+    shared code. URLs synthesized deterministically (tables carry no
+    URL column)."""
+    from .operators.text import url_quality_signals
+
+    d = _documents(spark, sf_dir).select("doc_id", F.expr(_FILTER_URL).alias("url"))
+    return url_quality_signals(d, blocked_domains=("tracker.example",))
+
+
 # --------------------------------------------------------------------------
 # Mergeable cardinality sketches (operators/sketch.py)
 # --------------------------------------------------------------------------

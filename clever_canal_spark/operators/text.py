@@ -995,6 +995,108 @@ def canonical_url(col: Column) -> Column:
     return F.when(scheme == "", s).otherwise(canon)
 
 
+# default URL-keyword blocklist fragments (the UT1/RefinedWeb-style
+# category list is configuration; this seed is deliberately tiny and
+# deterministic for fixtures)
+URL_BLOCK_KEYWORDS = ("casino", "porn", "xxx", "poker", "viagra")
+
+
+def url_quality_signals(
+    df: DataFrame,
+    url_col: str = "url",
+    blocked_domains: "tuple[str, ...] | list[str] | DataFrame" = (),
+    keywords: "tuple[str, ...]" = URL_BLOCK_KEYWORDS,
+    max_path_depth: int = 8,
+    max_query_len: int = 200,
+    max_host_digit_pct: int = 40,
+) -> DataFrame:
+    """URL-level curation filter — the pre-download gate of a web-scale
+    pipeline (RefinedWeb/FineWeb run a UT1-style domain blocklist plus
+    URL heuristics BEFORE fetching or processing a page; at 100 TB the
+    cheapest byte is the one never ingested).
+
+    Adds one boolean per signal plus the conjunction ``url_ok``:
+
+    - ``f_ip_host``     host is a bare IPv4 (no accountable domain);
+    - ``f_blocked``     host is a blocked domain or any subdomain of one
+      (suffix-chain semantics: ``ads.tracker.example`` matches a
+      blocklist entry ``tracker.example``);
+    - ``f_keyword``     a blocklist keyword occurs in host or path
+      (case-insensitive substring);
+    - ``f_digit_host``  digits are > ``max_host_digit_pct``% of the host
+      (auto-generated spam hosts; integer-exact compare);
+    - ``f_deep_path``   more than ``max_path_depth`` path segments
+      (calendar/faceted-navigation crawler traps);
+    - ``f_long_query``  query string longer than ``max_query_len``
+      (session ids, tracking payloads).
+
+    Scale shape: every signal is a map-only JVM expression on the scan —
+    a list-valued ``blocked_domains`` inlines as a literal array probed
+    with ``arrays_overlap`` against the host's suffix chain (bounded by
+    label count), so NO join and NO shuffle anywhere. A DataFrame-valued
+    blocklist (the real UT1 list is millions of rows) switches to a
+    broadcast left-semi join on the exploded suffix chain — still
+    shuffle-free on the corpus side."""
+    pat = r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?]+)([^?]*)(\?.*)?$"
+    s = F.trim(F.regexp_replace(F.col(url_col), "#.*$", ""))
+    host = F.lower(F.regexp_replace(F.regexp_extract(s, pat, 2), ":[0-9]+$", ""))
+    path = F.regexp_extract(s, pat, 3)
+    query = F.regexp_replace(F.regexp_extract(s, pat, 4), r"^\?", "")
+
+    out = df.withColumn("__host", host).withColumn("__path", path)
+    suffixes = F.transform(
+        F.sequence(F.lit(1), F.size(F.split(F.col("__host"), r"\."))),
+        lambda i: F.array_join(
+            F.slice(F.split(F.col("__host"), r"\."), i, 1_000_000), "."
+        ),
+    )
+    if isinstance(blocked_domains, DataFrame):
+        dcol = blocked_domains.columns[0]
+        probe = (
+            out.select(F.explode(suffixes).alias("__sfx"), F.col("__host"))
+            .join(
+                F.broadcast(blocked_domains.select(F.col(dcol).alias("__sfx"))),
+                "__sfx",
+            )
+            .select("__host")
+            .distinct()
+        )
+        out = out.join(
+            F.broadcast(probe.withColumn("__blocked", F.lit(True))), "__host", "left"
+        )
+        blocked = F.coalesce(F.col("__blocked"), F.lit(False))
+    else:
+        blocked = (
+            F.arrays_overlap(
+                suffixes, F.array(*[F.lit(d) for d in blocked_domains])
+            )
+            if blocked_domains
+            else F.lit(False)
+        )
+
+    kw = F.lit(False)
+    if keywords:
+        kw_pat = "(" + "|".join(keywords) + ")"
+        kw = F.lower(F.concat(F.col("__host"), F.col("__path"))).rlike(kw_pat)
+    digits = F.length(F.regexp_replace(F.col("__host"), "[^0-9]", ""))
+    flags = {
+        "f_ip_host": F.col("__host").rlike(r"^[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+$"),
+        "f_blocked": blocked,
+        "f_keyword": kw,
+        "f_digit_host": digits * 100 > F.length(F.col("__host")) * max_host_digit_pct,
+        "f_deep_path": F.size(
+            F.filter(F.split(F.col("__path"), "/"), lambda x: x != "")
+        ) > max_path_depth,
+        "f_long_query": F.length(query) > max_query_len,
+    }
+    for name, expr in flags.items():
+        out = out.withColumn(name, expr)
+    ok = F.lit(True)
+    for name in flags:
+        ok = ok & ~F.col(name)
+    return out.withColumn("url_ok", ok).drop("__host", "__path", "__blocked")
+
+
 def hashed_weights(spark, n_features: int = 4096, seed: str = "ccsq") -> DataFrame:
     """Deterministic demo weight table for :func:`linear_quality_score`
     (feature_id → weight_e6 in [-1e6, 1e6]). A real deployment loads the

@@ -71,6 +71,12 @@ def main() -> None:
     p.add_argument("--span-ngram", type=int, default=8,
                    help="word-gram size for cross-doc duplicate-passage "
                         "cutting (ExactSubstr family); 0 disables the stage")
+    p.add_argument("--url-filter", action="store_true",
+                   help="pre-gate on URL signals (IP hosts, blocklist "
+                        "suffixes, keywords, digit-spam hosts, deep "
+                        "paths, long queries) before any text is read")
+    p.add_argument("--url-blocklist", default="",
+                   help="comma-separated blocked domains (suffix match)")
     p.add_argument("--skip-quality", action="store_true")
     p.add_argument("--model-quality-threshold-e6", type=int, default=None,
                    help="enable the model-based quality stage: drop docs whose "
@@ -204,7 +210,19 @@ def main() -> None:
 
     table = LakeTable(spark, args.table_dir)
     snap = table.snapshot()
-    corpus = table.scan().select(
+    scan = table.scan()
+    if args.url_filter:
+        # cheapest gate first: URL-level signals never read text/html
+        from clever_canal_spark.operators.text import url_quality_signals
+
+        bl = tuple(d for d in args.url_blocklist.split(",") if d)
+        n0 = scan.count()
+        flagged = url_quality_signals(scan, url_col="url", blocked_domains=bl)
+        scan = flagged.filter(F.col("url_ok")).drop(
+            *[c for c in flagged.columns if c.startswith("f_")], "url_ok"
+        )
+        print(f"[curate] url filter: {scan.count()}/{n0} urls pass")
+    corpus = scan.select(
         F.xxhash64(*snap.merge_key).alias("doc_id"),
         F.col("text"),
         F.coalesce(F.col("lang"), F.lit("und")).alias("lang"),
