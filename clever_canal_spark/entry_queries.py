@@ -4468,6 +4468,67 @@ def q_doc_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_quality_signals(d, blocked_domains=("tracker.example",))
 
 
+@register(
+    "doc_host_quality",
+    f"""
+    WITH u AS (SELECT doc_id, text, {_FILTER_URL} AS url FROM documents),
+    p AS (
+      SELECT doc_id, text, trim(regexp_replace(url, '#.*$', '')) AS s FROM u
+    ),
+    x AS (
+      SELECT doc_id, text,
+             lower(regexp_replace(
+               regexp_extract(s, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?]+)([^?]*)(\\?.*)?$', 2),
+               ':[0-9]+$', '')) AS host,
+             regexp_extract(s, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?]+)([^?]*)(\\?.*)?$', 3) AS path,
+             regexp_replace(
+               regexp_extract(s, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?]+)([^?]*)(\\?.*)?$', 4),
+               '^\\?', '') AS query
+      FROM p
+    ),
+    fl AS (
+      SELECT host,
+             (regexp_full_match(host, '[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+')
+              OR host = 'tracker.example' OR host LIKE '%.tracker.example'
+              OR regexp_matches(lower(host || path), '(casino|porn|xxx|poker|viagra)')
+              OR length(regexp_replace(host, '[^0-9]', '', 'g')) * 100 > length(host) * 40
+              OR length(list_filter(string_split(path, '/'), q -> q <> '')) > 8
+              OR length(query) > 200) AS flagged,
+             len(regexp_extract_all(text, '\\S+')) AS n_tokens,
+             len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+             len(regexp_extract_all(text, '\\b(the|and|of)\\b')) > 0 AS has_stop
+      FROM x
+    ),
+    g AS (
+      SELECT host, count(*) AS n_docs,
+             CAST(sum(CASE WHEN flagged THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+             CAST(sum((CASE WHEN n_tokens BETWEEN 10 AND 10000 THEN 1 ELSE 0 END)
+                    + (CASE WHEN has_stop THEN 1 ELSE 0 END)
+                    + (CASE WHEN n_punct * 10 <= n_tokens THEN 1 ELSE 0 END)) AS BIGINT)
+               AS sum_quality
+      FROM fl GROUP BY host
+    )
+    SELECT host, n_docs, n_flagged, sum_quality,
+           (n_docs >= 2 AND (n_flagged * 100 >= n_docs * 50
+                             OR sum_quality < n_docs * 2)) AS blocklist_candidate
+    FROM g
+    """,
+)
+def q_doc_host_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-derived domain blocklist (text.host_quality_report): per-host
+    roll-up of URL signals + content quality — the feedback loop that
+    PRODUCES the next url_quality_signals blocklist (UT1-style lists are
+    themselves crawl-derived). Map-only signals + ONE groupBy(host),
+    map-side combine; state O(hosts). Oracle is an independent SQL
+    transcription of both signal sets and the roll-up."""
+    from .operators.text import host_quality_report
+
+    d = _documents(spark, sf_dir).select(
+        "doc_id", "text", F.expr(_FILTER_URL).alias("url")
+    )
+    return host_quality_report(d, blocked_domains=("tracker.example",))
+
+
 # --------------------------------------------------------------------------
 # Mergeable cardinality sketches (operators/sketch.py)
 # --------------------------------------------------------------------------

@@ -1009,6 +1009,7 @@ def url_quality_signals(
     max_path_depth: int = 8,
     max_query_len: int = 200,
     max_host_digit_pct: int = 40,
+    keep_host: bool = False,
 ) -> DataFrame:
     """URL-level curation filter — the pre-download gate of a web-scale
     pipeline (RefinedWeb/FineWeb run a UT1-style domain blocklist plus
@@ -1094,7 +1095,55 @@ def url_quality_signals(
     ok = F.lit(True)
     for name in flags:
         ok = ok & ~F.col(name)
-    return out.withColumn("url_ok", ok).drop("__host", "__path", "__blocked")
+    out = out.withColumn("url_ok", ok)
+    if keep_host:
+        out = out.withColumn("host", F.col("__host"))
+    return out.drop("__host", "__path", "__blocked")
+
+
+def host_quality_report(
+    df: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    min_docs: int = 2,
+    flag_pct: int = 50,
+    quality_floor: int = 2,
+    **signal_kwargs,
+) -> DataFrame:
+    """Derive a domain blocklist FROM the data — per-host roll-up of the
+    URL signals and the content quality score, flagging hosts where
+    ≥``flag_pct``% of pages raise a URL signal or the mean quality score
+    sits below ``quality_floor`` (integer-exact: ``sum_quality <
+    n_docs·floor``). Hosts under ``min_docs`` pages never candidate
+    (one bad page isn't a domain verdict).
+
+    This closes the curation loop: ``url_quality_signals`` consumes a
+    blocklist, this op proposes the next one — the UT1-style lists were
+    themselves derived from crawls. Scale shape: map-only signal exprs +
+    ONE groupBy(host) with map-side partial aggregation; state is
+    O(hosts), orders below O(pages)."""
+    t = F.col(text_col)
+    n_tokens = F.regexp_count(t, F.lit(TOKEN_RE))
+    n_punct = F.regexp_count(t, F.lit(r"[.,;:!?]"))
+    has_stop = F.regexp_count(t, F.lit(r"\b(the|and|of)\b")) > 0
+    quality = (
+        F.when((n_tokens >= 10) & (n_tokens <= 10000), 1).otherwise(0)
+        + F.when(has_stop, 1).otherwise(0)
+        + F.when(n_punct * 10 <= n_tokens, 1).otherwise(0)
+    )
+    sig = url_quality_signals(
+        df, url_col=url_col, keep_host=True, **signal_kwargs
+    ).withColumn("__q", quality.cast("int"))
+    agg = sig.groupBy("host").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("url_ok"), 0).otherwise(1)).cast("bigint").alias("n_flagged"),
+        F.sum("__q").cast("bigint").alias("sum_quality"),
+    )
+    cand = (F.col("n_docs") >= min_docs) & (
+        (F.col("n_flagged") * 100 >= F.col("n_docs") * flag_pct)
+        | (F.col("sum_quality") < F.col("n_docs") * quality_floor)
+    )
+    return agg.withColumn("blocklist_candidate", cand)
 
 
 def hashed_weights(spark, n_features: int = 4096, seed: str = "ccsq") -> DataFrame:

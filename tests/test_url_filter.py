@@ -67,3 +67,32 @@ def test_thresholds_are_tunable(spark):
     assert strict["f_deep_path"] and strict["f_long_query"]
     loose = url_quality_signals(df).first()
     assert loose["url_ok"]
+
+
+def test_host_quality_report_hand_pinned(spark):
+    from clever_canal_spark.operators.text import host_quality_report
+
+    good = "the quick brown fox and the lazy dog of the farm jumped again"
+    junk = "zzz qqq"   # no stopwords, <10 tokens -> quality 1
+    rows = [
+        # clean host, 2 good docs -> not a candidate
+        ("https://good.example/a", good),
+        ("https://good.example/b", good),
+        # flagged host: casino keyword on both pages -> flag_pct path
+        ("https://casino.example/a", good),
+        ("https://casino.example/b", good),
+        # low-quality host: clean urls, junk text -> quality_floor path
+        ("https://lowq.example/a", junk),
+        ("https://lowq.example/b", junk),
+        # single bad page -> min_docs gate holds it back
+        ("https://lone.example/x", junk),
+    ]
+    df = spark.createDataFrame(rows, "url string, text string")
+    got = {r["host"]: r for r in host_quality_report(df).collect()}
+    assert not got["good.example"]["blocklist_candidate"]
+    assert got["good.example"]["n_flagged"] == 0
+    assert got["casino.example"]["blocklist_candidate"]
+    assert got["casino.example"]["n_flagged"] == 2
+    assert got["lowq.example"]["blocklist_candidate"]
+    assert got["lowq.example"]["sum_quality"] < 2 * 2
+    assert not got["lone.example"]["blocklist_candidate"]  # min_docs
