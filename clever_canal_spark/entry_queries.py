@@ -2872,6 +2872,102 @@ def q_cdc_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retention_cohorts(_events(spark, sf_dir), "signup")
 
 
+@register(
+    "cdc_chunked_bootstrap",
+    f"""
+    WITH s AS (SELECT max(event_id) // 2 AS cut FROM events),
+    last_all AS (
+      SELECT user_id, {_OP_EXPR} AS op, {_CENTS} AS cents
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    ),
+    last_pre AS (
+      SELECT user_id, {_OP_EXPR} AS op, {_CENTS} AS cents
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_id < (SELECT cut FROM s)
+      ) WHERE rn = 1
+    ),
+    tail_users AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE event_id >= (SELECT cut FROM s)
+    )
+    SELECT 'u' || CAST(la.user_id AS VARCHAR) AS url,
+           CAST(la.cents AS VARCHAR) AS text
+    FROM last_all la JOIN tail_users USING (user_id) WHERE la.op <> 'D'
+    UNION ALL
+    SELECT 'u' || CAST(lp.user_id AS VARCHAR), CAST(lp.cents AS VARCHAR)
+    FROM last_pre lp ANTI JOIN tail_users USING (user_id)
+    WHERE lp.op <> 'D'
+    """,
+)
+def q_cdc_chunked_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunked backfill racing a live tail (plans.bootstrap_in_chunks —
+    the DBLog/Debezium incremental-snapshot shape): seed the pre-cut LWW
+    state in 4 key-hash chunk epochs, but interleave two REAL tail
+    epochs between chunk waves — tail events land BEFORE half the seed
+    chunks exist, and the late-arriving seeds must lose the LWW
+    reconcile. Final state must equal snapshot-then-tail done the
+    boring, serialized way; the oracle derives it set-theoretically
+    (tail users take their last event, untouched users keep the pre-cut
+    state) without modeling chunks at all."""
+    import shutil
+    import tempfile
+
+    from .lake import LakeTable
+    from .model import PAGE_SCHEMA
+    from .plans import bootstrap_in_chunks
+
+    ev = _events(spark, sf_dir)
+    hi = ev.agg(F.max("event_id")).first()[0]
+    cut = hi // 2
+    mid = cut + (hi - cut) // 2
+
+    pre = ev.filter(F.col("event_id") < cut)
+    w = pre.groupBy("user_id").agg(
+        F.max_by(
+            F.struct(F.expr(_OP_EXPR).alias("op"), F.expr(_CENTS).alias("cents")),
+            F.col("event_id"),
+        ).alias("w")
+    )
+    snap = w.filter(F.col("w.op") != "D").select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("url"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.col("w.cents").cast("string").alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+    )
+    tmp = tempfile.mkdtemp(prefix="ccs-chunkboot-")
+    shutil.rmtree(tmp, ignore_errors=True)
+    t = LakeTable.create(
+        spark, tmp, PAGE_SCHEMA, merge_key=["url", "warc_ts"], n_buckets=4
+    )
+
+    def tail(lo, hi_excl, eid):
+        df = ev.filter(
+            (F.col("event_id") >= lo) & (F.col("event_id") < hi_excl)
+        ).select(
+            F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("url"),
+            F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+            F.lit(None).cast("binary").alias("html"),
+            F.expr(_CENTS).cast("string").alias("text"),
+            F.lit(None).cast("string").alias("lang"),
+            F.expr(_OP_EXPR).alias("op"),
+            F.col("event_id").cast("long").alias("lsn"),
+        )
+        t.merge(df, epoch_id=eid, mode="mor", lsn_col="lsn", op_col="op")
+
+    bootstrap_in_chunks(t, snap, cut - 1, n_chunks=4, only_chunks=[0, 1])
+    tail(cut, mid, "tail-1")
+    bootstrap_in_chunks(t, snap, cut - 1, n_chunks=4, only_chunks=[2, 3])
+    tail(mid, hi + 1, "tail-2")
+    return t.scan().select("url", "text")
+
+
 _DIM_CACHE: dict[tuple, str] = {}
 
 

@@ -414,6 +414,65 @@ def bootstrap_epoch(
     return res
 
 
+def bootstrap_in_chunks(
+    table: LakeTable,
+    snapshot_df: DataFrame,
+    as_of_lsn: int,
+    n_chunks: int = 16,
+    prefix: str = "bootstrap",
+    only_chunks=None,
+) -> dict:
+    """Chunked, resumable initial load — the DBLog / Debezium
+    incremental-snapshot shape: the backfill lands as ``n_chunks``
+    independent epochs (deterministic key-hash slices), each exactly-once
+    via the table's epoch registry, so a crash resumes at the next
+    uncommitted chunk with zero replayed work and no oversized single
+    commit.
+
+    The live CDC tail may run CONCURRENTLY, interleaved anywhere between
+    chunks, with no watermark protocol: every seed row enters at
+    ``__lsn = as_of_lsn``, so a tail event that already updated or
+    deleted a not-yet-seeded key simply WINS the LWW reconcile when its
+    chunk arrives late (DBLog needs its high/low-watermark window
+    because its sink lacks ordered reconciliation; an LSN-ordered merge
+    makes overlap commutative by construction).
+
+    ``only_chunks`` restricts one call to a subset — a backfill can be
+    sharded across workers (each owns a chunk range) or deliberately
+    interleaved with tail epochs; the registry keeps every schedule
+    exactly-once.
+
+    Scale note: the chunk predicate is a key-hash, which does not prune
+    a flat snapshot scan — each chunk re-scans the dump (column-pruned
+    to the table's fields). Point ``snapshot_df`` at a bucketed/
+    partitioned dump if n_chunks × scan matters; chunking buys bounded
+    per-commit memory/files and resumability, not scan savings."""
+    if n_chunks < 1:
+        raise ValueError("n_chunks must be >= 1")
+    keys = list(table.snapshot().merge_key)
+    applied, skipped, epoch_ids = 0, 0, []
+    todo = range(n_chunks) if only_chunks is None else only_chunks
+    for i in todo:
+        if not (0 <= i < n_chunks):
+            raise ValueError(f"chunk {i} outside [0, {n_chunks})")
+        eid = f"{prefix}.{i:05d}of{n_chunks}"
+        epoch_ids.append(eid)
+        if table.is_epoch_committed(eid):
+            skipped += 1
+            continue
+        chunk = snapshot_df.filter(
+            F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_chunks)) == i
+        )
+        bootstrap_epoch(table, chunk, as_of_lsn, epoch_id=eid)
+        applied += 1
+    return {
+        "n_chunks": n_chunks,
+        "applied": applied,
+        "skipped": skipped,
+        "epoch_ids": epoch_ids,
+    }
+
+
 def _record_metrics(
     metrics_table, epoch_id, stats, t0, snapshot_version, stages: dict | None = None
 ) -> None:
