@@ -68,6 +68,13 @@ def main() -> None:
                         "FlatMessage JSONL batches with a durable resume "
                         "cursor (sources/flat_message.py "
                         "export_flat_messages_to_dir — the MQ-sink connector)")
+    p.add_argument("--mq-props", default="",
+                   help="Canal MQ routing properties for the export, "
+                        "SEMICOLON-joined key=value pairs (values keep "
+                        "their comma-separated rule lists), e.g. "
+                        "'partitionsNum=4;partitionHash=cc\\\\.pages:$pk$;"
+                        "dynamicTopic=hot:cc\\\\.pages' — batches gain a "
+                        "mq_topic=/mq_partition= queue layout")
     p.add_argument("--lease-path", default="",
                    help="running/standby HA: acquire this leader lease before "
                         "applying (streaming/lease.py — the Canal "
@@ -605,13 +612,23 @@ def main() -> None:
         from clever_canal_spark.lake import SnapshotExpired
         from clever_canal_spark.sources import export_flat_messages_to_dir
 
+        mq = None
+        if args.mq_props:
+            from clever_canal_spark.sources import parse_mq_properties
+
+            props = dict(
+                kv.split("=", 1) for kv in args.mq_props.split(";") if kv
+            )
+            mq = parse_mq_properties(props)
         try:
             r = export_flat_messages_to_dir(
-                table, args.mq_export_dir, database="cc", table_name="pages"
+                table, args.mq_export_dir, database="cc", table_name="pages",
+                mq=mq,
             )
             if r["consumed"]:
+                routed = f" routed x{mq.partitions_num}" if mq else ""
                 print(f"mq export: {r['n_messages']} messages "
-                      f"({r['consumed']} versions) -> {r['path']}")
+                      f"({r['consumed']} versions){routed} -> {r['path']}")
             else:
                 print("mq export: nothing new")
         except SnapshotExpired:
