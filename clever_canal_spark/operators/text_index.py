@@ -20,19 +20,21 @@ changelog like the other two:
   source.
 - **probe** (per query batch): ``scan_for_keys(terms)`` on postings
   (bucket-pruned); per-term df falls out of the pruned read itself;
-  global (N, Σdl) is ONE column-pruned 1-row aggregate over ``fwd.dl``
-  — the only non-pruned read, two int columns, amortizable across a
-  query batch. Scoring is byte-identical to `text.bm25_topk` (same
-  integer-exact idf-e6 / rational-tf arithmetic), which the tests
-  assert by equivalence.
+  global (N, Σdl) reads the maintained 1-row stats view (O(1) — a full
+  ``fwd.dl`` aggregate here would be the one O(corpus) read left on
+  the serving path; legacy stats-less indexes still take it). Scoring
+  is byte-identical to `text.bm25_topk` (same integer-exact idf-e6 /
+  rational-tf arithmetic), which the tests assert by equivalence.
 - **maintain** (per epoch): `sync_text_index_from_lake` tails
   ``scan_changes``. Changed docs' old token sets come from a
   bucket-pruned ``fwd.scan_for_keys_df`` read; dropped/deleted tokens
   become posting tombstones, new token counts become upserts. Postings
   merge FIRST, fwd merge LAST: a crash replays into committed epochs
   (registry no-ops) while the delta — which is derived from the OLD fwd
-  state — recomputes identically until the fwd merge lands. No sidecar
-  stats to drift: corpus stats derive from fwd state itself.
+  state — recomputes identically until the fwd merge lands. Corpus
+  stats (N, Σdl) live in a maintained 1-row agg_view over fwd (synced
+  with each epoch, self-healing at probe time) — no sidecar to drift,
+  and the probe's only non-bucket read is O(1), not O(corpus).
 
 The reference engine has no text-retrieval surface — this is part of
 the beyond-reference webtext-analytics layer (prompt requirement).
@@ -81,6 +83,40 @@ class TextIndex:
     fwd: LakeTable
     postings: LakeTable
     path: str
+    # maintained 1-row corpus-stats view (n_docs, Σdl) — None on a
+    # legacy (pre-stats) index, where probes fall back to the fwd scan
+    stats: "LakeTable | None" = None
+
+
+def _corpus_stats(index: TextIndex):
+    """BM25's corpus stats (n_docs, Σdl) as a broadcast 1-row frame.
+
+    With the maintained stats view this is an O(1) read: the view is a
+    constant-group agg_view over fwd, synced by the index maintenance
+    functions; the probe-side sync call is a zero-job cursor check when
+    current and self-heals the crash window (fwd committed, view not)
+    in one O(delta) epoch. Without it (legacy index), the old full
+    ``fwd.scan()`` aggregate runs — correct, but O(corpus) input bytes
+    per probe, which is exactly the read the stats view deletes from
+    the serving path."""
+    if index.stats is None:
+        return F.broadcast(
+            index.fwd.scan().agg(
+                F.count("*").alias("n_docs"), F.sum("dl").alias("s_dl")
+            )
+        )
+    from ..lake import SnapshotExpired
+    from ..lake.agg_view import reseed_agg_view, sync_agg_view
+
+    try:
+        sync_agg_view(index.stats, index.fwd)
+    except SnapshotExpired:
+        reseed_agg_view(index.stats, index.fwd)
+    return F.broadcast(
+        index.stats.scan().select(
+            F.col("n_rows").alias("n_docs"), F.col("sum_dl").alias("s_dl")
+        )
+    )
 
 
 def _toks(text_col: str):
@@ -151,9 +187,15 @@ def build_text_index(
         .withColumn("op", F.lit("U")).withColumn("lsn", lsn0),
         epoch_id=0, op_col="op", mode="mor", lsn_col="lsn",
     )
+    from ..lake.agg_view import create_agg_view
+
+    stats = create_agg_view(
+        fwd, os.path.join(path, "stats"), group_expr="'all'",
+        value_exprs={"dl": "dl"}, n_buckets=1,
+    )
     with open(os.path.join(path, _SIDECAR), "w") as fh:
         json.dump({"n_buckets": n_buckets, "format": 2, "positional": True}, fh)
-    return TextIndex(fwd=fwd, postings=postings, path=path)
+    return TextIndex(fwd=fwd, postings=postings, path=path, stats=stats)
 
 
 def open_text_index(spark: SparkSession, path: str) -> TextIndex:
@@ -167,10 +209,13 @@ def open_text_index(spark: SparkSession, path: str) -> TextIndex:
             f"text index at {path} is format {meta.get('format', 1)} "
             "(pre-positional); rebuild it with build_text_index[_from_lake]"
         )
+    stats_dir = os.path.join(path, "stats")
     return TextIndex(
         fwd=LakeTable(spark, os.path.join(path, "fwd")),
         postings=LakeTable(spark, os.path.join(path, "postings")),
         path=path,
+        stats=LakeTable(spark, stats_dir)
+        if os.path.isdir(stats_dir) else None,
     )
 
 
@@ -216,8 +261,9 @@ def probe_bm25(index: TextIndex, terms: list[str], k: int = 25) -> DataFrame:
     overlapping start count without touching any text.
 
     Reads: the query words' posting buckets (``scan_for_keys`` — bucket
-    + file-range pruned; a phrase reads its words' buckets) and one
-    1-row (count, sum) aggregate over ``fwd.dl``. A term with no
+    + file-range pruned; a phrase reads its words' buckets) and the
+    1-row corpus-stats view (``_corpus_stats`` — O(1); the fwd
+    aggregate only on legacy stats-less indexes). A term with no
     postings simply contributes nothing — matching the corpus path,
     where df=0 forces tf=0 everywhere."""
     if not terms:
@@ -230,11 +276,7 @@ def probe_bm25(index: TextIndex, terms: list[str], k: int = 25) -> DataFrame:
     unigrams = [t for t in terms if " " not in t]
     phrases = [t for t in terms if " " in t]
     words = sorted({w for ph in phrases for w in ph.split()} | set(unigrams))
-    stats = F.broadcast(
-        index.fwd.scan().agg(
-            F.count("*").alias("n_docs"), F.sum("dl").alias("s_dl")
-        )
-    )
+    stats = _corpus_stats(index)
     posts = index.postings.scan_for_keys(words)
     tf_parts = []
     if unigrams:
@@ -344,6 +386,13 @@ def apply_text_index_changes(
         )
     )
     index.fwd.merge(fwd_src, epoch_id=epoch_id, op_col="op", mode="mor", lsn_col="lsn")
+    # keep the corpus-stats view current so PROBES stay pure readers
+    # (their own sync call is then a zero-job cursor check); a crash
+    # between the fwd merge and this sync self-heals at the next probe
+    if index.stats is not None:
+        from ..lake.agg_view import sync_agg_view
+
+        sync_agg_view(index.stats, index.fwd)
     # release both checkpoints' storage blocks — a per-micro-batch sync
     # must not accumulate them until GC (ckpt.py)
     _free_checkpoint(w0)
@@ -449,11 +498,7 @@ def probe_bm25_batch(
     qmap = F.broadcast(
         spark.createDataFrame(pairs, "query_id bigint, tok string")
     )
-    stats = F.broadcast(
-        index.fwd.scan().agg(
-            F.count("*").alias("n_docs"), F.sum("dl").alias("s_dl")
-        )
-    )
+    stats = _corpus_stats(index)
     posts = index.postings.scan_for_keys(union_terms)
     dfs = posts.groupBy("tok").agg(F.count("*").alias("df"))
     scored = (

@@ -320,3 +320,47 @@ def test_phrase_probe_equals_corpus_path(spark, tmp_table_dir):
     fdocs = spark.createDataFrame(final, "doc_id bigint, text string")
     assert _bm25_rows(probe_bm25(idx, ["a a"], k=10)) == \
         _bm25_rows(bm25_topk(fdocs, ["a a"], k=10))
+
+
+def test_corpus_stats_view_o1_and_self_healing(spark, tmp_table_dir):
+    """The maintained stats view: probe-side stats read O(1) files (never
+    fwd data), equality with the full-scan legacy fallback, and
+    self-healing of the crash window (fwd committed, view not)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from clever_canal_spark.operators.text_index import (
+        TextIndex, _corpus_stats, build_text_index, open_text_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta doc {i} " + "pad " * i) for i in range(30)],
+        "doc_id long, text string",
+    )
+    path = os.path.join(tmp_table_dir, "tidx")
+    build_text_index(spark, docs, path, n_buckets=4)
+    idx = open_text_index(spark, path)
+    assert idx.stats is not None
+
+    stats = _corpus_stats(idx).collect()[0]
+    legacy = TextIndex(fwd=idx.fwd, postings=idx.postings, path=idx.path)
+    full = _corpus_stats(legacy).collect()[0]
+    assert (stats["n_docs"], stats["s_dl"]) == (full["n_docs"], full["s_dl"])
+
+    # O(1) read: the stats frame touches only the stats view's files
+    read = set(_corpus_stats(idx).inputFiles())
+    fwd_files = {f for f in idx.fwd.scan().inputFiles()}
+    assert read and not (read & fwd_files)
+
+    # crash window: a fwd commit WITHOUT the view sync (direct merge
+    # bypasses apply_text_index_changes) — next stats read self-heals
+    idx.fwd.merge(
+        spark.createDataFrame([(999, ["zz"], 7, "U", 1)],
+                              "doc_id long, toks array<string>, dl int, "
+                              "op string, lsn long"),
+        epoch_id=777, op_col="op", mode="mor", lsn_col="lsn",
+    )
+    healed = _corpus_stats(idx).collect()[0]
+    assert healed["n_docs"] == stats["n_docs"] + 1
+    assert healed["s_dl"] == stats["s_dl"] + 7
