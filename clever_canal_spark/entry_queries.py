@@ -7530,6 +7530,94 @@ def q_doc_publish_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "shard int, rows bigint, checksum bigint")
 
 
+@register(
+    "doc_dataset_diff",
+    """
+    WITH a AS (
+      SELECT doc_id, lang, text FROM documents WHERE doc_id < 200
+    ),
+    b AS (
+      SELECT doc_id, lang,
+             CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+      FROM documents WHERE doc_id < 200 AND doc_id % 7 <> 0
+    ),
+    ha AS (
+      SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                  % 8 AS INT) AS shard,
+             ('0x' || substr(md5(
+                CAST(doc_id AS VARCHAR) || chr(31) ||
+                COALESCE(lang, chr(30) || 'null') || chr(31) ||
+                COALESCE(text, chr(30) || 'null')
+             ), 1, 8))::BIGINT AS h,
+             count(*) AS ca
+      FROM a GROUP BY 1, 2
+    ),
+    hb AS (
+      SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                  % 8 AS INT) AS shard,
+             ('0x' || substr(md5(
+                CAST(doc_id AS VARCHAR) || chr(31) ||
+                COALESCE(lang, chr(30) || 'null') || chr(31) ||
+                COALESCE(text, chr(30) || 'null')
+             ), 1, 8))::BIGINT AS h,
+             count(*) AS cb
+      FROM b GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT COALESCE(ha.shard, hb.shard) AS shard,
+             COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+      FROM ha FULL JOIN hb ON ha.shard = hb.shard AND ha.h = hb.h
+    )
+    SELECT shard,
+           CAST(sum(ca) AS BIGINT) AS rows_a,
+           CAST(sum(cb) AS BIGINT) AS rows_b,
+           CAST(sum(greatest(ca - cb, 0)) AS BIGINT) AS n_only_a,
+           CAST(sum(greatest(cb - ca, 0)) AS BIGINT) AS n_only_b,
+           sum(greatest(ca - cb, 0)) + sum(greatest(cb - ca, 0)) > 0 AS changed
+    FROM j GROUP BY 1
+    """,
+)
+def q_doc_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Published-dataset diff (publish.diff_datasets): v2 re-publishes
+    the corpus with every 7th doc dropped and every 5th doc's text
+    edited — the diff reports per-shard row multiset differences.
+    Manifest-identical shards are screened with ZERO data I/O (free on
+    a routine re-publish); only differing shards' ``shard=`` dirs are
+    read (partition-pruned). The oracle recomputes both sides' row
+    hashes and the full-outer multiset diff independently in DuckDB."""
+    import tempfile
+
+    from .operators.publish import diff_datasets, publish_dataset
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), "publish")
+    dir_a = _PUBLISH_CACHE.get(key)
+    if dir_a is None:
+        dir_a = tempfile.mkdtemp(prefix="ccs-publish-")
+        publish_dataset(
+            _documents(spark, sf_dir).filter(F.col("doc_id") < 200)
+            .select("doc_id", "lang", "text"),
+            dir_a, n_shards=8,
+        )
+        _PUBLISH_CACHE[key] = dir_a
+    key2 = key + ("v2",)
+    dir_b = _PUBLISH_CACHE.get(key2)
+    if dir_b is None:
+        dir_b = tempfile.mkdtemp(prefix="ccs-publish-v2-")
+        v2 = (
+            _documents(spark, sf_dir)
+            .filter((F.col("doc_id") < 200) & (F.col("doc_id") % 7 != 0))
+            .select(
+                "doc_id", "lang",
+                F.when(F.col("doc_id") % 5 == 0,
+                       F.concat(F.col("text"), F.lit(" v2")))
+                .otherwise(F.col("text")).alias("text"),
+            )
+        )
+        publish_dataset(v2, dir_b, n_shards=8)
+        _PUBLISH_CACHE[key2] = dir_b
+    return diff_datasets(spark, dir_a, dir_b)
+
+
 _AGGVIEW_CACHE: dict[tuple, str] = {}
 
 

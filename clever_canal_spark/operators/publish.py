@@ -159,3 +159,100 @@ def verify_dataset(spark: SparkSession, out_dir: str) -> dict:
         "total_rows": total_actual,
         "mismatches": mismatches,
     }
+
+
+def diff_datasets(spark: SparkSession, dir_a: str, dir_b: str) -> DataFrame:
+    """Per-shard diff of two published datasets — "what changed between
+    the snapshot we trained on and the re-publish?" answered without
+    trusting either writer.
+
+    Two levels, and the first is free:
+
+    1. **Manifest screen (zero data I/O)**: shards whose (rows,
+       checksum) agree in both manifests are UNCHANGED — identical
+       multiset mod hash collision — and their data files are never
+       opened. On a routine re-publish that touches 1% of shards, 99%
+       of the corpus is skipped here.
+    2. **Row-level multiset diff on the differing shards only**: per
+       (shard, row-hash) counts from each side, full-outer joined —
+       ``n_only_a`` / ``n_only_b`` are the row multiset differences
+       (a modified row counts once on each side). Partition pruning
+       keeps the read to exactly the differing ``shard=`` directories.
+
+    Output: one row per shard — (shard, rows_a, rows_b, n_only_a,
+    n_only_b, changed). Requires both publishes to share n_shards,
+    id_col and column set (anything else is a schema migration, not a
+    diff)."""
+    ma, mb = read_manifest(dir_a), read_manifest(dir_b)
+    for field in ("n_shards", "id_col", "columns"):
+        if ma[field] != mb[field]:
+            raise ValueError(
+                f"datasets disagree on {field}: {ma[field]!r} vs {mb[field]!r}"
+                " — that is a schema migration, not a diff"
+            )
+    cols = ma["columns"]
+    sa, sb = ma["shards"], mb["shards"]
+    unchanged, differing = [], []
+    for k in sorted(set(sa) | set(sb), key=int):
+        if k in sa and k in sb and sa[k] == sb[k]:
+            unchanged.append(int(k))
+        else:
+            differing.append(int(k))
+    rows_of = lambda m, k: m.get(str(k), {}).get("rows", 0)  # noqa: E731
+    base = spark.createDataFrame(
+        [(k, rows_of(sa, k), rows_of(sb, k)) for k in unchanged + differing],
+        "shard int, rows_a long, rows_b long",
+    )
+    if not differing:
+        return base.select(
+            "shard", "rows_a", "rows_b",
+            F.lit(0).cast("long").alias("n_only_a"),
+            F.lit(0).cast("long").alias("n_only_b"),
+            F.lit(False).alias("changed"),
+        )
+
+    def counts(d):
+        # explicit per-directory read, not a partition filter: the skip
+        # of unchanged shards is then STATIC (visible in inputFiles(),
+        # independent of pushdown) and a shard absent on one side just
+        # contributes no paths
+        paths = [
+            p for k in differing
+            if os.path.isdir(p := os.path.join(d, f"shard={k}"))
+        ]
+        if not paths:
+            return None
+        return (
+            spark.read.option("basePath", d).parquet(*paths)
+            .groupBy("shard", _row_hash(cols).alias("h"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    ca, cb = counts(dir_a), counts(dir_b)
+    if ca is None and cb is None:
+        raise AssertionError("differing shards but no data dirs on either side")
+    if ca is None:
+        j = cb.select("shard", F.lit(0).alias("ca"), F.col("c").alias("cb"))
+    elif cb is None:
+        j = ca.select("shard", F.col("c").alias("ca"), F.lit(0).alias("cb"))
+    else:
+        j = ca.withColumnRenamed("c", "ca").join(
+            cb.withColumnRenamed("c", "cb"), ["shard", "h"], "full"
+        ).select(
+            "shard",
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+    diffs = j.groupBy("shard").agg(
+        F.sum(F.greatest(F.col("ca") - F.col("cb"), F.lit(0))).alias("n_only_a"),
+        F.sum(F.greatest(F.col("cb") - F.col("ca"), F.lit(0))).alias("n_only_b"),
+    )
+    return (
+        base.join(diffs, "shard", "left")
+        .select(
+            "shard", "rows_a", "rows_b",
+            F.coalesce("n_only_a", F.lit(0)).cast("long").alias("n_only_a"),
+            F.coalesce("n_only_b", F.lit(0)).cast("long").alias("n_only_b"),
+        )
+        .withColumn("changed", (F.col("n_only_a") + F.col("n_only_b")) > 0)
+    )

@@ -76,3 +76,61 @@ def test_null_id_refused(spark, tmp_table_dir):
     )
     with pytest.raises(ValueError, match="nulls"):
         publish_dataset(df, os.path.join(tmp_table_dir, "out"), n_shards=2)
+
+
+def test_diff_datasets(spark, tmp_table_dir):
+    """Per-shard diff: manifest-identical shards skipped with zero data
+    I/O (the read plan's files exclude their dirs), row multiset
+    differences exact, schema migration refused."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from clever_canal_spark.operators.publish import (
+        diff_datasets, publish_dataset,
+    )
+
+    a_dir = os.path.join(tmp_table_dir, "a")
+    b_dir = os.path.join(tmp_table_dir, "b")
+    base = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(200)], "doc_id long, text string"
+    )
+    publish_dataset(base, a_dir, n_shards=8)
+    # v2: drop one known doc, edit another
+    v2 = base.filter(F.col("doc_id") != 17).withColumn(
+        "text",
+        F.when(F.col("doc_id") == 23, F.lit("edited")).otherwise(F.col("text")),
+    )
+    publish_dataset(v2, b_dir, n_shards=8)
+
+    out = diff_datasets(spark, a_dir, b_dir)
+    rows = {r["shard"]: r for r in out.collect()}
+    assert len(rows) == 8
+    assert sum(r["n_only_a"] for r in rows.values()) == 2   # dropped + old text
+    assert sum(r["n_only_b"] for r in rows.values()) == 1   # new text
+    assert sum(r["rows_a"] for r in rows.values()) == 200
+    assert sum(r["rows_b"] for r in rows.values()) == 199
+    changed = [k for k, r in rows.items() if r["changed"]]
+    assert 1 <= len(changed) <= 2  # docs 17 and 23's shards only
+    for k, r in rows.items():
+        if not r["changed"]:
+            assert r["n_only_a"] == 0 and r["n_only_b"] == 0
+
+    # zero data I/O on unchanged shards: the diff plan reads only the
+    # CHANGED shard directories
+    read = {f for f in out.inputFiles()}
+    for k, r in rows.items():
+        touched = any(f"shard={k}/" in f for f in read)
+        assert touched == r["changed"], (k, r["changed"])
+
+    # identical publishes: all unchanged, no files read at all
+    same = diff_datasets(spark, a_dir, a_dir)
+    assert same.filter(F.col("changed")).count() == 0
+    assert not same.inputFiles()
+
+    # column-set mismatch is a schema migration, not a diff
+    c_dir = os.path.join(tmp_table_dir, "c")
+    publish_dataset(base.withColumn("extra", F.lit(1)), c_dir, n_shards=8)
+    with pytest.raises(ValueError, match="schema migration"):
+        diff_datasets(spark, a_dir, c_dir)
