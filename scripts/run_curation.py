@@ -77,6 +77,10 @@ def main() -> None:
                         "paths, long queries) before any text is read")
     p.add_argument("--url-blocklist", default="",
                    help="comma-separated blocked domains (suffix match)")
+    p.add_argument("--host-report-out", default="",
+                   help="write the per-host quality roll-up (parquet; "
+                        "blocklist_candidate column proposes the next "
+                        "run's --url-blocklist)")
     p.add_argument("--skip-quality", action="store_true")
     p.add_argument("--model-quality-threshold-e6", type=int, default=None,
                    help="enable the model-based quality stage: drop docs whose "
@@ -222,6 +226,18 @@ def main() -> None:
             *[c for c in flagged.columns if c.startswith("f_")], "url_ok"
         )
         print(f"[curate] url filter: {scan.count()}/{n0} urls pass")
+    if args.host_report_out:
+        # the feedback loop: this run's per-host roll-up proposes the
+        # NEXT run's --url-blocklist (host_quality_report docstring)
+        from clever_canal_spark.operators.text import host_quality_report
+
+        rep = host_quality_report(
+            table.scan().filter(F.col("text").isNotNull())
+        ).localCheckpoint()
+        rep.write.mode("overwrite").parquet(args.host_report_out)
+        n_cand = rep.filter(F.col("blocklist_candidate")).count()
+        print(f"[curate] host report: {rep.count()} hosts, "
+              f"{n_cand} blocklist candidates -> {args.host_report_out}")
     corpus = scan.select(
         F.xxhash64(*snap.merge_key).alias("doc_id"),
         F.col("text"),
