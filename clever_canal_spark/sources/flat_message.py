@@ -812,3 +812,62 @@ def evolve_from_drift(
         table.add_column(c, types[c])
         actions.append({"column": c, "type": types[c], "n_rows": n})
     return actions
+
+
+def tail_flat_messages(
+    spark,
+    mq_dir: str,
+    cursor_file: str | None = None,
+    topic: str | None = None,
+    partition: int | None = None,
+):
+    """Consumer side of the MQ-export loop — the Canal client's
+    get/ack rebuilt over the file-queue layout (CanalServerWithEmbedded
+    getWithoutAck/ack): read every batch directory newer than this
+    consumer's durable cursor, in name (= version-range) order, and
+    return the decoded messages plus the ack handle.
+
+    ``topic``/``partition`` select one subtree of a routed export
+    (``mq_topic=T/mq_partition=K`` — one queue worker per partition,
+    per-key ordering guaranteed by the producer's hash routing); omit
+    both for an unrouted export. Returns ``(df, ack)`` where ``df`` is
+    the decoded FlatMessage frame (None when nothing new) and ``ack()``
+    atomically advances the cursor past everything returned — crash
+    before ack re-delivers the same batches (at-least-once, the
+    rollback/redelivery contract; dedupe downstream by (lsn, pk) or
+    merge LWW, which is idempotent anyway)."""
+    import json as _json
+    import os as _os
+
+    if (topic is None) != (partition is None):
+        raise ValueError("pass both topic and partition, or neither")
+    cursor_file = cursor_file or _os.path.join(mq_dir, "_consumer.json")
+    try:
+        with open(cursor_file) as fh:
+            consumed = _json.load(fh)["batch"]
+    except FileNotFoundError:
+        consumed = ""
+    batches = sorted(
+        d for d in _os.listdir(mq_dir)
+        if d.startswith("batch-") and d > consumed
+    )
+    paths = []
+    for b in batches:
+        p = _os.path.join(mq_dir, b)
+        if topic is not None:
+            p = _os.path.join(p, f"mq_topic={topic}", f"mq_partition={partition}")
+        if _os.path.isdir(p):
+            paths.append(p)
+
+    def ack():
+        if not batches:
+            return
+        tmp = cursor_file + ".tmp"
+        with open(tmp, "w") as fh:
+            _json.dump({"batch": batches[-1]}, fh)
+        _os.replace(tmp, cursor_file)
+
+    if not paths:
+        return (None, ack)
+    raw = spark.read.text(paths)
+    return (decode_flat_message(raw, "value"), ack)
