@@ -2004,6 +2004,31 @@ def q_doc_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_clusters(_documents(spark, sf_dir))
 
 
+@register(
+    "doc_cluster_weights",
+    f"""
+    WITH clusters AS ({_neardup_oracle()}),
+    sizes AS (
+      SELECT cluster_id, count(*) AS cluster_size
+      FROM clusters GROUP BY cluster_id
+    )
+    SELECT c.doc_id, c.cluster_id, CAST(s.cluster_size AS BIGINT) AS cluster_size,
+           CAST(1000000 // s.cluster_size AS BIGINT) AS weight_e6
+    FROM clusters c JOIN sizes s USING (cluster_id)
+    """,
+)
+def q_doc_cluster_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup (dedup.cluster_downweights): per-doc mixture weight
+    ``10^6 div cluster_size`` — every near-dup cluster contributes ~one
+    document of training mass without dropping surface variants
+    (MassiveText-style reweighting; the alternative to keeper-only
+    drops). Integer-exact Spark DIV == DuckDB ``//``; the oracle replays
+    the recursive clustering and both the count and the division."""
+    from .operators.dedup import cluster_downweights
+
+    return cluster_downweights(_documents(spark, sf_dir))
+
+
 _MP_PLANES, _MP_RADIUS = 4, 2
 
 

@@ -844,3 +844,26 @@ def chunk_dup_fraction(
             F.expr("1000000 * dup_len DIV total_len").alias("dup_frac_e6"),
         )
     )
+
+
+def cluster_downweights(df: DataFrame, text_col: str = "text", **cluster_kwargs) -> DataFrame:
+    """Soft dedup: mixture DOWNWEIGHT per near-dup cluster instead of a
+    hard drop — each document gets ``weight_e6 = 10^6 div cluster_size``
+    so every cluster contributes ~one document's worth of training mass
+    while keeping all surface variants available (the alternative to
+    keeper-only dedup when variants carry signal; MassiveText-style
+    reweighting). Integer-exact (ppm), so a DuckDB oracle reproduces
+    every weight.
+
+    Scale shape: :func:`neardup_clusters` (banded, never all-pairs) plus
+    ONE count aggregate and one join back on cluster_id — both
+    co-partitioned on the same key. Feed ``weight_e6`` to
+    ``text.mix_weights``-style samplers or a loss-weight column."""
+    clusters = neardup_clusters(df, text_col=text_col, **cluster_kwargs)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count("*").cast("bigint").alias("cluster_size")
+    )
+    return clusters.join(sizes, "cluster_id").select(
+        "doc_id", "cluster_id", "cluster_size",
+        F.expr("1000000 DIV cluster_size").alias("weight_e6"),
+    )

@@ -1040,3 +1040,26 @@ def test_hash_embed_feeds_similarity_stack(spark):
     assert top[0]["vec_id"] == 0
     assert abs(top[0]["dot_e9"] - 1_000_000_000) <= 64
     assert top[1]["dot_e9"] < top[0]["dot_e9"]
+
+
+def test_cluster_downweights(spark):
+    """Soft dedup: a 3-doc near-dup cluster gets weight 333333 each (~1
+    doc total mass); singletons keep 1000000."""
+    from clever_canal_spark.operators.dedup import cluster_downweights
+
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away into the deep green forest tonight ") * 3
+    docs = spark.createDataFrame(
+        [(0, base), (1, base + "x"), (2, base + "y"),
+         (3, "completely different text about spark engines and lakes "
+             "with nothing shared at all in any shingle window here")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in cluster_downweights(docs).collect()}
+    assert len(got) == 4
+    assert got[0]["cluster_size"] == 3 and got[0]["weight_e6"] == 333333
+    assert got[1]["cluster_id"] == got[0]["cluster_id"] == 0
+    assert got[3]["cluster_size"] == 1 and got[3]["weight_e6"] == 1000000
+    # mass conservation within the truncation bound
+    total = sum(r["weight_e6"] for r in got.values())
+    assert 1_999_998 <= total <= 2_000_000
