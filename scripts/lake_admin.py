@@ -90,12 +90,30 @@ def main() -> None:
                     help="gap-scan bucket width (lsn DIV bucket)")
     fa.add_argument("--max-rows", type=int, default=50,
                     help="print at most this many gap/dup rows")
+    dd = sub.add_parser("dataset-diff")
+    dd.add_argument("--a", required=True, help="published dataset A (baseline)")
+    dd.add_argument("--b", required=True, help="published dataset B (candidate)")
     args = p.parse_args()
 
-    if args.cmd != "feed-audit" and not args.table_dir:
+    if args.cmd not in ("feed-audit", "dataset-diff") and not args.table_dir:
         p.error("--table-dir is required for this command")
 
     spark = build_session(app_name="ccs-lake-admin")
+    if args.cmd == "dataset-diff":
+        # published-snapshot diff (operators/publish.py diff_datasets):
+        # JSON per-shard rows + summary; exit 1 when anything changed —
+        # scriptable as a "did the re-publish move?" gate
+        from clever_canal_spark.operators.publish import diff_datasets
+
+        rows = diff_datasets(spark, args.a, args.b).orderBy("shard").collect()
+        n_a = sum(r["n_only_a"] for r in rows)
+        n_b = sum(r["n_only_b"] for r in rows)
+        changed = [r["shard"] for r in rows if r["changed"]]
+        for r in rows:
+            print(json.dumps(r.asDict()))
+        print(f"[admin] dataset-diff: {len(changed)}/{len(rows)} shards "
+              f"changed, {n_a} rows only in A, {n_b} only in B")
+        sys.exit(1 if changed else 0)
     if args.cmd == "feed-audit":
         # feed-integrity pass (sources/feed.py): continuity holes +
         # duplicate offsets, as JSON rows + a summary line; exit 1 on
