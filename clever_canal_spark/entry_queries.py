@@ -6731,6 +6731,45 @@ def q_emb_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_recall(approx, exact)
 
 
+def _matryoshka_oracle() -> str:
+    legs = []
+    for d in (8, 16, 32, 64):
+        legs.append(f"""
+    SELECT {d} AS n_dims, CAST(h{d}.n AS BIGINT) AS n_hits,
+           CAST(50 AS BIGINT) AS k_exact, 1000000 * h{d}.n // 50 AS recall_e6
+    FROM (
+      SELECT count(*) AS n FROM (
+        SELECT vec_id FROM (
+          SELECT vec_id, {_duck_dot_e9_d('embedding', 'qvec', d)} AS dot_e9
+          FROM embeddings, q ORDER BY dot_e9 DESC, vec_id LIMIT 50
+        )
+      ) a JOIN exact USING (vec_id)
+    ) h{d}""")
+    return f"""
+    WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+    exact AS (
+      SELECT vec_id FROM (
+        SELECT vec_id, {_duck_dot_e9('embedding', 'qvec')} AS dot_e9
+        FROM embeddings, q ORDER BY dot_e9 DESC, vec_id LIMIT 50
+      )
+    )
+    {' UNION ALL '.join(legs)}
+    """
+
+
+@register("emb_matryoshka_recall", _matryoshka_oracle())
+def q_emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation curve (similarity.matryoshka_recall):
+    recall@50 of prefix-dot ranking at d ∈ {{8,16,32,64}} vs the
+    full-dim exact top-k — the evidence for choosing a cheaper serving
+    dimension (d/64 of the bytes, no re-encoding). Integer-exact; the
+    oracle replays every truncated ranking independently."""
+    from .operators.similarity import matryoshka_recall
+
+    emb = _embeddings(spark, sf_dir)
+    return matryoshka_recall(emb, emb.filter(F.col("vec_id") == 0))
+
+
 # --------------------------------------------------------------------------
 # Web-graph operators (operators/graph.py): links, PageRank, mirrors
 # --------------------------------------------------------------------------

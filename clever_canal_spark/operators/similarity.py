@@ -1277,3 +1277,34 @@ def hard_negative_mine_indexed(
         .filter(F.col("rank") <= k)
         .select("query_id", F.col("vec_id").alias("neg_id"), "dot_e9", "rank")
     )
+
+
+def matryoshka_recall(
+    df: DataFrame,
+    query_df: DataFrame,
+    dims_list: "tuple[int, ...]" = (8, 16, 32, 64),
+    k: int = 50,
+    n_dims: int = N_DIMS,
+) -> DataFrame:
+    """Truncated-dimension retrieval curve — the Matryoshka (MRL)
+    serving question: how much recall@k survives ranking on only the
+    FIRST d dimensions? Prefix truncation is the cheapest
+    memory/bandwidth lever an embedding store has (d/64 of the bytes,
+    no re-encoding, no codebook), and this curve is the evidence for
+    choosing d.
+
+    One exact full-dim top-k as ground truth, one prefix-dot top-k per
+    candidate d (``dot_e9_expr(n_dims=d)`` reads only the first d
+    elements — no array slicing, no copy), each scored by
+    :func:`topk_recall`. Output: (n_dims, n_hits, k_exact, recall_e6),
+    one row per d, integer-exact on both engines."""
+    exact = brute_force_topk(df, query_df, k=k, n_dims=n_dims).select("vec_id")
+    out = None
+    for d in dims_list:
+        approx = brute_force_topk(df, query_df, k=k, n_dims=d).select("vec_id")
+        r = topk_recall(approx, exact).select(
+            F.lit(int(d)).cast("int").alias("n_dims"),
+            "n_hits", "k_exact", "recall_e6",
+        )
+        out = r if out is None else out.unionByName(r)
+    return out

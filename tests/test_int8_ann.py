@@ -83,3 +83,25 @@ def test_stage1_plan_has_no_shuffle(spark):
         if re.search(r"\bExchange\b", ln) and "Broadcast" not in ln
     ]
     assert non_broadcast_exchanges == [], non_broadcast_exchanges
+
+
+def test_matryoshka_recall_full_dim_is_exact(spark):
+    from pyspark.sql import functions as F
+
+    from clever_canal_spark.operators.similarity import matryoshka_recall
+
+    import random
+    rng = random.Random(7)
+    rows = []
+    for i in range(60):
+        v = [rng.uniform(-1, 1) for _ in range(16)]
+        n = sum(x * x for x in v) ** 0.5
+        rows.append((i, [x / n for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter(F.col("vec_id") == 0)
+    out = {r["n_dims"]: r for r in matryoshka_recall(
+        emb, q, dims_list=(4, 8, 16), k=10, n_dims=16).collect()}
+    assert set(out) == {4, 8, 16}
+    assert out[16]["recall_e6"] == 1_000_000      # full prefix == exact
+    assert all(r["k_exact"] == 10 for r in out.values())
+    assert 0 <= out[4]["n_hits"] <= 10
