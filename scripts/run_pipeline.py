@@ -629,8 +629,29 @@ def main() -> None:
                 routed = f" routed x{mq.partitions_num}" if mq else ""
                 print(f"mq export: {r['n_messages']} messages "
                       f"({r['consumed']} versions){routed} -> {r['path']}")
-            else:
-                print("mq export: nothing new")
+                if mq is not None and mq.partition_hash:
+                    # close the loop: one queue worker drains partition 0
+                    # of the first routed topic (get/ack contract)
+                    import os as _os
+
+                    from clever_canal_spark.sources.flat_message import (
+                        tail_flat_messages,
+                    )
+
+                    topic = sorted(
+                        t.split("=", 1)[1]
+                        for t in _os.listdir(r["path"])
+                        if t.startswith("mq_topic=")
+                    )[0]
+                    df, ack = tail_flat_messages(
+                        spark, args.mq_export_dir,
+                        _os.path.join(args.mq_export_dir, "_worker0.json"),
+                        topic=topic, partition=0,
+                    )
+                    n = 0 if df is None else df.count()
+                    ack()
+                    print(f"mq consume: worker0 drained {n} messages from "
+                          f"{topic}/0 and acked")
         except SnapshotExpired:
             print("mq export: cursor fell below snapshot retention — "
                   "downstream must re-seed (replica bootstrap story); "
