@@ -6149,6 +6149,47 @@ def q_doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_bpe_encode_ids",
+    _duck_bpe_ctes(n_merges=12)
+    + """,
+    ids AS (
+      SELECT sym, CAST(row_number() OVER (ORDER BY sym) - 1 AS INT) AS tid
+      FROM (SELECT DISTINCT unnest(syms) AS sym FROM v12)
+    ),
+    pw AS (
+      SELECT doc_id, unnest(ws) AS word,
+             unnest(generate_series(1, len(ws))) AS pos
+      FROM (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws
+            FROM documents)
+    ),
+    ps AS (
+      SELECT doc_id, pos, unnest(v.syms) AS sym,
+             unnest(generate_series(1, len(v.syms))) AS j
+      FROM pw JOIN v12 v USING (word)
+    ),
+    agg AS (
+      SELECT doc_id, array_agg(tid ORDER BY pos, j) AS ids
+      FROM ps JOIN ids USING (sym) GROUP BY doc_id
+    )
+    SELECT d.doc_id, COALESCE(a.ids, CAST([] AS INT[])) AS ids,
+           CAST(COALESCE(len(a.ids), 0) AS BIGINT) AS n_tokens
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def q_doc_bpe_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize to trainer-ready id arrays (text.bpe_encode_ids): every
+    doc's ordered BPE symbol-id sequence under the freshly-trained
+    12-merge tokenizer — counts size batches (doc_bpe_token_counts);
+    this materializes the tokens the data loader actually reads. Symbol
+    id = rank in sorted distinct final symbols (deterministic, no hash).
+    Oracle replays training (shared unrolled CTE chain) + positioned
+    application with DuckDB's parallel-unnest zip + ordered array_agg."""
+    from .operators.text import bpe_encode_ids
+
+    return bpe_encode_ids(_documents(spark, sf_dir), n_merges=12)
+
+
+@register(
     "cdc_scan_where_range",
     f"""
     WITH f AS (

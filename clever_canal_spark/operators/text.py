@@ -1359,6 +1359,65 @@ def bpe_token_counts(
     )
 
 
+def bpe_encode_ids(
+    df: DataFrame,
+    n_merges: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize to TRAINER-READY id arrays: each document becomes the
+    ordered ``array<int>`` of BPE symbol ids under freshly-trained
+    merges — the terminal op a training pipeline feeds to sequence
+    packing / the data loader (counts alone — ``bpe_token_counts`` —
+    size the batches; this materializes the tokens).
+
+    Symbol ids are the rank of the symbol string in sorted order over
+    the final vocab's distinct symbols — deterministic, engine-portable
+    (no hash, no insertion order). Scale shape: docs explode to
+    positioned words, ONE broadcast join against the vocab-bounded
+    (word → syms) table, a second broadcast join against the
+    symbol-id table (≤ chars + n_merges rows), and per-doc reassembly
+    by ``array_sort(collect_list(struct(pos, subpos, id)))`` — the only
+    shuffle is the groupBy(doc), same key as the input. The symbol-id
+    ranking runs an unpartitioned window over DISTINCT SYMBOLS — vocab-
+    bounded (≤ alphabet + n_merges), never corpus-bounded."""
+    from pyspark.sql import Window
+
+    merges, vocab = _bpe_train(df, n_merges, text_col)
+    syms_tbl = vocab.select("word", "syms")
+    sym_ids = (
+        vocab.select(F.explode("syms").alias("sym")).distinct()
+        .withColumn(
+            "tid",
+            (F.row_number().over(Window.orderBy("sym")) - 1).cast("int"),
+        )
+    )
+    toks = F.expr(rf"regexp_extract_all({text_col}, '\\S+', 0)")
+    words = df.select(
+        F.col(id_col), F.posexplode_outer(toks).alias("pos", "word")
+    )
+    placed = (
+        words.join(F.broadcast(syms_tbl), "word", "left")
+        .select(id_col, "pos", F.posexplode_outer("syms").alias("j", "sym"))
+        .join(F.broadcast(sym_ids), "sym", "left")
+    )
+    return (
+        placed.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "j", "tid"))
+            ).alias("__packed")
+        )
+        .select(
+            id_col,
+            F.expr(
+                "filter(transform(__packed, s -> s.tid), x -> x IS NOT NULL)"
+            ).alias("ids"),
+        )
+        .withColumn("n_tokens", F.size("ids").cast("long"))
+    )
+
+
 def bpe_merges_df(df: DataFrame, n_merges: int = 16, text_col: str = "text") -> DataFrame:
     """:func:`learn_bpe_merges` as a DataFrame (step, lft, rgt, freq) —
     lft/rgt because LEFT/RIGHT are reserved in ANSI SQL engines."""

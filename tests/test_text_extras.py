@@ -1063,3 +1063,29 @@ def test_cluster_downweights(spark):
     # mass conservation within the truncation bound
     total = sum(r["weight_e6"] for r in got.values())
     assert 1_999_998 <= total <= 2_000_000
+
+
+def test_bpe_encode_ids_hand_pinned(spark):
+    """Hand-walked tiny corpus: 2 merges over 'aa ab aa' ->
+    merge1 ('a','a')->'aa'; vocab syms: 'aa'->['aa'], 'ab'->['a','b'].
+    merge2 best remaining pair ('a','b')->'ab'. Final syms:
+    'aa'->['aa'], 'ab'->['ab']. Distinct symbols sorted: [aa, ab] ->
+    ids {aa:0, ab:1}."""
+    from clever_canal_spark.operators.text import bpe_encode_ids
+
+    docs = spark.createDataFrame(
+        [(0, "aa ab aa"), (1, "ab"), (2, ""), (3, None)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in bpe_encode_ids(docs, n_merges=2).collect()}
+    assert got[0]["ids"] == [0, 1, 0] and got[0]["n_tokens"] == 3
+    assert got[1]["ids"] == [1]
+    assert got[2]["ids"] == [] and got[2]["n_tokens"] == 0
+    assert got[3]["ids"] == []
+
+    # order preservation under repartition
+    got2 = {
+        r["doc_id"]: r["ids"]
+        for r in bpe_encode_ids(docs.repartition(7), n_merges=2).collect()
+    }
+    assert got2[0] == [0, 1, 0]
