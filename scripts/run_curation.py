@@ -77,6 +77,10 @@ def main() -> None:
                         "paths, long queries) before any text is read")
     p.add_argument("--url-blocklist", default="",
                    help="comma-separated blocked domains (suffix match)")
+    p.add_argument("--encode-ids-merges", type=int, default=None,
+                   help="materialize trainer-ready BPE token-id arrays "
+                        "(ids, n_bpe_tokens columns) with this many "
+                        "freshly-trained merges")
     p.add_argument("--host-report-out", default="",
                    help="write the per-host quality roll-up (parquet; "
                         "blocklist_candidate column proposes the next "
@@ -476,6 +480,17 @@ def main() -> None:
         dist = {r["split"]: r["count"]
                 for r in out.groupBy("split").count().collect()}
         print(f"[curate] splits {parts}: {dist}")
+    if args.encode_ids_merges is not None:
+        # terminal tokenize: trainer-ready BPE id arrays ride the output
+        from clever_canal_spark.operators.text import bpe_encode_ids
+
+        ids = bpe_encode_ids(out, n_merges=args.encode_ids_merges).select(
+            "doc_id", "ids", F.col("n_tokens").alias("n_bpe_tokens")
+        )
+        out = out.join(ids, "doc_id", "left").localCheckpoint()
+        tot = out.agg(F.sum("n_bpe_tokens")).first()[0]
+        print(f"[curate] bpe encode ({args.encode_ids_merges} merges): "
+              f"{tot} token ids materialized")
     if args.publish_shards > 0:
         from clever_canal_spark.operators.publish import (
             publish_dataset,
