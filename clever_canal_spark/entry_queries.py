@@ -2029,6 +2029,37 @@ def q_doc_cluster_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_downweights(_documents(spark, sf_dir))
 
 
+@register(
+    "doc_weighted_sample",
+    f"""
+    WITH clusters AS ({_neardup_oracle()}),
+    sizes AS (
+      SELECT cluster_id, count(*) AS cluster_size
+      FROM clusters GROUP BY cluster_id
+    ),
+    w AS (
+      SELECT c.doc_id, c.cluster_id,
+             CAST(1000000 // s.cluster_size AS BIGINT) AS weight_e6
+      FROM clusters c JOIN sizes s USING (cluster_id)
+    )
+    SELECT doc_id, cluster_id, weight_e6 FROM w
+    WHERE ('0x' || substr(md5('wsample' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+          % 1000000 < weight_e6
+    """,
+)
+def q_doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted Bernoulli keep (dedup.weighted_sample ∘
+    cluster_downweights): each near-dup cluster survives with ~one
+    expected member, chosen by a salted hash instead of always-min-id —
+    unbiased across variants, repartition-stable, re-dealable by salt.
+    Map-only on top of the clustering; the oracle replays clustering,
+    weights, and the exact keep set."""
+    from .operators.dedup import cluster_downweights, weighted_sample
+
+    w = cluster_downweights(_documents(spark, sf_dir))
+    return weighted_sample(w).select("doc_id", "cluster_id", "weight_e6")
+
+
 _MP_PLANES, _MP_RADIUS = 4, 2
 
 

@@ -867,3 +867,24 @@ def cluster_downweights(df: DataFrame, text_col: str = "text", **cluster_kwargs)
         "doc_id", "cluster_id", "cluster_size",
         F.expr("1000000 DIV cluster_size").alias("weight_e6"),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str = "weight_e6",
+    id_col: str = "doc_id",
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic Bernoulli sample by a ppm weight column — the
+    consumer of :func:`cluster_downweights`: keep each row iff its
+    salted md5-u32 mod 10⁶ falls under ``weight_e6``, so a cluster of
+    size n (weight 10⁶ div n each) contributes ~one document in
+    expectation while WHICH variant survives is an unbiased,
+    repartition-stable, re-dealable (change the salt) choice — unlike
+    keeper-only dedup's always-min-id pick. Map-only; no RNG state, no
+    shuffle; any engine replays the exact keep set."""
+    u = (
+        f"CAST(conv(substring(md5(concat('{salt}', "
+        f"CAST({id_col} AS STRING))), 1, 8), 16, 10) AS BIGINT) % 1000000"
+    )
+    return df.where(F.expr(u) < F.col(weight_col))

@@ -1089,3 +1089,28 @@ def test_bpe_encode_ids_hand_pinned(spark):
         for r in bpe_encode_ids(docs.repartition(7), n_merges=2).collect()
     }
     assert got2[0] == [0, 1, 0]
+
+
+def test_weighted_sample_expectation_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from clever_canal_spark.operators.dedup import weighted_sample
+
+    df = spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        F.lit(250_000).cast("bigint").alias("weight_e6"),  # keep ~25%
+    )
+    kept = weighted_sample(df)
+    n = kept.count()
+    assert 850 <= n <= 1150  # 4000 * 0.25 = 1000 ± hash noise
+    # deterministic + repartition-stable
+    again = {r["doc_id"] for r in weighted_sample(df.repartition(13)).collect()}
+    assert {r["doc_id"] for r in kept.collect()} == again
+    # salt re-deal changes the set but not the rate much
+    other = weighted_sample(df, salt="other")
+    assert {r["doc_id"] for r in other.collect()} != again
+    # weight 1e6 keeps everything; 0 keeps nothing
+    full = df.withColumn("weight_e6", F.lit(1_000_000).cast("bigint"))
+    assert weighted_sample(full).count() == 4000
+    none = df.withColumn("weight_e6", F.lit(0).cast("bigint"))
+    assert weighted_sample(none).count() == 0
