@@ -192,6 +192,63 @@ def cdc_event_class_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _c4_text(nl: str) -> str:
+    """Multi-line doc synthesis for the C4 line-filter (the fixture text
+    is single-line): a short line, a clean line, a javascript line every
+    13th doc, lorem-ipsum every 17th, a curly brace every 19th.
+    ``nl`` is the dialect newline call (Spark char(10), DuckDB chr(10))."""
+    return (
+        f"text || {nl} || 'too short' || {nl} || "
+        "'This synthetic line has terminal punctuation and enough words.'"
+        f" || {nl} || CASE WHEN doc_id % 13 = 0 THEN"
+        " 'Please enable javascript to view the content of this page.'"
+        " ELSE 'Another good line with plenty of words to count here.' END"
+        f" || CASE WHEN doc_id % 17 = 0 THEN {nl} ||"
+        " 'Lorem ipsum dolor sit amet consectetur sentence.' ELSE '' END"
+        f" || CASE WHEN doc_id % 19 = 0 THEN {nl} ||"
+        " 'A brace sneaks in here somewhere.' || chr(123) ELSE '' END"
+    )
+
+
+@register(
+    "doc_c4_line_filter",
+    f"""
+    WITH src AS (SELECT doc_id, {_c4_text("chr(10)")} AS text FROM documents),
+    p AS (SELECT doc_id, text, string_split(text, chr(10)) AS lines FROM src),
+    k AS (
+      SELECT doc_id, text, lines,
+             list_filter(lines, x ->
+               len(regexp_extract_all(x, '\\S+')) >= 3
+               AND regexp_matches(x, '[.!?"”]\\s*$')
+               AND NOT contains(lower(x), 'javascript')) AS kept
+      FROM p
+    )
+    SELECT doc_id,
+           COALESCE(array_to_string(kept, chr(10)), '') AS text,
+           CAST(len(lines) AS BIGINT) AS n_lines_total,
+           CAST(len(kept) AS BIGINT) AS n_lines_kept,
+           (NOT contains(lower(text), 'lorem ipsum')
+            AND NOT contains(text, chr(123))
+            AND len(kept) >= 3) AS doc_ok
+    FROM k
+    """,
+)
+def q_doc_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-rule battery (text.c4_line_filter, Raffel et al. 2020
+    §2.2): terminal-punctuation lines only, ≥3 words per line, no
+    javascript lines; whole-doc flags for lorem ipsum / curly braces /
+    too few surviving lines. Docs synthesized multi-line with rotating
+    warts (the fixture text is single-line). Stateless array lambdas —
+    no explode, no shuffle; oracle re-implements every rule in DuckDB
+    list ops."""
+    from .operators.text import c4_line_filter
+
+    d = _documents(spark, sf_dir).select(
+        "doc_id", F.expr(_c4_text("char(10)")).alias("text")
+    )
+    return c4_line_filter(d)
+
+
 def _mq_demo_cfg():
     """Shared fixture config for the MQ-routing query: clicks get their
     own topic and a two-column hash; view/error self-name their topics;

@@ -98,6 +98,52 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def c4_line_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words_per_line: int = 3,
+    min_lines: int = 3,
+) -> DataFrame:
+    """C4's line-rule battery (Raffel et al. 2020 §2.2) — the per-LINE
+    companion to the doc-level :func:`gopher_quality` and the corpus-
+    frequency :func:`boilerplate_strip`:
+
+    - keep only lines ending in terminal punctuation (. ! ? or a close
+      quote);
+    - drop lines with fewer than ``min_words_per_line`` words;
+    - drop lines containing the word "javascript" (case-insensitive);
+    - flag the whole DOC when it contains "lorem ipsum" or a curly
+      brace (code leakage), or fewer than ``min_lines`` lines survive.
+
+    Output: (doc_id, text = surviving lines rejoined, n_lines_total,
+    n_lines_kept, doc_ok). Stateless map over the corpus — array
+    lambdas only, no explode, no shuffle, no UDF; integer counts so the
+    DuckDB oracle is bit-identical."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.split(t, "\n")
+
+    def keep(line):
+        return (
+            (F.regexp_count(line, F.lit(r"\S+")) >= min_words_per_line)
+            & line.rlike('[.!?"”]\\s*$')
+            & ~F.lower(line).contains("javascript")
+        )
+
+    kept = F.filter(lines, keep)
+    doc_ok = (
+        ~F.lower(t).contains("lorem ipsum")
+        & ~t.contains("{")
+        & (F.size(kept) >= min_lines)
+    )
+    return df.select(
+        "doc_id",
+        F.array_join(kept, "\n").alias(text_col),
+        F.size(lines).cast("long").alias("n_lines_total"),
+        F.size(kept).cast("long").alias("n_lines_kept"),
+        doc_ok.alias("doc_ok"),
+    )
+
+
 def _lang_hits(text_col: str) -> dict:
     """Marker-word hit counts, null-coalesced: NULL text counts as 0
     hits everywhere (→ 'und'), never a NULL that would fall through a

@@ -85,6 +85,16 @@ def main() -> None:
                    help="write the per-host quality roll-up (parquet; "
                         "blocklist_candidate column proposes the next "
                         "run's --url-blocklist)")
+    p.add_argument("--c4-min-lines", type=int, default=1,
+                   help="c4-lines doc threshold: min surviving lines "
+                        "(default 1 — extracted single-line text passes "
+                        "when its one line is clean; raw multi-line "
+                        "crawl text wants 3+)")
+    p.add_argument("--c4-lines", action="store_true",
+                   help="apply the C4 line-rule battery (terminal-punct "
+                        "lines, >=3 words, no javascript lines; lorem-"
+                        "ipsum/brace docs drop) — surviving lines "
+                        "replace the text")
     p.add_argument("--skip-quality", action="store_true")
     p.add_argument("--model-quality-threshold-e6", type=int, default=None,
                    help="enable the model-based quality stage: drop docs whose "
@@ -275,6 +285,19 @@ def main() -> None:
         .drop("n_removed")
         .join(corpus.select("doc_id", "lang"), on="doc_id")
     )
+
+    if args.c4_lines:
+        from clever_canal_spark.operators.text import c4_line_filter
+
+        c4 = c4_line_filter(corpus, "text", min_lines=args.c4_min_lines)
+        n0 = corpus.count()
+        kept = c4.filter(F.col("doc_ok")).select("doc_id", "text")
+        corpus = (
+            corpus.drop("text").join(kept, "doc_id")  # filtered lines replace text
+            .localCheckpoint()
+        )
+        print(f"[curate] c4 line rules: {corpus.count()}/{n0} docs pass "
+              f"(surviving lines replace text)")
 
     if not args.skip_quality:
         passed = gopher_quality(corpus, "text").filter(F.col("passes") == 1)

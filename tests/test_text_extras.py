@@ -1114,3 +1114,34 @@ def test_weighted_sample_expectation_and_determinism(spark):
     assert weighted_sample(full).count() == 4000
     none = df.withColumn("weight_e6", F.lit(0).cast("bigint"))
     assert weighted_sample(none).count() == 0
+
+
+def test_c4_line_filter_hand_pinned(spark):
+    from clever_canal_spark.operators.text import c4_line_filter
+
+    good = "This is a perfectly fine sentence with many words."
+    docs = spark.createDataFrame(
+        [
+            (0, f"{good}\nshort one\n{good}\n{good}"),            # ok
+            (1, f"{good}\nPlease enable JavaScript right now.\n{good}\n{good}"),
+            (2, f"No terminal punctuation on this line at all\n{good}\n{good}\n{good}"),
+            (3, f"{good}\nLorem ipsum dolor sit amet today.\n{good}\n{good}"),
+            (4, f"{good}\ncode {{x}} brace. {good}\n{good}\n{good}"),
+            (5, f"{good}\n{good}"),                                # < 3 lines kept
+            (6, None),
+            (7, 'He said "stop here."\nShe asked why not?\nQuote ends now.”'),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in c4_line_filter(docs).collect()}
+    assert got[0]["doc_ok"] and got[0]["n_lines_kept"] == 3
+    assert "short one" not in got[0]["text"]
+    # javascript LINE dropped but doc survives (3 good lines remain)
+    assert got[1]["doc_ok"] and "JavaScript" not in got[1]["text"]
+    assert got[2]["doc_ok"] and got[2]["n_lines_kept"] == 3
+    assert not got[3]["doc_ok"]     # lorem ipsum poisons the doc
+    assert not got[4]["doc_ok"]     # curly brace
+    assert not got[5]["doc_ok"]     # too few surviving lines
+    assert not got[6]["doc_ok"] and got[6]["text"] == ""
+    # terminal punctuation includes ? and close quotes
+    assert got[7]["n_lines_kept"] == 3
