@@ -95,6 +95,9 @@ def main() -> None:
                         "lines, >=3 words, no javascript lines; lorem-"
                         "ipsum/brace docs drop) — surviving lines "
                         "replace the text")
+    p.add_argument("--rep-filter", action="store_true",
+                   help="drop repetitive docs (Gopher duplicate-2-gram "
+                        "verdict, operators/text.repetition_stats)")
     p.add_argument("--skip-quality", action="store_true")
     p.add_argument("--model-quality-threshold-e6", type=int, default=None,
                    help="enable the model-based quality stage: drop docs whose "
@@ -298,6 +301,14 @@ def main() -> None:
         )
         print(f"[curate] c4 line rules: {corpus.count()}/{n0} docs pass "
               f"(surviving lines replace text)")
+
+    if args.rep_filter:
+        from clever_canal_spark.operators.text import repetition_stats
+
+        rep = repetition_stats(corpus, "text").filter(F.col("repetitive") == 1)
+        n0 = corpus.count()
+        corpus = corpus.join(rep.select("doc_id"), "doc_id", "left_anti")
+        print(f"[curate] repetition filter: {corpus.count()}/{n0} docs pass")
 
     if not args.skip_quality:
         passed = gopher_quality(corpus, "text").filter(F.col("passes") == 1)
