@@ -41,6 +41,11 @@ QUERY_NAMES = [
     "cdc_lww_latest",
     "cdc_apply_final",
     "cdc_engine_replay",
+    # round-4 map-only additions: routing + the two pre-download gates —
+    # all scan-speed ops; they time the breadth, cost ~1-2s each
+    "cdc_mq_partition_assign",
+    "doc_url_filter",
+    "doc_c4_line_filter",
     "doc_minhash_signature",
     "doc_simhash",
     "doc_neardup_clusters",
