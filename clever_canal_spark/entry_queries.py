@@ -1571,7 +1571,7 @@ from .sources.flat_message import decode_value_expr  # noqa: E402
 # backticks, schema-qualified and bare names, IF [NOT] EXISTS, index DDL,
 # DML fallthrough). Dialect-neutral SQL (CASE/concat/CAST only).
 _DDL_TEXT_CASE = (
-    "CASE CAST(event_id % 17 AS INT) "
+    "CASE CAST(event_id % 20 AS INT) "
     "WHEN 0 THEN concat('ALTER TABLE cc.pages ADD COLUMN q', CAST(event_id % 3 AS STRING), ' double') "
     "WHEN 1 THEN 'ALTER TABLE `cc`.`pages` RENAME COLUMN lang TO language' "
     "WHEN 2 THEN 'alter table pages MODIFY COLUMN rank bigint' "
@@ -1598,13 +1598,19 @@ _DDL_TEXT_CASE = (
     # MariaDB IF [NOT] EXISTS forms (r3 verdict Wrong #1): the optional
     # clause must be consumed, not parsed as a column named IF
     "WHEN 15 THEN 'alter table cc.pages ADD COLUMN IF NOT EXISTS z int, DROP COLUMN IF EXISTS w' "
+    # round-4 additions: ALTER-embedded table rename (SQLAlterTableRename →
+    # RENAME, DruidDdlParser.java:49-70), parenthesized multi-add, and
+    # CHARACTER SET/COLLATE modifiers that must not break the DEFAULT run
+    "WHEN 16 THEN 'ALTER TABLE cc.pages RENAME TO cc.pages_v2' "
+    "WHEN 17 THEN 'ALTER TABLE cc.pages ADD COLUMN (ncol1 int, ncol2 decimal(10,2) DEFAULT 7)' "
+    "WHEN 18 THEN concat('ALTER TABLE cc.pages ADD COLUMN cs varchar(16) CHARACTER SET utf8mb4 COLLATE utf8mb4_bin NOT NULL DEFAULT ', chr(39), 'cs v', chr(39)) "
     "ELSE 'INSERT INTO cc.pages VALUES (1)' END"
 )
 
 _DDL_OUT_COLS = [
     "stmt_class", "schema_name", "table_name",
     "ddl_type", "ddl_column", "ddl_new_name", "ddl_new_type", "ddl_default",
-    "ddl_n_ops", "ddl_n_index_ops",
+    "ddl_rename_to", "ddl_n_ops", "ddl_n_index_ops",
 ]
 
 

@@ -74,8 +74,23 @@ ADD_COL_PAT = (
     # group numbers hold (the r3-verdict bug: `IF` parsed as the column
     # name and the real column never reached the lake schema)
     r"(?i)\bADD\s+(COLUMN\s+)?(?:IF\s+NOT\s+EXISTS\s+)?`?(\w+)`?\s+(\w+(\([0-9, ]+\))?)"
-    r"((\s+NOT\s+NULL|\s+NULL|\s+UNSIGNED)*\s+DEFAULT\s+('[^']*'|[^\s,;]+))?"
+    # modifier run between type and DEFAULT: CHARACTER SET / COLLATE ride
+    # along (a `varchar CHARACTER SET utf8mb4 NOT NULL DEFAULT 'x'` column
+    # previously LOST its initial default — the charset tokens broke the run)
+    r"((\s+NOT\s+NULL|\s+NULL|\s+UNSIGNED|\s+CHARACTER\s+SET\s+\w+|\s+COLLATE\s+\w+)*"
+    r"\s+DEFAULT\s+('[^']*'|[^\s,;]+))?"
 )
+
+# MySQL's parenthesized multi-add: `ADD [COLUMN] (a int, b decimal(10,2))`.
+# The body (group 2) allows ONE level of nested parens (type arguments);
+# fragments are normalized to plain `ADD <frag>` clauses and re-fed through
+# ADD_COL_PAT, so exclusion/default/type logic is shared by construction.
+# Before splitting on ',', type-argument parens are stripped — engine-type
+# mapping keys on the base name only (_MYSQL_TO_ENGINE), so nothing is
+# lost; a quoted DEFAULT containing ',' or '(' inside a paren group is the
+# documented limit of this form.
+ADD_GROUP_PAT = r"(?i)\bADD\s+(COLUMN\s+)?\(((?:[^()]|\([^()]*\))*)\)"
+_TYPE_ARGS_PAT = r"\([^()]*\)"
 
 # DEFAULT tokens that are NOT materializable constants (non-deterministic
 # server-side functions, or an explicit NULL = the no-default default) —
@@ -89,6 +104,17 @@ DROP_COL_PAT = r"(?i)\bDROP\s+(COLUMN\s+)?(?:IF\s+EXISTS\s+)?`?(\w+)`?"
 RENAME_COL_PAT = r"(?i)\bRENAME\s+COLUMN\s+`?(\w+)`?\s+TO\s+`?(\w+)`?"
 MODIFY_PAT = r"(?i)\bMODIFY\s+(COLUMN\s+)?`?(\w+)`?\s+(\w+(\([0-9, ]+\))?)"
 CHANGE_PAT = r"(?i)\bCHANGE\s+(COLUMN\s+)?`?(\w+)`?\s+`?(\w+)`?\s+(\w+(\([0-9, ]+\))?)"
+
+# ALTER-embedded TABLE rename: `ALTER TABLE t RENAME [TO|AS] u` (bare
+# `RENAME u` is also legal MySQL). The reference's Druid parser emits a
+# RENAME event for SQLAlterTableRename (DruidDdlParser.java:49-70) — a
+# pure-rename ALTER reclassifies to RENAME here with the target exposed as
+# ``ddl_rename_to``; mixed statements stay ALTER (column evolution wins)
+# with the target still populated. RE2 has no lookahead, so
+# `RENAME COLUMN/INDEX/KEY ...` exclusion happens on the extracted token
+# (backtick-quoted targets are never excluded).
+ALTER_RENAME_PAT = r"(?i)\bRENAME\s+(TO\s+|AS\s+)?(`?[A-Za-z_][^\s(;,]*`?)"
+RENAME_EXCLUDE_KEYWORDS = ("COLUMN", "INDEX", "KEY")
 
 # ALTER-embedded index DDL → the reference's C_INDEX / D_INDEX event
 # classes (DruidDdlParser.java:49-70: SQLAlterTableAddIndex → C_INDEX,
@@ -224,17 +250,62 @@ def ddl_classify_exprs(sql_col: str, dialect: str, default_schema: str = "") -> 
         name = f"upper(regexp_extract(x, {_p(pat, dialect)}, 2))"
         return f"filter({arr}, x -> instr(x, '`') > 0 OR {name} NOT IN ({kws}))"
 
+    # list/regex seams the two dialects spell differently (lambda `filter`
+    # is spelled identically in both — existing precedent in clause_arr)
+    def amap(arr: str, lam: str) -> str:
+        fn = "transform" if dialect == "spark" else "list_transform"
+        return f"{fn}({arr}, {lam})"
+
+    def acat(a: str, b: str) -> str:
+        fn = "concat" if dialect == "spark" else "list_concat"
+        return f"{fn}({a}, {b})"
+
+    def asplit(s_: str, sep: str) -> str:
+        fn = "split" if dialect == "spark" else "string_split"
+        return f"{fn}({s_}, '{sep}')"
+
+    def rrall(s_: str, pat: str, rep: str) -> str:
+        # replace ALL matches (Spark default; DuckDB needs the 'g' flag)
+        flag = "" if dialect == "spark" else ", 'g'"
+        return f"regexp_replace({s_}, {_p(pat, dialect)}, '{rep}'{flag})"
+
     adds = clause_arr(ADD_COL_PAT, ADD_EXCLUDE_KEYWORDS)
     drops = clause_arr(DROP_COL_PAT, DROP_EXCLUDE_KEYWORDS)
     rens = clause_arr(RENAME_COL_PAT)
     mods = clause_arr(MODIFY_PAT)
     chgs = clause_arr(CHANGE_PAT)
 
+    # parenthesized multi-add `ADD [COLUMN] (a int, b decimal(10,2))`:
+    # extract the group body, strip type-argument parens (the engine-type
+    # map keys on the base name only), split on ',', normalize fragments to
+    # full `ADD <frag>` clause strings — the SAME per-clause extraction
+    # (ADD_COL_PAT groups, keyword exclusion) then applies unchanged.
+    grp_body = f"regexp_extract({c}, {_p(ADD_GROUP_PAT, dialect)}, 2)"
+    gfrags = amap(asplit(rrall(grp_body, _TYPE_ARGS_PAT, ""), ","),
+                  "x -> concat('ADD ', trim(x))")
+    gname = f"upper(regexp_extract(x, {_p(ADD_COL_PAT, dialect)}, 2))"
+    gkws = ", ".join(f"'{k}'" for k in ADD_EXCLUDE_KEYWORDS)
+    gadds = (
+        f"filter({gfrags}, x -> {gname} != '' "
+        f"AND (instr(x, '`') > 0 OR {gname} NOT IN ({gkws})))"
+    )
+    # plain clauses first, then group fragments — the flat-field rule the
+    # Python twin mirrors (_FLAT_PRECEDENCE: 'add' before 'gadd')
+    adds_all = acat(adds, gadds)
+
+    # ALTER-embedded TABLE rename targets (RENAME [TO|AS] u), token-excluded
+    ren_tbl_raw = f"regexp_extract_all({c}, {_p(ALTER_RENAME_PAT, dialect)}, 2)"
+    rkws = ", ".join(f"'{k}'" for k in RENAME_EXCLUDE_KEYWORDS)
+    ren_tbls = (
+        f"filter({ren_tbl_raw}, x -> instr(x, '`') > 0 "
+        f"OR upper(replace(x, '`', '')) NOT IN ({rkws}))"
+    )
+
     # ALTER-embedded index clauses (C_INDEX/D_INDEX channel)
     idx_adds = f"regexp_extract_all({c}, {_p(ADD_INDEX_CLAUSE_PAT, dialect)}, 0)"
     idx_drops = f"regexp_extract_all({c}, {_p(DROP_INDEX_CLAUSE_PAT, dialect)}, 0)"
     n_col_ops = (
-        f"({alen(adds)} + {alen(drops)} + {alen(rens)} + {alen(mods)} + {alen(chgs)})"
+        f"({alen(adds_all)} + {alen(drops)} + {alen(rens)} + {alen(mods)} + {alen(chgs)})"
     )
     stmt_class = (
         "CASE "
@@ -242,6 +313,10 @@ def ddl_classify_exprs(sql_col: str, dialect: str, default_schema: str = "") -> 
         # emits for that alter item (CINDEX wins when both kinds appear)
         f"WHEN {is_alter} AND {n_col_ops} = 0 AND {alen(idx_adds)} > 0 THEN 'CINDEX' "
         f"WHEN {is_alter} AND {n_col_ops} = 0 AND {alen(idx_drops)} > 0 THEN 'DINDEX' "
+        # pure table-rename ALTER → RENAME (SQLAlterTableRename,
+        # DruidDdlParser.java:49-70); mixed statements stay ALTER
+        f"WHEN {is_alter} AND {n_col_ops} = 0 AND {alen(idx_adds)} = 0 "
+        f"AND {alen(idx_drops)} = 0 AND {alen(ren_tbls)} > 0 THEN 'RENAME' "
         f"WHEN {is_alter} THEN 'ALTER' "
         f"WHEN {m(CINDEX_PAT)} THEN 'CINDEX' "
         f"WHEN {m(DINDEX_PAT)} THEN 'DINDEX' "
@@ -258,7 +333,7 @@ def ddl_classify_exprs(sql_col: str, dialect: str, default_schema: str = "") -> 
     def first_grp(arr: str, pat: str, grp: int) -> str:
         return f"regexp_extract({afirst(arr)}, {_p(pat, dialect)}, {grp})"
 
-    add_col, add_type = first_grp(adds, ADD_COL_PAT, 2), first_grp(adds, ADD_COL_PAT, 3)
+    add_col, add_type = first_grp(adds_all, ADD_COL_PAT, 2), first_grp(adds_all, ADD_COL_PAT, 3)
     drop_col = first_grp(drops, DROP_COL_PAT, 2)
     ren_old, ren_new = first_grp(rens, RENAME_COL_PAT, 1), first_grp(rens, RENAME_COL_PAT, 2)
     mod_col, mod_type = first_grp(mods, MODIFY_PAT, 2), first_grp(mods, MODIFY_PAT, 3)
@@ -303,12 +378,12 @@ def ddl_classify_exprs(sql_col: str, dialect: str, default_schema: str = "") -> 
     )
     n_ops = (
         f"CASE WHEN {is_alter} THEN "
-        f"{alen(adds)} + {alen(drops)} + {alen(rens)} + {alen(mods)} + {alen(chgs)} "
+        f"{alen(adds_all)} + {alen(drops)} + {alen(rens)} + {alen(mods)} + {alen(chgs)} "
         "ELSE 0 END"
     )
     # initial-default literal of the first ADD clause: quotes stripped,
     # non-constant tokens (CURRENT_TIMESTAMP & co) and NULL land on ''
-    add_default_raw = first_grp(adds, ADD_COL_PAT, 7)
+    add_default_raw = first_grp(adds_all, ADD_COL_PAT, 7)
     nc = ", ".join(f"'{t}'" for t in _DEFAULT_NON_CONSTANT)
     ddl_default = (
         f"CASE WHEN NOT {is_alter} OR {add_col} = '' THEN '' "
@@ -316,6 +391,13 @@ def ddl_classify_exprs(sql_col: str, dialect: str, default_schema: str = "") -> 
         f"WHEN left({add_default_raw}, 1) = '''' "
         f"THEN substr({add_default_raw}, 2, greatest(length({add_default_raw}) - 2, 0)) "
         f"ELSE {add_default_raw} END"
+    )
+    # rename target: ALTER-embedded (`RENAME [TO|AS] u`) or the statement
+    # form (`RENAME TABLE a TO b` → group 2); '' everywhere else
+    ddl_rename_to = (
+        f"replace(CASE WHEN {is_alter} THEN {afirst(ren_tbls)} "
+        f"WHEN {m(RENAME_PAT)} THEN {ex(RENAME_PAT, 2)} "
+        "ELSE '' END, '`', '')"
     )
     return {
         "stmt_class": stmt_class,
@@ -326,6 +408,7 @@ def ddl_classify_exprs(sql_col: str, dialect: str, default_schema: str = "") -> 
         "ddl_new_name": ddl_new_name,
         "ddl_new_type": _type_case_sql(raw_type),
         "ddl_default": ddl_default,
+        "ddl_rename_to": ddl_rename_to,
         "ddl_n_ops": f"CAST({n_ops} AS BIGINT)",
         # index clauses counted separately: mixed ALTERs stay class ALTER
         # but consumers routing on the C_INDEX/D_INDEX signal still see it
@@ -362,6 +445,33 @@ def _clause_ops(s: str) -> list[dict]:
     iterate-all-items analog). Keyword-named ADD/DROP clauses (index /
     constraint / partition DDL) are excluded unless backtick-quoted."""
     found: list[tuple[int, dict]] = []
+    # parenthesized multi-add: fragments normalized to `ADD <frag>` and fed
+    # through ADD_COL_PAT so name/type/default/exclusion logic is shared.
+    # Ops keep the GROUP's statement position (cross-class clause order is
+    # what schema evolution applies); fragment index breaks ties in-group.
+    for gm in re.finditer(ADD_GROUP_PAT, s):
+        body = re.sub(_TYPE_ARGS_PAT, "", gm.group(2))
+        for j, frag in enumerate(f.strip() for f in body.split(",")):
+            if not frag:
+                continue
+            fm = re.search(ADD_COL_PAT, f"ADD {frag}")
+            if fm is None:
+                continue
+            if fm.group(2).upper() in ADD_EXCLUDE_KEYWORDS and "`" not in fm.group(0):
+                continue
+            raw_default = fm.group(7)
+            if raw_default is None or raw_default.upper() in _DEFAULT_NON_CONSTANT:
+                default = None
+            elif raw_default.startswith("'"):
+                default = raw_default[1:-1]
+            else:
+                default = raw_default
+            found.append((gm.start() + j, {
+                "ddl_type": DDL_ADD_COLUMN, "ddl_column": fm.group(2),
+                "ddl_new_name": None, "ddl_new_type": _engine_type(fm.group(3)),
+                "ddl_default": default,
+                "_src": "gadd",
+            }))
     for mm in re.finditer(ADD_COL_PAT, s):
         if mm.group(2).upper() in ADD_EXCLUDE_KEYWORDS and "`" not in mm.group(0):
             continue
@@ -417,7 +527,21 @@ def _index_clause_ops(s: str) -> list[str]:
 # flat-field precedence by source pattern — mirrors ddl_classify_exprs'
 # CASE order exactly (RENAME-pattern clauses outrank CHANGE-pattern ones
 # even though both produce DDL_RENAME_COLUMN ops)
-_FLAT_PRECEDENCE = ("add", "drop", "ren", "chg", "mod")
+_FLAT_PRECEDENCE = ("add", "gadd", "drop", "ren", "chg", "mod")
+
+
+def _alter_rename_target(s: str) -> str | None:
+    """First ALTER-embedded TABLE-rename target (`RENAME [TO|AS] u`),
+    backticks stripped; None when the statement has no table rename.
+    `RENAME COLUMN/INDEX/KEY` clauses are excluded on the token unless
+    backtick-quoted — same RE2-compatible convention as the ADD/DROP
+    keyword exclusion."""
+    for mm in re.finditer(ALTER_RENAME_PAT, s):
+        tok = mm.group(2)
+        if tok.replace("`", "").upper() in RENAME_EXCLUDE_KEYWORDS and "`" not in tok:
+            continue
+        return tok.replace("`", "")
+    return None
 
 
 def parse_ddl(sql: str, default_schema: str = "") -> dict:
@@ -432,7 +556,8 @@ def parse_ddl(sql: str, default_schema: str = "") -> dict:
     out = {
         "stmt_class": "QUERY", "schema_name": "", "table_name": "",
         "ddl_type": None, "ddl_column": None, "ddl_new_name": None,
-        "ddl_new_type": None, "ddl_default": None, "ops": [], "index_ops": [],
+        "ddl_new_type": None, "ddl_default": None, "ddl_rename_to": None,
+        "ops": [], "index_ops": [],
     }
     for cls, pat, grp in (
         ("ALTER", ALTER_PAT, 2), ("CINDEX", CINDEX_PAT, 2), ("DINDEX", DINDEX_PAT, 1),
@@ -455,16 +580,29 @@ def parse_ddl(sql: str, default_schema: str = "") -> dict:
                 break
         return out
 
+    if out["stmt_class"] == "RENAME":
+        mm = _search(RENAME_PAT, s)
+        if mm:
+            out["ddl_rename_to"] = (mm.group(2) or "").replace("`", "")
+        return out
+
     if out["stmt_class"] == "ALTER":
         ops = _clause_ops(s)
         out["ops"] = [{k: v for k, v in o.items() if k != "_src"} for o in ops]
         out["index_ops"] = _index_clause_ops(s)
+        out["ddl_rename_to"] = _alter_rename_target(s)
         if not ops and out["index_ops"]:
             # pure-index ALTER reclassifies to the event class (CINDEX wins
             # on a mixed add/drop statement — matches the vectorized CASE)
             out["stmt_class"] = (
                 "CINDEX" if "CINDEX" in out["index_ops"] else "DINDEX"
             )
+            return out
+        if not ops and not out["index_ops"] and out["ddl_rename_to"]:
+            # pure table-rename ALTER → the reference's RENAME event class
+            # (SQLAlterTableRename, DruidDdlParser.java:49-70); mixed
+            # statements stay ALTER with ddl_rename_to still populated
+            out["stmt_class"] = "RENAME"
             return out
         for want in _FLAT_PRECEDENCE:
             first = next((o for o in ops if o["_src"] == want), None)

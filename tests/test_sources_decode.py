@@ -80,6 +80,25 @@ STATEMENTS = [
     "ALTER TABLE cc.pages ADD CONSTRAINT uq UNIQUE (url)",
     "ALTER TABLE cc.pages DROP CONSTRAINT uq",
     "ALTER TABLE t ADD INDEX i (c), DROP KEY k, ADD COLUMN x int",
+    # ALTER-embedded TABLE rename (round-4 additions): TO / AS / bare forms
+    # reclassify pure renames to RENAME; RENAME COLUMN/INDEX/KEY must not
+    # trigger; mixed statements stay ALTER with ddl_rename_to populated
+    "ALTER TABLE cc.pages RENAME TO cc.pages_v2",
+    "ALTER TABLE cc.pages RENAME AS pages_v2",
+    "ALTER TABLE cc.pages RENAME pages_v2",
+    "ALTER TABLE cc.pages RENAME INDEX i1 TO i2",
+    "ALTER TABLE cc.pages RENAME KEY i1 TO i2",
+    "ALTER TABLE cc.pages RENAME COLUMN a TO b, RENAME TO cc.other",
+    "ALTER TABLE cc.pages ADD COLUMN x int, RENAME TO cc.other",
+    # parenthesized multi-add (both spellings, nested type args, per-
+    # fragment modifier runs and defaults)
+    "ALTER TABLE cc.pages ADD COLUMN (a int, b bigint)",
+    "ALTER TABLE cc.pages ADD (a int, b decimal(10,2) DEFAULT 7)",
+    "ALTER TABLE cc.pages ADD COLUMN (a varchar(8) NOT NULL DEFAULT 'x y', b int)",
+    "ALTER TABLE cc.pages ADD (one tinyint unsigned)",
+    # CHARACTER SET / COLLATE between type and DEFAULT keep the default
+    "ALTER TABLE cc.pages ADD COLUMN cs varchar(16) CHARACTER SET utf8mb4 COLLATE utf8mb4_bin NOT NULL DEFAULT 'x'",
+    "ALTER TABLE cc.pages ADD COLUMN c2 text COLLATE utf8mb4_bin DEFAULT 'y'",
 ]
 
 
@@ -103,6 +122,7 @@ def test_python_twin_matches_sql_classifier(spark):
         assert g["ddl_new_name"] == (p["ddl_new_name"] or ""), s
         assert g["ddl_new_type"] == (p["ddl_new_type"] or ""), s
         assert g["ddl_default"] == (p["ddl_default"] or ""), s
+        assert g["ddl_rename_to"] == (p["ddl_rename_to"] or ""), s
         assert g["ddl_n_ops"] == len(p["ops"]), s
         assert g["ddl_n_index_ops"] == len(p["index_ops"]), s
 
@@ -124,7 +144,8 @@ def test_duckdb_dialect_matches_twin():
         want = (p["stmt_class"], p["schema_name"], p["table_name"],
                 p["ddl_type"] or "", p["ddl_column"] or "",
                 p["ddl_new_name"] or "", p["ddl_new_type"] or "",
-                p["ddl_default"] or "", len(p["ops"]), len(p["index_ops"]))
+                p["ddl_default"] or "", p["ddl_rename_to"] or "",
+                len(p["ops"]), len(p["index_ops"]))
         assert tuple(row) == want, (s, row, want)
 
 
@@ -199,6 +220,55 @@ def test_adversarial_ddl_hand_written_expectations():
     assert pmix["stmt_class"] == "ALTER"
     assert pmix["index_ops"] == ["CINDEX", "DINDEX"]
     assert [(o["ddl_type"], o["ddl_column"]) for o in pmix["ops"]] == [("ADD_COLUMN", "x")]
+
+    # ALTER-embedded TABLE rename (SQLAlterTableRename → RENAME,
+    # DruidDdlParser.java:49-70) — hand-written, round-4 additions
+    for s, to in (
+        ("ALTER TABLE cc.pages RENAME TO cc.pages_v2", "cc.pages_v2"),
+        ("ALTER TABLE cc.pages RENAME AS pages_v2", "pages_v2"),
+        ("ALTER TABLE cc.pages RENAME pages_v2", "pages_v2"),
+    ):
+        p = parse_ddl(s, default_schema="cc")
+        assert p["stmt_class"] == "RENAME", (s, p)
+        # old table stays the addressable target; new name rides separately
+        assert (p["schema_name"], p["table_name"]) == ("cc", "pages"), s
+        assert p["ddl_rename_to"] == to, (s, p)
+    # RENAME COLUMN/INDEX/KEY never classify as a table rename
+    assert parse_ddl("ALTER TABLE t RENAME INDEX i1 TO i2", "cc")["stmt_class"] == "ALTER"
+    assert parse_ddl("ALTER TABLE t RENAME KEY i1 TO i2", "cc")["stmt_class"] == "ALTER"
+    assert parse_ddl("ALTER TABLE t RENAME INDEX i1 TO i2", "cc")["ddl_rename_to"] is None
+    pr = parse_ddl("ALTER TABLE t RENAME COLUMN a TO b", "cc")
+    assert (pr["stmt_class"], pr["ddl_rename_to"]) == ("ALTER", None)
+    # mixed rename+column stays ALTER (column evolution wins), target kept
+    pm = parse_ddl("ALTER TABLE t ADD COLUMN x int, RENAME TO t2", "cc")
+    assert (pm["stmt_class"], pm["ddl_rename_to"]) == ("ALTER", "t2")
+    assert [(o["ddl_type"], o["ddl_column"]) for o in pm["ops"]] == [("ADD_COLUMN", "x")]
+    # statement-form RENAME TABLE exposes the target too
+    assert parse_ddl("RENAME TABLE cc.old TO cc.new", "cc")["ddl_rename_to"] == "cc.new"
+
+    # parenthesized multi-add: every fragment becomes an ADD_COLUMN op, in
+    # order; type args and modifier runs don't leak into names/types
+    pg = parse_ddl("ALTER TABLE cc.pages ADD COLUMN (a int, b bigint)", "cc")
+    assert pg["stmt_class"] == "ALTER"
+    assert [(o["ddl_type"], o["ddl_column"], o["ddl_new_type"]) for o in pg["ops"]] == [
+        ("ADD_COLUMN", "a", "int"), ("ADD_COLUMN", "b", "bigint")
+    ]
+    pg2 = parse_ddl(
+        "ALTER TABLE cc.pages ADD (a decimal(10,2) DEFAULT 7, b varchar(8) NOT NULL DEFAULT 'x y')",
+        "cc",
+    )
+    assert [(o["ddl_column"], o["ddl_new_type"], o["ddl_default"]) for o in pg2["ops"]] == [
+        ("a", "decimal(38,0)", "7"), ("b", "string", "x y")
+    ]
+    # flat fields report the FIRST group fragment when no plain ADD exists
+    assert (pg["ddl_type"], pg["ddl_column"], pg["ddl_new_type"]) == ("ADD_COLUMN", "a", "int")
+
+    # CHARACTER SET / COLLATE between type and DEFAULT keep the default
+    pcs = parse_ddl(
+        "ALTER TABLE cc.pages ADD COLUMN cs varchar(16) CHARACTER SET utf8mb4 "
+        "COLLATE utf8mb4_bin NOT NULL DEFAULT 'x'", "cc",
+    )
+    assert (pcs["ddl_column"], pcs["ddl_default"]) == ("cs", "x"), pcs
 
 
 def test_multi_clause_alter_ops_hand_written():
