@@ -112,7 +112,13 @@ def parse_mq_properties(props: dict) -> MQRoutingConfig:
             continue
         pat, _, cols = entry.rpartition(":")
         if not pat:
-            raise ValueError(f"partitionHash entry needs 'pattern:cols': {entry!r}")
+            # pattern-only entry = Canal's table-name hash mode ("如果不指定
+            # 主键，则按照表名进行hash" — MQMessageUtils falls back to hashing
+            # database_table when no pk columns are configured): every row
+            # of a matched table lands on ONE partition keyed by its name.
+            # Encoded as an empty cols tuple.
+            hash_rules.append((entry, ()))
+            continue
         hash_rules.append((pat, tuple(c.strip() for c in cols.split("^") if c.strip())))
     topic_rules = []
     for entry in (get("dynamicTopic") or "").split(","):
@@ -182,7 +188,12 @@ def mq_partition_expr(
                 logical.extend(pk_cols)
             else:
                 logical.append(c)
-        exprs = [colmap.get(c, c) for c in logical]
+        if logical:
+            exprs = [colmap.get(c, c) for c in logical]
+        else:
+            # pattern-only rule: table-name hash — the whole table maps to
+            # one stable partition (Canal's no-pk fallback)
+            exprs = [name]
         key = f"concat({salt}, {_hash_key(exprs, dialect)})"
         branches.append(
             f"WHEN {_full_match(name, pat, dialect)} THEN "

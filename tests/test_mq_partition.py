@@ -150,12 +150,45 @@ def test_config_validation():
     with pytest.raises(ValueError):
         MQRoutingConfig(partitions_num=4, partition=4)
     with pytest.raises(ValueError):
-        parse_mq_properties({"partitionHash": "justcols"})
-    with pytest.raises(ValueError):
         # $pk$ with no pk_cols supplied
         mq_partition_expr(
             MQRoutingConfig(partitions_num=2, partition_hash=(("x", ("$pk$",)),))
         )
+
+
+def test_table_name_hash_mode(spark):
+    """Pattern-only partitionHash entry = Canal's no-pk fallback: hash by
+    table name, so a table's whole stream lands on ONE partition. Expected
+    partitions hand-computed (python hashlib), independent of the exprs."""
+    cfg = parse_mq_properties(
+        {"partitionsNum": "8", "partitionHash": "cc\\..*"}
+    )
+    assert cfg.partition_hash == (("cc\\..*", ()),)
+    df = _df(spark)
+    got = {
+        (r["schema_name"], r["table_name"], r["mq_partition"])
+        for r in assign_mq_routing(df, cfg).select(
+            "schema_name", "table_name", "mq_partition"
+        ).collect()
+    }
+    for sch, tab, _u, _c in ROWS:
+        want = u32mod(f"{sch}.{tab}", 8) if sch == "cc" else 0
+        assert (sch, tab, want) in got, (sch, tab, want, got)
+    # every row of one table shares its partition: cc.click appears once
+    assert len({p for s, t, p in got if (s, t) == ("cc", "click")}) == 1
+    # duckdb dialect agrees on the table-hash expression
+    con = duckdb.connect()
+    con.execute("CREATE TABLE r(schema_name VARCHAR, table_name VARCHAR)")
+    con.executemany(
+        "INSERT INTO r VALUES (?, ?)", [(s, t) for s, t, _u, _c in ROWS]
+    )
+    dexpr = mq_partition_expr(cfg, dialect="duckdb")
+    for (s, t), p in zip(
+        [(s, t) for s, t, _u, _c in ROWS],
+        [r[0] for r in con.sql(f"SELECT {dexpr} FROM r").fetchall()],
+    ):
+        want = u32mod(f"{s}.{t}", 8) if s == "cc" else 0
+        assert p == want, (s, t, p, want)
 
 
 def test_routing_is_map_only(spark):
