@@ -1604,13 +1604,16 @@ _DDL_TEXT_CASE = (
     "WHEN 16 THEN 'ALTER TABLE cc.pages RENAME TO cc.pages_v2' "
     "WHEN 17 THEN 'ALTER TABLE cc.pages ADD COLUMN (ncol1 int, ncol2 decimal(10,2) DEFAULT 7)' "
     "WHEN 18 THEN concat('ALTER TABLE cc.pages ADD COLUMN cs varchar(16) CHARACTER SET utf8mb4 COLLATE utf8mb4_bin NOT NULL DEFAULT ', chr(39), 'cs v', chr(39)) "
+    # multi-table RENAME: the atomic-swap idiom carries TWO pairs
+    # (SimpleDdlParser.java:72-84 chains them via renameTableResult)
+    "WHEN 19 THEN 'RENAME TABLE cc.pages TO cc.pages_old, cc.pages_new TO cc.pages' "
     "ELSE 'INSERT INTO cc.pages VALUES (1)' END"
 )
 
 _DDL_OUT_COLS = [
     "stmt_class", "schema_name", "table_name",
     "ddl_type", "ddl_column", "ddl_new_name", "ddl_new_type", "ddl_default",
-    "ddl_rename_to", "ddl_n_ops", "ddl_n_index_ops",
+    "ddl_rename_to", "ddl_n_renames", "ddl_n_ops", "ddl_n_index_ops",
 ]
 
 

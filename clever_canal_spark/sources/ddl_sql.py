@@ -43,13 +43,20 @@ from ..model import (
 COMMENT_PAT = r"/\*[^*]*\*+(?:[^/*][^*]*\*+)*/"
 
 # classification patterns (SimpleDdlParser.java:23-47), anchored like the
-# reference; table token = first run of non-(space, paren, semicolon)
-_T = r"[^ \t\n(;]+"
+# reference; table token = first run of non-(space, paren, semicolon,
+# comma) — the comma exclusion keeps multi-pair RENAME statements
+# ("a TO b, c TO d") from capturing a trailing comma in a pair's target
+_T = r"[^ \t\n(;,]+"
 ALTER_PAT = rf"(?i)^ALTER\s+(IGNORE\s+)?TABLE\s+({_T})"
 CREATE_PAT = rf"(?i)^CREATE\s+(TEMPORARY\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?({_T})"
 DROP_PAT = rf"(?i)^DROP\s+(TEMPORARY\s+)?TABLE\s+(IF\s+EXISTS\s+)?({_T})"
 TRUNCATE_PAT = rf"(?i)^TRUNCATE\s+(TABLE\s+)?({_T})"
 RENAME_PAT = rf"(?i)^RENAME\s+TABLE\s+({_T})\s+TO\s+({_T})"
+# every `old TO new` pair of a (possibly multi-table) RENAME statement —
+# the reference chains them via RENAME_REMNANT_PATTERN + renameTableResult
+# (SimpleDdlParser.java:32,72-84); the atomic-swap idiom
+# `RENAME TABLE t TO t_old, t_new TO t` carries TWO pairs
+RENAME_PAIR_PAT = rf"(?i)({_T})\s+TO\s+({_T})"
 CINDEX_PAT = rf"(?i)^CREATE\s+(UNIQUE\s+|FULLTEXT\s+|SPATIAL\s+)?INDEX\s+.*\s+ON\s+({_T})"
 DINDEX_PAT = rf"(?i)^DROP\s+INDEX\s+.*\s+ON\s+({_T})"
 INSERT_PAT = r"(?i)^(INSERT|MERGE|REPLACE)\b"
@@ -399,6 +406,16 @@ def ddl_classify_exprs(sql_col: str, dialect: str, default_schema: str = "") -> 
         f"WHEN {m(RENAME_PAT)} THEN {ex(RENAME_PAT, 2)} "
         "ELSE '' END, '`', '')"
     )
+    # rename-pair count: a RENAME TABLE statement may carry several
+    # `old TO new` pairs (the atomic-swap idiom; SimpleDdlParser.java:72-84
+    # chains them) — multi-pair statements are visible here, pairs
+    # themselves ride the driver twin (parse_ddl()["rename_pairs"]).
+    # An ALTER counts at most one (its single RENAME [TO|AS] clause).
+    pairs_arr = f"regexp_extract_all({c}, {_p(RENAME_PAIR_PAT, dialect)}, 0)"
+    n_renames = (
+        f"CASE WHEN {is_alter} THEN least({alen(ren_tbls)}, 1) "
+        f"WHEN {m(RENAME_PAT)} THEN {alen(pairs_arr)} ELSE 0 END"
+    )
     return {
         "stmt_class": stmt_class,
         "schema_name": schema_name,
@@ -409,6 +426,7 @@ def ddl_classify_exprs(sql_col: str, dialect: str, default_schema: str = "") -> 
         "ddl_new_type": _type_case_sql(raw_type),
         "ddl_default": ddl_default,
         "ddl_rename_to": ddl_rename_to,
+        "ddl_n_renames": f"CAST({n_renames} AS BIGINT)",
         "ddl_n_ops": f"CAST({n_ops} AS BIGINT)",
         # index clauses counted separately: mixed ALTERs stay class ALTER
         # but consumers routing on the C_INDEX/D_INDEX signal still see it
@@ -557,7 +575,7 @@ def parse_ddl(sql: str, default_schema: str = "") -> dict:
         "stmt_class": "QUERY", "schema_name": "", "table_name": "",
         "ddl_type": None, "ddl_column": None, "ddl_new_name": None,
         "ddl_new_type": None, "ddl_default": None, "ddl_rename_to": None,
-        "ops": [], "index_ops": [],
+        "rename_pairs": [], "ops": [], "index_ops": [],
     }
     for cls, pat, grp in (
         ("ALTER", ALTER_PAT, 2), ("CINDEX", CINDEX_PAT, 2), ("DINDEX", DINDEX_PAT, 1),
@@ -581,9 +599,16 @@ def parse_ddl(sql: str, default_schema: str = "") -> dict:
         return out
 
     if out["stmt_class"] == "RENAME":
-        mm = _search(RENAME_PAT, s)
-        if mm:
-            out["ddl_rename_to"] = (mm.group(2) or "").replace("`", "")
+        # EVERY `old TO new` pair, in statement order — the reference
+        # chains multi-table renames (atomic swap `RENAME TABLE t TO
+        # t_old, t_new TO t`) via RENAME_REMNANT_PATTERN + the
+        # renameTableResult linked list (SimpleDdlParser.java:72-84)
+        out["rename_pairs"] = [
+            (mm.group(1).replace("`", ""), mm.group(2).replace("`", ""))
+            for mm in re.finditer(RENAME_PAIR_PAT, s)
+        ]
+        if out["rename_pairs"]:
+            out["ddl_rename_to"] = out["rename_pairs"][0][1]
         return out
 
     if out["stmt_class"] == "ALTER":
@@ -591,6 +616,10 @@ def parse_ddl(sql: str, default_schema: str = "") -> dict:
         out["ops"] = [{k: v for k, v in o.items() if k != "_src"} for o in ops]
         out["index_ops"] = _index_clause_ops(s)
         out["ddl_rename_to"] = _alter_rename_target(s)
+        if out["ddl_rename_to"]:
+            # one pair: this table → target (ALTER carries a single rename)
+            ref2 = f"{out['schema_name']}.{out['table_name']}" if out["schema_name"] else out["table_name"]
+            out["rename_pairs"] = [(ref2, out["ddl_rename_to"])]
         if not ops and out["index_ops"]:
             # pure-index ALTER reclassifies to the event class (CINDEX wins
             # on a mixed add/drop statement — matches the vectorized CASE)

@@ -99,6 +99,9 @@ STATEMENTS = [
     # CHARACTER SET / COLLATE between type and DEFAULT keep the default
     "ALTER TABLE cc.pages ADD COLUMN cs varchar(16) CHARACTER SET utf8mb4 COLLATE utf8mb4_bin NOT NULL DEFAULT 'x'",
     "ALTER TABLE cc.pages ADD COLUMN c2 text COLLATE utf8mb4_bin DEFAULT 'y'",
+    # multi-table RENAME (atomic swap) — every pair parsed, count exposed
+    "RENAME TABLE cc.pages TO cc.pages_old, cc.pages_new TO cc.pages",
+    "RENAME TABLE `cc`.`a` TO `cc`.`b`",
 ]
 
 
@@ -123,6 +126,7 @@ def test_python_twin_matches_sql_classifier(spark):
         assert g["ddl_new_type"] == (p["ddl_new_type"] or ""), s
         assert g["ddl_default"] == (p["ddl_default"] or ""), s
         assert g["ddl_rename_to"] == (p["ddl_rename_to"] or ""), s
+        assert g["ddl_n_renames"] == len(p["rename_pairs"]), s
         assert g["ddl_n_ops"] == len(p["ops"]), s
         assert g["ddl_n_index_ops"] == len(p["index_ops"]), s
 
@@ -145,7 +149,7 @@ def test_duckdb_dialect_matches_twin():
                 p["ddl_type"] or "", p["ddl_column"] or "",
                 p["ddl_new_name"] or "", p["ddl_new_type"] or "",
                 p["ddl_default"] or "", p["ddl_rename_to"] or "",
-                len(p["ops"]), len(p["index_ops"]))
+                len(p["rename_pairs"]), len(p["ops"]), len(p["index_ops"]))
         assert tuple(row) == want, (s, row, want)
 
 
@@ -245,6 +249,20 @@ def test_adversarial_ddl_hand_written_expectations():
     assert [(o["ddl_type"], o["ddl_column"]) for o in pm["ops"]] == [("ADD_COLUMN", "x")]
     # statement-form RENAME TABLE exposes the target too
     assert parse_ddl("RENAME TABLE cc.old TO cc.new", "cc")["ddl_rename_to"] == "cc.new"
+    # multi-table RENAME: every pair, in order (the atomic-swap idiom the
+    # reference chains via renameTableResult, SimpleDdlParser.java:72-84)
+    pswap = parse_ddl(
+        "RENAME TABLE cc.pages TO cc.pages_old, cc.pages_new TO cc.pages", "cc"
+    )
+    assert pswap["stmt_class"] == "RENAME"
+    assert pswap["rename_pairs"] == [
+        ("cc.pages", "cc.pages_old"), ("cc.pages_new", "cc.pages")
+    ]
+    assert pswap["ddl_rename_to"] == "cc.pages_old"
+    # ALTER-embedded rename carries exactly one pair
+    assert parse_ddl("ALTER TABLE cc.pages RENAME TO cc.p2", "cc")["rename_pairs"] == [
+        ("cc.pages", "cc.p2")
+    ]
 
     # parenthesized multi-add: every fragment becomes an ADD_COLUMN op, in
     # order; type args and modifier runs don't leak into names/types
