@@ -2096,6 +2096,49 @@ def q_doc_cluster_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_neardup_keep_best",
+    rf"""
+    WITH clusters AS ({_neardup_oracle()}),
+    q AS (
+      SELECT doc_id,
+             CAST((CASE WHEN n_tokens BETWEEN 10 AND 10000 THEN 1 ELSE 0 END)
+                + (CASE WHEN has_stop THEN 1 ELSE 0 END)
+                + (CASE WHEN n_punct * 10 <= n_tokens THEN 1 ELSE 0 END) AS INT) AS quality
+      FROM (
+        SELECT doc_id,
+               len(regexp_extract_all(text, '\S+')) AS n_tokens,
+               len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+               len(regexp_extract_all(text, '\b(the|and|of)\b')) > 0 AS has_stop
+        FROM documents
+      )
+    ),
+    lab AS (SELECT c.doc_id, c.cluster_id, q.quality
+            FROM clusters c JOIN q USING (doc_id)),
+    keepers AS (
+      SELECT cluster_id,
+             max_by(doc_id, quality * CAST(1099511627776 AS BIGINT) - doc_id)
+               AS keeper_doc_id
+      FROM lab GROUP BY cluster_id
+    )
+    SELECT lab.doc_id, lab.cluster_id, lab.quality, k.keeper_doc_id,
+           lab.doc_id = k.keeper_doc_id AS keep
+    FROM lab JOIN keepers k USING (cluster_id)
+    """,
+)
+def q_doc_neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup collapse (dedup.neardup_keep_best): one
+    survivor per cluster chosen by highest quality score, ties to the
+    smallest doc id — the FineWeb/RefinedWeb "keep the best copy"
+    alternative to the structural min-id keeper. Keeper pick is a single
+    scalar max_by key (quality * 2^40 - doc_id), identical on both
+    engines; the oracle replays the recursive clustering, the quality
+    heuristic, and the pick."""
+    from .operators.dedup import neardup_keep_best
+
+    return neardup_keep_best(_documents(spark, sf_dir))
+
+
+@register(
     "doc_weighted_sample",
     f"""
     WITH clusters AS ({_neardup_oracle()}),

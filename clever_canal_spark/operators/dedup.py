@@ -869,6 +869,38 @@ def cluster_downweights(df: DataFrame, text_col: str = "text", **cluster_kwargs)
     )
 
 
+def neardup_keep_best(df: DataFrame, text_col: str = "text", **cluster_kwargs) -> DataFrame:
+    """Quality-aware near-dup collapse — the FineWeb/RefinedWeb "keep the
+    best copy" practice: one survivor per near-dup cluster, chosen by the
+    HIGHEST integer quality score (``text.quality_score``, [0,3]) with
+    ties to the SMALLEST doc id, instead of the purely structural min-id
+    keeper. Returns every doc labeled ``(doc_id, cluster_id, quality,
+    keeper_doc_id, keep)`` — the actionable keep/drop set with the policy
+    decision visible per document.
+
+    Keeper selection is ONE scalar ``max_by`` key per cluster:
+    ``quality * 2^40 - doc_id`` (doc ids < 2^40; key unique because ids
+    are) — deterministic on both engines with no struct-comparator
+    semantics to match. Scale shape: clusters ride
+    :func:`neardup_clusters`' banded star-edge propagation (never
+    all-pairs); scoring is map-only; the pick is one map-side-combinable
+    aggregate per cluster and the label join is cluster-keyed."""
+    from .text import quality_score
+
+    clusters = neardup_clusters(df, text_col=text_col, **cluster_kwargs)
+    q = quality_score(df, text_col).select("doc_id", "quality")
+    lab = clusters.join(q, "doc_id")
+    keepers = lab.groupBy("cluster_id").agg(
+        F.expr(
+            "max_by(doc_id, quality * CAST(1099511627776 AS BIGINT) - doc_id)"
+        ).alias("keeper_doc_id")
+    )
+    return lab.join(keepers, "cluster_id").select(
+        "doc_id", "cluster_id", F.col("quality").cast("int").alias("quality"),
+        "keeper_doc_id", (F.col("doc_id") == F.col("keeper_doc_id")).alias("keep"),
+    )
+
+
 def weighted_sample(
     df: DataFrame,
     weight_col: str = "weight_e6",

@@ -432,3 +432,36 @@ def test_ivf_recall_monotone_in_probes(spark):
     n_cents = emb.filter(F.col("vec_id") % 32 == 0).count()
     r4, r8, rall = recall(4), recall(8), recall(n_cents)
     assert r4 <= r8 <= rall == 1_000_000, (r4, r8, rall)
+
+
+def test_neardup_keep_best_quality_keeper(spark):
+    """Keeper = highest quality, ties to smallest doc_id — NOT the min-id
+    keeper. Doc 1 is a low-quality variant (no stopwords via 'the|and|of'?
+    it has 'the' — so make it punct-heavy instead); doc 2 is the clean
+    copy: the cluster must keep 2 even though 1 has the smaller id."""
+    from clever_canal_spark.operators.dedup import neardup_keep_best
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        # punct-heavy variant: > 1 punct per 10 tokens → loses a point
+        (1, "s", base + " !!! ... ;;; ,,, :::"),
+        (2, "s", base + " x"),  # clean near-dup, higher quality
+        (50, "s", "completely different content about spark engines and parquet files"),
+    ]
+    out = {r["doc_id"]: r.asDict() for r in
+           neardup_keep_best(docs_df(spark, rows)).collect()}
+    assert out[1]["cluster_id"] == 1 and out[2]["cluster_id"] == 1
+    assert out[1]["quality"] < out[2]["quality"], out
+    # the BETTER copy survives, not the smaller id
+    assert out[1]["keeper_doc_id"] == 2 and out[2]["keeper_doc_id"] == 2
+    assert not out[1]["keep"] and out[2]["keep"]
+    # singleton keeps itself
+    assert out[50]["keep"] and out[50]["keeper_doc_id"] == 50
+    # equal quality → smaller id wins (deterministic tie-break)
+    rows_tie = [
+        (7, "s", base),
+        (9, "s", base + " x"),
+    ]
+    tie = {r["doc_id"]: r["keeper_doc_id"] for r in
+           neardup_keep_best(docs_df(spark, rows_tie)).collect()}
+    assert tie[7] == 7 and tie[9] == 7, tie
