@@ -118,6 +118,10 @@ def main() -> None:
                         "per-token hashed importance weight vs the reference "
                         "split (operators/text.dsir_weights); docs with no "
                         "tokens drop")
+    p.add_argument("--neardup-keep-best", action="store_true",
+                   help="enable the MinHash near-dup drop with the quality-"
+                        "aware keeper: each cluster keeps its highest-"
+                        "quality copy (ties to the smallest doc_id)")
     p.add_argument("--chunk-dup-min-shared", type=int, default=None,
                    help="enable the shift-resistant passage-dedup stage: "
                         "drop the higher-id doc of any pair sharing >= N "
@@ -427,6 +431,21 @@ def main() -> None:
     # not data size, dominated the tail of this job before this line
     corpus = corpus.localCheckpoint()
     print(f"[curate] in-corpus exact dedup: {corpus.count()} docs kept")
+
+    # MinHash-LSH whole-doc near-dup drop, quality-aware keeper: each
+    # cluster keeps its HIGHEST-quality copy (ties → smallest doc_id), the
+    # FineWeb-style "keep the best copy" policy — runs right after exact
+    # dedup so later passage stages see one survivor per surface cluster
+    if args.neardup_keep_best:
+        from clever_canal_spark.operators.dedup import neardup_keep_best
+
+        verdicts = neardup_keep_best(corpus).localCheckpoint()
+        survivors = verdicts.where("keep").select("doc_id")
+        n_drop = verdicts.where("NOT keep").count()
+        n_clusters = verdicts.select("cluster_id").distinct().count()
+        corpus = corpus.join(survivors, on="doc_id", how="left_semi").localCheckpoint()
+        print(f"[curate] near-dup keep-best: {n_clusters} clusters, dropped "
+              f"{n_drop} lower-quality variants; {corpus.count()} docs kept")
 
     # cross-doc duplicate-passage cut (ExactSubstr family): whole-doc
     # dups are already gone, so what remains is COPIED PASSAGES inside
