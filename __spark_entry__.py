@@ -18,6 +18,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# pin worker python to the driver's interpreter BEFORE any session exists:
+# Spark otherwise launches the first `python3` on PATH, and a driver/worker
+# minor-version mismatch is a hard error ([PYTHON_VERSION_MISMATCH]) when a
+# different toolchain (e.g. a conda base env) gets ahead of the driver's
+os.environ.setdefault("PYSPARK_PYTHON", sys.executable)
+os.environ.setdefault("PYSPARK_DRIVER_PYTHON", sys.executable)
+
 from clever_canal_spark.entry_queries import ORACLES, QUERIES  # noqa: E402
 
 

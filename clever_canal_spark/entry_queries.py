@@ -1571,7 +1571,9 @@ from .sources.flat_message import decode_value_expr  # noqa: E402
 # backticks, schema-qualified and bare names, IF [NOT] EXISTS, index DDL,
 # DML fallthrough). Dialect-neutral SQL (CASE/concat/CAST only).
 _DDL_TEXT_CASE = (
-    "CASE CAST(event_id % 20 AS INT) "
+    # % 21 with WHEN 0..19 defined keeps residue 20 on the ELSE branch —
+    # the DML/QUERY fallthrough must stay exercised by the fixture
+    "CASE CAST(event_id % 21 AS INT) "
     "WHEN 0 THEN concat('ALTER TABLE cc.pages ADD COLUMN q', CAST(event_id % 3 AS STRING), ' double') "
     "WHEN 1 THEN 'ALTER TABLE `cc`.`pages` RENAME COLUMN lang TO language' "
     "WHEN 2 THEN 'alter table pages MODIFY COLUMN rank bigint' "
@@ -2114,11 +2116,12 @@ def q_doc_cluster_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     lab AS (SELECT c.doc_id, c.cluster_id, q.quality
             FROM clusters c JOIN q USING (doc_id)),
+    best AS (SELECT cluster_id, max(quality) AS qmax FROM lab GROUP BY cluster_id),
     keepers AS (
-      SELECT cluster_id,
-             max_by(doc_id, quality * CAST(1099511627776 AS BIGINT) - doc_id)
-               AS keeper_doc_id
-      FROM lab GROUP BY cluster_id
+      SELECT lab.cluster_id, min(lab.doc_id) AS keeper_doc_id
+      FROM lab JOIN best ON lab.cluster_id = best.cluster_id
+           AND lab.quality = best.qmax
+      GROUP BY lab.cluster_id
     )
     SELECT lab.doc_id, lab.cluster_id, lab.quality, k.keeper_doc_id,
            lab.doc_id = k.keeper_doc_id AS keep
@@ -2129,10 +2132,11 @@ def q_doc_neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware near-dup collapse (dedup.neardup_keep_best): one
     survivor per cluster chosen by highest quality score, ties to the
     smallest doc id — the FineWeb/RefinedWeb "keep the best copy"
-    alternative to the structural min-id keeper. Keeper pick is a single
-    scalar max_by key (quality * 2^40 - doc_id), identical on both
-    engines; the oracle replays the recursive clustering, the quality
-    heuristic, and the pick."""
+    alternative to the structural min-id keeper. Keeper pick is the
+    relational two-step (max quality, then min id at that quality) —
+    total-order-safe for full-range xxhash64 doc ids, no scalar encoding
+    to overflow; the oracle replays the recursive clustering, the
+    quality heuristic, and both steps."""
     from .operators.dedup import neardup_keep_best
 
     return neardup_keep_best(_documents(spark, sf_dir))

@@ -878,22 +878,27 @@ def neardup_keep_best(df: DataFrame, text_col: str = "text", **cluster_kwargs) -
     keeper_doc_id, keep)`` — the actionable keep/drop set with the policy
     decision visible per document.
 
-    Keeper selection is ONE scalar ``max_by`` key per cluster:
-    ``quality * 2^40 - doc_id`` (doc ids < 2^40; key unique because ids
-    are) — deterministic on both engines with no struct-comparator
-    semantics to match. Scale shape: clusters ride
-    :func:`neardup_clusters`' banded star-edge propagation (never
-    all-pairs); scoring is map-only; the pick is one map-side-combinable
-    aggregate per cluster and the label join is cluster-keyed."""
+    Keeper selection is the pure-relational two-step — max quality per
+    cluster, then min doc id among the docs AT that quality — because it
+    is total-order-safe for FULL-RANGE ids: doc ids are xxhash64 values
+    in production (signed 64-bit, scripts/run_curation.py), so any scalar
+    ``quality * K - doc_id`` encoding would overflow/swamp the quality
+    term, and DuckDB's ``min_by`` accepts no struct comparator to lean on
+    instead. Scale shape: clusters ride :func:`neardup_clusters`' banded
+    star-edge propagation (never all-pairs); scoring is map-only; the
+    pick is two map-side-combinable aggregates per cluster and every join
+    is cluster-keyed."""
     from .text import quality_score
 
     clusters = neardup_clusters(df, text_col=text_col, **cluster_kwargs)
     q = quality_score(df, text_col).select("doc_id", "quality")
     lab = clusters.join(q, "doc_id")
-    keepers = lab.groupBy("cluster_id").agg(
-        F.expr(
-            "max_by(doc_id, quality * CAST(1099511627776 AS BIGINT) - doc_id)"
-        ).alias("keeper_doc_id")
+    best = lab.groupBy("cluster_id").agg(F.max("quality").alias("__qmax"))
+    keepers = (
+        lab.join(best, "cluster_id")
+        .where(F.col("quality") == F.col("__qmax"))
+        .groupBy("cluster_id")
+        .agg(F.min("doc_id").alias("keeper_doc_id"))
     )
     return lab.join(keepers, "cluster_id").select(
         "doc_id", "cluster_id", F.col("quality").cast("int").alias("quality"),

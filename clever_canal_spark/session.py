@@ -31,6 +31,15 @@ def build_session(
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus) if cpus else (os.cpu_count() or 8)
 
+    # pin worker python to THIS interpreter: Spark otherwise launches
+    # whatever `python3` is first on PATH, and a driver/worker minor-version
+    # mismatch is a hard PySpark error ([PYTHON_VERSION_MISMATCH]) — seen
+    # live when a conda install jumped ahead of pyenv on this host's PATH
+    import sys
+
+    os.environ.setdefault("PYSPARK_PYTHON", sys.executable)
+    os.environ.setdefault("PYSPARK_DRIVER_PYTHON", sys.executable)
+
     b = (
         SparkSession.builder.appName(app_name)
         .master(master)

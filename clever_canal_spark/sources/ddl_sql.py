@@ -123,6 +123,11 @@ CHANGE_PAT = r"(?i)\bCHANGE\s+(COLUMN\s+)?`?(\w+)`?\s+`?(\w+)`?\s+(\w+(\([0-9, ]
 ALTER_RENAME_PAT = r"(?i)\bRENAME\s+(TO\s+|AS\s+)?(`?[A-Za-z_][^\s(;,]*`?)"
 RENAME_EXCLUDE_KEYWORDS = ("COLUMN", "INDEX", "KEY")
 
+# single-quoted SQL string literal (non-escaping form; MySQL's '' doubling
+# blanks pairwise) — clause DETECTION runs on literal-blanked text so a
+# keyword inside a string (COMMENT = 'drop column x') never classifies
+_SQ_LITERAL_PAT = r"'[^']*'"
+
 # ALTER-embedded index DDL → the reference's C_INDEX / D_INDEX event
 # classes (DruidDdlParser.java:49-70: SQLAlterTableAddIndex → C_INDEX,
 # AddConstraint-with-SQLUnique → C_INDEX, DropIndex/DropKey/DropConstraint
@@ -246,17 +251,6 @@ def ddl_classify_exprs(sql_col: str, dialect: str, default_schema: str = "") -> 
             return f"coalesce(get({arr}, 0), '')"  # 0-based, NULL-safe
         return f"coalesce(({arr})[1], '')"         # 1-based, NULL on empty
 
-    def clause_arr(pat: str, exclude: tuple[str, ...] = ()) -> str:
-        """Array of full-match clause strings, keyword-excluded. The lambda
-        re-extracts the name from each clause; a backtick anywhere in the
-        clause marks a quoted (reserved-word) column name — never excluded."""
-        arr = f"regexp_extract_all({c}, {_p(pat, dialect)}, 0)"
-        if not exclude:
-            return arr
-        kws = ", ".join(f"'{k}'" for k in exclude)
-        name = f"upper(regexp_extract(x, {_p(pat, dialect)}, 2))"
-        return f"filter({arr}, x -> instr(x, '`') > 0 OR {name} NOT IN ({kws}))"
-
     # list/regex seams the two dialects spell differently (lambda `filter`
     # is spelled identically in both — existing precedent in clause_arr)
     def amap(arr: str, lam: str) -> str:
@@ -276,20 +270,42 @@ def ddl_classify_exprs(sql_col: str, dialect: str, default_schema: str = "") -> 
         flag = "" if dialect == "spark" else ", 'g'"
         return f"regexp_replace({s_}, {_p(pat, dialect)}, '{rep}'{flag})"
 
-    adds = clause_arr(ADD_COL_PAT, ADD_EXCLUDE_KEYWORDS)
+    # literal-blanked text for clause DETECTION: `'...'` → `''` so a
+    # clause keyword inside a string literal (COMMENT = 'drop column x')
+    # cannot classify as an operation. ADD clause extraction stays on the
+    # raw text because its DEFAULT literal must ride in the clause string
+    # — an ADD-COLUMN-shaped substring inside a literal is the documented
+    # residual limit (the reference's SimpleDdlParser regexes share it;
+    # its Druid AST parser lexes properly).
+    cq = rrall(c, _SQ_LITERAL_PAT, "''")
+
+    def clause_arr(pat: str, exclude: tuple[str, ...] = (), src: str | None = None) -> str:
+        """Array of full-match clause strings, keyword-excluded. The lambda
+        re-extracts the name from each clause; a backtick anywhere in the
+        clause marks a quoted (reserved-word) column name — never excluded."""
+        arr = f"regexp_extract_all({src or cq}, {_p(pat, dialect)}, 0)"
+        if not exclude:
+            return arr
+        kws = ", ".join(f"'{k}'" for k in exclude)
+        name = f"upper(regexp_extract(x, {_p(pat, dialect)}, 2))"
+        return f"filter({arr}, x -> instr(x, '`') > 0 OR {name} NOT IN ({kws}))"
+
+    adds = clause_arr(ADD_COL_PAT, ADD_EXCLUDE_KEYWORDS, src=c)
     drops = clause_arr(DROP_COL_PAT, DROP_EXCLUDE_KEYWORDS)
     rens = clause_arr(RENAME_COL_PAT)
     mods = clause_arr(MODIFY_PAT)
     chgs = clause_arr(CHANGE_PAT)
 
     # parenthesized multi-add `ADD [COLUMN] (a int, b decimal(10,2))`:
-    # extract the group body, strip type-argument parens (the engine-type
-    # map keys on the base name only), split on ',', normalize fragments to
-    # full `ADD <frag>` clause strings — the SAME per-clause extraction
+    # extract EVERY group body (a statement may carry several `ADD (...)`
+    # clauses — regexp_extract_all, matching the twin's finditer), strip
+    # type-argument parens (the engine-type map keys on the base name
+    # only), split on ',', flatten, normalize fragments to full
+    # `ADD <frag>` clause strings — the SAME per-clause extraction
     # (ADD_COL_PAT groups, keyword exclusion) then applies unchanged.
-    grp_body = f"regexp_extract({c}, {_p(ADD_GROUP_PAT, dialect)}, 2)"
-    gfrags = amap(asplit(rrall(grp_body, _TYPE_ARGS_PAT, ""), ","),
-                  "x -> concat('ADD ', trim(x))")
+    grp_bodies = f"regexp_extract_all({c}, {_p(ADD_GROUP_PAT, dialect)}, 2)"
+    gfrag_lists = amap(grp_bodies, f"b -> {asplit(rrall('b', _TYPE_ARGS_PAT, ''), ',')}")
+    gfrags = amap(f"flatten({gfrag_lists})", "x -> concat('ADD ', trim(x))")
     gname = f"upper(regexp_extract(x, {_p(ADD_COL_PAT, dialect)}, 2))"
     gkws = ", ".join(f"'{k}'" for k in ADD_EXCLUDE_KEYWORDS)
     gadds = (
@@ -300,8 +316,12 @@ def ddl_classify_exprs(sql_col: str, dialect: str, default_schema: str = "") -> 
     # Python twin mirrors (_FLAT_PRECEDENCE: 'add' before 'gadd')
     adds_all = acat(adds, gadds)
 
-    # ALTER-embedded TABLE rename targets (RENAME [TO|AS] u), token-excluded
-    ren_tbl_raw = f"regexp_extract_all({c}, {_p(ALTER_RENAME_PAT, dialect)}, 2)"
+    # ALTER-embedded TABLE rename targets (RENAME [TO|AS] u), token-excluded.
+    # Detection runs on the LITERAL-BLANKED text: a clause keyword inside a
+    # quoted string (`COMMENT = 'we rename to v2'`) must not classify — the
+    # same blanking the non-ADD clause arrays use (ADD stays on the raw
+    # text because its DEFAULT literal rides in the clause string).
+    ren_tbl_raw = f"regexp_extract_all({cq}, {_p(ALTER_RENAME_PAT, dialect)}, 2)"
     rkws = ", ".join(f"'{k}'" for k in RENAME_EXCLUDE_KEYWORDS)
     ren_tbls = (
         f"filter({ren_tbl_raw}, x -> instr(x, '`') > 0 "
@@ -309,8 +329,8 @@ def ddl_classify_exprs(sql_col: str, dialect: str, default_schema: str = "") -> 
     )
 
     # ALTER-embedded index clauses (C_INDEX/D_INDEX channel)
-    idx_adds = f"regexp_extract_all({c}, {_p(ADD_INDEX_CLAUSE_PAT, dialect)}, 0)"
-    idx_drops = f"regexp_extract_all({c}, {_p(DROP_INDEX_CLAUSE_PAT, dialect)}, 0)"
+    idx_adds = f"regexp_extract_all({cq}, {_p(ADD_INDEX_CLAUSE_PAT, dialect)}, 0)"
+    idx_drops = f"regexp_extract_all({cq}, {_p(DROP_INDEX_CLAUSE_PAT, dialect)}, 0)"
     n_col_ops = (
         f"({alen(adds_all)} + {alen(drops)} + {alen(rens)} + {alen(mods)} + {alen(chgs)})"
     )
@@ -457,12 +477,49 @@ def _search(pat: str, s: str) -> re.Match | None:
     return re.search(pat, s)
 
 
+def _blank_literals(s: str) -> str:
+    """Single-quoted literal CONTENT → spaces, LENGTH-PRESERVED (quotes
+    kept), so clause detection cannot match keywords inside strings while
+    every match position still refers to the original statement text —
+    the cross-class clause ordering in :func:`_clause_ops` depends on
+    positions being comparable across the raw and blanked forms."""
+    return re.sub(
+        _SQ_LITERAL_PAT, lambda m: "'" + " " * (len(m.group(0)) - 2) + "'", s
+    )
+
+
+def _add_op_from_match(fm: re.Match) -> dict | None:
+    """Build the ADD_COLUMN op dict from an ADD_COL_PAT match — shared by
+    the plain-clause and paren-group loops (keyword exclusion + DEFAULT
+    normalization live ONCE). None when the clause is index/constraint
+    DDL, not a column op."""
+    if fm.group(2).upper() in ADD_EXCLUDE_KEYWORDS and "`" not in fm.group(0):
+        return None
+    raw_default = fm.group(7)
+    if raw_default is None or raw_default.upper() in _DEFAULT_NON_CONSTANT:
+        default = None
+    elif raw_default.startswith("'"):
+        default = raw_default[1:-1]
+    else:
+        default = raw_default
+    return {
+        "ddl_type": DDL_ADD_COLUMN, "ddl_column": fm.group(2),
+        "ddl_new_name": None, "ddl_new_type": _engine_type(fm.group(3)),
+        "ddl_default": default,
+    }
+
+
 def _clause_ops(s: str) -> list[dict]:
     """Every column sub-operation in an ALTER statement, in clause order
     (re.finditer per pattern, merged by match position — the Druid-AST
     iterate-all-items analog). Keyword-named ADD/DROP clauses (index /
     constraint / partition DDL) are excluded unless backtick-quoted."""
     found: list[tuple[int, dict]] = []
+    # non-ADD clause DETECTION runs on literal-blanked text (positions
+    # preserved — _blank_literals keeps length) so a keyword inside a
+    # string (COMMENT = 'drop column x') never classifies; ADD stays on
+    # the raw text because group 7 carries its DEFAULT literal.
+    sq = _blank_literals(s)
     # parenthesized multi-add: fragments normalized to `ADD <frag>` and fed
     # through ADD_COL_PAT so name/type/default/exclusion logic is shared.
     # Ops keep the GROUP's statement position (cross-class clause order is
@@ -475,56 +532,32 @@ def _clause_ops(s: str) -> list[dict]:
             fm = re.search(ADD_COL_PAT, f"ADD {frag}")
             if fm is None:
                 continue
-            if fm.group(2).upper() in ADD_EXCLUDE_KEYWORDS and "`" not in fm.group(0):
-                continue
-            raw_default = fm.group(7)
-            if raw_default is None or raw_default.upper() in _DEFAULT_NON_CONSTANT:
-                default = None
-            elif raw_default.startswith("'"):
-                default = raw_default[1:-1]
-            else:
-                default = raw_default
-            found.append((gm.start() + j, {
-                "ddl_type": DDL_ADD_COLUMN, "ddl_column": fm.group(2),
-                "ddl_new_name": None, "ddl_new_type": _engine_type(fm.group(3)),
-                "ddl_default": default,
-                "_src": "gadd",
-            }))
+            op = _add_op_from_match(fm)
+            if op is not None:
+                found.append((gm.start() + j, {**op, "_src": "gadd"}))
     for mm in re.finditer(ADD_COL_PAT, s):
-        if mm.group(2).upper() in ADD_EXCLUDE_KEYWORDS and "`" not in mm.group(0):
-            continue
-        raw_default = mm.group(7)
-        if raw_default is None or raw_default.upper() in _DEFAULT_NON_CONSTANT:
-            default = None
-        elif raw_default.startswith("'"):
-            default = raw_default[1:-1]
-        else:
-            default = raw_default
-        found.append((mm.start(), {
-            "ddl_type": DDL_ADD_COLUMN, "ddl_column": mm.group(2),
-            "ddl_new_name": None, "ddl_new_type": _engine_type(mm.group(3)),
-            "ddl_default": default,
-            "_src": "add",
-        }))
-    for mm in re.finditer(DROP_COL_PAT, s):
+        op = _add_op_from_match(mm)
+        if op is not None:
+            found.append((mm.start(), {**op, "_src": "add"}))
+    for mm in re.finditer(DROP_COL_PAT, sq):
         if mm.group(2).upper() in DROP_EXCLUDE_KEYWORDS and "`" not in mm.group(0):
             continue
         found.append((mm.start(), {
             "ddl_type": DDL_DROP_COLUMN, "ddl_column": mm.group(2),
             "ddl_new_name": None, "ddl_new_type": None, "_src": "drop",
         }))
-    for mm in re.finditer(RENAME_COL_PAT, s):
+    for mm in re.finditer(RENAME_COL_PAT, sq):
         found.append((mm.start(), {
             "ddl_type": DDL_RENAME_COLUMN, "ddl_column": mm.group(1),
             "ddl_new_name": mm.group(2), "ddl_new_type": None, "_src": "ren",
         }))
-    for mm in re.finditer(MODIFY_PAT, s):
+    for mm in re.finditer(MODIFY_PAT, sq):
         found.append((mm.start(), {
             "ddl_type": DDL_RETYPE, "ddl_column": mm.group(2),
             "ddl_new_name": None, "ddl_new_type": _engine_type(mm.group(3)),
             "_src": "mod",
         }))
-    for mm in re.finditer(CHANGE_PAT, s):
+    for mm in re.finditer(CHANGE_PAT, sq):
         found.append((mm.start(), {
             "ddl_type": DDL_RENAME_COLUMN, "ddl_column": mm.group(2),
             "ddl_new_name": mm.group(3), "ddl_new_type": _engine_type(mm.group(4)),
@@ -536,9 +569,11 @@ def _clause_ops(s: str) -> list[dict]:
 def _index_clause_ops(s: str) -> list[str]:
     """ALTER-embedded index clauses in position order: 'CINDEX' per
     ADD INDEX/KEY/UNIQUE/PRIMARY KEY/CONSTRAINT-UNIQUE clause, 'DINDEX'
-    per DROP INDEX/KEY/CONSTRAINT (DruidDdlParser.java:49-70)."""
-    found = [(mm.start(), "CINDEX") for mm in re.finditer(ADD_INDEX_CLAUSE_PAT, s)]
-    found += [(mm.start(), "DINDEX") for mm in re.finditer(DROP_INDEX_CLAUSE_PAT, s)]
+    per DROP INDEX/KEY/CONSTRAINT (DruidDdlParser.java:49-70). Detection
+    on literal-blanked text — 'add index' inside a string never counts."""
+    sq = _blank_literals(s)
+    found = [(mm.start(), "CINDEX") for mm in re.finditer(ADD_INDEX_CLAUSE_PAT, sq)]
+    found += [(mm.start(), "DINDEX") for mm in re.finditer(DROP_INDEX_CLAUSE_PAT, sq)]
     return [k for _, k in sorted(found)]
 
 
@@ -553,8 +588,9 @@ def _alter_rename_target(s: str) -> str | None:
     backticks stripped; None when the statement has no table rename.
     `RENAME COLUMN/INDEX/KEY` clauses are excluded on the token unless
     backtick-quoted — same RE2-compatible convention as the ADD/DROP
-    keyword exclusion."""
-    for mm in re.finditer(ALTER_RENAME_PAT, s):
+    keyword exclusion. Detection on literal-blanked text — a COMMENT
+    string containing 'rename to v2' must never classify as a rename."""
+    for mm in re.finditer(ALTER_RENAME_PAT, _blank_literals(s)):
         tok = mm.group(2)
         if tok.replace("`", "").upper() in RENAME_EXCLUDE_KEYWORDS and "`" not in tok:
             continue

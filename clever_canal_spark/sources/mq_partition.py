@@ -98,7 +98,11 @@ def parse_mq_properties(props: dict) -> MQRoutingConfig:
 
     Accepted keys (the ``canal.mq.`` prefix is optional):
     ``topic``, ``partition``, ``partitionsNum``,
-    ``partitionHash`` = ``"db\\.tbl:pk1^pk2,db\\..*:$pk$"``,
+    ``partitionHash`` = ``"db\\.tbl:pk1^pk2,db\\..*:$pk$,log\\..*"`` — an
+    entry WITHOUT ``:cols`` is Canal's table-name hash mode (every row of
+    a matched table lands on one partition keyed by schema.table; note a
+    cols-only typo like ``"url^cents"`` therefore parses as a table
+    regex that matches nothing, exactly as Canal would treat it),
     ``dynamicTopic`` = ``"topicA:db\\.tbl,db\\..*"`` (a bare entry routes
     to a topic named after the matched schema.table)."""
 

@@ -441,11 +441,19 @@ def main() -> None:
 
         verdicts = neardup_keep_best(corpus).localCheckpoint()
         survivors = verdicts.where("keep").select("doc_id")
-        n_drop = verdicts.where("NOT keep").count()
-        n_clusters = verdicts.select("cluster_id").distinct().count()
+        # one aggregate: drops + the number of MULTI-doc groups (counting
+        # every cluster would just re-print the corpus size — singletons
+        # are their own keeper)
+        stats = verdicts.agg(
+            F.sum(F.when(~F.col("keep"), 1).otherwise(0)).alias("n_drop"),
+            F.countDistinct(
+                F.when(~F.col("keep"), F.col("cluster_id"))
+            ).alias("n_groups"),
+        ).collect()[0]
         corpus = corpus.join(survivors, on="doc_id", how="left_semi").localCheckpoint()
-        print(f"[curate] near-dup keep-best: {n_clusters} clusters, dropped "
-              f"{n_drop} lower-quality variants; {corpus.count()} docs kept")
+        print(f"[curate] near-dup keep-best: {stats['n_groups']} multi-doc "
+              f"groups, dropped {stats['n_drop']} lower-quality variants; "
+              f"{corpus.count()} docs kept")
 
     # cross-doc duplicate-passage cut (ExactSubstr family): whole-doc
     # dups are already gone, so what remains is COPIED PASSAGES inside

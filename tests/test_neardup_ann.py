@@ -465,3 +465,16 @@ def test_neardup_keep_best_quality_keeper(spark):
     tie = {r["doc_id"]: r["keeper_doc_id"] for r in
            neardup_keep_best(docs_df(spark, rows_tie)).collect()}
     assert tie[7] == 7 and tie[9] == 7, tie
+    # FULL-RANGE ids (production doc_id = xxhash64, signed 64-bit): the
+    # high-quality copy at a huge POSITIVE id must beat the low-quality
+    # copy at a huge NEGATIVE id — a scalar quality*K - doc_id keeper key
+    # would pick the negative id regardless of quality (overflow/swamp)
+    big_pos, big_neg = 5_000_000_000_000_000_000, -5_000_000_000_000_000_000
+    rows_big = [
+        (big_neg, "s", base + " !!! ... ;;; ,,, :::"),  # low quality
+        (big_pos, "s", base + " x"),                     # high quality
+    ]
+    bigv = {r["doc_id"]: r.asDict() for r in
+            neardup_keep_best(docs_df(spark, rows_big)).collect()}
+    assert bigv[big_neg]["keeper_doc_id"] == big_pos, bigv
+    assert bigv[big_pos]["keep"] and not bigv[big_neg]["keep"]

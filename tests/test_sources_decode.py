@@ -102,6 +102,12 @@ STATEMENTS = [
     # multi-table RENAME (atomic swap) — every pair parsed, count exposed
     "RENAME TABLE cc.pages TO cc.pages_old, cc.pages_new TO cc.pages",
     "RENAME TABLE `cc`.`a` TO `cc`.`b`",
+    # literal traps: clause keywords INSIDE string literals never classify
+    "ALTER TABLE cc.pages COMMENT = 'we rename to v2 next week'",
+    "ALTER TABLE cc.pages COMMENT = 'drop column lang, add index i (c)'",
+    "ALTER TABLE cc.pages ADD COLUMN note text DEFAULT 'drop column lang'",
+    # several parenthesized ADD groups in one statement
+    "ALTER TABLE cc.pages ADD (ga int), ADD COLUMN (gb bigint, gc text)",
 ]
 
 
@@ -287,6 +293,27 @@ def test_adversarial_ddl_hand_written_expectations():
         "COLLATE utf8mb4_bin NOT NULL DEFAULT 'x'", "cc",
     )
     assert (pcs["ddl_column"], pcs["ddl_default"]) == ("cs", "x"), pcs
+
+    # literal traps: clause keywords inside string literals never classify
+    pt = parse_ddl("ALTER TABLE t COMMENT = 'we rename to v2 next week'", "cc")
+    assert (pt["stmt_class"], pt["ddl_rename_to"], pt["ops"]) == ("ALTER", None, []), pt
+    pt2 = parse_ddl(
+        "ALTER TABLE t COMMENT = 'drop column lang, add index i (c)'", "cc"
+    )
+    assert (pt2["ops"], pt2["index_ops"]) == ([], []), pt2
+    # ...while a DEFAULT literal containing clause-shaped text still rides
+    # as the default value of its ADD (detection blanked, extraction raw)
+    pt3 = parse_ddl(
+        "ALTER TABLE t ADD COLUMN note text DEFAULT 'drop column lang'", "cc"
+    )
+    assert [o["ddl_type"] for o in pt3["ops"]] == ["ADD_COLUMN"], pt3
+    assert pt3["ddl_default"] == "drop column lang", pt3
+
+    # several paren groups in one statement: every fragment, both groups
+    pgg = parse_ddl("ALTER TABLE t ADD (ga int), ADD COLUMN (gb bigint, gc text)", "cc")
+    assert [(o["ddl_column"], o["ddl_new_type"]) for o in pgg["ops"]] == [
+        ("ga", "int"), ("gb", "bigint"), ("gc", "string")
+    ], pgg
 
 
 def test_multi_clause_alter_ops_hand_written():
