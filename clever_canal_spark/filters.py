@@ -144,7 +144,14 @@ def apply_event_filters(df: DataFrame, cfg: EventFilterConfig) -> DataFrame:
     if cfg.filter_rows:
         pred = pred & (F.col("kind") != F.lit(KIND_ROW))
     if cfg.el_filter:
-        pred = pred & compile_el_predicate(df, cfg.el_filter)
+        # the EL predicate judges ROW VALUES (AviaterELFilter filters
+        # entries on field values) — non-ROW events (DDL, heartbeats,
+        # txn markers) carry NULL payload columns, which would evaluate
+        # the predicate NULL → drop. Gate on kind so schema-evolution
+        # statements are never silently filtered by a value predicate.
+        pred = pred & (
+            (F.col("kind") != KIND_ROW) | compile_el_predicate(df, cfg.el_filter)
+        )
     if cfg.filter_index_ddl:
         if "stmt_class" in df.columns:
             cls = F.col("stmt_class")

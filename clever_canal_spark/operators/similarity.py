@@ -1298,7 +1298,14 @@ def matryoshka_recall(
     elements — no array slicing, no copy), each scored by
     :func:`topk_recall`. Output: (n_dims, n_hits, k_exact, recall_e6),
     one row per d, integer-exact on both engines."""
-    exact = brute_force_topk(df, query_df, k=k, n_dims=n_dims).select("vec_id")
+    # materialize the ground-truth leg ONCE (k rows): every per-dimension
+    # recall leg consumes it twice (semi-join + totals), so a lazy frame
+    # would re-run the full-dimension corpus scan ~2x per candidate d
+    exact = (
+        brute_force_topk(df, query_df, k=k, n_dims=n_dims)
+        .select("vec_id")
+        .localCheckpoint()
+    )
     out = None
     for d in dims_list:
         approx = brute_force_topk(df, query_df, k=k, n_dims=d).select("vec_id")

@@ -1123,7 +1123,12 @@ def url_quality_signals(
 
     kw = F.lit(False)
     if keywords:
-        kw_pat = "(" + "|".join(keywords) + ")"
+        # keywords are LITERALS, not patterns: escape regex metacharacters
+        # so a caller-supplied 'c++' or 'a.b' neither breaks pattern
+        # compilation in the executor nor silently over-matches
+        import re as _re
+
+        kw_pat = "(" + "|".join(_re.escape(k) for k in keywords) + ")"
         kw = F.lower(F.concat(F.col("__host"), F.col("__path"))).rlike(kw_pat)
     digits = F.length(F.regexp_replace(F.col("__host"), "[^0-9]", ""))
     flags = {

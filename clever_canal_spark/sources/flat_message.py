@@ -116,10 +116,22 @@ def decode_charset_udf(charset: str):
     Python codec — the route for charsets outside Spark's restricted
     ``decode()`` set (gbk, big5, shift_jis, … — CharsetConversion.java's
     long tail). Unmappable bytes replace, never throw (poison-pill rule)."""
+    import codecs
+
     import pandas as pd  # noqa: F401 — annotation target below
     from pyspark.sql.functions import pandas_udf
 
     codec = _MYSQL_CHARSETS.get(charset.lower(), (None, charset.lower()))[1]
+    # validate the codec DRIVER-SIDE: an unknown name would otherwise
+    # LookupError inside every executor batch — the exact poison-pill
+    # failure this module's TRY_CAST discipline exists to prevent
+    try:
+        codecs.lookup(codec)
+    except LookupError as e:
+        raise ValueError(
+            f"MySQL charset {charset!r} has no Python codec ({codec!r}) — "
+            f"add a mapping to _MYSQL_CHARSETS or pre-convert the feed"
+        ) from e
 
     def _dec(v):
         return v.map(
@@ -537,9 +549,12 @@ def export_flat_messages(
         dialect="spark",
     )
     ch = table.scan_changes(from_version, to_version)
-    out = ch.select(F.expr(msg).alias("value"), *(ch.columns if mq else []))
     if mq is None:
-        return out
+        return ch.select(F.expr(msg).alias("value"))
+    # collision-safe temporary: a payload column named `value` (a common
+    # KV shape) would otherwise make the final select AMBIGUOUS_REFERENCE
+    # against the encoded-message alias riding next to ch.columns
+    out = ch.select(F.expr(msg).alias("__ccs_value"), *ch.columns)
     from .mq_partition import assign_mq_routing
 
     routed = assign_mq_routing(
@@ -549,7 +564,9 @@ def export_flat_messages(
         schema_col=f"'{database}'",
         table_col=f"'{table_name}'",
     )
-    return routed.select("value", "mq_topic", "mq_partition")
+    return routed.select(
+        F.col("__ccs_value").alias("value"), "mq_topic", "mq_partition"
+    )
 
 
 def export_flat_messages_to_dir(

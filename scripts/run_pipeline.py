@@ -638,20 +638,26 @@ def main() -> None:
                         tail_flat_messages,
                     )
 
-                    topic = sorted(
+                    topics = sorted(
                         t.split("=", 1)[1]
                         for t in _os.listdir(r["path"])
                         if t.startswith("mq_topic=")
-                    )[0]
-                    df, ack = tail_flat_messages(
-                        spark, args.mq_export_dir,
-                        _os.path.join(args.mq_export_dir, "_worker0.json"),
-                        topic=topic, partition=0,
                     )
-                    n = 0 if df is None else df.count()
-                    ack()
-                    print(f"mq consume: worker0 drained {n} messages from "
-                          f"{topic}/0 and acked")
+                    if not topics:
+                        # versions can advance with zero changelog rows
+                        # (stale-epoch / truncate-only windows) — the batch
+                        # dir then has no topic subtrees to drain
+                        print("mq consume: no routed messages this window")
+                    else:
+                        df, ack = tail_flat_messages(
+                            spark, args.mq_export_dir,
+                            _os.path.join(args.mq_export_dir, "_worker0.json"),
+                            topic=topics[0], partition=0,
+                        )
+                        n = 0 if df is None else df.count()
+                        ack()
+                        print(f"mq consume: worker0 drained {n} messages "
+                              f"from {topics[0]}/0 and acked")
         except SnapshotExpired:
             print("mq export: cursor fell below snapshot retention — "
                   "downstream must re-seed (replica bootstrap story); "

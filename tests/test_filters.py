@@ -185,6 +185,29 @@ def test_el_filter_value_predicate(spark):
         apply_event_filters(df, EventFilterConfig(el_filter="rank + 1"))
 
 
+def test_el_filter_passes_non_row_events(spark):
+    """The EL predicate judges ROW VALUES only: DDL (and other non-ROW)
+    events carry NULL payload columns, which would evaluate the predicate
+    NULL → drop. They must pass THROUGH a value filter — silently
+    filtering a schema-evolution statement would leave the lake schema
+    stale for every later row decode."""
+    from clever_canal_spark.model import KIND_ROW
+
+    df = spark.createDataFrame(
+        [
+            (1, KIND_ROW, "I", "cc", "pages", 10),   # pred true → keep
+            (2, KIND_ROW, "U", "cc", "pages", 99),   # pred false → drop
+            (3, "DDL", None, "cc", "pages", None),   # NULL rank → KEEP (non-ROW)
+            (4, "TXN", None, "cc", "pages", None),   # marker → KEEP
+        ],
+        "lsn long, kind string, op string, schema_name string, "
+        "table_name string, rank long",
+    )
+    cfg = EventFilterConfig(el_filter="rank < 50", drop_heartbeats=False)
+    got = {r["lsn"] for r in apply_event_filters(df, cfg).collect()}
+    assert got == {1, 3, 4}, got
+
+
 def test_el_filter_sits_before_udfs_in_plan(spark):
     """The EL predicate joins the same early filter block as the table
     filters — in the physical plan it must run BELOW (before) any Arrow
