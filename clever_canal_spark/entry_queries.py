@@ -1571,9 +1571,9 @@ from .sources.flat_message import decode_value_expr  # noqa: E402
 # backticks, schema-qualified and bare names, IF [NOT] EXISTS, index DDL,
 # DML fallthrough). Dialect-neutral SQL (CASE/concat/CAST only).
 _DDL_TEXT_CASE = (
-    # % 21 with WHEN 0..19 defined keeps residue 20 on the ELSE branch —
+    # % 25 with WHEN 0..23 defined keeps residue 24 on the ELSE branch —
     # the DML/QUERY fallthrough must stay exercised by the fixture
-    "CASE CAST(event_id % 21 AS INT) "
+    "CASE CAST(event_id % 25 AS INT) "
     "WHEN 0 THEN concat('ALTER TABLE cc.pages ADD COLUMN q', CAST(event_id % 3 AS STRING), ' double') "
     "WHEN 1 THEN 'ALTER TABLE `cc`.`pages` RENAME COLUMN lang TO language' "
     "WHEN 2 THEN 'alter table pages MODIFY COLUMN rank bigint' "
@@ -1609,6 +1609,13 @@ _DDL_TEXT_CASE = (
     # multi-table RENAME: the atomic-swap idiom carries TWO pairs
     # (SimpleDdlParser.java:72-84 chains them via renameTableResult)
     "WHEN 19 THEN 'RENAME TABLE cc.pages TO cc.pages_old, cc.pages_new TO cc.pages' "
+    # round-5 additions: ALTER COLUMN SET/DROP DEFAULT (the default-change
+    # clause, TableMeta defaultValue), DROP PRIMARY KEY → D_INDEX routing,
+    # and a literal-embedded phantom ADD that must classify as ZERO ops
+    "WHEN 20 THEN concat('ALTER TABLE cc.pages ALTER COLUMN tag SET DEFAULT ', chr(39), 'fresh v', chr(39)) "
+    "WHEN 21 THEN 'ALTER TABLE cc.pages ALTER COLUMN score DROP DEFAULT, ALTER rank SET DEFAULT 3' "
+    "WHEN 22 THEN 'ALTER TABLE cc.pages DROP PRIMARY KEY' "
+    "WHEN 23 THEN concat('ALTER TABLE cc.pages COMMENT = ', chr(39), 'add column phantom int default 3', chr(39)) "
     "ELSE 'INSERT INTO cc.pages VALUES (1)' END"
 )
 
@@ -1659,12 +1666,17 @@ _TYPED_RAW = {
     "b": ("CAST(0 - event_id - 1 AS STRING)", "bigint(20) unsigned"),
     "u": ("CAST(user_id AS STRING)", "int(11)"),
     "vc": ("event_type", "varchar(32)"),
+    # GEOMETRY (r5): decodes as byte-preserving BINARY like BLOB
+    # (RowsLogBuffer.java:1099-1117). ASCII-range payload here because
+    # DuckDB's encode() is charset-less (see decode_value_expr's blob
+    # branch); the full 0x00-0xFF range is pinned in pytest.
+    "geo": ("concat('WKB:', CAST(event_id % 97 AS STRING))", "geometry"),
 }
 
 
-def _typed_decode_select() -> str:
+def _typed_decode_select(dialect: str) -> str:
     return ", ".join(
-        f"{decode_value_expr(raw, mt)} AS {name}_dec"
+        f"{decode_value_expr(raw, mt, dialect)} AS {name}_dec"
         for name, (raw, mt) in _TYPED_RAW.items()
     )
 
@@ -1672,7 +1684,7 @@ def _typed_decode_select() -> str:
 @register(
     "cdc_typed_decode",
     f"""
-    WITH dec AS (SELECT event_id, {_typed_decode_select()} FROM events)
+    WITH dec AS (SELECT event_id, {_typed_decode_select('duckdb')} FROM events)
     SELECT CAST(event_id % 10 AS INT) AS g,
            CAST(sum(t_dec) AS BIGINT) AS sum_tiny,
            CAST(sum(s_dec) AS BIGINT) AS sum_small,
@@ -1680,7 +1692,8 @@ def _typed_decode_select() -> str:
            max(CAST(b_dec AS VARCHAR)) AS max_big,
            CAST(sum(u_dec) AS BIGINT) AS sum_signed,
            CAST(sum(CASE WHEN t_dec IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
-           min(vc_dec) AS min_vc
+           min(vc_dec) AS min_vc,
+           CAST(sum(octet_length(geo_dec)) AS BIGINT) AS sum_geo_bytes
     FROM dec GROUP BY g
     """,
 )
@@ -1688,12 +1701,14 @@ def q_cdc_typed_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stringly-typed value decode with the unsigned promotion ladder (S7,
     LogEventConvert.java:694-725; Column proto EntryProtocol.proto:145-147):
     raw signed readings of unsigned tinyint/smallint/int/bigint columns
-    promote by +2^bits and widen one level (bigint→decimal(20,0)). All
-    decodes are shared-dialect CAST/CASE expressions — zero UDFs."""
+    promote by +2^bits and widen one level (bigint→decimal(20,0)); the
+    GEOMETRY family byte-preserves into BINARY like BLOB
+    (RowsLogBuffer.java:1099-1117). All decodes are generated CAST/CASE
+    expressions per dialect — zero UDFs."""
     ev = _events(spark, sf_dir)
     dec = ev.select(
         "event_id",
-        *[F.expr(f"{decode_value_expr(raw, mt)}").alias(f"{name}_dec")
+        *[F.expr(f"{decode_value_expr(raw, mt, 'spark')}").alias(f"{name}_dec")
           for name, (raw, mt) in _TYPED_RAW.items()],
     )
     return dec.groupBy(
@@ -1706,6 +1721,7 @@ def q_cdc_typed_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("u_dec").cast("bigint").alias("sum_signed"),
         F.sum(F.when(F.col("t_dec").isNull(), 1).otherwise(0)).cast("bigint").alias("n_null"),
         F.min("vc_dec").alias("min_vc"),
+        F.sum(F.octet_length("geo_dec")).cast("bigint").alias("sum_geo_bytes"),
     )
 
 

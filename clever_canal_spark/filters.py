@@ -95,6 +95,16 @@ class EventFilterConfig:
     # never silently drops everything); NULL evaluates to drop, matching
     # Aviater's boolean contract. Joined into the same pushable predicate
     # as the table filters, so it stays BEFORE every UDF in the plan.
+    #
+    # DELIBERATE DIVERGENCE from upstream: the predicate applies to ROW
+    # events ONLY. The reference's AviaterELFilter evaluates the
+    # expression against EVERY entry, DDL included (:25-33) — but here
+    # non-ROW events carry NULL payload columns, so a value predicate
+    # would NULL-evaluate and silently eat schema-evolution statements
+    # (found and fixed in round 4's self-review). To exclude non-ROW
+    # events, use ``table_white/blacklist`` (they apply to every kind) or
+    # ``filter_ddl``; a header-only predicate cannot be expressed through
+    # el_filter by design.
     el_filter: str = ""
 
 

@@ -253,8 +253,11 @@ def sync_join_view(
     if rv2 > rv1 and not r_truncs:
         # changed right keys, renamed to the left join-column names; the
         # per-sync right delta is O(changes) — broadcast for the probe,
-        # guarded by an exact count so a bootstrap-scale right range
-        # cannot OOM the driver (falls back to a shuffle semi-join)
+        # guarded so a bootstrap-scale right range cannot OOM the driver
+        # (falls back to a shuffle semi-join). The guard reads the range's
+        # FILE-STAT row total first (O(metadata), zero jobs — an upper
+        # bound on distinct keys, so under-the-limit is always
+        # broadcast-safe); only a stats-less range pays an exact count().
         rkeys = (
             right.scan_changes(rv1, rv2)
             .select(*[F.col(m[lc]).alias(lc) for lc in jcols])
@@ -262,8 +265,10 @@ def sync_join_view(
             .localCheckpoint(eager=False)
         )
         aux.append(rkeys)
+        hint = right.changed_rows_hint(rv1, rv2)
+        n_keys = hint if hint is not None else rkeys.count()
         probe = (
-            F.broadcast(rkeys) if rkeys.count() <= broadcast_key_limit else rkeys
+            F.broadcast(rkeys) if n_keys <= broadcast_key_limit else rkeys
         )
         parts.append(
             left_at.join(probe, on=jcols, how="left_semi").select(*lkey)

@@ -570,6 +570,29 @@ class LakeTable:
 
         return self._evolve(mutate, f"add_column:{name}")
 
+    def set_default(self, name: str, value) -> int:
+        """``ALTER COLUMN x SET DEFAULT v`` / ``DROP DEFAULT`` — metadata-
+        only change of the column's WRITE default (the fill value for
+        merge sources omitting the column; the reference's TableMeta
+        tracks it as per-field ``defaultValue``, TableMeta.java:23-126).
+        ``value=None`` clears it (DROP DEFAULT / SET DEFAULT NULL): the
+        explicit ``write_default: null`` entry overrides any add-time
+        initial-default in the fill path. The frozen ``initial_default``
+        is deliberately untouched — files written before the column
+        existed keep reading the value the column was BORN with, so a
+        default change never rewrites history (MySQL and Iceberg-v3 agree
+        on that semantics)."""
+        def mutate(fields):
+            hit = [f for f in fields if f["name"] == name]
+            if not hit:
+                raise ValueError(f"no column {name}")
+            hit[0]["write_default"] = (
+                None if value is None else _validate_default(value, hit[0]["type"])
+            )
+            return fields
+
+        return self._evolve(mutate, f"set_default:{name}")
+
     def drop_column(self, name: str) -> int:
         """DROP COLUMN — metadata-only (Iceberg ``deleteColumn`` analog):
         the field id leaves the current schema, so every read projects the
@@ -1029,6 +1052,15 @@ class LakeTable:
         :meth:`truncates_between` on the same range and erase its state
         at each truncate's LSN (see the index syncs in
         ``operators/dedup_index.py`` / ``operators/ann_index.py``)."""
+        to_snap, changes = self._changed_files(from_version, to_version)
+        return self._read_files(to_snap, changes, hidden=True)
+
+    def _changed_files(
+        self, from_version: int, to_version: int | None = None
+    ) -> tuple["_Snapshot", list[dict]]:
+        """The (to_snap, file-entry list) a :meth:`scan_changes` over the
+        range reads — shared by the read itself and the metadata-only
+        :meth:`changed_rows_hint`."""
         to_snap = (
             self.snapshot() if to_version is None
             else self._snapshot_retained(to_version)
@@ -1058,7 +1090,25 @@ class LakeTable:
             seen.update(f["path"] for f in s.files + s.delta_files)
             if not s.operation.startswith("compact"):
                 changes.extend(new_here)
-        return self._read_files(to_snap, changes, hidden=True)
+        return to_snap, changes
+
+    def changed_rows_hint(self, from_version: int, to_version: int | None = None) -> int | None:
+        """Summed file-stat row count of the files a
+        :meth:`scan_changes` over the same range would read — an
+        O(metadata) UPPER BOUND on change rows (hence on distinct changed
+        keys), costing zero Spark jobs. ``None`` when any file in range
+        lacks a recorded count (pre-stats writer) — callers fall back to
+        an exact count then. Used by the incremental view syncs to decide
+        broadcast-vs-shuffle for the delta probe without spending a
+        count() job per sync."""
+        _, changes = self._changed_files(from_version, to_version)
+        total = 0
+        for f in changes:
+            r = f.get("rows")
+            if r is None:
+                return None
+            total += int(r)
+        return total
 
     def truncates_between(self, from_version: int, to_version: int | None = None) -> list[dict]:
         """TRUNCATE commits in ``(from_version, to_version]``, oldest
@@ -1538,9 +1588,15 @@ class LakeTable:
                 )
             for f in fsnap.current_fields():
                 if f["name"] not in src_cols:
+                    # write default: an explicit SET/DROP DEFAULT entry
+                    # wins (even when null — DROP DEFAULT means fill
+                    # null); otherwise the add-time initial-default
+                    fill = (
+                        f["write_default"] if "write_default" in f
+                        else f.get("initial_default")
+                    )
                     source = source.withColumn(
-                        f["name"],
-                        F.lit(f.get("initial_default")).cast(f["type"]),
+                        f["name"], F.lit(fill).cast(f["type"])
                     )
         if lsn_col is not None:
             t_lsn = self.snapshot().truncate_lsn

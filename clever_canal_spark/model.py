@@ -67,6 +67,14 @@ DDL_WIDEN_TYPE = "WIDEN_TYPE"
 # hard illegal-widen error.
 DDL_RETYPE = "RETYPE"
 DDL_DROP_COLUMN = "DROP_COLUMN"
+# `ALTER TABLE t ALTER [COLUMN] x SET DEFAULT v` / `... DROP DEFAULT` —
+# the reference's TableMeta tracks defaultValue per field
+# (TableMeta.java:23-126, applied via MemoryTableMeta.java:67-88). Updates
+# the field's WRITE default (fill value for producers omitting the
+# column); the frozen initial-default keeps old-file reads unchanged, so
+# existing rows never rewrite — MySQL and Iceberg-v3 agree on that.
+# ddl_default None = DROP DEFAULT / SET DEFAULT NULL (future fills null).
+DDL_SET_DEFAULT = "SET_DEFAULT"
 # table-level row erasure (EventType.TRUNCATE, EntryProtocol.proto:26-59):
 # not a schema evolution — the lake applies it as a metadata-only
 # drop-all-files commit with an LSN watermark (LakeTable.truncate_rows)

@@ -1314,4 +1314,13 @@ def matryoshka_recall(
             "n_hits", "k_exact", "recall_e6",
         )
         out = r if out is None else out.unionByName(r)
+    # the result is one row per candidate d — checkpoint IT (eager, tiny)
+    # so the k-row ground-truth blocks can be released now instead of
+    # living for the session (the returned frame must not keep a lineage
+    # into `exact`: a localCheckpoint's lineage is truncated and cannot
+    # recompute after unpersist)
+    out = out.localCheckpoint()
+    from .dedup import _free_checkpoint
+
+    _free_checkpoint(exact)
     return out

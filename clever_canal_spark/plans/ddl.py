@@ -21,6 +21,7 @@ from ..model import (
     DDL_DROP_COLUMN,
     DDL_RENAME_COLUMN,
     DDL_RETYPE,
+    DDL_SET_DEFAULT,
     DDL_TRUNCATE,
     DDL_WIDEN_TYPE,
 )
@@ -134,6 +135,27 @@ def _apply_one(table: LakeTable, op: dict, ddl_row: dict) -> bool:
                 table.widen_column(op["ddl_new_name"], nt)
                 widened = True
         return renamed or widened
+    if t == DDL_SET_DEFAULT:
+        # ALTER COLUMN x SET/DROP DEFAULT (TableMeta defaultValue,
+        # TableMeta.java:23-126 via MemoryTableMeta.java:67-88): update
+        # the field's WRITE default; initial-default stays frozen so
+        # existing rows never change. Idempotence: replay of an applied
+        # change sees the identical stored value and no-ops.
+        cur = names.get(op["ddl_column"])
+        if cur is None:
+            raise ValueError(f"SET DEFAULT on unknown column {op['ddl_column']}")
+        new = op.get("ddl_default")
+        from ..lake.table import _validate_default
+
+        validated = None if new is None else _validate_default(new, cur["type"])
+        if "write_default" in cur and cur["write_default"] == validated:
+            return False  # already applied (replay)
+        if "write_default" not in cur and validated is None and (
+            cur.get("initial_default") is None
+        ):
+            return False  # DROP DEFAULT on a column that never had one
+        table.set_default(op["ddl_column"], new)
+        return True
     if t in (DDL_WIDEN_TYPE, DDL_RETYPE):
         cur = names.get(op["ddl_column"])
         if cur is None:

@@ -32,6 +32,7 @@ from ..model import (
     DDL_DROP_COLUMN,
     DDL_RENAME_COLUMN,
     DDL_RETYPE,
+    DDL_SET_DEFAULT,
 )
 
 # ---------------------------------------------------------------------------
@@ -112,6 +113,20 @@ RENAME_COL_PAT = r"(?i)\bRENAME\s+COLUMN\s+`?(\w+)`?\s+TO\s+`?(\w+)`?"
 MODIFY_PAT = r"(?i)\bMODIFY\s+(COLUMN\s+)?`?(\w+)`?\s+(\w+(\([0-9, ]+\))?)"
 CHANGE_PAT = r"(?i)\bCHANGE\s+(COLUMN\s+)?`?(\w+)`?\s+`?(\w+)`?\s+(\w+(\([0-9, ]+\))?)"
 
+# `ALTER TABLE t ALTER [COLUMN] x SET DEFAULT <literal>` / `... DROP
+# DEFAULT` — MySQL's default-change clause. The reference's TableMeta
+# tracks defaultValue per field (TableMeta.java:23-126, applied via
+# MemoryTableMeta.java:67-88); here it becomes a SET_DEFAULT op updating
+# the field's WRITE default (the initial-default stays frozen — existing
+# rows never change, matching both MySQL and Iceberg-v3 semantics).
+# Groups: 2=name, 3='SET ...' full clause (empty for DROP), 4=value.
+# The statement head `ALTER TABLE t` can never match: `TABLE` would have
+# to be followed by SET/DROP DEFAULT, which the table name interrupts.
+ALTER_DEFAULT_PAT = (
+    r"(?i)\bALTER\s+(COLUMN\s+)?`?(\w+)`?\s+"
+    r"((SET)\s+DEFAULT\s+('[^']*'|[^\s,;]+)|DROP\s+DEFAULT)"
+)
+
 # ALTER-embedded TABLE rename: `ALTER TABLE t RENAME [TO|AS] u` (bare
 # `RENAME u` is also legal MySQL). The reference's Druid parser emits a
 # RENAME event for SQLAlterTableRename (DruidDdlParser.java:49-70) — a
@@ -123,15 +138,21 @@ CHANGE_PAT = r"(?i)\bCHANGE\s+(COLUMN\s+)?`?(\w+)`?\s+`?(\w+)`?\s+(\w+(\([0-9, ]
 ALTER_RENAME_PAT = r"(?i)\bRENAME\s+(TO\s+|AS\s+)?(`?[A-Za-z_][^\s(;,]*`?)"
 RENAME_EXCLUDE_KEYWORDS = ("COLUMN", "INDEX", "KEY")
 
-# single-quoted SQL string literal (non-escaping form; MySQL's '' doubling
-# blanks pairwise) — clause DETECTION runs on literal-blanked text so a
-# keyword inside a string (COMMENT = 'drop column x') never classifies
-_SQ_LITERAL_PAT = r"'[^']*'"
+# Clause DETECTION runs on literal-blanked text so a keyword inside a
+# string (COMMENT = 'drop column x') never classifies. Blanking is
+# split-on-quote, length-preserving — see :func:`_blank_literals` (Python)
+# and the split/transform twin inside :func:`ddl_classify_exprs` (SQL,
+# both dialects); MySQL's '' doubling blanks pairwise, an unbalanced
+# quote blanks the tail in all three evaluators.
 
 # ALTER-embedded index DDL → the reference's C_INDEX / D_INDEX event
 # classes (DruidDdlParser.java:49-70: SQLAlterTableAddIndex → C_INDEX,
 # AddConstraint-with-SQLUnique → C_INDEX, DropIndex/DropKey/DropConstraint
-# → D_INDEX; DROP PRIMARY KEY / FOREIGN KEY / CHECK fall to plain ALTER).
+# → D_INDEX; DROP FOREIGN KEY / CHECK fall to plain ALTER). PRIMARY KEY
+# ops are index-family BOTH ways: ADD PRIMARY KEY reaches C_INDEX through
+# the AddConstraint-with-SQLUnique branch (Druid's SQLPrimaryKey IS a
+# SQLUnique), and DROP PRIMARY KEY routes to D_INDEX symmetrically so
+# consumers following the C_INDEX signal see the matching teardown.
 # A pure-index ALTER classifies as CINDEX/DINDEX so event-class consumers
 # can route on it; mixed statements stay ALTER (column evolution wins) with
 # the index clauses still counted in ddl_n_index_ops.
@@ -140,7 +161,7 @@ ADD_INDEX_CLAUSE_PAT = (
     r"|\bADD\s+UNIQUE\b"
     r"|\bADD\s+CONSTRAINT\s+(?:`?\w+`?\s+)?UNIQUE\b"
 )
-DROP_INDEX_CLAUSE_PAT = r"(?i)\bDROP\s+(?:INDEX|KEY|CONSTRAINT)\b"
+DROP_INDEX_CLAUSE_PAT = r"(?i)\bDROP\s+(?:INDEX|KEY|CONSTRAINT|PRIMARY\s+KEY)\b"
 
 # name tokens that mean the ADD/DROP clause is index/constraint/partition
 # DDL, not a column op (SimpleDdlParser passes these through untyped)
@@ -151,7 +172,14 @@ ADD_EXCLUDE_KEYWORDS = (
 DROP_EXCLUDE_KEYWORDS = (
     "INDEX", "KEY", "CONSTRAINT", "PRIMARY", "FOREIGN", "PARTITION",
     "CHECK", "TABLE", "TEMPORARY",
+    # `ALTER COLUMN x DROP DEFAULT` — the DROP token is a default-change
+    # clause, not a column drop (a real column named `default` must be
+    # backtick-quoted, which the exclusion convention already honors)
+    "DEFAULT",
 )
+# name tokens that mean an ALTER ... SET/DROP DEFAULT match is not a
+# column default clause (defensive only — see ALTER_DEFAULT_PAT's note)
+ALTER_DEFAULT_EXCLUDE_KEYWORDS = ("TABLE",)
 
 # MySQL type → engine (Spark DDL) type; promotion-aware mapping used for
 # ADD/MODIFY targets. MODIFY to a wider class maps onto widen_column's
@@ -270,14 +298,23 @@ def ddl_classify_exprs(sql_col: str, dialect: str, default_schema: str = "") -> 
         flag = "" if dialect == "spark" else ", 'g'"
         return f"regexp_replace({s_}, {_p(pat, dialect)}, '{rep}'{flag})"
 
-    # literal-blanked text for clause DETECTION: `'...'` → `''` so a
-    # clause keyword inside a string literal (COMMENT = 'drop column x')
-    # cannot classify as an operation. ADD clause extraction stays on the
-    # raw text because its DEFAULT literal must ride in the clause string
-    # — an ADD-COLUMN-shaped substring inside a literal is the documented
-    # residual limit (the reference's SimpleDdlParser regexes share it;
-    # its Druid AST parser lexes properly).
-    cq = rrall(c, _SQ_LITERAL_PAT, "''")
+    # literal-blanked text for clause DETECTION, LENGTH-PRESERVING: split
+    # on the quote char, blank literal-content segments to spaces, rejoin
+    # with quotes — the SQL twin of the Python :func:`_blank_literals`
+    # (`'drop column x'` → `'             '`). A clause keyword inside a
+    # string literal (COMMENT = 'drop column x') can never classify as an
+    # operation; quotes and statement length survive, so the blanked and
+    # raw forms stay position-comparable. Spark's transform index is
+    # 0-based (literal content = odd segments), DuckDB's is 1-based (even
+    # segments); an unbalanced quote blanks the tail in both — same as
+    # the Python split form.
+    _q39 = "chr(39)"
+    if dialect == "spark":
+        _blank_lam = "(x, i) -> CASE WHEN i % 2 = 1 THEN repeat(' ', length(x)) ELSE x END"
+        cq = f"array_join(transform(split({c}, {_q39}), {_blank_lam}), {_q39})"
+    else:
+        _blank_lam = "(x, i) -> CASE WHEN i % 2 = 0 THEN repeat(' ', length(x)) ELSE x END"
+        cq = f"array_to_string(list_transform(string_split({c}, {_q39}), {_blank_lam}), {_q39})"
 
     def clause_arr(pat: str, exclude: tuple[str, ...] = (), src: str | None = None) -> str:
         """Array of full-match clause strings, keyword-excluded. The lambda
@@ -290,11 +327,23 @@ def ddl_classify_exprs(sql_col: str, dialect: str, default_schema: str = "") -> 
         name = f"upper(regexp_extract(x, {_p(pat, dialect)}, 2))"
         return f"filter({arr}, x -> instr(x, '`') > 0 OR {name} NOT IN ({kws}))"
 
-    adds = clause_arr(ADD_COL_PAT, ADD_EXCLUDE_KEYWORDS, src=c)
+    # ADD clause DETECTION runs on the blanked text too (an ADD-COLUMN-
+    # shaped substring inside a string literal must never fabricate an
+    # op); the raw-text twin arrays exist ONLY to recover the DEFAULT
+    # literal, which blanking erases — see the flat-default rule below.
+    adds = clause_arr(ADD_COL_PAT, ADD_EXCLUDE_KEYWORDS)
+    adds_raw = clause_arr(ADD_COL_PAT, ADD_EXCLUDE_KEYWORDS, src=c)
     drops = clause_arr(DROP_COL_PAT, DROP_EXCLUDE_KEYWORDS)
     rens = clause_arr(RENAME_COL_PAT)
     mods = clause_arr(MODIFY_PAT)
     chgs = clause_arr(CHANGE_PAT)
+    # ALTER [COLUMN] x SET/DROP DEFAULT — the default-change clause
+    # (TableMeta.java:23-126 defaultValue tracking). Same two-pass split:
+    # detection blanked, value recovered from the raw twin.
+    setdefs = clause_arr(ALTER_DEFAULT_PAT, ALTER_DEFAULT_EXCLUDE_KEYWORDS)
+    setdefs_raw = clause_arr(
+        ALTER_DEFAULT_PAT, ALTER_DEFAULT_EXCLUDE_KEYWORDS, src=c
+    )
 
     # parenthesized multi-add `ADD [COLUMN] (a int, b decimal(10,2))`:
     # extract EVERY group body (a statement may carry several `ADD (...)`
@@ -303,18 +352,21 @@ def ddl_classify_exprs(sql_col: str, dialect: str, default_schema: str = "") -> 
     # only), split on ',', flatten, normalize fragments to full
     # `ADD <frag>` clause strings — the SAME per-clause extraction
     # (ADD_COL_PAT groups, keyword exclusion) then applies unchanged.
-    grp_bodies = f"regexp_extract_all({c}, {_p(ADD_GROUP_PAT, dialect)}, 2)"
-    gfrag_lists = amap(grp_bodies, f"b -> {asplit(rrall('b', _TYPE_ARGS_PAT, ''), ',')}")
-    gfrags = amap(f"flatten({gfrag_lists})", "x -> concat('ADD ', trim(x))")
-    gname = f"upper(regexp_extract(x, {_p(ADD_COL_PAT, dialect)}, 2))"
-    gkws = ", ".join(f"'{k}'" for k in ADD_EXCLUDE_KEYWORDS)
-    gadds = (
-        f"filter({gfrags}, x -> {gname} != '' "
-        f"AND (instr(x, '`') > 0 OR {gname} NOT IN ({gkws})))"
-    )
+    def grp_adds(src: str) -> str:
+        grp_bodies = f"regexp_extract_all({src}, {_p(ADD_GROUP_PAT, dialect)}, 2)"
+        gfrag_lists = amap(grp_bodies, f"b -> {asplit(rrall('b', _TYPE_ARGS_PAT, ''), ',')}")
+        gfrags = amap(f"flatten({gfrag_lists})", "x -> concat('ADD ', trim(x))")
+        gname = f"upper(regexp_extract(x, {_p(ADD_COL_PAT, dialect)}, 2))"
+        gkws = ", ".join(f"'{k}'" for k in ADD_EXCLUDE_KEYWORDS)
+        return (
+            f"filter({gfrags}, x -> {gname} != '' "
+            f"AND (instr(x, '`') > 0 OR {gname} NOT IN ({gkws})))"
+        )
+
     # plain clauses first, then group fragments — the flat-field rule the
     # Python twin mirrors (_FLAT_PRECEDENCE: 'add' before 'gadd')
-    adds_all = acat(adds, gadds)
+    adds_all = acat(adds, grp_adds(cq))
+    adds_all_raw = acat(adds_raw, grp_adds(c))
 
     # ALTER-embedded TABLE rename targets (RENAME [TO|AS] u), token-excluded.
     # Detection runs on the LITERAL-BLANKED text: a clause keyword inside a
@@ -332,7 +384,8 @@ def ddl_classify_exprs(sql_col: str, dialect: str, default_schema: str = "") -> 
     idx_adds = f"regexp_extract_all({cq}, {_p(ADD_INDEX_CLAUSE_PAT, dialect)}, 0)"
     idx_drops = f"regexp_extract_all({cq}, {_p(DROP_INDEX_CLAUSE_PAT, dialect)}, 0)"
     n_col_ops = (
-        f"({alen(adds_all)} + {alen(drops)} + {alen(rens)} + {alen(mods)} + {alen(chgs)})"
+        f"({alen(adds_all)} + {alen(drops)} + {alen(rens)} + {alen(mods)} "
+        f"+ {alen(chgs)} + {alen(setdefs)})"
     )
     stmt_class = (
         "CASE "
@@ -366,6 +419,7 @@ def ddl_classify_exprs(sql_col: str, dialect: str, default_schema: str = "") -> 
     mod_col, mod_type = first_grp(mods, MODIFY_PAT, 2), first_grp(mods, MODIFY_PAT, 3)
     chg_old, chg_new = first_grp(chgs, CHANGE_PAT, 2), first_grp(chgs, CHANGE_PAT, 3)
     chg_type = first_grp(chgs, CHANGE_PAT, 4)
+    sd_col = first_grp(setdefs, ALTER_DEFAULT_PAT, 2)
 
     # FLAT fields report the first clause by CLASS precedence (add > drop >
     # rename > change > modify) — deterministic and dialect-agreed; the full
@@ -379,6 +433,7 @@ def ddl_classify_exprs(sql_col: str, dialect: str, default_schema: str = "") -> 
         f"WHEN {ren_old} != '' THEN '{DDL_RENAME_COLUMN}' "
         f"WHEN {chg_old} != '' THEN '{DDL_RENAME_COLUMN}' "
         f"WHEN {mod_col} != '' THEN '{DDL_RETYPE}' "
+        f"WHEN {sd_col} != '' THEN '{DDL_SET_DEFAULT}' "
         "ELSE '' END"
     )
     ddl_column = (
@@ -387,7 +442,8 @@ def ddl_classify_exprs(sql_col: str, dialect: str, default_schema: str = "") -> 
         f"WHEN {drop_col} != '' THEN {drop_col} "
         f"WHEN {ren_old} != '' THEN {ren_old} "
         f"WHEN {chg_old} != '' THEN {chg_old} "
-        f"WHEN {mod_col} != '' THEN {mod_col} ELSE '' END"
+        f"WHEN {mod_col} != '' THEN {mod_col} "
+        f"WHEN {sd_col} != '' THEN {sd_col} ELSE '' END"
     )
     ddl_new_name = (
         f"CASE WHEN NOT {is_alter} THEN '' "
@@ -403,21 +459,42 @@ def ddl_classify_exprs(sql_col: str, dialect: str, default_schema: str = "") -> 
         f"WHEN {chg_old} != '' THEN {chg_type} "
         f"WHEN {mod_col} != '' THEN {mod_type} ELSE '' END"
     )
-    n_ops = (
-        f"CASE WHEN {is_alter} THEN "
-        f"{alen(adds_all)} + {alen(drops)} + {alen(rens)} + {alen(mods)} + {alen(chgs)} "
-        "ELSE 0 END"
-    )
-    # initial-default literal of the first ADD clause: quotes stripped,
-    # non-constant tokens (CURRENT_TIMESTAMP & co) and NULL land on ''
-    add_default_raw = first_grp(adds_all, ADD_COL_PAT, 7)
+    n_ops = f"CASE WHEN {is_alter} THEN {n_col_ops} ELSE 0 END"
+    # DEFAULT literal recovery, two-pass: detection ran on blanked text
+    # (zero phantom ops), but blanking erased the literal's content — so
+    # the VALUE re-extracts from the raw-text twin array, picking the
+    # first raw clause whose column name matches the first detected
+    # clause's name. A raw-only (phantom, literal-embedded) clause with a
+    # DIFFERENT name is skipped by the name match; a phantom sharing the
+    # real clause's exact name could still win the flat field — the
+    # documented residual corner (per-op defaults in the driver twin's
+    # ``ops`` list are span-exact and unaffected).
     nc = ", ".join(f"'{t}'" for t in _DEFAULT_NON_CONSTANT)
+
+    def named_first(raw_arr: str, pat: str, name: str) -> str:
+        return afirst(
+            f"filter({raw_arr}, x -> regexp_extract(x, {_p(pat, dialect)}, 2) = {name})"
+        )
+
+    def norm_default(raw: str) -> str:
+        # quotes stripped; non-constant tokens (CURRENT_TIMESTAMP & co)
+        # and NULL land on '' (= no materializable default)
+        return (
+            f"CASE WHEN upper({raw}) IN ({nc}) THEN '' "
+            f"WHEN left({raw}, 1) = {_q39} "
+            f"THEN substr({raw}, 2, greatest(length({raw}) - 2, 0)) "
+            f"ELSE {raw} END"
+        )
+
+    add_default_raw = f"regexp_extract({named_first(adds_all_raw, ADD_COL_PAT, add_col)}, {_p(ADD_COL_PAT, dialect)}, 7)"
+    sd_value_raw = f"regexp_extract({named_first(setdefs_raw, ALTER_DEFAULT_PAT, sd_col)}, {_p(ALTER_DEFAULT_PAT, dialect)}, 5)"
     ddl_default = (
-        f"CASE WHEN NOT {is_alter} OR {add_col} = '' THEN '' "
-        f"WHEN upper({add_default_raw}) IN ({nc}) THEN '' "
-        f"WHEN left({add_default_raw}, 1) = '''' "
-        f"THEN substr({add_default_raw}, 2, greatest(length({add_default_raw}) - 2, 0)) "
-        f"ELSE {add_default_raw} END"
+        f"CASE WHEN NOT {is_alter} THEN '' "
+        f"WHEN {add_col} != '' THEN {norm_default(add_default_raw)} "
+        # SET DEFAULT carries its literal; DROP DEFAULT extracts '' (group
+        # 5 absent) and normalizes to '' — the cleared-default signal
+        f"WHEN {sd_col} != '' THEN {norm_default(sd_value_raw)} "
+        "ELSE '' END"
     )
     # rename target: ALTER-embedded (`RENAME [TO|AS] u`) or the statement
     # form (`RENAME TABLE a TO b` → group 2); '' everywhere else
@@ -481,31 +558,53 @@ def _blank_literals(s: str) -> str:
     """Single-quoted literal CONTENT → spaces, LENGTH-PRESERVED (quotes
     kept), so clause detection cannot match keywords inside strings while
     every match position still refers to the original statement text —
-    the cross-class clause ordering in :func:`_clause_ops` depends on
-    positions being comparable across the raw and blanked forms."""
-    return re.sub(
-        _SQ_LITERAL_PAT, lambda m: "'" + " " * (len(m.group(0)) - 2) + "'", s
+    the cross-class clause ordering in :func:`_clause_ops` and the
+    raw-span DEFAULT recovery in :func:`_add_op_from_match` depend on
+    positions being identical across the raw and blanked forms.
+
+    Split-on-quote form (not regex) so an UNBALANCED quote blanks the
+    tail — exactly what the generated SQL classifiers' split/transform
+    blanking does in both dialects; the three evaluators must agree on
+    malformed input too."""
+    parts = s.split("'")
+    return "'".join(
+        p if i % 2 == 0 else " " * len(p) for i, p in enumerate(parts)
     )
 
 
-def _add_op_from_match(fm: re.Match) -> dict | None:
+def _norm_default_token(raw_default: str | None) -> str | None:
+    """DEFAULT token → stored value: quotes stripped; non-constant tokens
+    (CURRENT_TIMESTAMP & co) and NULL → None (no materializable default)."""
+    if raw_default is None or raw_default.upper() in _DEFAULT_NON_CONSTANT:
+        return None
+    if raw_default.startswith("'"):
+        return raw_default[1:-1]
+    return raw_default
+
+
+def _add_op_from_match(fm: re.Match, raw: str | None = None) -> dict | None:
     """Build the ADD_COLUMN op dict from an ADD_COL_PAT match — shared by
     the plain-clause and paren-group loops (keyword exclusion + DEFAULT
     normalization live ONCE). None when the clause is index/constraint
-    DDL, not a column op."""
+    DDL, not a column op.
+
+    ``raw``: the original (unblanked) statement when ``fm`` matched the
+    literal-BLANKED text — the DEFAULT literal re-reads from the raw text
+    at the match's group-7 span (valid because blanking is
+    length-preserving), so detection can't be fooled by literals while
+    the extracted default keeps its real content."""
     if fm.group(2).upper() in ADD_EXCLUDE_KEYWORDS and "`" not in fm.group(0):
         return None
-    raw_default = fm.group(7)
-    if raw_default is None or raw_default.upper() in _DEFAULT_NON_CONSTANT:
-        default = None
-    elif raw_default.startswith("'"):
-        default = raw_default[1:-1]
+    if fm.group(7) is None:
+        raw_default = None
+    elif raw is not None:
+        raw_default = raw[fm.start(7):fm.end(7)]
     else:
-        default = raw_default
+        raw_default = fm.group(7)
     return {
         "ddl_type": DDL_ADD_COLUMN, "ddl_column": fm.group(2),
         "ddl_new_name": None, "ddl_new_type": _engine_type(fm.group(3)),
-        "ddl_default": default,
+        "ddl_default": _norm_default_token(raw_default),
     }
 
 
@@ -515,17 +614,24 @@ def _clause_ops(s: str) -> list[dict]:
     iterate-all-items analog). Keyword-named ADD/DROP clauses (index /
     constraint / partition DDL) are excluded unless backtick-quoted."""
     found: list[tuple[int, dict]] = []
-    # non-ADD clause DETECTION runs on literal-blanked text (positions
-    # preserved — _blank_literals keeps length) so a keyword inside a
-    # string (COMMENT = 'drop column x') never classifies; ADD stays on
-    # the raw text because group 7 carries its DEFAULT literal.
+    # EVERY clause family's DETECTION runs on literal-blanked text
+    # (positions preserved — _blank_literals keeps length) so a keyword
+    # inside a string (COMMENT = 'drop column x', DEFAULT 'add column y
+    # int') never classifies; the DEFAULT-bearing families (ADD, ALTER
+    # SET DEFAULT) recover the literal's content from the raw text at the
+    # blanked match's span.
     sq = _blank_literals(s)
-    # parenthesized multi-add: fragments normalized to `ADD <frag>` and fed
-    # through ADD_COL_PAT so name/type/default/exclusion logic is shared.
-    # Ops keep the GROUP's statement position (cross-class clause order is
-    # what schema evolution applies); fragment index breaks ties in-group.
-    for gm in re.finditer(ADD_GROUP_PAT, s):
-        body = re.sub(_TYPE_ARGS_PAT, "", gm.group(2))
+    # parenthesized multi-add: group DETECTED on blanked text (a
+    # parenthesized-add-shaped literal never fabricates ops), body read
+    # from the RAW span so fragment defaults keep their content;
+    # fragments normalized to `ADD <frag>` and fed through ADD_COL_PAT so
+    # name/type/default/exclusion logic is shared. Ops keep the GROUP's
+    # statement position (cross-class clause order is what schema
+    # evolution applies); fragment index breaks ties in-group. A quoted
+    # default containing ',' or '(' inside a group body remains the
+    # documented limit of this form (the body splits on ',').
+    for gm in re.finditer(ADD_GROUP_PAT, sq):
+        body = re.sub(_TYPE_ARGS_PAT, "", s[gm.start(2):gm.end(2)])
         for j, frag in enumerate(f.strip() for f in body.split(",")):
             if not frag:
                 continue
@@ -535,10 +641,25 @@ def _clause_ops(s: str) -> list[dict]:
             op = _add_op_from_match(fm)
             if op is not None:
                 found.append((gm.start() + j, {**op, "_src": "gadd"}))
-    for mm in re.finditer(ADD_COL_PAT, s):
-        op = _add_op_from_match(mm)
+    for mm in re.finditer(ADD_COL_PAT, sq):
+        op = _add_op_from_match(mm, raw=s)
         if op is not None:
             found.append((mm.start(), {**op, "_src": "add"}))
+    for mm in re.finditer(ALTER_DEFAULT_PAT, sq):
+        if (
+            mm.group(2).upper() in ALTER_DEFAULT_EXCLUDE_KEYWORDS
+            and "`" not in mm.group(0)
+        ):
+            continue
+        if mm.group(4):  # SET DEFAULT <literal> (group 4 = the SET token)
+            default = _norm_default_token(s[mm.start(5):mm.end(5)])
+        else:  # DROP DEFAULT — explicit cleared-default signal
+            default = None
+        found.append((mm.start(), {
+            "ddl_type": DDL_SET_DEFAULT, "ddl_column": mm.group(2),
+            "ddl_new_name": None, "ddl_new_type": None,
+            "ddl_default": default, "_src": "setdef",
+        }))
     for mm in re.finditer(DROP_COL_PAT, sq):
         if mm.group(2).upper() in DROP_EXCLUDE_KEYWORDS and "`" not in mm.group(0):
             continue
@@ -580,7 +701,54 @@ def _index_clause_ops(s: str) -> list[str]:
 # flat-field precedence by source pattern — mirrors ddl_classify_exprs'
 # CASE order exactly (RENAME-pattern clauses outrank CHANGE-pattern ones
 # even though both produce DDL_RENAME_COLUMN ops)
-_FLAT_PRECEDENCE = ("add", "gadd", "drop", "ren", "chg", "mod")
+_FLAT_PRECEDENCE = ("add", "gadd", "drop", "ren", "chg", "mod", "setdef")
+
+
+def _raw_add_clauses(s: str) -> list[re.Match]:
+    """RAW-text ADD clause matches in the vectorized classifier's array
+    order (plain clauses, then paren-group fragments) — the candidate
+    list for the flat-field DEFAULT name-match rule below."""
+    out = [
+        mm for mm in re.finditer(ADD_COL_PAT, s)
+        if not (mm.group(2).upper() in ADD_EXCLUDE_KEYWORDS and "`" not in mm.group(0))
+    ]
+    for gm in re.finditer(ADD_GROUP_PAT, s):
+        body = re.sub(_TYPE_ARGS_PAT, "", gm.group(2))
+        for frag in (f.strip() for f in body.split(",")):
+            if not frag:
+                continue
+            fm = re.search(ADD_COL_PAT, f"ADD {frag}")
+            if fm is None:
+                continue
+            if fm.group(2).upper() in ADD_EXCLUDE_KEYWORDS and "`" not in fm.group(0):
+                continue
+            out.append(fm)
+    return out
+
+
+def _flat_default_rule(s: str, src: str, name: str) -> str | None:
+    """The FLAT ``ddl_default`` field via the same name-match rule the
+    vectorized classifier uses (first RAW clause whose column name equals
+    the first DETECTED clause's name) — the two evaluators must agree
+    byte-for-byte, and the vectorized side has no match spans to do
+    better with. Per-op defaults in ``ops`` stay span-exact; only this
+    informational flat field shares the classifier's documented residual
+    corner (a literal-embedded phantom clause with the SAME column name
+    preceding the real one wins the flat extraction)."""
+    if src in ("add", "gadd"):
+        for fm in _raw_add_clauses(s):
+            if fm.group(2) == name:
+                return _norm_default_token(fm.group(7))
+        return None
+    for mm in re.finditer(ALTER_DEFAULT_PAT, s):
+        if (
+            mm.group(2).upper() in ALTER_DEFAULT_EXCLUDE_KEYWORDS
+            and "`" not in mm.group(0)
+        ):
+            continue
+        if mm.group(2) == name:
+            return _norm_default_token(mm.group(5)) if mm.group(4) else None
+    return None
 
 
 def _alter_rename_target(s: str) -> str | None:
@@ -675,5 +843,11 @@ def parse_ddl(sql: str, default_schema: str = "") -> dict:
                 out.update({k: first[k] for k in
                             ("ddl_type", "ddl_column", "ddl_new_name", "ddl_new_type")})
                 out["ddl_default"] = first.get("ddl_default")
+                if want in ("add", "gadd", "setdef"):
+                    # flat field via the vectorized name-match rule (the
+                    # per-op default above stays span-exact in ``ops``)
+                    out["ddl_default"] = _flat_default_rule(
+                        s, want, first["ddl_column"]
+                    )
                 break
     return out

@@ -249,9 +249,25 @@ def decode_value_expr(value_expr: str, mysql_type: str, dialect: str = "spark") 
         return f"TRY_CAST({v} AS DATE)"
     if base in ("bit", "boolean", "bool"):
         return f"(TRY_CAST({v} AS INT) != 0)"
-    if base in ("blob", "binary", "varbinary", "longblob", "mediumblob", "tinyblob"):
+    if base in (
+        "blob", "binary", "varbinary", "longblob", "mediumblob", "tinyblob",
+        # the GEOMETRY family decodes exactly like BLOB — "copy from BLOB
+        # or TEXT" (RowsLogBuffer.java:1099-1117; type tag at :250): the
+        # wire value is the WKB payload. Spark has no geometry type;
+        # BINARY keeps every byte for a downstream spatial reader instead
+        # of mangling WKB through a string column.
+        "geometry", "point", "linestring", "polygon", "multipoint",
+        "multilinestring", "multipolygon", "geometrycollection",
+        "geomcollection",
+    ):
         # BLOB: the wire string preserves bytes via latin-1 (the reference's
-        # ISO-8859-1 trick, LogEventConvert.java:767-771); TEXT stays string
+        # ISO-8859-1 trick, LogEventConvert.java:767-771); TEXT stays string.
+        # DuckDB's encode() takes no charset (always UTF-8), so the oracle
+        # twin is byte-identical only for ASCII-range payloads — fixtures
+        # keep oracle blobs ASCII; the full 0x00-0xFF range is pinned by
+        # the pytest truth table (test_geometry_decode_byte_preserving).
+        if dialect == "duckdb":
+            return f"encode({v})"
         return f"encode({v}, 'ISO-8859-1')"
     return v  # char/varchar/text/enum/set/json → string as-is
 

@@ -121,6 +121,22 @@ def parse_mq_properties(props: dict) -> MQRoutingConfig:
             # database_table when no pk columns are configured): every row
             # of a matched table lands on ONE partition keyed by its name.
             # Encoded as an empty cols tuple.
+            if "^" in entry:
+                # lenient Canal parsing keeps this a (never-matching) table
+                # regex, but '^' is the COLUMN separator — a cols-only typo
+                # like "url^cents" (missing the "db\\.tbl:" prefix) is far
+                # likelier than a caret-anchored table pattern; warn so the
+                # misroute (everything → ELSE partition 0) is discoverable
+                # without breaking Canal config compatibility.
+                import warnings
+
+                warnings.warn(
+                    f"partitionHash entry {entry!r} has no ':cols' part but "
+                    "contains '^' (the column separator) — parsed as a "
+                    "table-name pattern, which likely matches nothing. "
+                    "Did you mean 'db\\\\.tbl:" + entry + "'?",
+                    stacklevel=2,
+                )
             hash_rules.append((entry, ()))
             continue
         hash_rules.append((pat, tuple(c.strip() for c in cols.split("^") if c.strip())))

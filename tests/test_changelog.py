@@ -52,6 +52,30 @@ def test_scan_changes_excludes_compaction_rewrites(spark, tmp_table_dir):
     feed.unpersist()
 
 
+def test_changed_rows_hint_matches_scan_changes(spark, tmp_table_dir):
+    """changed_rows_hint (O(metadata), zero jobs) equals the actual
+    scan_changes row count — it sums the same file entries' recorded
+    stats — and survives compaction the same way the changelog does."""
+    feed = generate_feed(spark, FeedConfig(n_events=400, n_urls=40, seed=47)).cache()
+    table = LakeTable.create(
+        spark, tmp_table_dir, PAGE_SCHEMA, merge_key=["url", "warc_ts"], n_buckets=4
+    )
+    cfg = ApplyConfig(merge_mode="mor", transform=False, compact_every=0)
+    v0 = table.current_version()
+    apply_epoch(spark, feed.filter(F.col("lsn") < 200), 0, table, cfg)
+    v1 = table.current_version()
+    apply_epoch(spark, feed.filter(F.col("lsn") >= 200), 1, table, cfg)
+    v2 = table.current_version()
+    assert table.changed_rows_hint(v1, v2) == table.scan_changes(v1, v2).count()
+    assert table.changed_rows_hint(v0, v2) == table.scan_changes(v0, v2).count()
+    table.compact()
+    v3 = table.current_version()
+    assert table.changed_rows_hint(v1, v3) == table.scan_changes(v1, v3).count()
+    # empty range → 0, not None
+    assert table.changed_rows_hint(v2, v2) == 0
+    feed.unpersist()
+
+
 # --- property-based LWW ---------------------------------------------------
 
 events_strategy = st.lists(

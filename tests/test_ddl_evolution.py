@@ -344,3 +344,61 @@ def test_merge_fill_missing_after_add_column(spark, tmp_table_dir):
     with _pytest.raises(ValueError, match="key/bucket columns"):
         table.merge(missing_key, epoch_id=2, op_col="op", mode="mor",
                     lsn_col="lsn", fill_missing=True)
+
+
+def test_alter_column_set_drop_default_via_sql_channel(spark, tmp_table_dir):
+    """`ALTER COLUMN x SET/DROP DEFAULT` through the DDL channel (r4
+    verdict Missing #1): the WRITE default changes for later fill_missing
+    merges, existing rows keep the values they were born with (the frozen
+    initial-default — MySQL and Iceberg-v3 semantics), replay no-ops, and
+    DROP DEFAULT overrides an add-time default with a null fill."""
+    table = LakeTable.create(
+        spark, tmp_table_dir, PAGE_SCHEMA, merge_key=["url", "warc_ts"], n_buckets=2
+    )
+    table.add_column("score", "int", default=7)
+
+    def lagging(url, ts, lsn):
+        return spark.createDataFrame(
+            [(url, ts, "body", "U", lsn)],
+            "url string, warc_ts string, text string, op string, lsn bigint",
+        ).withColumn("warc_ts", F.to_timestamp("warc_ts")) \
+         .withColumn("html", F.lit(None).cast("binary")) \
+         .withColumn("lang", F.lit("en"))
+
+    table.merge(lagging("u1", "2024-01-01 00:00:00", 10), epoch_id=1,
+                op_col="op", mode="mor", lsn_col="lsn", fill_missing=True)
+
+    sql = "ALTER TABLE cc.pages ALTER COLUMN score SET DEFAULT 9"
+    assert apply_ddl_idempotent(table, {"ddl_sql": sql}) is True
+    assert apply_ddl_idempotent(table, {"ddl_sql": sql}) is False  # replay
+
+    table.merge(lagging("u2", "2024-01-02 00:00:00", 20), epoch_id=2,
+                op_col="op", mode="mor", lsn_col="lsn", fill_missing=True)
+    got = {r["url"]: r["score"] for r in table.scan().collect()}
+    # u1 was written while the default was 7 and keeps it; u2 fills 9
+    assert got == {"u1": 7, "u2": 9}
+
+    drop_sql = "ALTER TABLE cc.pages ALTER COLUMN score DROP DEFAULT"
+    assert apply_ddl_idempotent(table, {"ddl_sql": drop_sql}) is True
+    assert apply_ddl_idempotent(table, {"ddl_sql": drop_sql}) is False
+    table.merge(lagging("u3", "2024-01-03 00:00:00", 30), epoch_id=3,
+                op_col="op", mode="mor", lsn_col="lsn", fill_missing=True)
+    got = {r["url"]: r["score"] for r in table.scan().collect()}
+    assert got == {"u1": 7, "u2": 9, "u3": None}
+
+    # a fresh handle (no cached snapshot) agrees
+    got2 = {r["url"]: r["score"] for r in LakeTable(spark, tmp_table_dir).scan().collect()}
+    assert got2 == got
+
+    # malformed SET DEFAULT literal fails the apply, never a scan
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="illegal DEFAULT"):
+        apply_ddl_idempotent(table, {
+            "ddl_sql": "ALTER TABLE cc.pages ALTER COLUMN score SET DEFAULT 'nope'",
+        })
+    # unknown column: hard error (the statement is not valid upstream)
+    with _pytest.raises(ValueError, match="unknown column"):
+        apply_ddl_idempotent(table, {
+            "ddl_sql": "ALTER TABLE cc.pages ALTER COLUMN ghost SET DEFAULT 1",
+        })

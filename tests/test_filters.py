@@ -138,21 +138,24 @@ def test_index_ddl_event_class_routing(spark):
         (3, "DDL", "ALTER TABLE s.t DROP INDEX idx_u"),           # drop (DINDEX)
         (4, "DDL", "CREATE UNIQUE INDEX i ON s.t (url)"),         # drop (CINDEX)
         (5, "DDL", "DROP INDEX i ON s.t"),                        # drop (DINDEX)
-        (6, "DDL", "ALTER TABLE s.t DROP PRIMARY KEY"),           # keep (ALTER)
+        # r5: DROP PRIMARY KEY is index-family DDL both ways (symmetric
+        # with ADD PRIMARY KEY → C_INDEX) — routes with the index channel
+        (6, "DDL", "ALTER TABLE s.t DROP PRIMARY KEY"),           # drop (DINDEX)
         (7, KIND_ROW, None),                                      # keep
+        (8, "DDL", "ALTER TABLE s.t DROP FOREIGN KEY fk"),        # keep (ALTER)
     ]
     df = spark.createDataFrame(
         rows, "lsn long, kind string, ddl_sql string"
     ).withColumn("schema_name", F.lit("s")).withColumn("table_name", F.lit("t"))
     cfg = EventFilterConfig(filter_index_ddl=True, drop_heartbeats=False)
     got = {r["lsn"] for r in apply_event_filters(df, cfg).collect()}
-    assert got == {1, 6, 7}
+    assert got == {1, 7, 8}
     # pre-classified frames route on the existing stmt_class column
     from clever_canal_spark.sources.ddl_sql import classify_ddl
 
     pre = classify_ddl(df.filter(F.col("kind") == "DDL"), "ddl_sql", "s")
     got2 = {r["lsn"] for r in apply_event_filters(pre, cfg).collect()}
-    assert got2 == {1, 6}
+    assert got2 == {1, 8}
 
 
 def test_el_filter_value_predicate(spark):

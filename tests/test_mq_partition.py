@@ -144,6 +144,31 @@ def test_parse_properties_grammar():
     assert cfg2.partition == 1 and cfg2.partitions_num == 2
 
 
+def test_pattern_only_caret_typo_warns():
+    """A pattern-only partitionHash entry containing '^' (the column
+    separator) is almost certainly a cols-only typo missing its
+    'db\\.tbl:' prefix — lenient Canal parsing keeps it a (never-matching)
+    table regex, but a warning makes the misroute discoverable."""
+    import warnings
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        cfg = parse_mq_properties(
+            {"canal.mq.topic": "t", "canal.mq.partitionsNum": "4",
+             "canal.mq.partitionHash": "url^cents"}
+        )
+    assert cfg.partition_hash == (("url^cents", ()),)  # parse unchanged
+    assert any("column separator" in str(x.message) for x in w)
+    # legitimate pattern-only entries stay silent
+    with warnings.catch_warnings(record=True) as w2:
+        warnings.simplefilter("always")
+        parse_mq_properties(
+            {"canal.mq.topic": "t", "canal.mq.partitionsNum": "4",
+             "canal.mq.partitionHash": "cc\\..*"}
+        )
+    assert not w2
+
+
 def test_config_validation():
     with pytest.raises(ValueError):
         MQRoutingConfig(partitions_num=0)
