@@ -1,0 +1,87 @@
+"""Synthesize an sf1-scale test dataset from sf0.1 — deterministic
+K-fold replication with COORDINATED key shifts, so the result has 10x
+the rows of every big table while keeping referential integrity
+(lineitem→orders/part/supplier, orders→customer) and key uniqueness
+(every replica's primary ids shift by i * (max_key + 1)).
+
+Why replicate instead of generating: the driver's testdata generator is
+external; the sandbox rule is "synthesize deterministically at small
+scale" — id-shifted copies preserve every distribution and correlation
+of the original while scaling row counts exactly, and both engines in
+the oracle sweep read the SAME files, so correctness comparisons stay
+meaningful at the bigger scale. (``scale_probe.py`` set the precedent.)
+
+Dimension tables (region, nation) copy as-is — their keys are
+referenced by replicated rows and a 10x nation table would be
+semantically wrong, exactly like a real warehouse.
+
+Usage: python scripts/make_sf_big.py [--src /root/testdata/sf0.1]
+       [--dst /dev/shm/ccs-sf1] [--factor 10]
+Then:  SF_DIR=/dev/shm/ccs-sf1 PYTHONPATH=. python scripts/sweep_oracles.py
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import duckdb
+
+# table → (primary id col, {fk col: parent table}); parents' shift base
+# is max(parent primary) + 1 so children shift in lockstep
+SPEC = {
+    "customer": ("c_custkey", {}),
+    "supplier": ("s_suppkey", {}),
+    "part": ("p_partkey", {}),
+    "orders": ("o_orderkey", {"o_custkey": "customer"}),
+    "lineitem": ("l_orderkey", {"l_orderkey": "orders", "l_partkey": "part",
+                                "l_suppkey": "supplier"}),
+    "events": ("event_id", {}),
+    "documents": ("doc_id", {}),
+    "embeddings": ("vec_id", {}),
+}
+COPY_AS_IS = ("region", "nation")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--dst", default="/dev/shm/ccs-sf1")
+    ap.add_argument("--factor", type=int, default=10)
+    args = ap.parse_args()
+    os.makedirs(args.dst, exist_ok=True)
+    con = duckdb.connect()
+
+    shift_base: dict[str, int] = {}
+    for t, (pk, _) in SPEC.items():
+        shift_base[t] = con.sql(
+            f"SELECT max({pk}) + 1 FROM read_parquet('{args.src}/{t}.parquet')"
+        ).fetchone()[0]
+
+    for t in COPY_AS_IS:
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{args.src}/{t}.parquet')) "
+            f"TO '{args.dst}/{t}.parquet' (FORMAT parquet)"
+        )
+        print(f"{t}: copied as-is")
+
+    for t, (pk, fks) in SPEC.items():
+        cols = con.sql(
+            f"SELECT * FROM read_parquet('{args.src}/{t}.parquet') LIMIT 0"
+        ).columns
+        shifted_cols = {pk: shift_base[t], **{c: shift_base[p] for c, p in fks.items()}}
+        sel = ", ".join(
+            f"{c} + i * {shifted_cols[c]} AS {c}" if c in shifted_cols else c
+            for c in cols
+        )
+        con.execute(
+            f"COPY (SELECT {sel} FROM read_parquet('{args.src}/{t}.parquet'), "
+            f"range({args.factor}) r(i) ORDER BY i, {pk}) "
+            f"TO '{args.dst}/{t}.parquet' (FORMAT parquet)"
+        )
+        n = con.sql(f"SELECT count(*) FROM read_parquet('{args.dst}/{t}.parquet')").fetchone()[0]
+        print(f"{t}: x{args.factor} -> {n} rows (shift base {shift_base[t]})")
+
+
+if __name__ == "__main__":
+    main()
