@@ -1725,6 +1725,66 @@ def q_cdc_typed_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# MySQL binary JSON (JSONB) wire fixtures — hand-laid bytes per the
+# public storage format (JsonConversion.java:1-431 is the cited decode)
+# with HAND-WRITTEN expected canonical text: the oracle re-states the
+# expectation as literals, so the Python decoder is checked against an
+# independent reading of the spec, not against itself. Case 6 is a
+# deliberately malformed payload (expected NULL + dead-letter flag).
+_JSONB_FIXTURES = [
+    # (fid, payload bytes, expected canonical text, expected malformed)
+    (0, b"\x00\x01\x00\x0c\x00\x0b\x00\x01\x00\x05\x03\x00a", '{"a":3}', False),
+    (1, b"\x02\x02\x00\x0d\x00\x05\x01\x00\x0c\x0a\x00\x02ab", '[1,"ab"]', False),
+    (2, b"\x0c\x03abc", '"abc"', False),
+    (3, b"\x05\xff\xff", "-1", False),
+    (4, b"\x0f\xf6\x05\x05\x02\x80\x7b\x2d", "123.45", False),  # DECIMAL(5,2)
+    (5, b"\x04\x01", "true", False),
+    (6, b"\x05\x07", None, True),  # truncated INT16 → dead-letter
+    (7, b"", None, False),  # empty payload = MySQL NULL JSON, not an error
+]
+
+
+@register(
+    "cdc_jsonb_decode",
+    """
+    WITH m AS (
+      SELECT * FROM (VALUES
+        (0, '{"a":3}', false), (1, '[1,"ab"]', false), (2, '"abc"', false),
+        (3, '-1', false), (4, '123.45', false), (5, 'true', false),
+        (6, NULL, true), (7, NULL, false)
+      ) AS t(fid, txt, bad)
+    )
+    SELECT m.fid AS fid, m.txt AS txt, m.bad AS bad,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events e JOIN m ON CAST(e.event_id % 8 AS INT) = m.fid
+    GROUP BY m.fid, m.txt, m.bad
+    """,
+)
+def q_cdc_jsonb_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MySQL binary-JSON wire decode (JsonConversion.java:1-431 analog,
+    sources/json_binary.py): hand-laid JSONB payloads — containers with
+    inlined scalars, strings, packed NEWDECIMAL opaque, literals, a
+    truncated poison payload, and the empty NULL-JSON sentinel — decode
+    through the Arrow-batched UDF to canonical JSON text with the
+    malformed flag. The oracle's expected texts are hand-written
+    literals: the decoder is checked against an independent reading of
+    the MySQL storage-format spec, not against itself."""
+    from .sources.json_binary import decode_jsonb_udf, jsonb_malformed_udf
+
+    ev = _events(spark, sf_dir)
+    fx = spark.createDataFrame(
+        [(fid, payload) for fid, payload, _, _ in _JSONB_FIXTURES],
+        "fid int, payload binary",
+    )
+    dec, flag = decode_jsonb_udf(), jsonb_malformed_udf()
+    joined = ev.select(
+        (F.col("event_id") % 8).cast("int").alias("fid")
+    ).join(F.broadcast(fx), on="fid")
+    return joined.select(
+        "fid", dec("payload").alias("txt"), flag("payload").alias("bad")
+    ).groupBy("fid", "txt", "bad").agg(F.count("*").cast("bigint").alias("n"))
+
+
 # dead-letter decode fixture: every 37th event's int column and every
 # 41st event's timestamp column arrive malformed on the wire
 _DLQ_RAW = {
