@@ -40,6 +40,14 @@ def main():
 
     spark = build_session(app_name="sweep", master="local[8]", shuffle_partitions=8)
     con = duckdb.connect()
+    # big-SF sweeps: bound the oracle engine's memory so a quadratic
+    # oracle (e.g. the recursive-closure clustering CTEs on a corpus
+    # whose near-dup graph is one giant component) fails FAST as a
+    # recorded per-query error instead of consuming the whole box for
+    # half an hour first (observed: 100 GiB pinned at sf1). DUCKDB_MEM
+    # sets the limit (e.g. '24GB'); unset keeps DuckDB's default.
+    if os.environ.get("DUCKDB_MEM"):
+        con.execute(f"SET memory_limit='{os.environ['DUCKDB_MEM']}'")
     for t in TABLES:
         p = f"{SF}/{t}.parquet"
         if os.path.exists(p):
