@@ -2603,7 +2603,10 @@ def _index_sync_oracle() -> str:
       FROM embeddings WHERE vec_id NOT BETWEEN 10 AND 14
     ),
     ins AS (
-      SELECT 9000 + vec_id AS vec_id, embedding AS e
+      -- 9_000_000 offset: the insert ids must be FRESH at every corpus
+      -- scale (the old 9000 offset collided with real ids once the
+      -- embeddings table passed 9k vectors — found by the sf1 sweep)
+      SELECT 9000000 + vec_id AS vec_id, embedding AS e
       FROM embeddings WHERE vec_id < 5
     ),
     fin AS (SELECT * FROM base UNION ALL SELECT * FROM ins)
@@ -2644,7 +2647,8 @@ def q_emb_index_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(2000) + F.col("vec_id")).alias("lsn"),
         )
         ins = emb.filter(F.col("vec_id") < 5).select(
-            (F.lit(9000) + F.col("vec_id")).alias("vec_id"),
+            # 9_000_000: fresh at every corpus scale (see oracle comment)
+            (F.lit(9_000_000) + F.col("vec_id")).alias("vec_id"),
             "embedding",
             F.lit("I").alias("op"),
             (F.lit(3000) + F.col("vec_id")).alias("lsn"),
