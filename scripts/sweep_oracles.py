@@ -48,6 +48,14 @@ def main():
     # sets the limit (e.g. '24GB'); unset keeps DuckDB's default.
     if os.environ.get("DUCKDB_MEM"):
         con.execute(f"SET memory_limit='{os.environ['DUCKDB_MEM']}'")
+    # DUCKDB_TMP points the oracle's spill at a filesystem with room
+    # (default .tmp under cwd filled / during the sf1 sweep's
+    # SPILL_DISK_FULL failure); lets out-of-core grouping finish instead
+    # of dying mid-spill when the quadratic oracles are retried with a
+    # big memory budget.
+    if os.environ.get("DUCKDB_TMP"):
+        os.makedirs(os.environ["DUCKDB_TMP"], exist_ok=True)
+        con.execute(f"SET temp_directory='{os.environ['DUCKDB_TMP']}'")
     for t in TABLES:
         p = f"{SF}/{t}.parquet"
         if os.path.exists(p):
