@@ -203,8 +203,21 @@ def _probe_dedup(spark, meter: _ShuffleMeter, sf_dir: str, factor: int) -> dict:
         lo, up = string.ascii_lowercase, string.ascii_uppercase
         reps = [docs0]
         for i in range(1, factor):
-            r = i % 25 + 1  # never the identity rotation
-            rot = lo[r:] + lo[:r] + up[r:] + up[:r]
+            # per-replica SEEDED alphabet permutation (not a Caesar
+            # rotation: only 25 of those exist, so factor > 26 would
+            # hand replicas i and i+25 the SAME map — verbatim clones of
+            # each other, re-creating the superlinear fixture artifact
+            # the bijection exists to avoid). 26! permutations cover any
+            # factor; a bijective per-char map keeps each replica's
+            # shingle set isomorphic (intra-replica Jaccard exact) while
+            # sharing ~no shingles across replicas.
+            import random
+
+            perm = list(lo)
+            random.Random(1_000_003 * i).shuffle(perm)
+            if "".join(perm) == lo:  # astronomically unlikely identity
+                perm = perm[1:] + perm[:1]
+            rot = "".join(perm) + "".join(perm).upper()
             reps.append(
                 docs0.withColumn("doc_id", F.col("doc_id") + F.lit(i * n0))
                 .withColumn("text", F.translate("text", lo + up, rot))
@@ -249,9 +262,15 @@ def main() -> None:
     ap.add_argument("--sf-dir", default=os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--factors", default=None,
+                    help="comma list of replication factors, e.g. 1,10,100 "
+                         "(two-decade evidence); overrides --factor")
     ap.add_argument("--cpus", type=int, default=int(
         os.environ.get("SPARK_GRAFT_CPUS", "16")))
     ap.add_argument("--base-events", type=int, default=600_000)
+    ap.add_argument("--out", default=os.path.join(REPO, "SCALE_PROBE_CDC.json"),
+                    help="output path (point elsewhere for smoke runs so the "
+                         "recorded artifact survives)")
     args = ap.parse_args()
 
     from clever_canal_spark.session import build_session
@@ -276,10 +295,12 @@ def main() -> None:
         wwork = tempfile.mkdtemp(prefix="ccs-cdcprobe-warm-")
         bench._replay_once(spark, wwork, 20_000, 2_000, n_epochs=1)
 
+        factors = ([int(x) for x in args.factors.split(",")]
+                   if args.factors else [1, args.factor])
         out: dict = {"sf_dir": args.sf_dir, "cpus": args.cpus}
-        for k, tag in ((1, "x1"), (args.factor, f"x{args.factor}")):
-            out[tag] = {
-                "replay": _probe_replay(spark, meter, args.base_events * k, tag),
+        for k in factors:
+            out[f"x{k}"] = {
+                "replay": _probe_replay(spark, meter, args.base_events * k, f"x{k}"),
                 "lww": _probe_lww(spark, meter, args.base_events * k),
                 "dedup": _probe_dedup(spark, meter, args.sf_dir, k),
             }
@@ -289,33 +310,42 @@ def main() -> None:
     def ratio(a, b):
         return round(b / a, 2) if a else None
 
-    x1, xk = out["x1"], out[f"x{args.factor}"]
-    growth = {
-        "replay_wall": ratio(x1["replay"]["wall_s"], xk["replay"]["wall_s"]),
-        "replay_shuffle_bytes": ratio(
-            x1["replay"]["shuffle_bytes"] or 0, xk["replay"]["shuffle_bytes"] or 0),
-        "replay_sustained_eps": ratio(
-            x1["replay"]["sustained_events_per_sec"] or 1,
-            xk["replay"]["sustained_events_per_sec"] or 1),
-        "lsh_buckets_shuffle_bytes": ratio(
-            x1["dedup"]["lsh_buckets_shuffle_bytes"] or 0,
-            xk["dedup"]["lsh_buckets_shuffle_bytes"] or 0),
-        "neardup_clusters_shuffle_bytes": ratio(
-            x1["dedup"]["neardup_clusters_shuffle_bytes"] or 0,
-            xk["dedup"]["neardup_clusters_shuffle_bytes"] or 0),
-        "neardup_edges": ratio(
-            x1["dedup"].get("neardup_edges") or 0,
-            xk["dedup"].get("neardup_edges") or 0),
-        "neardup_rounds": ratio(
-            x1["dedup"].get("neardup_rounds") or 0,
-            xk["dedup"].get("neardup_rounds") or 0),
-    }
-    for name in ("winner_join", "max_by", "max_by_salted"):
-        growth[f"lww_{name}_shuffle_bytes"] = ratio(
-            x1["lww"][f"{name}_shuffle_bytes"] or 0,
-            xk["lww"][f"{name}_shuffle_bytes"] or 0)
-    out["growth_at_x{}".format(args.factor)] = growth
-    with open(os.path.join(REPO, "SCALE_PROBE_CDC.json"), "w") as fh:
+    def growth_between(xa: dict, xb: dict) -> dict:
+        g = {
+            "replay_wall": ratio(xa["replay"]["wall_s"], xb["replay"]["wall_s"]),
+            "replay_shuffle_bytes": ratio(
+                xa["replay"]["shuffle_bytes"] or 0,
+                xb["replay"]["shuffle_bytes"] or 0),
+            "replay_sustained_eps": ratio(
+                xa["replay"]["sustained_events_per_sec"] or 1,
+                xb["replay"]["sustained_events_per_sec"] or 1),
+            "lsh_buckets_shuffle_bytes": ratio(
+                xa["dedup"]["lsh_buckets_shuffle_bytes"] or 0,
+                xb["dedup"]["lsh_buckets_shuffle_bytes"] or 0),
+            "neardup_clusters_shuffle_bytes": ratio(
+                xa["dedup"]["neardup_clusters_shuffle_bytes"] or 0,
+                xb["dedup"]["neardup_clusters_shuffle_bytes"] or 0),
+            "neardup_edges": ratio(
+                xa["dedup"].get("neardup_edges") or 0,
+                xb["dedup"].get("neardup_edges") or 0),
+            "neardup_rounds": ratio(
+                xa["dedup"].get("neardup_rounds") or 0,
+                xb["dedup"].get("neardup_rounds") or 0),
+        }
+        for name in ("winner_join", "max_by", "max_by_salted"):
+            g[f"lww_{name}_shuffle_bytes"] = ratio(
+                xa["lww"][f"{name}_shuffle_bytes"] or 0,
+                xb["lww"][f"{name}_shuffle_bytes"] or 0)
+        return g
+
+    # x1 → max keeps the key bench.py has always embedded; consecutive
+    # pairs add the per-decade curve (e.g. x10→x100)
+    out[f"growth_at_x{factors[-1]}"] = growth_between(
+        out[f"x{factors[0]}"], out[f"x{factors[-1]}"])
+    for a, b in zip(factors, factors[1:]):
+        if (a, b) != (factors[0], factors[-1]):
+            out[f"growth_x{a}_to_x{b}"] = growth_between(out[f"x{a}"], out[f"x{b}"])
+    with open(args.out, "w") as fh:
         json.dump(out, fh, indent=1)
     print(json.dumps(out))
 
