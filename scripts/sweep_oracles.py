@@ -38,7 +38,17 @@ def main():
     from clever_canal_spark.entry_queries import ORACLES, QUERIES
     from clever_canal_spark.session import build_session
 
-    spark = build_session(app_name="sweep", master="local[8]", shuffle_partitions=8)
+    # CCS_SWEEP_CPUS widens the session for big-SF resumption sweeps;
+    # CCS_SWEEP_MAX_PART_BYTES splits small-but-expensive scans (the sf1
+    # embeddings table is ~2 row-groups, so the trained-quantizer family's
+    # assignment stages otherwise run 2-wide regardless of cores).
+    cpus = int(os.environ.get("CCS_SWEEP_CPUS", "8"))
+    extra = {}
+    if os.environ.get("CCS_SWEEP_MAX_PART_BYTES"):
+        extra["spark.sql.files.maxPartitionBytes"] = os.environ["CCS_SWEEP_MAX_PART_BYTES"]
+        extra["spark.sql.files.openCostInBytes"] = "65536"
+    spark = build_session(app_name="sweep", master=f"local[{cpus}]",
+                          shuffle_partitions=cpus, extra_conf=extra)
     con = duckdb.connect()
     # big-SF sweeps: bound the oracle engine's memory so a quadratic
     # oracle (e.g. the recursive-closure clustering CTEs on a corpus
