@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import random
 
 import duckdb
 
@@ -48,6 +49,10 @@ def main() -> None:
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--dst", default="/dev/shm/ccs-sf1")
     ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--no-perm-embeddings", action="store_true",
+                    help="replicate embedding vectors VERBATIM (the r5 "
+                         "first-sweep behavior) instead of the default "
+                         "per-replica dimension permutation")
     args = ap.parse_args()
     os.makedirs(args.dst, exist_ok=True)
     con = duckdb.connect()
@@ -70,10 +75,41 @@ def main() -> None:
             f"SELECT * FROM read_parquet('{args.src}/{t}.parquet') LIMIT 0"
         ).columns
         shifted_cols = {pk: shift_base[t], **{c: shift_base[p] for c, p in fks.items()}}
-        sel = ", ".join(
-            f"{c} + i * {shifted_cols[c]} AS {c}" if c in shifted_cols else c
-            for c in cols
-        )
+
+        def col_expr(c: str) -> str:
+            if c in shifted_cols:
+                return f"{c} + i * {shifted_cols[c]} AS {c}"
+            if (t == "embeddings" and c == "embedding"
+                    and not args.no_perm_embeddings):
+                # Per-replica DIMENSION PERMUTATION (orthogonal transform):
+                # verbatim replication hands every vector factor-1 exact
+                # clones, so LSH buckets densify by the factor and every
+                # pair/candidate stage grows by factor^2 BY CONSTRUCTION
+                # (observed: the sf1 ANN sweep's knn_join skew-stalled on
+                # one clone-bucket task). Permuting dimensions per replica
+                # keeps ALL intra-replica geometry exact (dot(P(x), P(y))
+                # = dot(x, y): same top-k, same recall curves as x1)
+                # while cross-replica vectors decorrelate — the factor-x
+                # corpus behaves like `factor` independent corpora, the
+                # same trick scale_probe_cdc.py plays with a per-replica
+                # alphabet permutation on document text.
+                dim = con.sql(
+                    f"SELECT len(embedding) FROM "
+                    f"read_parquet('{args.src}/{t}.parquet') LIMIT 1"
+                ).fetchone()[0]
+                cases = []
+                for i in range(args.factor):
+                    if i == 0:
+                        cases.append("WHEN 0 THEN embedding")
+                        continue
+                    perm = list(range(1, dim + 1))  # duckdb lists are 1-based
+                    random.Random(7_777_777 * i).shuffle(perm)
+                    cases.append(
+                        f"WHEN {i} THEN list_select(embedding, {perm})")
+                return "CASE i " + " ".join(cases) + " END AS embedding"
+            return c
+
+        sel = ", ".join(col_expr(c) for c in cols)
         con.execute(
             f"COPY (SELECT {sel} FROM read_parquet('{args.src}/{t}.parquet'), "
             f"range({args.factor}) r(i) ORDER BY i, {pk}) "
