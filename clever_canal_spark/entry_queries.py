@@ -2249,7 +2249,17 @@ def q_doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample(w).select("doc_id", "cluster_id", "weight_e6")
 
 
-_MP_PLANES, _MP_RADIUS = 4, 2
+# LSH blocking params for the multiprobe/knn-join fixture family. The
+# defaults fit the driver-gate corpus (sf0.01: 200 vectors / 16 buckets);
+# bigger-SF sweeps override via env — planes should track ~log2(n) so
+# bucket occupancy (and with it candidate-pair count per query) stays
+# ~constant, exactly what a real deployment tunes. Both the Spark query
+# and its DuckDB oracle derive from the SAME constants at import, so the
+# bit-for-bit compare holds at any setting (observed before the knob: at
+# sf1's 20k vectors the pinned 4-plane/16-bucket blocking grew candidate
+# pairs 100x and capped the bucket join at 16-way parallelism).
+_MP_PLANES = int(os.environ.get("CCS_MP_PLANES", "4"))
+_MP_RADIUS = int(os.environ.get("CCS_MP_RADIUS", "2"))
 
 
 def _multiprobe_oracle() -> str:
@@ -2354,7 +2364,7 @@ _NEARDUP_TAU_E9 = 300_000_000
     f"""
     WITH b AS (
       SELECT vec_id, embedding,
-             {_duck_lsh_bucket('embedding', 4)} AS bucket
+             {_duck_lsh_bucket('embedding', _MP_PLANES)} AS bucket
       FROM embeddings
     )
     SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
@@ -2364,11 +2374,11 @@ _NEARDUP_TAU_E9 = 300_000_000
     """,
 )
 def q_emb_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs: 4-plane LSH bucket as the blocking
-    key (same-bucket pairs only, never n² cross join), exact scaled-dot
+    """Embedding-cosine near-dup pairs: _MP_PLANES-plane LSH bucket as the
+    blocking key (same-bucket pairs only, never n² cross join), exact scaled-dot
     threshold (cosine ≥ 0.3) inside the bucket."""
     return cosine_neardup_pairs(
-        _embeddings(spark, sf_dir), tau_e9=_NEARDUP_TAU_E9, n_planes=4
+        _embeddings(spark, sf_dir), tau_e9=_NEARDUP_TAU_E9, n_planes=_MP_PLANES
     )
 
 
@@ -4284,7 +4294,7 @@ def q_cdc_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH RECURSIVE b AS (
       SELECT vec_id, embedding,
-             {_duck_lsh_bucket('embedding', 4)} AS bucket
+             {_duck_lsh_bucket('embedding', _MP_PLANES)} AS bucket
       FROM embeddings
     ),
     pairs AS (
@@ -4311,7 +4321,7 @@ def q_emb_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import cosine_neardup_clusters
 
     return cosine_neardup_clusters(
-        _embeddings(spark, sf_dir), tau_e9=_NEARDUP_TAU_E9, n_planes=4
+        _embeddings(spark, sf_dir), tau_e9=_NEARDUP_TAU_E9, n_planes=_MP_PLANES
     )
 
 
