@@ -53,6 +53,10 @@ def main() -> None:
                     help="replicate embedding vectors VERBATIM (the r5 "
                          "first-sweep behavior) instead of the default "
                          "per-replica dimension permutation")
+    ap.add_argument("--no-perm-text", action="store_true",
+                    help="replicate document text VERBATIM (the r5 "
+                         "first-sweep behavior) instead of the default "
+                         "per-replica alphabet permutation")
     args = ap.parse_args()
     os.makedirs(args.dst, exist_ok=True)
     con = duckdb.connect()
@@ -107,6 +111,31 @@ def main() -> None:
                     cases.append(
                         f"WHEN {i} THEN list_select(embedding, {perm})")
                 return "CASE i " + " ".join(cases) + " END AS embedding"
+            if (t == "documents" and c == "text"
+                    and not args.no_perm_text):
+                # Per-replica ALPHABET permutation (bijective per-char
+                # map): verbatim text replication makes every doc a
+                # near-dup of its factor-1 clones, so the corpus's
+                # near-dup graph collapses into one giant component and
+                # every clustering/pair-enumerating oracle goes quadratic
+                # BY CONSTRUCTION (the r5 first sweep's ORACLE_OOM class).
+                # A bijection maps each replica's 3-char shingle set
+                # isomorphically — intra-replica Jaccard is EXACT, so the
+                # factor-x corpus has factor independent copies of the x1
+                # dup structure. Same trick scale_probe_cdc.py documents.
+                import string
+
+                lo, up = string.ascii_lowercase, string.ascii_uppercase
+                cases = ["WHEN 0 THEN text"]
+                for i in range(1, args.factor):
+                    perm = list(lo)
+                    random.Random(31_337 * i).shuffle(perm)
+                    if "".join(perm) == lo:
+                        perm = perm[1:] + perm[:1]
+                    rot = "".join(perm) + "".join(perm).upper()
+                    cases.append(
+                        f"WHEN {i} THEN translate(text, '{lo + up}', '{rot}')")
+                return "CASE i " + " ".join(cases) + " END AS text"
             return c
 
         sel = ", ".join(col_expr(c) for c in cols)
