@@ -2309,7 +2309,16 @@ from .operators.similarity import (  # noqa: E402
 )
 from .operators.text import BPE_TOKEN_RE, bpe_token_stats  # noqa: E402
 
-_IVF_MOD, _IVF_PROBES = 32, 4
+# IVF/k-means/PQ fixture granularity. The seed rules (centroid every
+# mod-th vec_id, PQ codebook entry every pq_mod-th) make k grow with the
+# corpus at a FIXED mod — the documented 88x-at-10x training-cost class
+# (PROBE_TRAINED_FIXED_K.json). Real deployments hold k fixed (or ~sqrt
+# n); big-SF sweeps scale the mods with the corpus via env so k stays
+# constant. Defaults fit the sf0.01 driver gate; query and oracle derive
+# from the same constants, so cross-engine parity holds at any setting.
+_IVF_MOD = int(os.environ.get("CCS_IVF_MOD", "32"))
+_IVF_PROBES = 4
+_KM_MOD = int(os.environ.get("CCS_KMEANS_MOD", "16"))
 
 
 def _ivf_oracle() -> str:
@@ -5866,7 +5875,7 @@ def q_cdc_rebucket_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH RECURSIVE cents AS (
       SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings
-      WHERE vec_id % 16 = 0
+      WHERE vec_id % {_KM_MOD} = 0
     ),
     assigned AS (
       SELECT vec_id, cent_id FROM (
@@ -5908,7 +5917,7 @@ def q_emb_semdedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import semdedup_keepers
 
     return semdedup_keepers(
-        _embeddings(spark, sf_dir), centroid_mod=16, tau_e9=_NEARDUP_TAU_E9
+        _embeddings(spark, sf_dir), centroid_mod=_KM_MOD, tau_e9=_NEARDUP_TAU_E9
     )
 
 
@@ -6016,7 +6025,7 @@ def _duck_kmeans_sql(n_iters: int = 2, mod: int = 16, n_dims: int = 64) -> str:
     )
 
 
-@register("emb_kmeans_centroids", _duck_kmeans_sql(n_iters=2, mod=16))
+@register("emb_kmeans_centroids", _duck_kmeans_sql(n_iters=2, mod=_KM_MOD))
 def q_emb_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed spherical k-means training
     (operators/similarity.kmeans_centroids): 2 Lloyd's iterations from
@@ -6028,7 +6037,7 @@ def q_emb_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids without losing cross-engine verifiability."""
     from .operators.similarity import kmeans_centroids
 
-    return kmeans_centroids(_embeddings(spark, sf_dir), centroid_mod=16, n_iters=2)
+    return kmeans_centroids(_embeddings(spark, sf_dir), centroid_mod=_KM_MOD, n_iters=2)
 
 
 def _ivf_trained_oracle(n_iters: int = 2) -> str:
@@ -6180,7 +6189,8 @@ def q_emb_ivf_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PQ_M, _PQ_MOD, _PQ_RERANK = 8, 25, 100
+_PQ_M, _PQ_RERANK = 8, 100
+_PQ_MOD = int(os.environ.get("CCS_PQ_MOD", "25"))  # see _IVF_MOD note
 _PQ_D = 64 // _PQ_M
 
 
@@ -6566,7 +6576,7 @@ def q_cdc_erase_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH cents AS (
       SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings
-      WHERE vec_id % 16 = 0
+      WHERE vec_id % {_KM_MOD} = 0
     )
     SELECT vec_id, cent_id, affinity_e9 FROM (
       SELECT e.vec_id, c.cent_id,
@@ -6585,7 +6595,7 @@ def q_emb_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     curation pipeline thresholds. Broadcast argmax, integer-exact."""
     from .operators.similarity import centroid_affinity
 
-    return centroid_affinity(_embeddings(spark, sf_dir), centroid_mod=16)
+    return centroid_affinity(_embeddings(spark, sf_dir), centroid_mod=_KM_MOD)
 
 
 def _duck_hash_embed(text_col: str, n_dims: int = 64) -> str:
