@@ -271,13 +271,18 @@ def main() -> None:
     ap.add_argument("--out", default=os.path.join(REPO, "SCALE_PROBE_CDC.json"),
                     help="output path (point elsewhere for smoke runs so the "
                          "recorded artifact survives)")
+    ap.add_argument("--shuffle-partitions", type=int, default=None,
+                    help="override shuffle partitions (default = --cpus; at "
+                         "x100 the biggest leg wants ~4x cores so per-task "
+                         "shuffle blocks stay spill-free — the same knob a "
+                         "cluster run would size to ~2-3x total cores)")
     args = ap.parse_args()
 
     from clever_canal_spark.session import build_session
 
     spark = build_session(
         app_name="ccs-cdc-scale-probe", master=f"local[{args.cpus}]",
-        shuffle_partitions=args.cpus,
+        shuffle_partitions=args.shuffle_partitions or args.cpus,
         extra_conf={
             "spark.ui.enabled": "true",
             "spark.ui.port": str(UI_PORT),
